@@ -1,13 +1,60 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory; every
+  * key here is one §2 row, and every oracleSql entry is the DuckDB twin
+  * the driver hash-compares against at sf0.01. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Crunch.global(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // reference surface (SURVEY §2 #1-14)
+    "crunch_global"    -> (Crunch.global _),
+    "crunch_player"    -> (Crunch.player _),
+    "dim_rollup_all"   -> (Dimensions.rollupAll _),
+    "range_join_tiers" -> (Dimensions.rangeJoinTiers _),
+    "filter_semijoin"  -> (Dimensions.filterSemijoin _),
+    "build_regex"      -> (Dimensions.buildRegex _),
+    "item_pivot"       -> (Dimensions.itemPivot _),
+    "upsert_merge"     -> (Merge.upsertMerge _),
+    "hero_vs_hero"     -> (Joins.heroVsHero _),
+    "crunch_phases"    -> (Crunch.phases _),
+    "crunch_bans"      -> (Crunch.bans _),
+    "team_fame"        -> (TeamFame.teamFame _),
+    "scalar_exprs"     -> (Scalars.scalarExprs _),
+    "batch_driver"     -> (Merge.batchDriver _),
+    // windowing surface (#15-18)
+    "events_window"      -> (Windows.eventsWindow _),
+    "events_sessionize"  -> (Windows.eventsSessionize _),
+    "window_topn"        -> (Windows.windowTopN _),
+    "asof_join"          -> (Joins.asofJoin _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "crunch_global"    -> Crunch.globalOracle,
+    "crunch_player"    -> Crunch.playerOracle,
+    "dim_rollup_all"   -> Dimensions.rollupAllOracle,
+    "range_join_tiers" -> Dimensions.rangeJoinTiersOracle,
+    "filter_semijoin"  -> Dimensions.filterSemijoinOracle,
+    "build_regex"      -> Dimensions.buildRegexOracle,
+    "item_pivot"       -> Dimensions.itemPivotOracle,
+    "upsert_merge"     -> Merge.upsertMergeOracle,
+    "hero_vs_hero"     -> Joins.heroVsHeroOracle,
+    "crunch_phases"    -> Crunch.phasesOracle,
+    "crunch_bans"      -> Crunch.bansOracle,
+    "team_fame"        -> TeamFame.teamFameOracle,
+    "scalar_exprs"     -> Scalars.scalarExprsOracle,
+    "batch_driver"     -> Merge.batchDriverOracle,
+    "events_window"      -> Windows.eventsWindowOracle,
+    "events_sessionize"  -> Windows.eventsSessionizeOracle,
+    "window_topn"        -> Windows.windowTopNOracle,
+    "asof_join"          -> Joins.asofJoinOracle,
+  )
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dimension-expansion semantics of the reference, done the scale-safe way.
+  *
+  * crunch_global.sql:38-44 produces "all" rollup members by OR-joins
+  * (`p.hero_id = h.id or h.name = 'all'`), which a distributed engine would
+  * execute as a row-multiplying BroadcastNestedLoopJoin. Here the identical
+  * result set comes from GROUPING SETS over a single finest-grain pass —
+  * one scan, one shuffle, no row explosion (VERDICT r1 scale guidance).
+  */
+object Dimensions {
+
+  /** "all"-member rollup via CUBE: every combination of (region, flag)
+    * plus 'all' markers — byte-identical to the OR-join formulation. */
+  def rollupAll(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("played"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("r_name"), lit("all")).as("region"),
+        coalesce(col("l_returnflag"), lit("all")).as("game_mode"),
+        col("played"), col("sum_qty"), col("sum_price"))
+
+  def rollupAllOracle: String = """
+    SELECT coalesce(r_name, 'all') AS region,
+           coalesce(l_returnflag, 'all') AS game_mode,
+           count(*) AS played,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, l_returnflag)"""
+
+  /** skill_tier BETWEEN range join (crunch_global.sql:42): fact rows
+    * classified into [lo, hi) tiers from a tiny inline dim. The dim side is
+    * broadcast explicitly so the plan is a broadcast nested-loop over 5
+    * rows streaming the fact side — never a shuffle-side theta join. */
+  val tiers: Seq[(String, Double, Double)] = Seq(
+    ("bronze", 0.0, 10.0), ("silver", 10.0, 20.0), ("gold", 20.0, 30.0),
+    ("platinum", 30.0, 40.0), ("vainglorious", 40.0, 1e9))
+
+  def rangeJoinTiers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = broadcast(tiers.toDF("tier", "lo", "hi"))
+    lineitem(s, d)
+      .join(dim, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("played"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  def rangeJoinTiersOracle: String = {
+    val vals = tiers.map { case (n, lo, hi) => s"('$n', ${lo}, ${hi})" }.mkString(", ")
+    s"""
+    SELECT tier, count(*) AS played,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    JOIN (VALUES $vals) AS t(tier, lo, hi)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY 1"""
+  }
+
+  /** filter semi-join (crunch_global.sql:36): `f.id IN (SELECT ...)` →
+    * left_semi, so the subquery side never widens the fact rows. */
+  def filterSemijoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    lineitem(s, d)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag").as("game_mode"))
+      .agg(
+        count(lit(1)).as("played"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  def filterSemijoinOracle: String = """
+    SELECT l_returnflag AS game_mode, count(*) AS played,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY 1"""
+
+  /** Build-regex matching (crunch_global.sql:46-53): the reference matches
+    * serialized item_grants against per-build regexes; here "builds" are
+    * regex patterns over part attributes, evaluated with RLIKE inside
+    * codegen. Patterns are anchored alternations — identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB oracle). */
+  val builds: Seq[(String, String)] = Seq(
+    ("economy_small", "^(ECONOMY|SMALL)$"),
+    ("heavy", "^(LARGE|MEDIUM)$"),
+    ("promo", "^PROMO$"))
+
+  def buildRegex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = broadcast(builds.toDF("build", "pattern"))
+    lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .join(dim, regexp_like(col("p_type"), col("pattern")))
+      .groupBy(col("build"))
+      .agg(
+        count(lit(1)).as("played"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("p_partkey")).as("parts"))
+  }
+
+  def buildRegexOracle: String = {
+    val vals = builds.map { case (n, p) => s"('$n', '$p')" }.mkString(", ")
+    s"""
+    SELECT build, count(*) AS played,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(DISTINCT p_partkey) AS parts
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN (VALUES $vals) AS b(build, pattern)
+      ON regexp_matches(p_type, pattern)
+    GROUP BY 1"""
+  }
+
+  /** Dynamic per-item pivot (worker.js:96-112): the reference codegens one
+    * `item_NNN_use` SUM column per activable item. Same shape here:
+    * conditional aggregation per brand — stays inside one hash agg with
+    * map-side combine, no second pivot shuffle. */
+  val pivotBrands: Seq[Int] = Seq(11, 12, 13, 14, 15)
+
+  def itemPivot(s: SparkSession, d: String): DataFrame = {
+    val pivots = pivotBrands.flatMap { b =>
+      Seq(
+        sum(when(col("p_brand") === s"Brand#$b", dec(col("l_quantity")))
+          .otherwise(dec(lit(0)))).cast("double").as(f"item_${b}%03d_use"),
+        sum(when(col("p_brand") === s"Brand#$b", 1L).otherwise(0L))
+          .as(f"item_${b}%03d_n"))
+    }
+    val aggs = count(lit(1)).as("played") +: pivots
+    lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag").as("game_mode"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  def itemPivotOracle: String = {
+    val cols = pivotBrands.flatMap { b =>
+      Seq(
+        f"CAST(sum(CASE WHEN p_brand = 'Brand#$b' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS item_${b}%03d_use",
+        f"CAST(sum(CASE WHEN p_brand = 'Brand#$b' THEN 1 ELSE 0 END) AS BIGINT) AS item_${b}%03d_n")
+    }
+    s"""
+    SELECT l_returnflag AS game_mode, count(*) AS played,
+           ${cols.mkString(",\n           ")}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1"""
+  }
+}

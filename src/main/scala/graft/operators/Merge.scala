@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental additive-merge semantics (crunch_global.sql:58-75,
+  * worker.js:119-165).
+  *
+  * The reference folds each batch of participants into point tables with
+  * `ON DUPLICATE KEY UPDATE x = x + VALUES(x)`. The distributed
+  * re-expression: aggregate each batch independently to the dimension
+  * tuple, then merge batches by re-aggregating on the same key — a pure
+  * shuffle-on-key combine with no driver state and no collect(). The
+  * defining law (tested in MergeSpec and by the `upsert_merge` oracle):
+  * crunch(A) ⊕ crunch(B) == crunch(A ∪ B).
+  */
+object Merge {
+
+  /** Per-batch point aggregation at the dimension tuple. */
+  private def pointAgg(batch: DataFrame): DataFrame =
+    batch
+      .groupBy(col("l_returnflag").as("game_mode"), col("l_linestatus").as("role"))
+      .agg(
+        count(lit(1)).as("played"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("wins"),
+        sum(dec(col("l_quantity"))).as("time_spent_d"),
+        sum(dec(col("l_extendedprice"))).as("gold_d"),
+        max(col("l_orderkey")).as("last_match"))
+
+  /** Additive merge of point partials: sums add, max folds — the exact
+    * column-wise ON DUPLICATE semantics, as one distributed re-agg. */
+  def merge(points: Seq[DataFrame]): DataFrame =
+    points.reduce(_ unionByName _)
+      .groupBy(col("game_mode"), col("role"))
+      .agg(
+        sum(col("played")).as("played"),
+        sum(col("wins")).as("wins"),
+        sum(col("time_spent_d")).as("time_spent_d"),
+        sum(col("gold_d")).as("gold_d"),
+        max(col("last_match")).as("last_match"))
+
+  private def finish(df: DataFrame): DataFrame =
+    df.select(
+      col("game_mode"), col("role"), col("played"), col("wins"),
+      col("time_spent_d").cast("double").as("time_spent"),
+      col("gold_d").cast("double").as("gold"),
+      col("last_match"))
+
+  /** `upsert_merge`: split lineitem into two batches on the order key,
+    * crunch each, merge — the oracle computes the one-shot aggregate, so a
+    * hash match proves the merge law end-to-end. */
+  def upsertMerge(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 =!= 0)
+    finish(merge(Seq(pointAgg(a), pointAgg(b))))
+  }
+
+  def upsertMergeOracle: String = """
+    SELECT l_returnflag AS game_mode, l_linestatus AS role,
+      count(*) AS played,
+      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
+      max(l_orderkey) AS last_match
+    FROM lineitem GROUP BY 1, 2"""
+
+  /** Batch driver (worker.js:119-165): buffers ids to BATCHSIZE, flushes a
+    * crunch per batch, merges results — `batch_driver` runs it over match
+    * ids split into reference-sized batches. The queue transport is
+    * environment; the batch/merge semantics are what's preserved. */
+  final class Cruncher(s: SparkSession, d: String, batchSize: Int = 1000) {
+    private var pending = Vector.empty[Long]
+    private var crunched = Vector.empty[DataFrame]
+    private val li = lineitem(s, d)
+
+    def submit(matchId: Long): Unit = {
+      pending :+= matchId
+      if (pending.size >= batchSize) flush()
+    }
+
+    def flush(): Unit = if (pending.nonEmpty) {
+      import s.implicits._
+      val ids = pending.toDF("id")
+      crunched :+= pointAgg(li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi"))
+      pending = Vector.empty
+    }
+
+    def result(): DataFrame = { flush(); finish(merge(crunched)) }
+  }
+
+  def batchDriver(s: SparkSession, d: String): DataFrame = {
+    val c = new Cruncher(s, d, batchSize = 100)
+    // deterministic "queue": every even order id at this SF
+    val ids = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    ids.foreach(c.submit)
+    c.result()
+  }
+
+  def batchDriverOracle: String = """
+    SELECT l_returnflag AS game_mode, l_linestatus AS role,
+      count(*) AS played,
+      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
+      max(l_orderkey) AS last_match
+    FROM lineitem
+    WHERE l_orderkey % 2 = 0
+      AND l_orderkey IN (SELECT o_orderkey FROM orders)
+    GROUP BY 1, 2"""
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window and ranking operators over the events stream table. The
+  * streaming twins (readStream + watermark / mapGroupsWithState) live in
+  * graft.streaming; these are the batch semantics the oracle can check.
+  */
+object Windows {
+
+  /** Tumbling 1-hour window aggregation (batch twin of
+    * streaming.EventAggregator). */
+  def eventsWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        tstr(date_trunc("hour", col("ts"))).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        dsum(col("value")).as("sum_value"))
+
+  def eventsWindowOracle: String = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2"""
+
+  /** Gap-based sessionization: a new session starts after >30 min of user
+    * inactivity. session index = running count of gap-starts — one shuffle
+    * on user_id, sort within partition, all window functions share the
+    * partitioning. Batch twin of streaming.Sessionizer. */
+  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("gap_start",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("gap_start")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        tstr(min(col("ts"))).as("session_start"),
+        tstr(max(col("ts"))).as("session_end"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  def eventsSessionizeOracle: String = """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS gap_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(gap_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY 1, 2"""
+
+  /** Top-N per group: 3 highest-value orders per customer, deterministic
+    * tie-break on o_orderkey. Ranking runs partially per partition after
+    * one shuffle on the group key. */
+  def windowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(
+        col("o_custkey"), col("rn").cast("long").as("rn"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("total"))
+  }
+
+  def windowTopNOracle: String = """
+    SELECT o_custkey, rn, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3"""
+}
