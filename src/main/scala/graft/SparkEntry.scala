@@ -35,6 +35,20 @@ object SparkEntry {
     "events_sessionize"  -> (Windows.eventsSessionize _),
     "window_topn"        -> (Windows.windowTopN _),
     "asof_join"          -> (Joins.asofJoin _),
+    // LLM-data-pipeline surface (#19-30); simhash/ivf/lang_id/fingerprint
+    // are non-SQL-expressible → no oracle (rows-only check + ScalaTests)
+    "dedup_exact"     -> (Dedup.dedupExact _),
+    "dedup_minhash"   -> (Dedup.dedupMinhash _),
+    "dedup_ngram"     -> (Dedup.dedupNgram _),
+    "dedup_simhash"   -> (Dedup.dedupSimhash _),
+    "dedup_embedding" -> (Ann.dedupEmbedding _),
+    "ann_topk"        -> (Ann.annTopk _),
+    "ann_ivf"         -> (Ann.annIvf _),
+    "text_stats"      -> (TextOps.textStats _),
+    "token_count"     -> (TextOps.tokenCount _),
+    "lang_id"         -> (TextOps.langId _),
+    "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "multimodal_meta" -> (Multimodal.multimodalMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -56,5 +70,13 @@ object SparkEntry {
     "events_sessionize"  -> Windows.eventsSessionizeOracle,
     "window_topn"        -> Windows.windowTopNOracle,
     "asof_join"          -> Joins.asofJoinOracle,
+    "dedup_exact"     -> Dedup.dedupExactOracle,
+    "dedup_minhash"   -> Dedup.dedupMinhashOracle,
+    "dedup_ngram"     -> Dedup.dedupNgramOracle,
+    "dedup_embedding" -> Ann.dedupEmbeddingOracle,
+    "ann_topk"        -> Ann.annTopkOracle,
+    "text_stats"      -> TextOps.textStatsOracle,
+    "token_count"     -> TextOps.tokenCountOracle,
+    "multimodal_meta" -> Multimodal.multimodalMetaOracle,
   )
 }

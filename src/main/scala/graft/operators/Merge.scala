@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Per-batch point aggregation at the dimension tuple. */
-  private def pointAgg(batch: DataFrame): DataFrame =
+  private[graft] def pointAgg(batch: DataFrame): DataFrame =
     batch
       .groupBy(col("l_returnflag").as("game_mode"), col("l_linestatus").as("role"))
       .agg(
@@ -40,7 +40,7 @@ object Merge {
         sum(col("gold_d")).as("gold_d"),
         max(col("last_match")).as("last_match"))
 
-  private def finish(df: DataFrame): DataFrame =
+  private[graft] def finish(df: DataFrame): DataFrame =
     df.select(
       col("game_mode"), col("role"), col("played"), col("wins"),
       col("time_spent_d").cast("double").as("time_spent"),

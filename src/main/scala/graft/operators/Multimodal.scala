@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, decoded by a per-partition batch decoder.
+  *
+  * The container has no image/audio codecs, so the decoder is a
+  * clearly-marked deterministic stub (dimensions derived from the
+  * payload's SHA-256), but the Spark-side plumbing is real: a typed
+  * Dataset[MediaRow], mapPartitions batch iteration (the same shape a
+  * Pandas-UDF/Arrow decode batch has — amortized per-partition setup, one
+  * row group in flight), and a schema that carries binary + struct
+  * metadata. The oracle recomputes the metadata arithmetic in SQL, proving
+  * the partition-batch path is byte-faithful end to end.
+  */
+object Multimodal {
+
+  /** Raw media record: payload bytes + routing metadata. */
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Decoded record: metadata a real decoder would emit. */
+  final case class DecodedMedia(
+    doc_id: Long, media_type: String, n_bytes: Long, sha_hex: String,
+    width: Long, height: Long, n_frames: Long)
+
+  /** STUB DECODER — stands in for the image/audio codec that is not in
+    * this container. Deterministic: "decodes" dimensions from the SHA-256
+    * digest; a real deployment swaps `decodeBatch` for the codec call and
+    * nothing else changes. */
+  def decodeBatch(rows: Iterator[MediaRow]): Iterator[DecodedMedia] = {
+    // per-partition (per-batch) setup happens once, like a codec context
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.map { r =>
+      md.reset()
+      val digest = md.digest(r.payload)
+      val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+      val w = (digest(0) & 0xff).toLong % 640L + 16L
+      val h = (digest(1) & 0xff).toLong % 480L + 16L
+      val frames = if (r.media_type == "video") r.payload.length.toLong % 30L + 1L else 1L
+      DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong, hex, w, h, frames)
+    }
+  }
+
+  /** Build the media table (text bytes standing in for media payloads),
+    * push it through the typed partition-batch decode, return the decoded
+    * metadata. Partitioning note: decode cost is per-byte, so at scale the
+    * input is repartitioned by size (`maxPartitionBytes`), not row count —
+    * the mapPartitions pipeline preserves whatever partitioning the scan
+    * chose and adds no shuffle. */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = documents(s, d)
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions(decodeBatch _).toDF()
+  }
+
+  def multimodalMetaOracle: String = """
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      sha256(text) AS sha_hex,
+      CAST(CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 640 + 16 AS BIGINT) AS width,
+      CAST(CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 480 + 16 AS BIGINT) AS height,
+      CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 30 + 1 ELSE 1 END AS BIGINT) AS n_frames
+    FROM documents"""
+}

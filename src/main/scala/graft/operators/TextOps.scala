@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents.parquet`: quality scoring,
+  * token counting, language ID, and winnowing fingerprints. Everything is
+  * a pure per-row projection or one hash aggregation — `functions._` only,
+  * fully inside whole-stage codegen, no UDFs — so a 100 TB scan runs at
+  * parquet-read speed with the text column as the sole wide column read.
+  */
+object TextOps {
+
+  // ----------------------------------------------------------- text_stats
+
+  /** Quality scoring: length, token, punctuation and stopword statistics
+    * plus a composite [0,1] quality score. All ratios are int/int double
+    * divisions (exactly rounded IEEE ops → bit-stable across engines). */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val w        = Dedup.tokens(col("text"))
+    val nChars   = length(col("text")).cast("long")
+    val nTokens  = size(w).cast("long")
+    // chars removed by stripping non-alphanumeric-non-space = punctuation
+    val nPunct   = (nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+      .cast("long")
+    val stop     = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val nStop    = size(filter(w, t => t.isin(stop.map(lit): _*))).cast("long")
+    val tokLen   = aggregate(transform(w, length(_).cast("long")), lit(0L), _ + _)
+    val stopR    = nStop.cast("double") / nTokens
+    val punctR   = nPunct.cast("double") / nChars
+    val lenScore = least(nTokens.cast("double") / lit(64.0), lit(1.0))
+    documents(s, d).select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      nPunct.as("n_punct"),
+      nStop.as("n_stopwords"),
+      (tokLen.cast("double") / nTokens).as("avg_token_len"),
+      stopR.as("stopword_ratio"),
+      punctR.as("punct_ratio"),
+      (lenScore * lit(0.5) + stopR * lit(0.3) + (lit(1.0) - punctR) * lit(0.2))
+        .as("quality_score"))
+  }
+
+  def textStatsOracle: String = """
+    WITH t AS (
+      SELECT doc_id, text,
+        string_split_regex(lower(trim(text)), '\s+') AS w,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_chars, n_punct,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stopwords,
+        CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS tok_len
+      FROM t)
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+      CAST(tok_len AS DOUBLE) / n_tokens AS avg_token_len,
+      CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+      CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+      least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+        + (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3
+        + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2 AS quality_score
+    FROM c"""
+
+  // ---------------------------------------------------------- token_count
+
+  /** Whitespace vs BPE-ish regex token counts. The regex splits runs of
+    * letters, runs of digits, and single other non-space chars — the same
+    * classes a byte-level BPE pre-tokenizer uses; identical semantics in
+    * Java regex and DuckDB's RE2. */
+  val BpeIsh = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def tokenCount(s: SparkSession, d: String): DataFrame = {
+    val w = Dedup.tokens(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      size(w).cast("long").as("ws_tokens"),
+      size(array_distinct(w)).cast("long").as("distinct_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeIsh), lit(0))).cast("long")
+        .as("bpe_tokens"))
+  }
+
+  def tokenCountOracle: String = s"""
+    SELECT doc_id,
+      CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS ws_tokens,
+      CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS distinct_tokens,
+      CAST(len(regexp_extract_all(text, '$BpeIsh')) AS BIGINT) AS bpe_tokens
+    FROM documents"""
+
+  // -------------------------------------------------------------- lang_id
+
+  /** n-gram-heuristic language ID: score each language by stopword hits
+    * plus a script test (CJK codepoints for zh), argmax with deterministic
+    * tie-break on language name. Profiles are broadcast literals inside the
+    * expression — per-row work only, no join. No SQL oracle (the corpus
+    * `lang` labels are synthetic); LangIdSpec checks real sentences. */
+  val Profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "it", "you", "that", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "en", "no"))
+
+  def langScores(text: Column): Column = {
+    val w = Dedup.tokens(text)
+    val hits = Profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(
+        size(filter(w, t => t.isin(stops.map(lit): _*))).cast("double").as("score"),
+        lit(lang).as("lang"))
+    }
+    val zh = struct(
+      (length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") * lit(2.0))
+        .as("score"),
+      lit("zh").as("lang"))
+    array_max(array(hits :+ zh: _*))
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val best = langScores(col("text"))
+    documents(s, d).select(
+      col("doc_id"), col("lang").as("lang_label"),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+        .as("lang_pred"),
+      best.getField("score").as("score"))
+  }
+
+  // ------------------------------------------------------ doc_fingerprint
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * style): hash every word 3-shingle in order, slide a window of 4
+    * hashes, keep each window's minimum, dedup. Guarantee: any shared run
+    * of ≥ 6 tokens between two docs yields a shared fingerprint. Pure
+    * array expressions per row. No SQL oracle (xxhash64 has no DuckDB
+    * twin); FingerprintSpec checks the containment property. */
+  val WinnowWindow = 4
+
+  def fingerprintArr(text: Column): Column = {
+    val w = Dedup.tokens(text)
+    // ordered (non-distinct) shingle hashes
+    val hs = when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3), i =>
+        xxhash64(concat_ws(" ", element_at(w, i + lit(1)), element_at(w, i + lit(2)),
+          element_at(w, i + lit(3))))))
+      .otherwise(array().cast("array<bigint>"))
+    when(size(hs) >= WinnowWindow,
+      array_distinct(transform(sequence(lit(0), size(hs) - WinnowWindow), i =>
+        array_min(slice(hs, i + lit(1), lit(WinnowWindow))))))
+      .otherwise(array_distinct(hs))
+  }
+
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      explode(fingerprintArr(col("text"))).as("fingerprint"))
+}

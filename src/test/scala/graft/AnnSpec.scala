@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Ann
+
+/** IVF invariants: probing all cells degenerates to exact brute force;
+  * partial probes trade recall for the cell-pruned scan. */
+class AnnSpec extends SparkSpec {
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("ivf with nprobe = all cells equals brute-force top-k") {
+    val exact = resultSet(Ann.annTopk(spark, sf))
+    val full  = resultSet(Ann.ivfTopk(spark, sf, nprobe = Ann.Cells))
+    assert(full == exact)
+  }
+
+  test("ivf partial probe returns k rows per query with measurable recall") {
+    val exact = resultSet(Ann.annTopk(spark, sf))
+      .map { case (q, _, n) => (q, n) }
+    val part = Ann.annIvf(spark, sf).collect()
+    val queries = part.map(_.getLong(0)).distinct
+    assert(queries.nonEmpty)
+    val counts = part.groupBy(_.getLong(0)).values.map(_.length)
+    assert(counts.forall(_ <= Ann.K))
+    val hits = part.count(r => exact.contains((r.getLong(0), r.getLong(2))))
+    val recall = hits.toDouble / exact.size
+    info(f"ann_ivf recall@${Ann.K} nprobe=4/${Ann.Cells}: $recall%.3f")
+    assert(recall > 0.0) // partial probe must still find some true neighbors
+  }
+
+  test("brute-force top-k is k-deep and self-free") {
+    val rows = Ann.annTopk(spark, sf).collect()
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == Ann.K))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+}

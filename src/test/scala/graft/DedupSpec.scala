@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** LSH paths checked against brute force computed in-suite. */
+class DedupSpec extends SparkSpec {
+
+  /** Brute-force word-3-shingle Jaccard pairs over the tiny SF. */
+  private lazy val bruteJaccard: Map[(Long, Long), Double] = {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.shingleArr(col("text"), 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .sortBy(_._1)
+    (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      inter = (sa & sb).size if inter > 0
+    } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+  }
+
+  test("minhash LSH finds exactly the J>=0.5 pairs at sf0.001") {
+    // NB: filter+keySet, not collect-to-pairs (which would rebuild a Map
+    // and silently collapse pairs sharing a first element)
+    val expected = bruteJaccard.filter(_._2 >= 0.5).keySet
+    val got = Dedup.dedupMinhash(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("minhash verified jaccard values are exact") {
+    val got = Dedup.dedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    got.foreach { case (pair, j) =>
+      assert(math.abs(j - bruteJaccard(pair)) < 1e-12, s"pair $pair")
+    }
+  }
+
+  test("ngram exact index equals brute force at its threshold") {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.shingleArr(col("text"), 4).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).sortBy(_._1)
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      inter = (sa & sb).size if inter > 0
+      jac = inter.toDouble / (sa.size + sb.size - inter) if jac >= 0.5
+    } yield (a, b)).toSet
+    val got = Dedup.dedupNgram(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("simhash bucketing finds every pair the full signature table has at hamming<=3") {
+    val sigs = Dedup.simhashSignatures(Tables.documents(spark, sf), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (a, ha) = sigs(i); (b, hb) = sigs(j)
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.dedupSimhash(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bands × 16 bits: hamming<=3 implies >=1 exact band (pigeonhole) —
+    // bucketed candidates are guaranteed complete, so equality must hold
+    assert(got == expected)
+  }
+
+  test("exact dedup keeps one keeper per distinct text") {
+    val df = Dedup.dedupExact(spark, sf)
+    assert(df.count() == df.select("content_hash").distinct().count())
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every registered query must run and (except possibly the pair-finders
+  * at tiny SF) return rows; plus per-operator invariants that the DuckDB
+  * oracle can't express. */
+class EngineSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all registered queries run at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(s"$name: ") { assert(n >= 0) }
+    }
+  }
+
+  test("core queries are non-empty at sf0.001") {
+    val core = Seq("crunch_global", "crunch_player", "dim_rollup_all",
+      "hero_vs_hero", "events_window", "dedup_exact", "ann_topk",
+      "text_stats", "multimodal_meta")
+    core.foreach { name =>
+      withClue(s"$name: ") { assert(SparkEntry.queries(name)(spark, sf).count() > 0) }
+    }
+  }
+
+  test("every oracle name is a registered query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("window_topn keeps at most 3 rows per customer, ranked") {
+    val df = operators.Windows.windowTopN(spark, sf)
+    val bad = df.groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(bad == 0)
+    assert(df.filter(col("rn") < 1 || col("rn") > 3).count() == 0)
+  }
+
+  test("hero_vs_hero has no self-pairs and a symmetric match count") {
+    val df = operators.Joins.heroVsHero(spark, sf).cache()
+    // pairing is over distinct line numbers; the aggregate keyed both ways
+    // must count the same total pairs
+    val total = df.agg(sum("played")).head.getLong(0)
+    assert(total > 0 && total % 2 == 0) // every (a,b) line pair appears twice
+    df.unpersist()
+  }
+
+  test("dim_rollup_all grand total equals lineitem join count") {
+    val df = operators.Dimensions.rollupAll(spark, sf)
+    val grand = df.filter(col("region") === "all" && col("game_mode") === "all")
+      .agg(sum("played")).head.getLong(0)
+    val spine = operators.Crunch.spine(spark, sf).count()
+    assert(grand == spine)
+  }
+
+  test("asof_join matches orders at or before the event time") {
+    val df = operators.Joins.asofJoin(spark, sf)
+    val joined = df.filter(col("match_order").isNotNull)
+    assert(joined.count() > 0)
+    // re-join to orders to check the invariant o_orderdate <= ts
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("match_order"), col("o_orderdate"))
+    val bad = joined.join(ord, "match_order")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss") > col("ts"))
+    assert(bad.count() == 0)
+  }
+}

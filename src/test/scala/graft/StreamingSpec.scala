@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.{EventAggregator, Sessionizer}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming twins must agree with their batch operators on the same
+  * events. MemoryStream drives the micro-batches; a far-future sentinel
+  * event advances the watermark so event-time timeouts fire and all
+  * sessions/windows close. */
+class StreamingSpec extends SparkSpec {
+
+  // offset from the epoch: the initial watermark is epoch 0 and a stateful
+  // op drops rows at-or-before it, so a ts(0) event would silently vanish
+  private def ts(min: Long): Timestamp = new Timestamp((1440 + min) * 60000L)
+
+  test("EventAggregator on a bounded stream equals the batch window agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (ts(0), "view", 1.0), (ts(10), "view", 2.0), (ts(20), "click", 3.0),
+      (ts(70), "view", 4.0), (ts(80), "click", 5.0), (ts(200), "view", 6.0))
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(events)
+    stream.addData(Seq((ts(100000), "sentinel", 0.0))) // push watermark far ahead
+    val q = EventAggregator.aggregate(
+        stream.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("agg_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("agg_out")
+      .filter(col("event_type") =!= "sentinel")
+      .collect().map(_.mkString("|")).toSet
+    val batch = EventAggregator.aggregate(
+        events.toDF("ts", "event_type", "value"))
+      .collect().map(_.mkString("|")).toSet
+    assert(got == batch)
+  }
+
+  test("Sessionizer on a bounded stream equals batch gap sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: two sessions (gap 40 min > 30); user 2: one session
+    val events = Seq(
+      Sessionizer.Ev(1, ts(0), 1.0), Sessionizer.Ev(1, ts(10), 2.0),
+      Sessionizer.Ev(1, ts(50), 3.0),
+      Sessionizer.Ev(2, ts(5), 4.0), Sessionizer.Ev(2, ts(25), 5.0))
+
+    val stream = MemoryStream[Sessionizer.Ev]
+    stream.addData(events)
+    stream.addData(Seq(Sessionizer.Ev(99, ts(100000), 0.0))) // sentinel
+    val q = Sessionizer.sessionize(spark, stream.toDS)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sess_out").filter(col("user_id") =!= 99)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.mkString("|")).toSet
+    assert(got == Set(
+      s"1|${ts(0)}|${ts(10)}|2",
+      s"1|${ts(50)}|${ts(50)}|1",
+      s"2|${ts(5)}|${ts(25)}|2"))
+  }
+}
