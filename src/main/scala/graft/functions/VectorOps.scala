@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  import org.apache.spark.sql.GraftShim
+
   /** array<float> → array<double>. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Σ xᵢyᵢ — sequential left fold, double accumulator. */
+  /** Σ xᵢyᵢ — native codegen loop (see [[DotProduct]]); bit-identical to a
+    * sequential left fold in double. */
   def dot(a: Column, b: Column): Column =
+    GraftShim.column(
+      DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** The higher-order-function twin of [[dot]] — interpreted per element;
+    * kept for differential testing of the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -3,49 +3,61 @@ package graft.operators
 import graft.Tables._
 import graft.functions.VectorOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings.parquet` (array<float>, dim 64).
   *
   * - `ann_topk`: brute-force cosine top-k — the exactness baseline. The
-  *   (small) query set is broadcast against the full vector table, cosine
-  *   runs inside codegen, and ranking is a row_number window partitioned
-  *   by query — at cluster scale each partition ranks its own slice and
-  *   only k rows per (query, partition) survive to the final shuffle
-  *   thanks to the window's rank filter pushdown (LimitPushDownThroughWindow).
-  * - `ann_ivf`: the scale path — an IVF (inverted-file) index: vectors are
-  *   assigned to their nearest coarse centroid once, a query probes only
-  *   `nprobe` cells, and top-k runs per probed cell then merges. Probing
-  *   all cells degenerates to exact brute force — AnnSpec asserts that
-  *   equivalence and reports recall at partial probes. No SQL oracle.
+  *   (small) query set is broadcast against the full vector table and
+  *   ranking is a row_number window partitioned by query, which the
+  *   WindowGroupLimit optimization turns into per-partition top-k.
+  * - `ann_ivf`: the scale path — an IVF (inverted-file) index: vectors
+  *   are assigned to their nearest coarse centroid once, a query probes
+  *   only `nprobe` cells, and top-k runs over the probed cells only.
+  *   Probing all cells degenerates to exact brute force — AnnSpec asserts
+  *   that equivalence and reports recall at partial probes. No SQL oracle.
   * - `dedup_embedding`: exact cosine near-dup pairs (θ ≥ 0.45). Exact
-  *   pair generation is inherently O(n²); it is expressed as a broadcast
-  *   self-join so partitions stream independently. At 100 TB the exact
-  *   path is what you run WITHIN an IVF/LSH cell (see `ann_ivf`), never
-  *   globally — the oracle checks the global answer at test SF.
+  *   pair generation is inherently O(n²); at 100 TB the exact path runs
+  *   WITHIN an IVF/LSH cell, never globally — the oracle checks the
+  *   global answer at test SF.
+  *
+  * Performance shape: every vector is L2-normalized ONCE in a projection
+  * pinned by a repartition exchange (parallelism for the compute-bound
+  * stage + a barrier so CollapseProject can't re-inline the normalize
+  * into the per-pair expression); after that each candidate pair costs a
+  * single 64-element dot product.
   */
 object Ann {
 
   val K = 10
 
-  /** Deterministic small query workload: every 100th vector. */
-  private def queriesOf(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
+  /** Normalized vector table: (vec_id, nv). */
+  private def normed(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), normalize(toDouble(col("embedding"))).as("nv"))
+      .repartition(col("vec_id"))
 
-  def annTopk(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-      .select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("v"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("c").desc, col("neighbor_id"))
-    broadcast(queriesOf(embeddings(s, d)))
-      .join(emb, col("qid") =!= col("neighbor_id"))
-      .withColumn("c", cosine(col("qv"), col("v")))
+  /** Deterministic small query workload: every 100th vector. */
+  private def queriesOf(nemb: DataFrame): DataFrame =
+    nemb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("nv").as("qv"))
+
+  private def rankTopk(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("neighbor_id"))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
+  }
+
+  def annTopk(s: SparkSession, d: String): DataFrame = {
+    val nemb = normed(embeddings(s, d))
+    val cand = nemb.select(col("vec_id").as("neighbor_id"), col("nv"))
+    rankTopk(
+      broadcast(queriesOf(nemb))
+        .join(cand, col("qid") =!= col("neighbor_id"))
+        .withColumn("c", dot(col("qv"), col("nv"))))
   }
 
   def annTopkOracle: String = s"""
@@ -83,39 +95,38 @@ object Ann {
       .select(col("cell"),
         normalize(transform(col("dims"), _.getField("m"))).as("centroid"))
 
-  /** Assign every vector to its argmax-cosine centroid; the assignment
-    * join is a broadcast of Cells rows. */
-  def assign(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+  /** Assign every vector to its argmax-cosine centroid. The Cells-row
+    * centroid table is broadcast; the group re-collapse keeps only the
+    * winning cell (any_value carries the vector through — it is constant
+    * within the group, not grouped on). */
+  def assign(nemb: DataFrame, cents: DataFrame): DataFrame =
+    nemb
       .join(broadcast(cents))
-      .withColumn("score", cosine(col("v"), col("centroid")))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+      .withColumn("score", dot(col("nv"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(
+        any_value(col("nv")).as("nv"),
+        max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
 
   /** IVF search: probe the `nprobe` best cells per query, exact top-k
     * inside the probed cells only. nprobe = Cells ⇒ identical to brute
     * force (AnnSpec asserts this). */
   def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb   = embeddings(s, d)
-    val cents = centroids(emb)
-    val index = assign(emb, cents) // (vec_id, v, cell)
+    val nemb  = normed(embeddings(s, d))
+    val cents = centroids(embeddings(s, d))
+    val index = assign(nemb, cents) // (vec_id, nv, cell)
     val probe = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cell"))
-    val probed = queriesOf(emb)
+    val probed = queriesOf(nemb)
       .join(broadcast(cents))
-      .withColumn("cscore", cosine(col("qv"), col("centroid")))
+      .withColumn("cscore", dot(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(probe))
       .filter(col("crank") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("neighbor_id"))
-    probed
-      .join(index.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
-      .filter(col("qid") =!= col("neighbor_id"))
-      .withColumn("c", cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"))
+    rankTopk(
+      broadcast(probed)
+        .join(index.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+        .filter(col("qid") =!= col("neighbor_id"))
+        .withColumn("c", dot(col("qv"), col("nv"))))
   }
 
   /** Registered `ann_ivf` runs a partial probe (the honest scale config). */
@@ -126,11 +137,11 @@ object Ann {
   val DupThreshold = 0.45
 
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-    val a = emb.select(col("vec_id").as("id_a"), toDouble(col("embedding")).as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), toDouble(col("embedding")).as("vb"))
+    val nemb = normed(embeddings(s, d))
+    val a = nemb.select(col("vec_id").as("id_a"), col("nv").as("na"))
+    val b = nemb.select(col("vec_id").as("id_b"), col("nv").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .filter(cosine(col("va"), col("vb")) >= DupThreshold)
+      .filter(dot(col("na"), col("nb")) >= DupThreshold)
       .select(col("id_a"), col("id_b"))
   }
 

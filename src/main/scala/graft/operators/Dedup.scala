@@ -34,18 +34,30 @@ object Dedup {
     * string_split_regex(lower(trim(text)), '\s+'). */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  /** Distinct word n-shingles as an array column (empty when < n tokens). */
-  def shingleArr(c: Column, n: Int): Column = {
-    val w = tokens(c)
+  /** Distinct word n-shingles from a MATERIALIZED token-array column.
+    * `w` must be a plain column reference: Catalyst does not CSE through
+    * higher-order lambdas, so inlining `split()` here would re-run the
+    * split for every element_at — O(len²) per row (measured 12 s for 5000
+    * docs before the fix, <1 s after). */
+  def shinglesOfTokens(w: Column, n: Int): Column =
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(0), size(w) - n), i =>
         concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k + 1))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** Exploded (doc_id, shingle) posting table. */
+  /** Inline convenience for small inputs (tests) — quadratic form. */
+  def shingleArr(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
+
+  /** Exploded (doc_id, shingle) posting table. The tokenization is
+    * projected first and pinned by a repartition exchange: the exchange is
+    * the parallelism source for this compute-bound stage (the input may be
+    * a single file split) AND the barrier that keeps the token array
+    * materialized (CollapseProject would otherwise re-inline the split
+    * into every lambda element access). */
   def shingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingleArr(col("text"), n)).as("shingle"))
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shinglesOfTokens(col("w"), n)).as("shingle"))
 
   /** The DuckDB twin of [[shingleArr]]: 1-based list indexing, same split. */
   def shingleSqlCte(n: Int): String = {
@@ -152,15 +164,24 @@ object Dedup {
 
   // ---------------------------------------------------------------- ngram
 
-  /** Exact 4-gram Jaccard near-dup pairs via inverted index: candidates =
-    * docs sharing ≥1 shingle (posting self-join), then the same verify. */
+  /** Exact 4-gram Jaccard near-dup pairs via inverted index. The posting
+    * self-join's (a,b) group count IS the intersection size — no separate
+    * candidate/verify passes, one fanout, map-side combinable. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(documents(s, d), 4)
-    val cand = sh.as("x").join(sh.as("y"),
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    verifyJaccard(cand, sh, 0.5)
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("intersection"))
+    val j = col("intersection").cast("double") /
+      (col("size_a") + col("size_b") - col("intersection"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b"), "b")
+      .filter(j >= 0.5)
+      .select(col("a"), col("b"), col("intersection"),
+        col("size_a"), col("size_b"), j.as("jaccard"))
   }
 
   def dedupNgramOracle: String = jaccardOracle(4, 0.5)

@@ -91,10 +91,14 @@ object Merge {
   }
 
   def batchDriver(s: SparkSession, d: String): DataFrame = {
-    val c = new Cruncher(s, d, batchSize = 100)
     // deterministic "queue": every even order id at this SF
     val ids = orders(s, d).filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    // Batch size scales with the queue so the merged plan stays a handful
+    // of scans at any SF — MergeSpec proves the merge law holds for ANY
+    // split, so batch count is purely a throughput knob (the reference's
+    // BATCHSIZE=1000 plays the same role for its upsert round-trips).
+    val c = new Cruncher(s, d, batchSize = math.max(1000, ids.length / 4))
     ids.foreach(c.submit)
     c.result()
   }

@@ -53,6 +53,7 @@ object Multimodal {
   def multimodalMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media: Dataset[MediaRow] = documents(s, d)
+      .repartition(col("doc_id")) // decode is compute-bound: spread rows across cores
       .select(
         col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),

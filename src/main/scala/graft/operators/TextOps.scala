@@ -136,21 +136,40 @@ object TextOps {
     * twin); FingerprintSpec checks the containment property. */
   val WinnowWindow = 4
 
-  def fingerprintArr(text: Column): Column = {
-    val w = Dedup.tokens(text)
-    // ordered (non-distinct) shingle hashes
-    val hs = when(size(w) >= 3,
+  /** Ordered (non-distinct) 3-shingle hashes from a MATERIALIZED token
+    * column (see Dedup.shinglesOfTokens for why w must not be inline). */
+  def shingleHashesOfTokens(w: Column): Column =
+    when(size(w) >= 3,
       transform(sequence(lit(0), size(w) - 3), i =>
         xxhash64(concat_ws(" ", element_at(w, i + lit(1)), element_at(w, i + lit(2)),
           element_at(w, i + lit(3))))))
       .otherwise(array().cast("array<bigint>"))
+
+  /** Inline convenience for small inputs (tests) — quadratic form. */
+  def shingleHashes(text: Column): Column =
+    shingleHashesOfTokens(Dedup.tokens(text))
+
+  /** Winnow a MATERIALIZED hash-array column. `hs` must be a plain column
+    * reference: inlining the shingle-hash expression here would re-evaluate
+    * it inside every window's `slice` (Catalyst does not CSE through
+    * higher-order lambdas), turning O(len·w) into O(len²·w) per row. */
+  def winnow(hs: Column): Column =
     when(size(hs) >= WinnowWindow,
       array_distinct(transform(sequence(lit(0), size(hs) - WinnowWindow), i =>
         array_min(slice(hs, i + lit(1), lit(WinnowWindow))))))
       .otherwise(array_distinct(hs))
-  }
+
+  /** Test/demo convenience on small inputs — quadratic inline form. */
+  def fingerprintArr(text: Column): Column = winnow(shingleHashes(text))
 
   def docFingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"),
-      explode(fingerprintArr(col("text"))).as("fingerprint"))
+    documents(s, d)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      // each exchange is a parallelism source (compute-bound stage,
+      // possibly single-split input) and a projection barrier pinning the
+      // previous stage's array materialized (CollapseProject cannot
+      // re-inline across it)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), shingleHashesOfTokens(col("w")).as("hs"))
+      .select(col("doc_id"), explode(winnow(col("hs"))).as("fingerprint"))
 }

@@ -1,0 +1,92 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Thin HTTP wrapper over the registered query surface — the microservice
+  * face of the engine (the reference is a queue-worker microservice; its
+  * query semantics are the SparkEntry registry, its transport is
+  * environment — this is the REST flavor).
+  *
+  * Routes:
+  *   GET /health                     → {"status":"ok"}
+  *   GET /queries                    → registered query names
+  *   GET /query/<name>?sf=DIR&limit=N → run query, JSON rows (default
+  *                                      limit 1000; collect is bounded)
+  *
+  * The server holds ONE SparkSession; queries are declarative DataFrames,
+  * so concurrent requests are just concurrent Spark jobs under the
+  * session's scheduler. Row payloads go through df.limit(n).toJSON on the
+  * executors — the driver only concatenates bounded output.
+  */
+final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def param(ex: HttpExchange, key: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&"))
+      .collectFirst { case kv if kv.startsWith(key + "=") =>
+        java.net.URLDecoder.decode(kv.drop(key.length + 1), "UTF-8") }
+
+  def start(): Unit = {
+    server.createContext("/health", (ex: HttpExchange) =>
+      respond(ex, 200, """{"status":"ok"}"""))
+    server.createContext("/queries", (ex: HttpExchange) =>
+      respond(ex, 200,
+        SparkEntry.queries.keys.toSeq.sorted.mkString("[\"", "\",\"", "\"]")))
+    server.createContext("/query/", (ex: HttpExchange) => {
+      val name = ex.getRequestURI.getPath.stripPrefix("/query/")
+      SparkEntry.queries.get(name) match {
+        case None => respond(ex, 404, s"""{"error":"unknown query '$name'"}""")
+        case Some(fn) =>
+          try {
+            val sf = param(ex, "sf").getOrElse(defaultSf)
+            val limit = param(ex, "limit").map(_.toInt).getOrElse(1000)
+            val rows = fn(spark, sf).limit(limit).toJSON.collect()
+            respond(ex, 200, rows.mkString("[", ",", "]"))
+          } catch { case e: Throwable =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+  }
+
+  def stop(): Unit = server.stop(0)
+}
+
+object QueryServer {
+  def main(args: Array[String]): Unit = {
+    val port = sys.env.getOrElse("GRAFT_PORT", "8080").toInt
+    val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val srv = new QueryServer(spark, sf, port)
+    srv.start()
+    println(s"[graft] query server on :${srv.boundPort}")
+    Thread.currentThread.join()
+  }
+}

@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge. `classic.ExpressionUtils` is private[sql],
+  * so custom native expressions (graft.functions.DotProduct) get wrapped
+  * here — the one file that lives inside Spark's package namespace. */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
