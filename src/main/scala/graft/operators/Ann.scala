@@ -95,36 +95,55 @@ object Ann {
       .select(col("cell"),
         normalize(transform(col("dims"), _.getField("m"))).as("centroid"))
 
-  /** Assign every vector to its argmax-cosine centroid. The Cells-row
-    * centroid table is broadcast; the group re-collapse keeps only the
-    * winning cell (any_value carries the vector through — it is constant
-    * within the group, not grouped on). */
-  def assign(nemb: DataFrame, cents: DataFrame): DataFrame =
-    nemb
-      .join(broadcast(cents))
-      .withColumn("score", dot(col("nv"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(
-        any_value(col("nv")).as("nv"),
-        max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+  /** Collected centroid metadata: Cells × dim doubles on the driver —
+    * the standard k-means shape (centroids round-trip the driver between
+    * iterations in MLlib too); it is index METADATA, not data. */
+  def collectCentroids(s: SparkSession, d: String): Array[(Int, Array[Double])] =
+    centroids(embeddings(s, d)).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+
+  /** (score, cell) structs for a vector against every centroid literal —
+    * pure projection arithmetic, no join, stays in codegen. */
+  private def cellScores(v: org.apache.spark.sql.Column,
+                         cents: Array[(Int, Array[Double])]) =
+    cents.map { case (c, vec) =>
+      struct(dot(v, typedLit(vec.toSeq)).as("s"), lit(c).as("cell"))
+    }
+
+  /** Argmax-cosine cell id (ties → lowest cell). */
+  private def assignCell(v: org.apache.spark.sql.Column,
+                         cents: Array[(Int, Array[Double])]) =
+    array_max(array(cellScores(v, cents).map(sc =>
+      struct(sc.getField("s").as("s"), (-sc.getField("cell")).as("nc"))): _*))
+      .getField("nc") * -1
+
+  /** Top-nprobe cells for a query vector: sort the Cells-long struct
+    * array descending by score (ties → lowest cell), slice, project. */
+  private def probeCells(v: org.apache.spark.sql.Column,
+                         cents: Array[(Int, Array[Double])], nprobe: Int) =
+    transform(
+      slice(sort_array(array(cellScores(v, cents).map(sc =>
+        struct((-sc.getField("s")).as("ns"), sc.getField("cell").as("cell"))): _*)),
+        1, nprobe),
+      x => x.getField("cell"))
 
   /** IVF search: probe the `nprobe` best cells per query, exact top-k
-    * inside the probed cells only. nprobe = Cells ⇒ identical to brute
-    * force (AnnSpec asserts this). */
+    * inside the probed cells only. Cell assignment and probe selection
+    * are projections over collected centroid literals — the only shuffle
+    * is the per-cell candidate join + the ranking window. nprobe = Cells
+    * ⇒ identical to brute force (AnnSpec asserts this). */
   def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val cents = collectCentroids(s, d)
     val nemb  = normed(embeddings(s, d))
-    val cents = centroids(embeddings(s, d))
-    val index = assign(nemb, cents) // (vec_id, nv, cell)
-    val probe = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cell"))
+    val index = nemb.select(col("vec_id").as("neighbor_id"), col("nv"),
+      assignCell(col("nv"), cents).as("cell"))
     val probed = queriesOf(nemb)
-      .join(broadcast(cents))
-      .withColumn("cscore", dot(col("qv"), col("centroid")))
-      .withColumn("crank", row_number().over(probe))
-      .filter(col("crank") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
+      .select(col("qid"), col("qv"),
+        explode(probeCells(col("qv"), cents, nprobe)).as("cell"))
     rankTopk(
       broadcast(probed)
-        .join(index.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+        .join(index, Seq("cell"))
         .filter(col("qid") =!= col("neighbor_id"))
         .withColumn("c", dot(col("qv"), col("nv"))))
   }
