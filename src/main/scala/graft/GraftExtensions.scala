@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+
+/** SparkSessionExtensions hook: registers the native vector functions in
+  * the SQL function registry, so `spark.sql("... graft_dot(a, b) ...")`
+  * and plain-SQL users get the same codegen'd hot loop the DataFrame API
+  * uses. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all graft
+  * entry points do).
+  *
+  *   graft_dot(a, b)    — Σ aᵢbᵢ over two array<double>
+  *   graft_cosine(a, b) — graft_dot(a,b) / (‖a‖·‖b‖), composed from
+  *                        catalyst arithmetic around the same expression
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def dotBuilder(children: Seq[Expression]): Expression =
+    DotProduct(children(0), children(1))
+
+  private def cosineBuilder(children: Seq[Expression]): Expression = {
+    val (a, b) = (children(0), children(1))
+    Divide(DotProduct(a, b),
+      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      dotBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      cosineBuilder _))
+  }
+}

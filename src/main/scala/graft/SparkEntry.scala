@@ -49,6 +49,8 @@ object SparkEntry {
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    // scale patterns (#36)
+    "skew_salted_agg" -> (Skew.skewSaltedAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -78,5 +80,6 @@ object SparkEntry {
     "text_stats"      -> TextOps.textStatsOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "multimodal_meta" -> Multimodal.multimodalMetaOracle,
+    "skew_salted_agg" -> Skew.skewSaltedAggOracle,
   )
 }

@@ -126,13 +126,22 @@ object Crunch {
         count(lit(1)).as("played"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returns")) ++
       // dmg_* family: per-flag conditional decimal sums (crunch_phases.sql:32-60)
-      (for (f <- Seq("A", "N", "R"); (nm, c) <- Seq("qty" -> q, "price" -> p))
+      (for (f <- Seq("A", "N", "R"); (nm, c) <- Seq("qty" -> q, "price" -> p, "disc" -> di, "tax" -> tx))
         yield sum(when(col("l_returnflag") === f, c).otherwise(dec(lit(0))))
           .cast("double").as(s"dmg_${nm}_$f")) ++
       // ability_* family: per-linestatus conditional sums
       (for (st <- Seq("O", "F"); (nm, c) <- Seq("qty" -> q, "price" -> p, "disc" -> di, "tax" -> tx))
         yield sum(when(col("l_linestatus") === st, c).otherwise(dec(lit(0))))
           .cast("double").as(s"ability_${nm}_$st")) ++
+      // ln_* family: per-line-slot conditional sums — the reference's
+      // per-item dynamic columns (worker.js:96-112) at phase grain; takes
+      // the aggregate to the reference's ~70-SUM width in ONE hash agg
+      (for (ln <- 1 to 7; (nm, c) <- Seq("cnt" -> lit(null), "qty" -> q, "price" -> p))
+        yield (if (nm == "cnt")
+          sum(when(col("l_linenumber") === ln, 1L).otherwise(0L))
+        else
+          sum(when(col("l_linenumber") === ln, c).otherwise(dec(lit(0)))).cast("double"))
+          .as(s"ln${ln}_$nm")) ++
       Seq(
         sum(p * (lit(1) - di)).cast("double").as("net_price"),
         sum(p * (lit(1) - di) * (lit(1) + tx)).cast("double").as("charged"),
@@ -155,21 +164,26 @@ object Crunch {
   }
 
   def phasesOracle: String = {
-    val dmg = for (f <- Seq("A", "N", "R"); (nm, e) <- Seq(
-        "qty" -> "CAST(l_quantity AS DECIMAL(18,2))",
-        "price" -> "CAST(l_extendedprice AS DECIMAL(18,2))"))
+    val meas = Seq(
+      "qty" -> "CAST(l_quantity AS DECIMAL(18,2))",
+      "price" -> "CAST(l_extendedprice AS DECIMAL(18,2))",
+      "disc" -> "CAST(l_discount AS DECIMAL(18,2))",
+      "tax" -> "CAST(l_tax AS DECIMAL(18,2))")
+    val dmg = for (f <- Seq("A", "N", "R"); (nm, e) <- meas)
       yield s"CAST(sum(CASE WHEN l_returnflag = '$f' THEN $e ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS dmg_${nm}_$f"
-    val abil = for (st <- Seq("O", "F"); (nm, e) <- Seq(
-        "qty" -> "CAST(l_quantity AS DECIMAL(18,2))",
-        "price" -> "CAST(l_extendedprice AS DECIMAL(18,2))",
-        "disc" -> "CAST(l_discount AS DECIMAL(18,2))",
-        "tax" -> "CAST(l_tax AS DECIMAL(18,2))"))
+    val abil = for (st <- Seq("O", "F"); (nm, e) <- meas)
       yield s"CAST(sum(CASE WHEN l_linestatus = '$st' THEN $e ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ability_${nm}_$st"
+    val lnf = for (ln <- 1 to 7; (nm, e) <- meas.take(2).+:(("cnt", "")))
+      yield
+        if (nm == "cnt")
+          s"CAST(sum(CASE WHEN l_linenumber = $ln THEN 1 ELSE 0 END) AS BIGINT) AS ln${ln}_cnt"
+        else
+          s"CAST(sum(CASE WHEN l_linenumber = $ln THEN $e ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ln${ln}_$nm"
     s"""
     SELECT l_returnflag AS phase,
       count(*) AS played,
       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returns,
-      ${(dmg ++ abil).mkString(",\n      ")},
+      ${(dmg ++ abil ++ lnf).mkString(",\n      ")},
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS net_price,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS charged,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS qty_tax,

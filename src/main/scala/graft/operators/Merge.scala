@@ -69,10 +69,14 @@ object Merge {
   /** Batch driver (worker.js:119-165): buffers ids to BATCHSIZE, flushes a
     * crunch per batch, merges results — `batch_driver` runs it over match
     * ids split into reference-sized batches. The queue transport is
-    * environment; the batch/merge semantics are what's preserved. */
+    * environment; the batch/flush/merge semantics and the failed-batch
+    * routing (worker.js's nack-to-failed-queue) are what's preserved: a
+    * batch whose crunch plan fails to materialize is routed whole to
+    * [[failed]] for redelivery instead of poisoning the merge. */
   final class Cruncher(s: SparkSession, d: String, batchSize: Int = 1000) {
     private var pending = Vector.empty[Long]
     private var crunched = Vector.empty[DataFrame]
+    private var failedBatches = Vector.empty[Vector[Long]]
     private val li = lineitem(s, d)
 
     def submit(matchId: Long): Unit = {
@@ -83,9 +87,17 @@ object Merge {
     def flush(): Unit = if (pending.nonEmpty) {
       import s.implicits._
       val ids = pending.toDF("id")
-      crunched :+= pointAgg(li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi"))
+      try {
+        val point = pointAgg(
+          li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi"))
+        point.isEmpty // force materialization so a bad batch fails HERE
+        crunched :+= point
+      } catch { case _: Throwable => failedBatches :+= pending }
       pending = Vector.empty
     }
+
+    /** Failed-queue contents, in arrival order (worker.js failed routing). */
+    def failed: Seq[Seq[Long]] = failedBatches
 
     def result(): DataFrame = { flush(); finish(merge(crunched)) }
   }

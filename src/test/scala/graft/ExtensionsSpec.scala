@@ -1,0 +1,34 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** The SQL registry face of the native expressions, plus the native/HOF
+  * differential. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_dot is registered and exact") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("graft_cosine matches the DataFrame-side cosine") {
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 1.0d)) AS c")
+      .head.getDouble(0)
+    assert(math.abs(r - 1.0 / math.sqrt(2.0)) < 1e-15)
+  }
+
+  test("native dot equals the interpreted higher-order fold bit-for-bit") {
+    import spark.implicits._
+    val df = Tables.embeddings(spark, sf).limit(200)
+      .select(VectorOps.toDouble(col("embedding")).as("v"))
+      .select(
+        VectorOps.dot(col("v"), col("v")).as("native"),
+        VectorOps.dotHof(col("v"), col("v")).as("hof"))
+    // both are sequential left folds in double → bit-identical, not approx
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+}
