@@ -73,7 +73,8 @@ object Merge {
     * routing (worker.js's nack-to-failed-queue) are what's preserved: a
     * batch whose crunch plan fails to materialize is routed whole to
     * [[failed]] for redelivery instead of poisoning the merge. */
-  final class Cruncher(s: SparkSession, d: String, batchSize: Int = 1000) {
+  final class Cruncher(s: SparkSession, d: String, batchSize: Int = 1000,
+                       validate: DataFrame => DataFrame = identity) {
     private var pending = Vector.empty[Long]
     private var crunched = Vector.empty[DataFrame]
     private var failedBatches = Vector.empty[Vector[Long]]
@@ -88,9 +89,14 @@ object Merge {
       import s.implicits._
       val ids = pending.toDF("id")
       try {
-        val point = pointAgg(
-          li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi"))
-        point.isEmpty // force materialization so a bad batch fails HERE
+        val point = pointAgg(validate(
+          li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi")))
+        // Force FULL materialization of the batch plan as planned:
+        // df.count() re-optimizes and PRUNES the aggregate measures (so a
+        // row failing inside a measure column never evaluates), and
+        // isEmpty/take(1) stops at the first non-empty partition. toRdd
+        // executes the physical plan with every column, every partition.
+        point.queryExecution.toRdd.count()
         crunched :+= point
       } catch { case _: Throwable => failedBatches :+= pending }
       pending = Vector.empty

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Merge
+import org.apache.spark.sql.functions._
+
+/** worker.js failed-batch routing: a batch whose crunch fails is routed
+  * whole to the failed queue; the merge proceeds over the healthy ones. */
+class FailedBatchSpec extends SparkSpec {
+
+  test("poisoned batch routes to failed queue without poisoning the merge") {
+    val allIds = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.take(300)
+    val poison = allIds(150) // lands in the second batch of 100
+
+    // validator that rejects any batch containing the poison id — the
+    // stand-in for a batch whose rows fail decode/constraint checks
+    val validator: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.withColumn("l_quantity",
+        when(col("l_orderkey") === poison,
+          raise_error(lit("poisoned row"))).otherwise(col("l_quantity")))
+
+    val c = new Merge.Cruncher(spark, sf, batchSize = 100, validate = validator)
+    allIds.foreach(c.submit)
+    val merged = c.result().collect().map(_.mkString("|")).toSet
+
+    // exactly one failed batch, containing the poison id
+    assert(c.failed.size == 1)
+    assert(c.failed.head.contains(poison) && c.failed.head.size == 100)
+
+    // merge equals the one-shot crunch of the two healthy batches
+    val healthy = (allIds.take(100) ++ allIds.drop(200)).toSet
+    val li = Tables.lineitem(spark, sf).filter(col("l_orderkey").isin(healthy.toSeq: _*))
+    val oneShot = Merge.finish(Merge.merge(Seq(Merge.pointAgg(li))))
+      .collect().map(_.mkString("|")).toSet
+    assert(merged == oneShot)
+  }
+}
