@@ -8,15 +8,18 @@ import graft.operators._
   * the driver hash-compares against at sf0.01. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full-fidelity global crunch: range joins + regex builds + 5-dim
+    * CUBE "all" expansion + 18 measures (crunch_global.sql:1-75). */
   def entry(spark: SparkSession): DataFrame =
-    Crunch.global(spark, "/root/testdata/sf0.001")
+    Crunch.globalFull(spark, "/root/testdata/sf0.001")
 
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
-    "crunch_global"    -> (Crunch.global _),
+    "crunch_global"      -> (Crunch.global _),
+    "crunch_global_full" -> (Crunch.globalFull _),
     "crunch_player"    -> (Crunch.player _),
     "dim_rollup_all"   -> (Dimensions.rollupAll _),
     "range_join_tiers" -> (Dimensions.rangeJoinTiers _),
@@ -54,7 +57,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "crunch_global"    -> Crunch.globalOracle,
+    "crunch_global"      -> Crunch.globalOracle,
+    "crunch_global_full" -> Crunch.globalFullOracle,
     "crunch_player"    -> Crunch.playerOracle,
     "dim_rollup_all"   -> Dimensions.rollupAllOracle,
     "range_join_tiers" -> Dimensions.rangeJoinTiersOracle,

@@ -114,6 +114,125 @@ object Crunch {
     JOIN customer ON o_custkey = c_custkey
     GROUP BY 1, 2"""
 
+  /** The reference's FULL global_point shape (crunch_global.sql:1-75):
+    * series range join (created_at BETWEEN s.start AND s.end), skill-tier
+    * range join, regex build classification (item_grants RLIKE), and the
+    * 6-way "all" dimension expansion — which the reference produces with
+    * chained OR-joins that multiply every row through every dim table,
+    * and which is expressed here as ONE finest-grain pass + CUBE (the
+    * same 2^5 grouping-set expansion, done by Expand after the joins, so
+    * dims never join non-equi). 18 measures matching crunch_global.sql's
+    * measure block, re-keyed to the star schema. */
+  def globalFull(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // series dim: one row per year window, range-joined on the order date
+    val series = broadcast(
+      (1992 to 1998).map(y => (s"y$y", s"$y-01-01", s"$y-12-31")).toDF("series", "s_start", "s_end")
+        .select(col("series"), to_date(col("s_start")).as("s_start"), to_date(col("s_end")).as("s_end")))
+    val tiers = broadcast(Dimensions.tiers.toDF("tier", "lo", "hi"))
+    val build = when(col("p_type").rlike("^ECONOMY"), "economy")
+      .when(col("p_type").rlike("^PROMO"), "promo")
+      .when(col("p_type").rlike("^(SMALL|MEDIUM)"), "compact")
+      .otherwise("other")
+    val q  = dec(col("l_quantity"))
+    val pr = dec(col("l_extendedprice"))
+    val di = dec(col("l_discount"))
+    val tx = dec(col("l_tax"))
+    spine(s, d)
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
+      .join(tiers, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .withColumn("build", build)
+      .cube(col("r_name"), col("l_returnflag"), col("l_linestatus"),
+        col("tier"), col("build"))
+      .agg(
+        count(lit(1)).as("played"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("wins"),
+        sum(di - dec(lit(0.05))).cast("double").as("trueskill_delta"),
+        dsum(col("l_quantity")).as("time_spent"),
+        dsum(col("l_extendedprice")).as("kills"),
+        dsum(col("l_discount")).as("deaths"),
+        dsum(col("l_tax")).as("assists"),
+        sum(pr * (lit(1) - di)).cast("double").as("farm"),
+        sum(when(col("l_linestatus") === "O", q).otherwise(dec(lit(0))))
+          .cast("double").as("minion_kills"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("jungle_kills"),
+        sum(when(col("l_quantity") <= 25, q).otherwise(dec(lit(0))))
+          .cast("double").as("non_jungle_minion_kills"),
+        sum(when(col("l_linenumber") === 1, 1L).otherwise(0L)).as("crystal_mine_captures"),
+        sum(when(col("l_linenumber") === 2, 1L).otherwise(0L)).as("gold_mine_captures"),
+        sum(when(col("l_linenumber") === 3, 1L).otherwise(0L)).as("kraken_captures"),
+        sum(when(col("l_linenumber") === 4, 1L).otherwise(0L)).as("turret_captures"),
+        sum(pr * (lit(1) - di) * (lit(1) + tx)).cast("double").as("gold"),
+        round(sum(dec(col("o_totalprice")))).cast("long").as("impact_score"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("surrender"))
+      .select(
+        coalesce(col("r_name"), lit("all")).as("region"),
+        coalesce(col("l_returnflag"), lit("all")).as("game_mode"),
+        coalesce(col("l_linestatus"), lit("all")).as("role"),
+        coalesce(col("tier"), lit("all")).as("skill_tier"),
+        coalesce(col("build"), lit("all")).as("build"),
+        col("played"), col("wins"), col("trueskill_delta"), col("time_spent"),
+        col("kills"), col("deaths"), col("assists"), col("farm"),
+        col("minion_kills"), col("jungle_kills"), col("non_jungle_minion_kills"),
+        col("crystal_mine_captures"), col("gold_mine_captures"),
+        col("kraken_captures"), col("turret_captures"), col("gold"),
+        col("impact_score"), col("surrender"))
+  }
+
+  def globalFullOracle: String = {
+    val series = (1992 to 1998)
+      .map(y => s"('y$y', DATE '$y-01-01', DATE '$y-12-31')").mkString(", ")
+    val tiers = Dimensions.tiers
+      .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    s"""
+    WITH fact AS (
+      SELECT r_name, l_returnflag, l_linestatus, t.tier,
+        CASE WHEN regexp_matches(p_type, '^ECONOMY') THEN 'economy'
+             WHEN regexp_matches(p_type, '^PROMO') THEN 'promo'
+             WHEN regexp_matches(p_type, '^(SMALL|MEDIUM)') THEN 'compact'
+             ELSE 'other' END AS build,
+        l_quantity, l_extendedprice, l_discount, l_tax, l_linenumber,
+        o_orderstatus, o_totalprice
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN (VALUES $series) AS s(series, s_start, s_end)
+        ON o_orderdate BETWEEN s_start AND s_end
+      JOIN (VALUES $tiers) AS t(tier, lo, hi)
+        ON l_quantity >= lo AND l_quantity < hi)
+    SELECT
+      coalesce(r_name, 'all') AS region,
+      coalesce(l_returnflag, 'all') AS game_mode,
+      coalesce(l_linestatus, 'all') AS role,
+      coalesce(tier, 'all') AS skill_tier,
+      coalesce(build, 'all') AS build,
+      count(*) AS played,
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2)) - CAST(0.05 AS DECIMAL(18,2))) AS DOUBLE) AS trueskill_delta,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS kills,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS deaths,
+      CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS assists,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS farm,
+      CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS minion_kills,
+      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS jungle_kills,
+      CAST(sum(CASE WHEN l_quantity <= 25 THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS non_jungle_minion_kills,
+      CAST(sum(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT) AS crystal_mine_captures,
+      CAST(sum(CASE WHEN l_linenumber = 2 THEN 1 ELSE 0 END) AS BIGINT) AS gold_mine_captures,
+      CAST(sum(CASE WHEN l_linenumber = 3 THEN 1 ELSE 0 END) AS BIGINT) AS kraken_captures,
+      CAST(sum(CASE WHEN l_linenumber = 4 THEN 1 ELSE 0 END) AS BIGINT) AS turret_captures,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS gold,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS impact_score,
+      CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS surrender
+    FROM fact
+    GROUP BY CUBE (r_name, l_returnflag, l_linestatus, tier, build)"""
+  }
+
   /** global_point_phase (crunch_phases.sql): one hash aggregate with 40
     * SUM columns — exercises wide-codegen, all map-side combinable. */
   def phases(s: SparkSession, d: String): DataFrame = {
