@@ -51,7 +51,8 @@ object SparkEntry {
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
-    "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "multimodal_meta"   -> (Multimodal.multimodalMeta _),
+    "multimodal_frames" -> (Multimodal.multimodalFrames _),
     // scale patterns (#36)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
   )
@@ -83,7 +84,8 @@ object SparkEntry {
     "ann_topk"        -> Ann.annTopkOracle,
     "text_stats"      -> TextOps.textStatsOracle,
     "token_count"     -> TextOps.tokenCountOracle,
-    "multimodal_meta" -> Multimodal.multimodalMetaOracle,
+    "multimodal_meta"   -> Multimodal.multimodalMetaOracle,
+    "multimodal_frames" -> Multimodal.multimodalFramesOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
   )
 }

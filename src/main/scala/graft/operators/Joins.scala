@@ -51,35 +51,21 @@ object Joins {
     GROUP BY 1, 2, 3"""
 
   /** As-of join: each event picks the latest order (by o_orderdate, ties by
-    * o_orderkey) of the same customer with o_orderdate <= ts.
-    *
-    * Plan: tag+union both sides, one shuffle on the key, one sort by
-    * (time, side, tiebreak), then last_value(ignoreNulls) carries the most
-    * recent order across each partition-ordered run — O(n log n) per key
-    * group, no per-event subquery, no range join blow-up. */
+    * greatest o_orderkey) of the same customer with o_orderdate <= ts.
+    * Delegates to the reusable [[AsOf.join]] operator (union-sort-window
+    * carry-forward — one shuffle, one sort, no theta join). */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(
-      col("user_id").as("k"), col("ts").as("t"),
-      lit(1).as("is_event"), col("event_id"),
-      lit(null).cast("long").as("o_orderkey"),
-      lit(null).cast("double").as("o_totalprice"))
-    val ord = orders(s, d).select(
-      col("o_custkey").as("k"), col("o_orderdate").as("t"),
-      lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
-      col("o_orderkey"), col("o_totalprice"))
-    // orders sort before events at the same instant (as-of is inclusive);
-    // among same-date orders the greatest o_orderkey wins the carry.
-    val w = Window.partitionBy(col("k"))
-      .orderBy(col("t"), col("is_event"), col("o_orderkey").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(ord)
-      .withColumn("match_order", last(col("o_orderkey"), ignoreNulls = true).over(w))
-      .withColumn("match_price", last(col("o_totalprice"), ignoreNulls = true).over(w))
-      .filter(col("is_event") === 1)
+    val ev = events(s, d)
+      .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+    val ord = orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsOf.join(ev, ord, key = "k", time = "t", tieBreak = "o_orderkey",
+        carry = Seq("o_orderkey", "o_totalprice"))
       .select(
         col("event_id"), col("k").as("user_id"), tstr(col("t")).as("ts"),
-        col("match_order"),
-        when(col("match_order").isNotNull, dec(col("match_price")).cast("double"))
+        col("o_orderkey").as("match_order"),
+        when(col("o_orderkey").isNotNull, dec(col("o_totalprice")).cast("double"))
           .as("match_price"))
   }
 

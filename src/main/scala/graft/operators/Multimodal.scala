@@ -63,6 +63,31 @@ object Multimodal {
     media.mapPartitions(decodeBatch _).toDF()
   }
 
+  /** Frame sampling: explode each video payload into every-5th-frame
+    * sample rows with deterministic byte offsets — the row-multiplying
+    * half of a decode pipeline (the decode itself stays in decodeBatch).
+    * Non-video media contributes its single frame 0. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    multimodalMeta(s, d)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))).as("frame_idx"))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        // integer DIV, matching the oracle's `//` exactly (no double round-trip)
+        (col("frame_idx") * expr("n_bytes DIV greatest(n_frames, 1)"))
+          .cast("long").as("byte_offset"))
+
+  def multimodalFramesOracle: String = """
+    WITH meta AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 30 + 1 ELSE 1 END AS BIGINT) AS n_frames
+      FROM documents)
+    SELECT doc_id, media_type,
+           CAST(f.frame_idx AS BIGINT) AS frame_idx,
+           CAST(f.frame_idx * (n_bytes // greatest(n_frames, 1)) AS BIGINT) AS byte_offset
+    FROM meta, unnest(range(0, n_frames, 5)) AS f(frame_idx)"""
+
   def multimodalMetaOracle: String = """
     SELECT doc_id,
       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
