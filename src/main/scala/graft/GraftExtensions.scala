@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
       cosineBuilder _))
+    // whole-operator custom plan: logical AsofJoin → AsofJoinExec
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
   }
 }

@@ -38,6 +38,7 @@ object SparkEntry {
     "events_sessionize"  -> (Windows.eventsSessionize _),
     "window_topn"        -> (Windows.windowTopN _),
     "asof_join"          -> (Joins.asofJoin _),
+    "asof_join_native"   -> (Joins.asofJoinNative _),
     // LLM-data-pipeline surface (#19-30); simhash/ivf/lang_id/fingerprint
     // are non-SQL-expressible → no oracle (rows-only check + ScalaTests)
     "dedup_exact"     -> (Dedup.dedupExact _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "events_sessionize"  -> Windows.eventsSessionizeOracle,
     "window_topn"        -> Windows.windowTopNOracle,
     "asof_join"          -> Joins.asofJoinOracle,
+    "asof_join_native"   -> Joins.asofJoinNativeOracle,
     "dedup_exact"     -> Dedup.dedupExactOracle,
     "dedup_minhash"   -> Dedup.dedupMinhashOracle,
     "dedup_ngram"     -> Dedup.dedupNgramOracle,

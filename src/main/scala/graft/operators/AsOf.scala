@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** The custom-plan flavor: builds the [[org.apache.spark.sql.graft.AsofJoin]]
+    * logical node directly (resolved attributes from both analyzed
+    * children), planned by the injected AsofJoinStrategy into a one-pass
+    * co-partitioned merge — no union row-widening, no window. Same
+    * semantics as [[join]]; AsofNativeSpec equates them and the
+    * `asof_join_native` oracle is the same SQL. */
+  def joinNative(spark: org.apache.spark.sql.SparkSession,
+                 left: DataFrame, right: DataFrame, key: String, time: String,
+                 tieBreak: String, carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val lp = GraftShim.analyzed(left)
+    val rp = GraftShim.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    GraftShim.ofRows(spark, org.apache.spark.sql.graft.AsofJoin(
+      lp, rp,
+      leftKey = attr(lp, key), rightKey = attr(rp, key),
+      leftTime = attr(lp, time), rightTime = attr(rp, time),
+      rightTieBreak = attr(rp, tieBreak),
+      carry = carry.map(attr(rp, _))))
+  }
+
   def join(left: DataFrame, right: DataFrame, key: String, time: String,
            tieBreak: String, carry: Seq[String]): DataFrame = {
     val leftCols  = left.columns.filterNot(c => c == key || c == time)

@@ -69,6 +69,25 @@ object Joins {
           .as("match_price"))
   }
 
+  /** Same as-of query through the custom AsofJoin plan node (one-pass
+    * co-partitioned merge); shares [[asofJoinOracle]]'s SQL. */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+    val ord = orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsOf.joinNative(s, ev, ord, key = "k", time = "t", tieBreak = "o_orderkey",
+        carry = Seq("o_orderkey", "o_totalprice"))
+      .select(
+        col("event_id"), col("k").as("user_id"), tstr(col("t")).as("ts"),
+        col("o_orderkey").as("match_order"),
+        when(col("o_orderkey").isNotNull, dec(col("o_totalprice")).cast("double"))
+          .as("match_price"))
+  }
+
+  def asofJoinNativeOracle: String = asofJoinOracle
+
   def asofJoinOracle: String = """
     WITH cand AS (
       SELECT e.event_id, o.o_orderkey, o.o_totalprice,
