@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{AsOf, Merge}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (raw ScalaCheck generators, deterministic
+  * seeds) of the two algebraic claims the engine's incremental and
+  * temporal semantics rest on. */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("merge law holds for arbitrary modulus splits") {
+    val li = Tables.lineitem(spark, sf)
+    val oneShot = rows(Merge.finish(Merge.merge(Seq(Merge.pointAgg(li)))))
+    for (m <- 2 to 6) {
+      val parts = (0 until m).map(i => li.filter(col("l_orderkey") % m === i))
+      val merged = rows(Merge.finish(Merge.merge(parts.map(Merge.pointAgg))))
+      assert(merged == oneShot, s"split modulus $m")
+    }
+  }
+
+  test("as-of join (composed and native) agrees with brute force on random data") {
+    import spark.implicits._
+    val pairGen = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 50L))
+    for (seed <- 1L to 4L) {
+      val evs  = sample(Gen.listOfN(40, pairGen), seed)
+      val ords = sample(Gen.listOfN(25, pairGen), seed + 100)
+      val ev = evs.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "event_id")
+      val ord = ords.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong, (k * 100 + t).toDouble) }
+        .toDF("k", "t", "o_orderkey", "o_totalprice")
+
+      // brute force: latest order at-or-before; on time ties the greatest
+      // tieBreak (o_orderkey = index) wins
+      val expected = evs.zipWithIndex.map { case ((k, t), i) =>
+        val cand = ords.zipWithIndex
+          .filter { case ((ok, ot), _) => ok == k && ot <= t }
+        val best = if (cand.isEmpty) None
+          else Some(cand.maxBy { case ((_, ot), oi) => (ot, oi) }._2.toLong)
+        (i.toLong, best)
+      }.toSet
+
+      for (variant <- Seq("composed", "native")) {
+        val joined = variant match {
+          case "composed" => AsOf.join(ev, ord, "k", "t", "o_orderkey",
+            Seq("o_orderkey", "o_totalprice"))
+          case _ => AsOf.joinNative(spark, ev, ord, "k", "t", "o_orderkey",
+            Seq("o_orderkey", "o_totalprice"))
+        }
+        val got = joined.select(col("event_id"), col("o_orderkey"))
+          .collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toSet
+        assert(got == expected, s"$variant variant, seed $seed")
+      }
+    }
+  }
+}
