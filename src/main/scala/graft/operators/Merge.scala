@@ -74,15 +74,23 @@ object Merge {
     * batch whose crunch plan fails to materialize is routed whole to
     * [[failed]] for redelivery instead of poisoning the merge. */
   final class Cruncher(s: SparkSession, d: String, batchSize: Int = 1000,
-                       validate: DataFrame => DataFrame = identity) {
+                       validate: DataFrame => DataFrame = identity,
+                       loadTimeoutMs: Long = Long.MaxValue,
+                       now: () => Long = () => System.nanoTime() / 1000000L) {
     private var pending = Vector.empty[Long]
     private var crunched = Vector.empty[DataFrame]
     private var failedBatches = Vector.empty[Vector[Long]]
+    private var oldestPendingAt = Long.MaxValue
     private val li = lineitem(s, d)
 
+    /** Buffer an id; flush when the batch fills OR the oldest buffered id
+      * has waited past loadTimeoutMs (worker.js's LOAD_TIMEOUT flush —
+      * latency bound for a trickling queue; `now` injectable for tests). */
     def submit(matchId: Long): Unit = {
+      if (pending.isEmpty) oldestPendingAt = now()
       pending :+= matchId
-      if (pending.size >= batchSize) flush()
+      if (pending.size >= batchSize || now() - oldestPendingAt >= loadTimeoutMs)
+        flush()
     }
 
     def flush(): Unit = if (pending.nonEmpty) {

@@ -34,4 +34,21 @@ class FailedBatchSpec extends SparkSpec {
       .collect().map(_.mkString("|")).toSet
     assert(merged == oneShot)
   }
+
+  test("load timeout flushes a partial batch (injected clock)") {
+    val ids = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.take(10)
+    var clock = 0L
+    val c = new Merge.Cruncher(spark, sf, batchSize = 1000,
+      loadTimeoutMs = 50L, now = () => clock)
+    ids.take(5).foreach(c.submit)   // buffered, well under batchSize
+    clock = 60L                     // oldest id now past the timeout
+    c.submit(ids(5))                // triggers the timeout flush
+    ids.drop(6).foreach(c.submit)
+    val merged = c.result().collect().map(_.mkString("|")).toSet
+    val li = Tables.lineitem(spark, sf).filter(col("l_orderkey").isin(ids: _*))
+    val oneShot = Merge.finish(Merge.merge(Seq(Merge.pointAgg(li))))
+      .collect().map(_.mkString("|")).toSet
+    assert(merged == oneShot) // timeout flush changes batching, never results
+  }
 }
