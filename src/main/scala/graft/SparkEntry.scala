@@ -54,8 +54,9 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
-    // scale patterns (#36)
+    // scale patterns + composition (#36-37)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
+    "pipeline_clean"  -> (Pipeline.pipelineClean _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -89,5 +90,6 @@ object SparkEntry {
     "multimodal_meta"   -> Multimodal.multimodalMetaOracle,
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
+    "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
   )
 }
