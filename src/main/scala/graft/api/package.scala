@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{AsOf, Dedup, Skew, TextOps}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-facing fluent API: the engine's operators over ARBITRARY
+  * DataFrames and column names — the surface a user migrating off the
+  * reference programs against (`import graft.api._`). Each method
+  * delegates to the same plans the registered queries run, so everything
+  * the oracle gate proves transfers to user data. */
+package object api {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) {
+
+    /** As-of join: latest `right` row per `key` at-or-before this frame's
+      * `time`; `carry` columns are appended (null when no match). */
+    def asofJoinTo(right: DataFrame, key: String, time: String,
+                   tieBreak: String, carry: Seq[String]): DataFrame =
+      AsOf.join(df, right, key, time, tieBreak, carry)
+
+    /** Salted two-phase aggregation for skewed group keys. */
+    def saltedAgg(key: Column, salt: Column, sums: Seq[(String, Column)],
+                  buckets: Int = Skew.Buckets): DataFrame =
+      Skew.saltedAgg(df, key, salt, sums, buckets)
+
+    /** Exact dedup groups: one row per distinct value of `textCol`, with
+      * the keeper id (min of `idCol`) and the duplicate count. */
+    def exactDedupGroups(idCol: String, textCol: String): DataFrame =
+      df.groupBy(md5(col(textCol)).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+    /** MinHash-LSH near-duplicate pairs with exact Jaccard verification
+      * (word `n`-shingles, banded LSH candidates — never all-pairs). */
+    def minhashDedupPairs(idCol: String, textCol: String,
+                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      val sh = Dedup.shingles(docs, n)
+      Dedup.verifyJaccardOf(Dedup.minhashCandidates(Dedup.minhashSignatures(docs, n)),
+        sh, threshold)
+    }
+
+    /** Top-k rows per group, deterministic tie-break on `tieBreak`. */
+    def topKPerGroup(k: Int, partitionBy: Seq[String], order: Column,
+                     tieBreak: Column): DataFrame = {
+      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(order, tieBreak)
+      df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+
+    /** Gap-based sessionization over (`key`, `time`): adds session_id. */
+    def sessionized(key: String, time: String, gapMinutes: Int = 30): DataFrame = {
+      val byKey = Window.partitionBy(col(key)).orderBy(col(time))
+      df.withColumn("_prev", lag(col(time), 1).over(byKey))
+        .withColumn("_gap",
+          when(col("_prev").isNull ||
+            unix_micros(col(time)) - unix_micros(col("_prev")) > gapMinutes * 60000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("_gap")).over(
+          byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("_prev", "_gap")
+    }
+
+    /** Text quality statistics for a `textCol` (adds token/stopword/punct
+      * counts and the composite quality score). */
+    def withTextStats(textCol: String): DataFrame =
+      df.withColumn("_stats", TextOps.textStatsExpr(col(textCol)))
+        .select(df.columns.map(col) :+ col("_stats.*"): _*)
+  }
+}

@@ -88,6 +88,10 @@ object Dedup {
 
   // ------------------------------------------------- exact Jaccard verify
 
+  /** Public face of [[verifyJaccard]] for the fluent API (graft.api). */
+  def verifyJaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(cand, sh, threshold)
+
   /** Exact Jaccard of candidate pairs via the shingle posting table: two
     * hash joins keyed on (doc, shingle) — never touches non-candidates. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {

@@ -65,6 +65,27 @@ object TextOps {
         + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2 AS quality_score
     FROM c"""
 
+  /** The same statistics as [[textStats]] as a single struct expression
+    * over any text column — the fluent-API building block
+    * (graft.api.withTextStats). */
+  def textStatsExpr(text: Column): Column = {
+    val w        = Dedup.tokens(text)
+    val nChars   = length(text).cast("long")
+    val nTokens  = size(w).cast("long")
+    val nPunct   = (nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+      .cast("long")
+    val stop     = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val nStop    = size(filter(w, t => t.isin(stop.map(lit): _*))).cast("long")
+    val stopR    = nStop.cast("double") / nTokens
+    val punctR   = nPunct.cast("double") / nChars
+    val lenScore = least(nTokens.cast("double") / lit(64.0), lit(1.0))
+    struct(
+      nChars.as("n_chars"), nTokens.as("n_tokens"), nPunct.as("n_punct"),
+      nStop.as("n_stopwords"), stopR.as("stopword_ratio"), punctR.as("punct_ratio"),
+      (lenScore * lit(0.5) + stopR * lit(0.3) + (lit(1.0) - punctR) * lit(0.2))
+        .as("quality_score"))
+  }
+
   // ---------------------------------------------------------- token_count
 
   /** Whitespace vs BPE-ish regex token counts. The regex splits runs of

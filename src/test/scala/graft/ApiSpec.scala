@@ -1,0 +1,63 @@
+package graft
+
+import graft.api._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The fluent API must work over arbitrary schemas — every call here
+  * uses RENAMED columns so nothing depends on the testdata names. */
+class ApiSpec extends SparkSpec {
+
+  private lazy val corpus = Tables.documents(spark, sf)
+    .select(col("doc_id").as("my_id"), col("text").as("body"))
+
+  test("minhashDedupPairs finds the corpus near-dups under renamed columns") {
+    val pairs = corpus.minhashDedupPairs("my_id", "body")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reference = Dedup.dedupMinhash(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == reference && pairs.nonEmpty)
+  }
+
+  test("exactDedupGroups counts every distinct body once") {
+    val groups = corpus.exactDedupGroups("my_id", "body")
+    assert(groups.count() == corpus.select("body").distinct().count())
+  }
+
+  test("topKPerGroup bounds group size and orders deterministically") {
+    val top = Tables.orders(spark, sf)
+      .topKPerGroup(2, Seq("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    assert(top.groupBy("o_custkey").count().filter(col("count") > 2).count() == 0)
+  }
+
+  test("sessionized matches the registered sessionize operator") {
+    val sess = Tables.events(spark, sf)
+      .select(col("user_id").as("who"), col("ts").as("at"), col("event_id"))
+      .sessionized("who", "at")
+      .groupBy("who", "session_id").count()
+    val reference = graft.operators.Windows.eventsSessionize(spark, sf)
+      .select(col("user_id"), col("session_id"), col("n_events"))
+    val a = sess.collect().map(_.mkString("|")).toSet
+    val b = reference.collect().map(r =>
+      s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}").toSet
+    assert(a == b)
+  }
+
+  test("withTextStats appends the quality columns to any frame") {
+    val stats = corpus.withTextStats("body")
+    assert(stats.columns.toSet.contains("quality_score"))
+    assert(stats.filter(col("quality_score") < 0 || col("quality_score") > 1.0001)
+      .count() == 0)
+    assert(stats.count() == corpus.count())
+  }
+
+  test("asofJoinTo works on renamed keys") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), col("o_orderkey"))
+    val j = ev.asofJoinTo(ord, "k", "t", "o_orderkey", Seq("o_orderkey"))
+    assert(j.count() == ev.count())
+    assert(j.filter(col("o_orderkey").isNotNull).count() > 0)
+  }
+}
