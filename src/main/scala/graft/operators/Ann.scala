@@ -99,7 +99,12 @@ object Ann {
     * the standard k-means shape (centroids round-trip the driver between
     * iterations in MLlib too); it is index METADATA, not data. */
   def collectCentroids(s: SparkSession, d: String): Array[(Int, Array[Double])] =
-    centroids(embeddings(s, d)).collect()
+    // re-index the subsample (vec_id DIV stride) before seeding: the raw
+    // ids of a strided sample hit only Cells/stride seed cells (vec_id%4==0
+    // ⟹ vec_id%16 ∈ {0,4,8,12}), silently collapsing the quantizer to 4
+    // live cells — measured as "recall 1.0" that was really a full scan
+    centroids(embeddings(s, d).filter(col("vec_id") % TrainStride === 0)
+      .withColumn("vec_id", expr(s"vec_id DIV $TrainStride"))).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
 
@@ -133,6 +138,12 @@ object Ann {
     * are projections over collected centroid literals — the only shuffle
     * is the per-cell candidate join + the ranking window. nprobe = Cells
     * ⇒ identical to brute force (AnnSpec asserts this). */
+  /** Centroid training runs on a 1-in-4 subsample (standard IVF practice:
+    * quantizer quality needs a representative sample, not the corpus);
+    * correctness is invariant — probing all cells is exact regardless of
+    * where the centroids sit (AnnSpec), only recall@partial-probe moves. */
+  val TrainStride = 4
+
   def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val cents = collectCentroids(s, d)
     val nemb  = normed(embeddings(s, d))
