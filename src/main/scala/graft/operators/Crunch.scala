@@ -138,35 +138,62 @@ object Crunch {
     val pr = dec(col("l_extendedprice"))
     val di = dec(col("l_discount"))
     val tx = dec(col("l_tax"))
-    spine(s, d)
+    // Two-phase rollup (the scale-critical shape): aggregate ONCE at the
+    // finest dimension grain — the Expand that CUBE needs then multiplies
+    // a few hundred partial rows, not the joined fact table — and CUBE
+    // re-aggregates the partials. Every measure is algebraic (sums and
+    // counts; the ROUND applies after the final sum), so the two-phase
+    // result is bit-identical to cubing the raw rows, which the unchanged
+    // DuckDB oracle (single-phase CUBE) proves.
+    val base = spine(s, d)
       .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
       .join(tiers, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
       .withColumn("build", build)
+      .groupBy(col("r_name"), col("l_returnflag"), col("l_linestatus"),
+        col("tier"), col("build"))
+      .agg(
+        count(lit(1)).as("p_played"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("p_wins"),
+        sum(di - dec(lit(0.05))).as("p_trueskill"),
+        sum(q).as("p_qty"),
+        sum(pr).as("p_price"),
+        sum(di).as("p_disc"),
+        sum(tx).as("p_tax"),
+        sum(pr * (lit(1) - di)).as("p_farm"),
+        sum(when(col("l_linestatus") === "O", q).otherwise(dec(lit(0)))).as("p_minion"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("p_jungle"),
+        sum(when(col("l_quantity") <= 25, q).otherwise(dec(lit(0)))).as("p_nonjungle"),
+        sum(when(col("l_linenumber") === 1, 1L).otherwise(0L)).as("p_cap1"),
+        sum(when(col("l_linenumber") === 2, 1L).otherwise(0L)).as("p_cap2"),
+        sum(when(col("l_linenumber") === 3, 1L).otherwise(0L)).as("p_cap3"),
+        sum(when(col("l_linenumber") === 4, 1L).otherwise(0L)).as("p_cap4"),
+        sum(pr * (lit(1) - di) * (lit(1) + tx)).as("p_gold"),
+        sum(dec(col("o_totalprice"))).as("p_impact"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("p_surrender"))
+    base
       .cube(col("r_name"), col("l_returnflag"), col("l_linestatus"),
         col("tier"), col("build"))
       .agg(
-        count(lit(1)).as("played"),
-        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("wins"),
-        sum(di - dec(lit(0.05))).cast("double").as("trueskill_delta"),
-        dsum(col("l_quantity")).as("time_spent"),
-        dsum(col("l_extendedprice")).as("kills"),
-        dsum(col("l_discount")).as("deaths"),
-        dsum(col("l_tax")).as("assists"),
-        sum(pr * (lit(1) - di)).cast("double").as("farm"),
-        sum(when(col("l_linestatus") === "O", q).otherwise(dec(lit(0))))
-          .cast("double").as("minion_kills"),
-        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("jungle_kills"),
-        sum(when(col("l_quantity") <= 25, q).otherwise(dec(lit(0))))
-          .cast("double").as("non_jungle_minion_kills"),
-        sum(when(col("l_linenumber") === 1, 1L).otherwise(0L)).as("crystal_mine_captures"),
-        sum(when(col("l_linenumber") === 2, 1L).otherwise(0L)).as("gold_mine_captures"),
-        sum(when(col("l_linenumber") === 3, 1L).otherwise(0L)).as("kraken_captures"),
-        sum(when(col("l_linenumber") === 4, 1L).otherwise(0L)).as("turret_captures"),
-        sum(pr * (lit(1) - di) * (lit(1) + tx)).cast("double").as("gold"),
-        round(sum(dec(col("o_totalprice")))).cast("long").as("impact_score"),
-        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("surrender"))
+        sum(col("p_played")).as("played"),
+        sum(col("p_wins")).as("wins"),
+        sum(col("p_trueskill")).cast("double").as("trueskill_delta"),
+        sum(col("p_qty")).cast("double").as("time_spent"),
+        sum(col("p_price")).cast("double").as("kills"),
+        sum(col("p_disc")).cast("double").as("deaths"),
+        sum(col("p_tax")).cast("double").as("assists"),
+        sum(col("p_farm")).cast("double").as("farm"),
+        sum(col("p_minion")).cast("double").as("minion_kills"),
+        sum(col("p_jungle")).as("jungle_kills"),
+        sum(col("p_nonjungle")).cast("double").as("non_jungle_minion_kills"),
+        sum(col("p_cap1")).as("crystal_mine_captures"),
+        sum(col("p_cap2")).as("gold_mine_captures"),
+        sum(col("p_cap3")).as("kraken_captures"),
+        sum(col("p_cap4")).as("turret_captures"),
+        sum(col("p_gold")).cast("double").as("gold"),
+        round(sum(col("p_impact"))).cast("long").as("impact_score"),
+        sum(col("p_surrender")).as("surrender"))
       .select(
         coalesce(col("r_name"), lit("all")).as("region"),
         coalesce(col("l_returnflag"), lit("all")).as("game_mode"),

@@ -22,11 +22,18 @@ object Dimensions {
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      // two-phase: finest-grain partials first, CUBE's Expand then
+      // multiplies ~15 partial rows instead of the joined fact table
+      .groupBy(col("r_name"), col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("p_n"),
+        sum(dec(col("l_quantity"))).as("p_qty"),
+        sum(dec(col("l_extendedprice"))).as("p_price"))
       .cube(col("r_name"), col("l_returnflag"))
       .agg(
-        count(lit(1)).as("played"),
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_price"))
+        sum(col("p_n")).as("played"),
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_price")).cast("double").as("sum_price"))
       .select(
         coalesce(col("r_name"), lit("all")).as("region"),
         coalesce(col("l_returnflag"), lit("all")).as("game_mode"),

@@ -42,7 +42,11 @@ object Sessionizer {
       val t = e.ts.getTime
       open match {
         case Some(st) if t - st.endMs <= GapMs =>
-          open = Some(SessState(st.startMs, math.max(st.endMs, t), st.n + 1, st.sum + e.value))
+          // min() on the start: a late (out-of-order, within-watermark)
+          // event that precedes the open session extends it backwards,
+          // matching what the batch operator computes over the same rows
+          open = Some(SessState(math.min(st.startMs, t), math.max(st.endMs, t),
+            st.n + 1, st.sum + e.value))
         case Some(st) =>
           closed :+= toSession(st)
           open = Some(SessState(t, t, 1, e.value))
