@@ -353,18 +353,22 @@ object Crunch {
     * props payload surfaced like the reference's dynamic columns. */
   def bans(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .groupBy(col("event_type").as("banned"))
+      // the reference's `h.name = 'all'` OR-join on the ban dim
+      // (crunch_phases_bans.sql:18) → rollup over the single dim
+      .rollup(col("event_type"))
       .agg(
         count(lit(1)).as("played"),
         countDistinct(col("user_id")).as("users"),
         dsum(col("value")).as("total_value"),
         sum(get_json_object(col("props"), "$.k").cast("long")).as("props_k"))
+      .select(coalesce(col("event_type"), lit("all")).as("banned"),
+        col("played"), col("users"), col("total_value"), col("props_k"))
 
   def bansOracle: String = """
-    SELECT event_type AS banned,
+    SELECT coalesce(event_type, 'all') AS banned,
       count(*) AS played,
       count(DISTINCT user_id) AS users,
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS props_k
-    FROM events GROUP BY 1"""
+    FROM events GROUP BY ROLLUP (event_type)"""
 }

@@ -22,33 +22,60 @@ object Joins {
     val li = lineitem(s, d)
     val a = li.select(
       col("l_orderkey").as("k"), col("l_linenumber").as("ln_a"),
-      col("l_returnflag").as("hero"), col("l_suppkey").as("supp_a"),
-      col("l_quantity").as("qty_a"), col("l_extendedprice").as("price_a"))
+      col("l_returnflag").as("hero"), col("l_linestatus").as("role"),
+      col("l_suppkey").as("supp_a"),
+      col("l_quantity").as("qty_a"), col("l_extendedprice").as("price_a"),
+      col("l_discount").as("disc_a"), col("l_tax").as("tax_a"))
     val b = li.select(
       col("l_orderkey").as("k2"), col("l_linenumber").as("ln_b"),
-      col("l_returnflag").as("hero2"), col("l_suppkey").as("supp_b"))
+      col("l_returnflag").as("hero2"), col("l_linestatus").as("role2"),
+      col("l_suppkey").as("supp_b"))
+    // full per-pair measure block of crunch_hero_vs_hero.sql:20-37, keyed
+    // by (hero, role, hero2, role2, played_with) like the reference's
+    // (hero, role, hero2, role2, roster-equality) grouping
     a.join(b, col("k") === col("k2") && col("ln_a") =!= col("ln_b"))
       .groupBy(
-        col("hero"), col("hero2"),
+        col("hero"), col("role"), col("hero2"), col("role2"),
         (col("supp_a") === col("supp_b")).as("played_with"))
       .agg(
         count(lit(1)).as("played"),
-        dsum(col("qty_a")).as("sum_qty"),
-        dsum(col("price_a")).as("sum_price"),
+        sum(when(col("qty_a") > 25, 1L).otherwise(0L)).as("wins"),
+        sum(dec(col("disc_a")) - dec(lit(0.05))).cast("double").as("trueskill_delta"),
+        dsum(col("qty_a")).as("duration"),
+        dsum(col("price_a")).as("kills"),
+        dsum(col("disc_a")).as("deaths"),
+        dsum(col("tax_a")).as("assists"),
+        sum(dec(col("price_a")) * (lit(1) - dec(col("disc_a"))))
+          .cast("double").as("farm"),
+        sum(when(col("ln_a") === 1, 1L).otherwise(0L)).as("crystal_mine_captures"),
+        sum(when(col("ln_a") === 2, 1L).otherwise(0L)).as("gold_mine_captures"),
+        sum(dec(col("price_a")) * (lit(1) - dec(col("disc_a")))
+          * (lit(1) + dec(col("tax_a")))).cast("double").as("gold"),
+        sum(when(col("disc_a") > 0.05, 1L).otherwise(0L)).as("surrender"),
         countDistinct(col("k")).as("matches"))
   }
 
   def heroVsHeroOracle: String = """
-    SELECT a.l_returnflag AS hero, b.l_returnflag AS hero2,
+    SELECT a.l_returnflag AS hero, a.l_linestatus AS role,
+           b.l_returnflag AS hero2, b.l_linestatus AS role2,
            a.l_suppkey = b.l_suppkey AS played_with,
            count(*) AS played,
-           CAST(sum(CAST(a.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(a.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(sum(CASE WHEN a.l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+           CAST(sum(CAST(a.l_discount AS DECIMAL(18,2)) - CAST(0.05 AS DECIMAL(18,2))) AS DOUBLE) AS trueskill_delta,
+           CAST(sum(CAST(a.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS duration,
+           CAST(sum(CAST(a.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS kills,
+           CAST(sum(CAST(a.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS deaths,
+           CAST(sum(CAST(a.l_tax AS DECIMAL(18,2))) AS DOUBLE) AS assists,
+           CAST(sum(CAST(a.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(a.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS farm,
+           CAST(sum(CASE WHEN a.l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT) AS crystal_mine_captures,
+           CAST(sum(CASE WHEN a.l_linenumber = 2 THEN 1 ELSE 0 END) AS BIGINT) AS gold_mine_captures,
+           CAST(sum(CAST(a.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(a.l_discount AS DECIMAL(18,2))) * (1 + CAST(a.l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS gold,
+           CAST(sum(CASE WHEN a.l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS surrender,
            count(DISTINCT a.l_orderkey) AS matches
     FROM lineitem a
     JOIN lineitem b ON a.l_orderkey = b.l_orderkey
                    AND a.l_linenumber <> b.l_linenumber
-    GROUP BY 1, 2, 3"""
+    GROUP BY 1, 2, 3, 4, 5"""
 
   /** As-of join: each event picks the latest order (by o_orderdate, ties by
     * greatest o_orderkey) of the same customer with o_orderdate <= ts.
