@@ -91,11 +91,22 @@ object Crunch {
       .agg(
         count(lit(1)).as("played"),
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("wins"),
+        sum(dec(col("l_discount")) - dec(lit(0.05))).cast("double").as("trueskill_delta"),
         dsum(col("l_quantity")).as("time_spent"),
         dsum(col("l_extendedprice")).as("kills"),
+        dsum(col("l_discount")).as("deaths"),
+        dsum(col("l_tax")).as("assists"),
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .cast("double").as("farm"),
-        dsum(col("o_totalprice")).as("gold"),
+        sum(when(col("l_linestatus") === "O", dec(col("l_quantity")))
+          .otherwise(dec(lit(0)))).cast("double").as("minion_kills"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("jungle_kills"),
+        sum(when(col("l_quantity") <= 25, dec(col("l_quantity")))
+          .otherwise(dec(lit(0)))).cast("double").as("non_jungle_minion_kills"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast("double").as("gold"),
+        dsum(col("o_totalprice")).as("impact_score"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("surrender"),
         tstr(max(col("o_orderdate"))).as("updated_at"),
         countDistinct(col("o_orderkey")).as("matches"))
 
@@ -103,10 +114,18 @@ object Crunch {
     SELECT c_custkey AS player_id, c_name AS player_name,
       count(*) AS played,
       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2)) - CAST(0.05 AS DECIMAL(18,2))) AS DOUBLE) AS trueskill_delta,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS kills,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS deaths,
+      CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS assists,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS farm,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
+      CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS minion_kills,
+      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS jungle_kills,
+      CAST(sum(CASE WHEN l_quantity <= 25 THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS non_jungle_minion_kills,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS gold,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS impact_score,
+      CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS surrender,
       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS updated_at,
       count(DISTINCT o_orderkey) AS matches
     FROM lineitem

@@ -47,6 +47,21 @@ class EngineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("crunch_global_full grand-total row equals the ungrouped fact totals") {
+    val df = operators.Crunch.globalFull(spark, sf)
+    val grand = df.filter(
+      col("region") === "all" && col("game_mode") === "all" &&
+      col("role") === "all" && col("skill_tier") === "all" && col("build") === "all")
+    assert(grand.count() == 1)
+    val played = grand.select("played").head.getLong(0)
+    // sum of every fully-concrete cell must re-add to the grand total
+    val leaves = df.filter(
+      col("region") =!= "all" && col("game_mode") =!= "all" &&
+      col("role") =!= "all" && col("skill_tier") =!= "all" && col("build") =!= "all")
+      .agg(sum("played")).head.getLong(0)
+    assert(played == leaves && played > 0)
+  }
+
   test("dim_rollup_all grand total equals lineitem join count") {
     val df = operators.Dimensions.rollupAll(spark, sf)
     val grand = df.filter(col("region") === "all" && col("game_mode") === "all")
