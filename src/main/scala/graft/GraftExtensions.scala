@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{CosineSimilarity, DotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions hook: registers the native vector functions in
   * the SQL function registry, so `spark.sql("... graft_dot(a, b) ...")`
@@ -21,11 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def dotBuilder(children: Seq[Expression]): Expression =
     DotProduct(children(0), children(1))
 
-  private def cosineBuilder(children: Seq[Expression]): Expression = {
-    val (a, b) = (children(0), children(1))
-    Divide(DotProduct(a, b),
-      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
-  }
+  private def cosineBuilder(children: Seq[Expression]): Expression =
+    CosineSimilarity(children(0), children(1)) // fused: one loop, 3 accumulators
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

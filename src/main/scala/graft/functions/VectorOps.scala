@@ -33,8 +33,11 @@ object VectorOps {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two double arrays — fused single-pass native
+    * expression (see [[CosineSimilarity]]). */
+  def cosine(a: Column, b: Column): Column =
+    GraftShim.column(
+      CosineSimilarity(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Cosine via pre-normalized vectors (norm folded in once — the form to
     * use when one side is scanned many times). */

@@ -21,6 +21,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r - 1.0 / math.sqrt(2.0)) < 1e-15)
   }
 
+  test("fused cosine equals the composed dot/norm form within double precision") {
+    import spark.implicits._
+    val df = Tables.embeddings(spark, sf).limit(100)
+      .select(VectorOps.toDouble(col("embedding")).as("v"))
+    val pair = df.withColumn("w", reverse(col("v")))
+      .select(
+        VectorOps.cosine(col("v"), col("w")).as("fused"),
+        (VectorOps.dot(col("v"), col("w")) /
+          (VectorOps.norm(col("v")) * VectorOps.norm(col("w")))).as("composed"))
+    // fused single-pass accumulation vs three separate folds: same values
+    // up to ulp-level reassociation
+    assert(pair.filter(abs(col("fused") - col("composed")) > 1e-12).count() == 0)
+  }
+
   test("native dot equals the interpreted higher-order fold bit-for-bit") {
     import spark.implicits._
     val df = Tables.embeddings(spark, sf).limit(200)

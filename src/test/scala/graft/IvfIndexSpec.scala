@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.VectorOps._
+import graft.operators.{Ann, IvfIndex}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Build-once/search-many IVF: full-probe search over the persisted
+  * index equals brute force, and a partial probe's scan is partition-
+  * pruned to the probed cells. */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val indexDir = {
+    val d = Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.build(spark, sf, d)
+    d
+  }
+
+  private def queries = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") % 100 === 0)
+    .select(col("vec_id").as("qid"), normalize(toDouble(col("embedding"))).as("qv"))
+
+  test("full-probe search over the persisted index equals brute force") {
+    val idx = IvfIndex.load(spark, indexDir)
+    val got = idx.search(queries, Ann.K, nprobe = Ann.Cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Ann.annTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact)
+  }
+
+  test("partial probe prunes the index scan to the probed cell partitions") {
+    val idx = IvfIndex.load(spark, indexDir)
+    val search = idx.search(queries, Ann.K, nprobe = 2)
+    val plan = search.queryExecution.executedPlan.toString
+    // the index scan must carry a partition filter on cell (pruned read),
+    // not a post-scan filter over all partitions
+    assert(plan.contains("PartitionFilters: [cell#") ||
+           plan.matches("(?s).*PartitionFilters: \\[.*cell.*IN.*"),
+      plan.split("\n").filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(search.count() > 0)
+  }
+}
