@@ -31,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       dotBuilder _))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       cosineBuilder _))
     // whole-operator custom plan: logical AsofJoin → AsofJoinExec
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)

@@ -48,9 +48,14 @@ package object api {
       df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
 
-    /** Gap-based sessionization over (`key`, `time`): adds session_id. */
-    def sessionized(key: String, time: String, gapMinutes: Int = 30): DataFrame = {
-      val byKey = Window.partitionBy(col(key)).orderBy(col(time))
+    /** Gap-based sessionization over (`key`, `time`): adds session_id.
+      * `tieBreak` columns make ordering deterministic under duplicate
+      * timestamps (same reason the registered operator orders by
+      * (ts, event_id)). */
+    def sessionized(key: String, time: String, gapMinutes: Int = 30,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+      val byKey = Window.partitionBy(col(key))
+        .orderBy((col(time) +: tieBreak.map(col)): _*)
       df.withColumn("_prev", lag(col(time), 1).over(byKey))
         .withColumn("_gap",
           when(col("_prev").isNull ||

@@ -28,8 +28,22 @@ object AsOf {
                  left: DataFrame, right: DataFrame, key: String, time: String,
                  tieBreak: String, carry: Seq[String]): DataFrame = {
     import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    // the merge exec compares with one physical ordering, so the time
+    // types must agree EXACTLY; align time-like right sides (Date /
+    // TimestampNTZ / Timestamp) to the left type with an explicit cast —
+    // a Date-vs-Timestamp pair compared raw would match day-numbers
+    // against microseconds and silently pick wrong rows
+    val timeLike = Set[org.apache.spark.sql.types.DataType](
+      DateType, TimestampType, TimestampNTZType)
+    val lType = left.schema(time).dataType
+    val rType = right.schema(time).dataType
+    val alignedRight =
+      if (rType != lType && timeLike(lType) && timeLike(rType))
+        right.withColumn(time, col(time).cast(lType))
+      else right
     val lp = GraftShim.analyzed(left)
-    val rp = GraftShim.analyzed(right)
+    val rp = GraftShim.analyzed(alignedRight)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))

@@ -86,7 +86,13 @@ object Crunch {
   /** player_point (crunch_player.sql:1-45): same spine keyed by player;
     * carries the `updated_at = greatest(...)` merge semantics as max(). */
   def player(s: SparkSession, d: String): DataFrame =
-    spine(s, d)
+    // joins exactly what the measures need (lineitem⋈orders⋈customer) —
+    // the spine's nation/region dims are unused here and would both waste
+    // two broadcast joins and silently drop FK-dangling customers that
+    // the oracle keeps
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey").as("player_id"), col("c_name").as("player_name"))
       .agg(
         count(lit(1)).as("played"),
@@ -146,7 +152,7 @@ object Crunch {
     import s.implicits._
     // series dim: one row per year window, range-joined on the order date
     val series = broadcast(
-      (1992 to 1998).map(y => (s"y$y", s"$y-01-01", s"$y-12-31")).toDF("series", "s_start", "s_end")
+      (1992 to 2001).map(y => (s"y$y", s"$y-01-01", s"$y-12-31")).toDF("series", "s_start", "s_end")
         .select(col("series"), to_date(col("s_start")).as("s_start"), to_date(col("s_end")).as("s_end")))
     val tiers = broadcast(Dimensions.tiers.toDF("tier", "lo", "hi"))
     val build = when(col("p_type").rlike("^ECONOMY"), "economy")
@@ -228,7 +234,7 @@ object Crunch {
   }
 
   def globalFullOracle: String = {
-    val series = (1992 to 1998)
+    val series = (1992 to 2001)
       .map(y => s"('y$y', DATE '$y-01-01', DATE '$y-12-31')").mkString(", ")
     val tiers = Dimensions.tiers
       .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")

@@ -31,6 +31,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     val probed = queries
       .select(col("qid"), col("qv"),
         explode(IvfIndex.probeCellsExpr(col("qv"), centroids, nprobe)).as("cell"))
+      .localCheckpoint() // evaluated by the cells collect AND the join — once
     // bounded by Cells — metadata, like the centroids themselves
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq

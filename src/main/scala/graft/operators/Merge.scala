@@ -106,7 +106,7 @@ object Merge {
         // executes the physical plan with every column, every partition.
         point.queryExecution.toRdd.count()
         crunched :+= point
-      } catch { case _: Throwable => failedBatches :+= pending }
+      } catch { case scala.util.control.NonFatal(_) => failedBatches :+= pending }
       pending = Vector.empty
     }
 

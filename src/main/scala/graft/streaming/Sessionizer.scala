@@ -41,12 +41,19 @@ object Sessionizer {
     sorted.foreach { e =>
       val t = e.ts.getTime
       open match {
-        case Some(st) if t - st.endMs <= GapMs =>
-          // min() on the start: a late (out-of-order, within-watermark)
-          // event that precedes the open session extends it backwards,
-          // matching what the batch operator computes over the same rows
+        // within one gap of the open session on either side: merge. The
+        // backward bound matters — an out-of-order event more than a gap
+        // BEFORE the session start is its own (already-closed) session,
+        // not a backward extension (t - end <= gap alone is vacuously
+        // true for any earlier event).
+        case Some(st) if t - st.endMs <= GapMs && st.startMs - t <= GapMs =>
           open = Some(SessState(math.min(st.startMs, t), math.max(st.endMs, t),
             st.n + 1, st.sum + e.value))
+        case Some(st) if t < st.startMs - GapMs =>
+          // too late to merge and earlier than the open session: emit it
+          // as its own single-event closed session, keep the open one
+          closed :+= Session(userId, new java.sql.Timestamp(t),
+            new java.sql.Timestamp(t), 1, e.value)
         case Some(st) =>
           closed :+= toSession(st)
           open = Some(SessState(t, t, 1, e.value))

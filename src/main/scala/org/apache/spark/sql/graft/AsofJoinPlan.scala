@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, NullsLast, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.types.PhysicalDataType
@@ -26,6 +26,13 @@ case class AsofJoin(
     leftTime: Attribute, rightTime: Attribute,
     rightTieBreak: Attribute, carry: Seq[Attribute])
   extends BinaryNode {
+  // the merge compares key/time values with a single physical ordering, so
+  // both sides must agree exactly (a Timestamp-vs-Date pair would compare
+  // microseconds against day numbers and silently mis-match)
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
   override def output: Seq[Attribute] = left.output ++ carry.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
@@ -61,7 +68,7 @@ case class AsofJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-      SortOrder(rightTieBreak, Ascending)))
+      SortOrder(rightTieBreak, Ascending, NullsLast, Seq.empty))) // nulls last, like the composed operator's asc_nulls_last
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
@@ -109,7 +116,8 @@ case class AsofJoinExec(
               if (kc < 0) rBuf.next()
               else if (kc == 0) {
                 val rTime = if (rRow.isNullAt(rTimeIdx)) null else rRow.get(rTimeIdx, timeType)
-                if (rTime != null && timeOrd.compare(rTime, lTime) <= 0) {
+                if (rTime == null) { rBuf.next() } // no time, no match — skip, never block
+                else if (timeOrd.compare(rTime, lTime) <= 0) {
                   val copied = rBuf.next().copy()
                   lastMatch = copied
                   // re-extract from the COPY: a buffer-backed key value
