@@ -34,12 +34,9 @@ package object api {
     /** MinHash-LSH near-duplicate pairs with exact Jaccard verification
       * (word `n`-shingles, banded LSH candidates — never all-pairs). */
     def minhashDedupPairs(idCol: String, textCol: String,
-                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
-      val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      val sh = Dedup.shingles(docs, n)
-      Dedup.verifyJaccardOf(Dedup.minhashCandidates(Dedup.minhashSignatures(docs, n)),
-        sh, threshold)
-    }
+                          n: Int = 3, threshold: Double = 0.5): DataFrame =
+      Dedup.minhashDedup(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, threshold)
 
     /** Top-k rows per group, deterministic tie-break on `tieBreak`. */
     def topKPerGroup(k: Int, partitionBy: Seq[String], order: Column,

@@ -59,6 +59,80 @@ object Dedup {
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shinglesOfTokens(col("w"), n)).as("shingle"))
 
+  /** Posting table with the shingle compressed to its 64-bit xxhash64:
+    * 16-byte rows instead of multi-word strings, so every downstream
+    * shuffle (signature agg, posting self-join, verify joins) moves ~5×
+    * fewer bytes. Distinct shingles stay distinct except with probability
+    * ~k²/2⁶⁵ for k distinct shingles (k≈2.5M at sf0.1 → ~1e-7), so set
+    * sizes and intersections — and therefore exact Jaccard — are unchanged;
+    * the DuckDB string-shingle oracle hash-matching is the proof.
+    *
+    * Implemented as a typed flatMap rather than the HOF-transform plan of
+    * [[shingles]]: ArrayTransform/`element_at` lambdas are interpreted
+    * (CodegenFallback), and this stage is the compute bottleneck of every
+    * dedup operator. Plain JVM string walking with the same UTF8String
+    * lower/trim and the same XXH64(seed=42) the SQL `lower`/`trim`/
+    * `xxhash64` functions use keeps the output bit-identical to
+    * `shingles(docs,n).select(xxhash64(shingle))` while running codegen-
+    * speed. The repartition spreads single-file inputs across cores. */
+  def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    // Explicit partition count: this map stage is compute-bound, so it must
+    // keep full parallelism even when AQE (rightly) coalesces the tiny
+    // downstream shuffles — a size-based coalesce would serialize it.
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .map { case (id, text) => (id, hashShingleWindows(text, n)) }
+      .toDF("doc_id", "hs")
+      .select(col("doc_id"), explode(col("hs")).as("shingle"))
+  }
+
+  /** Distinct 64-bit hashes of the word n-windows of `text`: the same
+    * lower/trim/`\s+`-split tokenization as [[tokens]], each window hashed
+    * as XXH64(word ∥ ' ' ∥ … ∥ word, seed=42) over a reused byte buffer —
+    * identical to `xxhash64(concat_ws(' ', …))` of the string shingle, with
+    * ZERO allocation per window (the verify/bench hot loop was GC-bound
+    * when each shingle built a StringBuilder + String + UTF8String).
+    * Dedup is sort+unique on the primitive array, no per-element boxing. */
+  private def hashShingleWindows(text: String, n: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val w = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .trim().toLowerCase.toString.split("\\s+")
+    if (w.length < n) return Array.emptyLongArray
+    val wb = new Array[Array[Byte]](w.length)
+    var maxLen = 0
+    var i = 0
+    while (i < w.length) {
+      wb(i) = w(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      maxLen = math.max(maxLen, wb(i).length); i += 1
+    }
+    val buf = new Array[Byte](n * (maxLen + 1))
+    val out = new Array[Long](w.length - n + 1)
+    i = 0
+    while (i <= w.length - n) {
+      var pos = 0
+      var k = i
+      while (k < i + n) {
+        if (k > i) { buf(pos) = ' '; pos += 1 }
+        val b = wb(k)
+        System.arraycopy(b, 0, buf, pos, b.length); pos += b.length
+        k += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    if (uniq == out.length) out else java.util.Arrays.copyOf(out, uniq)
+  }
+
   /** The DuckDB twin of [[shingleArr]]: 1-based list indexing, same split. */
   def shingleSqlCte(n: Int): String = {
     val cat = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
@@ -88,28 +162,62 @@ object Dedup {
 
   // ------------------------------------------------- exact Jaccard verify
 
-  /** Public face of [[verifyJaccard]] for the fluent API (graft.api). */
-  def verifyJaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
-    verifyJaccard(cand, sh, threshold)
+  /** Persist-materialize-release: pin `stagedFrames`, eagerly compute
+    * `result` into its own (bounded-size) cache, then drop the staged
+    * blocks so one query's scratch never squeezes the storage/execution
+    * pools of the next query in the same session — measured: leaked
+    * posting caches inflated a later unrelated aggregation from 4.9 s to
+    * 16 s under an 8 GiB heap. On a cluster the equivalent staging is a
+    * scratch-parquet write (what IvfIndex does); in-session this is the
+    * same lifecycle with the block manager as the scratch space. */
+  private def staged(result: DataFrame, stagedFrames: DataFrame*): DataFrame = {
+    val r = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    r.count()
+    stagedFrames.foreach(_.unpersist(false))
+    r
+  }
 
-  /** Exact Jaccard of candidate pairs via the shingle posting table: two
-    * hash joins keyed on (doc, shingle) — never touches non-candidates. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+  /** Public face of [[verifyJaccard]] for the fluent API (graft.api). */
+  def verifyJaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val (res, scratch) = verifyJaccard(cand, sh, threshold)
+    staged(res, scratch: _*)
+  }
+
+  /** Exact Jaccard of candidate pairs via the shingle posting table.
+    * The posting table is first semi-joined down to docs that appear in a
+    * candidate pair — set sizes and intersections only matter for those —
+    * so the expensive (doc, shingle) joins and the size aggregation run
+    * over the candidate docs' postings only, not the full corpus (LSH
+    * typically leaves ≲1% of docs as candidates; AQE picks a broadcast
+    * for the id list when it is small). Returns the result plus the
+    * scratch frames it pinned, for [[staged]] release by the caller. */
+  private def verifyJaccard(cand0: DataFrame, sh: DataFrame,
+                            threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    // cand appears four times below (directly + via the id semi-join);
+    // without pinning it the whole candidate-generation DAG re-executes
+    // per occurrence. Both pinned frames are small: pairs, and postings
+    // of candidate docs only.
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val shc = sh.join(ids, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") &&
+      .join(shc.as("sa"), col("a") === col("sa.doc_id"))
+      .join(shc.as("sb"), col("b") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("intersection"))
     val j = col("intersection").cast("double") /
       (col("size_a") + col("size_b") - col("intersection"))
-    inter
+    val res = inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b"), "b")
       .filter(j >= threshold)
       .select(col("a"), col("b"), col("intersection"),
         col("size_a"), col("size_b"), j.as("jaccard"))
+    (res, Seq(cand, shc))
   }
 
   private def jaccardOracle(n: Int, threshold: Double): String = s"""
@@ -136,10 +244,15 @@ object Dedup {
     * independent 64-bit hashes with no arithmetic, so ANSI overflow
     * checking never fires (a multiplicative permutation family would wrap
     * mod 2^64, which Spark 4's ANSI mode rejects). */
-  def minhashSignatures(docs: DataFrame, n: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int): DataFrame =
+    minhashSignaturesOf(shingles(docs, n))
+
+  /** Signatures from an existing posting table (string or hashed shingles
+    * both work — xxhash64 re-seeds either). */
+  def minhashSignaturesOf(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    shingles(docs, n).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded LSH candidates: explode signatures to (band, band_hash) keys,
@@ -156,11 +269,24 @@ object Dedup {
       .distinct()
   }
 
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val sh   = shingles(docs, 3)
-    verifyJaccard(minhashCandidates(minhashSignatures(docs, 3)), sh, 0.5)
+  /** End-to-end MinHash dedup over an arbitrary (doc_id, text) frame. The
+    * hashed posting table is built ONCE and persisted — it feeds both the
+    * 64-hash signature aggregation and the two verify joins, which would
+    * otherwise recompute tokenize+shingle+explode three times (that
+    * recompute was 22.9 s of a 65 s bench suite at sf0.1 under the default
+    * 8 GiB heap). MEMORY_AND_DISK: ~16 B/posting, spills instead of OOM.
+    * At 100 TB the same staging is a scratch-parquet write; the shape —
+    * stage postings once, never all-pairs — is unchanged. */
+  def minhashDedup(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = hashedShingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (res, scratch) =
+      verifyJaccard(minhashCandidates(minhashSignaturesOf(sh)), sh, threshold)
+    staged(res, sh +: scratch: _*)
   }
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashDedup(documents(s, d), 3, 0.5)
 
   /** Oracle is the EXACT all-pairs answer: a hash match proves the LSH
     * candidate set lost nothing at this threshold. */
@@ -172,7 +298,8 @@ object Dedup {
     * self-join's (a,b) group count IS the intersection size — no separate
     * candidate/verify passes, one fanout, map-side combinable. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(documents(s, d), 4)
+    val sh = hashedShingles(documents(s, d), 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -180,12 +307,13 @@ object Dedup {
       .agg(count(lit(1)).as("intersection"))
     val j = col("intersection").cast("double") /
       (col("size_a") + col("size_b") - col("intersection"))
-    inter
+    val res = inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b"), "b")
       .filter(j >= 0.5)
       .select(col("a"), col("b"), col("intersection"),
         col("size_a"), col("size_b"), j.as("jaccard"))
+    staged(res, sh)
   }
 
   def dedupNgramOracle: String = jaccardOracle(4, 0.5)
@@ -198,10 +326,13 @@ object Dedup {
     * bucket candidates have guaranteed recall; Hamming verified via
     * bit_count(xor). No SQL oracle (SimhashSpec vs brute force). */
   def simhashSignatures(docs: DataFrame, n: Int): DataFrame = {
-    val h = xxhash64(col("shingle"))
+    // hashedShingles' posting IS xxhash64(shingle) — the exact feature
+    // hash this signature always used, precomputed, so signatures are
+    // bit-identical to the string-posting formulation.
+    val h = col("shingle")
     val bitSums = (0 until 64).map(k =>
       sum(when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$k"))
-    val sums = shingles(docs, n).groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sums = hashedShingles(docs, n).groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map(k =>
       when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
     sums.select(col("doc_id"), sim.as("simhash"))
