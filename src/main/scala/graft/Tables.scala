@@ -32,10 +32,18 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        raw.withColumn("ts", nanosToTimestamp(col("ts")))
       case _ => raw
     }
   }
+
+  /** ns→µs must stay in LONG arithmetic: `(ns / 1000).cast("long")` promotes
+    * to double first, and 2024-epoch nanos (~1.7e18) exceed double's 2^53
+    * exact range — ~1.6% of values truncate 1 µs low, which can flip
+    * exact-boundary comparisons (sessionize gaps, as-of `<=`, watermarks).
+    * Integral DIV is exact for the generator's non-negative timestamps. */
+  def nanosToTimestamp(c: Column): Column =
+    timestamp_micros(call_function("div", c, lit(1000L)))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -27,6 +27,7 @@ object AsOf {
   def joinNative(spark: org.apache.spark.sql.SparkSession,
                  left: DataFrame, right: DataFrame, key: String, time: String,
                  tieBreak: String, carry: Seq[String]): DataFrame = {
+    validate(left, right, key, time, carry)
     import org.apache.spark.sql.GraftShim
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     // the merge exec compares with one physical ordering, so the time
@@ -55,8 +56,25 @@ object AsOf {
       carry = carry.map(attr(rp, _))))
   }
 
+  /** The union encoding needs left payload names, carry names, and the
+    * `_side` tag to be distinct — a left frame already containing a
+    * carry-named (or `_side`) column would produce ambiguous columns and
+    * the carry window would clobber left data. Fail fast instead. */
+  private def validate(left: DataFrame, right: DataFrame, key: String,
+                       time: String, carry: Seq[String]): Unit = {
+    val clash = carry.filter(c => left.columns.contains(c) && c != key && c != time)
+    require(clash.isEmpty,
+      s"as-of carry column(s) ${clash.mkString(", ")} collide with left-side " +
+        "columns; rename one side before the join")
+    require(!left.columns.contains("_side") && !right.columns.contains("_side"),
+      "'_side' is reserved by the as-of join encoding; rename the column")
+    val dupCarry = carry.diff(carry.distinct)
+    require(dupCarry.isEmpty, s"duplicate carry column(s): ${dupCarry.mkString(", ")}")
+  }
+
   def join(left: DataFrame, right: DataFrame, key: String, time: String,
            tieBreak: String, carry: Seq[String]): DataFrame = {
+    validate(left, right, key, time, carry)
     val leftCols  = left.columns.filterNot(c => c == key || c == time)
     val l = left
       .withColumn("_side", lit(1))

@@ -26,6 +26,25 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+  /** Max rows a single request may collect onto the driver. */
+  val MaxLimit = 10000
+
+  /** The `sf` query param is a filesystem path; unvalidated it lets any
+    * HTTP client point the parquet loaders at an arbitrary directory.
+    * Whitelist: only sibling `sf*` scale dirs of the configured default
+    * (canonicalized, so `..` traversal can't escape). */
+  private val sfRoot =
+    new java.io.File(defaultSf).getCanonicalFile.getParentFile
+
+  private def resolveSf(requested: Option[String]): Option[String] =
+    requested match {
+      case None => Some(defaultSf)
+      case Some(p) =>
+        val f = new java.io.File(p).getCanonicalFile
+        if (f.getParentFile == sfRoot && f.getName.startsWith("sf")) Some(f.getPath)
+        else None
+    }
+
   def boundPort: Int = server.getAddress.getPort
 
   private def respond(ex: HttpExchange, code: Int, body: String,
@@ -55,10 +74,15 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0) {
         case None => respond(ex, 404, s"""{"error":"unknown query '$name'"}""")
         case Some(fn) =>
           try {
-            val sf = param(ex, "sf").getOrElse(defaultSf)
-            val limit = param(ex, "limit").map(_.toInt).getOrElse(1000)
-            val rows = fn(spark, sf).limit(limit).toJSON.collect()
-            respond(ex, 200, rows.mkString("[", ",", "]"))
+            resolveSf(param(ex, "sf")) match {
+              case None =>
+                respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
+              case Some(sf) =>
+                val limit = param(ex, "limit").map(_.toInt).getOrElse(1000)
+                  .max(1).min(MaxLimit)
+                val rows = fn(spark, sf).limit(limit).toJSON.collect()
+                respond(ex, 200, rows.mkString("[", ",", "]"))
+            }
           } catch { case e: Throwable =>
             respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }

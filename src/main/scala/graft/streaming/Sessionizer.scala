@@ -1,18 +1,24 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of `Windows.eventsSessionize`: gap-based sessionization
   * (30-minute inactivity closes a session) via flatMapGroupsWithState.
   *
-  * State per user is ONE open session (start, end, count, sum) — O(users)
-  * state, independent of event volume. The event-time timeout fires when
-  * the watermark passes session end + gap, emitting the closed session;
-  * out-of-order events within the watermark slack merge into the open
-  * session or close-and-open as the gap dictates. SessionizeSpec equates
-  * the emitted sessions with the batch operator on the same data.
+  * State per user is the list of sessions still mergeable given the
+  * watermark — almost always ONE (out-of-order islands only exist within
+  * the 1-minute watermark slack vs the 30-minute gap), so state stays
+  * O(users), independent of event volume.
+  *
+  * A session is emitted ONLY once the watermark passes `end + gap`:
+  * before that an admissible event could still extend or bridge it, so
+  * eager emission would diverge from the batch operator (the round-3
+  * ADVICE late-event edge: an event more than a gap before the open
+  * session used to be emitted as its own closed session immediately;
+  * now it is held as a second pending session until its own timeout,
+  * and a bridging event merges the islands exactly as batch does).
+  * SessionizeSpec equates the emitted sessions with the batch operator.
   */
 object Sessionizer {
 
@@ -23,49 +29,43 @@ object Sessionizer {
     user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
   final case class SessState(startMs: Long, endMs: Long, n: Long, sum: Double)
+  /** Pending (not yet watermark-closed) sessions, kept sorted by start. */
+  final case class PendingSessions(sessions: Seq[SessState])
 
-  def step(userId: Long, events: Iterator[Ev], state: GroupState[SessState]): Iterator[Session] = {
+  /** Batch-semantics coalesce: sort by start, merge neighbors whose gap
+    * is within GapMs. Treating every new event as a 1-event session and
+    * re-coalescing (state ∪ events) IS the batch definition applied to
+    * everything seen so far — stream ≡ batch for all admitted events. */
+  private def coalesce(ss: Seq[SessState]): Vector[SessState] =
+    ss.sortBy(s => (s.startMs, s.endMs)).foldLeft(Vector.empty[SessState]) {
+      case (acc :+ prev, cur) if cur.startMs - prev.endMs <= GapMs =>
+        acc :+ SessState(prev.startMs, math.max(prev.endMs, cur.endMs),
+          prev.n + cur.n, prev.sum + cur.sum)
+      case (acc, cur) => acc :+ cur
+    }
+
+  def step(userId: Long, events: Iterator[Ev],
+           state: GroupState[PendingSessions]): Iterator[Session] = {
     def toSession(st: SessState) = Session(
       userId, new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.endMs),
       st.n, st.sum)
 
-    if (state.hasTimedOut) {
-      val out = state.getOption.map(toSession).iterator
-      state.remove()
-      return out
-    }
+    val wm = state.getCurrentWatermarkMs()
+    val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+    val merged = coalesce(prior ++
+      events.map(e => SessState(e.ts.getTime, e.ts.getTime, 1, e.value)))
 
-    val sorted = events.toVector.sortBy(_.ts.getTime)
-    var closed = Vector.empty[Session]
-    var open = state.getOption
-    sorted.foreach { e =>
-      val t = e.ts.getTime
-      open match {
-        // within one gap of the open session on either side: merge. The
-        // backward bound matters — an out-of-order event more than a gap
-        // BEFORE the session start is its own (already-closed) session,
-        // not a backward extension (t - end <= gap alone is vacuously
-        // true for any earlier event).
-        case Some(st) if t - st.endMs <= GapMs && st.startMs - t <= GapMs =>
-          open = Some(SessState(math.min(st.startMs, t), math.max(st.endMs, t),
-            st.n + 1, st.sum + e.value))
-        case Some(st) if t < st.startMs - GapMs =>
-          // too late to merge and earlier than the open session: emit it
-          // as its own single-event closed session, keep the open one
-          closed :+= Session(userId, new java.sql.Timestamp(t),
-            new java.sql.Timestamp(t), 1, e.value)
-        case Some(st) =>
-          closed :+= toSession(st)
-          open = Some(SessState(t, t, 1, e.value))
-        case None =>
-          open = Some(SessState(t, t, 1, e.value))
-      }
+    // closed = no admissible future event (ts >= wm) can merge (needs
+    // ts <= end + gap, inclusive — so strict `<` here)
+    val (closed, pending) = merged.partition(_.endMs + GapMs < wm)
+    if (pending.isEmpty) state.remove()
+    else {
+      state.update(PendingSessions(pending))
+      // earliest possible close; must sit strictly past the watermark
+      state.setTimeoutTimestamp(
+        math.max(pending.map(_.endMs + GapMs).min, wm + 1))
     }
-    open.foreach { st =>
-      state.update(st)
-      state.setTimeoutTimestamp(st.endMs + GapMs)
-    }
-    closed.iterator
+    closed.iterator.map(toSession)
   }
 
   /** Wire the stateful step over a (streaming or batch) event Dataset. */

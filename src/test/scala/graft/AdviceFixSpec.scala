@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+/** Regression tests for the round-3 ADVICE findings. */
+class AdviceFixSpec extends SparkSpec {
+
+  test("nanos→micros conversion is exact beyond double's 2^53 range") {
+    import spark.implicits._
+    // 2024-epoch nanos ~1.7e18: double's ulp there is 256, so the old
+    // (ns / 1000).cast("long") path truncated ~1.6% of values 1 µs low
+    val adversarial = Seq(
+      1700000000000001000L, 1700000000000001999L, 1704067199999999001L,
+      1234567890123456789L, 999999999999999999L, 0L, 1000L, 999L)
+    val got = adversarial.toDF("ns")
+      .select(unix_micros(Tables.nanosToTimestamp(col("ns"))))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == adversarial.map(_ / 1000L))
+  }
+
+  test("events.ts keeps exact microseconds (no double round-trip)") {
+    // end-to-end: the loaded events table must agree with integral ns/1000
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    assume(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val mismatches = Tables.events(spark, sf).select(col("event_id"), col("ts"))
+      .join(raw.select(col("event_id"), col("ts").as("ns")), "event_id")
+      .filter(unix_micros(col("ts")) =!= call_function("div", col("ns"), lit(1000L)))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("as-of join rejects carry names that collide with left columns") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
+    val right = Seq((1L, 5L, "y")).toDF("k", "t", "payload")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(left, right, key = "k", time = "t", tieBreak = "t",
+        carry = Seq("payload"))
+    }
+    assert(e.getMessage.contains("payload"))
+    val en = intercept[IllegalArgumentException] {
+      AsOf.joinNative(spark, left, right, key = "k", time = "t", tieBreak = "t",
+        carry = Seq("payload"))
+    }
+    assert(en.getMessage.contains("payload"))
+  }
+
+  test("sessionizer holds a late out-of-order island instead of emitting it") {
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.{Ev, PendingSessions, SessState}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    def state(prior: Option[PendingSessions], wmMin: Long, timedOut: Boolean = false) =
+      TestGroupState.create[PendingSessions](
+        prior.map(Optional.of[PendingSessions]).getOrElse(Optional.empty()),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of((1440 + wmMin) * 60000L),
+        timedOut)
+
+    // event at t=100 opens a session
+    val s1 = state(None, 0)
+    assert(Sessionizer.step(1, Iterator(Ev(1, ts(100), 1.0)), s1).isEmpty)
+    val p1 = s1.get
+
+    // LATE event t=60: >gap before the open session's start. The old code
+    // emitted it immediately as a closed single-event session; it must be
+    // HELD — a bridging event may still arrive
+    val s2 = state(Some(p1), 70)
+    assert(Sessionizer.step(1, Iterator(Ev(1, ts(60), 2.0)), s2).isEmpty)
+    assert(s2.get.sessions.size == 2)
+
+    // bridging event t=80 merges the islands into ONE session [60,100] —
+    // exactly what the batch operator computes on {100, 60, 80}
+    val s3 = state(Some(s2.get), 95)
+    assert(Sessionizer.step(1, Iterator(Ev(1, ts(80), 3.0)), s3).isEmpty)
+    assert(s3.get.sessions == Seq(SessState(ts(60).getTime, ts(100).getTime, 3, 6.0)))
+
+    // watermark passes end+gap: the merged session closes whole
+    val s4 = state(Some(s3.get), 200, timedOut = true)
+    val out = Sessionizer.step(1, Iterator.empty, s4).toList
+    assert(out.map(o => (o.session_start, o.session_end, o.n_events, o.sum_value))
+      == List((ts(60), ts(100), 3L, 6.0)))
+    assert(s4.isRemoved)
+  }
+
+  test("as-of join rejects a reserved _side column") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1)).toDF("k", "t", "_side")
+    val right = Seq((1L, 5L, 2.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsOf.join(left, right, key = "k", time = "t", tieBreak = "t", carry = Seq("v"))
+    }
+  }
+}

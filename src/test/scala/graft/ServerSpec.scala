@@ -32,6 +32,18 @@ class ServerSpec extends SparkSpec {
 
       val (sc, sfBody) = get(port, s"/query/dedup_exact?sf=$sf&limit=2")
       assert(sc == 200 && sfBody.contains("content_hash"))
+
+      // sf whitelist: only sibling sf* dirs of the default are servable
+      val (fc, _) = get(port, "/query/dedup_exact?sf=/etc")
+      assert(fc == 403)
+      val (tc, _) = get(port, s"/query/dedup_exact?sf=${sf}/../../etc")
+      assert(tc == 403)
+
+      // limit is clamped, not trusted: a huge/negative limit still answers
+      val (hc, hugeBody) = get(port, "/query/crunch_phases?limit=2000000000")
+      assert(hc == 200 && hugeBody.startsWith("[{"))
+      val (negc, negBody) = get(port, "/query/crunch_phases?limit=-5")
+      assert(negc == 200 && negBody.startsWith("[{"))
     } finally srv.stop()
   }
 }
