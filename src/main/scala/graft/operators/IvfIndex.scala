@@ -63,7 +63,7 @@ object IvfIndex {
     * (strided subsample), assign every vector, write the assignment
     * partitioned by cell + the centroid table. */
   def build(s: SparkSession, sfDir: String, indexDir: String): IvfIndex = {
-    val cents = Ann.collectCentroids(s, sfDir)
+    val cents = Ann.cachedCentroids(s, sfDir)
     import graft.Tables
     val nemb = Tables.embeddings(s, sfDir)
       .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("nv"))

@@ -34,4 +34,31 @@ class AnnSpec extends SparkSpec {
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length == Ann.K))
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
   }
+
+  test("dedup_embedding equals the all-pairs answer WITHOUT a nested-loop join") {
+    import graft.functions.VectorOps._
+    import org.apache.spark.sql.functions._
+
+    val bucketed = Ann.dedupEmbedding(spark, sf)
+
+    // the cell cover must be exact: same pairs as a literal all-pairs scan
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("nv"))
+    val brute = emb.select(col("vec_id").as("id_a"), col("nv").as("na"))
+      .crossJoin(emb.select(col("vec_id").as("id_b"), col("nv").as("nb")))
+      .filter(col("id_a") < col("id_b") &&
+        dot(col("na"), col("nb")) >= Ann.DupThreshold)
+      .select("id_a", "id_b")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(bucketed) == pairs(brute))
+    assert(pairs(bucketed).nonEmpty)
+
+    // and the physical plan must have no nested-loop/cartesian between the
+    // two embeddings scans — candidates come from cell equi-joins only
+    val physical = bucketed.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked back into the plan:\n$physical")
+    assert(!physical.contains("CartesianProduct"))
+  }
 }
