@@ -20,6 +20,31 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val t = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        t.put(j.jobId, System.nanoTime())
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val ms = (System.nanoTime() - t.getOrDefault(j.jobId, System.nanoTime())) / 1e6
+        System.err.println(f"[job] ${j.jobId}%4d ${ms}%9.0fms end@${System.nanoTime() / 1e9 % 10000}%9.2f")
+      }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(0L)
+        if (ms > 100) {
+          val m = i.taskMetrics
+          System.err.println(f"[stage] ${i.stageId}%4d ${ms}%7dms tasks=${i.numTasks}%3d " +
+            f"cpu=${m.executorCpuTime / 1e9}%6.1fs in=${m.inputMetrics.bytesRead / 1e6}%7.0fMB " +
+            i.name.take(60))
+        }
+      }
+    })
+    if (sys.env.contains("PROBE_BATCH")) {
+      time("warm lineitem")(Tables.lineitem(spark, d).count())
+      time("batch_driver")(graft.operators.Merge.batchDriver(spark, d).count())
+      time("batch_driver again")(graft.operators.Merge.batchDriver(spark, d).count())
+      spark.stop(); return
+    }
     import graft.operators.Ann
     import graft.functions.VectorOps._
 

@@ -81,6 +81,10 @@ object Merge {
     private var crunched = Vector.empty[DataFrame]
     private var failedBatches = Vector.empty[Vector[Long]]
     private var oldestPendingAt = Long.MaxValue
+    // per-batch scans re-read the fact parquet (Catalyst prunes to the
+    // point-schema columns); A/B-measured against pinning the slice in
+    // the block manager and the scan wins for one-shot batch runs —
+    // columnar-cache encode costs more than the pruned re-reads
     private val li = lineitem(s, d)
 
     /** Buffer an id; flush when the batch fills OR the oldest buffered id
@@ -96,23 +100,34 @@ object Merge {
     def flush(): Unit = if (pending.nonEmpty) {
       import s.implicits._
       val ids = pending.toDF("id")
+      val point = pointAgg(validate(
+        li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val point = pointAgg(validate(
-          li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi")))
         // Force FULL materialization of the batch plan as planned:
         // df.count() re-optimizes and PRUNES the aggregate measures (so a
         // row failing inside a measure column never evaluates), and
         // isEmpty/take(1) stops at the first non-empty partition. toRdd
-        // executes the physical plan with every column, every partition.
+        // executes every column of every partition — and because the frame
+        // is persisted first, this one execution BUILDS the cached partial
+        // that result()'s merge reuses: fault isolation and the merge share
+        // a single computation of each batch (the r3 double-compute fix).
         point.queryExecution.toRdd.count()
         crunched :+= point
-      } catch { case scala.util.control.NonFatal(_) => failedBatches :+= pending }
+      } catch { case scala.util.control.NonFatal(_) =>
+        point.unpersist(false)
+        failedBatches :+= pending
+      }
       pending = Vector.empty
     }
 
     /** Failed-queue contents, in arrival order (worker.js failed routing). */
     def failed: Seq[Seq[Long]] = failedBatches
 
+    /** Merge over the cached batch partials. The pinned fact slice is
+      * released here — the partials already hold everything the merge
+      * needs, at point-table grain (they stay cached; a handful of
+      * dimension-tuple rows per batch, not data-sized scratch). */
     def result(): DataFrame = { flush(); finish(merge(crunched)) }
   }
 
