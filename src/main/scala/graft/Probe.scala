@@ -45,6 +45,14 @@ object Probe {
       time("batch_driver again")(graft.operators.Merge.batchDriver(spark, d).count())
       spark.stop(); return
     }
+    if (sys.env.contains("PROBE_IVF")) {
+      import graft.operators.Ann
+      try time("entry warmup")(SparkEntry.entry(spark).count()) catch { case _: Throwable => () }
+      time("centroid train")(Ann.cachedCentroids(spark, d))
+      time("ann_ivf cold")(Ann.annIvf(spark, d).count())
+      time("ann_ivf warm")(Ann.annIvf(spark, d).count())
+      spark.stop(); return
+    }
     import graft.operators.Ann
     import graft.functions.VectorOps._
 

@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -102,4 +103,77 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** Scores of one vector against a whole centroid matrix (row-major,
+  * Cells × dim) in a single fused loop: `out[c] = Σᵢ m[c][i]·v[i]`.
+  *
+  * The composed form — Cells separate `DotProduct(v, typedLit(centroidᵢ))`
+  * expressions inside an `array(struct(...))` — embeds Cells×dim literal
+  * array constants into the generated Java of EVERY plan that assigns or
+  * probes cells; the resulting classes took ~1 s each to javac-compile,
+  * dominating ANN/dedup wall time at small SF and re-paying on every plan
+  * variation. Here the matrix rides along as ONE reference object (no
+  * code-size growth with Cells or dim) and the kernel is the two-loop
+  * matrix-vector product the hardware wants. */
+case class CellScores(child: Expression, matrix: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_cell_scores"
+
+  private val cells = matrix.length
+  private val dim = if (matrix.isEmpty) 0 else matrix(0).length
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](cells * dim)
+    var c = 0
+    while (c < cells) {
+      System.arraycopy(matrix(c), 0, f, c * dim, dim); c += 1
+    }
+    f
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val out = new Array[Double](cells)
+    var c = 0
+    while (c < cells) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += flat(off + i) * x.getDouble(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cellMatrix", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |double[] $out = new double[$cells];
+         |for (int $c = 0; $c < $cells; $c++) {
+         |  int $off = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $m[$off + $i] * $v.getDouble($i);
+         |  }
+         |  $out[$c] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellScores =
+    copy(child = newChild)
 }

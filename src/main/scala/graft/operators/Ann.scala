@@ -80,33 +80,50 @@ object Ann {
 
   val Cells = 16
 
-  /** Coarse quantizer: deterministic seed cells (vec_id mod Cells) refined
-    * by one averaging step — a single k-means iteration. Computed as a
-    * per-dimension avg after posexplode, so the shuffle carries partial
-    * (cell, dim) sums — never whole vectors — and only Cells centroid rows
-    * leave the aggregation (they return to the executors broadcast). */
-  def centroids(emb: DataFrame): DataFrame =
-    emb.select((col("vec_id") % Cells).as("cell"),
-        posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
-      .select(col("cell"),
-        normalize(transform(col("dims"), _.getField("m"))).as("centroid"))
+  /** Hard cap on the vectors collected for quantizer training — the
+    * sample stays driver-sized metadata (≤ TrainCap × dim doubles, ~32 MB
+    * at 64 dims) no matter the corpus size. */
+  val TrainCap = 65536
 
-  /** Collected centroid metadata: Cells × dim doubles on the driver —
-    * the standard k-means shape (centroids round-trip the driver between
-    * iterations in MLlib too); it is index METADATA, not data. */
-  def collectCentroids(s: SparkSession, d: String): Array[(Int, Array[Double])] =
-    // re-index the subsample (vec_id DIV stride) before seeding: the raw
-    // ids of a strided sample hit only Cells/stride seed cells (vec_id%4==0
-    // ⟹ vec_id%16 ∈ {0,4,8,12}), silently collapsing the quantizer to 4
-    // live cells — measured as "recall 1.0" that was really a full scan
-    centroids(embeddings(s, d).filter(col("vec_id") % TrainStride === 0)
-      .withColumn("vec_id", expr(s"vec_id DIV $TrainStride"))).collect()
-      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1)
+  /** Coarse quantizer training: deterministic seed cells (re-indexed
+    * sample id mod Cells) refined by one averaging step — a single
+    * k-means iteration, computed on the DRIVER over a bounded sample.
+    * This is the standard IVF shape (FAISS trains its quantizer on a
+    * sample in one process; MLlib round-trips centroids through the
+    * driver every iteration): quantizer quality needs a representative
+    * sample, not the corpus, and a Cells×dim centroid array is index
+    * METADATA. The previous distributed formulation (posexplode + two
+    * shuffles over (cell,dim) partial sums) was measured at ~4 s of
+    * fixed plan/shuffle overhead for a 128 KB sample — driver arithmetic
+    * does it in milliseconds.
+    *
+    * Re-indexing (position in the strided sample) before seeding matters:
+    * raw ids of a stride-4 sample hit only Cells/stride seed cells
+    * (vec_id%4==0 ⟹ vec_id%16 ∈ {0,4,8,12}), silently collapsing the
+    * quantizer to 4 live cells — measured as "recall 1.0" that was
+    * really a full scan. */
+  def collectCentroids(s: SparkSession, d: String): Array[(Int, Array[Double])] = {
+    val sample = embeddings(s, d)
+      .filter(col("vec_id") % TrainStride === 0)
+      .select(toDouble(col("embedding")).as("v"))
+      .limit(TrainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, s"no vectors to train on in $d")
+    val dim = sample.head.length
+    val sums = Array.fill(Cells)(new Array[Double](dim))
+    val counts = new Array[Long](Cells)
+    for ((v, rid) <- sample.iterator.zipWithIndex) {
+      val c = rid % Cells
+      counts(c) += 1
+      var i = 0
+      while (i < dim) { sums(c)(i) += v(i); i += 1 }
+    }
+    Array.tabulate(Cells) { c =>
+      val mean = sums(c).map(_ / math.max(1L, counts(c)))
+      val norm = math.sqrt(mean.map(x => x * x).sum)
+      c -> mean.map(_ / (if (norm > 0) norm else 1.0))
+    }
+  }
 
   /** Centroids are a pure function of the embeddings table, so train once
     * per data directory and reuse across every IVF/dedup call in the
@@ -119,30 +136,39 @@ object Ann {
   def cachedCentroids(s: SparkSession, d: String): Array[(Int, Array[Double])] =
     centroidCache.getOrElseUpdate(d, collectCentroids(s, d))
 
-  /** (score, cell) structs for a vector against every centroid literal —
-    * pure projection arithmetic, no join, stays in codegen. */
-  private def cellScores(v: org.apache.spark.sql.Column,
-                         cents: Array[(Int, Array[Double])]) =
-    cents.map { case (c, vec) =>
-      struct(dot(v, typedLit(vec.toSeq)).as("s"), lit(c).as("cell"))
-    }
+  /** All-cells score vector (array<double>, index = cell id) via the
+    * fused native matrix-vector expression [[graft.functions.CellScores]]
+    * — one small codegen kernel instead of Cells literal-array dots,
+    * whose generated-code size made javac the dominant cost. */
+  private[operators] def cellScoresCol(
+      v: org.apache.spark.sql.Column,
+      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftShim.column(graft.functions.CellScores(
+      org.apache.spark.sql.GraftShim.expression(v), cents.map(_._2)))
 
-  /** Argmax-cosine cell id (ties → lowest cell). */
-  private def assignCell(v: org.apache.spark.sql.Column,
-                         cents: Array[(Int, Array[Double])]) =
-    array_max(array(cellScores(v, cents).map(sc =>
-      struct(sc.getField("s").as("s"), (-sc.getField("cell")).as("nc"))): _*))
-      .getField("nc") * -1
+  /** Argmax-cosine cell id (ties → lowest cell via first-occurrence
+    * array_position). */
+  private[operators] def assignCell(
+      v: org.apache.spark.sql.Column,
+      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.Column = {
+    val cs = cellScoresCol(v, cents)
+    (array_position(cs, array_max(cs)) - 1).cast("int")
+  }
 
-  /** Top-nprobe cells for a query vector: sort the Cells-long struct
-    * array descending by score (ties → lowest cell), slice, project. */
-  private def probeCells(v: org.apache.spark.sql.Column,
-                         cents: Array[(Int, Array[Double])], nprobe: Int) =
+  /** Top-nprobe cells for a query vector: rank the score vector
+    * descending (ties → lowest cell), slice, project. The 16-element
+    * struct sort runs over the score ARRAY, so per-row work is
+    * O(Cells·dim + Cells log Cells). */
+  private[operators] def probeCells(
+      v: org.apache.spark.sql.Column,
+      cents: Array[(Int, Array[Double])], nprobe: Int): org.apache.spark.sql.Column = {
+    val cs = cellScoresCol(v, cents)
     transform(
-      slice(sort_array(array(cellScores(v, cents).map(sc =>
-        struct((-sc.getField("s")).as("ns"), sc.getField("cell").as("cell"))): _*)),
+      slice(sort_array(transform(sequence(lit(0), lit(cents.length - 1)),
+        i => struct((-element_at(cs, i + 1)).as("ns"), i.as("cell")))),
         1, nprobe),
       x => x.getField("cell"))
+  }
 
   /** IVF search: probe the `nprobe` best cells per query, exact top-k
     * inside the probed cells only. Cell assignment and probe selection
@@ -178,14 +204,13 @@ object Ann {
   val DupThreshold = 0.45
 
   /** Vectors with their IVF cell and the cosine to their own centroid,
-    * in one codegen'd projection (the argmax struct trick yields both). */
+    * in one codegen'd projection over the fused score vector. */
   private def assignedWithScore(nemb: DataFrame,
                                 cents: Array[(Int, Array[Double])]): DataFrame = {
-    val best = array_max(array(cellScores(col("nv"), cents).map(sc =>
-      struct(sc.getField("s").as("s"), (-sc.getField("cell")).as("nc"))): _*))
+    val cs = cellScoresCol(col("nv"), cents)
     nemb.select(col("vec_id"), col("nv"),
-      best.getField("s").as("cdot"),
-      (best.getField("nc") * -1).as("cell"))
+      array_max(cs).as("cdot"),
+      (array_position(cs, array_max(cs)) - 1).cast("int").as("cell"))
   }
 
   /** Exact cosine near-dup pairs (θ ≥ 0.45) WITHOUT an all-pairs join:

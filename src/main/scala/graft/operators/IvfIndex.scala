@@ -53,11 +53,7 @@ object IvfIndex {
   private[operators] def probeCellsExpr(
       v: org.apache.spark.sql.Column,
       cents: Array[(Int, Array[Double])], nprobe: Int) =
-    transform(
-      slice(sort_array(array(cents.map { case (c, vec) =>
-        struct((-dot(v, typedLit(vec.toSeq))).as("ns"), lit(c).as("cell")) }: _*)),
-        1, nprobe),
-      x => x.getField("cell"))
+    Ann.probeCells(v, cents, nprobe)
 
   /** Build the index from an embeddings table: train the quantizer
     * (strided subsample), assign every vector, write the assignment
@@ -68,11 +64,9 @@ object IvfIndex {
     val nemb = Tables.embeddings(s, sfDir)
       .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("nv"))
       .repartition(col("vec_id"))
-    val scored = cents.map { case (c, vec) =>
-      struct(dot(col("nv"), typedLit(vec.toSeq)).as("s"), (-lit(c)).as("nc")) }
     nemb
       .select(col("vec_id").as("neighbor_id"), col("nv"),
-        (array_max(array(scored: _*)).getField("nc") * -1).as("cell"))
+        Ann.assignCell(col("nv"), cents).as("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$indexDir/index")
     import s.implicits._
     cents.map { case (c, v) => (c, v.toSeq) }.toSeq
