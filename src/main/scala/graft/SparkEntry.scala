@@ -27,7 +27,8 @@ object SparkEntry {
     "build_regex"      -> (Dimensions.buildRegex _),
     "item_pivot"       -> (Dimensions.itemPivot _),
     "upsert_merge"     -> (Merge.upsertMerge _),
-    "hero_vs_hero"     -> (Joins.heroVsHero _),
+    "hero_vs_hero"      -> (Joins.heroVsHero _),
+    "hero_vs_hero_full" -> (Joins.heroVsHeroFull _),
     "crunch_phases"    -> (Crunch.phases _),
     "crunch_bans"      -> (Crunch.bans _),
     "team_fame"        -> (TeamFame.teamFame _),
@@ -69,7 +70,8 @@ object SparkEntry {
     "build_regex"      -> Dimensions.buildRegexOracle,
     "item_pivot"       -> Dimensions.itemPivotOracle,
     "upsert_merge"     -> Merge.upsertMergeOracle,
-    "hero_vs_hero"     -> Joins.heroVsHeroOracle,
+    "hero_vs_hero"      -> Joins.heroVsHeroOracle,
+    "hero_vs_hero_full" -> Joins.heroVsHeroFullOracle,
     "crunch_phases"    -> Crunch.phasesOracle,
     "crunch_bans"      -> Crunch.bansOracle,
     "team_fame"        -> TeamFame.teamFameOracle,

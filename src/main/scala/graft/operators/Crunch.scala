@@ -32,9 +32,19 @@ object Crunch {
 
   /** global_point: multi-dimensional multi-measure aggregation
     * (crunch_global.sql:14-31's 18 measures, re-keyed to the star schema:
-    * region≈region, returnflag≈game_mode, linestatus≈role). */
+    * region≈region, returnflag≈game_mode, linestatus≈role).
+    *
+    * The items side is OPTIONAL in the reference — `left outer join
+    * participant_items` with `coalesce(p_i.surrender, 0)` measures
+    * (crunch_global.sql:33-35): a participant with no items row still
+    * aggregates, its item measures contributing 0. Modeled as the left
+    * join to `part` with a coalesced `item_uses` measure; invisible on
+    * FK-clean testdata, row-preserving on real data (DanglingItemsSpec
+    * proves it against a corpus with the items rows knocked out). */
   def global(s: SparkSession, d: String): DataFrame =
     spine(s, d)
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"), "left")
       .groupBy(col("r_name").as("region"), col("l_returnflag").as("game_mode"),
                col("l_linestatus").as("role"))
       .agg(
@@ -56,7 +66,9 @@ object Crunch {
         countDistinct(col("o_orderkey")).as("matches"),
         countDistinct(col("c_custkey")).as("players"),
         max(dec(col("l_extendedprice"))).cast("double").as("best_kill"),
-        min(dec(col("l_extendedprice"))).cast("double").as("worst_kill"))
+        min(dec(col("l_extendedprice"))).cast("double").as("worst_kill"),
+        sum(coalesce(dec(col("p_retailprice")), dec(lit(0))))
+          .cast("double").as("item_uses"))
 
   def globalOracle: String = """
     SELECT r_name AS region, l_returnflag AS game_mode, l_linestatus AS role,
@@ -75,12 +87,14 @@ object Crunch {
       count(DISTINCT o_orderkey) AS matches,
       count(DISTINCT c_custkey) AS players,
       CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS best_kill,
-      CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS worst_kill
+      CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS worst_kill,
+      CAST(sum(coalesce(CAST(p_retailprice AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS item_uses
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN part ON l_partkey = p_partkey
     GROUP BY 1, 2, 3"""
 
   /** player_point (crunch_player.sql:1-45): same spine keyed by player;
@@ -170,9 +184,11 @@ object Crunch {
     // counts; the ROUND applies after the final sum), so the two-phase
     // result is bit-identical to cubing the raw rows, which the unchanged
     // DuckDB oracle (single-phase CUBE) proves.
+    // the items side is optional (crunch_global.sql:33-35): left join, and
+    // a missing p_type lands in the "other" build via the CASE fallthrough
     val base = spine(s, d)
       .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
-        col("l_partkey") === col("p_partkey"))
+        col("l_partkey") === col("p_partkey"), "left")
       .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
       .join(tiers, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
       .withColumn("build", build)
@@ -252,7 +268,7 @@ object Crunch {
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
-      JOIN part ON l_partkey = p_partkey
+      LEFT JOIN part ON l_partkey = p_partkey
       JOIN (VALUES $series) AS s(series, s_start, s_end)
         ON o_orderdate BETWEEN s_start AND s_end
       JOIN (VALUES $tiers) AS t(tier, lo, hi)
@@ -285,9 +301,21 @@ object Crunch {
     GROUP BY CUBE (r_name, l_returnflag, l_linestatus, tier, build)"""
   }
 
-  /** global_point_phase (crunch_phases.sql): one hash aggregate with 40
-    * SUM columns — exercises wide-codegen, all map-side combinable. */
+  /** Phase-window dim (crunch_phases.sql:14-15, `ph.start`/`ph.end`):
+    * the reference's participant_phases rows carry per-game-phase windows
+    * and the aggregate is KEYED by the window bounds. Here the in-match
+    * sequence is the line number, and the windows are [start, end) slices
+    * of it — range-joined from a tiny broadcast dim, exactly like the
+    * skill-tier ranges. */
+  val phaseWindows: Seq[(String, Int, Int)] =
+    Seq(("early", 1, 3), ("mid", 3, 5), ("late", 5, 8))
+
+  /** global_point_phase (crunch_phases.sql): rows per PHASE WINDOW
+    * (grouped by ph.start/ph.end like the reference, not by a flag
+    * column), each with one hash aggregate of ~70 SUM columns —
+    * exercises wide-codegen, all map-side combinable. */
   def phases(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val q  = dec(col("l_quantity"))
     val p  = dec(col("l_extendedprice"))
     val di = dec(col("l_discount"))
@@ -329,8 +357,11 @@ object Crunch {
         countDistinct(col("l_suppkey")).as("supps"),
         sum(when(col("l_quantity") > 40, 1L).otherwise(0L)).as("heavy"),
         sum(when(col("l_quantity") < 10, 1L).otherwise(0L)).as("light"))
+    val ph = broadcast(phaseWindows.toDF("phase", "ph_start", "ph_end"))
     lineitem(s, d)
-      .groupBy(col("l_returnflag").as("phase"))
+      .join(ph, col("l_linenumber") >= col("ph_start") &&
+        col("l_linenumber") < col("ph_end"))
+      .groupBy(col("phase"), col("ph_start"), col("ph_end"))
       .agg(measures.head, measures.tail: _*)
   }
 
@@ -350,8 +381,10 @@ object Crunch {
           s"CAST(sum(CASE WHEN l_linenumber = $ln THEN 1 ELSE 0 END) AS BIGINT) AS ln${ln}_cnt"
         else
           s"CAST(sum(CASE WHEN l_linenumber = $ln THEN $e ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ln${ln}_$nm"
+    val windows = phaseWindows
+      .map { case (n, a, b) => s"('$n', $a, $b)" }.mkString(", ")
     s"""
-    SELECT l_returnflag AS phase,
+    SELECT phase, ph_start, ph_end,
       count(*) AS played,
       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returns,
       ${(dmg ++ abil ++ lnf).mkString(",\n      ")},
@@ -370,7 +403,10 @@ object Crunch {
       count(DISTINCT l_suppkey) AS supps,
       CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS heavy,
       CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS light
-    FROM lineitem GROUP BY 1"""
+    FROM lineitem
+    JOIN (VALUES $windows) AS ph(phase, ph_start, ph_end)
+      ON l_linenumber >= ph_start AND l_linenumber < ph_end
+    GROUP BY 1, 2, 3"""
   }
 
   /** global_point_bans (crunch_phases_bans.sql): counts keyed by the

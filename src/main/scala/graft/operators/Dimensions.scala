@@ -141,19 +141,29 @@ object Dimensions {
     GROUP BY 1"""
   }
 
-  /** Dynamic per-item pivot (worker.js:96-112): the reference codegens one
-    * `item_NNN_use` SUM column per activable item. Same shape here:
-    * conditional aggregation per brand — stays inside one hash agg with
-    * map-side combine, no second pivot shuffle. */
-  val pivotBrands: Seq[Int] = Seq(11, 12, 13, 14, 15)
+  /** Dynamic item discovery (worker.js:83-95): the reference derives its
+    * `item_NNN_use` pivot columns from the LIVE item list at plan time —
+    * `getItems()` → per-item SQL codegen — not from a hard-coded set.
+    * Same contract here: the pivot column set comes from a bounded
+    * metadata query over the item (part) table. The brand dimension is
+    * item METADATA (25 values for this generator family), so the driver
+    * round-trip is the same shape as the reference's item-list fetch —
+    * bounded by the dimension's cardinality, never by the fact table. */
+  def discoverItems(s: SparkSession, d: String): Seq[String] =
+    part(s, d).select(col("p_brand")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
 
+  /** Dynamic per-item pivot (worker.js:96-112): one conditional-SUM pair
+    * per DISCOVERED item — stays inside one hash agg with map-side
+    * combine, no second pivot shuffle, column set derived at plan time. */
   def itemPivot(s: SparkSession, d: String): DataFrame = {
-    val pivots = pivotBrands.flatMap { b =>
+    val pivots = discoverItems(s, d).flatMap { bn =>
+      val id = bn.filter(_.isDigit).toInt
       Seq(
-        sum(when(col("p_brand") === s"Brand#$b", dec(col("l_quantity")))
-          .otherwise(dec(lit(0)))).cast("double").as(f"item_${b}%03d_use"),
-        sum(when(col("p_brand") === s"Brand#$b", 1L).otherwise(0L))
-          .as(f"item_${b}%03d_n"))
+        sum(when(col("p_brand") === bn, dec(col("l_quantity")))
+          .otherwise(dec(lit(0)))).cast("double").as(f"item_${id}%03d_use"),
+        sum(when(col("p_brand") === bn, 1L).otherwise(0L))
+          .as(f"item_${id}%03d_n"))
     }
     val aggs = count(lit(1)).as("played") +: pivots
     lineitem(s, d)
@@ -162,8 +172,12 @@ object Dimensions {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The oracle pins the generator's brand universe (Brand#1..Brand#25,
+    * verified present at every driver SF) — the discovery query returns
+    * exactly this set on the driver testdata, so a discovery regression
+    * (missed or phantom items) breaks the hash/schema match. */
   def itemPivotOracle: String = {
-    val cols = pivotBrands.flatMap { b =>
+    val cols = (1 to 25).flatMap { b =>
       Seq(
         f"CAST(sum(CASE WHEN p_brand = 'Brand#$b' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS item_${b}%03d_use",
         f"CAST(sum(CASE WHEN p_brand = 'Brand#$b' THEN 1 ELSE 0 END) AS BIGINT) AS item_${b}%03d_n")

@@ -77,6 +77,167 @@ object Joins {
                    AND a.l_linenumber <> b.l_linenumber
     GROUP BY 1, 2, 3, 4, 5"""
 
+  /** hero_vs_hero_full: the reference's COMPLETE pair grain
+    * (crunch_hero_vs_hero.sql:4-15) — series range join on the match
+    * date (sql:38), skill-tier range join (sql:48), region dim (sql:46),
+    * with "all" members on region and skill_tier (the `reg.name = 'all'` /
+    * `st.name = 'all'` OR-joins of sql:46-48) — plus the full 17-measure
+    * block (sql:17-35). The OR-join "all" expansion is expressed as
+    * GROUPING SETS over a single finest-grain pass (two-phase: the Expand
+    * multiplies pre-aggregated partials, never the pair fan-out), and the
+    * series/tier range joins are broadcast range joins against tiny dims.
+    * All measures are algebraic sums, so the two-phase result is
+    * bit-identical to grouping the raw pairs — which the single-phase
+    * DuckDB oracle proves. */
+  def heroVsHeroFull(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val series = broadcast(
+      (1992 to 2001).map(y => (s"y$y", s"$y-01-01", s"$y-12-31"))
+        .toDF("series", "s_start", "s_end")
+        .select(col("series"), to_date(col("s_start")).as("s_start"),
+          to_date(col("s_end")).as("s_end")))
+    val tiers = broadcast(Dimensions.tiers.toDF("tier", "lo", "hi"))
+    val li = lineitem(s, d)
+    val a = li.select(
+      col("l_orderkey").as("k"), col("l_linenumber").as("ln_a"),
+      col("l_returnflag").as("hero"), col("l_linestatus").as("role"),
+      col("l_suppkey").as("supp_a"),
+      col("l_quantity").as("qty_a"), col("l_extendedprice").as("price_a"),
+      col("l_discount").as("disc_a"), col("l_tax").as("tax_a"))
+    val b = li.select(
+      col("l_orderkey").as("k2"), col("l_linenumber").as("ln_b"),
+      col("l_returnflag").as("hero2"), col("l_linestatus").as("role2"),
+      col("l_suppkey").as("supp_b"))
+    val qa = dec(col("qty_a")); val pa = dec(col("price_a"))
+    val da = dec(col("disc_a")); val ta = dec(col("tax_a"))
+    val pairKeys = Seq(col("series"), col("hero"), col("role"),
+      col("hero2"), col("role2"), col("played_with"))
+    val partials = a
+      .join(b, col("k") === col("k2") && col("ln_a") =!= col("ln_b"))
+      .join(orders(s, d), col("k") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
+      .join(tiers, col("qty_a") >= col("lo") && col("qty_a") < col("hi"))
+      .groupBy(col("series"), col("r_name"), col("tier"), col("hero"),
+        col("role"), col("hero2"), col("role2"),
+        (col("supp_a") === col("supp_b")).as("played_with"))
+      .agg(
+        count(lit(1)).as("p_played"),
+        sum(when(col("qty_a") > 25, 1L).otherwise(0L)).as("p_wins"),
+        sum(da - dec(lit(0.05))).as("p_trueskill"),
+        sum(qa).as("p_duration"),
+        sum(pa).as("p_kills"),
+        sum(da).as("p_deaths"),
+        sum(ta).as("p_assists"),
+        sum(pa * (lit(1) - da)).as("p_farm"),
+        sum(when(col("role") === "O", qa).otherwise(dec(lit(0)))).as("p_minion"),
+        sum(when(col("qty_a") > 25, 1L).otherwise(0L)).as("p_jungle"),
+        sum(when(col("qty_a") <= 25, qa).otherwise(dec(lit(0)))).as("p_nonjungle"),
+        sum(when(col("ln_a") === 1, 1L).otherwise(0L)).as("p_cap1"),
+        sum(when(col("ln_a") === 2, 1L).otherwise(0L)).as("p_cap2"),
+        sum(when(col("ln_a") === 3, 1L).otherwise(0L)).as("p_cap3"),
+        sum(when(col("ln_a") === 4, 1L).otherwise(0L)).as("p_cap4"),
+        sum(pa * (lit(1) - da) * (lit(1) + ta)).as("p_gold"),
+        sum(dec(col("o_totalprice"))).as("p_impact"),
+        sum(when(col("disc_a") > 0.05, 1L).otherwise(0L)).as("p_surrender"))
+    partials
+      .groupingSets(
+        Seq(
+          pairKeys ++ Seq(col("r_name"), col("tier")),
+          pairKeys :+ col("r_name"),
+          pairKeys :+ col("tier"),
+          pairKeys),
+        (pairKeys ++ Seq(col("r_name"), col("tier"))): _*)
+      .agg(
+        sum(col("p_played")).as("played"),
+        sum(col("p_wins")).as("wins"),
+        sum(col("p_trueskill")).cast("double").as("trueskill_delta"),
+        sum(col("p_duration")).cast("double").as("duration"),
+        sum(col("p_kills")).cast("double").as("kills"),
+        sum(col("p_deaths")).cast("double").as("deaths"),
+        sum(col("p_assists")).cast("double").as("assists"),
+        sum(col("p_farm")).cast("double").as("farm"),
+        sum(col("p_minion")).cast("double").as("minion_kills"),
+        sum(col("p_jungle")).as("jungle_kills"),
+        sum(col("p_nonjungle")).cast("double").as("non_jungle_minion_kills"),
+        sum(col("p_cap1")).as("crystal_mine_captures"),
+        sum(col("p_cap2")).as("gold_mine_captures"),
+        sum(col("p_cap3")).as("kraken_captures"),
+        sum(col("p_cap4")).as("turret_captures"),
+        sum(col("p_gold")).cast("double").as("gold"),
+        sum(col("p_impact")).cast("double").as("impact_score"),
+        sum(col("p_surrender")).as("surrender"))
+      .select(
+        Seq(col("series"),
+          coalesce(col("r_name"), lit("all")).as("region"),
+          coalesce(col("tier"), lit("all")).as("skill_tier"),
+          col("hero"), col("role"), col("hero2"), col("role2"),
+          col("played_with"), col("played"), col("wins"),
+          col("trueskill_delta"), col("duration"), col("kills"),
+          col("deaths"), col("assists"), col("farm"), col("minion_kills"),
+          col("jungle_kills"), col("non_jungle_minion_kills"),
+          col("crystal_mine_captures"), col("gold_mine_captures"),
+          col("kraken_captures"), col("turret_captures"), col("gold"),
+          col("impact_score"), col("surrender")): _*)
+  }
+
+  def heroVsHeroFullOracle: String = {
+    val series = (1992 to 2001)
+      .map(y => s"('y$y', DATE '$y-01-01', DATE '$y-12-31')").mkString(", ")
+    val tiers = Dimensions.tiers
+      .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    s"""
+    WITH pair AS (
+      SELECT s.series, r_name, t.tier,
+             a.l_returnflag AS hero, a.l_linestatus AS role,
+             b.l_returnflag AS hero2, b.l_linestatus AS role2,
+             a.l_suppkey = b.l_suppkey AS played_with,
+             a.l_quantity AS qty_a, a.l_extendedprice AS price_a,
+             a.l_discount AS disc_a, a.l_tax AS tax_a,
+             a.l_linenumber AS ln_a, o.o_totalprice
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_linenumber <> b.l_linenumber
+      JOIN orders o ON a.l_orderkey = o.o_orderkey
+      JOIN customer ON o.o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN (VALUES $series) AS s(series, s_start, s_end)
+        ON o.o_orderdate BETWEEN s_start AND s_end
+      JOIN (VALUES $tiers) AS t(tier, lo, hi)
+        ON a.l_quantity >= lo AND a.l_quantity < hi)
+    SELECT series,
+      coalesce(r_name, 'all') AS region,
+      coalesce(tier, 'all') AS skill_tier,
+      hero, role, hero2, role2, played_with,
+      count(*) AS played,
+      CAST(sum(CASE WHEN qty_a > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      CAST(sum(CAST(disc_a AS DECIMAL(18,2)) - CAST(0.05 AS DECIMAL(18,2))) AS DOUBLE) AS trueskill_delta,
+      CAST(sum(CAST(qty_a AS DECIMAL(18,2))) AS DOUBLE) AS duration,
+      CAST(sum(CAST(price_a AS DECIMAL(18,2))) AS DOUBLE) AS kills,
+      CAST(sum(CAST(disc_a AS DECIMAL(18,2))) AS DOUBLE) AS deaths,
+      CAST(sum(CAST(tax_a AS DECIMAL(18,2))) AS DOUBLE) AS assists,
+      CAST(sum(CAST(price_a AS DECIMAL(18,2)) * (1 - CAST(disc_a AS DECIMAL(18,2)))) AS DOUBLE) AS farm,
+      CAST(sum(CASE WHEN role = 'O' THEN CAST(qty_a AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS minion_kills,
+      CAST(sum(CASE WHEN qty_a > 25 THEN 1 ELSE 0 END) AS BIGINT) AS jungle_kills,
+      CAST(sum(CASE WHEN qty_a <= 25 THEN CAST(qty_a AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS non_jungle_minion_kills,
+      CAST(sum(CASE WHEN ln_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS crystal_mine_captures,
+      CAST(sum(CASE WHEN ln_a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS gold_mine_captures,
+      CAST(sum(CASE WHEN ln_a = 3 THEN 1 ELSE 0 END) AS BIGINT) AS kraken_captures,
+      CAST(sum(CASE WHEN ln_a = 4 THEN 1 ELSE 0 END) AS BIGINT) AS turret_captures,
+      CAST(sum(CAST(price_a AS DECIMAL(18,2)) * (1 - CAST(disc_a AS DECIMAL(18,2))) * (1 + CAST(tax_a AS DECIMAL(18,2)))) AS DOUBLE) AS gold,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS impact_score,
+      CAST(sum(CASE WHEN disc_a > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS surrender
+    FROM pair
+    GROUP BY GROUPING SETS (
+      (series, hero, role, hero2, role2, played_with, r_name, tier),
+      (series, hero, role, hero2, role2, played_with, r_name),
+      (series, hero, role, hero2, role2, played_with, tier),
+      (series, hero, role, hero2, role2, played_with))"""
+  }
+
   /** As-of join: each event picks the latest order (by o_orderdate, ties by
     * greatest o_orderkey) of the same customer with o_orderdate <= ts.
     * Delegates to the reusable [[AsOf.join]] operator (union-sort-window
