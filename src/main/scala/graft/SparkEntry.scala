@@ -32,6 +32,7 @@ object SparkEntry {
     "crunch_phases"    -> (Crunch.phases _),
     "crunch_bans"      -> (Crunch.bans _),
     "team_fame"        -> (TeamFame.teamFame _),
+    "team_fame_update" -> (TeamFame.teamFameUpdate _),
     "scalar_exprs"     -> (Scalars.scalarExprs _),
     "batch_driver"     -> (Merge.batchDriver _),
     // windowing surface (#15-18)
@@ -75,6 +76,7 @@ object SparkEntry {
     "crunch_phases"    -> Crunch.phasesOracle,
     "crunch_bans"      -> Crunch.bansOracle,
     "team_fame"        -> TeamFame.teamFameOracle,
+    "team_fame_update" -> TeamFame.teamFameUpdateOracle,
     "scalar_exprs"     -> Scalars.scalarExprsOracle,
     "batch_driver"     -> Merge.batchDriverOracle,
     "events_window"      -> Windows.eventsWindowOracle,

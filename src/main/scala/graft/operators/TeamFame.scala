@@ -55,6 +55,38 @@ object TeamFame {
         count(lit(1)).as("matches"))
   }
 
+  /** The reference folds fame back INTO the membership table —
+    * `UPDATE team_membership tm JOIN (fame subquery) ... SET tm.fame`
+    * (crunch_team.sql:1-2,50). The distributed re-expression of an
+    * UPDATE-join is a key-equi-join against the target table plus a
+    * column overwrite: members the fame frame touches get the new value,
+    * everyone else keeps their current fame (UPDATE only writes matched
+    * rows) — one shuffle on the primary key, the natural upsert shape a
+    * sorted/bucketed membership table gives you at 100 TB. Here the
+    * membership table is `customer` and its standing fame column is
+    * `c_acctbal`. */
+  def teamFameUpdate(s: SparkSession, d: String): DataFrame = {
+    val fame = teamFame(s, d).select(col("member_id"), col("fame").as("new_fame"))
+    customer(s, d)
+      .join(fame, col("c_custkey") === col("member_id"), "left")
+      .select(
+        col("c_custkey").as("member_id"),
+        col("c_name").as("player_name"),
+        col("c_mktsegment").as("status"),
+        coalesce(col("new_fame"), dec(col("c_acctbal")).cast("double")).as("fame"),
+        col("new_fame").isNotNull.as("updated"))
+  }
+
+  def teamFameUpdateOracle: String = s"""
+    WITH fame AS ($teamFameOracle)
+    SELECT c_custkey AS member_id, c_name AS player_name,
+           c_mktsegment AS status,
+           CAST(coalesce(f.fame,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)) AS DOUBLE) AS fame,
+           f.fame IS NOT NULL AS updated
+    FROM customer
+    LEFT JOIN fame f ON f.member_id = c_custkey"""
+
   def teamFameOracle: String = """
     WITH cnt AS (
       SELECT o_custkey AS m_cust, o_orderkey AS m_order,
