@@ -20,15 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Crunch {
 
-  /** Fact spine: lineitem (participant+stats) ⋈ orders (match) ⋈ customer
-    * (player) ⋈ nation ⋈ region, mirroring participant ⋈ participant_stats
-    * ⋈ dims of crunch_global.sql:32-44. */
-  def spine(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+  /** Order-side dims resolved at ORDER grain: orders (match) ⋈ customer
+    * (player) ⋈ nation ⋈ region. Attaching player/region to the ~4×
+    * smaller order table before the fact join keeps the dim-join chain
+    * (and any order-level range join stacked on top) off the fact
+    * fan-out — the fact side then pays exactly one equi-join. */
+  def orderSide(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+
+  /** Fact spine: lineitem (participant+stats) ⋈ order-side dims,
+    * mirroring participant ⋈ participant_stats ⋈ dims of
+    * crunch_global.sql:32-44. */
+  def spine(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orderSide(s, d), col("l_orderkey") === col("o_orderkey"))
 
   /** global_point: multi-dimensional multi-measure aggregation
     * (crunch_global.sql:14-31's 18 measures, re-keyed to the star schema:
@@ -185,11 +193,16 @@ object Crunch {
     // result is bit-identical to cubing the raw rows, which the unchanged
     // DuckDB oracle (single-phase CUBE) proves.
     // the items side is optional (crunch_global.sql:33-35): left join, and
-    // a missing p_type lands in the "other" build via the CASE fallthrough
-    val base = spine(s, d)
+    // a missing p_type lands in the "other" build via the CASE fallthrough.
+    // The series range join runs at ORDER grain (inside orderSide's
+    // output, before the fact join) — range-classifying 150k orders, not
+    // 600k fact rows, since each order hits exactly one year window.
+    val base = lineitem(s, d)
+      .join(orderSide(s, d)
+          .join(series, col("o_orderdate").between(col("s_start"), col("s_end"))),
+        col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"), "left")
-      .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
       .join(tiers, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
       .withColumn("build", build)
       .groupBy(col("r_name"), col("l_returnflag"), col("l_linestatus"),

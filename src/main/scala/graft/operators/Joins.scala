@@ -112,13 +112,16 @@ object Joins {
     val da = dec(col("disc_a")); val ta = dec(col("tax_a"))
     val pairKeys = Seq(col("series"), col("hero"), col("role"),
       col("hero2"), col("role2"), col("played_with"))
+    // order-side dims (player→region chain + the series range join)
+    // resolve at ORDER grain before touching the pair fan-out: the
+    // ~12× larger pair frame then pays ONE equi-join on the match key
+    // instead of carrying every row through four joins and a range scan
+    val ordDims = Crunch.orderSide(s, d)
+      .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("r_name"), col("series"))
     val partials = a
       .join(b, col("k") === col("k2") && col("ln_a") =!= col("ln_b"))
-      .join(orders(s, d), col("k") === col("o_orderkey"))
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
+      .join(ordDims, col("k") === col("o_orderkey"))
       .join(tiers, col("qty_a") >= col("lo") && col("qty_a") < col("hi"))
       .groupBy(col("series"), col("r_name"), col("tier"), col("hero"),
         col("role"), col("hero2"), col("role2"),
