@@ -177,3 +177,102 @@ case class CellScores(child: Expression, matrix: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): CellScores =
     copy(child = newChild)
 }
+
+/** Cell ids ranked by descending score of the vector against the centroid
+  * matrix (ties → lower id), in ONE evaluation: the matrix-vector kernel
+  * plus an insertion sort over the Cells entries, returning the actual
+  * `ids` (not positions — a non-contiguous centroid set ranks correctly).
+  *
+  * This exists because composing the ranking from `CellScores` with
+  * `transform`/`element_at` re-evaluates the kernel once per lambda
+  * element (Catalyst does not CSE through higher-order-function lambdas —
+  * the measured pitfall that motivated these expressions): Cells× the
+  * work per row. Here the probe path is a single call. */
+case class CellRank(child: Expression, matrix: Array[Array[Double]],
+                    ids: Array[Int])
+  extends UnaryExpression {
+
+  require(ids.length == matrix.length, "one id per centroid row")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+  override def prettyName: String = "graft_cell_rank"
+
+  private val cells = matrix.length
+  private val dim = if (matrix.isEmpty) 0 else matrix(0).length
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](cells * dim)
+    var c = 0
+    while (c < cells) { System.arraycopy(matrix(c), 0, f, c * dim, dim); c += 1 }
+    f
+  }
+
+  /** Rank positions by (score desc, position asc) via insertion sort. */
+  private def rank(scores: Array[Double]): Array[Int] = {
+    val order = new Array[Int](cells)
+    var c = 0
+    while (c < cells) {
+      var j = c
+      while (j > 0 && scores(order(j - 1)) < scores(c)) {
+        order(j) = order(j - 1); j -= 1
+      }
+      order(j) = c
+      c += 1
+    }
+    val out = new Array[Int](cells)
+    c = 0
+    while (c < cells) { out(c) = ids(order(c)); c += 1 }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val scores = new Array[Double](cells)
+    var c = 0
+    while (c < cells) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += flat(off + i) * x.getDouble(i); i += 1 }
+      scores(c) = s
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(rank(scores))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the scoring loop is the hot part; the Cells-element sort runs on a
+    // tiny local array, so delegate rank+id mapping to this instance
+    val self = ctx.addReferenceObj("cellRank", this,
+      classOf[CellRank].getName)
+    val m = ctx.addReferenceObj("cellMatrix", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val scores = ctx.freshName("scores")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |double[] $scores = new double[$cells];
+         |for (int $c = 0; $c < $cells; $c++) {
+         |  int $off = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $m[$off + $i] * $v.getDouble($i);
+         |  }
+         |  $scores[$c] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($self.rankPublic($scores));
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point for the rank step. */
+  def rankPublic(scores: Array[Double]): Array[Int] = rank(scores)
+
+  override protected def withNewChildInternal(newChild: Expression): CellRank =
+    copy(child = newChild)
+}

@@ -136,39 +136,48 @@ object Ann {
   def cachedCentroids(s: SparkSession, d: String): Array[(Int, Array[Double])] =
     centroidCache.getOrElseUpdate(d, collectCentroids(s, d))
 
-  /** All-cells score vector (array<double>, index = cell id) via the
-    * fused native matrix-vector expression [[graft.functions.CellScores]]
-    * — one small codegen kernel instead of Cells literal-array dots,
-    * whose generated-code size made javac the dominant cost. */
+  /** All-cells score vector (array<double>, index = cell id — enforced
+    * below) via the fused native matrix-vector expression
+    * [[graft.functions.CellScores]] — one small codegen kernel instead of
+    * Cells literal-array dots, whose generated-code size made javac the
+    * dominant cost. */
   private[operators] def cellScoresCol(
       v: org.apache.spark.sql.Column,
-      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.Column =
+      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.Column = {
+    // downstream reads score POSITION as the cell id (radius maps,
+    // array_position argmax) — a sparse/reordered centroid set would be
+    // silently wrong, so fail loudly instead
+    require(cents.map(_._1).sameElements(cents.indices),
+      s"centroid ids must be contiguous 0..${cents.length - 1}: " +
+        cents.map(_._1).mkString(","))
     org.apache.spark.sql.GraftShim.column(graft.functions.CellScores(
       org.apache.spark.sql.GraftShim.expression(v), cents.map(_._2)))
+  }
 
-  /** Argmax-cosine cell id (ties → lowest cell via first-occurrence
-    * array_position). */
+  /** Ranked cell ids for a vector (desc score, ties → lower id) in ONE
+    * kernel evaluation — [[graft.functions.CellRank]] carries the real
+    * ids, so a non-contiguous centroid set (e.g. an index parquet with an
+    * empty cell dropped) still probes the right partitions. */
+  private[operators] def cellRankCol(
+      v: org.apache.spark.sql.Column,
+      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftShim.column(graft.functions.CellRank(
+      org.apache.spark.sql.GraftShim.expression(v),
+      cents.map(_._2), cents.map(_._1)))
+
+  /** Argmax-cosine cell id (ties → lowest cell). */
   private[operators] def assignCell(
       v: org.apache.spark.sql.Column,
-      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.Column = {
-    val cs = cellScoresCol(v, cents)
-    (array_position(cs, array_max(cs)) - 1).cast("int")
-  }
+      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.Column =
+    element_at(cellRankCol(v, cents), 1)
 
-  /** Top-nprobe cells for a query vector: rank the score vector
-    * descending (ties → lowest cell), slice, project. The 16-element
-    * struct sort runs over the score ARRAY, so per-row work is
-    * O(Cells·dim + Cells log Cells). */
+  /** Top-nprobe cells for a query vector: one ranked-ids evaluation,
+    * sliced. Per-row work is O(Cells·dim + Cells²) — the insertion sort
+    * runs inside the expression, never a per-element lambda re-eval. */
   private[operators] def probeCells(
       v: org.apache.spark.sql.Column,
-      cents: Array[(Int, Array[Double])], nprobe: Int): org.apache.spark.sql.Column = {
-    val cs = cellScoresCol(v, cents)
-    transform(
-      slice(sort_array(transform(sequence(lit(0), lit(cents.length - 1)),
-        i => struct((-element_at(cs, i + 1)).as("ns"), i.as("cell")))),
-        1, nprobe),
-      x => x.getField("cell"))
-  }
+      cents: Array[(Int, Array[Double])], nprobe: Int): org.apache.spark.sql.Column =
+    slice(cellRankCol(v, cents), 1, nprobe)
 
   /** IVF search: probe the `nprobe` best cells per query, exact top-k
     * inside the probed cells only. Cell assignment and probe selection

@@ -62,7 +62,10 @@ object AsOf {
     * the carry window would clobber left data. Fail fast instead. */
   private def validate(left: DataFrame, right: DataFrame, key: String,
                        time: String, carry: Seq[String]): Unit = {
-    val clash = carry.filter(c => left.columns.contains(c) && c != key && c != time)
+    // key and time are left columns too: carrying a column under those
+    // names would also duplicate them in the union encoding
+    val clash = carry.filter(c =>
+      left.columns.contains(c) || c == key || c == time)
     require(clash.isEmpty,
       s"as-of carry column(s) ${clash.mkString(", ")} collide with left-side " +
         "columns; rename one side before the join")

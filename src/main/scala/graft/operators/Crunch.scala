@@ -171,12 +171,8 @@ object Crunch {
     * dims never join non-equi). 18 measures matching crunch_global.sql's
     * measure block, re-keyed to the star schema. */
   def globalFull(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // series dim: one row per year window, range-joined on the order date
-    val series = broadcast(
-      (1992 to 2001).map(y => (s"y$y", s"$y-01-01", s"$y-12-31")).toDF("series", "s_start", "s_end")
-        .select(col("series"), to_date(col("s_start")).as("s_start"), to_date(col("s_end")).as("s_end")))
-    val tiers = broadcast(Dimensions.tiers.toDF("tier", "lo", "hi"))
+    val series = Dimensions.seriesDim(s)
+    val tiers = Dimensions.tiersDim(s)
     val build = when(col("p_type").rlike("^ECONOMY"), "economy")
       .when(col("p_type").rlike("^PROMO"), "promo")
       .when(col("p_type").rlike("^(SMALL|MEDIUM)"), "compact")
@@ -263,10 +259,8 @@ object Crunch {
   }
 
   def globalFullOracle: String = {
-    val series = (1992 to 2001)
-      .map(y => s"('y$y', DATE '$y-01-01', DATE '$y-12-31')").mkString(", ")
-    val tiers = Dimensions.tiers
-      .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    val series = Dimensions.seriesValuesSql
+    val tiers = Dimensions.tiersValuesSql
     s"""
     WITH fact AS (
       SELECT r_name, l_returnflag, l_linestatus, t.tier,

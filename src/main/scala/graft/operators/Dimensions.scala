@@ -60,9 +60,36 @@ object Dimensions {
     ("bronze", 0.0, 10.0), ("silver", 10.0, 20.0), ("gold", 20.0, 30.0),
     ("platinum", 30.0, 40.0), ("vainglorious", 40.0, 1e9))
 
-  def rangeJoinTiers(s: SparkSession, d: String): DataFrame = {
+  /** Broadcast tier dim frame — single definition for every range join
+    * (rangeJoinTiers, crunch_global_full, hero_vs_hero_full). */
+  def tiersDim(s: SparkSession): DataFrame = {
     import s.implicits._
-    val dim = broadcast(tiers.toDF("tier", "lo", "hi"))
+    broadcast(tiers.toDF("tier", "lo", "hi"))
+  }
+
+  /** The same tiers as a DuckDB VALUES list for the oracles. */
+  def tiersValuesSql: String =
+    tiers.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+
+  /** Year-window series dim (crunch_global.sql:37's series table): one
+    * row per year, range-joined on the order date — shared by
+    * crunch_global_full and hero_vs_hero_full. */
+  val seriesYears: Range = 1992 to 2001
+
+  def seriesDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    broadcast(seriesYears.map(y => (s"y$y", s"$y-01-01", s"$y-12-31"))
+      .toDF("series", "s_start", "s_end")
+      .select(col("series"), to_date(col("s_start")).as("s_start"),
+        to_date(col("s_end")).as("s_end")))
+  }
+
+  def seriesValuesSql: String =
+    seriesYears.map(y => s"('y$y', DATE '$y-01-01', DATE '$y-12-31')")
+      .mkString(", ")
+
+  def rangeJoinTiers(s: SparkSession, d: String): DataFrame = {
+    val dim = tiersDim(s)
     lineitem(s, d)
       .join(dim, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
       .groupBy(col("tier"))
@@ -73,7 +100,7 @@ object Dimensions {
   }
 
   def rangeJoinTiersOracle: String = {
-    val vals = tiers.map { case (n, lo, hi) => s"('$n', ${lo}, ${hi})" }.mkString(", ")
+    val vals = tiersValuesSql
     s"""
     SELECT tier, count(*) AS played,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -90,13 +90,8 @@ object Joins {
     * bit-identical to grouping the raw pairs — which the single-phase
     * DuckDB oracle proves. */
   def heroVsHeroFull(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val series = broadcast(
-      (1992 to 2001).map(y => (s"y$y", s"$y-01-01", s"$y-12-31"))
-        .toDF("series", "s_start", "s_end")
-        .select(col("series"), to_date(col("s_start")).as("s_start"),
-          to_date(col("s_end")).as("s_end")))
-    val tiers = broadcast(Dimensions.tiers.toDF("tier", "lo", "hi"))
+    val series = Dimensions.seriesDim(s)
+    val tiers = Dimensions.tiersDim(s)
     val li = lineitem(s, d)
     val a = li.select(
       col("l_orderkey").as("k"), col("l_linenumber").as("ln_a"),
@@ -187,10 +182,8 @@ object Joins {
   }
 
   def heroVsHeroFullOracle: String = {
-    val series = (1992 to 2001)
-      .map(y => s"('y$y', DATE '$y-01-01', DATE '$y-12-31')").mkString(", ")
-    val tiers = Dimensions.tiers
-      .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    val series = Dimensions.seriesValuesSql
+    val tiers = Dimensions.tiersValuesSql
     s"""
     WITH pair AS (
       SELECT s.series, r_name, t.tier,

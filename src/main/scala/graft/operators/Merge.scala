@@ -124,11 +124,15 @@ object Merge {
     /** Failed-queue contents, in arrival order (worker.js failed routing). */
     def failed: Seq[Seq[Long]] = failedBatches
 
-    /** Merge over the cached batch partials. The pinned fact slice is
-      * released here — the partials already hold everything the merge
-      * needs, at point-table grain (they stay cached; a handful of
-      * dimension-tuple rows per batch, not data-sized scratch). */
+    /** Merge over the cached batch partials. The partials stay cached so
+      * the caller's consumption reuses the one execution [[flush]] paid
+      * for; they are dimension-tuple-grain rows (a handful per batch),
+      * not data-sized scratch — call [[release]] to drop them once the
+      * merged result has been consumed. */
     def result(): DataFrame = { flush(); finish(merge(crunched)) }
+
+    /** Drop the cached batch partials (after consuming [[result]]). */
+    def release(): Unit = { crunched.foreach(_.unpersist(false)); crunched = Vector.empty }
   }
 
   def batchDriver(s: SparkSession, d: String): DataFrame = {

@@ -74,12 +74,15 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0) {
         case None => respond(ex, 404, s"""{"error":"unknown query '$name'"}""")
         case Some(fn) =>
           try {
-            resolveSf(param(ex, "sf")) match {
-              case None =>
+            val limitParam = param(ex, "limit")
+            val parsedLimit = limitParam.map(p => scala.util.Try(p.toInt).toOption)
+            (resolveSf(param(ex, "sf")), parsedLimit) match {
+              case (None, _) =>
                 respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
-              case Some(sf) =>
-                val limit = param(ex, "limit").map(_.toInt).getOrElse(1000)
-                  .max(1).min(MaxLimit)
+              case (_, Some(None)) =>
+                respond(ex, 400, """{"error":"limit must be an integer"}""")
+              case (Some(sf), lim) =>
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
                 val rows = fn(spark, sf).limit(limit).toJSON.collect()
                 respond(ex, 200, rows.mkString("[", ",", "]"))
             }

@@ -85,6 +85,16 @@ class AdviceFixSpec extends SparkSpec {
     assert(s4.isRemoved)
   }
 
+  test("as-of join rejects carry named after the key or time column") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
+    val right = Seq((1L, 5L, 2.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(left, right, key = "k", time = "t", tieBreak = "t", carry = Seq("t"))
+    }
+    assert(e.getMessage.contains("t"))
+  }
+
   test("as-of join rejects a reserved _side column") {
     import spark.implicits._
     val left = Seq((1L, 10L, 1)).toDF("k", "t", "_side")

@@ -44,6 +44,8 @@ class ServerSpec extends SparkSpec {
       assert(hc == 200 && hugeBody.startsWith("[{"))
       val (negc, negBody) = get(port, "/query/crunch_phases?limit=-5")
       assert(negc == 200 && negBody.startsWith("[{"))
+      val (badc, _) = get(port, "/query/crunch_phases?limit=abc")
+      assert(badc == 400)
     } finally srv.stop()
   }
 }
