@@ -95,7 +95,7 @@ object Dedup {
     * ZERO allocation per window (the verify/bench hot loop was GC-bound
     * when each shingle built a StringBuilder + String + UTF8String).
     * Dedup is sort+unique on the primitive array, no per-element boxing. */
-  private def hashShingleWindows(text: String, n: Int): Array[Long] = {
+  private[graft] def hashShingleWindows(text: String, n: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.Platform
     val w = org.apache.spark.unsafe.types.UTF8String.fromString(text)
@@ -255,13 +255,19 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Banded LSH candidates: explode signatures to (band, band_hash) keys,
-    * equi-self-join the bucket table. */
-  def minhashCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"), posexplode(array(
+  /** (doc_id, band, bv) LSH bucket table of a signature frame — the
+    * joinable index form (also the static side of
+    * [[graft.streaming.StreamingMinhash]]). */
+  def bandTable(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(array(
       (0 until Bands).map(j =>
         xxhash64(lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}"))): _*))
       .as(Seq("band", "bv")))
+
+  /** Banded LSH candidates: explode signatures to (band, band_hash) keys,
+    * equi-self-join the bucket table. */
+  def minhashCandidates(sig: DataFrame): DataFrame = {
+    val bands = bandTable(sig)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
