@@ -178,6 +178,59 @@ case class CellScores(child: Expression, matrix: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** L2-normalize an `array<double>` in one pass: accumulate Σx², divide
+  * each element by the root. The HOF form `transform(v, x / sqrt(dot(v,
+  * v)))` references the norm INSIDE the lambda, and Catalyst does not CSE
+  * through higher-order-function lambdas — the full dot product re-ran
+  * per element (O(dim²)/row, interpreted). Division by a zero norm yields
+  * the same ±Inf/NaN elements the composed form produced. */
+case class NormalizeVec(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_normalize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val xi = x.getDouble(i); s += xi * xi; out(i) = xi; i += 1 }
+    val norm = math.sqrt(s)
+    i = 0
+    while (i < n) { out(i) = out(i) / norm; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val norm = ctx.freshName("norm")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      s"""
+         |int $n = $v.numElements();
+         |double[] $out = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $v.getDouble($i);
+         |  $s += $xi * $xi;
+         |  $out[$i] = $xi;
+         |}
+         |double $norm = java.lang.Math.sqrt($s);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $out[$i] / $norm;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeVec =
+    copy(child = newChild)
+}
+
 /** Cell ids ranked by descending score of the vector against the centroid
   * matrix (ties → lower id), in ONE evaluation: the matrix-vector kernel
   * plus an insertion sort over the Cells entries, returning the actual

@@ -40,9 +40,9 @@ object VectorOps {
       CosineSimilarity(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Cosine via pre-normalized vectors (norm folded in once — the form to
-    * use when one side is scanned many times). */
-  def normalize(v: Column): Column = {
-    val n = norm(v)
-    transform(v, x => x / n)
-  }
+    * use when one side is scanned many times). Native single-pass
+    * expression (see [[NormalizeVec]]): the HOF `transform(v, _ / norm)`
+    * re-evaluated the norm per element (no CSE through lambdas). */
+  def normalize(v: Column): Column =
+    GraftShim.column(NormalizeVec(GraftShim.expression(v)))
 }
