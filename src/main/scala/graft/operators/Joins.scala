@@ -103,8 +103,7 @@ object Joins {
       col("l_orderkey").as("k2"), col("l_linenumber").as("ln_b"),
       col("l_returnflag").as("hero2"), col("l_linestatus").as("role2"),
       col("l_suppkey").as("supp_b"))
-    val qa = dec(col("qty_a")); val pa = dec(col("price_a"))
-    val da = dec(col("disc_a")); val ta = dec(col("tax_a"))
+    val qa = col("qa"); val pa = col("pa"); val da = col("da"); val ta = col("ta")
     val pairKeys = Seq(col("series"), col("hero"), col("role"),
       col("hero2"), col("role2"), col("played_with"))
     // order-side dims (player→region chain + the series range join)
@@ -118,6 +117,12 @@ object Joins {
       .join(b, col("k") === col("k2") && col("ln_a") =!= col("ln_b"))
       .join(ordDims, col("k") === col("o_orderkey"))
       .join(tiers, col("qty_a") >= col("lo") && col("qty_a") < col("hi"))
+      // the decimal casts feed 12 of the 17 measures — project them once
+      // per pair row instead of re-casting inside every aggregate
+      .withColumn("qa", dec(col("qty_a")))
+      .withColumn("pa", dec(col("price_a")))
+      .withColumn("da", dec(col("disc_a")))
+      .withColumn("ta", dec(col("tax_a")))
       .groupBy(col("series"), col("r_name"), col("tier"), col("hero"),
         col("role"), col("hero2"), col("role2"),
         (col("supp_a") === col("supp_b")).as("played_with"))
