@@ -63,6 +63,23 @@ package object api {
         .drop("_prev", "_gap")
     }
 
+    /** Distributed UPDATE-join (the reference's `UPDATE ... JOIN ... SET`
+      * write-back shape, crunch_team.sql:1-2,50): rows of `updates`
+      * overwrite `setCols` on matching `key`; unmatched rows keep their
+      * current values. One equi-join on the key — the upsert plan a
+      * sorted/bucketed target table executes shuffle-free. */
+    def updateWith(updates: DataFrame, key: String,
+                   setCols: Seq[String]): DataFrame = {
+      val renamed = setCols.foldLeft(
+        updates.select((key +: setCols).map(col): _*)) {
+        (u, c) => u.withColumnRenamed(c, s"_new_$c")
+      }.withColumnRenamed(key, "_upd_key")
+      val joined = df.join(renamed, col(key) === col("_upd_key"), "left")
+      setCols.foldLeft(joined) { (d, c) =>
+        d.withColumn(c, coalesce(col(s"_new_$c"), col(c)))
+      }.drop("_upd_key" +: setCols.map(c => s"_new_$c"): _*)
+    }
+
     /** Text quality statistics for a `textCol` (adds token/stopword/punct
       * counts and the composite quality score). */
     def withTextStats(textCol: String): DataFrame =

@@ -51,6 +51,20 @@ class ApiSpec extends SparkSpec {
     assert(stats.count() == corpus.count())
   }
 
+  test("updateWith overwrites matched rows and preserves the rest") {
+    import spark.implicits._
+    import graft.api._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "fame")
+    val updates = Seq((2L, 99.0), (4L, 77.0)).toDF("id", "fame")
+    val got = target.updateWith(updates, "id", Seq("fame"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // row 2 updated, rows 1/3 untouched, update for absent id 4 ignored
+    assert(got == Set((1L, "a", 10.0), (2L, "b", 99.0), (3L, "c", 30.0)))
+    assert(target.updateWith(updates, "id", Seq("fame")).columns.toSeq
+      == Seq("id", "name", "fame"))
+  }
+
   test("asofJoinTo works on renamed keys") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
