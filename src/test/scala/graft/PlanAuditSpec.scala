@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression net: the scale properties the whole registry
+  * is designed around, asserted on every registered query so a future
+  * edit can't silently reintroduce a plan that dies at 100 TB. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no registered query plans a CartesianProduct") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("fact-scale joins never fall back to a nested loop") {
+    // BroadcastNestedLoopJoin is legitimate ONLY where a bounded
+    // broadcast side meets a non-equi condition: range tiers/series/
+    // phase-window dims, regex builds, team_fame's 1-row anchor-date
+    // frame, and ann_topk's deliberate brute-force baseline (small query
+    // set broadcast with qid ≠ neighbor). These queries join data-sized
+    // sides and must stay equi-join only:
+    val equiOnly = Seq(
+      "dedup_exact", "dedup_minhash", "dedup_ngram", "dedup_simhash",
+      "dedup_embedding", "ann_ivf", "hero_vs_hero",
+      "crunch_global", "crunch_player",
+      "filter_semijoin", "asof_join", "upsert_merge", "pipeline_clean")
+    for (name <- equiOnly) {
+      val plan = physical(name)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to a nested-loop join:\n$plan")
+    }
+  }
+
+  test("rollup Expand operates on pre-aggregated partials, not fact rows") {
+    // two-phase shape: the Expand that CUBE/GROUPING SETS needs must sit
+    // ABOVE a HashAggregate (the finest-grain partials), so it multiplies
+    // hundreds of partial rows instead of the joined fact/pair fan-out
+    for (name <- Seq("crunch_global_full", "dim_rollup_all", "hero_vs_hero_full")) {
+      val plan = physical(name)
+      val expandAt = plan.indexOf("Expand")
+      assert(expandAt >= 0, s"$name lost its rollup Expand")
+      // in the printed tree, children appear BELOW their parent — a
+      // HashAggregate must occur after (deeper than) the Expand
+      assert(plan.indexOf("HashAggregate", expandAt) >= 0,
+        s"$name: Expand has no aggregate beneath it (cubing raw rows?):\n$plan")
+    }
+  }
+
+  test("top-k windows compile to WindowGroupLimit") {
+    assert(physical("window_topn").contains("WindowGroupLimit"))
+    assert(physical("ann_topk").contains("WindowGroupLimit"))
+  }
+}
