@@ -45,4 +45,39 @@ class ExtensionsSpec extends SparkSpec {
     // both are sequential left folds in double → bit-identical, not approx
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
+
+  test("NormalizeVec equals the composed transform(v, _/norm) bit-for-bit") {
+    val df = Tables.embeddings(spark, sf).limit(200)
+      .select(VectorOps.toDouble(col("embedding")).as("v"))
+    val hofNorm = {
+      val n = VectorOps.norm(col("v"))
+      transform(col("v"), x => x / n)
+    }
+    val bad = df.select(
+        VectorOps.normalize(col("v")).as("native"), hofNorm.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() == 0)
+  }
+
+  test("CellScores / CellRank match driver-side arithmetic on real vectors") {
+    import graft.functions.{CellRank, CellScores}
+    import org.apache.spark.sql.GraftShim
+    val rows = Tables.embeddings(spark, sf).limit(40)
+      .select(VectorOps.toDouble(col("embedding")).as("v"))
+    // a small centroid "matrix" from the first 4 vectors
+    val matrix = rows.limit(4).collect().map(_.getSeq[Double](0).toArray)
+    val ids = matrix.indices.toArray
+    val got = rows.select(
+        GraftShim.column(CellScores(GraftShim.expression(col("v")), matrix)).as("cs"),
+        GraftShim.column(CellRank(GraftShim.expression(col("v")), matrix, ids)).as("rk"),
+        col("v"))
+      .collect()
+    for (r <- got) {
+      val v = r.getSeq[Double](2).toArray
+      val expScores = matrix.map(c => c.indices.foldLeft(0.0)((s, i) => s + c(i) * v(i)))
+      assert(r.getSeq[Double](0).toArray.sameElements(expScores))
+      val expRank = ids.sortBy(i => (-expScores(i), i))
+      assert(r.getSeq[Int](1).toArray.sameElements(expRank))
+    }
+  }
 }
