@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOf, Dedup, Skew, TextOps}
+import graft.operators.{Ann, AsOf, Dedup, Skew, TextOps}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,6 +62,19 @@ package object api {
           byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .drop("_prev", "_gap")
     }
+
+    /** Exact cosine top-k of `queries` (qid, vector) against this frame's
+      * (`idCol`, `vecCol`) corpus. Vectors may be float or double arrays;
+      * both sides are cast and L2-normalized once (native expressions),
+      * the query set broadcasts, and ranking prunes per-partition via
+      * WindowGroupLimit — the brute-force baseline shape; build an
+      * [[graft.operators.IvfIndex]] for the probed scale path. */
+    def cosineTopK(queries: DataFrame, idCol: String, vecCol: String,
+                   qidCol: String, qvecCol: String, k: Int = 10): DataFrame =
+      Ann.topkOf(
+        df.select(col(idCol), graft.functions.VectorOps.toDouble(col(vecCol))),
+        queries.select(col(qidCol),
+          graft.functions.VectorOps.toDouble(col(qvecCol))), k)
 
     /** Distributed UPDATE-join (the reference's `UPDATE ... JOIN ... SET`
       * write-back shape, crunch_team.sql:1-2,50): rows of `updates`

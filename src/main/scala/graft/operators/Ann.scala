@@ -51,6 +51,25 @@ object Ann {
         col("neighbor_id"))
   }
 
+  /** Frame-based exact cosine top-k: `corpus` = (id, vec double array),
+    * `queries` = (qid, qv double array); both are normalized here. The
+    * (small, broadcast) query set scans the corpus once — the fluent-API
+    * face of the registered `ann_topk`. */
+  def topkOf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = corpus.toDF("neighbor_id", "vraw")
+      .select(col("neighbor_id"), normalize(col("vraw")).as("nv"))
+    val q = queries.toDF("qid", "qraw")
+      .select(col("qid"), normalize(col("qraw")).as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(cand, col("qid") =!= col("neighbor_id"))
+      .withColumn("c", dot(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
   def annTopk(s: SparkSession, d: String): DataFrame = {
     val nemb = normed(embeddings(s, d))
     val cand = nemb.select(col("vec_id").as("neighbor_id"), col("nv"))

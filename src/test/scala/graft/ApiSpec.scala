@@ -51,6 +51,20 @@ class ApiSpec extends SparkSpec {
     assert(stats.count() == corpus.count())
   }
 
+  test("cosineTopK matches the registered brute-force operator") {
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = emb.cosineTopK(queries, "vec_id", "embedding", "qid", "qv",
+        k = graft.operators.Ann.K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reg = graft.operators.Ann.annTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == reg && got.nonEmpty)
+  }
+
   test("updateWith overwrites matched rows and preserves the rest") {
     import spark.implicits._
     import graft.api._
