@@ -81,6 +81,16 @@ object Merge {
     private var crunched = Vector.empty[DataFrame]
     private var failedBatches = Vector.empty[Vector[Long]]
     private var oldestPendingAt = Long.MaxValue
+    /** Batches whose materialization is running concurrently — the queue
+      * transport's prefetch: a worker need not drain batch N before
+      * batch N+1 starts crunching, and the merge law (MergeSpec: any
+      * split, any order) makes completion order irrelevant to the
+      * result. Outcomes are collected, in submission order, in
+      * [[result]]. */
+    private var inFlight = Vector.empty[(Vector[Long], DataFrame,
+      scala.concurrent.Future[Unit])]
+    private implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
     // per-batch scans re-read the fact parquet (Catalyst prunes to the
     // point-schema columns); A/B-measured against pinning the slice in
     // the block manager and the scan wins for one-shot batch runs —
@@ -99,37 +109,51 @@ object Merge {
 
     def flush(): Unit = if (pending.nonEmpty) {
       import s.implicits._
-      val ids = pending.toDF("id")
+      val batchIds = pending
+      pending = Vector.empty
+      oldestPendingAt = Long.MaxValue
+      val ids = batchIds.toDF("id")
       val point = pointAgg(validate(
         li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // Force FULL materialization of the batch plan as planned:
-        // df.count() re-optimizes and PRUNES the aggregate measures (so a
-        // row failing inside a measure column never evaluates), and
-        // isEmpty/take(1) stops at the first non-empty partition. toRdd
-        // executes every column of every partition — and because the frame
-        // is persisted first, this one execution BUILDS the cached partial
-        // that result()'s merge reuses: fault isolation and the merge share
-        // a single computation of each batch (the r3 double-compute fix).
-        point.queryExecution.toRdd.count()
-        crunched :+= point
-      } catch { case scala.util.control.NonFatal(_) =>
-        point.unpersist(false)
-        failedBatches :+= pending
-      }
-      pending = Vector.empty
+      // Force FULL materialization of the batch plan as planned:
+      // df.count() re-optimizes and PRUNES the aggregate measures (so a
+      // row failing inside a measure column never evaluates), and
+      // isEmpty/take(1) stops at the first non-empty partition. toRdd
+      // executes every column of every partition — and because the frame
+      // is persisted first, this one execution BUILDS the cached partial
+      // that result()'s merge reuses: fault isolation and the merge share
+      // a single computation of each batch (the r3 double-compute fix).
+      // Materialization runs as a concurrent Spark job (queue prefetch);
+      // [[result]] collects success/failure per batch.
+      val fut = scala.concurrent.Future { point.queryExecution.toRdd.count(); () }
+      inFlight :+= ((batchIds, point, fut))
     }
 
     /** Failed-queue contents, in arrival order (worker.js failed routing). */
     def failed: Seq[Seq[Long]] = failedBatches
 
-    /** Merge over the cached batch partials. The partials stay cached so
-      * the caller's consumption reuses the one execution [[flush]] paid
-      * for; they are dimension-tuple-grain rows (a handful per batch),
-      * not data-sized scratch — call [[release]] to drop them once the
-      * merged result has been consumed. */
-    def result(): DataFrame = { flush(); finish(merge(crunched)) }
+    /** Await the in-flight batch materializations (in submission order:
+      * failed-queue ordering is part of the routing contract), then merge
+      * over the cached partials. The partials stay cached so the caller's
+      * consumption reuses the one execution [[flush]] paid for; they are
+      * dimension-tuple-grain rows (a handful per batch), not data-sized
+      * scratch — call [[release]] to drop them once the merged result has
+      * been consumed. */
+    def result(): DataFrame = {
+      flush()
+      inFlight.foreach { case (batchIds, point, fut) =>
+        try {
+          scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+          crunched :+= point
+        } catch { case scala.util.control.NonFatal(_) =>
+          point.unpersist(false)
+          failedBatches :+= batchIds
+        }
+      }
+      inFlight = Vector.empty
+      finish(merge(crunched))
+    }
 
     /** Drop the cached batch partials (after consuming [[result]]). */
     def release(): Unit = { crunched.foreach(_.unpersist(false)); crunched = Vector.empty }
