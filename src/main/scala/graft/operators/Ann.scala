@@ -121,6 +121,12 @@ object Ann {
     * (vec_id%4==0 ⟹ vec_id%16 ∈ {0,4,8,12}), silently collapsing the
     * quantizer to 4 live cells — measured as "recall 1.0" that was
     * really a full scan. */
+  /** Spherical k-means iterations on the driver sample: position-seeded
+    * cells, then alternate argmax-cosine assignment and normalized-mean
+    * updates. Deterministic (fixed iteration count, ties → lowest cell);
+    * an emptied cell keeps its previous centroid. */
+  val TrainIters = 8
+
   def collectCentroids(s: SparkSession, d: String): Array[(Int, Array[Double])] = {
     val sample = embeddings(s, d)
       .filter(col("vec_id") % TrainStride === 0)
@@ -129,19 +135,50 @@ object Ann {
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, s"no vectors to train on in $d")
     val dim = sample.head.length
-    val sums = Array.fill(Cells)(new Array[Double](dim))
-    val counts = new Array[Long](Cells)
-    for ((v, rid) <- sample.iterator.zipWithIndex) {
-      val c = rid % Cells
-      counts(c) += 1
-      var i = 0
-      while (i < dim) { sums(c)(i) += v(i); i += 1 }
+
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v.clone()
     }
-    Array.tabulate(Cells) { c =>
-      val mean = sums(c).map(_ / math.max(1L, counts(c)))
-      val norm = math.sqrt(mean.map(x => x * x).sum)
-      c -> mean.map(_ / (if (norm > 0) norm else 1.0))
+    val nsample = sample.map(normalized)
+
+    // seed: position mod Cells (re-indexed — raw strided ids would hit
+    // only Cells/stride seed cells, collapsing the quantizer)
+    var assign = Array.tabulate(nsample.length)(_ % Cells)
+    var cents = Array.fill(Cells)(new Array[Double](dim))
+
+    def recompute(): Unit = {
+      val sums = Array.fill(Cells)(new Array[Double](dim))
+      val counts = new Array[Long](Cells)
+      var r = 0
+      while (r < nsample.length) {
+        val c = assign(r); val v = nsample(r)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        r += 1
+      }
+      cents = Array.tabulate(Cells) { c =>
+        if (counts(c) == 0) cents(c)
+        else normalized(sums(c).map(_ / counts(c)))
+      }
     }
+    recompute()
+    for (_ <- 1 until TrainIters) {
+      assign = nsample.map { v =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < Cells) {
+          var s0 = 0.0; var i = 0
+          while (i < dim) { s0 += cents(c)(i) * v(i); i += 1 }
+          if (s0 > bestS) { bestS = s0; best = c }
+          c += 1
+        }
+        best
+      }
+      recompute()
+    }
+    Array.tabulate(Cells)(c => c -> cents(c))
   }
 
   /** Centroids are a pure function of the embeddings table, so train once
