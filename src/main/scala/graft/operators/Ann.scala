@@ -127,13 +127,18 @@ object Ann {
     * an emptied cell keeps its previous centroid. */
   val TrainIters = 8
 
-  def collectCentroids(s: SparkSession, d: String): Array[(Int, Array[Double])] = {
-    val sample = embeddings(s, d)
+  def collectCentroids(s: SparkSession, d: String): Array[(Int, Array[Double])] =
+    trainCentroids(embeddings(s, d))
+
+  /** Frame-based training: `emb` needs (vec_id, embedding) columns —
+    * the entry point for indexing arbitrary user corpora. */
+  def trainCentroids(emb: DataFrame): Array[(Int, Array[Double])] = {
+    val sample = emb
       .filter(col("vec_id") % TrainStride === 0)
       .select(toDouble(col("embedding")).as("v"))
       .limit(TrainCap)
       .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, s"no vectors to train on in $d")
+    require(sample.nonEmpty, "no vectors to train on")
     val dim = sample.head.length
 
     def normalized(v: Array[Double]): Array[Double] = {

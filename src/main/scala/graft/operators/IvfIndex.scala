@@ -25,6 +25,16 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
 
   def index: DataFrame = spark.read.parquet(s"$dir/index")
 
+  /** Incremental maintenance: assign NEW vectors with the EXISTING
+    * quantizer and append their rows to the cell partitions. The
+    * centroids — and therefore partition pruning — are unchanged, so
+    * searches immediately see old ∪ new; standard IVF practice retrains
+    * the quantizer only on a full rebuild (cell balance drifts as the
+    * distribution does, recall does not break). */
+  def append(newEmb: DataFrame): Unit =
+    IvfIndex.writeAssignments(newEmb, centroids, dir,
+      org.apache.spark.sql.SaveMode.Append)
+
   /** Top-k neighbors for (qid, qv double-array) queries over the probed
     * cells only. */
   def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
@@ -55,19 +65,33 @@ object IvfIndex {
       cents: Array[(Int, Array[Double])], nprobe: Int) =
     Ann.probeCells(v, cents, nprobe)
 
-  /** Build the index from an embeddings table: train the quantizer
-    * (strided subsample), assign every vector, write the assignment
-    * partitioned by cell + the centroid table. */
-  def build(s: SparkSession, sfDir: String, indexDir: String): IvfIndex = {
-    val cents = Ann.cachedCentroids(s, sfDir)
-    import graft.Tables
-    val nemb = Tables.embeddings(s, sfDir)
+  /** Normalize + assign a (vec_id, embedding) frame and write the rows
+    * into the cell-partitioned index parquet. */
+  private[operators] def writeAssignments(
+      emb: DataFrame, cents: Array[(Int, Array[Double])],
+      indexDir: String, mode: SaveMode): Unit =
+    emb
       .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("nv"))
       .repartition(col("vec_id"))
-    nemb
       .select(col("vec_id").as("neighbor_id"), col("nv"),
         Ann.assignCell(col("nv"), cents).as("cell"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$indexDir/index")
+      .write.mode(mode).partitionBy("cell").parquet(s"$indexDir/index")
+
+  /** Build the index from the testdata embeddings table. */
+  def build(s: SparkSession, sfDir: String, indexDir: String): IvfIndex =
+    buildFrom(graft.Tables.embeddings(s, sfDir), indexDir,
+      Ann.cachedCentroids(s, sfDir))
+
+  /** Build from an ARBITRARY (vec_id, embedding) frame: train the
+    * quantizer (bounded strided subsample), assign every vector, write
+    * the assignment partitioned by cell + the centroid table. */
+  def buildFrom(emb: DataFrame, indexDir: String): IvfIndex =
+    buildFrom(emb, indexDir, Ann.trainCentroids(emb))
+
+  def buildFrom(emb: DataFrame, indexDir: String,
+                cents: Array[(Int, Array[Double])]): IvfIndex = {
+    val s = emb.sparkSession
+    writeAssignments(emb, cents, indexDir, SaveMode.Overwrite)
     import s.implicits._
     cents.map { case (c, v) => (c, v.toSeq) }.toSeq
       .toDF("cell", "centroid")

@@ -29,6 +29,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("incremental append: build on half the corpus, append the rest, search sees all") {
+    val d = Files.createTempDirectory("graft_ivf_inc").toString
+    val emb = Tables.embeddings(spark, sf)
+    val idx = IvfIndex.buildFrom(emb.filter(col("vec_id") % 2 === 0), d)
+    idx.append(emb.filter(col("vec_id") % 2 =!= 0))
+    val got = idx.search(queries, Ann.K, nprobe = Ann.Cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // full probe over the appended index ≡ brute force over the WHOLE corpus
+    val exact = Ann.annTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact)
+  }
+
   test("partial probe prunes the index scan to the probed cell partitions") {
     val idx = IvfIndex.load(spark, indexDir)
     val search = idx.search(queries, Ann.K, nprobe = 2)
