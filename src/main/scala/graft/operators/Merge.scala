@@ -73,10 +73,15 @@ object Merge {
     * routing (worker.js's nack-to-failed-queue) are what's preserved: a
     * batch whose crunch plan fails to materialize is routed whole to
     * [[failed]] for redelivery instead of poisoning the merge. */
+  /** `accept` is the per-MESSAGE ingest guard (worker.js:129-137: an
+    * oversized/malformed payload is nack-dropped before it ever reaches
+    * the buffer — only the one message dies, unlike a crunch failure
+    * which routes the whole batch to [[Cruncher.failed]]). */
   final class Cruncher(s: SparkSession, d: String, batchSize: Int = 1000,
                        validate: DataFrame => DataFrame = identity,
                        loadTimeoutMs: Long = Long.MaxValue,
-                       now: () => Long = () => System.nanoTime() / 1000000L) {
+                       now: () => Long = () => System.nanoTime() / 1000000L,
+                       accept: Long => Boolean = _ => true) {
     private var pending = Vector.empty[Long]
     private var crunched = Vector.empty[DataFrame]
     private var failedBatches = Vector.empty[Vector[Long]]
@@ -97,20 +102,32 @@ object Merge {
     // columnar-cache encode costs more than the pruned re-reads
     private val li = lineitem(s, d)
 
+    private var rejectedMsgs = Vector.empty[Long]
+
     /** Buffer an id; flush when the batch fills OR the oldest buffered id
       * has waited past loadTimeoutMs (worker.js's LOAD_TIMEOUT flush —
-      * latency bound for a trickling queue; `now` injectable for tests). */
+      * latency bound for a trickling queue; `now` injectable for tests).
+      * A message failing the ingest guard is dropped alone ([[rejected]]);
+      * re-delivered duplicates collapse (worker.js:121 buffers into a
+      * Set — and the batch's left_semi join is idempotent in ids anyway). */
+    private var pendingSet = Set.empty[Long]
+
     def submit(matchId: Long): Unit = {
+      if (!accept(matchId)) { rejectedMsgs :+= matchId; return }
       if (pending.isEmpty) oldestPendingAt = now()
-      pending :+= matchId
+      if (!pendingSet(matchId)) { pending :+= matchId; pendingSet += matchId }
       if (pending.size >= batchSize || now() - oldestPendingAt >= loadTimeoutMs)
         flush()
     }
+
+    /** Ids nack-dropped by the ingest guard, in arrival order. */
+    def rejected: Seq[Long] = rejectedMsgs
 
     def flush(): Unit = if (pending.nonEmpty) {
       import s.implicits._
       val batchIds = pending
       pending = Vector.empty
+      pendingSet = Set.empty
       oldestPendingAt = Long.MaxValue
       val ids = batchIds.toDF("id")
       val point = pointAgg(validate(

@@ -35,6 +35,29 @@ class FailedBatchSpec extends SparkSpec {
     assert(merged == oneShot)
   }
 
+  test("ingest guard drops single messages; duplicates collapse") {
+    val ids = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.take(50)
+    val malformed = ids(10)
+    val c = new Merge.Cruncher(spark, sf, batchSize = 1000,
+      accept = _ != malformed)
+    ids.foreach(c.submit)
+    ids.take(20).foreach(c.submit) // re-deliveries
+    c.submit(malformed)            // another malformed delivery
+    val merged = c.result().collect().map(_.mkString("|")).toSet
+
+    // the malformed message died alone on every delivery (original,
+    // re-delivery, explicit) — no batch was poisoned
+    assert(c.rejected == Seq(malformed, malformed, malformed) && c.failed.isEmpty)
+    // duplicates collapsed: result equals one-shot over the distinct
+    // accepted ids
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey").isin(ids.filter(_ != malformed): _*))
+    val oneShot = Merge.finish(Merge.merge(Seq(Merge.pointAgg(li))))
+      .collect().map(_.mkString("|")).toSet
+    assert(merged == oneShot)
+  }
+
   test("load timeout flushes a partial batch (injected clock)") {
     val ids = Tables.orders(spark, sf)
       .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.take(10)
