@@ -68,13 +68,17 @@ package object api {
       * both sides are cast and L2-normalized once (native expressions),
       * the query set broadcasts, and ranking prunes per-partition via
       * WindowGroupLimit — the brute-force baseline shape; build an
-      * [[graft.operators.IvfIndex]] for the probed scale path. */
+      * [[graft.operators.IvfIndex]] for the probed scale path.
+      * `excludeSelf` (default true) drops the corpus row whose id equals
+      * the query's — correct when queries are drawn from this corpus;
+      * pass false when the two id spaces are unrelated. */
     def cosineTopK(queries: DataFrame, idCol: String, vecCol: String,
-                   qidCol: String, qvecCol: String, k: Int = 10): DataFrame =
+                   qidCol: String, qvecCol: String, k: Int = 10,
+                   excludeSelf: Boolean = true): DataFrame =
       Ann.topkOf(
         df.select(col(idCol), graft.functions.VectorOps.toDouble(col(vecCol))),
         queries.select(col(qidCol),
-          graft.functions.VectorOps.toDouble(col(qvecCol))), k)
+          graft.functions.VectorOps.toDouble(col(qvecCol))), k, excludeSelf)
 
     /** Distributed UPDATE-join (the reference's `UPDATE ... JOIN ... SET`
       * write-back shape, crunch_team.sql:1-2,50): rows of `updates`

@@ -135,14 +135,14 @@ case class CellScores(child: Expression, matrix: Array[Array[Double]])
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val n = math.min(dim, x.numElements())
+    VectorGuards.checkDim(dim, x.numElements(), prettyName)
     val out = new Array[Double](cells)
     var c = 0
     while (c < cells) {
       val off = c * dim
       var s = 0.0
       var i = 0
-      while (i < n) { s += flat(off + i) * x.getDouble(i); i += 1 }
+      while (i < dim) { s += flat(off + i) * x.getDouble(i); i += 1 }
       out(c) = s
       c += 1
     }
@@ -152,19 +152,18 @@ case class CellScores(child: Expression, matrix: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("cellMatrix", flat, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
       val off = ctx.freshName("off")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |graft.functions.VectorGuards.checkDim($dim, $v.numElements(), "$prettyName");
          |double[] $out = new double[$cells];
          |for (int $c = 0; $c < $cells; $c++) {
          |  int $off = $c * $dim;
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $dim; $i++) {
          |    $s += $m[$off + $i] * $v.getDouble($i);
          |  }
          |  $out[$c] = $s;
@@ -176,6 +175,18 @@ case class CellScores(child: Expression, matrix: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): CellScores =
     copy(child = newChild)
+}
+
+/** Runtime guards shared by the interpreted and codegen paths. */
+object VectorGuards {
+  /** A vector whose length differs from the quantizer's dimensionality
+    * would silently produce plausible PARTIAL dot products (and so
+    * plausible-but-wrong cell assignments — e.g. float-vs-double or
+    * differently-sized embeddings appended to an IvfIndex). Dimension
+    * drift fails loudly instead. */
+  def checkDim(expected: Int, actual: Int, op: String): Unit =
+    if (actual != expected) throw new IllegalArgumentException(
+      s"$op: input vector has $actual elements, quantizer dimensionality is $expected")
 }
 
 /** L2-normalize an `array<double>` in one pass: accumulate Σx², divide
@@ -280,14 +291,14 @@ case class CellRank(child: Expression, matrix: Array[Array[Double]],
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val n = math.min(dim, x.numElements())
+    VectorGuards.checkDim(dim, x.numElements(), prettyName)
     val scores = new Array[Double](cells)
     var c = 0
     while (c < cells) {
       val off = c * dim
       var s = 0.0
       var i = 0
-      while (i < n) { s += flat(off + i) * x.getDouble(i); i += 1 }
+      while (i < dim) { s += flat(off + i) * x.getDouble(i); i += 1 }
       scores(c) = s
       c += 1
     }
@@ -301,19 +312,18 @@ case class CellRank(child: Expression, matrix: Array[Array[Double]],
       classOf[CellRank].getName)
     val m = ctx.addReferenceObj("cellMatrix", flat, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n")
       val scores = ctx.freshName("scores")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
       val off = ctx.freshName("off")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |graft.functions.VectorGuards.checkDim($dim, $v.numElements(), "$prettyName");
          |double[] $scores = new double[$cells];
          |for (int $c = 0; $c < $cells; $c++) {
          |  int $off = $c * $dim;
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $dim; $i++) {
          |    $s += $m[$off + $i] * $v.getDouble($i);
          |  }
          |  $scores[$c] = $s;

@@ -54,15 +54,22 @@ object Ann {
   /** Frame-based exact cosine top-k: `corpus` = (id, vec double array),
     * `queries` = (qid, qv double array); both are normalized here. The
     * (small, broadcast) query set scans the corpus once — the fluent-API
-    * face of the registered `ann_topk`. */
-  def topkOf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * face of the registered `ann_topk`.
+    *
+    * `excludeSelf` assumes queries and corpus share ONE id space (the
+    * registered operator's shape: queries are drawn from the corpus, so a
+    * vector must not be its own best neighbor). For unrelated id spaces
+    * pass `excludeSelf = false`, or a corpus item whose id happens to
+    * collide with a query id is silently dropped from that query's top-k. */
+  def topkOf(corpus: DataFrame, queries: DataFrame, k: Int,
+             excludeSelf: Boolean = true): DataFrame = {
     val cand = corpus.toDF("neighbor_id", "vraw")
       .select(col("neighbor_id"), normalize(col("vraw")).as("nv"))
     val q = queries.toDF("qid", "qraw")
       .select(col("qid"), normalize(col("qraw")).as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("neighbor_id"))
     broadcast(q)
-      .join(cand, col("qid") =!= col("neighbor_id"))
+      .join(cand, if (excludeSelf) col("qid") =!= col("neighbor_id") else lit(true))
       .withColumn("c", dot(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -92,7 +92,7 @@ object Merge {
       * split, any order) makes completion order irrelevant to the
       * result. Outcomes are collected, in submission order, in
       * [[result]]. */
-    private var inFlight = Vector.empty[(Vector[Long], DataFrame,
+    private var inFlight = Vector.empty[(Vector[Long], Option[DataFrame],
       scala.concurrent.Future[Unit])]
     private implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
@@ -108,14 +108,23 @@ object Merge {
       * has waited past loadTimeoutMs (worker.js's LOAD_TIMEOUT flush —
       * latency bound for a trickling queue; `now` injectable for tests).
       * A message failing the ingest guard is dropped alone ([[rejected]]);
-      * re-delivered duplicates collapse (worker.js:121 buffers into a
-      * Set — and the batch's left_semi join is idempotent in ids anyway). */
-    private var pendingSet = Set.empty[Long]
+      * re-delivered duplicates collapse ACROSS batches: an id accepted
+      * into any batch — buffered, in flight, or already crunched — is
+      * dropped on re-delivery, so its rows are never summed twice across
+      * merged partials. The one exception is a FAILED batch: its ids are
+      * forgotten when the batch routes to [[failed]], because the nack
+      * contract means the queue redelivers them for retry. The accepted
+      * set is driver state sized by the run's distinct ids — the same
+      * order as the id queue this class simulates; a production dedup
+      * store lives off-driver. */
+    private var seenIds = Set.empty[Long]
 
     def submit(matchId: Long): Unit = {
       if (!accept(matchId)) { rejectedMsgs :+= matchId; return }
+      if (seenIds(matchId)) return
       if (pending.isEmpty) oldestPendingAt = now()
-      if (!pendingSet(matchId)) { pending :+= matchId; pendingSet += matchId }
+      pending :+= matchId
+      seenIds += matchId
       if (pending.size >= batchSize || now() - oldestPendingAt >= loadTimeoutMs)
         flush()
     }
@@ -127,24 +136,38 @@ object Merge {
       import s.implicits._
       val batchIds = pending
       pending = Vector.empty
-      pendingSet = Set.empty
       oldestPendingAt = Long.MaxValue
-      val ids = batchIds.toDF("id")
-      val point = pointAgg(validate(
-        li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Force FULL materialization of the batch plan as planned:
-      // df.count() re-optimizes and PRUNES the aggregate measures (so a
-      // row failing inside a measure column never evaluates), and
-      // isEmpty/take(1) stops at the first non-empty partition. toRdd
-      // executes every column of every partition — and because the frame
-      // is persisted first, this one execution BUILDS the cached partial
-      // that result()'s merge reuses: fault isolation and the merge share
-      // a single computation of each batch (the r3 double-compute fix).
-      // Materialization runs as a concurrent Spark job (queue prefetch);
-      // [[result]] collects success/failure per batch.
-      val fut = scala.concurrent.Future { point.queryExecution.toRdd.count(); () }
-      inFlight :+= ((batchIds, point, fut))
+      // Plan CONSTRUCTION (validate + eager Dataset analysis) can throw
+      // just like execution — a validator raising synchronously or an
+      // AnalysisException at resolution time. The buffer is already
+      // cleared by now, so an escaping throw would lose the batch from
+      // both queues; instead the failure enters [[inFlight]] as an
+      // already-failed outcome and [[result]] routes it to [[failed]] in
+      // submission order, exactly like a runtime crunch failure
+      // (worker.js's nack contract).
+      scala.util.Try {
+        val ids = batchIds.toDF("id")
+        val point = pointAgg(validate(
+          li.join(broadcast(ids), col("l_orderkey") === col("id"), "left_semi")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Force FULL materialization of the batch plan as planned:
+        // df.count() re-optimizes and PRUNES the aggregate measures (so a
+        // row failing inside a measure column never evaluates), and
+        // isEmpty/take(1) stops at the first non-empty partition. toRdd
+        // executes every column of every partition — and because the frame
+        // is persisted first, this one execution BUILDS the cached partial
+        // that result()'s merge reuses: fault isolation and the merge share
+        // a single computation of each batch (the r3 double-compute fix).
+        // Materialization runs as a concurrent Spark job (queue prefetch);
+        // [[result]] collects success/failure per batch.
+        val fut = scala.concurrent.Future { point.queryExecution.toRdd.count(); () }
+        (point, fut)
+      } match {
+        case scala.util.Success((point, fut)) =>
+          inFlight :+= ((batchIds, Some(point), fut))
+        case scala.util.Failure(e) =>
+          inFlight :+= ((batchIds, None, scala.concurrent.Future.failed(e)))
+      }
     }
 
     /** Failed-queue contents, in arrival order (worker.js failed routing). */
@@ -162,10 +185,11 @@ object Merge {
       inFlight.foreach { case (batchIds, point, fut) =>
         try {
           scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
-          crunched :+= point
+          crunched :+= point.get
         } catch { case scala.util.control.NonFatal(_) =>
-          point.unpersist(false)
+          point.foreach(_.unpersist(false))
           failedBatches :+= batchIds
+          seenIds --= batchIds // nack: the queue redelivers a failed batch
         }
       }
       inFlight = Vector.empty

@@ -50,7 +50,14 @@ object Sessionizer {
       userId, new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.endMs),
       st.n, st.sum)
 
-    val wm = state.getCurrentWatermarkMs()
+    // Batch execution has no watermark node (withWatermark is eliminated
+    // on a non-streaming frame), so getCurrentWatermarkMs throws. In
+    // batch every event is final — an infinite watermark closes every
+    // session inline (and `pending` is then empty, so the event-time
+    // timeout registration below never runs either).
+    val wm = try state.getCurrentWatermarkMs() catch {
+      case _: UnsupportedOperationException => Long.MaxValue
+    }
     val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
     val merged = coalesce(prior ++
       events.map(e => SessState(e.ts.getTime, e.ts.getTime, 1, e.value)))

@@ -103,4 +103,64 @@ class AdviceFixSpec extends SparkSpec {
       AsOf.join(left, right, key = "k", time = "t", tieBreak = "t", carry = Seq("v"))
     }
   }
+
+  // ---- round-4 ADVICE fixes ----
+
+  test("sessionize runs in batch execution and emits every session") {
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.Ev
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    // user 1: two sessions (gap 31 > 30 min); user 2: one session
+    val events = Seq(
+      Ev(1, ts(0), 1.0), Ev(1, ts(10), 2.0), Ev(1, ts(41), 3.0),
+      Ev(2, ts(5), 4.0)).toDS()
+    val got = Sessionizer.sessionize(spark, events).collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value))
+      .toSet
+    assert(got == Set(
+      (1L, ts(0), ts(10), 2L, 3.0),
+      (1L, ts(41), ts(41), 1L, 3.0),
+      (2L, ts(5), ts(5), 1L, 4.0)))
+  }
+
+  test("cell scoring fails loudly on a dimension-drifted vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftShim
+    val matrix = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    def scores(df: org.apache.spark.sql.DataFrame) = df.select(GraftShim.column(
+      graft.functions.CellScores(GraftShim.expression(col("v")), matrix)))
+    // matching dim: fine
+    assert(scores(Seq(Seq(3.0, 4.0)).toDF("v")).collect()
+      .head.getSeq[Double](0) == Seq(3.0, 4.0))
+    // drifted dim: must throw, not truncate to a plausible partial score
+    val e = intercept[Exception] {
+      scores(Seq(Seq(3.0, 4.0, 5.0)).toDF("v")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains("quantizer dimensionality"))))
+    val er = intercept[Exception] {
+      Seq(Seq(1.0, 2.0, 3.0)).toDF("v").select(GraftShim.column(
+        graft.functions.CellRank(GraftShim.expression(col("v")), matrix, Array(0, 1))))
+        .collect()
+    }
+    assert(chain(er).exists(c => Option(c.getMessage).exists(_.contains("quantizer dimensionality"))))
+  }
+
+  test("cosineTopK keeps an id-colliding corpus row when excludeSelf=false") {
+    import graft.api._
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    // query id 1 is an UNRELATED id space; its nearest corpus vector is
+    // corpus id 1 — excludeSelf=false must keep it, default must drop it
+    val queries = Seq((1L, Seq(1.0, 0.1))).toDF("qid", "qv")
+    val kept = corpus.cosineTopK(queries, "id", "v", "qid", "qv", k = 1,
+      excludeSelf = false).collect().map(_.getLong(2)).toSeq
+    assert(kept == Seq(1L))
+    val dropped = corpus.cosineTopK(queries, "id", "v", "qid", "qv", k = 1)
+      .collect().map(_.getLong(2)).toSeq
+    assert(dropped == Seq(2L))
+  }
 }

@@ -58,6 +58,48 @@ class FailedBatchSpec extends SparkSpec {
     assert(merged == oneShot)
   }
 
+  test("plan-construction failure routes the batch to the failed queue") {
+    // the round-4 ADVICE medium: a validator that throws SYNCHRONOUSLY
+    // (or an AnalysisException at plan construction) used to escape
+    // flush() after the buffer was cleared — losing the batch from both
+    // queues. It must route to failed like any runtime crunch failure.
+    val ids = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.take(100)
+    var calls = 0
+    val validator: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => { calls += 1; if (calls == 2) sys.error("bad batch decode") else df }
+    val c = new Merge.Cruncher(spark, sf, batchSize = 50, validate = validator)
+    ids.foreach(c.submit)
+    val merged = c.result().collect().map(_.mkString("|")).toSet
+    assert(c.failed == Seq(ids.drop(50).toSeq))
+    val li = Tables.lineitem(spark, sf).filter(col("l_orderkey").isin(ids.take(50): _*))
+    val oneShot = Merge.finish(Merge.merge(Seq(Merge.pointAgg(li))))
+      .collect().map(_.mkString("|")).toSet
+    assert(merged == oneShot)
+
+    // nack contract: the failed batch's ids are forgotten, so the queue's
+    // redelivery is accepted and the retry folds into the merge
+    ids.drop(50).foreach(c.submit)
+    val retried = c.result().collect().map(_.mkString("|")).toSet
+    val liAll = Tables.lineitem(spark, sf).filter(col("l_orderkey").isin(ids: _*))
+    val oneShotAll = Merge.finish(Merge.merge(Seq(Merge.pointAgg(liAll))))
+      .collect().map(_.mkString("|")).toSet
+    assert(retried == oneShotAll && c.failed.size == 1)
+  }
+
+  test("duplicates collapse across flushed batches, not just within a buffer") {
+    val ids = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.take(50)
+    val c = new Merge.Cruncher(spark, sf, batchSize = 25)
+    ids.foreach(c.submit)          // two full batches flushed
+    ids.take(30).foreach(c.submit) // re-deliveries of already-crunched ids
+    val merged = c.result().collect().map(_.mkString("|")).toSet
+    val li = Tables.lineitem(spark, sf).filter(col("l_orderkey").isin(ids: _*))
+    val oneShot = Merge.finish(Merge.merge(Seq(Merge.pointAgg(li))))
+      .collect().map(_.mkString("|")).toSet
+    assert(merged == oneShot && c.failed.isEmpty)
+  }
+
   test("load timeout flushes a partial batch (injected clock)") {
     val ids = Tables.orders(spark, sf)
       .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.take(10)
