@@ -59,6 +59,8 @@ object SparkEntry {
     // scale patterns + composition (#36-37)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
+    // sinks (#38): LSM point-table store — append/compact/merge-on-read
+    "point_store_roundtrip" -> (graft.sources.PointStore.roundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -95,5 +97,6 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
+    "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,
   )
 }

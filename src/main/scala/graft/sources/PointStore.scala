@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent point-table store: the reference's `INSERT .. ON DUPLICATE
+  * KEY UPDATE x = x + VALUES(x)` tables (crunch_global.sql:58-75)
+  * re-expressed as a log-structured columnar store.
+  *
+  * The write path the reference's MariaDB table gives it for free — an
+  * in-place keyed upsert — does not exist on immutable columnar storage,
+  * and the naive re-expression (read table, merge batch, rewrite table —
+  * what [[graft.streaming.IncrementalCruncher]] does per micro-batch) is
+  * O(table) PER BATCH: correct, but a 100 TB point table cannot be
+  * rewritten a thousand times a day. This store uses the LSM shape every
+  * production table format (Delta, Hudi, Iceberg) converges on:
+  *
+  *  - [[append]] writes the batch's key-grain PARTIAL aggregate as an
+  *    immutable delta directory — O(batch), never touches the base;
+  *  - [[snapshot]] is merge-on-read: scan base + deltas in parallel and
+  *    re-aggregate on the key (sums add, maxes fold) — ONE shuffle,
+  *    identical to the `upsert_merge` merge plan the oracle proves;
+  *  - [[compact]] folds the current snapshot into a new base and resets
+  *    the delta list, amortizing read cost; readers of the old manifest
+  *    still see intact directories ([[vacuum]] reclaims unreferenced ones
+  *    later — the Delta VACUUM contract).
+  *
+  * Commits are an atomic manifest flip (`_MANIFEST` written via temp file
+  * + ATOMIC_MOVE): a reader sees the store before a commit or after it,
+  * never half of one. Single writer, any number of readers — the
+  * reference's worker is a single queue consumer with the same contract.
+  * The additive-merge law (MergeSpec: crunch(A) ⊕ crunch(B) ==
+  * crunch(A ∪ B)) makes batch boundaries and compaction points invisible
+  * in the snapshot — PointStoreSpec asserts exactly that, and the
+  * `point_store_roundtrip` oracle proves it through a real
+  * write→compact→append→read cycle on disk.
+  *
+  * @param keys  grouping key columns (the table's primary key)
+  * @param sums  measure columns merged by SUM
+  * @param maxes measure columns merged by MAX
+  */
+final class PointStore(spark: SparkSession, path: String,
+                       keys: Seq[String], sums: Seq[String],
+                       maxes: Seq[String]) {
+  require(keys.nonEmpty && (sums.nonEmpty || maxes.nonEmpty),
+    "point store needs key columns and at least one measure")
+
+  private val root = new java.io.File(path)
+  root.mkdirs()
+  private def manifestFile = new java.io.File(root, "_MANIFEST")
+
+  /** Member directories of the current snapshot, oldest first. */
+  def members: Seq[String] =
+    if (!manifestFile.exists) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(manifestFile.toPath))
+      .trim.split("\n").toSeq.filter(_.nonEmpty)
+
+  private def writeManifest(ms: Seq[String]): Unit = {
+    val tmp = new java.io.File(root, "_MANIFEST.tmp")
+    java.nio.file.Files.write(tmp.toPath, ms.mkString("\n").getBytes)
+    java.nio.file.Files.move(tmp.toPath, manifestFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Next commit sequence number: one past the highest ever written —
+    * scanning the DIRECTORY (not the manifest) so a compacted-away name
+    * is never reused while an old reader might still hold it. */
+  private def nextSeq: Long = {
+    val existing = Option(root.list()).getOrElse(Array.empty[String])
+      .flatMap { n =>
+        val m = "(?:base|delta)-([0-9]+)".r
+        n match { case m(d) => Some(d.toLong); case _ => None }
+      }
+    if (existing.isEmpty) 1L else existing.max + 1L
+  }
+
+  private def mergeAgg(df: DataFrame): DataFrame = {
+    val exprs = sums.map(c => sum(col(c)).as(c)) ++
+      maxes.map(c => max(col(c)).as(c))
+    df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Fold one batch into the store. `partial` may be at any grain — it is
+    * aggregated to the key grain here, so O(delta file) = O(distinct keys
+    * in the batch), not O(batch rows). */
+  def append(partial: DataFrame): Unit = {
+    val name = f"delta-$nextSeq%06d"
+    mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
+      .write.parquet(s"$path/$name")
+    writeManifest(members :+ name)
+  }
+
+  /** Merge-on-read view: base + deltas scanned in parallel, one
+    * shuffle-on-key re-aggregation (PointStoreSpec pins the plan to a
+    * single exchange). */
+  def snapshot: DataFrame = {
+    val ms = members
+    require(ms.nonEmpty, s"point store at $path is empty")
+    mergeAgg(ms.map(m => spark.read.parquet(s"$path/$m"))
+      .reduce(_ unionByName _))
+  }
+
+  /** Fold the snapshot into a single new base and drop the delta list
+    * from the manifest. Old directories stay on disk for in-flight
+    * readers of the previous manifest; [[vacuum]] reclaims them. */
+  def compact(): Unit = {
+    val ms = members
+    if (ms.size > 1 || (ms.size == 1 && !ms.head.startsWith("base-"))) {
+      val name = f"base-$nextSeq%06d"
+      snapshot.write.parquet(s"$path/$name")
+      writeManifest(Seq(name))
+    }
+  }
+
+  /** Delete directories no manifest references (run once no reader can
+    * hold a pre-compaction manifest). */
+  def vacuum(): Unit = {
+    val live = members.toSet
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !live(f.getName))
+      .foreach(deleteRec)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+}
+
+object PointStore {
+  /** `point_store_roundtrip`: the reference's worker lifecycle against a
+    * store on disk — three batch upserts with a compaction between the
+    * second and third, then a merge-on-read snapshot. The oracle is the
+    * ONE-SHOT aggregate, so a hash match proves append/compact/snapshot
+    * preserve the additive-merge law through real parquet round-trips. */
+  def roundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Merge
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_pointstore_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe); f.delete()
+    }
+    wipe(dir) // deterministic rebuild per run
+    val store = new PointStore(s, dir.getPath,
+      keys = Seq("game_mode", "role"),
+      sums = Seq("played", "wins", "time_spent_d", "gold_d"),
+      maxes = Seq("last_match"))
+    val li = graft.Tables.lineitem(s, d)
+    def batch(m: Int) = Merge.pointAgg(li.filter(col("l_orderkey") % 3 === m))
+    store.append(batch(0))
+    store.append(batch(1))
+    store.compact()
+    store.append(batch(2)) // snapshot must merge base + post-compaction delta
+    Merge.finish(store.snapshot)
+  }
+
+  def roundtripOracle: String = """
+    SELECT l_returnflag AS game_mode, l_linestatus AS role,
+      count(*) AS played,
+      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
+      max(l_orderkey) AS last_match
+    FROM lineitem GROUP BY 1, 2"""
+}

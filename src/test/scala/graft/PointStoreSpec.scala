@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Merge
+import graft.sources.PointStore
+import org.apache.spark.sql.functions._
+
+/** The LSM point-table store: append/compact/vacuum must be invisible in
+  * the snapshot (the additive-merge law through real disk round-trips),
+  * recovery must come from the manifest alone, and the merge-on-read
+  * plan must stay one shuffle. */
+class PointStoreSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = new java.io.File("/tmp", s"graft_pointstore_spec_$tag")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe); f.delete()
+    }
+    wipe(d)
+    d.getPath
+  }
+
+  private def oneShot = Merge.finish(
+    Merge.merge(Seq(Merge.pointAgg(Tables.lineitem(spark, sf)))))
+    .collect().map(_.mkString("|")).toSet
+
+  private def build(dir: String): PointStore = new PointStore(spark, dir,
+    keys = Seq("game_mode", "role"),
+    sums = Seq("played", "wins", "time_spent_d", "gold_d"),
+    maxes = Seq("last_match"))
+
+  test("append/compact/append snapshot equals the one-shot aggregate") {
+    val dir = freshDir("law")
+    val store = build(dir)
+    val li = Tables.lineitem(spark, sf)
+    def batch(m: Int) = Merge.pointAgg(li.filter(col("l_orderkey") % 3 === m))
+    store.append(batch(0))
+    store.append(batch(1))
+    store.compact()
+    store.append(batch(2))
+    assert(Merge.finish(store.snapshot).collect().map(_.mkString("|")).toSet
+      == oneShot)
+    // base + one post-compaction delta are both live
+    assert(store.members.size == 2 && store.members.head.startsWith("base-"))
+  }
+
+  test("a reopened store recovers the snapshot from the manifest alone") {
+    val dir = freshDir("reopen")
+    val store = build(dir)
+    val li = Tables.lineitem(spark, sf)
+    store.append(Merge.pointAgg(li.filter(col("l_orderkey") % 2 === 0)))
+    store.append(Merge.pointAgg(li.filter(col("l_orderkey") % 2 =!= 0)))
+    val reopened = build(dir)
+    assert(Merge.finish(reopened.snapshot).collect().map(_.mkString("|")).toSet
+      == oneShot)
+  }
+
+  test("vacuum reclaims compacted-away deltas without changing the snapshot") {
+    val dir = freshDir("vacuum")
+    val store = build(dir)
+    val li = Tables.lineitem(spark, sf)
+    store.append(Merge.pointAgg(li.filter(col("l_orderkey") % 2 === 0)))
+    store.append(Merge.pointAgg(li.filter(col("l_orderkey") % 2 =!= 0)))
+    store.compact()
+    store.vacuum()
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSeq == store.members) // only the manifest's base survives
+    assert(Merge.finish(store.snapshot).collect().map(_.mkString("|")).toSet
+      == oneShot)
+  }
+
+  test("merge-on-read snapshot is one shuffle over parallel member scans") {
+    val dir = freshDir("plan")
+    val store = build(dir)
+    val li = Tables.lineitem(spark, sf)
+    (0 to 2).foreach(m =>
+      store.append(Merge.pointAgg(li.filter(col("l_orderkey") % 3 === m))))
+    val plan = store.snapshot.queryExecution.executedPlan.toString
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(shuffles == 1, s"expected one exchange, got $shuffles in:\n$plan")
+  }
+
+  test("empty store fails loudly") {
+    val dir = freshDir("empty")
+    intercept[IllegalArgumentException](build(dir).snapshot)
+  }
+}
