@@ -67,13 +67,14 @@ final class PointStore(spark: SparkSession, path: String,
     * scanning the DIRECTORY (not the manifest) so a compacted-away name
     * is never reused while an old reader might still hold it. */
   private def nextSeq: Long = {
+    val m = "(?:base|delta)-([0-9]+)".r
     val existing = Option(root.list()).getOrElse(Array.empty[String])
-      .flatMap { n =>
-        val m = "(?:base|delta)-([0-9]+)".r
-        n match { case m(d) => Some(d.toLong); case _ => None }
-      }
+      .flatMap { case m(d) => Some(d.toLong); case _ => None }
     if (existing.isEmpty) 1L else existing.max + 1L
   }
+
+  /** Deltas currently live in the manifest (excludes the base). */
+  def deltaCount: Int = members.count(_.startsWith("delta-"))
 
   private def mergeAgg(df: DataFrame): DataFrame = {
     val exprs = sums.map(c => sum(col(c)).as(c)) ++
@@ -84,10 +85,26 @@ final class PointStore(spark: SparkSession, path: String,
   /** Fold one batch into the store. `partial` may be at any grain — it is
     * aggregated to the key grain here, so O(delta file) = O(distinct keys
     * in the batch), not O(batch rows). */
-  def append(partial: DataFrame): Unit = {
-    val name = f"delta-$nextSeq%06d"
+  def append(partial: DataFrame): Unit =
+    writeDelta(f"delta-$nextSeq%06d", partial)
+
+  /** Idempotent append for at-least-once delivery (foreachBatch retry
+    * semantics): a delta whose `tag` is already committed to the manifest
+    * is a no-op, and a directory left by a CRASHED attempt (written but
+    * never committed) is overwritten — the manifest flip is the one
+    * commit point. Returns whether this call committed the delta.
+    * `tag` must be filesystem-safe and non-numeric (numeric names are the
+    * sequence-numbered namespace of [[append]]/[[compact]]). */
+  def appendTagged(tag: String, partial: DataFrame): Boolean = {
+    val name = s"delta-$tag"
+    if (members.contains(name)) false
+    else { writeDelta(name, partial); true }
+  }
+
+  private def writeDelta(name: String, partial: DataFrame): Unit = {
     mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
-      .write.parquet(s"$path/$name")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$name")
     writeManifest(members :+ name)
   }
 

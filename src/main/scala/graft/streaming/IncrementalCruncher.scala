@@ -1,54 +1,70 @@
 package graft.streaming
 
 import graft.operators.Merge
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.sources.PointStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The reference's worker loop (consume batch → crunch → additive upsert
   * into the point table; worker.js:119-165) as Structured Streaming.
   *
-  * Each micro-batch is aggregated to the dimension tuple and additively
-  * merged with the persisted point table via `Merge.merge` — the same
-  * distributed shuffle-on-key combine the `upsert_merge` oracle proves,
-  * so state after N batches equals the one-shot aggregate of their union
-  * (asserted in IncrementalSpec). The point table is versioned
-  * (`state/v<epoch>` + `_LATEST` pointer): each commit is an atomic
-  * pointer flip, readers never see a half-written table, and the merge
-  * never reads the file it is writing. At cluster scale the same shape
-  * runs against a table format's transactional MERGE; the aggregation
-  * and merge plans are unchanged.
+  * Each micro-batch is aggregated to the dimension tuple and folded into
+  * a [[graft.sources.PointStore]] — an O(batch) delta append, NOT a
+  * rewrite of the table (the pre-r5 implementation re-read and re-wrote
+  * the whole point table per micro-batch: correct, but O(table) per
+  * batch). Every `compactEvery` deltas the store compacts and vacuums,
+  * bounding merge-on-read width; the additive-merge law (MergeSpec)
+  * makes batch boundaries and compaction points invisible in
+  * [[result]], which IncrementalSpec equates with the one-shot aggregate.
+  *
+  * Delivery is exactly-once under foreachBatch's at-least-once retries:
+  * a batch id is folded at most once, enforced by two layers —
+  * `_COMMITTED` (the cruncher's batch-id ledger, surviving compaction)
+  * and the store's tagged-delta manifest check (covering a crash between
+  * delta commit and ledger write, a window in which no compaction can
+  * run because batches execute sequentially). Both commit points are
+  * atomic file moves; a half-written delta directory from a crashed
+  * attempt is overwritten on retry, never read (only the manifest makes
+  * a delta visible).
   */
-final class IncrementalCruncher(spark: SparkSession, stateDir: String) {
+final class IncrementalCruncher(spark: SparkSession, stateDir: String,
+                                compactEvery: Int = 8) {
 
-  private val fs = new java.io.File(stateDir)
-  fs.mkdirs()
+  private val store = new PointStore(spark, stateDir,
+    keys = Seq("game_mode", "role"),
+    sums = Seq("played", "wins", "time_spent_d", "gold_d"),
+    maxes = Seq("last_match"))
 
-  private def latestFile = new java.io.File(fs, "_LATEST")
+  private val root = new java.io.File(stateDir)
+  private def committedFile = new java.io.File(root, "_COMMITTED")
 
-  def currentVersion: Option[String] =
-    if (latestFile.exists)
-      Some(new String(java.nio.file.Files.readAllBytes(latestFile.toPath)).trim)
-    else None
+  /** Batch ids already folded into the store. */
+  def committedBatches: Set[Long] =
+    if (!committedFile.exists) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(committedFile.toPath))
+      .split("\n").filter(_.nonEmpty).map(_.toLong).toSet
 
-  /** The live point table (empty-schema None before the first batch). */
-  def pointTable(): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(s"$stateDir/$v"))
-
-  /** Fold one batch of fact rows into the point table. */
-  def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
-    val batchPoint = Merge.pointAgg(batch)
-    val merged = pointTable() match {
-      case Some(prev) => Merge.merge(Seq(prev, batchPoint))
-      case None       => batchPoint
-    }
-    val v = f"v$batchId%06d"
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$v")
-    val tmp = new java.io.File(fs, "_LATEST.tmp")
-    java.nio.file.Files.write(tmp.toPath, v.getBytes)
-    java.nio.file.Files.move(tmp.toPath, latestFile.toPath,
+  private def commitBatch(id: Long): Unit = {
+    val tmp = new java.io.File(root, "_COMMITTED.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      (committedBatches + id).toSeq.sorted.mkString("\n").getBytes)
+    java.nio.file.Files.move(tmp.toPath, committedFile.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** The live point table (None before the first batch). */
+  def pointTable(): Option[DataFrame] =
+    if (store.members.isEmpty) None else Some(store.snapshot)
+
+  /** Fold one batch of fact rows into the point table; re-deliveries of
+    * an already-committed batch id are no-ops. */
+  def mergeBatch(batch: DataFrame, batchId: Long): Unit =
+    if (!committedBatches(batchId)) {
+      store.appendTagged(s"b$batchId", Merge.pointAgg(batch))
+      commitBatch(batchId)
+      if (store.deltaCount >= compactEvery) { store.compact(); store.vacuum() }
+    }
 
   /** Attach to a streaming source of fact rows. */
   def run(stream: DataFrame, checkpoint: String): StreamingQuery =

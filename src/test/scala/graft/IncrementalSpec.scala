@@ -38,6 +38,26 @@ class IncrementalSpec extends SparkSpec {
     assert(got == oneShot)
   }
 
+  test("re-delivered batch ids are no-ops, including across compaction") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_state3").toString
+    // compactEvery=1: every batch immediately compacts, so the SECOND
+    // delivery of id 0 arrives after its delta name left the manifest —
+    // the _COMMITTED ledger must still dedupe it
+    val c = new IncrementalCruncher(spark, dir, compactEvery = 1)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+    c.mergeBatch(li.filter(col("l_orderkey") % 2 === 0), 0L)
+    c.mergeBatch(li.filter(col("l_orderkey") % 2 === 0), 0L) // immediate retry
+    c.mergeBatch(li.filter(col("l_orderkey") % 2 =!= 0), 1L)
+    c.mergeBatch(li.filter(col("l_orderkey") % 2 === 0), 0L) // late re-delivery
+    assert(c.committedBatches == Set(0L, 1L))
+    val got = c.result().get.collect().map(_.mkString("|")).toSet
+    val oneShot = Merge.finish(Merge.merge(Seq(Merge.pointAgg(li))))
+      .collect().map(_.mkString("|")).toSet
+    assert(got == oneShot)
+  }
+
   test("versioned state survives a second cruncher attach (restart)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_state2").toString
