@@ -56,6 +56,8 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
+    "sample_stratified" -> (Sampling.sampleStratified _),
+    "pack_sequences"    -> (Sampling.packSequences _),
     // scale patterns + composition (#36-37)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
@@ -95,6 +97,8 @@ object SparkEntry {
     "token_count"     -> TextOps.tokenCountOracle,
     "multimodal_meta"   -> Multimodal.multimodalMetaOracle,
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,
+    "sample_stratified" -> Sampling.sampleStratifiedOracle,
+    "pack_sequences"    -> Sampling.packSequencesOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
     "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,

@@ -97,6 +97,23 @@ package object api {
       }.drop("_upd_key" +: setCols.map(c => s"_new_$c"): _*)
     }
 
+    /** Deterministic stratified sample: keep `rates(stratum)` (default
+      * `defaultRate`) of rows per stratum, decided by a multiplicative
+      * hash of `idCol` — reproducible, repartition-stable, and nested
+      * (a 0.2 sample is a subset of a 0.5 sample of the same frame). */
+    def stratifiedSample(idCol: String, strataCol: String,
+                         rates: Seq[(String, Double)],
+                         defaultRate: Double = 0.0): DataFrame =
+      graft.operators.Sampling.stratifiedOf(df, idCol, strataCol, rates, defaultRate)
+
+    /** Sequence packing for training batches: appends `start_offset`,
+      * `bin`, `bin_offset` from the running sum of `tokensCol` per
+      * `strataCol` stream ordered by `idCol` — concatenation layout,
+      * contexts of `budget` tokens. */
+    def packedSequences(idCol: String, strataCol: String, tokensCol: String,
+                        budget: Long = graft.operators.Sampling.Budget): DataFrame =
+      graft.operators.Sampling.packOf(df, idCol, strataCol, tokensCol, budget)
+
     /** Text quality statistics for a `textCol` (adds token/stopword/punct
       * counts and the composite quality score). */
     def withTextStats(textCol: String): DataFrame =

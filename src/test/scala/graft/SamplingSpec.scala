@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Properties the DuckDB hash-compare can't state: sample nesting and
+  * stability, packing invariants. */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("samples are nested: a lower rate selects a subset of a higher rate") {
+    def ids(rate: Double): Set[Long] =
+      Sampling.stratifiedOf(docs, "doc_id", "lang",
+        Seq("en" -> rate), defaultRate = rate)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val lo = ids(0.2); val mid = ids(0.5); val hi = ids(0.8)
+    assert(lo.subsetOf(mid) && mid.subsetOf(hi))
+    // and the rates are roughly honored (hash uniformity)
+    val n = docs.count().toDouble
+    assert(math.abs(mid.size / n - 0.5) < 0.1, s"${mid.size} of $n at rate 0.5")
+  }
+
+  test("sample is stable under repartitioning (no rand(), no order dependence)") {
+    val a = Sampling.sampleStratified(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleStratified(spark, sf)
+      .repartition(7).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("per-stratum rates differ as configured") {
+    // en sampled at 0.5 vs es at 0.2: the observed per-stratum fractions
+    // must separate (loose bounds — hash uniformity, small corpus)
+    val kept = Sampling.sampleStratified(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def frac(l: String) = kept.getOrElse(l, 0L).toDouble / all(l)
+    assert(frac("en") > frac("es"), s"en=${frac("en")} es=${frac("es")}")
+  }
+
+  test("packing: offsets are gapless running sums and bins match the budget") {
+    val packed = Sampling.packSequences(spark, sf).collect()
+    val byLang = packed.groupBy(_.getString(1))
+    for ((_, rows) <- byLang) {
+      val ordered = rows.sortBy(_.getLong(0)) // by doc_id
+      var expect = 0L
+      for (r <- ordered) {
+        val (tokens, off, bin, binOff) =
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(off == expect, s"gap at doc ${r.getLong(0)}")
+        assert(bin == off / Sampling.Budget && binOff == off % Sampling.Budget)
+        expect = off + tokens
+      }
+    }
+    assert(packed.nonEmpty)
+  }
+
+  test("fluent api faces delegate to the same plans") {
+    import graft.api._
+    val viaApi = docs.stratifiedSample("doc_id", "lang",
+      Sampling.Rates, Sampling.DefaultRate)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val viaOp = Sampling.sampleStratified(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaApi == viaOp)
+
+    val counts = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n"))
+    val p = counts.packedSequences("doc_id", "lang", "n", budget = 100L)
+    assert(p.filter(col("bin") =!= call_function("div", col("start_offset"), lit(100L)))
+      .count() == 0)
+  }
+}
