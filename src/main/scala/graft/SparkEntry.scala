@@ -41,8 +41,9 @@ object SparkEntry {
     "window_topn"        -> (Windows.windowTopN _),
     "asof_join"          -> (Joins.asofJoin _),
     "asof_join_native"   -> (Joins.asofJoinNative _),
-    // LLM-data-pipeline surface (#19-30); simhash/ivf/lang_id/fingerprint
-    // are non-SQL-expressible → no oracle (rows-only check + ScalaTests)
+    // LLM-data-pipeline surface (#19-30); simhash/ivf/fingerprint are
+    // non-SQL-expressible (xxhash64 / approximate recall have no DuckDB
+    // twin) → no oracle there (rows-only check + ScalaTests)
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_ngram"     -> (Dedup.dedupNgram _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "ann_topk"        -> Ann.annTopkOracle,
     "text_stats"      -> TextOps.textStatsOracle,
     "token_count"     -> TextOps.tokenCountOracle,
+    "lang_id"         -> TextOps.langIdOracle,
     "multimodal_meta"   -> Multimodal.multimodalMetaOracle,
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,
     "sample_stratified" -> Sampling.sampleStratifiedOracle,

@@ -147,6 +147,39 @@ object TextOps {
       best.getField("score").as("score"))
   }
 
+  /** DuckDB twin of [[langId]]. The scores are integer counts held in
+    * doubles (exact), so cross-engine equality is bit-stable; the
+    * `array_max`-over-structs argmax ties break to the LARGEST language
+    * string, mirrored by testing the CASE arms in reverse-alphabetical
+    * order. */
+  def langIdOracle: String = {
+    def inList(stops: Seq[String]) = stops.map(w => s"'$w'").mkString(", ")
+    val scoreCols = Profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      s"CAST(len(list_filter(w, x -> x IN (${inList(stops)}))) AS DOUBLE) AS s_$lang"
+    }.mkString(",\n        ")
+    """
+    WITH t AS (
+      SELECT doc_id, lang, text,
+        string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang AS lang_label,
+        """ + scoreCols + """,
+        CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) * 2.0 AS s_zh
+      FROM t),
+    b AS (
+      SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+    SELECT doc_id, lang_label,
+      CASE WHEN best = 0 THEN 'und'
+           WHEN s_zh = best THEN 'zh'
+           WHEN s_fr = best THEN 'fr'
+           WHEN s_es = best THEN 'es'
+           WHEN s_en = best THEN 'en'
+           ELSE 'de' END AS lang_pred,
+      best AS score
+    FROM b"""
+  }
+
   // ------------------------------------------------------ doc_fingerprint
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
