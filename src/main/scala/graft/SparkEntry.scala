@@ -59,6 +59,7 @@ object SparkEntry {
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "pack_sequences"    -> (Sampling.packSequences _),
+    "pack_sequences_sharded" -> (Sampling.packSequencesSharded _),
     // scale patterns + composition (#36-37)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
@@ -101,6 +102,8 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,
     "sample_stratified" -> Sampling.sampleStratifiedOracle,
     "pack_sequences"    -> Sampling.packSequencesOracle,
+    // the sharded scale path must land on the identical layout
+    "pack_sequences_sharded" -> Sampling.packSequencesOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
     "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,

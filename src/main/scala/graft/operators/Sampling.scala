@@ -88,11 +88,9 @@ object Sampling {
     * One window per stratum: shuffle on lang, sort by doc_id, running
     * sum — O(n log n) per stratum and nothing driver-side. A single
     * mega-stratum at 100 TB would serialize its prefix sum through one
-    * partition; the scale remedy is hierarchical offsets (prefix-sum
-    * within document shards, then add the per-shard totals' running sum
-    * — a tiny second agg), at the cost of shard-local rather than
-    * global doc order. The registered query keeps the globally-ordered
-    * contract the oracle can state. */
+    * partition; [[packOfSharded]] is the scale path — hierarchical
+    * offsets over range shards, SAME result (it shares this query's
+    * oracle). */
   def packSequences(s: SparkSession, d: String): DataFrame = {
     val tokens = size(Dedup.tokens(col("text"))).cast("long")
     packOf(documents(s, d).select(col("doc_id"), col("lang"),
@@ -111,6 +109,56 @@ object Sampling {
         sum(col(tokensCol).cast("long")).over(w) - col(tokensCol).cast("long"))
       .withColumn("bin", call_function("div", col("start_offset"), lit(budget)))
       .withColumn("bin_offset", col("start_offset") % lit(budget))
+  }
+
+  /** `pack_sequences_sharded`: [[packOf]]'s scale path — the same
+    * globally-ordered layout WITHOUT a single serialized prefix sum per
+    * stratum. Documents are RANGE-sharded on the id (shard = id div
+    * shardSize, so shard order ≡ id order), the running sum is computed
+    * within each shard in parallel, and each shard's global base is the
+    * running sum of the per-shard TOTALS — a #shards-row frame computed
+    * in one tiny window and broadcast back. Global offset = shard base +
+    * local offset, exactly [[packOf]]'s answer (PackShardedSpec equates
+    * them; the registered query shares `pack_sequences`' oracle), but
+    * the critical path per stratum is one shard, not the stratum.
+    *
+    * shardSize defaults small enough that the registered sf dirs
+    * genuinely exercise multi-shard merges. */
+  def packOfSharded(df: DataFrame, idCol: String, strataCol: String,
+                    tokensCol: String, budget: Long,
+                    shardSize: Long = 128L): DataFrame = {
+    require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
+    val toks = col(tokensCol).cast("long")
+    val withShard = df.withColumn("_shard",
+      call_function("div", col(idCol), lit(shardSize)))
+    val wLocal = Window.partitionBy(col(strataCol), col("_shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-shard totals are shard-count-sized metadata; their running sum
+    // per stratum is the shard's global base offset
+    val wBase = Window.partitionBy(col(strataCol)).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = withShard
+      .groupBy(col(strataCol), col("_shard"))
+      .agg(sum(toks).as("_shard_total"))
+      .withColumn("_shard_base",
+        coalesce(sum(col("_shard_total")).over(wBase), lit(0L)))
+      .select(col(strataCol), col("_shard"), col("_shard_base"))
+    withShard
+      .withColumn("_local", sum(toks).over(wLocal) - toks)
+      .join(broadcast(bases), Seq(strataCol, "_shard"))
+      .withColumn("start_offset", col("_shard_base") + col("_local"))
+      .withColumn("bin", call_function("div", col("start_offset"), lit(budget)))
+      .withColumn("bin_offset", col("start_offset") % lit(budget))
+      .drop("_shard", "_shard_base", "_local")
+  }
+
+  def packSequencesSharded(s: SparkSession, d: String): DataFrame = {
+    val tokens = size(Dedup.tokens(col("text"))).cast("long")
+    packOfSharded(documents(s, d).select(col("doc_id"), col("lang"),
+      tokens.as("n_tokens")), "doc_id", "lang", "n_tokens", Budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("start_offset"), col("bin"), col("bin_offset"))
   }
 
   def packSequencesOracle: String = s"""

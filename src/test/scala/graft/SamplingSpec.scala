@@ -58,6 +58,19 @@ class SamplingSpec extends SparkSpec {
     assert(packed.nonEmpty)
   }
 
+  test("sharded packing equals the serial prefix sum, shard size free") {
+    val tokens = length(col("text")).cast("long")
+    val in = docs.select(col("doc_id"), col("lang"), tokens.as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("start_offset"), col("bin"), col("bin_offset"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val serial = rows(Sampling.packOf(in, "doc_id", "lang", "n", 512L))
+    for (shardSize <- Seq(1L, 16L, 1000000L)) // degenerate, many, single shard
+      assert(rows(Sampling.packOfSharded(in, "doc_id", "lang", "n", 512L, shardSize))
+        == serial, s"diverged at shardSize=$shardSize")
+  }
+
   test("fluent api faces delegate to the same plans") {
     import graft.api._
     val viaApi = docs.stratifiedSample("doc_id", "lang",
