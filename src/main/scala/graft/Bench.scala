@@ -33,7 +33,10 @@ object Bench {
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val (sec, n) = runs.minBy(_._1)
+      // min over SUCCESSFUL reps: a transiently-failed rep must not
+      // contribute its (fast, bogus) time; rows=-1 only if every rep died
+      val ok = runs.filter(_._2 >= 0)
+      val (sec, n) = (if (ok.nonEmpty) ok else runs).minBy(_._1)
       System.err.println(f"[bench] $name%-20s $sec%8.2fs rows=$n" +
         runs.map(r => f"${r._1}%.2f").mkString(" (reps: ", " ", ")"))
       name -> sec

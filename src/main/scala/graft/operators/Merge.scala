@@ -141,10 +141,13 @@ object Merge {
       // just like execution — a validator raising synchronously or an
       // AnalysisException at resolution time. The buffer is already
       // cleared by now, so an escaping throw would lose the batch from
-      // both queues; instead the failure enters [[inFlight]] as an
-      // already-failed outcome and [[result]] routes it to [[failed]] in
-      // submission order, exactly like a runtime crunch failure
-      // (worker.js's nack contract).
+      // both queues; instead a NON-FATAL failure enters [[inFlight]] as
+      // an already-failed outcome and [[result]] routes it to [[failed]]
+      // in submission order, exactly like a runtime crunch failure
+      // (worker.js's nack contract). Fatal JVM errors (OOM, stack
+      // overflow) still propagate by design: a dying worker doesn't
+      // file its own nack — the broker's redelivery of the unacked
+      // batch is the recovery path, in worker.js and here alike.
       scala.util.Try {
         val ids = batchIds.toDF("id")
         val point = pointAgg(validate(

@@ -29,12 +29,14 @@ object Sampling {
   private def thr(rate: Double): Long = (rate * M32).toLong
 
   /** Knuth multiplicative hash of the doc id, folded into [0, 2³²).
-    * The id is reduced mod 2³¹ FIRST so the product stays within Long
-    * (ANSI mode throws on overflow — and silent wraparound would change
-    * the sample); ids ≥ 2³¹ alias, which shifts WHICH rows are sampled
-    * but not the statistics. */
+    * The id is reduced into [0, 2³¹) FIRST — pmod, so NEGATIVE ids hash
+    * into the same non-negative range instead of sailing under every
+    * threshold — and the product stays within Long (ANSI mode throws on
+    * overflow, and silent wraparound would change the sample); ids
+    * outside [0, 2³¹) alias, which shifts WHICH rows are sampled but
+    * not the statistics. */
   private def hash32(id: org.apache.spark.sql.Column) =
-    (id % lit(2147483648L)) * lit(2654435761L) % lit(M32)
+    pmod(id, lit(2147483648L)) * lit(2654435761L) % lit(M32)
 
   /** `sample_stratified`: keep a per-language fraction of the corpus,
     * deterministically. The rate table is a broadcast dim (left join +
@@ -56,6 +58,9 @@ object Sampling {
                    defaultRate: Double): DataFrame = {
     require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
       s"sampling rates must be in [0,1]: $rates default=$defaultRate")
+    require(rates.map(_._1).distinct.size == rates.size,
+      s"duplicate stratum in rates (the join would fan rows out): " +
+        rates.map(_._1).mkString(","))
     val spark = df.sparkSession
     import spark.implicits._
     val ratesDf = rates.map { case (l, r) => (l, thr(r)) }
@@ -66,6 +71,8 @@ object Sampling {
   }
 
   def sampleStratifiedOracle: String = {
+    // DuckDB's % equals Spark's pmod on the non-negative testdata ids;
+    // the pmod distinction only matters for the generic API surface
     val ratesSql = Rates.map { case (l, r) => s"('$l', ${thr(r)})" }.mkString(", ")
     s"""
     SELECT doc_id, lang, source, n_chars
@@ -118,15 +125,20 @@ object Sampling {
     * within each shard in parallel, and each shard's global base is the
     * running sum of the per-shard TOTALS — a #shards-row frame computed
     * in one tiny window and broadcast back. Global offset = shard base +
-    * local offset, exactly [[packOf]]'s answer (PackShardedSpec equates
-    * them; the registered query shares `pack_sequences`' oracle), but
-    * the critical path per stratum is one shard, not the stratum.
+    * local offset, exactly [[packOf]]'s answer (the spec equates them
+    * across shard sizes; the registered query shares `pack_sequences`'
+    * oracle), but the critical path per stratum is one shard, not the
+    * stratum.
     *
-    * shardSize defaults small enough that the registered sf dirs
-    * genuinely exercise multi-shard merges. */
+    * `bases` has #strata × (id range / shardSize) rows — metadata at the
+    * default shardSize (2²⁰ ids/shard ⇒ one row per million ids), so the
+    * join stays cheap; no broadcast hint is forced, because with a SMALL
+    * shardSize `bases` is O(corpus) and must be allowed to shuffle-join
+    * (the registered query passes 128 precisely so the sf dirs exercise
+    * real multi-shard merges). */
   def packOfSharded(df: DataFrame, idCol: String, strataCol: String,
                     tokensCol: String, budget: Long,
-                    shardSize: Long = 128L): DataFrame = {
+                    shardSize: Long = 1L << 20): DataFrame = {
     require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
     val toks = col(tokensCol).cast("long")
     val withShard = df.withColumn("_shard",
@@ -146,7 +158,7 @@ object Sampling {
       .select(col(strataCol), col("_shard"), col("_shard_base"))
     withShard
       .withColumn("_local", sum(toks).over(wLocal) - toks)
-      .join(broadcast(bases), Seq(strataCol, "_shard"))
+      .join(bases, Seq(strataCol, "_shard"))
       .withColumn("start_offset", col("_shard_base") + col("_local"))
       .withColumn("bin", call_function("div", col("start_offset"), lit(budget)))
       .withColumn("bin_offset", col("start_offset") % lit(budget))
@@ -156,7 +168,8 @@ object Sampling {
   def packSequencesSharded(s: SparkSession, d: String): DataFrame = {
     val tokens = size(Dedup.tokens(col("text"))).cast("long")
     packOfSharded(documents(s, d).select(col("doc_id"), col("lang"),
-      tokens.as("n_tokens")), "doc_id", "lang", "n_tokens", Budget)
+      tokens.as("n_tokens")), "doc_id", "lang", "n_tokens", Budget,
+      shardSize = 128L) // small on purpose: sf dirs must multi-shard
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("start_offset"), col("bin"), col("bin_offset"))
   }

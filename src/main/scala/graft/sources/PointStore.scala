@@ -55,13 +55,8 @@ final class PointStore(spark: SparkSession, path: String,
     else new String(java.nio.file.Files.readAllBytes(manifestFile.toPath))
       .trim.split("\n").toSeq.filter(_.nonEmpty)
 
-  private def writeManifest(ms: Seq[String]): Unit = {
-    val tmp = new java.io.File(root, "_MANIFEST.tmp")
-    java.nio.file.Files.write(tmp.toPath, ms.mkString("\n").getBytes)
-    java.nio.file.Files.move(tmp.toPath, manifestFile.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeManifest(ms: Seq[String]): Unit =
+    PointStore.atomicWrite(manifestFile, ms.mkString("\n").getBytes)
 
   /** Next commit sequence number: one past the highest ever written —
     * scanning the DIRECTORY (not the manifest) so a compacted-away name
@@ -131,21 +126,35 @@ final class PointStore(spark: SparkSession, path: String,
   }
 
   /** Delete directories no manifest references (run once no reader can
-    * hold a pre-compaction manifest). */
+    * hold a pre-compaction manifest OR an unexecuted snapshot plan over
+    * one — Spark frames read files lazily). */
   def vacuum(): Unit = {
     val live = members.toSet
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !live(f.getName))
-      .foreach(deleteRec)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete()
+      .foreach(PointStore.deleteRec)
   }
 }
 
 object PointStore {
+
+  /** Atomic small-file commit: write a temp sibling, ATOMIC_MOVE over
+    * the target — a reader sees the old content or the new, never a
+    * torn write. Shared by the store manifest and the cruncher's
+    * batch ledger. */
+  private[graft] def atomicWrite(target: java.io.File, bytes: Array[Byte]): Unit = {
+    val tmp = new java.io.File(target.getParentFile, target.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, bytes)
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+
   /** `point_store_roundtrip`: the reference's worker lifecycle against a
     * store on disk — three batch upserts with a compaction between the
     * second and third, then a merge-on-read snapshot. The oracle is the
@@ -156,10 +165,7 @@ object PointStore {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft_pointstore_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    def wipe(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe); f.delete()
-    }
-    wipe(dir) // deterministic rebuild per run
+    deleteRec(dir) // deterministic rebuild per run
     val store = new PointStore(s, dir.getPath,
       keys = Seq("game_mode", "role"),
       sums = Seq("played", "wins", "time_spent_d", "gold_d"),

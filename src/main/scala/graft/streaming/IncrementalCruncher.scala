@@ -12,8 +12,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * a [[graft.sources.PointStore]] — an O(batch) delta append, NOT a
   * rewrite of the table (the pre-r5 implementation re-read and re-wrote
   * the whole point table per micro-batch: correct, but O(table) per
-  * batch). Every `compactEvery` deltas the store compacts and vacuums,
-  * bounding merge-on-read width; the additive-merge law (MergeSpec)
+  * batch). Every `compactEvery` deltas the store compacts, bounding
+  * merge-on-read width; the additive-merge law (MergeSpec)
   * makes batch boundaries and compaction points invisible in
   * [[result]], which IncrementalSpec equates with the one-shot aggregate.
   *
@@ -44,27 +44,31 @@ final class IncrementalCruncher(spark: SparkSession, stateDir: String,
     else new String(java.nio.file.Files.readAllBytes(committedFile.toPath))
       .split("\n").filter(_.nonEmpty).map(_.toLong).toSet
 
-  private def commitBatch(id: Long): Unit = {
-    val tmp = new java.io.File(root, "_COMMITTED.tmp")
-    java.nio.file.Files.write(tmp.toPath,
+  private def commitBatch(id: Long): Unit =
+    PointStore.atomicWrite(committedFile,
       (committedBatches + id).toSeq.sorted.mkString("\n").getBytes)
-    java.nio.file.Files.move(tmp.toPath, committedFile.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
 
   /** The live point table (None before the first batch). */
   def pointTable(): Option[DataFrame] =
     if (store.members.isEmpty) None else Some(store.snapshot)
 
   /** Fold one batch of fact rows into the point table; re-deliveries of
-    * an already-committed batch id are no-ops. */
+    * an already-committed batch id are no-ops. Compaction leaves the
+    * superseded directories on disk: a snapshot previously handed out by
+    * [[pointTable]]/[[result]] is a LAZY plan that still references them
+    * until executed. Call [[vacuum]] from the owner at a point where no
+    * such plan is outstanding. */
   def mergeBatch(batch: DataFrame, batchId: Long): Unit =
     if (!committedBatches(batchId)) {
       store.appendTagged(s"b$batchId", Merge.pointAgg(batch))
       commitBatch(batchId)
-      if (store.deltaCount >= compactEvery) { store.compact(); store.vacuum() }
+      if (store.deltaCount >= compactEvery) store.compact()
     }
+
+  /** Reclaim compacted-away directories — only safe once every snapshot
+    * frame handed out before the last compaction has been executed or
+    * dropped (Spark reads files lazily at execution time). */
+  def vacuum(): Unit = store.vacuum()
 
   /** Attach to a streaming source of fact rows. */
   def run(stream: DataFrame, checkpoint: String): StreamingQuery =

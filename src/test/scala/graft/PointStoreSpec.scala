@@ -12,10 +12,7 @@ class PointStoreSpec extends SparkSpec {
 
   private def freshDir(tag: String): String = {
     val d = new java.io.File("/tmp", s"graft_pointstore_spec_$tag")
-    def wipe(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe); f.delete()
-    }
-    wipe(d)
+    PointStore.deleteRec(d)
     d.getPath
   }
 

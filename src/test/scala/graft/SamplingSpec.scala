@@ -29,6 +29,26 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("negative ids hash into range: rate 0 keeps nothing, rates bind") {
+    import spark.implicits._
+    val signed = Seq(-5L, -4L, -3L, -2L, -1L, 1L, 2L, 3L, 4L, 5L)
+      .map(i => (i, "en")).toDF("id", "s")
+    // rate 0 everywhere must keep NO rows — a sign-leaking hash would
+    // pass every negative id under the 0 threshold
+    assert(Sampling.stratifiedOf(signed, "id", "s",
+      Seq("en" -> 0.0), defaultRate = 0.0).count() == 0)
+    // rate 1 keeps everything, negative ids included
+    assert(Sampling.stratifiedOf(signed, "id", "s",
+      Seq("en" -> 1.0), defaultRate = 1.0).count() == 10)
+  }
+
+  test("duplicate strata in the rate list are rejected (join would fan out)") {
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedOf(docs, "doc_id", "lang",
+        Seq("en" -> 0.5, "en" -> 0.3), defaultRate = 0.1)
+    }
+  }
+
   test("per-stratum rates differ as configured") {
     // en sampled at 0.5 vs es at 0.2: the observed per-stratum fractions
     // must separate (loose bounds — hash uniformity, small corpus)
