@@ -104,7 +104,7 @@ object Ann {
 
   // ------------------------------------------------------------------ IVF
 
-  val Cells = 16
+  val Cells = 32
 
   /** Hard cap on the vectors collected for quantizer training — the
     * sample stays driver-sized metadata (≤ TrainCap × dim doubles, ~32 MB
@@ -273,8 +273,14 @@ object Ann {
         .withColumn("c", dot(col("qv"), col("nv"))))
   }
 
+  /** Registered probe width: nprobe/Cells = 1/4 of the corpus scanned.
+    * Round 5 doubled the cell count at the same scan fraction (16/4 →
+    * 32/8): finer cells put the scanned quarter closer to each query —
+    * measured recall@10 at sf0.01: 0.42 → 0.58. */
+  val NProbe = 8
+
   /** Registered `ann_ivf` runs a partial probe (the honest scale config). */
-  def annIvf(s: SparkSession, d: String): DataFrame = ivfTopk(s, d, nprobe = 4)
+  def annIvf(s: SparkSession, d: String): DataFrame = ivfTopk(s, d, NProbe)
 
   // ----------------------------------------------------- embedding dedup
 

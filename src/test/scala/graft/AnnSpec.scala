@@ -25,7 +25,7 @@ class AnnSpec extends SparkSpec {
     assert(counts.forall(_ <= Ann.K))
     val hits = part.count(r => exact.contains((r.getLong(0), r.getLong(2))))
     val recall = hits.toDouble / exact.size
-    info(f"ann_ivf recall@${Ann.K} nprobe=4/${Ann.Cells}: $recall%.3f")
+    info(f"ann_ivf recall@${Ann.K} nprobe=${Ann.NProbe}/${Ann.Cells}: $recall%.3f")
     assert(recall > 0.0) // partial probe must still find some true neighbors
   }
 
