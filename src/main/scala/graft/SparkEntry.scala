@@ -57,6 +57,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
+    "multimodal_dedup"  -> (Multimodal.multimodalDedup _),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "pack_sequences"    -> (Sampling.packSequences _),
     "pack_sequences_sharded" -> (Sampling.packSequencesSharded _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "lang_id"         -> TextOps.langIdOracle,
     "multimodal_meta"   -> Multimodal.multimodalMetaOracle,
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,
+    "multimodal_dedup"  -> Multimodal.multimodalDedupOracle,
     "sample_stratified" -> Sampling.sampleStratifiedOracle,
     "pack_sequences"    -> Sampling.packSequencesOracle,
     // the sharded scale path must land on the identical layout

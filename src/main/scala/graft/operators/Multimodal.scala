@@ -88,6 +88,28 @@ object Multimodal {
            CAST(f.frame_idx * (n_bytes // greatest(n_frames, 1)) AS BIGINT) AS byte_offset
     FROM meta, unnest(range(0, n_frames, 5)) AS f(frame_idx)"""
 
+  /** Exact media dedup: one row per distinct payload digest with the
+    * copy count, keeper (min doc id), and reclaimable bytes — the
+    * binary-column face of `dedup_exact`, composed THROUGH the typed
+    * partition-batch decode (the hash comes out of decodeBatch, not a
+    * second scan), then one hash-shuffle on the digest. At 100 TB the
+    * digest is 32 bytes/row — the shuffle carries fingerprints, never
+    * payloads. */
+  def multimodalDedup(s: SparkSession, d: String): DataFrame =
+    multimodalMeta(s, d)
+      .groupBy(col("sha_hex").as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_id"),
+        sum(col("n_bytes")).as("total_bytes"))
+
+  def multimodalDedupOracle: String = """
+    SELECT sha256(text) AS content_hash,
+      count(*) AS n_copies,
+      min(doc_id) AS keeper_id,
+      CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1"""
+
   def multimodalMetaOracle: String = """
     SELECT doc_id,
       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

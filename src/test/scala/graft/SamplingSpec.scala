@@ -91,6 +91,27 @@ class SamplingSpec extends SparkSpec {
         == serial, s"diverged at shardSize=$shardSize")
   }
 
+  test("stratified sampling runs unchanged on a stream (stateless ingest filter)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "es"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows)
+    val q = Sampling.stratifiedOf(
+        stream.toDF.toDF("id", "s"), "id", "s",
+        Seq("en" -> 0.5, "es" -> 0.2), defaultRate = 0.0)
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sample_out")
+      .collect().map(_.getLong(0)).toSet
+    val batch = Sampling.stratifiedOf(rows.toDF("id", "s"), "id", "s",
+        Seq("en" -> 0.5, "es" -> 0.2), defaultRate = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("fluent api faces delegate to the same plans") {
     import graft.api._
     val viaApi = docs.stratifiedSample("doc_id", "lang",
