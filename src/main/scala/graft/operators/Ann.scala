@@ -312,7 +312,7 @@ object Ann {
     * the minhash posting table documents. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val cents = cachedCentroids(s, d)
-    // pin the assignment: the 16-centroid argmax projection is expensive
+    // pin the assignment: the Cells-centroid argmax projection is expensive
     // to codegen and is needed by the radius job AND both join sides —
     // persist-materialize-release (same lifecycle as Dedup.staged) makes
     // it one compilation + one pass

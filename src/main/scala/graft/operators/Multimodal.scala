@@ -89,7 +89,8 @@ object Multimodal {
     FROM meta, unnest(range(0, n_frames, 5)) AS f(frame_idx)"""
 
   /** Exact media dedup: one row per distinct payload digest with the
-    * copy count, keeper (min doc id), and reclaimable bytes — the
+    * copy count, keeper (min doc id), and TOTAL payload bytes across all
+    * copies (reclaimable space = total − one copy) — the
     * binary-column face of `dedup_exact`, composed THROUGH the typed
     * partition-batch decode (the hash comes out of decodeBatch, not a
     * second scan), then one hash-shuffle on the digest. At 100 TB the

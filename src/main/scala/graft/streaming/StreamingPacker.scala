@@ -31,6 +31,7 @@ object StreamingPacker {
 
   def step(budget: Long)(stratum: String, docs: Iterator[Doc],
                          state: GroupState[PackState]): Iterator[Packed] = {
+    require(budget > 0, s"token budget must be positive: $budget")
     var off = state.getOption.map(_.nextOffset).getOrElse(0L)
     val out = docs.toIndexedSeq.sortBy(_.doc_id).map { d =>
       val p = Packed(d.doc_id, stratum, d.n_tokens, off,
@@ -43,9 +44,18 @@ object StreamingPacker {
   }
 
   /** Wire the stateful step over a (streaming or batch) document
-    * Dataset. No watermark: offsets are permanent stream positions. */
+    * Dataset. No watermark: offsets are permanent stream positions.
+    *
+    * Throughput shape: each trigger funnels a stratum's batch slice
+    * through one task (the within-batch sort buffers that slice), so
+    * per-trigger cost is O(largest stratum's slice), not O(strata) —
+    * the state is tiny, the per-trigger work is not automatically so.
+    * A single mega-stratum ingest should pre-shard the stratum key
+    * (the streaming analogue of `Sampling.packOfSharded`) and stitch
+    * shard offsets downstream. */
   def pack(s: SparkSession, docs: Dataset[Doc],
            budget: Long = graft.operators.Sampling.Budget): Dataset[Packed] = {
+    require(budget > 0, s"token budget must be positive: $budget")
     import s.implicits._
     docs.groupByKey(_.stratum)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
