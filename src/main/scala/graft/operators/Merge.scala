@@ -201,6 +201,28 @@ object Merge {
 
     /** Drop the cached batch partials (after consuming [[result]]). */
     def release(): Unit = { crunched.foreach(_.unpersist(false)); crunched = Vector.empty }
+
+    /** Full lifecycle reset for a long-lived driver: [[release]] the
+      * cached partials AND clear the accepted-id dedup set, the failed
+      * queue, the reject log, and any unflushed buffer — the complete
+      * driver state, so a Cruncher reused across runs does not leak
+      * memory with the corpus's distinct-id count. Call between runs,
+      * after consuming [[result]] (any still-in-flight batch is awaited
+      * and discarded, so no future races a cleared cache). */
+    def reset(): Unit = {
+      inFlight.foreach { case (_, point, fut) =>
+        scala.util.Try(
+          scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf))
+        point.foreach(_.unpersist(false))
+      }
+      inFlight = Vector.empty
+      release()
+      seenIds = Set.empty
+      failedBatches = Vector.empty
+      rejectedMsgs = Vector.empty
+      pending = Vector.empty
+      oldestPendingAt = Long.MaxValue
+    }
   }
 
   def batchDriver(s: SparkSession, d: String): DataFrame = {

@@ -71,14 +71,17 @@ object Sampling {
   }
 
   def sampleStratifiedOracle: String = {
-    // DuckDB's % equals Spark's pmod on the non-negative testdata ids;
-    // the pmod distinction only matters for the generic API surface
+    // The oracle mirrors Spark's pmod exactly (DuckDB's % is
+    // sign-preserving), so the comparison stays valid for negative ids
+    // too. Intermediate max is (2³¹-1 + 2³¹) before the second %, and
+    // the kept residue (< 2³¹) times the Knuth constant stays < 2⁶² —
+    // both inside BIGINT.
     val ratesSql = Rates.map { case (l, r) => s"('$l', ${thr(r)})" }.mkString(", ")
     s"""
     SELECT doc_id, lang, source, n_chars
     FROM documents
     LEFT JOIN (VALUES $ratesSql) AS rates(r_lang, thr) ON lang = r_lang
-    WHERE (doc_id % 2147483648) * 2654435761 % $M32
+    WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761 % $M32
           < coalesce(thr, ${thr(DefaultRate)})"""
   }
 
@@ -156,13 +159,21 @@ object Sampling {
       .withColumn("_shard_base",
         coalesce(sum(col("_shard_total")).over(wBase), lit(0L)))
       .select(col(strataCol), col("_shard"), col("_shard_base"))
+    // Null-safe join: packOf's window keeps a null stratum as its own
+    // partition, so the base join must match it too (a plain equi-join
+    // would silently drop every null-stratum row). <=> is still an
+    // equi-join predicate — the plan stays a hash join, never a BNLJ.
+    val basesR = bases
+      .withColumnRenamed(strataCol, "_b_stratum")
+      .withColumnRenamed("_shard", "_b_shard")
     withShard
       .withColumn("_local", sum(toks).over(wLocal) - toks)
-      .join(bases, Seq(strataCol, "_shard"))
+      .join(basesR, col(strataCol) <=> col("_b_stratum") &&
+        col("_shard") <=> col("_b_shard"))
       .withColumn("start_offset", col("_shard_base") + col("_local"))
       .withColumn("bin", call_function("div", col("start_offset"), lit(budget)))
       .withColumn("bin_offset", col("start_offset") % lit(budget))
-      .drop("_shard", "_shard_base", "_local")
+      .drop("_shard", "_b_stratum", "_b_shard", "_shard_base", "_local")
   }
 
   def packSequencesSharded(s: SparkSession, d: String): DataFrame = {

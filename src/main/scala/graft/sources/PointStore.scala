@@ -49,11 +49,29 @@ final class PointStore(spark: SparkSession, path: String,
   root.mkdirs()
   private def manifestFile = new java.io.File(root, "_MANIFEST")
 
-  /** Member directories of the current snapshot, oldest first. */
-  def members: Seq[String] =
+  /** Raw manifest lines: member directories plus `#tag:` ledger entries
+    * (tags of tagged deltas that have been folded away by [[compact]] —
+    * kept so [[appendTagged]] idempotence survives compaction). */
+  private def manifestLines: Seq[String] =
     if (!manifestFile.exists) Seq.empty
     else new String(java.nio.file.Files.readAllBytes(manifestFile.toPath))
       .trim.split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Member directories of the current snapshot, oldest first. */
+  def members: Seq[String] = manifestLines.filterNot(_.startsWith("#"))
+
+  /** Tags consumed by [[appendTagged]], whether their delta is still a
+    * live member or already compacted into a base. Grows with distinct
+    * tags for the life of the store — tags are batch identifiers
+    * (manifest metadata), not data-sized. */
+  def consumedTags: Set[String] =
+    manifestLines.collect {
+      case l if l.startsWith(TagLine) => l.stripPrefix(TagLine)
+      case l if l.startsWith("delta-") && !l.matches("delta-[0-9]+") =>
+        l.stripPrefix("delta-")
+    }.toSet
+
+  private val TagLine = "#tag:"
 
   private def writeManifest(ms: Seq[String]): Unit =
     PointStore.atomicWrite(manifestFile, ms.mkString("\n").getBytes)
@@ -84,15 +102,18 @@ final class PointStore(spark: SparkSession, path: String,
     writeDelta(f"delta-$nextSeq%06d", partial)
 
   /** Idempotent append for at-least-once delivery (foreachBatch retry
-    * semantics): a delta whose `tag` is already committed to the manifest
-    * is a no-op, and a directory left by a CRASHED attempt (written but
-    * never committed) is overwritten — the manifest flip is the one
-    * commit point. Returns whether this call committed the delta.
+    * semantics): a delta whose `tag` was ever committed — live in the
+    * manifest OR already folded into a base by [[compact]] (the tag
+    * stays in the manifest's `#tag:` ledger) — is a no-op, and a
+    * directory left by a CRASHED attempt (written but never committed)
+    * is overwritten: the manifest flip is the one commit point for both
+    * the delta and its tag, so there is no state where one is durable
+    * without the other. Returns whether this call committed the delta.
     * `tag` must be filesystem-safe and non-numeric (numeric names are the
     * sequence-numbered namespace of [[append]]/[[compact]]). */
   def appendTagged(tag: String, partial: DataFrame): Boolean = {
     val name = s"delta-$tag"
-    if (members.contains(name)) false
+    if (members.contains(name) || consumedTags(tag)) false
     else { writeDelta(name, partial); true }
   }
 
@@ -100,7 +121,7 @@ final class PointStore(spark: SparkSession, path: String,
     mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/$name")
-    writeManifest(members :+ name)
+    writeManifest(manifestLines :+ name)
   }
 
   /** Merge-on-read view: base + deltas scanned in parallel, one
@@ -114,14 +135,16 @@ final class PointStore(spark: SparkSession, path: String,
   }
 
   /** Fold the snapshot into a single new base and drop the delta list
-    * from the manifest. Old directories stay on disk for in-flight
-    * readers of the previous manifest; [[vacuum]] reclaims them. */
+    * from the manifest; tags of folded-away tagged deltas are preserved
+    * as `#tag:` ledger lines so [[appendTagged]] stays idempotent across
+    * compaction. Old directories stay on disk for in-flight readers of
+    * the previous manifest; [[vacuum]] reclaims them. */
   def compact(): Unit = {
     val ms = members
     if (ms.size > 1 || (ms.size == 1 && !ms.head.startsWith("base-"))) {
       val name = f"base-$nextSeq%06d"
       snapshot.write.parquet(s"$path/$name")
-      writeManifest(Seq(name))
+      writeManifest(name +: consumedTags.toSeq.sorted.map(TagLine + _))
     }
   }
 

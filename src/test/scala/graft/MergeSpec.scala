@@ -37,4 +37,21 @@ class MergeSpec extends SparkSpec {
     val direct = Merge.finish(Merge.merge(Seq(Merge.pointAgg(li))))
     assert(rows(driver) == rows(direct))
   }
+
+  test("reset() clears the dedup set and queues — a reused cruncher re-crunches") {
+    val ids = Tables.orders(spark, sf).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 7 === 0)
+    val expect = rows(Merge.finish(Merge.merge(Seq(Merge.pointAgg(li)))))
+    val c = new Merge.Cruncher(spark, sf, batchSize = math.max(1, ids.size / 2))
+    ids.foreach(c.submit)
+    assert(rows(c.result()) == expect)
+    c.reset()
+    // without reset, every id is in seenIds and result() merges nothing;
+    // after reset the same cruncher runs the full cycle again
+    ids.foreach(c.submit)
+    assert(rows(c.result()) == expect)
+    c.reset()
+  }
 }

@@ -81,4 +81,27 @@ class PointStoreSpec extends SparkSpec {
     val dir = freshDir("empty")
     intercept[IllegalArgumentException](build(dir).snapshot)
   }
+
+  test("appendTagged idempotence survives compaction and reopen (ADVICE r5)") {
+    val dir = freshDir("tags")
+    val store = build(dir)
+    val li = Tables.lineitem(spark, sf)
+    def batch(m: Int) = Merge.pointAgg(li.filter(col("l_orderkey") % 2 === m))
+    assert(store.appendTagged("b0", batch(0)))
+    assert(!store.appendTagged("b0", batch(0))) // live-delta redelivery
+    assert(store.appendTagged("b1", batch(1)))
+    store.compact()
+    // post-compaction redelivery: the tag ledger, not the member list,
+    // must block the re-fold — this double-counted before the fix
+    assert(!store.appendTagged("b0", batch(0)))
+    assert(!store.appendTagged("b1", batch(1)))
+    val reopened = build(dir) // ledger is manifest state, survives reopen
+    assert(!reopened.appendTagged("b0", batch(0)))
+    assert(reopened.consumedTags == Set("b0", "b1"))
+    assert(Merge.finish(reopened.snapshot).collect().map(_.mkString("|")).toSet
+      == oneShot)
+    // a second compact keeps the ledger
+    reopened.append(batch(0)); reopened.compact()
+    assert(!reopened.appendTagged("b1", batch(1)))
+  }
 }

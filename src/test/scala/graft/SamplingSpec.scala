@@ -91,6 +91,24 @@ class SamplingSpec extends SparkSpec {
         == serial, s"diverged at shardSize=$shardSize")
   }
 
+  test("sharded packing keeps null-stratum rows (null-safe base join)") {
+    // packOf's window keeps a null stratum as its own partition; the
+    // sharded form's base join must match it too — an inner equi-join
+    // on the stratum silently dropped these rows (ADVICE r5 medium)
+    import spark.implicits._
+    val in = Seq((1L, Some("en"), 10L), (2L, None, 20L), (3L, None, 30L),
+        (4L, Some("en"), 40L), (5L, None, 50L))
+      .toDF("doc_id", "lang", "n")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("start_offset"), col("bin"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val serial = rows(Sampling.packOf(in, "doc_id", "lang", "n", 32L))
+    assert(serial.map(_._1) == Set(1L, 2L, 3L, 4L, 5L))
+    for (shardSize <- Seq(1L, 2L, 100L))
+      assert(rows(Sampling.packOfSharded(in, "doc_id", "lang", "n", 32L, shardSize))
+        == serial, s"null-stratum rows lost at shardSize=$shardSize")
+  }
+
   test("stratified sampling runs unchanged on a stream (stateless ingest filter)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
