@@ -41,7 +41,7 @@ object SparkEntry {
     "window_topn"        -> (Windows.windowTopN _),
     "asof_join"          -> (Joins.asofJoin _),
     "asof_join_native"   -> (Joins.asofJoinNative _),
-    // LLM-data-pipeline surface (#19-30); simhash/ivf/fingerprint are
+    // LLM-data-pipeline surface (#19-30); simhash/ivf are
     // non-SQL-expressible (xxhash64 / approximate recall have no DuckDB
     // twin) → no oracle there (rows-only check + ScalaTests)
     "dedup_exact"     -> (Dedup.dedupExact _),
@@ -99,6 +99,7 @@ object SparkEntry {
     "text_stats"      -> TextOps.textStatsOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
+    "doc_fingerprint" -> TextOps.docFingerprintOracle,
     "multimodal_meta"   -> Multimodal.multimodalMetaOracle,
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,
     "multimodal_dedup"  -> Multimodal.multimodalDedupOracle,

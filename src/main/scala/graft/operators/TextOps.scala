@@ -186,18 +186,25 @@ object TextOps {
     * style): hash every word 3-shingle in order, slide a window of 4
     * hashes, keep each window's minimum, dedup. Guarantee: any shared run
     * of ≥ 6 tokens between two docs yields a shared fingerprint. Pure
-    * array expressions per row. No SQL oracle (xxhash64 has no DuckDB
-    * twin); FingerprintSpec checks the containment property. */
+    * array expressions per row.
+    *
+    * Winnowing is hash-family-agnostic — [[winnow]] only needs an ordered
+    * hash type. The registered query uses md5-hex-16 prints (a builtin in
+    * BOTH engines, so the FULL pipeline — tokenize → shingle → window-min
+    * → dedup — is replicated and hash-compared in DuckDB); the dedup
+    * operators keep xxhash64 where no oracle needs to follow the hash. */
   val WinnowWindow = 4
 
-  /** Ordered (non-distinct) 3-shingle hashes from a MATERIALIZED token
-    * column (see Dedup.shinglesOfTokens for why w must not be inline). */
+  /** Ordered (non-distinct) 3-shingle md5-hex prints (first 16 hex chars
+    * — 64 bits; ASCII-hex lexicographic order ≡ numeric order, so
+    * window-min agrees across engines) from a MATERIALIZED token column
+    * (see Dedup.shinglesOfTokens for why w must not be inline). */
   def shingleHashesOfTokens(w: Column): Column =
     when(size(w) >= 3,
       transform(sequence(lit(0), size(w) - 3), i =>
-        xxhash64(concat_ws(" ", element_at(w, i + lit(1)), element_at(w, i + lit(2)),
-          element_at(w, i + lit(3))))))
-      .otherwise(array().cast("array<bigint>"))
+        substring(md5(concat_ws(" ", element_at(w, i + lit(1)),
+          element_at(w, i + lit(2)), element_at(w, i + lit(3)))), 1, 16)))
+      .otherwise(array().cast("array<string>"))
 
   /** Inline convenience for small inputs (tests) — quadratic form. */
   def shingleHashes(text: Column): Column =
@@ -226,4 +233,27 @@ object TextOps {
       .repartition(col("doc_id"))
       .select(col("doc_id"), shingleHashesOfTokens(col("w")).as("hs"))
       .select(col("doc_id"), explode(winnow(col("hs"))).as("fingerprint"))
+
+  /** DuckDB twin of the FULL winnowing pipeline. unnest over an empty
+    * list emits no rows, matching Spark's non-outer explode for docs
+    * shorter than one shingle. */
+  def docFingerprintOracle: String = raw"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN
+          list_transform(generate_series(1, len(w)-2), i ->
+            substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 16))
+        ELSE CAST([] AS VARCHAR[]) END AS hs
+      FROM t),
+    f AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) >= $WinnowWindow THEN
+          list_distinct(list_transform(generate_series(1, len(hs)-${WinnowWindow - 1}),
+            i -> list_min(hs[i:i+${WinnowWindow - 1}])))
+        ELSE list_distinct(hs) END AS fps
+      FROM h)
+    SELECT doc_id, unnest(fps) AS fingerprint FROM f"""
 }

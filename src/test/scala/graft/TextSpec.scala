@@ -33,7 +33,7 @@ class TextSpec extends SparkSpec {
     val fp = Seq(("a", base), ("b", shifted), ("c", other))
       .toDF("id", "text")
       .select(col("id"), TextOps.fingerprintArr(col("text")).as("fp"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
     assert((fp("a") & fp("b")).nonEmpty)   // winnowing guarantees shared runs surface
     assert((fp("a") & fp("c")).isEmpty)    // disjoint token streams share nothing
     assert(fp("a").subsetOf(fp("b") ++ fp("a"))) // shift only adds/keeps prints
