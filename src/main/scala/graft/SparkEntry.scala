@@ -41,9 +41,9 @@ object SparkEntry {
     "window_topn"        -> (Windows.windowTopN _),
     "asof_join"          -> (Joins.asofJoin _),
     "asof_join_native"   -> (Joins.asofJoinNative _),
-    // LLM-data-pipeline surface (#19-30); simhash/ivf are
-    // non-SQL-expressible (xxhash64 / approximate recall have no DuckDB
-    // twin) → no oracle there (rows-only check + ScalaTests)
+    // LLM-data-pipeline surface (#19-30); ann_ivf is the one
+    // non-SQL-expressible query left (approximate recall has no DuckDB
+    // twin) → no oracle there (rows-only check + AnnSpec)
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_ngram"     -> (Dedup.dedupNgram _),
@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_exact"     -> Dedup.dedupExactOracle,
     "dedup_minhash"   -> Dedup.dedupMinhashOracle,
     "dedup_ngram"     -> Dedup.dedupNgramOracle,
+    "dedup_simhash"   -> Dedup.dedupSimhashOracle,
     "dedup_embedding" -> Ann.dedupEmbeddingOracle,
     "ann_topk"        -> Ann.annTopkOracle,
     "text_stats"      -> TextOps.textStatsOracle,

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *   equals the exact all-pairs answer the DuckDB oracle computes.
   * - `dedup_ngram`: exact n-gram Jaccard via an inverted shingle index
   *   (posting-list self-join) — the exact counterpart to the LSH path.
-  * - `dedup_simhash`: 64-bit SimHash with 4×16-bit band bucketing and
-  *   Hamming≤3 verification (no SQL oracle; SimhashSpec checks it against
-  *   brute force).
+  * - `dedup_simhash`: 60-bit SimHash (md5-derived feature hashes — a hash
+  *   family both engines share, so the whole pipeline is oracle-checked)
+  *   with 4×15-bit band bucketing and Hamming≤3 verification; SimhashSpec
+  *   additionally proves banding recall against brute force.
   *
   * Skew note (100 TB): hub shingles (stop-phrase posting lists) skew the
   * inverted-index join. The standard mitigation — salt the hot shingle's
@@ -326,20 +327,35 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over distinct 3-shingles: bit k of the signature is the
-    * sign of Σ_features (±1 by feature-hash bit k). Banded into 4×16 bits —
-    * a pair within Hamming ≤ 3 agrees exactly on ≥1 band (pigeonhole), so
-    * bucket candidates have guaranteed recall; Hamming verified via
-    * bit_count(xor). No SQL oracle (SimhashSpec vs brute force). */
+  /** SimHash signature width and banding. 60 bits = 4 bands × 15: a pair
+    * within Hamming ≤ 3 agrees exactly on ≥ 1 band (pigeonhole), so
+    * bucket candidates have guaranteed recall. */
+  val SimhashBits  = 60
+  val SimhashBands = 4
+  private val BandBits = SimhashBits / SimhashBands // 15
+
+  /** 60-bit feature hash of a shingle: the first 15 md5 hex chars parsed
+    * as an integer. md5 is a builtin in BOTH engines (DuckDB:
+    * `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`), and 60 bits keeps the
+    * value inside a signed BIGINT in both — which is what lets the whole
+    * simhash pipeline be oracle-checked, unlike the xxhash64 family the
+    * other dedup paths keep for raw speed. */
+  def md5Hash60(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over distinct 3-shingles: bit k of the signature is the
+    * sign of Σ_features (±1 by feature-hash bit k). Hamming verified via
+    * bit_count(xor); the full signature+banding+verify pipeline is
+    * DuckDB-oracle-checked, and SimhashSpec proves banding recall vs the
+    * brute-force pair table. */
   def simhashSignatures(docs: DataFrame, n: Int): DataFrame = {
-    // hashedShingles' posting IS xxhash64(shingle) — the exact feature
-    // hash this signature always used, precomputed, so signatures are
-    // bit-identical to the string-posting formulation.
-    val h = col("shingle")
-    val bitSums = (0 until 64).map(k =>
+    val h = col("h")
+    val bitSums = (0 until SimhashBits).map(k =>
       sum(when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$k"))
-    val sums = hashedShingles(docs, n).groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map(k =>
+    val sums = shingles(docs, n)
+      .select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
+      .groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until SimhashBits).map(k =>
       when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
     sums.select(col("doc_id"), sim.as("simhash"))
   }
@@ -347,8 +363,9 @@ object Dedup {
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sig = simhashSignatures(documents(s, d), 3)
     val bands = sig.select(col("doc_id"), col("simhash"), posexplode(array(
-      (0 until 4).map(j =>
-        shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+      (0 until SimhashBands).map(j =>
+        shiftrightunsigned(col("simhash"), BandBits * j)
+          .bitwiseAND(lit((1L << BandBits) - 1))): _*))
       .as(Seq("band", "bv")))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -357,5 +374,36 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+  }
+
+  /** DuckDB twin of the FULL simhash pipeline: same shingles, same md5
+    * 60-bit feature hash, 60 bit-vote sums, signature assembly, 4×15-bit
+    * banding, bucketed pair generation and Hamming verify. The bit sums
+    * are generated columns (DuckDB sums to HUGEINT internally — only the
+    * sign is consumed, so no cast drift reaches the output). */
+  def dedupSimhashOracle: String = {
+    val sums = (0 until SimhashBits).map(k =>
+      s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
+      .mkString(",\n      ")
+    val sig = (0 until SimhashBits).map(k =>
+      s"(CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    val js = (0 until SimhashBands).map(j => s"($j)").mkString(",")
+    s"""
+    WITH ${shingleSqlCte(3)},
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+          FROM sh),
+    bt AS (SELECT doc_id,
+      $sums
+      FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, $sig AS simhash FROM bt),
+    bands AS (
+      SELECT doc_id, simhash, j, (simhash >> ($BandBits * j)) & ${(1L << BandBits) - 1} AS bv
+      FROM sig, (VALUES $js) AS js(j)),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+      FROM bands x JOIN bands y
+        ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT a, b, hamming FROM pairs WHERE hamming <= 3"""
   }
 }

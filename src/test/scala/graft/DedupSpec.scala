@@ -62,7 +62,7 @@ class DedupSpec extends SparkSpec {
     } yield (a, b)).toSet
     val got = Dedup.dedupSimhash(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 4 bands × 16 bits: hamming<=3 implies >=1 exact band (pigeonhole) —
+    // 4 bands × 15 bits: hamming<=3 implies >=1 exact band (pigeonhole) —
     // bucketed candidates are guaranteed complete, so equality must hold
     assert(got == expected)
   }
