@@ -66,6 +66,8 @@ object SparkEntry {
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
     // sinks (#38): LSM point-table store — append/compact/merge-on-read
     "point_store_roundtrip" -> (graft.sources.PointStore.roundtrip _),
+    // #38b: the changefeed read path — O(changes) since a checkpoint
+    "point_store_changes"   -> (graft.sources.PointStore.changefeed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -111,5 +113,6 @@ object SparkEntry {
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
     "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,
+    "point_store_changes"   -> graft.sources.PointStore.changefeedOracle,
   )
 }

@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   *  - [[compact]] folds the current snapshot into a new base and resets
   *    the delta list, amortizing read cost; readers of the old manifest
   *    still see intact directories ([[vacuum]] reclaims unreferenced ones
-  *    later — the Delta VACUUM contract).
+  *    later — the Delta VACUUM contract);
+  *  - [[changesSince]] is the changefeed: every committed delta gets a
+  *    monotonic version in the manifest's change log, and a consumer
+  *    reads O(changes) key-grain upsert images since its checkpoint —
+  *    never O(table) — across compaction boundaries (the CDF contract;
+  *    [[vacuum]]'s retention horizon bounds how far back a consumer may
+  *    fall before it must resync from [[snapshot]]).
   *
   * Commits are an atomic manifest flip (`_MANIFEST` written via temp file
   * + ATOMIC_MOVE): a reader sees the store before a commit or after it,
@@ -72,6 +78,53 @@ final class PointStore(spark: SparkSession, path: String,
     }.toSet
 
   private val TagLine = "#tag:"
+  private val LogLine = "#log:"
+
+  /** Commit log of content changes: (version, delta dir), ascending.
+    * Only [[append]]/[[appendTagged]] bump the version — [[compact]]
+    * reorganizes storage without changing content, so a changefeed
+    * consumer never sees a compaction. Entries are pruned by [[vacuum]]
+    * (the changefeed retention horizon); until then the named dirs stay
+    * on disk even after compaction folds them into a base. */
+  private def changeLog: Seq[(Long, String)] =
+    manifestLines.collect { case l if l.startsWith(LogLine) =>
+      val rest = l.stripPrefix(LogLine)
+      val cut = rest.indexOf(':')
+      (rest.take(cut).toLong, rest.drop(cut + 1))
+    }.sortBy(_._1)
+
+  /** Current content version: 0 for an empty/never-appended store, +1 per
+    * committed delta. Survives compaction and vacuum (the max also folds
+    * in [[vacuumedThrough]] so a fully-pruned log keeps counting up). */
+  def version: Long =
+    (vacuumedThrough +: changeLog.map(_._1)).max
+
+  private val VacLine = "#vacuumed:"
+
+  /** Highest version pruned from the change log by [[vacuum]] — reads at
+    * or below this horizon must resync from [[snapshot]]. */
+  def vacuumedThrough: Long =
+    manifestLines.collect { case l if l.startsWith(VacLine) =>
+      l.stripPrefix(VacLine).toLong
+    }.foldLeft(0L)(math.max)
+
+  /** Changefeed read: the key-grain partial aggregate of everything
+    * committed AFTER version `since` — O(changes), never O(table), and
+    * valid across [[compact]] (folded delta dirs stay on disk until
+    * [[vacuum]]). The rows are additive upsert images: downstream
+    * consumers fold them exactly like [[snapshot]]'s merge (sums add,
+    * maxes fold) — the same contract the reference's ON DUPLICATE KEY
+    * consumers have. Asking for a horizon [[vacuum]] has pruned fails
+    * loudly (resync from [[snapshot]] instead of silently losing rows). */
+  def changesSince(since: Long): DataFrame = {
+    require(since >= vacuumedThrough,
+      s"changefeed vacuumed through $vacuumedThrough — version $since is " +
+        "no longer readable; resync from snapshot")
+    val dirs = changeLog.filter(_._1 > since).map(_._2)
+    if (dirs.isEmpty) snapshot.limit(0)
+    else mergeAgg(dirs.map(m => spark.read.parquet(s"$path/$m"))
+      .reduce(_ unionByName _))
+  }
 
   private def writeManifest(ms: Seq[String]): Unit =
     PointStore.atomicWrite(manifestFile, ms.mkString("\n").getBytes)
@@ -121,7 +174,7 @@ final class PointStore(spark: SparkSession, path: String,
     mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/$name")
-    writeManifest(manifestLines :+ name)
+    writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")
   }
 
   /** Merge-on-read view: base + deltas scanned in parallel, one
@@ -144,15 +197,29 @@ final class PointStore(spark: SparkSession, path: String,
     if (ms.size > 1 || (ms.size == 1 && !ms.head.startsWith("base-"))) {
       val name = f"base-$nextSeq%06d"
       snapshot.write.parquet(s"$path/$name")
-      writeManifest(name +: consumedTags.toSeq.sorted.map(TagLine + _))
+      // content is unchanged, so the version does not bump; the change
+      // log and vacuum horizon carry over verbatim
+      writeManifest((name +: consumedTags.toSeq.sorted.map(TagLine + _)) ++
+        manifestLines.filter(l => l.startsWith(LogLine) || l.startsWith(VacLine)))
     }
   }
 
-  /** Delete directories no manifest references (run once no reader can
-    * hold a pre-compaction manifest OR an unexecuted snapshot plan over
-    * one — Spark frames read files lazily). */
-  def vacuum(): Unit = {
-    val live = members.toSet
+  /** Delete directories neither the snapshot nor the retained changefeed
+    * window references (run once no reader can hold a pre-compaction
+    * manifest OR an unexecuted snapshot plan over one — Spark frames read
+    * files lazily). `retainVersions` is the changefeed retention horizon:
+    * the last N versions stay readable via [[changesSince]]; everything
+    * at or below `version - N` is pruned from the log and recorded in
+    * [[vacuumedThrough]], so a consumer that fell behind fails loudly
+    * instead of silently missing rows. The default retains nothing —
+    * pure space reclamation, the pre-changefeed behavior. */
+  def vacuum(retainVersions: Long = 0L): Unit = {
+    val horizon = math.max(vacuumedThrough, version - retainVersions)
+    writeManifest(
+      manifestLines.filterNot(l => l.startsWith(LogLine) || l.startsWith(VacLine)) ++
+        changeLog.filter(_._1 > horizon).map { case (v, n) => s"$LogLine$v:$n" } :+
+        s"$VacLine$horizon")
+    val live = members.toSet ++ changeLog.map(_._2)
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !live(f.getName))
       .foreach(PointStore.deleteRec)
@@ -210,4 +277,43 @@ object PointStore {
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
       max(l_orderkey) AS last_match
     FROM lineitem GROUP BY 1, 2"""
+
+  /** `point_store_changes`: the changefeed face — batches 0 and 1 are
+    * folded and compacted away, a consumer checkpoints the version,
+    * batch 2 lands (plus a redelivered duplicate that must commit
+    * nothing), and the changefeed at the checkpoint returns exactly
+    * batch 2's key-grain partial. The oracle is the one-shot aggregate
+    * of batch 2 alone, so a hash match proves the O(changes) read is
+    * correct across a compaction boundary and idempotent redelivery. */
+  def changefeed(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Merge
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_pointstore_cdc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    deleteRec(dir) // deterministic rebuild per run
+    val store = new PointStore(s, dir.getPath,
+      keys = Seq("game_mode", "role"),
+      sums = Seq("played", "wins", "time_spent_d", "gold_d"),
+      maxes = Seq("last_match"))
+    val li = graft.Tables.lineitem(s, d)
+    def batch(m: Int) = Merge.pointAgg(li.filter(col("l_orderkey") % 3 === m))
+    store.appendTagged("b0", batch(0))
+    store.appendTagged("b1", batch(1))
+    store.compact()
+    val checkpoint = store.version
+    store.appendTagged("b2", batch(2))
+    store.appendTagged("b2", batch(2)) // at-least-once redelivery: no-op
+    Merge.finish(store.changesSince(checkpoint))
+  }
+
+  def changefeedOracle: String = """
+    SELECT l_returnflag AS game_mode, l_linestatus AS role,
+      count(*) AS played,
+      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
+      max(l_orderkey) AS last_match
+    FROM lineitem
+    WHERE l_orderkey % 3 = 2
+    GROUP BY 1, 2"""
 }

@@ -82,6 +82,51 @@ class PointStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](build(dir).snapshot)
   }
 
+  test("changefeed: O(changes) reads survive compaction; vacuum bounds the horizon") {
+    val dir = freshDir("cdc")
+    val store = build(dir)
+    val li = Tables.lineitem(spark, sf)
+    def batch(m: Int) = Merge.pointAgg(li.filter(col("l_orderkey") % 3 === m))
+    assert(store.version == 0)
+    store.append(batch(0))
+    store.append(batch(1))
+    assert(store.version == 2)
+    store.compact()
+    assert(store.version == 2) // compaction reorganizes, never a content change
+    val checkpoint = store.version
+    store.append(batch(2))
+    assert(store.version == 3)
+    // changes since the checkpoint = exactly batch 2, across the compaction
+    val changes = Merge.finish(store.changesSince(checkpoint))
+      .collect().map(_.mkString("|")).toSet
+    val direct = Merge.finish(Merge.merge(Seq(batch(2))))
+      .collect().map(_.mkString("|")).toSet
+    assert(changes == direct && changes.nonEmpty)
+    // caught-up consumer sees an empty (schema-stable) feed
+    assert(store.changesSince(store.version).count() == 0)
+    // a reopened store serves the same feed from the manifest alone
+    assert(Merge.finish(build(dir).changesSince(checkpoint))
+      .collect().map(_.mkString("|")).toSet == direct)
+    // from version 0 the feed replays everything — including the two
+    // deltas compaction folded away (their dirs are retained until vacuum)
+    assert(Merge.finish(store.changesSince(0L))
+      .collect().map(_.mkString("|")).toSet == oneShot)
+    // retention: keep 1 version readable, prune the rest
+    store.vacuum(retainVersions = 1)
+    assert(store.vacuumedThrough == 2)
+    assert(Merge.finish(store.changesSince(2))
+      .collect().map(_.mkString("|")).toSet == direct)
+    intercept[IllegalArgumentException](store.changesSince(1))
+    // full vacuum: feed fully pruned, snapshot intact, version still counts
+    store.vacuum()
+    intercept[IllegalArgumentException](store.changesSince(2))
+    assert(store.version == 3)
+    assert(Merge.finish(store.snapshot).collect().map(_.mkString("|")).toSet
+      == oneShot)
+    store.append(batch(0)) // versions keep ascending past the pruned log
+    assert(store.version == 4)
+  }
+
   test("appendTagged idempotence survives compaction and reopen (ADVICE r5)") {
     val dir = freshDir("tags")
     val store = build(dir)
