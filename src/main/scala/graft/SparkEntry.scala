@@ -68,6 +68,8 @@ object SparkEntry {
     "point_store_roundtrip" -> (graft.sources.PointStore.roundtrip _),
     // #38b: the changefeed read path — O(changes) since a checkpoint
     "point_store_changes"   -> (graft.sources.PointStore.changefeed _),
+    // #38c: the changefeed CONSUMER — a chained derived store
+    "point_store_follower"  -> (graft.sources.ChangefeedFollower.follower _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,5 +116,6 @@ object SparkEntry {
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
     "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,
     "point_store_changes"   -> graft.sources.PointStore.changefeedOracle,
+    "point_store_follower"  -> graft.sources.ChangefeedFollower.followerOracle,
   )
 }

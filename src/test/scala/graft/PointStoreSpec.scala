@@ -127,6 +127,40 @@ class PointStoreSpec extends SparkSpec {
     assert(store.version == 4)
   }
 
+  test("follower falls behind the retention horizon, fails loudly, resyncs") {
+    import graft.sources.ChangefeedFollower
+    val dir = freshDir("follow")
+    new java.io.File(dir).mkdirs()
+    val up = new graft.sources.PointStore(spark, s"$dir/up",
+      keys = Seq("game_mode", "role"),
+      sums = Seq("played", "wins", "time_spent_d", "gold_d"),
+      maxes = Seq("last_match"))
+    def rollup(c: org.apache.spark.sql.DataFrame) =
+      c.groupBy(col("game_mode")).agg(
+        sum(col("played")).as("played"), sum(col("wins")).as("wins"),
+        sum(col("time_spent_d")).as("time_spent_d"),
+        sum(col("gold_d")).as("gold_d"), max(col("last_match")).as("last_match"))
+    val f = new ChangefeedFollower(spark, up, s"$dir/down", rollup,
+      Seq("game_mode"), Seq("played", "wins", "time_spent_d", "gold_d"),
+      Seq("last_match"))
+    val li = Tables.lineitem(spark, sf)
+    def batch(m: Int) = Merge.pointAgg(li.filter(col("l_orderkey") % 2 === m))
+    up.append(batch(0))
+    assert(f.poll() == 1 && f.checkpoint == 1)
+    // upstream moves on and vacuums the follower's window away
+    up.append(batch(1))
+    up.compact()
+    up.vacuum() // retains nothing: horizon = 2 > checkpoint 1
+    intercept[IllegalArgumentException](f.poll())
+    assert(f.resync() == 2 && f.checkpoint == 2)
+    val expectRollup = rollup(Merge.pointAgg(li))
+      .collect().map(_.mkString("|")).toSet
+    assert(f.result.get.collect().map(_.mkString("|")).toSet == expectRollup)
+    // and polling stays a no-op until new upstream content arrives
+    assert(f.poll() == 2)
+    assert(f.result.get.collect().map(_.mkString("|")).toSet == expectRollup)
+  }
+
   test("appendTagged idempotence survives compaction and reopen (ADVICE r5)") {
     val dir = freshDir("tags")
     val store = build(dir)
