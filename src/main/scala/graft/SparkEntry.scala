@@ -61,9 +61,10 @@ object SparkEntry {
     "sample_stratified" -> (Sampling.sampleStratified _),
     "pack_sequences"    -> (Sampling.packSequences _),
     "pack_sequences_sharded" -> (Sampling.packSequencesSharded _),
-    // scale patterns + composition (#36-37)
+    // scale patterns + composition (#36-37, #39)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
+    "cluster_zorder"  -> (Layout.clusterZorderQuery _),
     // sinks (#38): LSM point-table store — append/compact/merge-on-read
     "point_store_roundtrip" -> (graft.sources.PointStore.roundtrip _),
     // #38b: the changefeed read path — O(changes) since a checkpoint
@@ -114,6 +115,7 @@ object SparkEntry {
     "pack_sequences_sharded" -> Sampling.packSequencesOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
+    "cluster_zorder"  -> Layout.clusterZorderOracle,
     "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,
     "point_store_changes"   -> graft.sources.PointStore.changefeedOracle,
     "point_store_follower"  -> graft.sources.ChangefeedFollower.followerOracle,
