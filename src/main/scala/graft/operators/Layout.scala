@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * (LayoutSpec measures the bounding boxes directly).
   *
   * Everything is exact integer arithmetic in plain `functions._`:
-  * quantization is `(x - min) * 2^bits div (max - min + 1)` against
-  * driver-collected min/max (two-value metadata per dim — the same
-  * bounded-metadata pattern as the IVF quantizer), interleave is a
+  * quantization is `(clamp(x) - min) * (2^bits - 1) div (max - min)`
+  * against driver-collected min/max (two-value metadata per dim — the
+  * same bounded-metadata pattern as the IVF quantizer), interleave is a
   * shift/or fold — fully codegen'd, no UDF, and replicated verbatim in
   * the DuckDB oracle, which checks the z-keys AND content preservation
   * through a real clustered write → read-back roundtrip.
@@ -32,14 +32,21 @@ object Layout {
   val ZBits = 8
 
   /** Quantize `x` from [lo, hi] onto [0, 2^bits - 1]: exact integral
-    * arithmetic `(x-lo)·(2^bits-1) div (hi-lo)`, monotonic, edge-exact
-    * (lo↦0, hi↦2^bits-1), total (clamped outside the range so a stale
-    * min/max never throws; degenerate hi==lo maps everything to 0). */
+    * arithmetic `(clamp(x)-lo)·(2^bits-1) div (hi-lo)`, monotonic,
+    * edge-exact (lo↦0, hi↦2^bits-1), total — x is clamped INTO [lo, hi]
+    * BEFORE the multiply, so a stale min/max (even a Long.MaxValue
+    * sentinel) never overflows under ANSI mode; degenerate hi==lo maps
+    * everything to 0. The span guard keeps (hi-lo)·(2^bits-1) itself
+    * inside Long. */
   def quantize(x: Column, lo: Long, hi: Long, bits: Int = ZBits): Column = {
     val top = (1L << bits) - 1
     if (hi <= lo) lit(0L)
-    else least(lit(top), greatest(lit(0L),
-      call_function("div", (x.cast("long") - lit(lo)) * lit(top), lit(hi - lo))))
+    else {
+      require(hi - lo <= Long.MaxValue / top,
+        s"dimension span $lo..$hi too wide to quantize at $bits bits")
+      val cx = least(lit(hi), greatest(lit(lo), x.cast("long")))
+      call_function("div", (cx - lit(lo)) * lit(top), lit(hi - lo))
+    }
   }
 
   /** Interleave two `bits`-wide quantized values: bit i of `qa` lands at
@@ -89,7 +96,7 @@ object Layout {
     val top = (1L << ZBits) - 1
     def q(x: String, lo: String, hi: String) =
       s"CASE WHEN $hi <= $lo THEN 0 ELSE " +
-        s"least($top, greatest(0, (($x - $lo) * $top) // ($hi - $lo))) END"
+        s"((least($hi, greatest($lo, $x)) - $lo) * $top) // ($hi - $lo) END"
     val terms = (0 until ZBits).map { i =>
       s"((qa >> $i) & 1) * ${1L << (2 * i)} + ((qb >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")

@@ -57,14 +57,25 @@ object Merge {
     finish(merge(Seq(pointAgg(a), pointAgg(b))))
   }
 
-  def upsertMergeOracle: String = """
-    SELECT l_returnflag AS game_mode, l_linestatus AS role,
+  /** The one definition of the point-aggregate oracle SELECT (and its
+    * hash-stability casts), shared by every query whose content is
+    * [[pointAgg]]-derived — upsert_merge, batch_driver, and the three
+    * point-store lifecycle queries. `keySelect` picks the grain,
+    * `where` the batch subset. */
+  def pointOracle(keySelect: Seq[String] =
+                    Seq("l_returnflag AS game_mode", "l_linestatus AS role"),
+                  where: String = ""): String = s"""
+    SELECT ${keySelect.mkString(", ")},
       count(*) AS played,
       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
       max(l_orderkey) AS last_match
-    FROM lineitem GROUP BY 1, 2"""
+    FROM lineitem
+    $where
+    GROUP BY ${(1 to keySelect.size).mkString(", ")}"""
+
+  def upsertMergeOracle: String = pointOracle()
 
   /** Batch driver (worker.js:119-165): buffers ids to BATCHSIZE, flushes a
     * crunch per batch, merges results — `batch_driver` runs it over match
@@ -238,15 +249,7 @@ object Merge {
     c.result()
   }
 
-  def batchDriverOracle: String = """
-    SELECT l_returnflag AS game_mode, l_linestatus AS role,
-      count(*) AS played,
-      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
-      max(l_orderkey) AS last_match
-    FROM lineitem
+  def batchDriverOracle: String = pointOracle(where = """
     WHERE l_orderkey % 2 = 0
-      AND l_orderkey IN (SELECT o_orderkey FROM orders)
-    GROUP BY 1, 2"""
+      AND l_orderkey IN (SELECT o_orderkey FROM orders)""")
 }

@@ -37,33 +37,41 @@ final class ChangefeedFollower(spark: SparkSession, upstream: PointStore,
     * reconstructs this wrapper). */
   val store = new PointStore(spark, path, keys, sums, maxes)
 
-  /** Upstream version this follower has folded through. */
+  /** Upstream version this follower has folded through. Only this
+    * class's own `v<N>` tags count — a caller's unrelated tags on the
+    * (public) derived store are ignored, not misparsed. */
   def checkpoint: Long =
-    store.consumedTags.collect { case t if t.startsWith("v") =>
+    store.consumedTags.collect { case t if t.matches("v[0-9]+") =>
       t.drop(1).toLong
     }.foldLeft(0L)(math.max)
 
   /** Fold upstream changes since [[checkpoint]] into the derived store;
-    * a no-op when caught up. Returns the new checkpoint. Throws (via
+    * a no-op when caught up. Returns the new checkpoint. The window is
+    * bounded above by the version captured for the tag — a writer
+    * committing concurrently with the poll is picked up by the NEXT
+    * poll, never folded now and re-folded later. Throws (via
     * [[PointStore.changesSince]]) if the checkpoint has been vacuumed
     * past — call [[resync]]. */
   def poll(compactEvery: Int = 8): Long = {
     val from = checkpoint
     val to = upstream.version
     if (to > from) {
-      store.appendTagged(s"v$to", derive(upstream.changesSince(from)))
+      store.appendTagged(s"v$to", derive(upstream.changesSince(from, to)))
       if (store.deltaCount >= compactEvery) store.compact()
     }
     to
   }
 
   /** Rebuild the derived store from the upstream snapshot at its current
-    * version (the fell-behind-retention escape hatch). */
+    * version (the fell-behind-retention escape hatch). Atomic: the new
+    * base replaces the old content in one manifest flip
+    * ([[PointStore.overwriteTagged]]) — a reader mid-resync, or a crash,
+    * sees the previous derived table or the new one, never an empty
+    * store — and the derived store's own changefeed horizon advances so
+    * ITS consumers resync in turn. */
   def resync(): Long = {
-    PointStore.deleteRec(new java.io.File(path))
-    new java.io.File(path).mkdirs()
     val to = upstream.version
-    store.appendTagged(s"v$to", derive(upstream.snapshot))
+    store.overwriteTagged(s"v$to", derive(upstream.snapshot))
     to
   }
 
@@ -123,12 +131,6 @@ object ChangefeedFollower {
       col("last_match"))
   }
 
-  def followerOracle: String = """
-    SELECT l_returnflag AS game_mode,
-      count(*) AS played,
-      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
-      max(l_orderkey) AS last_match
-    FROM lineitem GROUP BY 1"""
+  def followerOracle: String =
+    graft.operators.Merge.pointOracle(Seq("l_returnflag AS game_mode"))
 }

@@ -108,22 +108,52 @@ final class PointStore(spark: SparkSession, path: String,
       l.stripPrefix(VacLine).toLong
     }.foldLeft(0L)(math.max)
 
-  /** Changefeed read: the key-grain partial aggregate of everything
-    * committed AFTER version `since` — O(changes), never O(table), and
-    * valid across [[compact]] (folded delta dirs stay on disk until
-    * [[vacuum]]). The rows are additive upsert images: downstream
-    * consumers fold them exactly like [[snapshot]]'s merge (sums add,
-    * maxes fold) — the same contract the reference's ON DUPLICATE KEY
-    * consumers have. Asking for a horizon [[vacuum]] has pruned fails
-    * loudly (resync from [[snapshot]] instead of silently losing rows). */
-  def changesSince(since: Long): DataFrame = {
+  /** Changefeed read: the key-grain partial aggregate of versions in
+    * `(since, until]` — O(changes), never O(table), and valid across
+    * [[compact]] (folded delta dirs stay on disk until [[vacuum]]). The
+    * upper bound makes a consumer's fold-then-checkpoint atomic even
+    * when a writer commits concurrently: fold exactly the window you
+    * checkpoint, never "everything at read time". The rows are additive
+    * upsert images: downstream consumers fold them exactly like
+    * [[snapshot]]'s merge (sums add, maxes fold) — the same contract
+    * the reference's ON DUPLICATE KEY consumers have. Asking for a
+    * horizon [[vacuum]] has pruned fails loudly (resync from
+    * [[snapshot]] instead of silently losing rows); a caught-up read on
+    * a non-empty store returns a schema-stable empty frame (an
+    * empty store has no schema yet, and says so). */
+  def changesSince(since: Long, until: Long = Long.MaxValue): DataFrame = {
     require(since >= vacuumedThrough,
       s"changefeed vacuumed through $vacuumedThrough — version $since is " +
         "no longer readable; resync from snapshot")
-    val dirs = changeLog.filter(_._1 > since).map(_._2)
-    if (dirs.isEmpty) snapshot.limit(0)
-    else mergeAgg(dirs.map(m => spark.read.parquet(s"$path/$m"))
+    require(until >= since, s"empty window ($since, $until]")
+    val dirs = changeLog.filter(e => e._1 > since && e._1 <= until).map(_._2)
+    if (dirs.isEmpty) {
+      require(members.nonEmpty,
+        s"point store at $path is empty — the changefeed has no schema " +
+          "before the first append")
+      snapshot.limit(0)
+    } else mergeAgg(dirs.map(m => spark.read.parquet(s"$path/$m"))
       .reduce(_ unionByName _))
+  }
+
+  /** Atomically REPLACE the store's content with `partial` (aggregated
+    * to the key grain) as a fresh base, consuming `tag`. The previous
+    * directories stay on disk for in-flight readers until [[vacuum]] —
+    * the manifest flip is still the one commit point, so a reader (or a
+    * crash) sees the old store or the new, never an empty one. A
+    * replacement cannot be represented as a changefeed window, so the
+    * change log is cleared and [[vacuumedThrough]] advances to the new
+    * version: this store's own downstream consumers fail loudly on
+    * their next poll and resync in turn (the cascading-resync
+    * contract). */
+  def overwriteTagged(tag: String, partial: DataFrame): Unit = {
+    val name = f"base-$nextSeq%06d"
+    mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$name")
+    val v = version + 1
+    writeManifest((name +: (consumedTags + tag).toSeq.sorted.map(TagLine + _)) :+
+      s"$VacLine$v")
   }
 
   private def writeManifest(ms: Seq[String]): Unit =
@@ -269,14 +299,7 @@ object PointStore {
     Merge.finish(store.snapshot)
   }
 
-  def roundtripOracle: String = """
-    SELECT l_returnflag AS game_mode, l_linestatus AS role,
-      count(*) AS played,
-      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
-      max(l_orderkey) AS last_match
-    FROM lineitem GROUP BY 1, 2"""
+  def roundtripOracle: String = graft.operators.Merge.pointOracle()
 
   /** `point_store_changes`: the changefeed face — batches 0 and 1 are
     * folded and compacted away, a consumer checkpoints the version,
@@ -306,14 +329,6 @@ object PointStore {
     Merge.finish(store.changesSince(checkpoint))
   }
 
-  def changefeedOracle: String = """
-    SELECT l_returnflag AS game_mode, l_linestatus AS role,
-      count(*) AS played,
-      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS time_spent,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gold,
-      max(l_orderkey) AS last_match
-    FROM lineitem
-    WHERE l_orderkey % 3 = 2
-    GROUP BY 1, 2"""
+  def changefeedOracle: String =
+    graft.operators.Merge.pointOracle(where = "WHERE l_orderkey % 3 = 2")
 }

@@ -84,9 +84,12 @@ class LayoutSpec extends SparkSpec {
     // one predicate per dim, total files touched: z strictly wins
     assert(zA + zB < linA + linB, s"z=$zA+$zB linear=$linA+$linB")
 
-    // content preservation through the rewrite
-    assert(spark.read.parquet(zDir).drop("zkey")
-      .collect().map(_.mkString("|")).toSet
+    // content preservation through the rewrite — count first, so a
+    // dropped-and-duplicated pair of identical rows can't cancel out in
+    // the set compare
+    val rewritten = spark.read.parquet(zDir).drop("zkey")
+    assert(rewritten.count() == docs.count())
+    assert(rewritten.collect().map(_.mkString("|")).toSet
       == docs.collect().map(_.mkString("|")).toSet)
   }
 }

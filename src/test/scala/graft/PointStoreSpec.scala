@@ -104,6 +104,18 @@ class PointStoreSpec extends SparkSpec {
     assert(changes == direct && changes.nonEmpty)
     // caught-up consumer sees an empty (schema-stable) feed
     assert(store.changesSince(store.version).count() == 0)
+    // bounded window: a concurrent commit past `until` stays out
+    assert(Merge.finish(store.changesSince(checkpoint, 3))
+      .collect().map(_.mkString("|")).toSet
+      == Merge.finish(store.changesSince(checkpoint))
+        .collect().map(_.mkString("|")).toSet)
+    assert(store.changesSince(0, 2).count() > 0) // v1+v2 only
+    assert(Merge.finish(store.changesSince(0, 2))
+      .collect().map(_.mkString("|")).toSet
+      != Merge.finish(store.changesSince(0)).collect().map(_.mkString("|")).toSet)
+    // an empty store has no schema to serve and says so
+    intercept[IllegalArgumentException](
+      build(freshDir("cdc_empty")).changesSince(0))
     // a reopened store serves the same feed from the manifest alone
     assert(Merge.finish(build(dir).changesSince(checkpoint))
       .collect().map(_.mkString("|")).toSet == direct)
@@ -152,11 +164,23 @@ class PointStoreSpec extends SparkSpec {
     up.compact()
     up.vacuum() // retains nothing: horizon = 2 > checkpoint 1
     intercept[IllegalArgumentException](f.poll())
+    // a caller's own tag on the derived store must not confuse the
+    // checkpoint parser (it is NOT a v<N> checkpoint tag)
+    f.store.appendTagged("vip-batch", rollup(batch(0)).limit(0))
+    assert(f.checkpoint == 1)
     assert(f.resync() == 2 && f.checkpoint == 2)
     val expectRollup = rollup(Merge.pointAgg(li))
       .collect().map(_.mkString("|")).toSet
     assert(f.result.get.collect().map(_.mkString("|")).toSet == expectRollup)
-    // and polling stays a no-op until new upstream content arrives
+    // resync replaced content atomically: single fresh base in the
+    // manifest, pre-resync dirs still on disk for in-flight readers
+    assert(f.store.members.size == 1 && f.store.members.head.startsWith("base-"))
+    assert(new java.io.File(s"$dir/down").listFiles().count(_.isDirectory)
+      > f.store.members.size)
+    // ...and the derived store's own feed horizon advanced (cascading
+    // resync contract for ITS consumers)
+    intercept[IllegalArgumentException](f.store.changesSince(0))
+    // polling stays a no-op until new upstream content arrives
     assert(f.poll() == 2)
     assert(f.result.get.collect().map(_.mkString("|")).toSet == expectRollup)
   }
