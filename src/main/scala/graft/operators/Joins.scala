@@ -17,15 +17,30 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /** hero_vs_hero: pair aggregation of lineitems sharing an order.
-    * `played_with` ≈ same-supplier flag (roster equality in the reference). */
+    * `played_with` ≈ same-supplier flag (roster equality in the reference).
+    * Every measure depends only on the A row, so the decimal casts,
+    * products and flag tests are all resolved PER LINEITEM before the
+    * pair fan-out (the established pre-fan-out pattern: ~3× fewer rows
+    * see the arithmetic, and the pair stage is pure column sums). */
   def heroVsHero(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     val a = li.select(
       col("l_orderkey").as("k"), col("l_linenumber").as("ln_a"),
       col("l_returnflag").as("hero"), col("l_linestatus").as("role"),
       col("l_suppkey").as("supp_a"),
-      col("l_quantity").as("qty_a"), col("l_extendedprice").as("price_a"),
-      col("l_discount").as("disc_a"), col("l_tax").as("tax_a"))
+      when(col("l_quantity") > 25, 1L).otherwise(0L).as("win_a"),
+      (dec(col("l_discount")) - dec(lit(0.05))).as("ts_a"),
+      dec(col("l_quantity")).as("qty_a"),
+      dec(col("l_extendedprice")).as("price_a"),
+      dec(col("l_discount")).as("disc_a"),
+      dec(col("l_tax")).as("tax_a"),
+      (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("farm_a"),
+      (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+        * (lit(1) + dec(col("l_tax")))).as("gold_a"),
+      when(col("l_linenumber") === 1, 1L).otherwise(0L).as("mine1_a"),
+      when(col("l_linenumber") === 2, 1L).otherwise(0L).as("mine2_a"),
+      when(col("l_discount") > 0.05, 1L).otherwise(0L).as("surr_a"))
     val b = li.select(
       col("l_orderkey").as("k2"), col("l_linenumber").as("ln_b"),
       col("l_returnflag").as("hero2"), col("l_linestatus").as("role2"),
@@ -39,19 +54,17 @@ object Joins {
         (col("supp_a") === col("supp_b")).as("played_with"))
       .agg(
         count(lit(1)).as("played"),
-        sum(when(col("qty_a") > 25, 1L).otherwise(0L)).as("wins"),
-        sum(dec(col("disc_a")) - dec(lit(0.05))).cast("double").as("trueskill_delta"),
-        dsum(col("qty_a")).as("duration"),
-        dsum(col("price_a")).as("kills"),
-        dsum(col("disc_a")).as("deaths"),
-        dsum(col("tax_a")).as("assists"),
-        sum(dec(col("price_a")) * (lit(1) - dec(col("disc_a"))))
-          .cast("double").as("farm"),
-        sum(when(col("ln_a") === 1, 1L).otherwise(0L)).as("crystal_mine_captures"),
-        sum(when(col("ln_a") === 2, 1L).otherwise(0L)).as("gold_mine_captures"),
-        sum(dec(col("price_a")) * (lit(1) - dec(col("disc_a")))
-          * (lit(1) + dec(col("tax_a")))).cast("double").as("gold"),
-        sum(when(col("disc_a") > 0.05, 1L).otherwise(0L)).as("surrender"),
+        sum(col("win_a")).as("wins"),
+        sum(col("ts_a")).cast("double").as("trueskill_delta"),
+        sum(col("qty_a")).cast("double").as("duration"),
+        sum(col("price_a")).cast("double").as("kills"),
+        sum(col("disc_a")).cast("double").as("deaths"),
+        sum(col("tax_a")).cast("double").as("assists"),
+        sum(col("farm_a")).cast("double").as("farm"),
+        sum(col("mine1_a")).as("crystal_mine_captures"),
+        sum(col("mine2_a")).as("gold_mine_captures"),
+        sum(col("gold_a")).cast("double").as("gold"),
+        sum(col("surr_a")).as("surrender"),
         countDistinct(col("k")).as("matches"))
   }
 
