@@ -119,5 +119,20 @@ package object api {
     def withTextStats(textCol: String): DataFrame =
       df.withColumn("_stats", TextOps.textStatsExpr(col(textCol)))
         .select(df.columns.map(col) :+ col("_stats.*"): _*)
+
+    /** Rewrite this frame to `outPath` clustered on the Z-order of two
+      * numeric columns (min/max collected here — two rows of metadata),
+      * so file-level statistics prune scans on EITHER column; returns
+      * the read-back clustered frame including its `zkey`. */
+    def zOrdered(colA: String, colB: String, outPath: String,
+                 files: Int = 16): DataFrame = {
+      val r = df.agg(
+        min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+        min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+      require(!r.isNullAt(0) && !r.isNullAt(2),
+        s"cannot z-order an empty frame or all-null $colA/$colB")
+      graft.operators.Layout.clusterZOrder(df, colA, r.getLong(0), r.getLong(1),
+        colB, r.getLong(2), r.getLong(3), outPath, files)
+    }
   }
 }

@@ -88,4 +88,16 @@ class ApiSpec extends SparkSpec {
     assert(j.count() == ev.count())
     assert(j.filter(col("o_orderkey").isNotNull).count() > 0)
   }
+
+  test("zOrdered clusters any frame and preserves its content") {
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val out = src.zOrdered("o_custkey", "o_orderkey", "/tmp/graft_api_z", files = 4)
+    assert(out.columns.contains("zkey"))
+    assert(out.count() == src.count())
+    assert(out.drop("zkey").collect().map(_.mkString("|")).toSet
+      == src.collect().map(_.mkString("|")).toSet)
+    intercept[IllegalArgumentException](
+      src.limit(0).zOrdered("o_custkey", "o_orderkey", "/tmp/graft_api_z2"))
+  }
 }
