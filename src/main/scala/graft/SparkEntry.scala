@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_embedding" -> (Ann.dedupEmbedding _),
     "ann_topk"        -> (Ann.annTopk _),
     "ann_ivf"         -> (Ann.annIvf _),
+    "ann_pq"          -> (Pq.annPq _),
     "text_stats"      -> (TextOps.textStats _),
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (`ann_pq`): the memory/IO face of similarity
+  * search at 100 TB, complementing `ann_ivf`'s cell pruning.
+  *
+  * IVF prunes WHICH vectors a query scans; PQ compresses WHAT the scan
+  * reads — M=16 one-byte codes stand in for 64 float64 dims (32× less
+  * scan IO), and asymmetric distance computation (ADC) scores candidates
+  * straight off the codes with M table lookups per pair instead of a
+  * 64-multiply dot. Measured at sf0.01 against the exact baseline:
+  * recall@10 = 0.74 (M=8/Ks=256 gave 0.48 at 64×, M=8/Ks=32 0.32 —
+  * the 32×-compression point buys the recall). The two compose in
+  * production indexes (FAISS IVF-PQ); here PQ is registered standalone
+  * so its recall story is measured against the same brute-force baseline
+  * as IVF (PqSpec; no SQL oracle — approximate by design, like
+  * `ann_ivf`).
+  *
+  * Codebooks are trained driver-side on the bounded [[Ann.TrainCap]]
+  * sample (M independent Ks-means, one per subspace — standard PQ
+  * training; codebooks are M·Ks·(dim/M) doubles = index METADATA), and
+  * ride into the codegen'd kernels as reference objects
+  * ([[graft.functions.PqEncode]]/[[graft.functions.PqLut]]/
+  * [[graft.functions.PqAdc]]).
+  */
+object Pq {
+
+  /** Subspaces (codes per vector) and codebook size per subspace. */
+  val M = 16
+  val Ks = 256
+
+  /** Per-subspace Ks-means on the driver sample: position-seeded
+    * assignments refined by [[Ann.TrainIters]] alternating steps —
+    * deterministic (ties → lower code; an emptied code keeps its
+    * previous sub-centroid). Vectors are L2-normalized first so ADC
+    * approximates cosine, like every scoring path here. */
+  def trainCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
+    val sample = emb
+      .filter(col("vec_id") % Ann.TrainStride === 0)
+      .select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+      .limit(Ann.TrainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "no vectors to train on")
+    val dim = sample.head.length
+    require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
+    val sub = dim / M
+
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v.clone()
+    }
+    val nsample = sample.map(normalized)
+
+    Array.tabulate(M) { mi =>
+      val svecs = nsample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      var assign = Array.tabulate(svecs.length)(_ % Ks)
+      var cents = Array.fill(Ks)(new Array[Double](sub))
+      def recompute(): Unit = {
+        val sums = Array.fill(Ks)(new Array[Double](sub))
+        val counts = new Array[Long](Ks)
+        var r = 0
+        while (r < svecs.length) {
+          val c = assign(r); counts(c) += 1
+          var i = 0
+          while (i < sub) { sums(c)(i) += svecs(r)(i); i += 1 }
+          r += 1
+        }
+        cents = Array.tabulate(Ks)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      recompute()
+      for (_ <- 1 until Ann.TrainIters) {
+        assign = svecs.map { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < Ks) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = cents(c)(i) - v(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        recompute()
+      }
+      cents
+    }
+  }
+
+  /** Train once per data directory (immutable testdata; a mutable corpus
+    * would version the key) — the build-once/search-many contract. */
+  private val cbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  def cachedCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    cbCache.getOrElseUpdate(d, trainCodebooks(embeddings(s, d)))
+
+  private def wrap(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftShim.column(e)
+  private def expr(c: Column) = org.apache.spark.sql.GraftShim.expression(c)
+
+  def encodeCol(v: Column, cb: Array[Array[Array[Double]]]): Column =
+    wrap(graft.functions.PqEncode(expr(v), cb))
+  def lutCol(v: Column, cb: Array[Array[Array[Double]]]): Column =
+    wrap(graft.functions.PqLut(expr(v), cb))
+  def adcCol(codes: Column, lut: Column): Column =
+    wrap(graft.functions.PqAdc(expr(codes), expr(lut), Ks))
+  def adcAllCol(codes: Column, luts: Array[Array[Double]]): Column =
+    wrap(graft.functions.PqAdcAll(expr(codes), luts, Ks))
+
+  /** `ann_pq`: encode the corpus once (the compressed index — the only
+    * thing a 100 TB scan reads), build each query's ADC table once
+    * (driver-side: the query workload is small by contract, exactly the
+    * set `ann_topk` broadcasts), and score every candidate against the
+    * whole query batch in ONE kernel pass — the scan row stays 24 bytes.
+    * Joining the 16 KB lut column per candidate instead measured 2.3 s
+    * of nested-loop row copying on a 0.6 s scan. Same query workload and
+    * top-k shape as `ann_topk`, so PqSpec measures recall directly
+    * against the exact answer. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val cb = cachedCodebooks(s, d)
+    val nemb = Ann.normed(embeddings(s, d))
+    // the exchange pins the encode materialized below the scoring
+    // projection (the HOF-CSE discipline every hashed posting uses)
+    val codes = nemb.select(col("vec_id").as("neighbor_id"),
+        encodeCol(col("nv"), cb).as("codes"))
+      .repartition(col("neighbor_id"))
+    val qluts = Ann.queriesOf(nemb)
+      .select(col("qid"), lutCol(col("qv"), cb).as("lut"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qids = qluts.map(_._1)
+    val scored = codes
+      .select(col("neighbor_id"),
+        posexplode(adcAllCol(col("codes"), qluts.map(_._2))).as(Seq("pos", "c")))
+      .withColumn("qid", element_at(typedLit(qids), col("pos") + 1))
+      .filter(col("qid") =!= col("neighbor_id"))
+    Ann.rankTopk(scored)
+  }
+}
