@@ -64,4 +64,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("changefeed chain converges under random append/compact/poll interleavings") {
+    import graft.sources.{ChangefeedFollower, PointStore}
+    val li = Tables.lineitem(spark, sf)
+    def batch(m: Int, parts: Int) = Merge.pointAgg(li.filter(col("l_orderkey") % parts === m))
+    def rollup(c: org.apache.spark.sql.DataFrame) =
+      c.groupBy(col("game_mode")).agg(
+        sum(col("played")).as("played"), sum(col("wins")).as("wins"),
+        sum(col("time_spent_d")).as("time_spent_d"),
+        sum(col("gold_d")).as("gold_d"), max(col("last_match")).as("last_match"))
+
+    for (seed <- 1L to 3L) {
+      val dir = new java.io.File("/tmp", s"graft_prop_cdc_$seed")
+      PointStore.deleteRec(dir); dir.mkdirs()
+      val up = new PointStore(spark, s"$dir/up",
+        keys = Seq("game_mode", "role"),
+        sums = Seq("played", "wins", "time_spent_d", "gold_d"),
+        maxes = Seq("last_match"))
+      val f = new ChangefeedFollower(spark, up, s"$dir/down", rollup,
+        Seq("game_mode"), Seq("played", "wins", "time_spent_d", "gold_d"),
+        Seq("last_match"))
+      val parts = 5
+      // random interleaving of the 5 appends with compactions and polls
+      // (ops 0=compact, 1=poll, 2=duplicate-poll); every batch appended
+      // exactly once, order decided by the seeded generator
+      val extraOps = sample(Gen.listOfN(8, Gen.choose(0, 2)), seed)
+      val appendAt = sample(Gen.pick(parts, 0 until (parts + 8)), seed + 50).toSet
+      var nextBatch = 0
+      for (slot <- 0 until (parts + 8)) {
+        if (appendAt(slot)) { up.append(batch(nextBatch, parts)); nextBatch += 1 }
+        else extraOps(slot % extraOps.size) match {
+          case 0 => up.compact()
+          case 1 => f.poll(compactEvery = 2)
+          case 2 => { f.poll(compactEvery = 2); f.poll(compactEvery = 2) }
+        }
+      }
+      assert(nextBatch == parts)
+      f.poll(compactEvery = 2) // drain the tail window
+      val expect = rows(rollup(Merge.pointAgg(li)))
+      assert(rows(f.result.get) == expect, s"seed $seed diverged")
+      // and the upstream snapshot itself is batch-order invariant
+      assert(rows(Merge.finish(up.snapshot))
+        == rows(Merge.finish(Merge.merge(Seq(Merge.pointAgg(li))))))
+    }
+  }
 }
