@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * persist alongside as a Cells-row parquet; search collects the probed
   * cell ids (bounded by Cells, metadata-sized) so the index filter is a
   * literal IN that the datasource prunes on.
+  *
+  * Every row also carries its PQ codes (encoded at build time against
+  * codebooks persisted with the index), so [[searchPq]] composes the two
+  * scale levers the way FAISS IVF-PQ does: partition pruning picks WHICH
+  * rows are read, column pruning + PQ picks WHAT is read per row — the
+  * probed scan touches 16 one-byte codes instead of 64 float64 dims, and
+  * candidates are ADC-scored against the whole query batch in one kernel
+  * ([[graft.functions.PqAdcAll]]). IvfIndexSpec pins both prunings in
+  * the physical plan and equates the full-probe PQ search with the
+  * global PQ ranking.
   */
 final class IvfIndex private (spark: SparkSession, dir: String) {
 
@@ -23,39 +33,90 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
 
+  /** PQ codebooks persisted with the index (M × Ks × sub). */
+  lazy val codebooks: Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/pq").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val ks = rows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach { case (mi, k, v) => cb(mi)(k) = v }
+    cb.map(_.toArray)
+  }
+
   def index: DataFrame = spark.read.parquet(s"$dir/index")
 
   /** Incremental maintenance: assign NEW vectors with the EXISTING
-    * quantizer and append their rows to the cell partitions. The
-    * centroids — and therefore partition pruning — are unchanged, so
-    * searches immediately see old ∪ new; standard IVF practice retrains
-    * the quantizer only on a full rebuild (cell balance drifts as the
-    * distribution does, recall does not break). */
+    * quantizer (cells AND PQ codebooks) and append their rows to the
+    * cell partitions. The centroids — and therefore partition pruning —
+    * are unchanged, so searches immediately see old ∪ new; standard IVF
+    * practice retrains the quantizer only on a full rebuild (cell
+    * balance drifts as the distribution does, recall does not break). */
   def append(newEmb: DataFrame): Unit =
-    IvfIndex.writeAssignments(newEmb, centroids, dir,
+    IvfIndex.writeAssignments(newEmb, centroids, codebooks, dir,
       org.apache.spark.sql.SaveMode.Append)
 
   /** Top-k neighbors for (qid, qv double-array) queries over the probed
-    * cells only. */
+    * cells only, scored EXACTLY on the stored vectors. */
   def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val probed = queries
-      .select(col("qid"), col("qv"),
-        explode(IvfIndex.probeCellsExpr(col("qv"), centroids, nprobe)).as("cell"))
-      .localCheckpoint() // evaluated by the cells collect AND the join — once
-    // bounded by Cells — metadata, like the centroids themselves
-    val cells = probed.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probed = probedOf(queries, nprobe)
+    val cells = probedCells(probed)
     val pruned = index.filter(col("cell").isin(cells: _*))
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("neighbor_id"))
     broadcast(probed)
       .join(pruned, Seq("cell"))
       .filter(col("qid") =!= col("neighbor_id"))
       .withColumn("c", dot(col("qv"), col("nv")))
+      .select(col("qid"), col("neighbor_id"), col("c"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
   }
+
+  /** Top-k neighbors over the probed cells, ADC-scored on the stored PQ
+    * codes — the composed IVF-PQ read path: the pruned scan reads
+    * (neighbor_id, codes, cell) and never touches the 512-byte vector
+    * column (column pruning, pinned in IvfIndexSpec). Scores for the
+    * whole query batch come from one [[graft.functions.PqAdcAll]] kernel
+    * pass; the probed (qid, cell) pairs then keep each candidate only
+    * for the queries that actually probe its cell. */
+  def searchPq(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cb = codebooks
+    val probed = probedOf(queries, nprobe)
+    val cells = probedCells(probed)
+    val qluts = probed.select(col("qid"), col("qv")).distinct()
+      .select(col("qid"), Pq.lutCol(col("qv"), cb).as("lut"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qids = qluts.map(_._1)
+    val pruned = index.filter(col("cell").isin(cells: _*))
+      .select(col("neighbor_id"), col("codes"), col("cell"))
+    val scored = pruned
+      .select(col("neighbor_id"), col("cell"),
+        posexplode(Pq.adcAllCol(col("codes"), qluts.map(_._2))).as(Seq("pos", "c")))
+      .withColumn("qid", element_at(typedLit(qids), col("pos") + 1))
+      .join(broadcast(probed.select(col("qid"), col("cell"))), Seq("qid", "cell"),
+        "left_semi")
+      .filter(col("qid") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("neighbor_id"))
+    scored
+      .select(col("qid"), col("neighbor_id"), col("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  private def probedOf(queries: DataFrame, nprobe: Int): DataFrame =
+    queries
+      .select(col("qid"), col("qv"),
+        explode(IvfIndex.probeCellsExpr(col("qv"), centroids, nprobe)).as("cell"))
+      .localCheckpoint() // evaluated by the cells collect AND the join — once
+
+  // bounded by Cells — metadata, like the centroids themselves
+  private def probedCells(probed: DataFrame): Seq[Int] =
+    probed.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
 }
 
 object IvfIndex {
@@ -65,37 +126,45 @@ object IvfIndex {
       cents: Array[(Int, Array[Double])], nprobe: Int) =
     Ann.probeCells(v, cents, nprobe)
 
-  /** Normalize + assign a (vec_id, embedding) frame and write the rows
-    * into the cell-partitioned index parquet. */
+  /** Normalize + assign a (vec_id, embedding) frame, PQ-encode it, and
+    * write the rows into the cell-partitioned index parquet. */
   private[operators] def writeAssignments(
       emb: DataFrame, cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]],
       indexDir: String, mode: SaveMode): Unit =
     emb
       .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("nv"))
       .repartition(col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("nv"),
+        Pq.encodeCol(col("nv"), cb).as("codes"),
         Ann.assignCell(col("nv"), cents).as("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$indexDir/index")
 
   /** Build the index from the testdata embeddings table. */
   def build(s: SparkSession, sfDir: String, indexDir: String): IvfIndex =
     buildFrom(graft.Tables.embeddings(s, sfDir), indexDir,
-      Ann.cachedCentroids(s, sfDir))
+      Ann.cachedCentroids(s, sfDir), Pq.cachedCodebooks(s, sfDir))
 
   /** Build from an ARBITRARY (vec_id, embedding) frame: train the
-    * quantizer (bounded strided subsample), assign every vector, write
-    * the assignment partitioned by cell + the centroid table. */
+    * quantizers (bounded strided subsample), assign + encode every
+    * vector, write the assignment partitioned by cell + the centroid
+    * and codebook tables. */
   def buildFrom(emb: DataFrame, indexDir: String): IvfIndex =
-    buildFrom(emb, indexDir, Ann.trainCentroids(emb))
+    buildFrom(emb, indexDir, Ann.trainCentroids(emb), Pq.trainCodebooks(emb))
 
   def buildFrom(emb: DataFrame, indexDir: String,
-                cents: Array[(Int, Array[Double])]): IvfIndex = {
+                cents: Array[(Int, Array[Double])],
+                cb: Array[Array[Array[Double]]]): IvfIndex = {
     val s = emb.sparkSession
-    writeAssignments(emb, cents, indexDir, SaveMode.Overwrite)
+    writeAssignments(emb, cents, cb, indexDir, SaveMode.Overwrite)
     import s.implicits._
     cents.map { case (c, v) => (c, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+    cb.zipWithIndex.flatMap { case (sub, mi) =>
+      sub.zipWithIndex.map { case (v, k) => (mi, k, v.toSeq) }
+    }.toSeq.toDF("m", "k", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pq")
     load(s, indexDir)
   }
 

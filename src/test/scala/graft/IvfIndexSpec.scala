@@ -53,4 +53,42 @@ class IvfIndexSpec extends SparkSpec {
       plan.split("\n").filter(_.contains("PartitionFilters")).mkString("\n"))
     assert(search.count() > 0)
   }
+
+  test("composed IVF-PQ: full-probe ADC search equals the global PQ ranking") {
+    val idx = IvfIndex.load(spark, indexDir)
+    val got = idx.searchPq(queries, Ann.K, nprobe = Ann.Cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // with every cell probed, cell pruning is a no-op and the composed
+    // path must reproduce the standalone PQ ranking over the same codes
+    val pq = graft.operators.Pq.annPq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == pq)
+  }
+
+  test("IVF-PQ probe reads codes, never the vector column, from pruned partitions") {
+    val idx = IvfIndex.load(spark, indexDir)
+    val search = idx.searchPq(queries, Ann.K, nprobe = 2)
+    val plan = search.queryExecution.executedPlan.toString
+    val scanLines = plan.split("\n").filter(_.contains("ReadSchema"))
+    val indexScan = scanLines.find(_.contains("codes"))
+    assert(indexScan.isDefined, s"no index scan with codes:\n${scanLines.mkString("\n")}")
+    // column pruning: the 512-byte vector column stays unread — the scan
+    // touches the 16-byte codes (this is PQ's entire point at 100 TB)
+    assert(!indexScan.get.contains("nv"), indexScan.get)
+    assert(plan.contains("PartitionFilters: [cell#") ||
+           plan.matches("(?s).*PartitionFilters: \\[.*cell.*IN.*"),
+      plan.split("\n").filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(search.count() > 0)
+  }
+
+  test("append encodes with the persisted codebooks — searchPq sees old and new") {
+    val d = Files.createTempDirectory("graft_ivfpq_inc").toString
+    val emb = Tables.embeddings(spark, sf)
+    val idx = IvfIndex.buildFrom(emb.filter(col("vec_id") % 2 === 0), d)
+    idx.append(emb.filter(col("vec_id") % 2 =!= 0))
+    val ids = idx.searchPq(queries, Ann.K, nprobe = Ann.Cells)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 != 0),
+      s"appended half missing from PQ search: $ids")
+  }
 }
