@@ -52,10 +52,20 @@ object Layout {
   /** Interleave two `bits`-wide quantized values: bit i of `qa` lands at
     * z-bit 2i, bit i of `qb` at 2i+1 (the Morton curve). */
   def interleave(qa: Column, qb: Column, bits: Int = ZBits): Column =
-    (0 until bits).map { i =>
-      (shiftright(qa, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
-        (shiftright(qb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
-    }.reduce(_ + _)
+    interleaveN(Seq(qa, qb), bits)
+
+  /** k-dimensional Morton interleave: bit i of dimension d lands at
+    * z-bit `i·k + d`. `k·bits` must fit a signed Long (≤ 62); at the
+    * default 8 bits that allows up to 7 clustering dimensions — more
+    * than min-max file statistics can usefully exploit anyway. */
+  def interleaveN(qs: Seq[Column], bits: Int = ZBits): Column = {
+    val k = qs.size
+    require(k >= 1 && k * bits <= 62,
+      s"$k dims × $bits bits exceeds a signed Long z-value")
+    (for { i <- 0 until bits; (q, d) <- qs.zipWithIndex } yield
+      shiftright(q, i).bitwiseAND(lit(1L)) * lit(1L << (i * k + d)))
+      .reduce(_ + _)
+  }
 
   /** Rewrite `df` clustered on the z-order of (`colA`, `colB`): range
     * partition into `files` output files by z-value, sort within each,

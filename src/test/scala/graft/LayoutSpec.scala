@@ -20,6 +20,23 @@ class LayoutSpec extends SparkSpec {
     assert(got.toSeq == cases)
   }
 
+  test("k-dim interleave generalizes the 2-dim curve and packs 3 dims") {
+    import spark.implicits._
+    val two = Seq((5L, 3L)).toDF("a", "b").select(
+      Layout.interleave(col("a"), col("b")),
+      Layout.interleaveN(Seq(col("a"), col("b")))).head
+    assert(two.getLong(0) == two.getLong(1)) // 2-dim delegates to N-dim
+    // 3-dim: bit i of dim d lands at z-bit 3i+d — (1,1,1) -> 0b111 = 7,
+    // (2,0,0) -> bit1 of dim0 at z-bit 3 = 8, (0,0,2) -> z-bit 5 = 32
+    val three = Seq((1L, 1L, 1L, 7L), (2L, 0L, 0L, 8L), (0L, 0L, 2L, 32L))
+      .toDF("a", "b", "c", "z")
+      .select(Layout.interleaveN(Seq(col("a"), col("b"), col("c"))).as("got"), col("z"))
+      .collect()
+    three.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    intercept[IllegalArgumentException](
+      Layout.interleaveN(Seq.fill(8)(col("a")))) // 8×8 bits > 62
+  }
+
   test("quantize is monotonic, clamped, and exact at the edges") {
     import spark.implicits._
     val df = (0L to 100L).toDF("x")

@@ -25,7 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     // sides and must stay equi-join only:
     val equiOnly = Seq(
       "dedup_exact", "dedup_minhash", "dedup_ngram", "dedup_simhash",
-      "dedup_embedding", "ann_ivf", "hero_vs_hero",
+      "dedup_embedding", "ann_ivf", "ann_pq", "hero_vs_hero",
       "crunch_global", "crunch_player",
       "filter_semijoin", "asof_join", "upsert_merge", "pipeline_clean")
     for (name <- equiOnly) {
