@@ -12,7 +12,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * A 100 TB embedding corpus cannot scan raw vectors: 64 float64 dims =
   * 512 bytes/vector. PQ splits the vector into M subspaces, quantizes
   * each against its own Ks-entry codebook, and stores M small codes —
-  * here 8 codes ≈ 64× less scan IO — while queries score compressed
+  * M one-byte codes replace dim·8 bytes of float64 (the shipped M=16,
+  * dim=64 configuration is 32× less scan IO) — while queries score
+  * compressed
   * codes DIRECTLY via asymmetric distance computation (ADC): a per-query
   * lookup table of sub-centroid·sub-query dot products turns each
   * candidate score into M table lookups (8 adds/pair instead of a
@@ -183,11 +185,18 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
 case class PqAdcAll(child: Expression, luts: Array[Array[Double]], ks: Int)
   extends UnaryExpression {
 
+  // an empty batch would set lutLen = 0 and the first non-empty codes row
+  // would die with a misleading "quantizer dimensionality" error — callers
+  // with no queries must short-circuit to an empty frame instead
+  require(luts.nonEmpty,
+    "graft_pq_adc_all needs at least one query lookup table; " +
+      "short-circuit an empty query workload to an empty result frame")
+
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_pq_adc_all"
 
   private val q = luts.length
-  private val lutLen = if (luts.isEmpty) 0 else luts(0).length
+  private val lutLen = luts(0).length
   @transient private lazy val flat: Array[Double] = {
     val f = new Array[Double](q * lutLen)
     var i = 0

@@ -161,15 +161,50 @@ object Crunch {
     JOIN customer ON o_custkey = c_custkey
     GROUP BY 1, 2"""
 
+  /** Filter-dimension definitions (crunch_global.sql:38's `filter` table):
+    * each named filter selects a set of matches. The reference populates
+    * `global_point_filters` upstream; here the mapping table is DERIVED
+    * from order predicates as its stand-in generator — the query below
+    * consumes only the (match, filter) mapping frame, so swapping in an
+    * externally-populated table changes nothing. */
+  val filterDefs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    ("urgent", col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+    ("bulk", col("o_totalprice") > 150000),
+    ("modern", col("o_orderdate") >= to_date(lit("1997-01-01"))))
+
+  val filterDefsSql: Seq[(String, String)] = Seq(
+    ("urgent", "o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+    ("bulk", "o_totalprice > 150000"),
+    ("modern", "o_orderdate >= DATE '1997-01-01'"))
+
+  /** global_point_filters (crunch_global.sql:38): the match→filter
+    * mapping table — one (o_orderkey, filter) row per membership, built
+    * in ONE orders scan via a compacted when-array explode. */
+  def globalPointFilters(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderkey"),
+      explode(array_compact(array(
+        filterDefs.map { case (n, p) => when(p, lit(n)) }: _*))).as("filter"))
+
   /** The reference's FULL global_point shape (crunch_global.sql:1-75):
     * series range join (created_at BETWEEN s.start AND s.end), skill-tier
-    * range join, regex build classification (item_grants RLIKE), and the
-    * 6-way "all" dimension expansion — which the reference produces with
+    * range join, regex build classification (item_grants RLIKE), the
+    * FILTER dimension (f.name = 'all' OR f.id IN (SELECT ... FROM
+    * global_point_filters WHERE match_api_id = p.match_api_id),
+    * crunch_global.sql:38 — a full member of the group key), and the
+    * "all" dimension expansion — which the reference produces with
     * chained OR-joins that multiply every row through every dim table,
-    * and which is expressed here as ONE finest-grain pass + CUBE (the
-    * same 2^5 grouping-set expansion, done by Expand after the joins, so
-    * dims never join non-equi). 18 measures matching crunch_global.sql's
-    * measure block, re-keyed to the star schema. */
+    * and which is expressed here as ONE finest-grain pass + grouping
+    * sets (the same 2^5 expansion per filter member, done by Expand
+    * after the joins, so dims never join non-equi). 18 measures matching
+    * crunch_global.sql's measure block, re-keyed to the star schema.
+    *
+    * Filter-dimension scale shape: membership is resolved at ORDER grain
+    * (mapping → collect_set → one equi-join), the membership SET rides
+    * the partial aggregation as a group key, and the fan-out to
+    * individual filter members (plus the unconditional 'all' member)
+    * happens by exploding PARTIAL rows — a fact row is never multiplied
+    * by its filter count, so the semantic fan-out costs hundreds of
+    * partial-row copies instead of a second pass over the fact table. */
   def globalFull(s: SparkSession, d: String): DataFrame = {
     val series = Dimensions.seriesDim(s)
     val tiers = Dimensions.tiersDim(s)
@@ -193,15 +228,24 @@ object Crunch {
     // The series range join runs at ORDER grain (inside orderSide's
     // output, before the fact join) — range-classifying 150k orders, not
     // 600k fact rows, since each order hits exactly one year window.
+    // filter membership at ORDER grain: mapping table → per-order set
+    // (one mapping-sized shuffle), left-joined so an order in no filter
+    // list still lands in the 'all' member
+    val memb = globalPointFilters(s, d)
+      .groupBy(col("o_orderkey")).agg(collect_set(col("filter")).as("fs"))
+      .withColumnRenamed("o_orderkey", "m_orderkey")
     val base = lineitem(s, d)
       .join(orderSide(s, d)
-          .join(series, col("o_orderdate").between(col("s_start"), col("s_end"))),
+          .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
+          .join(memb, col("o_orderkey") === col("m_orderkey"), "left"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"), "left")
       .join(tiers, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
       .withColumn("build", build)
-      .groupBy(col("r_name"), col("l_returnflag"), col("l_linestatus"),
+      .withColumn("fset", array_sort(concat(
+        coalesce(col("fs"), array().cast("array<string>")), array(lit("all")))))
+      .groupBy(col("fset"), col("r_name"), col("l_returnflag"), col("l_linestatus"),
         col("tier"), col("build"))
       .agg(
         count(lit(1)).as("p_played"),
@@ -222,9 +266,19 @@ object Crunch {
         sum(pr * (lit(1) - di) * (lit(1) + tx)).as("p_gold"),
         sum(dec(col("o_totalprice"))).as("p_impact"),
         sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("p_surrender"))
+    // fan out each PARTIAL row to its filter members ∪ {'all'}, then
+    // grouping-sets with the filter pinned in every set: the filter is an
+    // explicit dimension member (never a rollup null), the other five
+    // dims get the full 2^5 'all' expansion
+    val dims = Seq(col("r_name"), col("l_returnflag"), col("l_linestatus"),
+      col("tier"), col("build"))
+    val sets = (0 until 32).map { m =>
+      col("filter") +: dims.zipWithIndex.collect {
+        case (c, i) if ((m >> i) & 1) == 1 => c }
+    }.toSeq
     base
-      .cube(col("r_name"), col("l_returnflag"), col("l_linestatus"),
-        col("tier"), col("build"))
+      .withColumn("filter", explode(col("fset"))).drop("fset")
+      .groupingSets(sets, (col("filter") +: dims): _*)
       .agg(
         sum(col("p_played")).as("played"),
         sum(col("p_wins")).as("wins"),
@@ -245,6 +299,7 @@ object Crunch {
         round(sum(col("p_impact"))).cast("long").as("impact_score"),
         sum(col("p_surrender")).as("surrender"))
       .select(
+        col("filter"),
         coalesce(col("r_name"), lit("all")).as("region"),
         coalesce(col("l_returnflag"), lit("all")).as("game_mode"),
         coalesce(col("l_linestatus"), lit("all")).as("role"),
@@ -261,9 +316,17 @@ object Crunch {
   def globalFullOracle: String = {
     val series = Dimensions.seriesValuesSql
     val tiers = Dimensions.tiersValuesSql
+    val gpf = filterDefsSql.map { case (n, p) =>
+      s"SELECT o_orderkey, '$n' AS filter FROM orders WHERE $p"
+    }.mkString("\n      UNION ALL ")
     s"""
-    WITH fact AS (
-      SELECT r_name, l_returnflag, l_linestatus, t.tier,
+    WITH gpf AS (
+      $gpf),
+    gpfa AS (
+      SELECT o_orderkey, filter FROM gpf
+      UNION ALL SELECT o_orderkey, 'all' AS filter FROM orders),
+    fact AS (
+      SELECT o_orderkey, r_name, l_returnflag, l_linestatus, t.tier,
         CASE WHEN regexp_matches(p_type, '^ECONOMY') THEN 'economy'
              WHEN regexp_matches(p_type, '^PROMO') THEN 'promo'
              WHEN regexp_matches(p_type, '^(SMALL|MEDIUM)') THEN 'compact'
@@ -279,8 +342,11 @@ object Crunch {
       JOIN (VALUES $series) AS s(series, s_start, s_end)
         ON o_orderdate BETWEEN s_start AND s_end
       JOIN (VALUES $tiers) AS t(tier, lo, hi)
-        ON l_quantity >= lo AND l_quantity < hi)
+        ON l_quantity >= lo AND l_quantity < hi),
+    ffact AS (
+      SELECT f.*, g.filter FROM fact f JOIN gpfa g ON f.o_orderkey = g.o_orderkey)
     SELECT
+      filter,
       coalesce(r_name, 'all') AS region,
       coalesce(l_returnflag, 'all') AS game_mode,
       coalesce(l_linestatus, 'all') AS role,
@@ -304,8 +370,8 @@ object Crunch {
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS gold,
       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS impact_score,
       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS surrender
-    FROM fact
-    GROUP BY CUBE (r_name, l_returnflag, l_linestatus, tier, build)"""
+    FROM ffact
+    GROUP BY filter, CUBE (r_name, l_returnflag, l_linestatus, tier, build)"""
   }
 
   /** Phase-window dim (crunch_phases.sql:14-15, `ph.start`/`ph.end`):

@@ -89,6 +89,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
       .select(col("qid"), Pq.lutCol(col("qv"), cb).as("lut"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    if (qluts.isEmpty) return IvfIndex.emptyTopk(spark)
     val qids = qluts.map(_._1)
     val pruned = index.filter(col("cell").isin(cells: _*))
       .select(col("neighbor_id"), col("codes"), col("cell"))
@@ -169,4 +170,11 @@ object IvfIndex {
   }
 
   def load(s: SparkSession, indexDir: String): IvfIndex = new IvfIndex(s, indexDir)
+
+  /** Empty top-k frame in the search result schema — the short-circuit
+    * for an empty query workload (PqAdcAll requires ≥ 1 lut). */
+  private[operators] def emptyTopk(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, Long)].toDF("query_id", "rank", "neighbor_id")
+  }
 }

@@ -42,10 +42,19 @@ object Layout {
     val top = (1L << bits) - 1
     if (hi <= lo) lit(0L)
     else {
-      require(hi - lo <= Long.MaxValue / top,
+      // Math.subtractExact: hi - lo itself overflows Long when lo is very
+      // negative and hi very positive, which would make the span guard
+      // pass spuriously and push the overflow into the job's column
+      // arithmetic — fail on the driver instead.
+      val span =
+        try Math.subtractExact(hi, lo)
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"dimension span $lo..$hi too wide to quantize at $bits bits") }
+      require(span <= Long.MaxValue / top,
         s"dimension span $lo..$hi too wide to quantize at $bits bits")
       val cx = least(lit(hi), greatest(lit(lo), x.cast("long")))
-      call_function("div", (cx - lit(lo)) * lit(top), lit(hi - lo))
+      call_function("div", (cx - lit(lo)) * lit(top), lit(span))
     }
   }
 

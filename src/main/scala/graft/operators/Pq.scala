@@ -132,6 +132,7 @@ object Pq {
       .select(col("qid"), lutCol(col("qv"), cb).as("lut"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    if (qluts.isEmpty) return IvfIndex.emptyTopk(s)
     val qids = qluts.map(_._1)
     val scored = codes
       .select(col("neighbor_id"),

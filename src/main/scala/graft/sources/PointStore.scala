@@ -147,6 +147,11 @@ final class PointStore(spark: SparkSession, path: String,
     * their next poll and resync in turn (the cascading-resync
     * contract). */
   def overwriteTagged(tag: String, partial: DataFrame): Unit = {
+    // tag-idempotent like appendTagged: an at-least-once resync retry whose
+    // tag already committed must NOT re-replace the base — the version bump
+    // + vacuum-horizon advance would force this store's own consumers into
+    // an unnecessary cascading resync
+    if (consumedTags(tag)) return
     val name = f"base-$nextSeq%06d"
     mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -44,17 +44,17 @@ class DanglingItemsSpec extends SparkSpec {
 
   test("crunch_global_full grand total is unchanged by dangling items") {
     def grand(d: String): Long = Crunch.globalFull(spark, d)
-      .filter(col("region") === "all" && col("game_mode") === "all" &&
-        col("role") === "all" && col("skill_tier") === "all" &&
-        col("build") === "all")
+      .filter(col("filter") === "all" && col("region") === "all" &&
+        col("game_mode") === "all" && col("role") === "all" &&
+        col("skill_tier") === "all" && col("build") === "all")
       .collect()(0).getAs[Long]("played")
     assert(grand(dangDir) == grand(sf))
 
     // dangling lines reclassify into the 'other' build instead of dropping
     def buildPlayed(d: String, b: String): Long = Crunch.globalFull(spark, d)
-      .filter(col("region") === "all" && col("game_mode") === "all" &&
-        col("role") === "all" && col("skill_tier") === "all" &&
-        col("build") === b)
+      .filter(col("filter") === "all" && col("region") === "all" &&
+        col("game_mode") === "all" && col("role") === "all" &&
+        col("skill_tier") === "all" && col("build") === b)
       .collect().headOption.map(_.getAs[Long]("played")).getOrElse(0L)
     assert(buildPlayed(dangDir, "other") > buildPlayed(sf, "other"))
   }

@@ -50,16 +50,28 @@ class EngineSpec extends SparkSpec {
   test("crunch_global_full grand-total row equals the ungrouped fact totals") {
     val df = operators.Crunch.globalFull(spark, sf)
     val grand = df.filter(
-      col("region") === "all" && col("game_mode") === "all" &&
+      col("filter") === "all" && col("region") === "all" &&
+      col("game_mode") === "all" &&
       col("role") === "all" && col("skill_tier") === "all" && col("build") === "all")
     assert(grand.count() == 1)
     val played = grand.select("played").head.getLong(0)
     // sum of every fully-concrete cell must re-add to the grand total
+    // (within the filter='all' member — named filters overlap by design)
     val leaves = df.filter(
+      col("filter") === "all" &&
       col("region") =!= "all" && col("game_mode") =!= "all" &&
       col("role") =!= "all" && col("skill_tier") =!= "all" && col("build") =!= "all")
       .agg(sum("played")).head.getLong(0)
     assert(played == leaves && played > 0)
+    // every named filter member is present and strictly smaller than 'all'
+    for ((n, _) <- operators.Crunch.filterDefs) {
+      val fPlayed = df.filter(
+        col("filter") === n && col("region") === "all" &&
+        col("game_mode") === "all" && col("role") === "all" &&
+        col("skill_tier") === "all" && col("build") === "all")
+        .select("played").head.getLong(0)
+      assert(fPlayed > 0 && fPlayed < played, s"filter member $n: $fPlayed")
+    }
   }
 
   test("dim_rollup_all grand total equals lineitem join count") {
