@@ -25,6 +25,7 @@ object SparkEntry {
     "range_join_tiers" -> (Dimensions.rangeJoinTiers _),
     "filter_semijoin"  -> (Dimensions.filterSemijoin _),
     "build_regex"      -> (Dimensions.buildRegex _),
+    "build_regex_full" -> (Dimensions.buildRegexFull _),
     "item_pivot"       -> (Dimensions.itemPivot _),
     "upsert_merge"     -> (Merge.upsertMerge _),
     "hero_vs_hero"      -> (Joins.heroVsHero _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "range_join_tiers" -> Dimensions.rangeJoinTiersOracle,
     "filter_semijoin"  -> Dimensions.filterSemijoinOracle,
     "build_regex"      -> Dimensions.buildRegexOracle,
+    "build_regex_full" -> Dimensions.buildRegexFullOracle,
     "item_pivot"       -> Dimensions.itemPivotOracle,
     "upsert_merge"     -> Merge.upsertMergeOracle,
     "hero_vs_hero"      -> Joins.heroVsHeroOracle,

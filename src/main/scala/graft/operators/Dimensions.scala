@@ -168,6 +168,90 @@ object Dimensions {
     GROUP BY 1"""
   }
 
+  /** The reference's regex sandwich (worker.js:200-201): a build slot
+    * `item;count` matches a serialized `id;cnt,id;cnt,…` grants string
+    * when it appears as a complete list element. `[0-9]` replaces the
+    * original `[[:digit:]]` — Java regex (Spark) has no POSIX classes,
+    * and the two are semantically identical here in both engines. */
+  val BuildRegexStart = "^([0-9]+;[0-9]+,)*("
+  val BuildRegexEnd = ")+(,[0-9]+;[0-9]+)*$"
+
+  /** Multi-slot conjunctive builds (crunch_global.sql:52-59): up to 6
+    * (item, count) slots per build, `None` = the reference's NULL
+    * wildcard slot. Builds are plan-time dims (like tiers/series), so
+    * the `b.item_k IS NULL OR rlike` per-row disjunction compiles away:
+    * only the non-null slots emit RLIKE conjuncts. */
+  val fullBuilds: Seq[(String, Seq[Option[(Int, Int)]])] = Seq(
+    ("rush", Seq(Some((1, 2)), None, None, None, None, None)),
+    ("split_push", Seq(Some((0, 1)), Some((3, 2)), None, None, None, None)),
+    ("sustain", Seq(Some((2, 0)), Some((5, 4)), None, None, None, None)),
+    ("late_game", Seq(Some((2, 1)), Some((4, 3)), Some((6, 0)), None, None, None)))
+
+  /** `build_regex_full`: classify each match (order) against the
+    * multi-slot builds by serializing its items to the reference's
+    * `id;cnt,…` grants string and AND-ing one sandwich RLIKE per
+    * non-null slot, with the unconditional 'all' member fanned out like
+    * every rollup dim (crunch_global.sql:60's `or b.name = 'all'`).
+    *
+    * Scale shape: ONE shuffle to order grain builds the grants string
+    * AND the order-level measure partials in the same aggregate; the
+    * regex match and the build fan-out then touch order-count rows, and
+    * the final per-build totals re-aggregate partials — the fact table
+    * is scanned exactly once and never re-joined. */
+  def buildRegexFull(s: SparkSession, d: String): DataFrame = {
+    val elem = concat_ws(";", (col("l_partkey") % 8).cast("string"),
+      (col("l_quantity").cast("int") % 5).cast("string"))
+    val perOrder = lineitem(s, d)
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber"), elem.as("e")).as("le"),
+        col("l_quantity"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        concat_ws(",", transform(array_sort(collect_list(col("le"))),
+          x => x.getField("e"))).as("item_grants"),
+        count(lit(1)).as("o_lines"),
+        sum(dec(col("l_quantity"))).as("o_qty"))
+    val members = fullBuilds.map { case (n, slots) =>
+      val conj = slots.flatten.map { case (id, cnt) =>
+        col("item_grants").rlike(BuildRegexStart + s"$id;$cnt" + BuildRegexEnd)
+      }.reduce(_ && _)
+      when(conj, lit(n))
+    }
+    perOrder
+      .withColumn("build", explode(concat(
+        array_compact(array(members: _*)), array(lit("all")))))
+      .groupBy(col("build"))
+      .agg(
+        sum(col("o_lines")).as("played"),
+        sum(col("o_qty")).cast("double").as("sum_qty"),
+        count(lit(1)).as("orders_n"))
+  }
+
+  def buildRegexFullOracle: String = {
+    val arms = fullBuilds.map { case (n, slots) =>
+      val conj = slots.flatten.map { case (id, cnt) =>
+        s"regexp_matches(ig, '$BuildRegexStart$id;$cnt$BuildRegexEnd')"
+      }.mkString(" AND ")
+      s"SELECT '$n' AS build, o_lines, o_qty FROM g WHERE $conj"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH g AS (
+      SELECT l_orderkey,
+        string_agg(CAST(l_partkey % 8 AS VARCHAR) || ';' ||
+                   CAST(CAST(l_quantity AS INT) % 5 AS VARCHAR),
+                   ',' ORDER BY l_linenumber) AS ig,
+        count(*) AS o_lines,
+        sum(CAST(l_quantity AS DECIMAL(18,2))) AS o_qty
+      FROM lineitem GROUP BY l_orderkey),
+    m AS (
+      $arms
+      UNION ALL SELECT 'all' AS build, o_lines, o_qty FROM g)
+    SELECT build, CAST(sum(o_lines) AS BIGINT) AS played,
+           CAST(sum(o_qty) AS DOUBLE) AS sum_qty,
+           count(*) AS orders_n
+    FROM m GROUP BY 1"""
+  }
+
   /** Dynamic item discovery (worker.js:83-95): the reference derives its
     * `item_NNN_use` pivot columns from the LIVE item list at plan time —
     * `getItems()` → per-item SQL codegen — not from a hard-coded set.
