@@ -26,6 +26,7 @@ object SparkEntry {
     "filter_semijoin"  -> (Dimensions.filterSemijoin _),
     "build_regex"      -> (Dimensions.buildRegex _),
     "build_regex_full" -> (Dimensions.buildRegexFull _),
+    "crunch_global_gated" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Crunch.globalGated(s, d)),
     "item_pivot"       -> (Dimensions.itemPivot _),
     "upsert_merge"     -> (Merge.upsertMerge _),
     "hero_vs_hero"      -> (Joins.heroVsHero _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "filter_semijoin"  -> Dimensions.filterSemijoinOracle,
     "build_regex"      -> Dimensions.buildRegexOracle,
     "build_regex_full" -> Dimensions.buildRegexFullOracle,
+    "crunch_global_gated" -> Crunch.globalGatedOracle,
     "item_pivot"       -> Dimensions.itemPivotOracle,
     "upsert_merge"     -> Merge.upsertMergeOracle,
     "hero_vs_hero"      -> Joins.heroVsHeroOracle,

@@ -374,6 +374,120 @@ object Crunch {
     GROUP BY filter, CUBE (r_name, l_returnflag, l_linestatus, tier, build)"""
   }
 
+  /** Series dim carrying the reference's `show_in_web` visibility flag
+    * (crunch_global.sql:43's `s.show_in_web = true`): the flag is series
+    * DATA, so which rollup members a fact row feeds depends on which
+    * series window it lands in. Default visibility: even years. */
+  def gatedSeriesDim(s: SparkSession, visible: Int => Boolean): DataFrame = {
+    import s.implicits._
+    broadcast(Dimensions.seriesYears
+      .map(y => (s"y$y", s"$y-01-01", s"$y-12-31", visible(y)))
+      .toDF("series", "s_start", "s_end", "s_show")
+      .select(col("series"), to_date(col("s_start")).as("s_start"),
+        to_date(col("s_end")).as("s_end"), col("s_show")))
+  }
+
+  def defaultVisible: Int => Boolean = _ % 2 == 0
+
+  /** Conditional dimension membership (crunch_global.sql:43-59): the
+    * CONCRETE game-mode and skill-tier members exist only when the
+    * containing series is visible (`(p.game_mode_id = gm.id and
+    * s.show_in_web = true) or gm.name = 'all'`), and concrete BUILD
+    * members additionally require the game-mode member to be 'all' with
+    * the row's mode in the casual/ranked analog (crunch_global.sql:45-50)
+    * — a dimension whose membership depends on ANOTHER dimension's
+    * rollup state. A row in a hidden series still feeds every 'all'
+    * member, so grand totals are visibility-invariant (GatingSpec).
+    *
+    * Expressed as per-row member ARRAYS exploded over PARTIAL rows: the
+    * partial aggregate runs at the finest concrete grain (series, flag,
+    * mode, tier, build) and the conditional 1-or-2-way fan-out per gated
+    * dim multiplies a few hundred partials — the OR-join's semantics
+    * without ever multiplying the fact scan. */
+  def globalGated(s: SparkSession, d: String): DataFrame =
+    globalGated(s, d, defaultVisible)
+
+  def globalGated(s: SparkSession, d: String, visible: Int => Boolean): DataFrame = {
+    val series = gatedSeriesDim(s, visible)
+    val tiers = Dimensions.tiersDim(s)
+    val build = when(col("p_type").rlike("^ECONOMY"), "economy")
+      .when(col("p_type").rlike("^PROMO"), "promo")
+      .when(col("p_type").rlike("^(SMALL|MEDIUM)"), "compact")
+      .otherwise("other")
+    val base = lineitem(s, d)
+      .join(orders(s, d)
+          .join(series, col("o_orderdate").between(col("s_start"), col("s_end"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(tiers, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .withColumn("build", build)
+      .groupBy(col("series"), col("s_show"), col("l_returnflag"),
+        col("tier"), col("build"))
+      .agg(
+        count(lit(1)).as("p_n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("p_wins"),
+        sum(dec(col("l_quantity"))).as("p_qty"),
+        sum(dec(col("l_extendedprice"))).as("p_price"))
+    base
+      .withColumn("gm_m", explode(when(col("s_show"),
+        array(col("l_returnflag"), lit("all"))).otherwise(array(lit("all")))))
+      .withColumn("t_m", explode(when(col("s_show"),
+        array(col("tier"), lit("all"))).otherwise(array(lit("all")))))
+      .withColumn("b_m", explode(when(
+        col("s_show") && col("gm_m") === "all" &&
+          col("l_returnflag").isin("N", "R"),
+        array(col("build"), lit("all"))).otherwise(array(lit("all")))))
+      .groupBy(col("series"), col("gm_m"), col("t_m"), col("b_m"))
+      .agg(
+        sum(col("p_n")).as("played"),
+        sum(col("p_wins")).as("wins"),
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_price")).cast("double").as("sum_price"))
+      .select(col("series"), col("gm_m").as("game_mode"),
+        col("t_m").as("skill_tier"), col("b_m").as("build"),
+        col("played"), col("wins"), col("sum_qty"), col("sum_price"))
+  }
+
+  def globalGatedOracle: String = {
+    val seriesShow = Dimensions.seriesYears.map { y =>
+      s"('y$y', DATE '$y-01-01', DATE '$y-12-31', ${defaultVisible(y)})"
+    }.mkString(", ")
+    val tiers = Dimensions.tiersValuesSql
+    val meas = "l_quantity, l_extendedprice, o_orderstatus"
+    s"""
+    WITH fact AS (
+      SELECT s.series, s.s_show, l_returnflag AS rf, t.tier,
+        CASE WHEN regexp_matches(p_type, '^ECONOMY') THEN 'economy'
+             WHEN regexp_matches(p_type, '^PROMO') THEN 'promo'
+             WHEN regexp_matches(p_type, '^(SMALL|MEDIUM)') THEN 'compact'
+             ELSE 'other' END AS build,
+        $meas
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN (VALUES $seriesShow) AS s(series, s_start, s_end, s_show)
+        ON o_orderdate BETWEEN s_start AND s_end
+      LEFT JOIN part ON l_partkey = p_partkey
+      JOIN (VALUES $tiers) AS t(tier, lo, hi)
+        ON l_quantity >= lo AND l_quantity < hi),
+    m AS (
+      SELECT series, rf AS gm_m, tier AS t_m, 'all' AS b_m, $meas
+        FROM fact WHERE s_show
+      UNION ALL SELECT series, rf, 'all', 'all', $meas FROM fact WHERE s_show
+      UNION ALL SELECT series, 'all', tier, build, $meas
+        FROM fact WHERE s_show AND rf IN ('N', 'R')
+      UNION ALL SELECT series, 'all', tier, 'all', $meas FROM fact WHERE s_show
+      UNION ALL SELECT series, 'all', 'all', build, $meas
+        FROM fact WHERE s_show AND rf IN ('N', 'R')
+      UNION ALL SELECT series, 'all', 'all', 'all', $meas FROM fact)
+    SELECT series, gm_m AS game_mode, t_m AS skill_tier, b_m AS build,
+      count(*) AS played,
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM m GROUP BY 1, 2, 3, 4"""
+  }
+
   /** Phase-window dim (crunch_phases.sql:14-15, `ph.start`/`ph.end`):
     * the reference's participant_phases rows carry per-game-phase windows
     * and the aggregate is KEYED by the window bounds. Here the in-match
