@@ -87,13 +87,29 @@ object Merge {
   /** `accept` is the per-MESSAGE ingest guard (worker.js:129-137: an
     * oversized/malformed payload is nack-dropped before it ever reaches
     * the buffer — only the one message dies, unlike a crunch failure
-    * which routes the whole batch to [[Cruncher.failed]]). */
+    * which routes the whole batch to [[Cruncher.failed]]).
+    *
+    * `reliability` is worker.js:139-143's RELIABILITY knob: below 1.0,
+    * messages are probabilistically nack-dropped at consume time (load
+    * shedding), routing exactly like guard rejections — dropped alone,
+    * never buffered, never remembered. The coin is a seeded splitmix64
+    * hash of the id, so a shed set is deterministic per (seed, corpus)
+    * and replayable in tests, unlike the reference's Math.random().
+    *
+    * `onUpdate` is worker.js:184-190's batch-completion publish: a
+    * message may carry a notify topic, and when its batch's crunch
+    * succeeds (the ack point), `onUpdate(topic)` fires once per
+    * notifying message — a failed batch nacks and notifies nothing. */
   final class Cruncher(s: SparkSession, d: String, batchSize: Int = 1000,
                        validate: DataFrame => DataFrame = identity,
                        loadTimeoutMs: Long = Long.MaxValue,
                        now: () => Long = () => System.nanoTime() / 1000000L,
-                       accept: Long => Boolean = _ => true) {
+                       accept: Long => Boolean = _ => true,
+                       reliability: Double = 1.0,
+                       shedSeed: Long = 42L,
+                       onUpdate: String => Unit = _ => ()) {
     private var pending = Vector.empty[Long]
+    private var pendingNotifies = Vector.empty[String]
     private var crunched = Vector.empty[DataFrame]
     private var failedBatches = Vector.empty[Vector[Long]]
     private var oldestPendingAt = Long.MaxValue
@@ -103,8 +119,8 @@ object Merge {
       * split, any order) makes completion order irrelevant to the
       * result. Outcomes are collected, in submission order, in
       * [[result]]. */
-    private var inFlight = Vector.empty[(Vector[Long], Option[DataFrame],
-      scala.concurrent.Future[Unit])]
+    private var inFlight = Vector.empty[(Vector[Long], Vector[String],
+      Option[DataFrame], scala.concurrent.Future[Unit])]
     private implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     // per-batch scans re-read the fact parquet (Catalyst prunes to the
@@ -130,11 +146,20 @@ object Merge {
       * store lives off-driver. */
     private var seenIds = Set.empty[Long]
 
-    def submit(matchId: Long): Unit = {
+    def submit(matchId: Long): Unit = submit(matchId, None)
+
+    /** Submit with an optional notify topic (worker.js's per-message
+      * `notify` header): fires `onUpdate(topic)` when this message's
+      * batch completes successfully. */
+    def submit(matchId: Long, notify: Option[String]): Unit = {
       if (!accept(matchId)) { rejectedMsgs :+= matchId; return }
+      if (reliability < 1.0 && shedCoin(matchId) >= reliability) {
+        shedMsgs :+= matchId; return
+      }
       if (seenIds(matchId)) return
       if (pending.isEmpty) oldestPendingAt = now()
       pending :+= matchId
+      pendingNotifies ++= notify
       seenIds += matchId
       if (pending.size >= batchSize || now() - oldestPendingAt >= loadTimeoutMs)
         flush()
@@ -143,10 +168,27 @@ object Merge {
     /** Ids nack-dropped by the ingest guard, in arrival order. */
     def rejected: Seq[Long] = rejectedMsgs
 
+    /** Ids nack-dropped by RELIABILITY shedding, in arrival order. */
+    def shed: Seq[Long] = shedMsgs
+
+    private var shedMsgs = Vector.empty[Long]
+
+    /** splitmix64 of (seed ^ id) → uniform [0, 1): the deterministic
+      * stand-in for worker.js's Math.random() shed coin. */
+    private def shedCoin(id: Long): Double = {
+      var z = (shedSeed ^ id) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+
     def flush(): Unit = if (pending.nonEmpty) {
       import s.implicits._
       val batchIds = pending
+      val batchNotifies = pendingNotifies
       pending = Vector.empty
+      pendingNotifies = Vector.empty
       oldestPendingAt = Long.MaxValue
       // Plan CONSTRUCTION (validate + eager Dataset analysis) can throw
       // just like execution — a validator raising synchronously or an
@@ -178,9 +220,10 @@ object Merge {
         (point, fut)
       } match {
         case scala.util.Success((point, fut)) =>
-          inFlight :+= ((batchIds, Some(point), fut))
+          inFlight :+= ((batchIds, batchNotifies, Some(point), fut))
         case scala.util.Failure(e) =>
-          inFlight :+= ((batchIds, None, scala.concurrent.Future.failed(e)))
+          inFlight :+= ((batchIds, batchNotifies, None,
+            scala.concurrent.Future.failed(e)))
       }
     }
 
@@ -196,10 +239,13 @@ object Merge {
       * been consumed. */
     def result(): DataFrame = {
       flush()
-      inFlight.foreach { case (batchIds, point, fut) =>
+      inFlight.foreach { case (batchIds, notifies, point, fut) =>
         try {
           scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
           crunched :+= point.get
+          // the ack point: publish crunch_update per notifying message
+          // (worker.js:184-190); a failed batch nacks and never notifies
+          notifies.foreach(onUpdate)
         } catch { case scala.util.control.NonFatal(_) =>
           point.foreach(_.unpersist(false))
           failedBatches :+= batchIds
@@ -221,7 +267,7 @@ object Merge {
       * after consuming [[result]] (any still-in-flight batch is awaited
       * and discarded, so no future races a cleared cache). */
     def reset(): Unit = {
-      inFlight.foreach { case (_, point, fut) =>
+      inFlight.foreach { case (_, _, point, fut) =>
         scala.util.Try(
           scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf))
         point.foreach(_.unpersist(false))
@@ -231,7 +277,9 @@ object Merge {
       seenIds = Set.empty
       failedBatches = Vector.empty
       rejectedMsgs = Vector.empty
+      shedMsgs = Vector.empty
       pending = Vector.empty
+      pendingNotifies = Vector.empty
       oldestPendingAt = Long.MaxValue
     }
   }

@@ -16,13 +16,20 @@ import java.nio.charset.StandardCharsets
   *   GET /queries                    → registered query names
   *   GET /query/<name>?sf=DIR&limit=N → run query, JSON rows (default
   *                                      limit 1000; collect is bounded)
+  *   GET /version?store=<name>       → content version of a point store
+  *                                      under `storeRoot` — the web
+  *                                      tier's "did anything change?"
+  *                                      poll that pairs with the
+  *                                      crunch_update notify hook
+  *                                      (worker.js:184-190)
   *
   * The server holds ONE SparkSession; queries are declarative DataFrames,
   * so concurrent requests are just concurrent Spark jobs under the
   * session's scheduler. Row payloads go through df.limit(n).toJSON on the
   * executors — the driver only concatenates bounded output.
   */
-final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0) {
+final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
+                        storeRoot: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -68,6 +75,28 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0) {
     server.createContext("/queries", (ex: HttpExchange) =>
       respond(ex, 200,
         SparkEntry.queries.keys.toSeq.sorted.mkString("[\"", "\",\"", "\"]")))
+    server.createContext("/version", (ex: HttpExchange) => {
+      (storeRoot, param(ex, "store")) match {
+        case (None, _) =>
+          respond(ex, 404, """{"error":"no store root configured"}""")
+        case (_, None) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (Some(root), Some(name)) =>
+          // same canonicalize-under-root discipline as the sf whitelist:
+          // the store param is a directory NAME, never a path (and it is
+          // echoed into JSON, so the charset is clamped too)
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else graft.sources.PointStore.versionOf(dir.getPath) match {
+            case None =>
+              respond(ex, 404, s"""{"error":"no store named '$name'"}""")
+            case Some(v) =>
+              respond(ex, 200, s"""{"store":"$name","version":$v}""")
+          }
+      }
+    })
     server.createContext("/query/", (ex: HttpExchange) => {
       val name = ex.getRequestURI.getPath.stripPrefix("/query/")
       SparkEntry.queries.get(name) match {

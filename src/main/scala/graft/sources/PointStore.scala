@@ -280,6 +280,26 @@ object PointStore {
     f.delete()
   }
 
+  /** Content version of the store at `path` WITHOUT opening it (no
+    * schema needed — manifest-only parse, same rule as
+    * [[PointStore.version]]: max of the change-log versions and the
+    * vacuum horizon). None when no store exists there. Serves the
+    * QueryServer `/version` route, where the caller knows only a
+    * directory name. */
+  def versionOf(path: String): Option[Long] = {
+    val mf = new java.io.File(path, "_MANIFEST")
+    if (!mf.exists) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(mf.toPath))
+        .trim.split("\n").toSeq.filter(_.nonEmpty)
+      val logs = lines.collect { case l if l.startsWith("#log:") =>
+        val rest = l.stripPrefix("#log:"); rest.take(rest.indexOf(':')).toLong }
+      val vac = lines.collect { case l if l.startsWith("#vacuumed:") =>
+        l.stripPrefix("#vacuumed:").toLong }
+      Some((0L +: (vac ++ logs)).max)
+    }
+  }
+
   /** `point_store_roundtrip`: the reference's worker lifecycle against a
     * store on disk — three batch upserts with a compaction between the
     * second and third, then a merge-on-read snapshot. The oracle is the

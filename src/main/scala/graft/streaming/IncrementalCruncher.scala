@@ -27,8 +27,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * attempt is overwritten on retry, never read (only the manifest makes
   * a delta visible).
   */
+/** @param onCommit worker.js:184-190's `crunch_update` publish as a
+  *   hook: invoked with (batchId, store content version) once per
+  *   COMMITTED batch — a redelivered already-committed batch id is a
+  *   no-op and does not re-notify, so a consumer (the web tier's cache
+  *   refresh in the reference) observes each commit exactly once.
+  *   Fires after the commit point, like the reference's notify-after-ack
+  *   — a crash between commit and notify loses the notification, not
+  *   the data, and the store version (also served by
+  *   [[graft.server.QueryServer]]'s `/version`) lets a consumer
+  *   re-sync. */
 final class IncrementalCruncher(spark: SparkSession, stateDir: String,
-                                compactEvery: Int = 8) {
+                                compactEvery: Int = 8,
+                                onCommit: (Long, Long) => Unit = (_, _) => ()) {
 
   private val store = new PointStore(spark, stateDir,
     keys = Seq("game_mode", "role"),
@@ -62,6 +73,7 @@ final class IncrementalCruncher(spark: SparkSession, stateDir: String,
     if (!committedBatches(batchId)) {
       store.appendTagged(s"b$batchId", Merge.pointAgg(batch))
       commitBatch(batchId)
+      onCommit(batchId, store.version)
       if (store.deltaCount >= compactEvery) store.compact()
     }
 

@@ -58,6 +58,30 @@ class IncrementalSpec extends SparkSpec {
     assert(got == oneShot)
   }
 
+  test("a consumer observes each committed batch exactly once") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_state4").toString
+    var observed = Vector.empty[(Long, Long)]
+    val c = new IncrementalCruncher(spark, dir, compactEvery = 1,
+      onCommit = (id, v) => observed :+= ((id, v)))
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+    c.mergeBatch(li.filter(col("l_orderkey") % 2 === 0), 0L)
+    c.mergeBatch(li.filter(col("l_orderkey") % 2 === 0), 0L) // retry: no re-notify
+    c.mergeBatch(li.filter(col("l_orderkey") % 2 =!= 0), 1L)
+    c.mergeBatch(li.filter(col("l_orderkey") % 2 === 0), 0L) // late re-delivery
+    // one notification per COMMIT, versions strictly ascending
+    assert(observed.map(_._1) == Vector(0L, 1L))
+    assert(observed.map(_._2) == Vector(1L, 2L))
+    // a restarted cruncher re-notifies nothing for already-committed ids
+    var observed2 = Vector.empty[(Long, Long)]
+    val c2 = new IncrementalCruncher(spark, dir, compactEvery = 1,
+      onCommit = (id, v) => observed2 :+= ((id, v)))
+    c2.mergeBatch(li.filter(col("l_orderkey") % 2 === 0), 0L)
+    c2.mergeBatch(li.filter(col("l_orderkey") % 2 =!= 0), 2L) // genuinely new
+    assert(observed2 == Vector((2L, 3L)))
+  }
+
   test("versioned state survives a second cruncher attach (restart)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_state2").toString

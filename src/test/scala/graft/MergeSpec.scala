@@ -38,6 +38,56 @@ class MergeSpec extends SparkSpec {
     assert(rows(driver) == rows(direct))
   }
 
+  test("RELIABILITY shedding drops deterministically and routes like rejections") {
+    val ids = (1L to 200L).toVector
+    def run(rel: Double, seed: Long) = {
+      val c = new Merge.Cruncher(spark, sf, batchSize = 1000,
+        reliability = rel, shedSeed = seed)
+      ids.foreach(c.submit)
+      val total = c.result().agg(org.apache.spark.sql.functions.sum("played"))
+        .collect()(0)
+      c.release()
+      (c.shed.toVector, c.failed, c.rejected)
+    }
+    val (shedA, failedA, rejectedA) = run(0.7, 7L)
+    val (shedB, _, _) = run(0.7, 7L)
+    // deterministic for a fixed (seed, corpus); roughly the right rate
+    assert(shedA == shedB)
+    assert(shedA.nonEmpty && shedA.size < ids.size / 2)
+    // shed ids route like rejections: dropped alone, never into a
+    // failed batch, never into the dedup set or the merge
+    assert(failedA.isEmpty && rejectedA.isEmpty)
+    assert(shedA.toSet.subsetOf(ids.toSet))
+    // reliability 1.0 sheds nothing
+    val (shedFull, _, _) = run(1.0, 7L)
+    assert(shedFull.isEmpty)
+  }
+
+  test("batch completion fires onUpdate per notifying message at the ack point") {
+    var updates = Vector.empty[String]
+    val c = new Merge.Cruncher(spark, sf, batchSize = 3,
+      onUpdate = t => updates :+= t)
+    c.submit(2L, Some("web.eu"))
+    c.submit(4L, None)
+    c.submit(6L, Some("web.na")) // batch of 3 flushes here
+    c.submit(8L, Some("web.eu"))
+    // nothing published before the ack point
+    assert(updates.isEmpty)
+    c.result()
+    assert(updates == Vector("web.eu", "web.na", "web.eu"))
+    // a failed batch nacks and never notifies
+    var updates2 = Vector.empty[String]
+    val boom = new Merge.Cruncher(spark, sf, batchSize = 2,
+      validate = _ => throw new RuntimeException("boom"),
+      onUpdate = t => updates2 :+= t)
+    boom.submit(2L, Some("web.eu"))
+    boom.submit(4L, Some("web.na"))
+    // every batch failed -> nothing to merge; the routing still happens
+    scala.util.Try(boom.result())
+    assert(updates2.isEmpty && boom.failed == Seq(Seq(2L, 4L)))
+    c.release(); boom.release()
+  }
+
   test("reset() clears the dedup set and queues — a reused cruncher re-crunches") {
     val ids = Tables.orders(spark, sf).filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq

@@ -46,6 +46,38 @@ class ServerSpec extends SparkSpec {
       assert(negc == 200 && negBody.startsWith("[{"))
       val (badc, _) = get(port, "/query/crunch_phases?limit=abc")
       assert(badc == 400)
+
+      // /version without a configured store root
+      val (vnc, _) = get(port, "/version?store=x")
+      assert(vnc == 404)
+    } finally srv.stop()
+  }
+
+  test("/version serves point-store content versions under the store root") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_stores").toString
+    val c = new graft.streaming.IncrementalCruncher(spark, s"$root/points")
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+    c.mergeBatch(li.filter(col("l_orderkey") % 2 === 0), 0L)
+
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      assert(get(port, "/version?store=points") ==
+        (200, """{"store":"points","version":1}"""))
+      // a commit bumps the served version — the consumer's re-sync signal
+      c.mergeBatch(li.filter(col("l_orderkey") % 2 =!= 0), 1L)
+      assert(get(port, "/version?store=points") ==
+        (200, """{"store":"points","version":2}"""))
+      val (mc, _) = get(port, "/version?store=missing")
+      assert(mc == 404)
+      val (bc, _) = get(port, "/version")
+      assert(bc == 400)
+      // the store param is a NAME: traversal out of the root is refused
+      val (tc, _) = get(port, "/version?store=..%2Fpoints")
+      assert(tc == 403)
     } finally srv.stop()
   }
 }
