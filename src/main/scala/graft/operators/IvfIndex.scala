@@ -44,7 +44,34 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     cb.map(_.toArray)
   }
 
-  def index: DataFrame = spark.read.parquet(s"$dir/index")
+  private def membersFile = new java.io.File(dir, "_MEMBERS")
+
+  private def memberLines: Seq[String] =
+    if (!membersFile.exists) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(membersFile.toPath))
+      .trim.split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Member data directories of the index (relative to `dir`): the
+    * initial build plus one per tagged append. An index written before
+    * the manifest existed is just its build dir. */
+  def members: Seq[String] = {
+    val m = memberLines.filterNot(_.startsWith("#"))
+    if (m.isEmpty) Seq("index") else m
+  }
+
+  /** Tags whose append already committed (the exactly-once ledger). */
+  def consumedTags: Set[String] =
+    memberLines.collect { case l if l.startsWith("#tag:") =>
+      l.stripPrefix("#tag:") }.toSet
+
+  /** The full index frame: every member shares the cell=N layout, read
+    * separately and unioned (Spark's partition discovery refuses sibling
+    * roots in one read). A cell predicate pushes through the Union into
+    * EACH member's scan as a PartitionFilter, so pruning after appends
+    * is identical to the single-root case (StreamingIndexSpec pins
+    * it). */
+  def index: DataFrame =
+    members.map(m => spark.read.parquet(s"$dir/$m")).reduce(_ unionByName _)
 
   /** Incremental maintenance: assign NEW vectors with the EXISTING
     * quantizer (cells AND PQ codebooks) and append their rows to the
@@ -53,8 +80,26 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * practice retrains the quantizer only on a full rebuild (cell
     * balance drifts as the distribution does, recall does not break). */
   def append(newEmb: DataFrame): Unit =
-    IvfIndex.writeAssignments(newEmb, centroids, codebooks, dir,
+    IvfIndex.writeAssignments(newEmb, centroids, codebooks, s"$dir/index",
       org.apache.spark.sql.SaveMode.Append)
+
+  /** Tagged exactly-once append — the streaming-maintenance commit
+    * (PointStore's appendTagged contract applied to the index): the
+    * batch writes into its OWN member directory (Overwrite, so a
+    * half-written dir from a crashed attempt is clobbered on retry,
+    * never read — only the manifest makes it visible), and one atomic
+    * manifest flip publishes the member and consumes the tag. A retry
+    * of a consumed tag is a no-op, so foreachBatch's at-least-once
+    * redeliveries index each batch exactly once. */
+  def appendTagged(tag: String, newEmb: DataFrame): Unit = {
+    if (consumedTags(tag)) return
+    val name = s"append-$tag"
+    IvfIndex.writeAssignments(newEmb, centroids, codebooks, s"$dir/$name",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    graft.sources.PointStore.atomicWrite(membersFile,
+      ((members :+ name) ++ (consumedTags + tag).toSeq.sorted.map("#tag:" + _))
+        .mkString("\n").getBytes)
+  }
 
   /** Top-k neighbors for (qid, qv double-array) queries over the probed
     * cells only, scored EXACTLY on the stored vectors. */
@@ -128,18 +173,18 @@ object IvfIndex {
     Ann.probeCells(v, cents, nprobe)
 
   /** Normalize + assign a (vec_id, embedding) frame, PQ-encode it, and
-    * write the rows into the cell-partitioned index parquet. */
-  private[operators] def writeAssignments(
+    * write the rows into the cell-partitioned parquet at `dataDir`. */
+  private[graft] def writeAssignments(
       emb: DataFrame, cents: Array[(Int, Array[Double])],
       cb: Array[Array[Array[Double]]],
-      indexDir: String, mode: SaveMode): Unit =
+      dataDir: String, mode: SaveMode): Unit =
     emb
       .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("nv"))
       .repartition(col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("nv"),
         Pq.encodeCol(col("nv"), cb).as("codes"),
         Ann.assignCell(col("nv"), cents).as("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$indexDir/index")
+      .write.mode(mode).partitionBy("cell").parquet(dataDir)
 
   /** Build the index from the testdata embeddings table. */
   def build(s: SparkSession, sfDir: String, indexDir: String): IvfIndex =
@@ -157,7 +202,7 @@ object IvfIndex {
                 cents: Array[(Int, Array[Double])],
                 cb: Array[Array[Array[Double]]]): IvfIndex = {
     val s = emb.sparkSession
-    writeAssignments(emb, cents, cb, indexDir, SaveMode.Overwrite)
+    writeAssignments(emb, cents, cb, s"$indexDir/index", SaveMode.Overwrite)
     import s.implicits._
     cents.map { case (c, v) => (c, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
