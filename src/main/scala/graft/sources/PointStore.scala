@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent point-table store: the reference's `INSERT .. ON DUPLICATE
@@ -226,16 +226,60 @@ final class PointStore(spark: SparkSession, path: String,
     * from the manifest; tags of folded-away tagged deltas are preserved
     * as `#tag:` ledger lines so [[appendTagged]] stays idempotent across
     * compaction. Old directories stay on disk for in-flight readers of
-    * the previous manifest; [[vacuum]] reclaims them. */
-  def compact(): Unit = {
+    * the previous manifest; [[vacuum]] reclaims them.
+    *
+    * `clusterFiles > 0` Z-ORDERS the new base on the key tuple
+    * (OPTIMIZE ZORDER applied at the compaction point, where the table
+    * is being rewritten anyway): each key maps to a Long — numerics
+    * directly, dates/timestamps as epoch units, strings by their first
+    * 7 bytes NUL-padded (order-preserving for ASCII dimension members)
+    * — quantized against driver-collected min/max (two values per key,
+    * one metadata-sized agg) and Morton-interleaved; the base is then
+    * range-partitioned into `clusterFiles` files on the z-value. Layout
+    * only — content and manifest semantics are identical, and snapshot
+    * reads of a keyed slice prune files on ANY key subset
+    * (PointStoreSpec measures the per-file bounding boxes). */
+  def compact(clusterFiles: Int = 0): Unit = {
     val ms = members
     if (ms.size > 1 || (ms.size == 1 && !ms.head.startsWith("base-"))) {
       val name = f"base-$nextSeq%06d"
-      snapshot.write.parquet(s"$path/$name")
+      val snap = snapshot
+      val out =
+        if (clusterFiles <= 0) snap
+        else {
+          val longs = keys.map(k => keyAsLong(col(k), snap.schema(k).dataType))
+          val aggCols = longs.zipWithIndex.flatMap { case (c, i) =>
+            Seq(min(c).as(s"lo$i"), max(c).as(s"hi$i")) }
+          val bounds = snap.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+          val qs = longs.zipWithIndex.map { case (c, i) =>
+            graft.operators.Layout.quantize(c,
+              bounds.getLong(2 * i), bounds.getLong(2 * i + 1)) }
+          snap.withColumn("__z", graft.operators.Layout.interleaveN(qs))
+            .repartitionByRange(clusterFiles, col("__z"))
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
+        }
+      out.write.parquet(s"$path/$name")
       // content is unchanged, so the version does not bump; the change
       // log and vacuum horizon carry over verbatim
       writeManifest((name +: consumedTags.toSeq.sorted.map(TagLine + _)) ++
         manifestLines.filter(l => l.startsWith(LogLine) || l.startsWith(VacLine)))
+    }
+  }
+
+  /** Order-preserving Long view of a key column for Z-order quantization. */
+  private def keyAsLong(c: Column,
+                        dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType =>
+        // first 7 bytes big-endian, NUL-padded: positional compare, fits
+        // a signed Long (2^56), order-preserving for ASCII members
+        conv(hex(substring(rpad(c, 7, "\u0000").cast("binary"), 1, 7)), 16, 10)
+          .cast("long")
+      case DateType => datediff(c, to_date(lit("1970-01-01"))).cast("long")
+      case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
     }
   }
 

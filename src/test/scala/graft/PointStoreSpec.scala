@@ -185,6 +185,52 @@ class PointStoreSpec extends SparkSpec {
     assert(f.result.get.collect().map(_.mkString("|")).toSet == expectRollup)
   }
 
+  test("clustered compaction z-orders the base: keyed slices prune files") {
+    val dir = freshDir("zcompact")
+    // numeric 2-key store with enough key-tuple cardinality to spread files
+    val store = new PointStore(spark, dir,
+      keys = Seq("k1", "k2"), sums = Seq("v"), maxes = Seq.empty)
+    val partial = Tables.lineitem(spark, sf)
+      .groupBy((col("l_orderkey") % 64).as("k1"), (col("l_partkey") % 64).as("k2"))
+      .agg(sum(col("l_quantity").cast("long")).as("v"))
+    store.append(partial.filter(col("k1") % 2 === 0))
+    store.append(partial.filter(col("k1") % 2 =!= 0))
+    val before = store.snapshot.collect().map(_.mkString("|")).toSet
+    store.compact(clusterFiles = 8)
+    // layout only: content identical, one base member
+    assert(store.snapshot.collect().map(_.mkString("|")).toSet == before)
+    assert(store.members.size == 1 && store.members.head.startsWith("base-"))
+
+    // per-file bounding boxes of the base — the stats a scan skips on
+    def stats(c: String): Array[(Long, Long)] =
+      spark.read.parquet(s"$dir/${store.members.head}")
+        .withColumn("f", input_file_name())
+        .groupBy(col("f"))
+        .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def hits(c: String, lo: Long, hi: Long): Int =
+      stats(c).count { case (flo, fhi) => fhi >= lo && flo <= hi }
+    val files = stats("k1").length
+    assert(files >= 4, s"want >=4 base files, got $files")
+    // a narrow slice on EITHER key touches at most half the files —
+    // the multi-dim pruning a single-key sort cannot give
+    assert(hits("k1", 0, 7) <= files / 2, s"k1 slice hits ${hits("k1", 0, 7)}/$files")
+    assert(hits("k2", 0, 7) <= files / 2, s"k2 slice hits ${hits("k2", 0, 7)}/$files")
+  }
+
+  test("clustered compaction works on string keys (7-byte prefix quantize)") {
+    val dir = freshDir("zcompact_str")
+    val store = build(dir)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+    store.append(Merge.pointAgg(li.filter(col("l_orderkey") % 2 === 0)))
+    store.append(Merge.pointAgg(li.filter(col("l_orderkey") % 2 =!= 0)))
+    store.compact(clusterFiles = 2)
+    // content unchanged through the string-keyed z-rewrite
+    assert(Merge.finish(store.snapshot).collect().map(_.mkString("|")).toSet
+      == oneShot)
+  }
+
   test("appendTagged idempotence survives compaction and reopen (ADVICE r5)") {
     val dir = freshDir("tags")
     val store = build(dir)
