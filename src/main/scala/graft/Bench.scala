@@ -21,7 +21,12 @@ object Bench {
     // plan analysis, codegen, shuffle, scan — on each rep (nothing is
     // cached across reps except the JVM/JIT warmth a steady-state
     // deployment has anyway).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // Default 3 since r7: three rounds running (r3, r4, r6) BOTH reps of
+    // a query landed inside one host-contention window, poisoning the
+    // official artifact; a third rep makes that coincidence much rarer,
+    // and the contamination flag below makes a surviving spike
+    // machine-visible instead of silently grading as a regression.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // one untimed scan+agg so JVM/codegen/readers warm up outside the
     // first query's timing
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -37,14 +42,23 @@ object Bench {
       // contribute its (fast, bogus) time; rows=-1 only if every rep died
       val ok = runs.filter(_._2 >= 0)
       val (sec, n) = (if (ok.nonEmpty) ok else runs).minBy(_._1)
+      // contamination flag: a max/min rep spread beyond 3× means at least
+      // one rep sat in a host-contention window — the min is still the
+      // honest entry, but the artifact records that this query's timings
+      // were turbulent when it ran
+      val times = (if (ok.nonEmpty) ok else runs).map(_._1)
+      val contaminated = times.max / times.min.max(1e-9) > 3.0
       System.err.println(f"[bench] $name%-20s $sec%8.2fs rows=$n" +
-        runs.map(r => f"${r._1}%.2f").mkString(" (reps: ", " ", ")"))
-      name -> sec
+        runs.map(r => f"${r._1}%.2f").mkString(" (reps: ", " ", ")") +
+        (if (contaminated) "  CONTAMINATED" else ""))
+      (name, sec, contaminated)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val contaminatedQs = results.collect { case (k, _, true) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"contaminated":$contaminatedQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
