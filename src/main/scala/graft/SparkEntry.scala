@@ -58,6 +58,9 @@ object SparkEntry {
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "decontaminate"   -> (Curation.decontaminate _),
+    "doc_repetition"  -> (Curation.docRepetition _),
+    "pii_scrub"       -> (Curation.piiScrub _),
     "multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
     "multimodal_dedup"  -> (Multimodal.multimodalDedup _),
@@ -111,6 +114,9 @@ object SparkEntry {
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
+    "decontaminate"   -> Curation.decontaminateOracle,
+    "doc_repetition"  -> Curation.docRepetitionOracle,
+    "pii_scrub"       -> Curation.piiScrubOracle,
     "multimodal_meta"   -> Multimodal.multimodalMetaOracle,
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,
     "multimodal_dedup"  -> Multimodal.multimodalDedupOracle,

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and packing: benchmark decontamination, repetition
+  * filtering (the Gopher/MassiveText quality rules), and PII / blocklist
+  * scrubbing. All three are scan-shaped — per-row projections plus at most
+  * one doc-keyed aggregation — so a 100 TB corpus pass runs at parquet-read
+  * speed:
+  *
+  *  - `decontaminate` joins the corpus's exploded n-grams against the
+  *    benchmark n-gram set with a BROADCAST hash join (benchmark suites
+  *    are metadata-sized next to the corpus), so the corpus side never
+  *    shuffles; only the matched (doc_id, shingle) rows — a tiny fraction —
+  *    reach the per-doc count shuffle.
+  *  - `doc_repetition` needs per-(doc, gram) counts, which the in-row
+  *    higher-order form can't express without O(len²) work; the
+  *    explode → two-level hash agg shape keeps it O(len) with map-side
+  *    combine, and both levels shuffle only (doc_id[, gram]) keyed rows.
+  *  - `pii_scrub` is a pure projection (regexp_replace / regexp_extract_all
+  *    inside whole-stage codegen), zero shuffles.
+  */
+object Curation {
+
+  // --------------------------------------------------------- decontaminate
+
+  /** Benchmark docs are the deterministic doc_id % [[BenchMod]] == 0 slice
+    * (standing in for an external eval-suite upload); everything else is
+    * the training corpus to be screened. */
+  val BenchMod   = 97
+  val DecontamN  = 3
+
+  /** Benchmark n-gram decontamination (the GPT-3 appendix-C / PaLM
+    * eval-overlap check): flag every corpus document sharing at least one
+    * word [[DecontamN]]-gram with the benchmark set. Output is one row per
+    * corpus doc — `n_hits` distinct contaminated shingles and the
+    * keep/drop `contaminated` flag downstream sampling uses. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs   = documents(s, d)
+    val bench  = Dedup.shingles(docs.filter(col("doc_id") % BenchMod === 0), DecontamN)
+      .select(col("shingle")).distinct()
+    val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
+    val hits = Dedup.shingles(corpus, DecontamN)
+      .join(broadcast(bench), "shingle") // corpus side stays un-shuffled
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  def decontaminateOracle: String = s"""
+    WITH ${Dedup.shingleSqlCte(DecontamN)},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $BenchMod = 0),
+    hits AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.doc_id % $BenchMod <> 0
+      GROUP BY 1)
+    SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % $BenchMod <> 0"""
+
+  // -------------------------------------------------------- doc_repetition
+
+  /** Gopher rule thresholds: flag a doc when its duplicate-bigram fraction
+    * or its single-most-frequent-token share crosses these. */
+  val DupBigramMax = 0.05
+  val TopTokenMax  = 0.12
+
+  /** Repetition quality filter (Gopher/MassiveText "repetitious text"
+    * rules re-based on word n-grams — the corpus is single-line, so
+    * line-level dup fractions are degenerate): per doc, the duplicate
+    * token fraction, duplicate bigram fraction, and the share of the
+    * single most frequent token, plus the keep/drop flag.
+    *
+    * All counts are exact integers and every ratio is one int/int double
+    * division (exactly rounded IEEE), so the flag — a comparison on those
+    * doubles — is bit-stable across engines. */
+  def docRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .repartition(col("doc_id")) // parallelism + token-array barrier (see Dedup.shingles)
+    val uni = base.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+    val bi = base
+      .select(col("doc_id"), explode(Dedup.ngramsOfTokens(col("w"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    val dupTok = lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")
+    val dupBg = when(col("n_bigrams").isNull || col("n_bigrams") === 0, lit(0.0))
+      .otherwise(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+    val topFrac = col("top_c").cast("double") / col("n_tokens")
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        dupTok.as("dup_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        dupBg.as("dup_bigram_frac"),
+        topFrac.as("top_token_frac"),
+        (dupBg > DupBigramMax || topFrac > TopTokenMax).as("repetitive"))
+  }
+
+  def docRepetitionOracle: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    u AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+    uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+    uni AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_c
+      FROM uc GROUP BY 1),
+    bg0 AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        ELSE [] END) AS bg
+      FROM toks),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+      FROM bc GROUP BY 1),
+    j AS (
+      SELECT u.doc_id, n_tokens, n_distinct, top_c,
+             COALESCE(n_bigrams, 0) AS n_bigrams, n_distinct_bigrams,
+             CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+             CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(1 AS DOUBLE) - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+             END AS dup_bigram_frac,
+             CAST(top_c AS DOUBLE) / n_tokens AS top_token_frac
+      FROM uni u LEFT JOIN bi ON u.doc_id = bi.doc_id)
+    SELECT doc_id, n_tokens, n_distinct, dup_token_frac, n_bigrams,
+           dup_bigram_frac, top_token_frac,
+           (dup_bigram_frac > $DupBigramMax OR top_token_frac > $TopTokenMax)
+             AS repetitive
+    FROM j"""
+
+  // ------------------------------------------------------------- pii_scrub
+
+  /** PII regexes (email, dotted-quad IP) plus a term blocklist. The
+    * synthetic corpus contains no digits or @-signs, so the PII counters
+    * verify the machinery at zero; the blocklist mask has real hits. All
+    * three patterns are shared Java-regex/RE2 syntax so the oracle runs
+    * them verbatim. */
+  val EmailRe     = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re      = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val BlocklistRe = "\\b(customer|query|spark)\\b"
+
+  /** PII / blocklist scrubbing: per-doc match counts for each category and
+    * the redacted text. Pure projection — regexp_extract_all + chained
+    * regexp_replace inside whole-stage codegen; nothing shuffles. */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(BlocklistRe), lit(0)))
+        .cast("long").as("n_blocked"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<email>"),
+          Ipv4Re, "<ip>"),
+        BlocklistRe, "<masked>").as("scrubbed"))
+
+  /** DuckDB twin — NOTE the 'g' flag: DuckDB's regexp_replace is
+    * first-match-only by default where Spark's replaces all. */
+  def piiScrubOracle: String = s"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$EmailRe', 0)) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text, '$Ipv4Re', 0)) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(text, '$BlocklistRe', 0)) AS BIGINT) AS n_blocked,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '$EmailRe', '<email>', 'g'),
+          '$Ipv4Re', '<ip>', 'g'),
+        '$BlocklistRe', '<masked>', 'g') AS scrubbed
+    FROM documents"""
+}

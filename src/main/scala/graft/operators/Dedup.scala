@@ -35,16 +35,21 @@ object Dedup {
     * string_split_regex(lower(trim(text)), '\s+'). */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  /** Distinct word n-shingles from a MATERIALIZED token-array column.
-    * `w` must be a plain column reference: Catalyst does not CSE through
-    * higher-order lambdas, so inlining `split()` here would re-run the
-    * split for every element_at — O(len²) per row (measured 12 s for 5000
-    * docs before the fix, <1 s after). */
-  def shinglesOfTokens(w: Column, n: Int): Column =
+  /** ALL word n-grams (duplicates kept, document order) from a
+    * MATERIALIZED token-array column. `w` must be a plain column
+    * reference: Catalyst does not CSE through higher-order lambdas, so
+    * inlining `split()` here would re-run the split for every
+    * element_at — O(len²) per row (measured 12 s for 5000 docs before
+    * the fix, <1 s after). */
+  def ngramsOfTokens(w: Column, n: Int): Column =
     when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k + 1))): _*))))
+      transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k + 1))): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct word n-shingles (set semantics — the dedup family's unit). */
+  def shinglesOfTokens(w: Column, n: Int): Column =
+    array_distinct(ngramsOfTokens(w, n))
 
   /** Inline convenience for small inputs (tests) — quadratic form. */
   def shingleArr(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Properties the DuckDB hash-compare can't state: an independent plain-JVM
+  * recomputation of each curation stat, and PII patterns firing on real
+  * PII-bearing text (the driver corpus contains none, so the oracle only
+  * pins the zero case). */
+class CurationSpec extends SparkSpec {
+
+  private def toks(text: String): Array[String] =
+    text.trim.toLowerCase.split("\\s+")
+
+  private def grams(text: String, n: Int): Seq[String] =
+    toks(text).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+
+  test("decontaminate matches a plain-Scala recomputation of the overlap") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bench = docs.filter(_._1 % Curation.BenchMod == 0)
+      .values.flatMap(grams(_, Curation.DecontamN)).toSet
+    assert(bench.nonEmpty, "fixture needs at least one benchmark doc")
+
+    val got = Curation.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // one row per corpus doc, benchmark docs excluded
+    assert(got.map(_._1).toSet == docs.keySet.filter(_ % Curation.BenchMod != 0))
+    got.foreach { case (id, nHits, flag) =>
+      val expect = grams(docs(id), Curation.DecontamN).toSet.count(bench)
+      assert(nHits == expect, s"doc $id")
+      assert(flag == (expect > 0), s"doc $id flag")
+    }
+    // the fixture actually exercises both branches
+    assert(got.exists(_._3) && got.exists(!_._3), "need mixed contamination")
+  }
+
+  test("doc_repetition matches a plain-Scala recomputation per doc") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Curation.docRepetition(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val w  = toks(docs(r.getLong(0)))
+      val bg = grams(docs(r.getLong(0)), 2)
+      assert(r.getLong(1) == w.length)                        // n_tokens
+      assert(r.getLong(2) == w.distinct.length)               // n_distinct
+      assert(r.getDouble(3) == 1.0 - w.distinct.length.toDouble / w.length)
+      assert(r.getLong(4) == bg.length)                       // n_bigrams
+      val dupBg = if (bg.isEmpty) 0.0 else 1.0 - bg.distinct.length.toDouble / bg.length
+      assert(r.getDouble(5) == dupBg)
+      val topFrac = w.groupBy(identity).values.map(_.length).max.toDouble / w.length
+      assert(r.getDouble(6) == topFrac)
+      assert(r.getBoolean(7) ==
+        (dupBg > Curation.DupBigramMax || topFrac > Curation.TopTokenMax))
+    }
+    assert(got.exists(_.getBoolean(7)) && got.exists(!_.getBoolean(7)),
+      "need mixed repetitive flags")
+  }
+
+  test("pii_scrub redacts emails, IPs and blocklist terms on PII-bearing text") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_pii").toString
+    import spark.implicits._
+    Seq(
+      (1L, "contact bob.smith+x@mail.example.org or 10.0.42.7 today", "en", "s", 0L),
+      (2L, "customer query spark customer", "en", "s", 0L),
+      (3L, "nothing to hide here", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val got = Curation.piiScrub(spark, dir).orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 1 && got(0).getLong(2) == 1)
+    assert(got(0).getString(4) == "contact <email> or <ip> today")
+    assert(got(1).getLong(3) == 4)
+    assert(got(1).getString(4) == "<masked> <masked> <masked> <masked>")
+    assert(got(2).getLong(1) == 0 && got(2).getLong(2) == 0 &&
+      got(2).getLong(3) == 0 && got(2).getString(4) == "nothing to hide here")
+  }
+}
