@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       cosineBuilder _))
+    // heavy-hitters sketch aggregate (analyzer wraps the AggregateFunction)
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_freq"),
+      new ExpressionInfo(classOf[graft.functions.TopKFreq].getName, "graft_topk_freq"),
+      graft.functions.TopKFreq.builder _))
     // whole-operator custom plan: logical AsofJoin → AsofJoinExec
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
   }

@@ -58,6 +58,7 @@ object SparkEntry {
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "freq_tokens"     -> (TextOps.freqTokens _),
     "decontaminate"   -> (Curation.decontaminate _),
     "doc_repetition"  -> (Curation.docRepetition _),
     "pii_scrub"       -> (Curation.piiScrub _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
+    "freq_tokens"     -> TextOps.freqTokensOracle,
     "decontaminate"   -> Curation.decontaminateOracle,
     "doc_repetition"  -> Curation.docRepetitionOracle,
     "pii_scrub"       -> Curation.piiScrubOracle,

@@ -256,4 +256,35 @@ object TextOps {
         ELSE list_distinct(hs) END AS fps
       FROM h)
     SELECT doc_id, unnest(fps) AS fingerprint FROM f"""
+
+  // ------------------------------------------------------------ freq_tokens
+
+  /** Sketch capacity for the registered query — far above the corpus's
+    * distinct-token cardinality (31 at every SF), so the SpaceSaving
+    * sketch runs in its EXACT regime and the plain GROUP BY oracle
+    * hash-match proves the sketch machinery (update, partial buffers,
+    * merge tree) is count-preserving. The approximate regime (k below
+    * cardinality) is bound-checked in SketchSpec. */
+  val SketchK = 256
+
+  /** Corpus-wide top-20 token frequencies via the mergeable SpaceSaving
+    * heavy-hitters aggregate ([[graft.functions.TopKFreq]]): partials cap
+    * state at k counters, only k-entry buffers cross the exchange — the
+    * 100 TB shape where an exact GROUP BY would shuffle the whole token
+    * universe. Ties break on token, so LIMIT is deterministic. */
+  def freqTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .agg(graft.functions.SketchOps.topkFreq(col("token"), SketchK).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  def freqTokensOracle: String = raw"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+    SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20"""
 }

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.SketchOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** SpaceSaving sketch properties the exact-regime oracle can't state:
+  * the approximate regime's guarantees on a skewed stream, merge
+  * soundness across partitions, and the SQL registration. */
+class SketchSpec extends SparkSpec {
+
+  /** Zipf-ish corpus: item t<j> appears floor(2000/j) times, j = 1..200.
+    * True counts are known exactly. */
+  private val trueCounts: Map[String, Long] =
+    (1 to 200).map(j => s"t$j" -> (2000L / j)).toMap
+  private val n: Long = trueCounts.values.sum
+
+  private def corpus = {
+    import spark.implicits._
+    // deterministic interleave so partials see mixed items
+    val rows = trueCounts.toSeq.flatMap { case (i, c) =>
+      (0L until c).map(r => (r, i))
+    }.sortBy(_._1).map(_._2)
+    rows.toDF("token").repartition(13)
+  }
+
+  private def sketch(k: Int): Seq[Row] =
+    corpus.agg(SketchOps.topkFreq(col("token"), k).as("tk"))
+      .select(explode(col("tk")).as("e")).select("e.item", "e.count", "e.err")
+      .collect().toSeq
+
+  test("exact regime: k above cardinality reproduces the exact counts, err 0") {
+    val got = sketch(1000)
+    assert(got.size == trueCounts.size)
+    got.foreach { r =>
+      assert(r.getLong(1) == trueCounts(r.getString(0)), r.getString(0))
+      assert(r.getLong(2) == 0L)
+    }
+    // and sorted (count desc, item asc)
+    val keys = got.map(r => (-r.getLong(1), r.getString(0)))
+    assert(keys == keys.sorted)
+  }
+
+  test("approximate regime: every item with count > n/k survives, bounds hold") {
+    val k = 16
+    val got = sketch(k)
+    assert(got.size <= k)
+    val est = got.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // guaranteed heavy hitters present
+    trueCounts.filter(_._2 > n / k).keys.foreach { hh =>
+      assert(est.contains(hh), s"heavy hitter $hh (true ${trueCounts(hh)}, " +
+        s"threshold ${n / k}) missing from k=$k sketch")
+    }
+    // true ≤ est ≤ true + err, for every surviving item
+    est.foreach { case (item, (c, e)) =>
+      val t = trueCounts(item)
+      assert(t <= c && c <= t + e, s"$item: true $t est $c err $e")
+    }
+  }
+
+  test("merge soundness: the partition layout does not change the exact regime") {
+    val a = sketch(1000)
+    val b = corpus.repartition(1)
+      .agg(SketchOps.topkFreq(col("token"), 1000).as("tk"))
+      .select(explode(col("tk")).as("e")).select("e.item", "e.count", "e.err")
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("SQL registration: graft_topk_freq agrees with the DataFrame form") {
+    corpus.createOrReplaceTempView("sketch_corpus")
+    val viaSql = spark.sql(
+      "SELECT explode(graft_topk_freq(token, 1000)) AS e FROM sketch_corpus")
+      .select("e.item", "e.count", "e.err").collect().toSeq
+    assert(viaSql == sketch(1000))
+  }
+
+  test("plan: sketch partials run through ObjectHashAggregate (map-side combine)") {
+    val plan = corpus.agg(SketchOps.topkFreq(col("token"), 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // two-level: a partial before the exchange, a merge after
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("k must be a literal in SQL") {
+    corpus.createOrReplaceTempView("sketch_corpus")
+    intercept[Exception] {
+      spark.sql("SELECT graft_topk_freq(token, length(token)) FROM sketch_corpus")
+        .collect()
+    }
+  }
+}
