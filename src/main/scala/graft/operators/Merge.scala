@@ -285,15 +285,22 @@ object Merge {
   }
 
   def batchDriver(s: SparkSession, d: String): DataFrame = {
-    // deterministic "queue": every even order id at this SF
-    val ids = orders(s, d).filter(col("o_orderkey") % 2 === 0)
-      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    // deterministic "queue": every even order id at this SF. The id
+    // stream STAYS an iterator — toLocalIterator over sorted partitions
+    // holds one partition of longs on the driver at a time, so the queue
+    // stand-in itself survives a 100× id count (a collect() here was
+    // ~1.2 GB of driver ids at that scale).
+    val src = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"))
+    val n = src.count()
     // Batch size scales with the queue so the merged plan stays a handful
     // of scans at any SF — MergeSpec proves the merge law holds for ANY
     // split, so batch count is purely a throughput knob (the reference's
     // BATCHSIZE=1000 plays the same role for its upsert round-trips).
-    val c = new Cruncher(s, d, batchSize = math.max(1000, ids.length / 4))
-    ids.foreach(c.submit)
+    val c = new Cruncher(s, d, batchSize = math.max(1000L, n / 4).toInt)
+    import scala.jdk.CollectionConverters._
+    src.orderBy("o_orderkey").toLocalIterator().asScala
+      .foreach(r => c.submit(r.getLong(0)))
     c.result()
   }
 
