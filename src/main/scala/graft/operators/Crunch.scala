@@ -33,10 +33,14 @@ object Crunch {
 
   /** Fact spine: lineitem (participant+stats) ⋈ order-side dims,
     * mirroring participant ⋈ participant_stats ⋈ dims of
-    * crunch_global.sql:32-44. */
+    * crunch_global.sql:32-44. The shuffle_hash hint PINS the promised
+    * shuffle-on-order-key plan: both sides are fact-scale, and at small
+    * SF the planner's size estimates otherwise flip this into
+    * broadcasting a raw fact scan (PlanAuditSpec nets every query). */
   def spine(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .join(orderSide(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(orderSide(s, d).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
 
   /** global_point: multi-dimensional multi-measure aggregation
     * (crunch_global.sql:14-31's 18 measures, re-keyed to the star schema:
@@ -113,7 +117,9 @@ object Crunch {
     // two broadcast joins and silently drop FK-dangling customers that
     // the oracle keeps
     lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      // shuffle_hash: orders is fact-scale — never its raw scan broadcast
+      .join(orders(s, d).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey").as("player_id"), col("c_name").as("player_name"))
       .agg(
@@ -234,10 +240,22 @@ object Crunch {
     val memb = globalPointFilters(s, d)
       .groupBy(col("o_orderkey")).agg(collect_set(col("filter")).as("fs"))
       .withColumnRenamed("o_orderkey", "m_orderkey")
+    // The fact join MUST stay a shuffle join: both sides are fact-scale
+    // (orders ≈ matches, lineitem ≈ participants — both grow with the
+    // corpus), and without the hint the planner's size estimate of the
+    // memb-joined order side goes unknown, flipping it into BROADCASTING
+    // LINEITEM — fine at sf0.1, an instant OOM at 100 TB (and even
+    // locally the 600k-row hashed relation was ~2.5 s of the query).
+    // SHUFFLE_HASH on the order side: co-partition both sides on the
+    // order key, build the hash on the smaller (order-grain) side.
     val base = lineitem(s, d)
       .join(orderSide(s, d)
           .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
-          .join(memb, col("o_orderkey") === col("m_orderkey"), "left"),
+          // memb is ORDER-grain (one row per order in ≥1 filter list) —
+          // aggregated but still fact-scale, so it shuffles too
+          .join(memb.hint("shuffle_hash"),
+            col("o_orderkey") === col("m_orderkey"), "left")
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"), "left")
@@ -414,9 +432,13 @@ object Crunch {
       .when(col("p_type").rlike("^PROMO"), "promo")
       .when(col("p_type").rlike("^(SMALL|MEDIUM)"), "compact")
       .otherwise("other")
+    // shuffle_hash on the order side for the same reason as globalFull:
+    // the BNLJ-range-joined order side has no size estimate, and without
+    // the hint the planner broadcasts LINEITEM — the fact table
     val base = lineitem(s, d)
       .join(orders(s, d)
-          .join(series, col("o_orderdate").between(col("s_start"), col("s_end"))),
+          .join(series, col("o_orderdate").between(col("s_start"), col("s_end")))
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"), "left")

@@ -18,7 +18,9 @@ object Dimensions {
     * plus 'all' markers — byte-identical to the OR-join formulation. */
   def rollupAll(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      // shuffle_hash: orders is fact-scale — never its raw scan broadcast
+      .join(orders(s, d).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
@@ -118,7 +120,10 @@ object Dimensions {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     lineitem(s, d)
-      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      // the urgent key set is ~20% of orders — fact-scale, so the semi
+      // join must shuffle, not broadcast the key list
+      .join(urgent.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag").as("game_mode"))
       .agg(
         count(lit(1)).as("played"),

@@ -47,8 +47,12 @@ object Joins {
       col("l_suppkey").as("supp_b"))
     // full per-pair measure block of crunch_hero_vs_hero.sql:20-37, keyed
     // by (hero, role, hero2, role2, played_with) like the reference's
-    // (hero, role, hero2, role2, roster-equality) grouping
-    a.join(b, col("k") === col("k2") && col("ln_a") =!= col("ln_b"))
+    // (hero, role, hero2, role2, roster-equality) grouping.
+    // shuffle_hash: the pair join is fact × fact (a SELF-join) — both
+    // sides co-partition on the match key; broadcasting the B side only
+    // looks fine at bench SF
+    a.join(b.hint("shuffle_hash"),
+      col("k") === col("k2") && col("ln_a") =!= col("ln_b"))
       .groupBy(
         col("hero"), col("role"), col("hero2"), col("role2"),
         (col("supp_a") === col("supp_b")).as("played_with"))
@@ -137,7 +141,9 @@ object Joins {
     // fan-out through another exchange.)
     val aEnriched = a
       .join(tiers, col("qty_a") >= col("lo") && col("qty_a") < col("hi"))
-      .join(ordDims, col("k") === col("o_orderkey"))
+      // shuffle_hash: ordDims is order-grain (fact-scale) — this join
+      // establishes the match-key partitioning the pair join reuses
+      .join(ordDims.hint("shuffle_hash"), col("k") === col("o_orderkey"))
       // the decimal casts feed 12 of the 17 measures — project them once
       // per lineitem row instead of re-casting inside every aggregate
       .withColumn("qa", dec(col("qty_a")))
@@ -145,7 +151,8 @@ object Joins {
       .withColumn("da", dec(col("disc_a")))
       .withColumn("ta", dec(col("tax_a")))
     val partials = aEnriched
-      .join(b, col("k") === col("k2") && col("ln_a") =!= col("ln_b"))
+      .join(b.hint("shuffle_hash"),
+        col("k") === col("k2") && col("ln_a") =!= col("ln_b"))
       .groupBy(col("series"), col("r_name"), col("tier"), col("hero"),
         col("role"), col("hero2"), col("role2"),
         (col("supp_a") === col("supp_b")).as("played_with"))

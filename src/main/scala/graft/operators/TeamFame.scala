@@ -27,7 +27,8 @@ object TeamFame {
     // inner grouped subquery (crunch_team.sql:23-37): per (customer, match)
     // membership count
     val cnt = lineitem(s, d)
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      // shuffle_hash: orders is fact-scale — never its raw scan broadcast
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(anchor),
         col("o_orderdate") > date_sub(col("max_date"), 7 * 52)) // trailing window
       .groupBy(col("o_custkey").as("m_cust"), col("o_orderkey").as("m_order"),

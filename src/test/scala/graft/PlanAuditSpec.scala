@@ -50,6 +50,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no query broadcasts a raw fact-table scan") {
+    // lineitem (participants) and orders (matches) grow with the corpus:
+    // a BroadcastExchange whose subtree scans either WITHOUT an
+    // intervening aggregation is a plan that OOMs at 100 TB even if it
+    // wins at sf0.1 (caught live in r7: the memb-joined order side lost
+    // its size estimate and the planner broadcast lineitem instead).
+    // Aggregated order-derived frames (team_fame's anchor row, dim
+    // discovery) stay legal — they are metadata-grain by construction.
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      def opCol(l: String): Int = {
+        val m = "[A-Za-z(]".r.findFirstMatchIn(l.replace(":", " ").replace("+-", "  ").replace("*", " "))
+        m.map(_.start).getOrElse(Int.MaxValue)
+      }
+      lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+        case (bLine, i) =>
+          val c = opCol(bLine)
+          val subtree = lines.drop(i + 1).takeWhile(opCol(_) > c)
+          val scansFact = subtree.exists(l =>
+            l.contains("lineitem.parquet") || l.contains("orders.parquet"))
+          val aggregated = subtree.exists(_.contains("Aggregate"))
+          assert(!scansFact || aggregated,
+            s"$name broadcasts a raw fact scan:\n${(bLine +: subtree).mkString("\n")}")
+      }
+    }
+  }
+
   test("top-k windows compile to WindowGroupLimit") {
     assert(physical("window_topn").contains("WindowGroupLimit"))
     assert(physical("ann_topk").contains("WindowGroupLimit"))
