@@ -28,14 +28,22 @@ import org.apache.spark.sql.functions._
   */
 final class IvfIndex private (spark: SparkSession, dir: String) {
 
+  /** Quantizer-directory suffix from the manifest: a [[rebalance]] writes
+    * retrained quantizers next to its member dir and names them here, so
+    * the flip to (data, centroids, codebooks) is ONE atomic manifest
+    * write. Absent → the build-time `centroids`/`pq` dirs. */
+  private def quantDir(base: String): String =
+    memberLines.collectFirst { case l if l.startsWith("#quant:") =>
+      s"$dir/$base-${l.stripPrefix("#quant:")}" }.getOrElse(s"$dir/$base")
+
   lazy val centroids: Array[(Int, Array[Double])] =
-    spark.read.parquet(s"$dir/centroids").collect()
+    spark.read.parquet(quantDir("centroids")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
 
   /** PQ codebooks persisted with the index (M × Ks × sub). */
   lazy val codebooks: Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$dir/pq").collect()
+    val rows = spark.read.parquet(quantDir("pq")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
     val ks = rows.map(_._2).max + 1
@@ -99,6 +107,37 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     graft.sources.PointStore.atomicWrite(membersFile,
       ((members :+ name) ++ (consumedTags + tag).toSeq.sorted.map("#tag:" + _))
         .mkString("\n").getBytes)
+  }
+
+  /** Rebuild-in-place — the LSM-compaction analog for the index. Appends
+    * keep the BUILD-time quantizer (correct but drift-prone: cell balance
+    * and codebook fit degrade as the ingested distribution shifts, and
+    * every tagged append adds one member dir to the union). `rebalance()`
+    * retrains BOTH quantizer levels on the index's CURRENT contents,
+    * re-assigns + re-encodes every stored vector into ONE fresh member
+    * directory, and publishes data + quantizers with a single atomic
+    * manifest flip. The consumed-tag ledger SURVIVES the flip
+    * (PointStore's compaction lesson: a late foreachBatch retry of an
+    * already-indexed streaming batch must stay a no-op), and the previous
+    * member/quantizer dirs stay on disk for in-flight readers — the
+    * manifest is the one commit point. Returns a fresh handle; this
+    * instance's memoized quantizers are stale after the flip. */
+  def rebalance(): IvfIndex = {
+    val all = index
+      .select(col("neighbor_id").as("vec_id"), col("nv").as("embedding"))
+    val cents = Ann.trainCentroids(all)
+    val cb = Pq.trainCodebooks(all)
+    val n = Option(new java.io.File(dir).list()).toSeq.flatten
+      .count(_.startsWith("rebase-"))
+    val name = f"rebase-$n%03d"
+    IvfIndex.writeAssignments(all, cents, cb, s"$dir/$name",
+      SaveMode.Overwrite)
+    IvfIndex.writeQuantizers(spark, cents, cb,
+      s"$dir/centroids-$name", s"$dir/pq-$name")
+    graft.sources.PointStore.atomicWrite(membersFile,
+      ((Seq(name, s"#quant:$name")) ++
+        consumedTags.toSeq.sorted.map("#tag:" + _)).mkString("\n").getBytes)
+    IvfIndex.load(spark, dir)
   }
 
   /** Top-k neighbors for (qid, qv double-array) queries over the probed
@@ -203,15 +242,23 @@ object IvfIndex {
                 cb: Array[Array[Array[Double]]]): IvfIndex = {
     val s = emb.sparkSession
     writeAssignments(emb, cents, cb, s"$indexDir/index", SaveMode.Overwrite)
+    writeQuantizers(s, cents, cb, s"$indexDir/centroids", s"$indexDir/pq")
+    load(s, indexDir)
+  }
+
+  /** Persist both quantizer levels (metadata-sized frames). */
+  private[operators] def writeQuantizers(
+      s: SparkSession, cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]],
+      centDir: String, pqDir: String): Unit = {
     import s.implicits._
     cents.map { case (c, v) => (c, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+      .write.mode(SaveMode.Overwrite).parquet(centDir)
     cb.zipWithIndex.flatMap { case (sub, mi) =>
       sub.zipWithIndex.map { case (v, k) => (mi, k, v.toSeq) }
     }.toSeq.toDF("m", "k", "centroid")
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pq")
-    load(s, indexDir)
+      .write.mode(SaveMode.Overwrite).parquet(pqDir)
   }
 
   def load(s: SparkSession, indexDir: String): IvfIndex = new IvfIndex(s, indexDir)

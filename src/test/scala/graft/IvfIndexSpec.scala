@@ -42,6 +42,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("rebalance retrains in place: one member, exact search preserved, ledger survives") {
+    val d = Files.createTempDirectory("graft_ivf_reb").toString
+    val emb = Tables.embeddings(spark, sf)
+    val idx0 = IvfIndex.buildFrom(emb.filter(col("vec_id") % 2 === 0), d)
+    idx0.appendTagged("b1", emb.filter(col("vec_id") % 2 =!= 0))
+    val before = IvfIndex.load(spark, d)
+    assert(before.members.size == 2)
+
+    val idx = before.rebalance()
+    // one fresh member dir; quantizers republished under the same flip
+    assert(idx.members == Seq("rebase-000"))
+    assert(idx.centroids.nonEmpty && idx.codebooks.nonEmpty)
+    // full-probe search over the rebalanced index still ≡ brute force
+    val got = idx.search(queries, Ann.K, nprobe = Ann.Cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Ann.annTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact)
+    // the consumed-tag ledger survived: a late retry of b1 stays a no-op
+    val rows = idx.index.count()
+    idx.appendTagged("b1", emb.filter(col("vec_id") % 2 =!= 0))
+    assert(IvfIndex.load(spark, d).index.count() == rows)
+    // and searchPq still works against the retrained codebooks
+    assert(idx.searchPq(queries, Ann.K, nprobe = Ann.Cells).count() > 0)
+  }
+
   test("partial probe prunes the index scan to the probed cell partitions") {
     val idx = IvfIndex.load(spark, indexDir)
     val search = idx.search(queries, Ann.K, nprobe = 2)
