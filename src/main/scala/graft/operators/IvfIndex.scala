@@ -87,9 +87,29 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * are unchanged, so searches immediately see old ∪ new; standard IVF
     * practice retrains the quantizer only on a full rebuild (cell
     * balance drifts as the distribution does, recall does not break). */
-  def append(newEmb: DataFrame): Unit =
+  /** The quantizer generation this handle was loaded against, re-checked
+    * on every write: an append that assigned vectors with STALE
+    * quantizers after a concurrent [[rebalance]] would scatter rows into
+    * the wrong cell partitions — silently unreachable by pruned probes.
+    * Fail loudly instead (the PointStore retention-horizon pattern);
+    * the caller reloads the handle and retries. */
+  private val loadedQuant: Option[String] =
+    memberLines.collectFirst { case l if l.startsWith("#quant:") =>
+      l.stripPrefix("#quant:") }
+
+  private def requireFreshQuantizers(): Unit = {
+    val now = memberLines.collectFirst { case l if l.startsWith("#quant:") =>
+      l.stripPrefix("#quant:") }
+    require(now == loadedQuant,
+      s"index at $dir was rebalanced (quantizers $loadedQuant -> $now) " +
+        "after this handle loaded; reload the index and retry the append")
+  }
+
+  def append(newEmb: DataFrame): Unit = {
+    requireFreshQuantizers()
     IvfIndex.writeAssignments(newEmb, centroids, codebooks, s"$dir/index",
       org.apache.spark.sql.SaveMode.Append)
+  }
 
   /** Tagged exactly-once append — the streaming-maintenance commit
     * (PointStore's appendTagged contract applied to the index): the
@@ -101,6 +121,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * redeliveries index each batch exactly once. */
   def appendTagged(tag: String, newEmb: DataFrame): Unit = {
     if (consumedTags(tag)) return
+    requireFreshQuantizers()
     val name = s"append-$tag"
     IvfIndex.writeAssignments(newEmb, centroids, codebooks, s"$dir/$name",
       org.apache.spark.sql.SaveMode.Overwrite)
@@ -123,6 +144,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * manifest is the one commit point. Returns a fresh handle; this
     * instance's memoized quantizers are stale after the flip. */
   def rebalance(): IvfIndex = {
+    requireFreshQuantizers() // same single-writer contract as the appends
     val all = index
       .select(col("neighbor_id").as("vec_id"), col("nv").as("embedding"))
     val cents = Ann.trainCentroids(all)

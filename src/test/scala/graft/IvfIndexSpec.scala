@@ -66,6 +66,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.load(spark, d).index.count() == rows)
     // and searchPq still works against the retrained codebooks
     assert(idx.searchPq(queries, Ann.K, nprobe = Ann.Cells).count() > 0)
+    // a STALE handle must not append with the pre-rebalance quantizers —
+    // its rows would land in the wrong cell partitions, unreachable by
+    // pruned probes; the NEW-tag write fails loudly instead
+    val ex = intercept[IllegalArgumentException] {
+      before.appendTagged("b2", emb.limit(10))
+    }
+    assert(ex.getMessage.contains("rebalanced"), ex.getMessage)
+    // (the b1 retry above succeeded as a no-op BEFORE the staleness
+    // check — consumed tags short-circuit first, by design)
   }
 
   test("partial probe prunes the index scan to the probed cell partitions") {
