@@ -46,8 +46,11 @@ object Curation {
     val hits = Dedup.shingles(corpus, DecontamN)
       .join(broadcast(bench), "shingle") // corpus side stays un-shuffled
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    // hits is DOC-grain (every contaminated doc) — not metadata-sized in
+    // the adversarial case, so the verdict join shuffles; the corpus side
+    // here is 8-byte doc_id rows
     corpus.select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
+      .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -103,7 +106,11 @@ object Curation {
     val dupBg = when(col("n_bigrams").isNull || col("n_bigrams") === 0, lit(0.0))
       .otherwise(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
     val topFrac = col("top_c").cast("double") / col("n_tokens")
-    uni.join(bi, Seq("doc_id"), "left")
+    // both branches are doc-grain AND already hash-partitioned on doc_id
+    // by their repartition barrier, so the shuffle_hash join adds ZERO
+    // exchanges — where the planner's broadcast would ship a corpus-grain
+    // frame to every task at 100 TB
+    uni.join(bi.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
