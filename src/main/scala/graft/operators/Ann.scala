@@ -350,8 +350,11 @@ object Ann {
       col("cell").as("cell_b"))
     // both orientations per unordered cell pair; id_a < id_b then keeps
     // exactly one copy of every vector pair
+    // candPairs is Cells²-bounded metadata — broadcast by design; the B
+    // side is the CORPUS and must shuffle on the cell key (the planner
+    // otherwise broadcasts the persisted corpus frame at bench SF)
     val pairs = a.join(broadcast(candPairs.toDF("cell_a", "cell_b")), Seq("cell_a"))
-      .join(b, Seq("cell_b"))
+      .join(b.hint("shuffle_hash"), Seq("cell_b"))
       .filter(col("id_a") < col("id_b") && dot(col("na"), col("nb")) >= DupThreshold)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

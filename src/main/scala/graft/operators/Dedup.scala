@@ -313,15 +313,20 @@ object Dedup {
     val sh = hashedShingles(documents(s, d), 4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
+    // the posting SELF-join shuffles both sides on the shingle key —
+    // postings are corpus × shingles, never a broadcast side
+    val inter = sh.as("x").join(sh.as("y").hint("shuffle_hash"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("intersection"))
     val j = col("intersection").cast("double") /
       (col("size_a") + col("size_b") - col("intersection"))
+    // sizes is doc-grain (corpus-scale): shuffle, don't broadcast
     val res = inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b"), "b")
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a")
+        .hint("shuffle_hash"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b")
+        .hint("shuffle_hash"), "b")
       .filter(j >= 0.5)
       .select(col("a"), col("b"), col("intersection"),
         col("size_a"), col("size_b"), j.as("jaccard"))

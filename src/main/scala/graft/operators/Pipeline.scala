@@ -16,14 +16,18 @@ object Pipeline {
   val QualityThreshold = 0.5
 
   def pipelineClean(s: SparkSession, d: String): DataFrame = {
-    val scored = TextOps.textStats(s, d)
-      .join(documents(s, d).select(col("doc_id"), col("text"), col("lang")), "doc_id")
+    // stats + text/lang from ONE corpus scan (the old frame re-joined
+    // documents onto textStats — a corpus-grain self-join the planner
+    // then broadcast at bench SF)
+    val scored = TextOps
+      .textStatsOf(documents(s, d), col("text"), col("lang"))
       .filter(col("quality_score") >= QualityThreshold)
     // keeper = lowest doc_id per content hash, resolved in one group-by
     val keepers = scored
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
-    keepers.join(scored, "doc_id")
+    // keepers is one row per distinct content — corpus-scale: shuffle
+    keepers.hint("shuffle_hash").join(scored, "doc_id")
       .select(col("doc_id"), col("content_hash"), col("lang"),
         col("n_tokens"), col("quality_score"))
   }

@@ -17,7 +17,13 @@ object TextOps {
   /** Quality scoring: length, token, punctuation and stopword statistics
     * plus a composite [0,1] quality score. All ratios are int/int double
     * divisions (exactly rounded IEEE ops → bit-stable across engines). */
-  def textStats(s: SparkSession, d: String): DataFrame = {
+  def textStats(s: SparkSession, d: String): DataFrame =
+    textStatsOf(documents(s, d))
+
+  /** Stats over any (doc_id, text) frame; `keep` columns ride along so a
+    * composed pipeline (pipeline_clean) gets text/lang + stats from ONE
+    * scan instead of a corpus-grain self-join. */
+  def textStatsOf(docs: DataFrame, keep: Column*): DataFrame = {
     val w        = Dedup.tokens(col("text"))
     val nChars   = length(col("text")).cast("long")
     val nTokens  = size(w).cast("long")
@@ -30,17 +36,16 @@ object TextOps {
     val stopR    = nStop.cast("double") / nTokens
     val punctR   = nPunct.cast("double") / nChars
     val lenScore = least(nTokens.cast("double") / lit(64.0), lit(1.0))
-    documents(s, d).select(
-      col("doc_id"),
-      nChars.as("n_chars"),
-      nTokens.as("n_tokens"),
-      nPunct.as("n_punct"),
-      nStop.as("n_stopwords"),
-      (tokLen.cast("double") / nTokens).as("avg_token_len"),
-      stopR.as("stopword_ratio"),
-      punctR.as("punct_ratio"),
+    docs.select(col("doc_id") +: keep :+
+      nChars.as("n_chars") :+
+      nTokens.as("n_tokens") :+
+      nPunct.as("n_punct") :+
+      nStop.as("n_stopwords") :+
+      (tokLen.cast("double") / nTokens).as("avg_token_len") :+
+      stopR.as("stopword_ratio") :+
+      punctR.as("punct_ratio") :+
       (lenScore * lit(0.5) + stopR * lit(0.3) + (lit(1.0) - punctR) * lit(0.2))
-        .as("quality_score"))
+        .as("quality_score"): _*)
   }
 
   def textStatsOracle: String = """
