@@ -203,23 +203,28 @@ object Dedup {
     // without pinning it the whole candidate-generation DAG re-executes
     // per occurrence. Both pinned frames are small: pairs, and postings
     // of candidate docs only.
+    // Every frame here scales with the corpus (pairs and candidate-doc
+    // postings are proportionally small but grow with the data), so all
+    // the joins below shuffle on their keys — no broadcast side.
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val shc = sh.join(ids, Seq("doc_id"), "left_semi")
+    val shc = sh.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
+    val inter = cand.hint("shuffle_hash")
       .join(shc.as("sa"), col("a") === col("sa.doc_id"))
-      .join(shc.as("sb"), col("b") === col("sb.doc_id") &&
+      .join(shc.as("sb").hint("shuffle_hash"), col("b") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("intersection"))
     val j = col("intersection").cast("double") /
       (col("size_a") + col("size_b") - col("intersection"))
     val res = inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b"), "b")
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a")
+        .hint("shuffle_hash"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b")
+        .hint("shuffle_hash"), "b")
       .filter(j >= threshold)
       .select(col("a"), col("b"), col("intersection"),
         col("size_a"), col("size_b"), j.as("jaccard"))
@@ -274,7 +279,9 @@ object Dedup {
     * equi-self-join the bucket table. */
   def minhashCandidates(sig: DataFrame): DataFrame = {
     val bands = bandTable(sig)
-    bands.as("x").join(bands.as("y"),
+    // bucket SELF-join: corpus × Bands rows on each side — shuffle on the
+    // (band, bv) key, never broadcast
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -377,7 +384,9 @@ object Dedup {
         shiftrightunsigned(col("simhash"), BandBits * j)
           .bitwiseAND(lit((1L << BandBits) - 1))): _*))
       .as(Seq("band", "bv")))
-    bands.as("x").join(bands.as("y"),
+    // bucket SELF-join over corpus-grain signatures: shuffle on the
+    // (band, bv) key like the minhash candidate join — never broadcast
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

@@ -76,9 +76,13 @@ class PlanAuditSpec extends SparkSpec {
         case (bLine, i) =>
           val c = opCol(bLine)
           val subtree = lines.drop(i + 1).takeWhile(opCol(_) > c)
+          // InMemoryTableScan counts as a fact scan: every persisted
+          // frame in this repo is corpus-derived scratch (postings, cell
+          // assignments, candidate pairs) — all of it grows with the data
           val scansFact = subtree.exists(l =>
             l.contains("lineitem.parquet") || l.contains("orders.parquet") ||
-            l.contains("documents.parquet") || l.contains("embeddings.parquet"))
+            l.contains("documents.parquet") || l.contains("embeddings.parquet") ||
+            l.contains("InMemoryTableScan"))
           val aggregated = subtree.exists(_.contains("Aggregate"))
           assert(!scansFact || aggregated || boundedBroadcast.contains(name),
             s"$name broadcasts a raw fact scan:\n${(bLine +: subtree).mkString("\n")}")
