@@ -75,6 +75,23 @@ class SketchSpec extends SparkSpec {
     assert(viaSql == sketch(1000))
   }
 
+  test("grouped aggregation: one sketch per group key, each exact in regime") {
+    import spark.implicits._
+    val grouped = trueCounts.toSeq.flatMap { case (i, c) =>
+      (0L until c).map(_ => (if (i.drop(1).toInt % 2 == 0) "even" else "odd", i))
+    }.toDF("grp", "token").repartition(7)
+    val got = grouped.groupBy("grp")
+      .agg(SketchOps.topkFreq(col("token"), 1000).as("tk"))
+      .select(col("grp"), explode(col("tk")).as("e"))
+      .select("grp", "e.item", "e.count")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    trueCounts.foreach { case (i, c) =>
+      val g = if (i.drop(1).toInt % 2 == 0) "even" else "odd"
+      assert(got((g, i)) == c, i)
+    }
+    assert(got.size == trueCounts.size)
+  }
+
   test("plan: sketch partials run through ObjectHashAggregate (map-side combine)") {
     val plan = corpus.agg(SketchOps.topkFreq(col("token"), 64))
       .queryExecution.executedPlan.toString
