@@ -71,6 +71,7 @@ object SparkEntry {
     // scale patterns + composition (#36-37, #39)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
+    "pipeline_curate" -> (Pipeline.pipelineCurate _),
     "cluster_zorder"  -> (Layout.clusterZorderQuery _),
     // sinks (#38): LSM point-table store — append/compact/merge-on-read
     "point_store_roundtrip" -> (graft.sources.PointStore.roundtrip _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "pack_sequences_sharded" -> Sampling.packSequencesOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
+    "pipeline_curate" -> Pipeline.pipelineCurateOracle,
     "cluster_zorder"  -> Layout.clusterZorderOracle,
     "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,
     "point_store_changes"   -> graft.sources.PointStore.changefeedOracle,

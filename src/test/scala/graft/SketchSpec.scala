@@ -75,6 +75,38 @@ class SketchSpec extends SparkSpec {
     assert(viaSql == sketch(1000))
   }
 
+  test("property: guarantees hold on random streams, any k, any partitioning") {
+    // pure-JVM property over the SpaceSaving/merge kernel itself
+    // (deterministic LCG; the Spark plumbing is covered above)
+    var seed = 0xC0FFEE42L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 1 to 25) {
+      val k = 2 + next(20)
+      val nItems = 1 + next(40)
+      val stream = Seq.fill(200 + next(800))(s"i${next(nItems)}")
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // build SEVERAL partial sketches over a random partitioning, then
+      // merge in a random order — the distributed shape
+      val parts = stream.grouped(1 + next(97)).map { chunk =>
+        val s = new graft.functions.SpaceSaving(k)
+        chunk.foreach(s.add); s
+      }.toSeq
+      val merged = parts.reduce(_ mergeIn _)
+      val est = merged.sorted.map { case (i, c, e) => i -> ((c, e)) }.toMap
+      val n = stream.size.toLong
+      truth.filter(_._2 > n / k).keys.foreach { hh =>
+        assert(est.contains(hh), s"trial $trial: HH $hh missing (k=$k)")
+      }
+      est.foreach { case (i, (c, e)) =>
+        val t = truth.getOrElse(i, 0L)
+        assert(t <= c && c <= t + e, s"trial $trial: $i true=$t est=$c err=$e")
+      }
+    }
+  }
+
   test("grouped aggregation: one sketch per group key, each exact in regime") {
     import spark.implicits._
     val grouped = trueCounts.toSeq.flatMap { case (i, c) =>
