@@ -82,7 +82,7 @@ class PlanAuditSpec extends SparkSpec {
           val scansFact = subtree.exists(l =>
             l.contains("lineitem.parquet") || l.contains("orders.parquet") ||
             l.contains("documents.parquet") || l.contains("embeddings.parquet") ||
-            l.contains("InMemoryTableScan"))
+            l.contains("events.parquet") || l.contains("InMemoryTableScan"))
           val aggregated = subtree.exists(_.contains("Aggregate"))
           assert(!scansFact || aggregated || boundedBroadcast.contains(name),
             s"$name broadcasts a raw fact scan:\n${(bLine +: subtree).mkString("\n")}")
