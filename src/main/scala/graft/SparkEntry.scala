@@ -59,6 +59,7 @@ object SparkEntry {
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "freq_tokens"     -> (TextOps.freqTokens _),
+    "trending_by_lang" -> (TextOps.trendingByLang _),
     "decontaminate"   -> (Curation.decontaminate _),
     "doc_repetition"  -> (Curation.docRepetition _),
     "pii_scrub"       -> (Curation.piiScrub _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
+    "trending_by_lang" -> TextOps.trendingByLangOracle,
     "decontaminate"   -> Curation.decontaminateOracle,
     "doc_repetition"  -> Curation.docRepetitionOracle,
     "pii_scrub"       -> Curation.piiScrubOracle,

@@ -292,4 +292,35 @@ object TextOps {
       FROM documents),
     c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
     SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20"""
+
+  // -------------------------------------------------------- trending_by_lang
+
+  /** Top-5 tokens per language via the GROUPED sketch: one SpaceSaving
+    * buffer per lang, and because the sketch's eval order IS
+    * (count desc, token asc), `posexplode` yields the per-group ranking
+    * directly — no count table, no window shuffle, no WindowGroupLimit
+    * pass over the token universe. At 100 TB the only thing that crosses
+    * the exchange is one k-entry buffer per language. Exact regime
+    * (k ≫ per-lang cardinality), so the plain windowed GROUP BY oracle
+    * hash-matches. */
+  def trendingByLang(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.SketchOps.topkFreq(col("token"), SketchK).as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .filter(col("pos") < 5)
+      .select(col("lang"), col("e.item").as("token"), col("e.count").as("cnt"),
+        (col("pos") + 1).cast("long").as("rn"))
+
+  def trendingByLangOracle: String = raw"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents),
+    c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY 1, 2),
+    r AS (SELECT lang, token, cnt,
+            row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+          FROM c)
+    SELECT lang, token, cnt, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5"""
 }
