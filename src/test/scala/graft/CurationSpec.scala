@@ -60,6 +60,40 @@ class CurationSpec extends SparkSpec {
       "need mixed repetitive flags")
   }
 
+  test("degenerate docs: empty, whitespace, single-token, all-same-token") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_edge").toString
+    import spark.implicits._
+    Seq(
+      (1L, "", "en", "s", 0L),                    // empty → one '' token
+      (2L, "   ", "en", "s", 0L),                 // whitespace → trims to ''
+      (3L, "solo", "en", "s", 0L),                // no bigrams → guard path
+      (4L, "a a a a a a", "en", "s", 0L),         // max repetition
+      (5L, "alpha beta gamma", "en", "s", 0L))    // all distinct
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val got = Curation.docRepetition(spark, dir).orderBy("doc_id").collect()
+    // empty/whitespace text is ONE '' token in both engines' split
+    assert(got(0).getLong(1) == 1 && got(0).getLong(4) == 0)
+    assert(got(1).getLong(1) == 1)
+    // single token: zero bigrams, dup fraction 0 via the guard, top = 1.0
+    assert(got(2).getLong(4) == 0 && got(2).getDouble(5) == 0.0 &&
+      got(2).getDouble(6) == 1.0 && got(2).getBoolean(7))
+    // all-same-token: dup_token_frac 5/6, dup_bigram 4/5, flagged
+    assert(got(3).getDouble(3) == 1.0 - 1.0 / 6 &&
+      got(3).getDouble(5) == 1.0 - 1.0 / 5 && got(3).getBoolean(7))
+    // all distinct: nothing duplicated — but top share 1/3 still crosses
+    // TopTokenMax (the Gopher thresholds assume real-length docs; any
+    // ≤8-token doc is "repetitive" by the top-share rule, by design)
+    assert(got(4).getDouble(3) == 0.0 && got(4).getDouble(5) == 0.0 &&
+      got(4).getDouble(6) == 1.0 / 3 && got(4).getBoolean(7))
+
+    // decontaminate on a dir with NO benchmark docs (no id % 97 == 0):
+    // the broadcast side is empty — every corpus doc is clean, none drops
+    val dec = Curation.decontaminate(spark, dir).collect()
+    assert(dec.length == 5 && dec.forall(!_.getBoolean(2)))
+  }
+
   test("pii_scrub redacts emails, IPs and blocklist terms on PII-bearing text") {
     val dir = java.nio.file.Files.createTempDirectory("curation_pii").toString
     import spark.implicits._
