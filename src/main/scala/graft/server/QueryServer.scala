@@ -16,6 +16,7 @@ import java.nio.charset.StandardCharsets
   *   GET /queries                    → registered query names
   *   GET /query/<name>?sf=DIR&limit=N → run query, JSON rows (default
   *                                      limit 1000; collect is bounded)
+  *   GET /explain/<name>?sf=DIR      → formatted physical plan, text/plain
   *   GET /version?store=<name>       → content version of a point store
   *                                      under `storeRoot` — the web
   *                                      tier's "did anything change?"
@@ -94,6 +95,27 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               respond(ex, 404, s"""{"error":"no store named '$name'"}""")
             case Some(v) =>
               respond(ex, 200, s"""{"store":"$name","version":$v}""")
+          }
+      }
+    })
+    // plan visibility without execution cost: the FORMATTED physical
+    // plan of a registered query — what an operator pastes into a scale
+    // review (note: queries that drive on-disk lifecycles run their
+    // writes during planning, same cost class as /query on them)
+    server.createContext("/explain/", (ex: HttpExchange) => {
+      val name = ex.getRequestURI.getPath.stripPrefix("/explain/")
+      SparkEntry.queries.get(name) match {
+        case None => respond(ex, 404, s"""{"error":"unknown query '$name'"}""")
+        case Some(fn) =>
+          try resolveSf(param(ex, "sf")) match {
+            case None =>
+              respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
+            case Some(sf) =>
+              val plan = fn(spark, sf).queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+              respond(ex, 200, plan, ctype = "text/plain; charset=utf-8")
+          } catch { case e: Throwable =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })

@@ -50,6 +50,15 @@ class ServerSpec extends SparkSpec {
       // /version without a configured store root
       val (vnc, _) = get(port, "/version?store=x")
       assert(vnc == 404)
+
+      // /explain serves the formatted physical plan without running rows
+      val (ec, plan) = get(port, "/explain/crunch_global")
+      assert(ec == 200 && plan.contains("== Physical Plan ==") &&
+        plan.contains("ShuffledHashJoin"), plan.take(300))
+      val (enc, _) = get(port, "/explain/nope")
+      assert(enc == 404)
+      val (esc, _) = get(port, "/explain/crunch_global?sf=/etc")
+      assert(esc == 403)
     } finally srv.stop()
   }
 
