@@ -87,6 +87,10 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * are unchanged, so searches immediately see old ∪ new; standard IVF
     * practice retrains the quantizer only on a full rebuild (cell
     * balance drifts as the distribution does, recall does not break). */
+  /** Fresh handle on the same directory (re-reads manifest + quantizers) —
+    * what a writer calls after a staleness rejection. */
+  def reload(): IvfIndex = IvfIndex.load(spark, dir)
+
   /** The quantizer generation this handle was loaded against, re-checked
     * on every write: an append that assigned vectors with STALE
     * quantizers after a concurrent [[rebalance]] would scatter rows into

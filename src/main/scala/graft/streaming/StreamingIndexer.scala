@@ -21,12 +21,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * cell-partitioned write, and nothing ever rewrites the existing
   * members (compaction/retraining is an explicit offline rebuild, as in
   * FAISS practice). */
-final class StreamingIndexer(index: IvfIndex) {
+final class StreamingIndexer(index0: IvfIndex) {
+
+  private var index = index0
 
   /** Fold one batch of (vec_id, embedding) rows into the index;
-    * re-deliveries of a committed batch id are no-ops. */
+    * re-deliveries of a committed batch id are no-ops. An offline
+    * [[IvfIndex.rebalance]] between batches makes this handle's
+    * quantizers stale — the append fails loudly, and because the
+    * consumed-tag ledger SURVIVES the rebalance flip, reloading and
+    * retrying the same tag preserves exactly-once (already-committed
+    * tags stay no-ops on the fresh handle). The stream heals instead of
+    * dying. */
   def indexBatch(batch: DataFrame, batchId: Long): Unit =
-    index.appendTagged(s"b$batchId", batch)
+    try index.appendTagged(s"b$batchId", batch)
+    catch { case e: IllegalArgumentException
+        if e.getMessage != null && e.getMessage.contains("rebalanced") =>
+      index = index.reload()
+      index.appendTagged(s"b$batchId", batch)
+    }
 
   /** Attach to a streaming source of (vec_id, embedding) rows. */
   def run(stream: DataFrame, checkpoint: String): StreamingQuery =

@@ -18,6 +18,34 @@ class StreamingIndexSpec extends SparkSpec {
 
   private def emb = Tables.embeddings(spark, sf)
 
+  test("an offline rebalance between batches heals: reload + exactly-once retry") {
+    val dir = Files.createTempDirectory("graft_sidx_reb").toString
+    val third = emb.filter(col("vec_id") % 3 === 0)
+    val idx = IvfIndex.buildFrom(third, dir)
+    val sink = new StreamingIndexer(idx)
+
+    sink.indexBatch(emb.filter(col("vec_id") % 3 === 1), 1L)
+    val afterB1 = IvfIndex.load(spark, dir).index.count()
+    // offline retrain flips the manifest under the running indexer
+    IvfIndex.load(spark, dir).rebalance()
+    assert(IvfIndex.load(spark, dir).index.count() == afterB1)
+
+    // redelivery of b1 must stay a no-op THROUGH the heal path, and a
+    // new batch must commit against the retrained quantizers
+    sink.indexBatch(emb.filter(col("vec_id") % 3 === 1), 1L)
+    assert(IvfIndex.load(spark, dir).index.count() == afterB1)
+    sink.indexBatch(emb.filter(col("vec_id") % 3 === 2), 2L)
+
+    val finalIdx = IvfIndex.load(spark, dir)
+    assert(finalIdx.index.count() == emb.count())
+    // full-probe search over the healed index ≡ brute force on everything
+    val got = finalIdx.search(queries, Ann.K, nprobe = Ann.Cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Ann.annTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact)
+  }
+
   test("streamed appends reach searchPq exactly once, incl. across restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
