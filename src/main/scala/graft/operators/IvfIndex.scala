@@ -111,8 +111,11 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
 
   def append(newEmb: DataFrame): Unit = {
     requireFreshQuantizers()
-    IvfIndex.writeAssignments(newEmb, centroids, codebooks, s"$dir/index",
-      org.apache.spark.sql.SaveMode.Append)
+    // into the CURRENT first member — after a rebalance "index" is no
+    // longer a manifest member, and rows written there would be silently
+    // invisible to every union read
+    IvfIndex.writeAssignments(newEmb, centroids, codebooks,
+      s"$dir/${members.head}", org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Tagged exactly-once append — the streaming-maintenance commit
@@ -129,8 +132,14 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     val name = s"append-$tag"
     IvfIndex.writeAssignments(newEmb, centroids, codebooks, s"$dir/$name",
       org.apache.spark.sql.SaveMode.Overwrite)
+    // preserve every non-tag metadata line (the #quant: pointer a
+    // rebalance published!) — rebuilding the manifest from members+tags
+    // alone would silently revert reads to the build-time quantizers
+    val meta = memberLines.filter(l =>
+      l.startsWith("#") && !l.startsWith("#tag:"))
     graft.sources.PointStore.atomicWrite(membersFile,
-      ((members :+ name) ++ (consumedTags + tag).toSeq.sorted.map("#tag:" + _))
+      ((members :+ name) ++ meta ++
+        (consumedTags + tag).toSeq.sorted.map("#tag:" + _))
         .mkString("\n").getBytes)
   }
 

@@ -239,13 +239,16 @@ object Merge {
       * been consumed. */
     def result(): DataFrame = {
       flush()
+      // Notifications fire AFTER the commit loop, outside the
+      // failure-routing try: a throwing onUpdate (a flaky broker) must
+      // lose at most notifications — never route an already-merged batch
+      // to the failed queue, whose redelivery would double-count it.
+      var toNotify = Vector.empty[String]
       inFlight.foreach { case (batchIds, notifies, point, fut) =>
         try {
           scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
           crunched :+= point.get
-          // the ack point: publish crunch_update per notifying message
-          // (worker.js:184-190); a failed batch nacks and never notifies
-          notifies.foreach(onUpdate)
+          toNotify ++= notifies
         } catch { case scala.util.control.NonFatal(_) =>
           point.foreach(_.unpersist(false))
           failedBatches :+= batchIds
@@ -253,6 +256,12 @@ object Merge {
         }
       }
       inFlight = Vector.empty
+      // the ack point: publish crunch_update per notifying message
+      // (worker.js:184-190); a failed batch nacks and never notifies.
+      // A crash mid-publish loses the remaining notifications only —
+      // merge state is already consistent (at-most-once notify, same as
+      // the reference's publish-after-ack).
+      toNotify.foreach(onUpdate)
       finish(merge(crunched))
     }
 
@@ -297,7 +306,11 @@ object Merge {
     // of scans at any SF — MergeSpec proves the merge law holds for ANY
     // split, so batch count is purely a throughput knob (the reference's
     // BATCHSIZE=1000 plays the same role for its upsert round-trips).
-    val c = new Cruncher(s, d, batchSize = math.max(1000L, n / 4).toInt)
+    // clamp before toInt: at the 100x id counts this rewrite targets,
+    // n/4 can exceed Int.MaxValue and a wrapped negative batch size
+    // would flush every message as its own batch
+    val c = new Cruncher(s, d,
+      batchSize = math.min(math.max(1000L, n / 4), Int.MaxValue.toLong).toInt)
     import scala.jdk.CollectionConverters._
     src.orderBy("o_orderkey").toLocalIterator().asScala
       .foreach(r => c.submit(r.getLong(0)))

@@ -66,6 +66,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.load(spark, d).index.count() == rows)
     // and searchPq still works against the retrained codebooks
     assert(idx.searchPq(queries, Ann.K, nprobe = Ann.Cells).count() > 0)
+    // a tagged append AFTER the rebalance must preserve the #quant
+    // manifest line — losing it would silently revert every future read
+    // to the build-time quantizers while the rows carry retrained codes
+    idx.appendTagged("b3", emb.limit(5))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/_MEMBERS")))
+    assert(manifest.contains("#quant:rebase-000"), manifest)
+    assert(manifest.contains("#tag:b1") && manifest.contains("#tag:b3"), manifest)
+    // and an UNtagged append lands in a live member (not the orphaned
+    // pre-rebalance "index" dir), so its rows stay visible
+    val fresh = IvfIndex.load(spark, d)
+    val preAppend = fresh.index.count()
+    fresh.append(emb.limit(5))
+    assert(IvfIndex.load(spark, d).index.count() == preAppend + 5)
+
     // a STALE handle must not append with the pre-rebalance quantizers —
     // its rows would land in the wrong cell partitions, unreachable by
     // pruned probes; the NEW-tag write fails loudly instead

@@ -88,6 +88,26 @@ class MergeSpec extends SparkSpec {
     c.release(); boom.release()
   }
 
+  test("a throwing onUpdate loses notifications only — never the merge") {
+    import org.apache.spark.sql.functions.col
+    var calls = 0
+    val c = new Merge.Cruncher(spark, sf, batchSize = 2,
+      onUpdate = _ => { calls += 1; throw new RuntimeException("broker down") })
+    c.submit(2L, Some("web.eu"))
+    c.submit(4L, Some("web.na")) // flushes
+    intercept[RuntimeException] { c.result() }
+    // the crashed publish must NOT route the committed batch to the
+    // failed queue (redelivery would double-count it)
+    assert(calls == 1 && c.failed.isEmpty)
+    // a retried result() returns the consistent merge — batch counted once
+    val played = c.result().select(org.apache.spark.sql.functions.sum("played"))
+      .collect()(0).getLong(0)
+    val expect = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey").isin(2L, 4L)).count()
+    assert(played == expect)
+    c.release()
+  }
+
   test("reset() clears the dedup set and queues — a reused cruncher re-crunches") {
     val ids = Tables.orders(spark, sf).filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
