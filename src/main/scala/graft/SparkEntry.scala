@@ -61,6 +61,7 @@ object SparkEntry {
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
     "decontaminate"   -> (Curation.decontaminate _),
+    "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
     "doc_repetition"  -> (Curation.docRepetition _),
     "pii_scrub"       -> (Curation.piiScrub _),
     "multimodal_meta"   -> (Multimodal.multimodalMeta _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,
     "decontaminate"   -> Curation.decontaminateOracle,
+    "decontaminate_fuzzy" -> Curation.decontaminateFuzzyOracle,
     "doc_repetition"  -> Curation.docRepetitionOracle,
     "pii_scrub"       -> Curation.piiScrubOracle,
     "multimodal_meta"   -> Multimodal.multimodalMetaOracle,

@@ -70,6 +70,67 @@ object Curation {
     FROM documents d LEFT JOIN hits h USING (doc_id)
     WHERE d.doc_id % $BenchMod <> 0"""
 
+  /** Jaccard bar for the fuzzy screen — a corpus doc this similar to a
+    * benchmark doc is contamination even with zero exact n-gram hits
+    * preserved verbatim. */
+  val FuzzyThreshold = 0.5
+
+  /** The fuzzy screen's benchmark slice (doc_id % 7): a larger eval
+    * suite than [[BenchMod]]'s so near-duplicate cross-pairs actually
+    * exist at the test SFs — the screen's work, not just its plumbing,
+    * is oracle-checked. */
+  val FuzzyBenchMod = 7
+
+  /** Fuzzy decontamination: corpus docs that are NEAR-duplicates of a
+    * benchmark doc (word-3-shingle Jaccard ≥ [[FuzzyThreshold]]) — the
+    * screen that catches paraphrased/reformatted eval material the exact
+    * n-gram overlap of [[decontaminate]] misses. Candidates come from the
+    * corpus LSH band table joined against the BROADCAST benchmark band
+    * index (benchmark suites are metadata-sized; the corpus's only
+    * shuffle is its signature aggregation), then exact Jaccard verifies
+    * candidates only — the dedup_minhash discipline pointed across two
+    * tables instead of self-joined. */
+  def decontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val docs   = documents(s, d)
+    val isBench = col("doc_id") % FuzzyBenchMod === 0
+    // one posting pass over ALL docs feeds bench signatures, corpus
+    // signatures, and the verify joins (ids are globally unique)
+    val sh = Dedup.hashedShingles(docs, DecontamN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = Dedup.minhashSignaturesOf(sh)
+    val bBands = Dedup.bandTable(sig.filter(isBench))
+      .withColumnRenamed("doc_id", "bench_doc")
+    val cands = Dedup.bandTable(sig.filter(!isBench))
+      .join(broadcast(bBands), Seq("band", "bv"))
+      .select(col("doc_id").as("a"), col("bench_doc").as("b"))
+      .distinct()
+    // verifyJaccardOf materializes its result before returning, so the
+    // posting scratch can drop immediately after
+    val res = Dedup.verifyJaccardOf(cands, sh, FuzzyThreshold)
+      .select(col("a").as("doc_id"), col("b").as("bench_doc"),
+        col("jaccard"))
+    sh.unpersist(false)
+    res
+  }
+
+  /** Oracle = the EXACT cross-pair answer (corpus × benchmark at the
+    * threshold): hash-matching proves the banded candidate generation
+    * lost no pair. */
+  def decontaminateFuzzyOracle: String = s"""
+    WITH ${Dedup.shingleSqlCte(DecontamN)},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle
+      WHERE x.doc_id % $FuzzyBenchMod <> 0 AND y.doc_id % $FuzzyBenchMod = 0
+      GROUP BY 1, 2)
+    SELECT a AS doc_id, b AS bench_doc,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON a = sa.doc_id
+    JOIN sz sb ON b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $FuzzyThreshold"""
+
   // -------------------------------------------------------- doc_repetition
 
   /** Gopher rule thresholds: flag a doc when its duplicate-bigram fraction
