@@ -85,11 +85,10 @@ object Curation {
     * benchmark doc (word-3-shingle Jaccard ≥ [[FuzzyThreshold]]) — the
     * screen that catches paraphrased/reformatted eval material the exact
     * n-gram overlap of [[decontaminate]] misses. Candidates come from the
-    * corpus LSH band table joined against the BROADCAST benchmark band
-    * index (benchmark suites are metadata-sized; the corpus's only
-    * shuffle is its signature aggregation), then exact Jaccard verifies
-    * candidates only — the dedup_minhash discipline pointed across two
-    * tables instead of self-joined. */
+    * corpus LSH band table equi-joined (shuffled on the band key) against
+    * the benchmark band index, then exact Jaccard verifies candidates
+    * only — the dedup_minhash discipline pointed across two tables
+    * instead of self-joined. */
   def decontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
     val docs   = documents(s, d)
     val isBench = col("doc_id") % FuzzyBenchMod === 0
@@ -100,8 +99,12 @@ object Curation {
     val sig = Dedup.minhashSignaturesOf(sh)
     val bBands = Dedup.bandTable(sig.filter(isBench))
       .withColumnRenamed("doc_id", "bench_doc")
+    // shuffle, not broadcast: a REAL eval suite is metadata-sized, but
+    // this stand-in slice is corpus-proportional (doc_id % 7) — and the
+    // repo's rule is that nothing corpus-proportional is ever a
+    // broadcast side, test data included
     val cands = Dedup.bandTable(sig.filter(!isBench))
-      .join(broadcast(bBands), Seq("band", "bv"))
+      .join(bBands.hint("shuffle_hash"), Seq("band", "bv"))
       .select(col("doc_id").as("a"), col("bench_doc").as("b"))
       .distinct()
     // verifyJaccardOf materializes its result before returning, so the

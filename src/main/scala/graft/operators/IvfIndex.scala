@@ -101,8 +101,8 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     memberLines.collectFirst { case l if l.startsWith("#quant:") =>
       l.stripPrefix("#quant:") }
 
-  private def requireFreshQuantizers(): Unit = {
-    val now = memberLines.collectFirst { case l if l.startsWith("#quant:") =>
+  private def requireFreshQuantizers(lines: Seq[String]): Unit = {
+    val now = lines.collectFirst { case l if l.startsWith("#quant:") =>
       l.stripPrefix("#quant:") }
     require(now == loadedQuant,
       s"index at $dir was rebalanced (quantizers $loadedQuant -> $now) " +
@@ -110,12 +110,21 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
   }
 
   def append(newEmb: DataFrame): Unit = {
-    requireFreshQuantizers()
+    // ONE manifest snapshot feeds both the staleness check and the
+    // target-member choice: two separate reads would let a rebalance
+    // land in between and this handle's stale-quantizer rows would go
+    // INTO the live rebase member — silent wrong-cell corruption, worse
+    // than an orphaned dir. (Writes remain single-writer-at-a-time by
+    // contract; the snapshot closes the check-vs-target window, not the
+    // write-vs-write race.)
+    val lines = memberLines
+    requireFreshQuantizers(lines)
     // into the CURRENT first member — after a rebalance "index" is no
     // longer a manifest member, and rows written there would be silently
     // invisible to every union read
+    val head = lines.filterNot(_.startsWith("#")).headOption.getOrElse("index")
     IvfIndex.writeAssignments(newEmb, centroids, codebooks,
-      s"$dir/${members.head}", org.apache.spark.sql.SaveMode.Append)
+      s"$dir/$head", org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Tagged exactly-once append — the streaming-maintenance commit
@@ -127,19 +136,25 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * of a consumed tag is a no-op, so foreachBatch's at-least-once
     * redeliveries index each batch exactly once. */
   def appendTagged(tag: String, newEmb: DataFrame): Unit = {
-    if (consumedTags(tag)) return
-    requireFreshQuantizers()
+    // one manifest snapshot for the whole commit (see append's note)
+    val lines = memberLines
+    val tags = lines.collect { case l if l.startsWith("#tag:") =>
+      l.stripPrefix("#tag:") }.toSet
+    if (tags(tag)) return
+    requireFreshQuantizers(lines)
     val name = s"append-$tag"
     IvfIndex.writeAssignments(newEmb, centroids, codebooks, s"$dir/$name",
       org.apache.spark.sql.SaveMode.Overwrite)
     // preserve every non-tag metadata line (the #quant: pointer a
     // rebalance published!) — rebuilding the manifest from members+tags
     // alone would silently revert reads to the build-time quantizers
-    val meta = memberLines.filter(l =>
-      l.startsWith("#") && !l.startsWith("#tag:"))
+    val meta = lines.filter(l => l.startsWith("#") && !l.startsWith("#tag:"))
+    val mem = {
+      val m = lines.filterNot(_.startsWith("#"))
+      if (m.isEmpty) Seq("index") else m
+    }
     graft.sources.PointStore.atomicWrite(membersFile,
-      ((members :+ name) ++ meta ++
-        (consumedTags + tag).toSeq.sorted.map("#tag:" + _))
+      ((mem :+ name) ++ meta ++ (tags + tag).toSeq.sorted.map("#tag:" + _))
         .mkString("\n").getBytes)
   }
 
@@ -157,7 +172,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * manifest is the one commit point. Returns a fresh handle; this
     * instance's memoized quantizers are stale after the flip. */
   def rebalance(): IvfIndex = {
-    requireFreshQuantizers() // same single-writer contract as the appends
+    requireFreshQuantizers(memberLines) // same single-writer contract as the appends
     val all = index
       .select(col("neighbor_id").as("vec_id"), col("nv").as("embedding"))
     val cents = Ann.trainCentroids(all)

@@ -258,11 +258,17 @@ object Merge {
       inFlight = Vector.empty
       // the ack point: publish crunch_update per notifying message
       // (worker.js:184-190); a failed batch nacks and never notifies.
-      // A crash mid-publish loses the remaining notifications only —
-      // merge state is already consistent (at-most-once notify, same as
-      // the reference's publish-after-ack).
-      toNotify.foreach(onUpdate)
-      finish(merge(crunched))
+      // Each publish is individually fault-isolated: one flaky-broker
+      // throw loses THAT notification only (at-most-once, same as the
+      // reference's publish-after-ack) — never the later notifications
+      // and never the merged result the caller is owed.
+      toNotify.foreach(t => try onUpdate(t)
+        catch { case scala.util.control.NonFatal(_) => () })
+      // every batch failed (or nothing was submitted): the merge over
+      // the healthy batches is the EMPTY point frame, not a reduce crash
+      if (crunched.isEmpty)
+        finish(pointAgg(lineitem(s, d).filter(lit(false))))
+      else finish(merge(crunched))
     }
 
     /** Drop the cached batch partials (after consuming [[result]]). */

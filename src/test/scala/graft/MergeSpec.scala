@@ -88,24 +88,35 @@ class MergeSpec extends SparkSpec {
     c.release(); boom.release()
   }
 
-  test("a throwing onUpdate loses notifications only — never the merge") {
+  test("a throwing onUpdate loses that notification only — never the merge") {
     import org.apache.spark.sql.functions.col
-    var calls = 0
+    var attempts = Vector.empty[String]
     val c = new Merge.Cruncher(spark, sf, batchSize = 2,
-      onUpdate = _ => { calls += 1; throw new RuntimeException("broker down") })
+      onUpdate = t => { attempts :+= t
+        if (t == "web.eu") throw new RuntimeException("broker down") })
     c.submit(2L, Some("web.eu"))
     c.submit(4L, Some("web.na")) // flushes
-    intercept[RuntimeException] { c.result() }
-    // the crashed publish must NOT route the committed batch to the
-    // failed queue (redelivery would double-count it)
-    assert(calls == 1 && c.failed.isEmpty)
-    // a retried result() returns the consistent merge — batch counted once
+    // the flaky publish is fault-isolated: result() returns the merge,
+    // the LATER notification still fires, and the committed batch never
+    // routes to the failed queue (redelivery would double-count it)
     val played = c.result().select(org.apache.spark.sql.functions.sum("played"))
       .collect()(0).getLong(0)
+    assert(attempts == Vector("web.eu", "web.na") && c.failed.isEmpty)
     val expect = Tables.lineitem(spark, sf)
       .filter(col("l_orderkey").isin(2L, 4L)).count()
     assert(played == expect)
     c.release()
+  }
+
+  test("all batches failed: result() is the EMPTY point frame, not a crash") {
+    val boom = new Merge.Cruncher(spark, sf, batchSize = 2,
+      validate = _ => throw new RuntimeException("boom"))
+    boom.submit(2L); boom.submit(4L) // flushes; the batch fails
+    val res = boom.result()
+    assert(res.count() == 0 && boom.failed == Seq(Seq(2L, 4L)))
+    // schema matches the healthy merge path (same finish projection)
+    assert(res.columns.contains("played") && res.columns.contains("wins"))
+    boom.release()
   }
 
   test("reset() clears the dedup set and queues — a reused cruncher re-crunches") {
