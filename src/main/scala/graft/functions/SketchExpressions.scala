@@ -122,14 +122,20 @@ case class TopKFreq(
       InternalRow(UTF8String.fromString(i), c, e)
     }.toArray[Any])
 
-  /** writeUTF caps items at 64 KB — token-sized keys by construction. */
+  /** Items serialize as writeInt(byteLen) + raw UTF-8 — NOT writeUTF,
+    * whose modified-UTF-8 format caps entries at 64 KB and would crash
+    * the partial-buffer shuffle on a pathological whitespace-free
+    * document fed to the SQL-registered aggregate. The wire format
+    * matches the unbounded in-memory representation. */
   override def serialize(buf: SpaceSaving): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.k)
     out.writeInt(buf.entries.size)
     buf.entries.foreach { case (i, (c, e)) =>
-      out.writeUTF(i); out.writeLong(c); out.writeLong(e)
+      val ib = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(ib.length); out.write(ib)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush(); bytes.toByteArray
   }
@@ -139,7 +145,9 @@ case class TopKFreq(
     val buf = new SpaceSaving(in.readInt())
     var n = in.readInt()
     while (n > 0) {
-      val i = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val ib = new Array[Byte](in.readInt()); in.readFully(ib)
+      val i = new String(ib, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       buf.entries.update(i, (c, e)); n -= 1
     }
     buf

@@ -28,12 +28,32 @@ import org.apache.spark.sql.functions._
   */
 final class IvfIndex private (spark: SparkSession, dir: String) {
 
+  private def membersFile = new java.io.File(dir, "_MEMBERS")
+
+  /** The manifest on disk RIGHT NOW — what the write paths check their
+    * staleness against. Reads never call this; they use [[manifest]]. */
+  private def readManifest(): Seq[String] =
+    if (!membersFile.exists) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(membersFile.toPath))
+      .trim.split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Manifest SNAPSHOT this handle reads against, taken at construction:
+    * one handle = one quantizer generation. `members`/`index` and the
+    * memoized `centroids`/`codebooks` all derive from this one snapshot,
+    * so a concurrent [[rebalance]] can never make a reader search the
+    * NEW rebase member's re-assigned cells with the OLD centroids — the
+    * old member/quantizer dirs stay on disk for exactly this handle, and
+    * [[reload]] is the explicit step onto the new generation. Only this
+    * handle's own tagged commits advance the snapshot (same quantizer
+    * generation, so the reads stay consistent). */
+  @volatile private var manifest: Seq[String] = readManifest()
+
   /** Quantizer-directory suffix from the manifest: a [[rebalance]] writes
     * retrained quantizers next to its member dir and names them here, so
     * the flip to (data, centroids, codebooks) is ONE atomic manifest
     * write. Absent → the build-time `centroids`/`pq` dirs. */
   private def quantDir(base: String): String =
-    memberLines.collectFirst { case l if l.startsWith("#quant:") =>
+    manifest.collectFirst { case l if l.startsWith("#quant:") =>
       s"$dir/$base-${l.stripPrefix("#quant:")}" }.getOrElse(s"$dir/$base")
 
   lazy val centroids: Array[(Int, Array[Double])] =
@@ -52,24 +72,20 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     cb.map(_.toArray)
   }
 
-  private def membersFile = new java.io.File(dir, "_MEMBERS")
-
-  private def memberLines: Seq[String] =
-    if (!membersFile.exists) Seq.empty
-    else new String(java.nio.file.Files.readAllBytes(membersFile.toPath))
-      .trim.split("\n").toSeq.filter(_.nonEmpty)
-
   /** Member data directories of the index (relative to `dir`): the
     * initial build plus one per tagged append. An index written before
-    * the manifest existed is just its build dir. */
+    * the manifest existed is just its build dir. Snapshot-consistent
+    * with `centroids`/`codebooks` (see [[manifest]]). */
   def members: Seq[String] = {
-    val m = memberLines.filterNot(_.startsWith("#"))
+    val m = manifest.filterNot(_.startsWith("#"))
     if (m.isEmpty) Seq("index") else m
   }
 
-  /** Tags whose append already committed (the exactly-once ledger). */
+  /** Tags whose append already committed (the exactly-once ledger), as
+    * of this handle's snapshot. The write path re-reads the live
+    * manifest, so a tag committed by ANOTHER handle still no-ops. */
   def consumedTags: Set[String] =
-    memberLines.collect { case l if l.startsWith("#tag:") =>
+    manifest.collect { case l if l.startsWith("#tag:") =>
       l.stripPrefix("#tag:") }.toSet
 
   /** The full index frame: every member shares the cell=N layout, read
@@ -98,7 +114,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * Fail loudly instead (the PointStore retention-horizon pattern);
     * the caller reloads the handle and retries. */
   private val loadedQuant: Option[String] =
-    memberLines.collectFirst { case l if l.startsWith("#quant:") =>
+    manifest.collectFirst { case l if l.startsWith("#quant:") =>
       l.stripPrefix("#quant:") }
 
   private def requireFreshQuantizers(lines: Seq[String]): Unit = {
@@ -117,7 +133,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     // than an orphaned dir. (Writes remain single-writer-at-a-time by
     // contract; the snapshot closes the check-vs-target window, not the
     // write-vs-write race.)
-    val lines = memberLines
+    val lines = readManifest()
     requireFreshQuantizers(lines)
     // into the CURRENT first member — after a rebalance "index" is no
     // longer a manifest member, and rows written there would be silently
@@ -136,8 +152,8 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * of a consumed tag is a no-op, so foreachBatch's at-least-once
     * redeliveries index each batch exactly once. */
   def appendTagged(tag: String, newEmb: DataFrame): Unit = {
-    // one manifest snapshot for the whole commit (see append's note)
-    val lines = memberLines
+    // one LIVE manifest read for the whole commit (see append's note)
+    val lines = readManifest()
     val tags = lines.collect { case l if l.startsWith("#tag:") =>
       l.stripPrefix("#tag:") }.toSet
     if (tags(tag)) return
@@ -153,9 +169,15 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
       val m = lines.filterNot(_.startsWith("#"))
       if (m.isEmpty) Seq("index") else m
     }
+    val newLines =
+      (mem :+ name) ++ meta ++ (tags + tag).toSeq.sorted.map("#tag:" + _)
     graft.sources.PointStore.atomicWrite(membersFile,
-      ((mem :+ name) ++ meta ++ (tags + tag).toSeq.sorted.map("#tag:" + _))
-        .mkString("\n").getBytes)
+      newLines.mkString("\n").getBytes)
+    // the commit this handle just made is the SAME quantizer generation
+    // (requireFreshQuantizers above), so advancing the read snapshot to
+    // it keeps the one-handle-one-generation invariant while letting the
+    // writer search its own appended rows
+    manifest = newLines
   }
 
   /** Rebuild-in-place — the LSM-compaction analog for the index. Appends
@@ -172,7 +194,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * manifest is the one commit point. Returns a fresh handle; this
     * instance's memoized quantizers are stale after the flip. */
   def rebalance(): IvfIndex = {
-    requireFreshQuantizers(memberLines) // same single-writer contract as the appends
+    requireFreshQuantizers(readManifest()) // same single-writer contract as the appends
     val all = index
       .select(col("neighbor_id").as("vec_id"), col("nv").as("embedding"))
     val cents = Ann.trainCentroids(all)

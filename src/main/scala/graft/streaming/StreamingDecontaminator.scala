@@ -25,13 +25,29 @@ object StreamingDecontaminator {
 
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+  /** Hard bound on the collected benchmark shingle set: ~40 MB of longs,
+    * generous for any real eval suite, far below corpus scale. */
+  val MaxBenchShingles = 5000000L
+
   /** The static side: distinct hashed n-grams of the benchmark docs,
-    * collected to a driver set (metadata-sized by the same argument the
-    * batch operator's broadcast join makes). */
-  def benchSet(bench: DataFrame, n: Int = Curation.DecontamN): Set[Long] =
-    Dedup.hashedShingles(bench, n)
+    * collected to a driver set. The in-row screen REQUIRES a
+    * metadata-sized suite — unlike the batch operator, which shuffles
+    * its corpus-proportional stand-in slice, this path has no shuffled
+    * fallback, so the boundedness assumption is ENFORCED (counted before
+    * collect) rather than assumed: a corpus-scale frame fails loudly
+    * here instead of OOMing the driver, and such a workload belongs on
+    * [[Curation.decontaminate]]. */
+  def benchSet(bench: DataFrame, n: Int = Curation.DecontamN,
+               maxShingles: Long = MaxBenchShingles): Set[Long] = {
+    val distinct = Dedup.hashedShingles(bench, n)
       .select(col("shingle")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val size = distinct.count()
+    require(size <= maxShingles,
+      s"benchmark set has $size distinct shingles (max $maxShingles): " +
+        "the streaming screen needs a metadata-sized eval suite; screen a " +
+        "corpus-scale set with the batch Curation.decontaminate join instead")
+    distinct.collect().map(_.getLong(0)).toSet
+  }
 
   /** (doc_id, ts, n_hits, contaminated) per arriving doc — append-mode
     * friendly (one output row per input row, no state). */

@@ -36,6 +36,13 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(_._3) && got.exists(!_._3), "need mixed contamination")
   }
 
+  test("the exact screen never broadcasts its corpus-proportional bench slice") {
+    val plan = Curation.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      plan.split("\n").filter(_.contains("Broadcast")).mkString("\n"))
+  }
+
   test("doc_repetition matches a plain-Scala recomputation per doc") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()

@@ -131,6 +131,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(search.count() > 0)
   }
 
+  test("a reader handle is ONE quantizer generation across a concurrent rebalance") {
+    val d = Files.createTempDirectory("graft_ivf_snap").toString
+    val emb = Tables.embeddings(spark, sf)
+    IvfIndex.buildFrom(emb.filter(col("vec_id") % 2 === 0), d)
+      .appendTagged("b1", emb.filter(col("vec_id") % 2 =!= 0))
+    val reader = IvfIndex.load(spark, d)
+    // a PRUNED probe is the adversarial case: mixing new members with old
+    // centroids would silently search re-assigned cells with the wrong
+    // quantizers — force the memoized quantizers, take an answer
+    val before = reader.search(queries, Ann.K, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    IvfIndex.load(spark, d).rebalance()
+
+    // the in-flight reader still reads ITS snapshot — same members, same
+    // centroids, byte-identical answer (the old dirs stay on disk)
+    assert(reader.members == Seq("index", "append-b1"))
+    val after = reader.search(queries, Ann.K, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before)
+    // stepping onto the new generation is the EXPLICIT reload
+    assert(reader.reload().members == Seq("rebase-000"))
+  }
+
   test("append encodes with the persisted codebooks — searchPq sees old and new") {
     val d = Files.createTempDirectory("graft_ivfpq_inc").toString
     val emb = Tables.embeddings(spark, sf)

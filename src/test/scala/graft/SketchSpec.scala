@@ -139,4 +139,17 @@ class SketchSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("items beyond writeUTF's 64 KB cap survive the partial-buffer shuffle") {
+    import spark.implicits._
+    // modified-UTF-8 writeUTF would throw UTFDataFormatException on this
+    // item when partials serialize for the merge exchange
+    val big = "x" * 70000
+    val got = (Seq.fill(5)(big) ++ Seq("small", "small")).toDF("token")
+      .repartition(4)
+      .agg(SketchOps.topkFreq(col("token"), 10).as("tk"))
+      .select(explode(col("tk")).as("e")).select("e.item", "e.count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got(big) == 5L && got("small") == 2L)
+  }
 }

@@ -48,4 +48,13 @@ class StreamingDecontamSpec extends SparkSpec {
     got.foreach { case (id, v) => assert(v == expect(id), s"doc $id") }
     assert(got.values.exists(_._2) && got.values.exists(!_._2))
   }
+
+  test("benchSet enforces its metadata-size contract instead of assuming it") {
+    val bench = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Curation.BenchMod === 0)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDecontaminator.benchSet(bench, maxShingles = 10)
+    }
+    assert(ex.getMessage.contains("metadata-sized"), ex.getMessage)
+  }
 }
