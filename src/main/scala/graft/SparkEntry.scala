@@ -61,6 +61,7 @@ object SparkEntry {
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
     "decontaminate"   -> (Curation.decontaminate _),
+    "decontaminate_bloom" -> (Curation.decontaminateBloom _),
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
     "doc_repetition"  -> (Curation.docRepetition _),
     "pii_scrub"       -> (Curation.piiScrub _),
@@ -121,6 +122,8 @@ object SparkEntry {
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,
     "decontaminate"   -> Curation.decontaminateOracle,
+    // the bloom-pruned screen must land on the identical verdicts
+    "decontaminate_bloom" -> Curation.decontaminateOracle,
     "decontaminate_fuzzy" -> Curation.decontaminateFuzzyOracle,
     "doc_repetition"  -> Curation.docRepetitionOracle,
     "pii_scrub"       -> Curation.piiScrubOracle,

@@ -75,6 +75,61 @@ object Curation {
     FROM documents d LEFT JOIN hits h USING (doc_id)
     WHERE d.doc_id % $BenchMod <> 0"""
 
+  /** Target false-positive rate for the bloom screen's filter, and the
+    * hard cap on its collected size (64 MB of bits ≈ 60M suite shingles
+    * at 1% FP — far beyond any real eval suite, far below corpus
+    * scale). */
+  val BloomFpp      = 0.01
+  val MaxBloomBytes = 64L << 20
+
+  /** The bloom-pruned exact screen — same verdicts as [[decontaminate]],
+    * different place for the non-matches to die. The shuffled screen
+    * ships EVERY corpus shingle through the exchange to learn that ~99%
+    * of them hit nothing; here the benchmark set is summarized into a
+    * fixed-budget bloom filter ([[graft.functions.BloomAgg]], sized for
+    * [[BloomFpp]]) held as driver metadata, and each corpus shingle is
+    * screened by a codegen'd [[graft.functions.BloomMightContain]] AT
+    * SCAN SPEED — only bloom survivors (true hits + ~1% false
+    * positives) reach the shuffle, where the exact equi-join against
+    * the benchmark set kills the false positives. No false negatives,
+    * so the result is EXACTLY [[decontaminate]]'s and shares its
+    * oracle.
+    *
+    * Unlike the streaming screen's driver SET (whose size is the suite
+    * cardinality), the bloom's budget is chosen, not inherited — but it
+    * still summarizes the suite, so the same metadata-size contract is
+    * ENFORCED: sizing for a corpus-scale set trips [[MaxBloomBytes]]
+    * loudly, and that workload belongs on the shuffled screen. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs   = documents(s, d)
+    val bench  = Dedup.shingles(docs.filter(col("doc_id") % BenchMod === 0), DecontamN)
+      .select(col("shingle")).distinct()
+    val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
+    // size the filter from the suite's distinct-shingle count (one
+    // metadata-result pass over the bench slice), then build it in one
+    // aggregate: partial bit-arrays OR together, one filter reaches the
+    // driver regardless of suite size
+    val nBench = bench.count()
+    val (words, hashes) = graft.functions.Bloom.optimal(nBench, BloomFpp)
+    require(words.toLong * 8 <= MaxBloomBytes,
+      s"bloom for $nBench suite shingles needs ${words.toLong * 8} bytes " +
+        s"(max $MaxBloomBytes): a set this large is corpus-scale — screen " +
+        "it with the shuffled decontaminate join instead")
+    val bloom = bench
+      .agg(graft.functions.BloomOps.bloomAgg(xxhash64(col("shingle")), words, hashes))
+      .head.getAs[Array[Byte]](0)
+    val hits = Dedup.shingles(corpus, DecontamN)
+      .filter(graft.functions.BloomOps.mightContain(xxhash64(col("shingle")), bloom))
+      .join(bench.hint("shuffle_hash"), "shingle") // exact verify kills the FPs
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("doc_id"))
+      .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Jaccard bar for the fuzzy screen — a corpus doc this similar to a
     * benchmark doc is contamination even with zero exact n-gram hits
     * preserved verbatim. */
