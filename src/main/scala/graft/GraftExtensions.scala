@@ -38,6 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk_freq"),
       new ExpressionInfo(classOf[graft.functions.TopKFreq].getName, "graft_topk_freq"),
       graft.functions.TopKFreq.builder _))
+    // bloom build + probe: the scan-side semi-join prune, SQL-visible
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[graft.functions.BloomAgg].getName, "graft_bloom_agg"),
+      graft.functions.BloomAgg.builder _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.BloomContains].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bloom_contains(filter, key) takes exactly two arguments")
+        graft.functions.BloomContains(children(0), children(1))
+      }))
     // whole-operator custom plan: logical AsofJoin → AsofJoinExec
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
   }

@@ -60,6 +60,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
+    "chunk_documents" -> (TextOps.chunkDocuments _),
     "decontaminate"   -> (Curation.decontaminate _),
     "decontaminate_bloom" -> (Curation.decontaminateBloom _),
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,
+    "chunk_documents" -> TextOps.chunkDocumentsOracle,
     "decontaminate"   -> Curation.decontaminateOracle,
     // the bloom-pruned screen must land on the identical verdicts
     "decontaminate_bloom" -> Curation.decontaminateOracle,

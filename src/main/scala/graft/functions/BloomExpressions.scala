@@ -3,7 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -196,6 +196,74 @@ case class BloomMightContain(child: Expression, filter: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
+}
+
+/** SQL face of the probe: `graft_bloom_contains(filter, key)` where
+  * `filter` is a BINARY constant or (the useful case) a scalar subquery
+  * over [[BloomAgg]] — `WHERE graft_bloom_contains((SELECT
+  * graft_bloom_agg(k, 1024, 5) FROM bench), key)`. The filter operand
+  * must be row-independent (no input references); it is deserialized
+  * ONCE per task on first probe, not per row, via the expression
+  * instance riding into codegen as its own reference object. */
+case class BloomContains(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.references.nonEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: the filter operand must be a constant or scalar " +
+          "subquery, not a per-row column")
+    else if (left.dataType != BinaryType || right.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(filter BINARY, key BIGINT), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  // cache keyed on the byte-array identity: the filter is one constant
+  // object per task, so the parse happens once, not per row
+  @transient private var cachedFor: Array[Byte] = _
+  @transient private var cached: BloomBuffer = _
+
+  def probe(filter: Array[Byte], v: Long): Boolean = {
+    if (cached == null || (cachedFor ne filter)) {
+      cached = Bloom.deserialize(filter); cachedFor = filter
+    }
+    Bloom.mightContain(cached.words, cached.numHashes, v)
+  }
+
+  override def nullSafeEval(f: Any, v: Any): Any =
+    probe(f.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomContains", this,
+      classOf[BloomContains].getName)
+    nullSafeCodeGen(ctx, ev, (f, v) => s"${ev.value} = $ref.probe($f, $v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomAgg {
+  /** SQL-registry builder: `graft_bloom_agg(key, numWords, numHashes)`,
+    * sizes as integer literals. */
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      "graft_bloom_agg(key, numWords, numHashes) takes exactly three arguments")
+    def intLit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_agg: $name must be an integer literal, got $other")
+    }
+    BloomAgg(children.head, intLit(children(1), "numWords"),
+      intLit(children(2), "numHashes"))
+  }
 }
 
 /** DataFrame face of the bloom kernels. */

@@ -323,4 +323,59 @@ object TextOps {
             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
           FROM c)
     SELECT lang, token, cnt, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5"""
+
+  // --------------------------------------------------------- chunk_documents
+
+  /** Context-window chunking: [[ChunkTokens]]-token chunks every
+    * [[ChunkStride]] tokens, so consecutive chunks share
+    * ChunkTokens−ChunkStride tokens of overlap (the RAG / training-prep
+    * shape — a fact straddling a boundary appears whole in the next
+    * chunk). Sized so the driver corpus genuinely multi-chunks. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** One row per (doc, chunk): id, token count, text. A doc with
+    * n ≤ ChunkTokens tokens is its own single chunk; otherwise
+    * ceil((n−ChunkTokens)/ChunkStride)+1 chunks, the last one short but
+    * never empty. Pure row expansion — tokenize once (materialized
+    * behind the repartition barrier, the HOF-CSE discipline), explode a
+    * sequence of chunk ids, slice the token array per chunk. No joins,
+    * no aggregation: a 100 TB corpus chunks at scan speed with the only
+    * shuffle being the parallelism barrier. */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame = {
+    val nChunks = when(col("n") <= ChunkTokens, lit(1))
+      .otherwise(((col("n") - ChunkTokens + ChunkStride - 1) / ChunkStride)
+        .cast("int") + 1)
+    documents(s, d)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .repartition(col("doc_id")) // token-array barrier (see Dedup.shingles)
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), nChunks - 1)).as("k"))
+      .select(
+        col("doc_id"),
+        col("k").cast("long").as("chunk_id"),
+        least(lit(ChunkTokens), col("n") - col("k") * ChunkStride)
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("w"), col("k") * ChunkStride + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  def chunkDocumentsOracle: String = raw"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents),
+    c AS (
+      SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) <= $ChunkTokens THEN 1
+                  ELSE CAST(ceil((len(w) - $ChunkTokens) / $ChunkStride.0) AS BIGINT) + 1
+             END AS nc
+      FROM toks),
+    k AS (SELECT doc_id, w, n, unnest(range(nc)) AS chunk_id FROM c)
+    SELECT doc_id, chunk_id,
+           CAST(LEAST($ChunkTokens, n - chunk_id * $ChunkStride) AS BIGINT) AS n_tokens,
+           array_to_string(
+             w[chunk_id*$ChunkStride + 1 : chunk_id*$ChunkStride + $ChunkTokens],
+             ' ') AS chunk_text
+    FROM k"""
 }

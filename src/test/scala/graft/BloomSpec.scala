@@ -68,6 +68,21 @@ class BloomSpec extends SparkSpec {
     assert(bloom == plain)
   }
 
+  test("SQL registration: build via scalar subquery, probe in a WHERE clause") {
+    import spark.implicits._
+    (0L until 200L).toDF("k").createOrReplaceTempView("bloom_bench")
+    (0L until 1000L).toDF("k").createOrReplaceTempView("bloom_probes")
+    val got = spark.sql("""
+      SELECT k FROM bloom_probes
+      WHERE graft_bloom_contains(
+        (SELECT graft_bloom_agg(k, 64, 5) FROM bloom_bench), k)""")
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives: every bench key present in the probe range survives
+    assert((0L until 200L).forall(got.contains), s"missing: ${(0L until 200L).filterNot(got)}")
+    // and the filter actually prunes (FP rate far under the non-member count)
+    assert(got.size < 500, s"bloom pruned nothing: ${got.size}")
+  }
+
   test("the probe plan has no broadcast and no extra shuffle before the filter") {
     val plan = Curation.decontaminateBloom(spark, sf)
       .queryExecution.executedPlan.toString

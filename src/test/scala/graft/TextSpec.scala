@@ -67,4 +67,40 @@ class TextSpec extends SparkSpec {
     assert(df.filter(length(col("sha_hex")) =!= 64).count() == 0)
     assert(df.filter(col("width") < 16 || col("width") > 655).count() == 0)
   }
+
+  test("chunking reconstructs every document through the overlap") {
+    import graft.operators.TextOps.{ChunkStride, ChunkTokens}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+")).toMap
+    val chunks = graft.operators.TextOps.chunkDocuments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet)
+    // the fixture must actually exercise the multi-chunk overlap path
+    assert(chunks.values.exists(_.length > 1), "all docs single-chunk — resize")
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq, s"doc $id ids")
+      sorted.foreach { case (_, k, n, text) =>
+        val toks = text.split(" ")
+        assert(toks.length == n, s"doc $id chunk $k token count")
+        // each chunk is exactly the stride-offset slice of the original
+        val expect = docs(id).slice(k.toInt * ChunkStride,
+          k.toInt * ChunkStride + ChunkTokens)
+        assert(toks.sameElements(expect), s"doc $id chunk $k content")
+      }
+      // consecutive chunks overlap by ChunkTokens - ChunkStride
+      sorted.sliding(2).map(_.toSeq).foreach {
+        case Seq((_, _, n1, t1), (_, _, _, t2)) if n1 == ChunkTokens =>
+          val ov = ChunkTokens - ChunkStride
+          assert(t1.split(" ").takeRight(ov).sameElements(t2.split(" ").take(ov)))
+        case _ =>
+      }
+      // full coverage: concatenating stride-prefixes + the last chunk
+      // reproduces the document
+      val rebuilt = sorted.init.map(_._4.split(" ").take(ChunkStride))
+        .flatten ++ sorted.last._4.split(" ")
+      assert(rebuilt.sameElements(docs(id)), s"doc $id coverage")
+    }
+  }
 }
