@@ -31,14 +31,16 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
   */
 final class BloomBuffer(val numHashes: Int, val words: Array[Long]) {
 
-  private val mask = (words.length << 6) - 1 // numBits - 1; power of two
+  // numBits - 1, in LONG arithmetic: an Int mask wraps at 2^26 words and
+  // would silently address only the low half of a larger filter
+  private val mask = (words.length.toLong << 6) - 1
 
   def add(v: Long): Unit = {
     val h1 = Bloom.mix1(v); val h2 = Bloom.mix2(v)
     var i = 0
     while (i < numHashes) {
-      val pos = ((h1 + i * h2) & mask).toInt
-      words(pos >>> 6) |= 1L << (pos & 63)
+      val pos = (h1 + i * h2) & mask
+      words((pos >>> 6).toInt) |= 1L << (pos & 63)
       i += 1
     }
   }
@@ -72,12 +74,12 @@ object Bloom {
   /** Shared probe kernel — interpreted eval, codegen, and the buffer all
     * call this one definition. */
   def mightContain(words: Array[Long], numHashes: Int, v: Long): Boolean = {
-    val mask = (words.length << 6) - 1
+    val mask = (words.length.toLong << 6) - 1 // Long: see BloomBuffer
     val h1 = mix1(v); val h2 = mix2(v)
     var i = 0
     while (i < numHashes) {
-      val pos = ((h1 + i * h2) & mask).toInt
-      if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      val pos = (h1 + i * h2) & mask
+      if ((words((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
       i += 1
     }
     true
@@ -93,6 +95,12 @@ object Bloom {
     val m =
       if (bits <= 64) 64L
       else java.lang.Long.highestOneBit(bits - 1) << 1 // next power of two ≥ bits
+    // (m >>> 6).toInt would wrap NEGATIVE past 2^37 bits and sail under
+    // any caller's byte cap — refuse the un-addressable size loudly
+    require((m >>> 6) <= Int.MaxValue,
+      s"bloom sizing: $n keys at fpp=$fpp needs $m bits — beyond a single " +
+        "filter's addressable range; a set this large is corpus-scale, " +
+        "screen it with a shuffled join instead")
     val k = math.max(1, math.min(16,
       math.round(m.toDouble / math.max(1L, n) * math.log(2)).toInt))
     ((m >>> 6).toInt, k)

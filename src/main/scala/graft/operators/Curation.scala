@@ -45,15 +45,22 @@ object Curation {
     val bench  = Dedup.shingles(docs.filter(col("doc_id") % BenchMod === 0), DecontamN)
       .select(col("shingle")).distinct()
     val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
-    // shuffle, not broadcast: the % BenchMod slice is corpus-proportional,
-    // so it falls under the fuzzy screen's rule — a genuinely
-    // metadata-sized suite would broadcast here instead
-    val hits = Dedup.shingles(corpus, DecontamN)
+    verdictsOf(corpus, Dedup.shingles(corpus, DecontamN), bench)
+  }
+
+  /** The shared tail of the exact screens: count each corpus doc's
+    * shingle hits against the benchmark set, left-join the verdict back
+    * onto the corpus. The bench join is shuffle, not broadcast: the
+    * % BenchMod slice is corpus-proportional, so it falls under the
+    * fuzzy screen's rule — a genuinely metadata-sized suite would
+    * broadcast here instead. `hits` is DOC-grain (every contaminated
+    * doc) — not metadata-sized in the adversarial case, so the verdict
+    * join shuffles too; the corpus side there is 8-byte doc_id rows. */
+  private def verdictsOf(corpus: DataFrame, corpusShingles: DataFrame,
+                         bench: DataFrame): DataFrame = {
+    val hits = corpusShingles
       .join(bench.hint("shuffle_hash"), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    // hits is DOC-grain (every contaminated doc) — not metadata-sized in
-    // the adversarial case, so the verdict join shuffles; the corpus side
-    // here is 8-byte doc_id rows
     corpus.select(col("doc_id"))
       .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(
@@ -102,13 +109,17 @@ object Curation {
     * loudly, and that workload belongs on the shuffled screen. */
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
     val docs   = documents(s, d)
+    // the bench pipeline feeds THREE consumers (sizing count, bloom
+    // aggregate, exact-verify join) — stage it once, like the fuzzy
+    // screen's posting scratch, instead of re-tokenizing per consumer
     val bench  = Dedup.shingles(docs.filter(col("doc_id") % BenchMod === 0), DecontamN)
       .select(col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
-    // size the filter from the suite's distinct-shingle count (one
-    // metadata-result pass over the bench slice), then build it in one
-    // aggregate: partial bit-arrays OR together, one filter reaches the
-    // driver regardless of suite size
+    // size the filter from the suite's distinct-shingle count (a
+    // metadata result; this count also materializes the staged frame),
+    // then build it in one aggregate: partial bit-arrays OR together,
+    // one filter reaches the driver regardless of suite size
     val nBench = bench.count()
     val (words, hashes) = graft.functions.Bloom.optimal(nBench, BloomFpp)
     require(words.toLong * 8 <= MaxBloomBytes,
@@ -118,16 +129,10 @@ object Curation {
     val bloom = bench
       .agg(graft.functions.BloomOps.bloomAgg(xxhash64(col("shingle")), words, hashes))
       .head.getAs[Array[Byte]](0)
-    val hits = Dedup.shingles(corpus, DecontamN)
+    val screened = Dedup.shingles(corpus, DecontamN)
       .filter(graft.functions.BloomOps.mightContain(xxhash64(col("shingle")), bloom))
-      .join(bench.hint("shuffle_hash"), "shingle") // exact verify kills the FPs
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    corpus.select(col("doc_id"))
-      .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    // verdictsOf's bench join is the exact verify that kills the FPs
+    Dedup.staged(verdictsOf(corpus, screened, bench), bench)
   }
 
   /** Jaccard bar for the fuzzy screen — a corpus doc this similar to a

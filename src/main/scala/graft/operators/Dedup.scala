@@ -176,7 +176,7 @@ object Dedup {
     * 16 s under an 8 GiB heap. On a cluster the equivalent staging is a
     * scratch-parquet write (what IvfIndex does); in-session this is the
     * same lifecycle with the block manager as the scratch space. */
-  private def staged(result: DataFrame, stagedFrames: DataFrame*): DataFrame = {
+  private[operators] def staged(result: DataFrame, stagedFrames: DataFrame*): DataFrame = {
     val r = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     r.count()
     stagedFrames.foreach(_.unpersist(false))

@@ -194,8 +194,20 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * manifest is the one commit point. Returns a fresh handle; this
     * instance's memoized quantizers are stale after the flip. */
   def rebalance(): IvfIndex = {
-    requireFreshQuantizers(readManifest()) // same single-writer contract as the appends
-    val all = index
+    // LIVE manifest for the whole rebuild — members, tags, AND the
+    // freshness check. Rebuilding from this handle's read snapshot would
+    // silently drop any member another handle committed since this
+    // handle loaded (same quantizer generation, so the staleness check
+    // alone cannot catch it) and erase its ledger tag with the flip.
+    val lines = readManifest()
+    requireFreshQuantizers(lines) // same single-writer contract as the appends
+    val mem = {
+      val m = lines.filterNot(_.startsWith("#"))
+      if (m.isEmpty) Seq("index") else m
+    }
+    val tags = lines.collect { case l if l.startsWith("#tag:") =>
+      l.stripPrefix("#tag:") }.toSet
+    val all = mem.map(m => spark.read.parquet(s"$dir/$m")).reduce(_ unionByName _)
       .select(col("neighbor_id").as("vec_id"), col("nv").as("embedding"))
     val cents = Ann.trainCentroids(all)
     val cb = Pq.trainCodebooks(all)
@@ -208,7 +220,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
       s"$dir/centroids-$name", s"$dir/pq-$name")
     graft.sources.PointStore.atomicWrite(membersFile,
       ((Seq(name, s"#quant:$name")) ++
-        consumedTags.toSeq.sorted.map("#tag:" + _)).mkString("\n").getBytes)
+        tags.toSeq.sorted.map("#tag:" + _)).mkString("\n").getBytes)
     IvfIndex.load(spark, dir)
   }
 

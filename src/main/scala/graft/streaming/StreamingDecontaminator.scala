@@ -39,14 +39,17 @@ object StreamingDecontaminator {
     * [[Curation.decontaminate]]. */
   def benchSet(bench: DataFrame, n: Int = Curation.DecontamN,
                maxShingles: Long = MaxBenchShingles): Set[Long] = {
-    val distinct = Dedup.hashedShingles(bench, n)
+    // ONE bounded job: collecting max+1 rows proves the bound was blown
+    // without a second pipeline pass (and without an unbounded collect)
+    val arr = Dedup.hashedShingles(bench, n)
       .select(col("shingle")).distinct()
-    val size = distinct.count()
-    require(size <= maxShingles,
-      s"benchmark set has $size distinct shingles (max $maxShingles): " +
+      .limit(math.min(maxShingles + 1, Int.MaxValue.toLong).toInt)
+      .collect()
+    require(arr.length <= maxShingles,
+      s"benchmark set has over $maxShingles distinct shingles: " +
         "the streaming screen needs a metadata-sized eval suite; screen a " +
         "corpus-scale set with the batch Curation.decontaminate join instead")
-    distinct.collect().map(_.getLong(0)).toSet
+    arr.map(_.getLong(0)).toSet
   }
 
   /** (doc_id, ts, n_hits, contaminated) per arriving doc — append-mode

@@ -155,6 +155,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(reader.reload().members == Seq("rebase-000"))
   }
 
+  test("rebalance folds members committed AFTER this handle loaded (live manifest, not snapshot)") {
+    val d = Files.createTempDirectory("graft_ivf_reb_live").toString
+    val emb = Tables.embeddings(spark, sf)
+    val idx0 = IvfIndex.buildFrom(emb.filter(col("vec_id") % 2 === 0), d)
+    val rebalancer = IvfIndex.load(spark, d) // snapshot: build member only
+    // a sequential writer commits a member + ledger tag afterwards —
+    // same quantizer generation, so the freshness check alone passes
+    idx0.appendTagged("late", emb.filter(col("vec_id") % 2 =!= 0))
+    val total = emb.count()
+
+    val idx = rebalancer.rebalance()
+    // the rebuild folded the late member's rows and kept its tag: a
+    // snapshot-based rebuild would have dropped both silently
+    assert(idx.index.count() == total)
+    assert(idx.consumedTags == Set("late"))
+    // and the retried tag stays a no-op on the rebalanced index
+    idx.appendTagged("late", emb.limit(7))
+    assert(IvfIndex.load(spark, d).index.count() == total)
+  }
+
   test("append encodes with the persisted codebooks — searchPq sees old and new") {
     val d = Files.createTempDirectory("graft_ivfpq_inc").toString
     val emb = Tables.embeddings(spark, sf)
