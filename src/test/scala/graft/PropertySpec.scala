@@ -109,4 +109,63 @@ class PropertySpec extends SparkSpec {
         == rows(Merge.finish(Merge.merge(Seq(Merge.pointAgg(li))))))
     }
   }
+
+  test("bloom filter admits every inserted key for arbitrary sets and sizings") {
+    import graft.functions.{Bloom, BloomBuffer}
+    for (seed <- 1L to 6L) {
+      val n = sample(Gen.choose(1, 4000), seed)
+      val keys = sample(Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue)),
+        seed + 10)
+      val fpp = sample(Gen.oneOf(0.001, 0.01, 0.1), seed + 20)
+      val (words, hashes) = Bloom.optimal(keys.size, fpp)
+      val buf = new BloomBuffer(hashes, new Array[Long](words))
+      keys.foreach(buf.add)
+      // serialize round-trip preserves the filter exactly
+      val rt = Bloom.deserialize(Bloom.serialize(buf))
+      keys.foreach { k =>
+        assert(buf.mightContain(k), s"seed $seed: false negative $k")
+        assert(rt.mightContain(k), s"seed $seed: round-trip lost $k")
+      }
+      // and an OR-merge of a random split equals the one-shot filter
+      val cut = sample(Gen.choose(0, keys.size), seed + 30)
+      val (ka, kb) = keys.splitAt(cut)
+      val a = new BloomBuffer(hashes, new Array[Long](words))
+      val b = new BloomBuffer(hashes, new Array[Long](words))
+      ka.foreach(a.add); kb.foreach(b.add)
+      assert(a.orInPlace(b).words.sameElements(buf.words), s"seed $seed merge")
+    }
+  }
+
+  test("chunking invariants hold for arbitrary document lengths") {
+    import graft.operators.TextOps
+    import graft.operators.TextOps.{ChunkStride, ChunkTokens}
+    import spark.implicits._
+    val lens = (1L to 60L).map(seed => sample(Gen.choose(1, 400), seed))
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (0 until n).map(j => s"t$j").mkString(" ")) }
+    // same chunking code path as the registered query, arbitrary lengths
+    val w = graft.operators.Dedup.tokens(col("text"))
+    val nChunksExpr = when(size(w) <= ChunkTokens, lit(1))
+      .otherwise(((size(w) - ChunkTokens + ChunkStride - 1) / ChunkStride)
+        .cast("int") + 1)
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), w.as("w"), nChunksExpr.as("nc"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("nc") - 1)).as("k"))
+      .select(col("doc_id"), col("k"),
+        array_join(slice(col("w"), col("k") * ChunkStride + 1, lit(ChunkTokens)), " ")
+          .as("chunk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val cs = got(i.toLong).sortBy(_._2).map(_._3.split(" "))
+      val expectChunks =
+        if (n <= ChunkTokens) 1 else (n - ChunkTokens + ChunkStride - 1) / ChunkStride + 1
+      assert(cs.length == expectChunks, s"doc $i len $n count")
+      assert(cs.last.nonEmpty && cs.last.head.nonEmpty, s"doc $i empty tail")
+      // stride-prefixes + tail reconstruct the document exactly
+      val rebuilt = cs.init.flatMap(_.take(ChunkStride)) ++ cs.last
+      assert(rebuilt.toSeq == (0 until n).map(j => s"t$j"), s"doc $i len $n coverage")
+    }
+  }
 }
