@@ -116,23 +116,29 @@ object Curation {
       .select(col("shingle")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
-    // size the filter from the suite's distinct-shingle count (a
-    // metadata result; this count also materializes the staged frame),
-    // then build it in one aggregate: partial bit-arrays OR together,
-    // one filter reaches the driver regardless of suite size
-    val nBench = bench.count()
-    val (words, hashes) = graft.functions.Bloom.optimal(nBench, BloomFpp)
-    require(words.toLong * 8 <= MaxBloomBytes,
-      s"bloom for $nBench suite shingles needs ${words.toLong * 8} bytes " +
-        s"(max $MaxBloomBytes): a set this large is corpus-scale — screen " +
-        "it with the shuffled decontaminate join instead")
-    val bloom = bench
-      .agg(graft.functions.BloomOps.bloomAgg(xxhash64(col("shingle")), words, hashes))
-      .head.getAs[Array[Byte]](0)
-    val screened = Dedup.shingles(corpus, DecontamN)
-      .filter(graft.functions.BloomOps.mightContain(xxhash64(col("shingle")), bloom))
-    // verdictsOf's bench join is the exact verify that kills the FPs
-    Dedup.staged(verdictsOf(corpus, screened, bench), bench)
+    // the size-guard requires below are a DESIGNED exit (corpus-scale
+    // suite → use the shuffled screen) — the cache must not outlive a
+    // throw from them, or from any failed job, so everything after the
+    // persist releases it on the way out (staged releases it on success)
+    try {
+      // size the filter from the suite's distinct-shingle count (a
+      // metadata result; this count also materializes the staged frame),
+      // then build it in one aggregate: partial bit-arrays OR together,
+      // one filter reaches the driver regardless of suite size
+      val nBench = bench.count()
+      val (words, hashes) = graft.functions.Bloom.optimal(nBench, BloomFpp)
+      require(words.toLong * 8 <= MaxBloomBytes,
+        s"bloom for $nBench suite shingles needs ${words.toLong * 8} bytes " +
+          s"(max $MaxBloomBytes): a set this large is corpus-scale — screen " +
+          "it with the shuffled decontaminate join instead")
+      val bloom = bench
+        .agg(graft.functions.BloomOps.bloomAgg(xxhash64(col("shingle")), words, hashes))
+        .head.getAs[Array[Byte]](0)
+      val screened = Dedup.shingles(corpus, DecontamN)
+        .filter(graft.functions.BloomOps.mightContain(xxhash64(col("shingle")), bloom))
+      // verdictsOf's bench join is the exact verify that kills the FPs
+      Dedup.staged(verdictsOf(corpus, screened, bench), bench)
+    } catch { case t: Throwable => bench.unpersist(false); throw t }
   }
 
   /** Jaccard bar for the fuzzy screen — a corpus doc this similar to a

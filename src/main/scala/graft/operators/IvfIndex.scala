@@ -72,21 +72,28 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     cb.map(_.toArray)
   }
 
+  /** THE manifest grammar, in one place — every reader (snapshot) and
+    * writer (live-read) path parses through these two, so a format
+    * change cannot silently diverge between them. */
+  private def membersOf(lines: Seq[String]): Seq[String] = {
+    val m = lines.filterNot(_.startsWith("#"))
+    if (m.isEmpty) Seq("index") else m
+  }
+
+  private def tagsOf(lines: Seq[String]): Set[String] =
+    lines.collect { case l if l.startsWith("#tag:") =>
+      l.stripPrefix("#tag:") }.toSet
+
   /** Member data directories of the index (relative to `dir`): the
     * initial build plus one per tagged append. An index written before
     * the manifest existed is just its build dir. Snapshot-consistent
     * with `centroids`/`codebooks` (see [[manifest]]). */
-  def members: Seq[String] = {
-    val m = manifest.filterNot(_.startsWith("#"))
-    if (m.isEmpty) Seq("index") else m
-  }
+  def members: Seq[String] = membersOf(manifest)
 
   /** Tags whose append already committed (the exactly-once ledger), as
     * of this handle's snapshot. The write path re-reads the live
     * manifest, so a tag committed by ANOTHER handle still no-ops. */
-  def consumedTags: Set[String] =
-    manifest.collect { case l if l.startsWith("#tag:") =>
-      l.stripPrefix("#tag:") }.toSet
+  def consumedTags: Set[String] = tagsOf(manifest)
 
   /** The full index frame: every member shares the cell=N layout, read
     * separately and unioned (Spark's partition discovery refuses sibling
@@ -138,7 +145,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     // into the CURRENT first member — after a rebalance "index" is no
     // longer a manifest member, and rows written there would be silently
     // invisible to every union read
-    val head = lines.filterNot(_.startsWith("#")).headOption.getOrElse("index")
+    val head = membersOf(lines).head
     IvfIndex.writeAssignments(newEmb, centroids, codebooks,
       s"$dir/$head", org.apache.spark.sql.SaveMode.Append)
   }
@@ -154,8 +161,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
   def appendTagged(tag: String, newEmb: DataFrame): Unit = {
     // one LIVE manifest read for the whole commit (see append's note)
     val lines = readManifest()
-    val tags = lines.collect { case l if l.startsWith("#tag:") =>
-      l.stripPrefix("#tag:") }.toSet
+    val tags = tagsOf(lines)
     if (tags(tag)) return
     requireFreshQuantizers(lines)
     val name = s"append-$tag"
@@ -165,10 +171,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     // rebalance published!) — rebuilding the manifest from members+tags
     // alone would silently revert reads to the build-time quantizers
     val meta = lines.filter(l => l.startsWith("#") && !l.startsWith("#tag:"))
-    val mem = {
-      val m = lines.filterNot(_.startsWith("#"))
-      if (m.isEmpty) Seq("index") else m
-    }
+    val mem = membersOf(lines)
     val newLines =
       (mem :+ name) ++ meta ++ (tags + tag).toSeq.sorted.map("#tag:" + _)
     graft.sources.PointStore.atomicWrite(membersFile,
@@ -201,12 +204,8 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     // alone cannot catch it) and erase its ledger tag with the flip.
     val lines = readManifest()
     requireFreshQuantizers(lines) // same single-writer contract as the appends
-    val mem = {
-      val m = lines.filterNot(_.startsWith("#"))
-      if (m.isEmpty) Seq("index") else m
-    }
-    val tags = lines.collect { case l if l.startsWith("#tag:") =>
-      l.stripPrefix("#tag:") }.toSet
+    val mem = membersOf(lines)
+    val tags = tagsOf(lines)
     val all = mem.map(m => spark.read.parquet(s"$dir/$m")).reduce(_ unionByName _)
       .select(col("neighbor_id").as("vec_id"), col("nv").as("embedding"))
     val cents = Ann.trainCentroids(all)

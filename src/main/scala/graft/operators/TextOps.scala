@@ -342,11 +342,17 @@ object TextOps {
     * sequence of chunk ids, slice the token array per chunk. No joins,
     * no aggregation: a 100 TB corpus chunks at scan speed with the only
     * shuffle being the parallelism barrier. */
-  def chunkDocuments(s: SparkSession, d: String): DataFrame = {
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    chunkDocumentsOf(documents(s, d))
+
+  /** The operator over an arbitrary (doc_id, text) frame — what the
+    * registered query runs and what PropertySpec drives at arbitrary
+    * lengths. */
+  def chunkDocumentsOf(docs: DataFrame): DataFrame = {
     val nChunks = when(col("n") <= ChunkTokens, lit(1))
       .otherwise(((col("n") - ChunkTokens + ChunkStride - 1) / ChunkStride)
         .cast("int") + 1)
-    documents(s, d)
+    docs
       .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
       .repartition(col("doc_id")) // token-array barrier (see Dedup.shingles)
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))

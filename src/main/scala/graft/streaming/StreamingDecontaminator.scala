@@ -39,11 +39,16 @@ object StreamingDecontaminator {
     * [[Curation.decontaminate]]. */
   def benchSet(bench: DataFrame, n: Int = Curation.DecontamN,
                maxShingles: Long = MaxBenchShingles): Set[Long] = {
+    // a driver-collected Set cannot exceed Int range anyway, and bounds
+    // at or past it would make the limit-based check below vacuous (or,
+    // at Long.MaxValue, overflow into an EMPTY collect) — refuse them
+    require(maxShingles > 0 && maxShingles < Int.MaxValue,
+      s"maxShingles must be in (0, ${Int.MaxValue}), got $maxShingles")
     // ONE bounded job: collecting max+1 rows proves the bound was blown
     // without a second pipeline pass (and without an unbounded collect)
     val arr = Dedup.hashedShingles(bench, n)
       .select(col("shingle")).distinct()
-      .limit(math.min(maxShingles + 1, Int.MaxValue.toLong).toInt)
+      .limit(maxShingles.toInt + 1)
       .collect()
     require(arr.length <= maxShingles,
       s"benchmark set has over $maxShingles distinct shingles: " +

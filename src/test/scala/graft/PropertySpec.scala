@@ -143,19 +143,10 @@ class PropertySpec extends SparkSpec {
     val lens = (1L to 60L).map(seed => sample(Gen.choose(1, 400), seed))
     val docs = lens.zipWithIndex
       .map { case (n, i) => (i.toLong, (0 until n).map(j => s"t$j").mkString(" ")) }
-    // same chunking code path as the registered query, arbitrary lengths
-    val w = graft.operators.Dedup.tokens(col("text"))
-    val nChunksExpr = when(size(w) <= ChunkTokens, lit(1))
-      .otherwise(((size(w) - ChunkTokens + ChunkStride - 1) / ChunkStride)
-        .cast("int") + 1)
-    val got = docs.toDF("doc_id", "text")
-      .select(col("doc_id"), w.as("w"), nChunksExpr.as("nc"))
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), col("nc") - 1)).as("k"))
-      .select(col("doc_id"), col("k"),
-        array_join(slice(col("w"), col("k") * ChunkStride + 1, lit(ChunkTokens)), " ")
-          .as("chunk"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // THE registered operator (chunkDocuments delegates here), driven
+    // at arbitrary lengths — a formula change in TextOps fails THIS test
+    val got = TextOps.chunkDocumentsOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
       .groupBy(_._1)
     lens.zipWithIndex.foreach { case (n, i) =>
       val cs = got(i.toLong).sortBy(_._2).map(_._3.split(" "))
