@@ -49,6 +49,29 @@ class StreamingDecontamSpec extends SparkSpec {
     assert(got.values.exists(_._2) && got.values.exists(!_._2))
   }
 
+  test("chunking is streaming-safe: ingest-side chunks equal the batch operator's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the chunker is a pure per-doc expansion (tokenize → explode →
+    // slice, no aggregation/watermark), so the SAME operator body runs
+    // in append mode — micro-batch boundaries cannot move a chunk
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.chunkDocumentsOf(stream.toDS.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    stream.addData(docs.take(docs.length / 2)); q.processAllAvailable()
+    stream.addData(docs.drop(docs.length / 2)); q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val got = spark.table("chunk_out").collect().map(key).toSet
+    val expect = graft.operators.TextOps.chunkDocuments(spark, sf).collect().map(key).toSet
+    assert(got == expect)
+  }
+
   test("benchSet enforces its metadata-size contract instead of assuming it") {
     val bench = Tables.documents(spark, sf)
       .filter(col("doc_id") % Curation.BenchMod === 0)
