@@ -163,11 +163,12 @@ object Curation {
   def decontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
     val docs   = documents(s, d)
     val isBench = col("doc_id") % FuzzyBenchMod === 0
-    // one posting pass over ALL docs feeds bench signatures, corpus
-    // signatures, and the verify joins (ids are globally unique)
+    // the persisted postings feed the verify joins; signatures come from
+    // the in-row kernel (no posting re-shuffle — see Dedup
+    // .minhashSignaturesInRow), bit-identical to the posting aggregation
     val sh = Dedup.hashedShingles(docs, DecontamN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = Dedup.minhashSignaturesOf(sh)
+    val sig = Dedup.minhashSignaturesInRow(docs, DecontamN)
     val bBands = Dedup.bandTable(sig.filter(isBench))
       .withColumnRenamed("doc_id", "bench_doc")
     // shuffle, not broadcast: a REAL eval suite is metadata-sized, but

@@ -266,6 +266,63 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-seed XXH64 seeds matching `xxhash64(lit(i), shingle)`: the
+    * Catalyst expression folds children left-to-right with the previous
+    * hash as seed, so the Int literal contributes hashInt(i, 42) and the
+    * shingle then hashes against THAT — the same two calls the kernel
+    * makes (bit-identity pinned in DedupSpec). */
+  private val seedHashes: Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until NumHashes).map(i => XXH64.hashInt(i, 42L)).toArray
+  }
+
+  /** In-row 64-hash signature of one document: the running-min loop over
+    * [[hashShingleWindows]]' distinct shingle hashes — no explode, no
+    * per-posting expression eval, no aggregation state. Empty when the
+    * doc has no n-window (the groupBy form emits no row there). */
+  private[graft] def minhashSigArr(text: String, n: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val hs = hashShingleWindows(text, n)
+    if (hs.isEmpty) return Array.emptyLongArray
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < NumHashes) {
+        val v = XXH64.hashLong(h, seedHashes(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** The signature SCALE path: signatures computed IN-ROW from the text
+    * (one typed-kernel pass, same shape as
+    * [[graft.streaming.StreamingMinhash]]'s stream side) instead of
+    * aggregating 64 mins over the exploded posting table. The typed map
+    * that builds the posting table erases partitioning metadata, so the
+    * groupBy form re-shuffles EVERY posting despite the postings being
+    * doc-partitioned on disk — this form's only exchange is the
+    * parallelism barrier on (doc_id, text), ~90× fewer rows. Values are
+    * bit-identical to [[minhashSignaturesOf]] (same XXH64 call tree;
+    * DedupSpec pins equality), so candidates, verify, and the oracle are
+    * unchanged. */
+  def minhashSignaturesInRow(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sigCols = (0 until NumHashes).map(i =>
+      element_at(col("sig"), i + 1).as(s"m$i"))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id")) // compute-bound map stage: keep full parallelism
+      .map { case (id, text) => (id, minhashSigArr(text, n)) }
+      .toDF("doc_id", "sig")
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
   /** (doc_id, band, bv) LSH bucket table of a signature frame — the
     * joinable index form (also the static side of
     * [[graft.streaming.StreamingMinhash]]). */
@@ -299,8 +356,10 @@ object Dedup {
   def minhashDedup(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sh = hashedShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures come from the in-row kernel (no posting re-shuffle);
+    // the persisted postings feed the verify joins only
     val (res, scratch) =
-      verifyJaccard(minhashCandidates(minhashSignaturesOf(sh)), sh, threshold)
+      verifyJaccard(minhashCandidates(minhashSignaturesInRow(docs, n)), sh, threshold)
     staged(res, sh +: scratch: _*)
   }
 

@@ -34,7 +34,7 @@ object StreamingMinhash {
   /** Static side: the corpus LSH bucket table, built once with the batch
     * pipeline (persist it or write it as the index parquet). */
   def corpusIndex(corpus: DataFrame, n: Int = 3): DataFrame =
-    Dedup.bandTable(Dedup.minhashSignaturesOf(Dedup.hashedShingles(corpus, n)))
+    Dedup.bandTable(Dedup.minhashSignaturesInRow(corpus, n))
 
   /** Candidate pairs (new_doc, corpus_doc, ts) for a document stream
     * against a prepared [[corpusIndex]]. */

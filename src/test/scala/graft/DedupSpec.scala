@@ -71,4 +71,17 @@ class DedupSpec extends SparkSpec {
     val df = Dedup.dedupExact(spark, sf)
     assert(df.count() == df.select("content_hash").distinct().count())
   }
+
+  test("in-row signature kernel is bit-identical to the posting aggregation") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (1 until r.length).map(r.getLong).toSeq).toMap
+    val viaAgg = rows(Dedup.minhashSignaturesOf(Dedup.hashedShingles(docs, 3)))
+    val inRow = rows(Dedup.minhashSignaturesInRow(docs, 3))
+    assert(inRow.keySet == viaAgg.keySet)
+    inRow.foreach { case (id, sig) =>
+      assert(sig == viaAgg(id), s"doc $id signature diverged")
+    }
+  }
 }
