@@ -61,6 +61,7 @@ object SparkEntry {
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
     "chunk_documents" -> (TextOps.chunkDocuments _),
+    "dedup_clusters"  -> (Dedup.dedupClusters _),
     "decontaminate"   -> (Curation.decontaminate _),
     "decontaminate_bloom" -> (Curation.decontaminateBloom _),
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,
     "chunk_documents" -> TextOps.chunkDocumentsOracle,
+    "dedup_clusters"  -> Dedup.dedupClustersOracle,
     "decontaminate"   -> Curation.decontaminateOracle,
     // the bloom-pruned screen must land on the identical verdicts
     "decontaminate_bloom" -> Curation.decontaminateOracle,

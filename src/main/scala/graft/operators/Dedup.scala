@@ -366,6 +366,98 @@ object Dedup {
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashDedup(documents(s, d), 3, 0.5)
 
+  // -------------------------------------------------- duplicate clusters
+
+  /** Connected components of an (a, b) pair graph by min-label
+    * propagation: every node's label converges to the smallest doc id
+    * reachable from it, in O(graph diameter) joined-and-aggregated
+    * rounds — each round is one shuffle on the edge key and one on the
+    * node key, never an all-pairs closure. Dedup-cluster graphs have
+    * tiny diameters (near-dup chains), so rounds stay in low single
+    * digits; for adversarial diameters the same loop accepts the
+    * large-star/small-star edge rewrites (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) without changing the
+    * fixpoint. Lineage is cut per round (localCheckpoint), the loop is
+    * driver-controlled with a hard round bound, and convergence is "no
+    * label improved this round". */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 50,
+        "connectedComponents: no fixpoint in 50 rounds — diameter this " +
+          "large wants the large-star/small-star rewrite")
+      val prop = edges
+        .join(lab.select(col("node").as("vn"), col("lbl").as("vlbl")),
+          col("v") === col("vn"))
+        .groupBy(col("u")).agg(min(col("vlbl")).as("nbr"))
+      val next = lab
+        .join(prop, col("node") === col("u"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"),
+          (col("nbr") < col("lbl")).as("improved"))
+        .localCheckpoint()
+      converged = next.filter(col("improved")).isEmpty
+      lab = next.select(col("node"), col("lbl"))
+    }
+    edges.unpersist(false)
+    lab
+  }
+
+  /** Cluster formation + keeper election over the MinHash near-dup
+    * pairs — the step a production dedup runs AFTER pair discovery:
+    * one row per corpus doc with its duplicate-cluster id (smallest doc
+    * id in its component; singletons are their own cluster) and the
+    * keep/drop verdict. The component table is corpus-derived (worst
+    * case every doc pairs), so its verdict join shuffles per the
+    * broadcast rule. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val comp = connectedComponents(minhashDedup(docs, 3, 0.5).select("a", "b"))
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+        (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("is_keeper"))
+  }
+
+  /** Oracle: transitive closure of the exact-Jaccard pair graph via a
+    * recursive CTE — min reachable id per node, singletons fall back to
+    * their own id. Hash-matching proves the distributed label
+    * propagation reaches the same fixpoint the closure defines. */
+  def dedupClustersOracle: String = s"""
+    WITH RECURSIVE ${shingleSqlCte(3)},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sz sa ON a = sa.doc_id
+      JOIN sz sb ON b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node),
+    comp AS (
+      SELECT node AS doc_id, LEAST(node, min(r)) AS cluster_id
+      FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
+    FROM documents d LEFT JOIN comp c USING (doc_id)"""
+
   /** Oracle is the EXACT all-pairs answer: a hash match proves the LSH
     * candidate set lost nothing at this threshold. */
   def dedupMinhashOracle: String = jaccardOracle(3, 0.5)

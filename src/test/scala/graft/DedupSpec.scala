@@ -72,6 +72,22 @@ class DedupSpec extends SparkSpec {
     assert(df.count() == df.select("content_hash").distinct().count())
   }
 
+  test("connected components: chain, fork, pair — min label wins through multi-round propagation") {
+    import spark.implicits._
+    // chain 10-…-17 has diameter 7, so the min label needs SEVEN rounds
+    // to reach the far end — the loop's convergence logic, not just one
+    // propagation step, is what this pins; plus a fork (1-{2,3},3-4) and
+    // an isolated pair
+    val pairs = ((10L to 16L).map(i => (i, i + 1)) ++
+      Seq((2L, 1L), (3L, 1L), (4L, 3L), (20L, 21L))).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 17L).foreach(n => assert(got(n) == 10L, s"chain node $n"))
+    Seq(1L, 2L, 3L, 4L).foreach(n => assert(got(n) == 1L, s"fork node $n"))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 14) // only nodes that appear in pairs
+  }
+
   test("in-row signature kernel is bit-identical to the posting aggregation") {
     val docs = Tables.documents(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
