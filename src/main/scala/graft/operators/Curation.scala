@@ -163,12 +163,17 @@ object Curation {
   def decontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
     val docs   = documents(s, d)
     val isBench = col("doc_id") % FuzzyBenchMod === 0
-    // the persisted postings feed the verify joins; signatures come from
-    // the in-row kernel (no posting re-shuffle — see Dedup
-    // .minhashSignaturesInRow), bit-identical to the posting aggregation
-    val sh = Dedup.hashedShingles(docs, DecontamN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures come from the in-row kernel (no posting re-shuffle —
+    // see Dedup.minhashSignaturesInRow). The SIGNATURE frame is the
+    // staged scratch now (65 longs/doc — far smaller than the posting
+    // table the pre-in-row version pinned): it feeds the bench and
+    // corpus band branches, which sit on differently-filtered plans the
+    // exchange reuse can't dedup — unpersisted, each branch would
+    // re-run the tokenize + 64-hash kernel over the whole corpus. The
+    // postings are consumed once (verify semi-join pins its own pruned
+    // copy), so they are not persisted at all.
     val sig = Dedup.minhashSignaturesInRow(docs, DecontamN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = Dedup.bandTable(sig.filter(isBench))
       .withColumnRenamed("doc_id", "bench_doc")
     // shuffle, not broadcast: a REAL eval suite is metadata-sized, but
@@ -180,11 +185,12 @@ object Curation {
       .select(col("doc_id").as("a"), col("bench_doc").as("b"))
       .distinct()
     // verifyJaccardOf materializes its result before returning, so the
-    // posting scratch can drop immediately after
-    val res = Dedup.verifyJaccardOf(cands, sh, FuzzyThreshold)
+    // signature scratch can drop immediately after
+    val res = Dedup.verifyJaccardOf(cands, Dedup.hashedShingles(docs, DecontamN),
+        FuzzyThreshold)
       .select(col("a").as("doc_id"), col("b").as("bench_doc"),
         col("jaccard"))
-    sh.unpersist(false)
+    sig.unpersist(false)
     res
   }
 

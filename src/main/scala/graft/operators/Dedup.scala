@@ -345,22 +345,18 @@ object Dedup {
       .distinct()
   }
 
-  /** End-to-end MinHash dedup over an arbitrary (doc_id, text) frame. The
-    * hashed posting table is built ONCE and persisted — it feeds both the
-    * 64-hash signature aggregation and the two verify joins, which would
-    * otherwise recompute tokenize+shingle+explode three times (that
-    * recompute was 22.9 s of a 65 s bench suite at sf0.1 under the default
-    * 8 GiB heap). MEMORY_AND_DISK: ~16 B/posting, spills instead of OOM.
-    * At 100 TB the same staging is a scratch-parquet write; the shape —
-    * stage postings once, never all-pairs — is unchanged. */
+  /** End-to-end MinHash dedup over an arbitrary (doc_id, text) frame.
+    * Signatures come from the in-row kernel (no posting shuffle — see
+    * [[minhashSignaturesInRow]]); the posting table is consumed exactly
+    * once, by verifyJaccard's candidate-doc semi-join (which pins ITS
+    * pruned copy), so it is no longer persisted here — the r5-era
+    * three-consumer staging became single-use when signatures moved
+    * in-row. Never all-pairs. */
   def minhashDedup(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sh = hashedShingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // signatures come from the in-row kernel (no posting re-shuffle);
-    // the persisted postings feed the verify joins only
     val (res, scratch) =
       verifyJaccard(minhashCandidates(minhashSignaturesInRow(docs, n)), sh, threshold)
-    staged(res, sh +: scratch: _*)
+    staged(res, scratch: _*)
   }
 
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
@@ -389,25 +385,32 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged) {
-      rounds += 1
-      require(rounds <= 50,
-        "connectedComponents: no fixpoint in 50 rounds — diameter this " +
-          "large wants the large-star/small-star rewrite")
-      val prop = edges
-        .join(lab.select(col("node").as("vn"), col("lbl").as("vlbl")),
-          col("v") === col("vn"))
-        .groupBy(col("u")).agg(min(col("vlbl")).as("nbr"))
-      val next = lab
-        .join(prop, col("node") === col("u"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"),
-          (col("nbr") < col("lbl")).as("improved"))
-        .localCheckpoint()
-      converged = next.filter(col("improved")).isEmpty
-      lab = next.select(col("node"), col("lbl"))
-    }
-    edges.unpersist(false)
+    // each round's localCheckpoint blocks are node-grain (nodes touched
+    // by a pair, not the corpus) and become unreachable as `lab` is
+    // reassigned — ContextCleaner reclaims them; the explicitly-persisted
+    // edge frame is released on every exit path below
+    try {
+      while (!converged) {
+        rounds += 1
+        require(rounds <= 50,
+          "connectedComponents: no fixpoint in 50 rounds — diameter this " +
+            "large wants the large-star/small-star rewrite")
+        val prop = edges
+          .join(lab.select(col("node").as("vn"), col("lbl").as("vlbl")),
+            col("v") === col("vn"))
+          .groupBy(col("u")).agg(min(col("vlbl")).as("nbr"))
+        // inner join: every labeled node is an edge endpoint by
+        // construction, so it always has ≥ 1 neighbor row in prop
+        val next = lab
+          .join(prop, col("node") === col("u"))
+          .select(col("node"),
+            least(col("lbl"), col("nbr")).as("lbl"),
+            (col("nbr") < col("lbl")).as("improved"))
+          .localCheckpoint()
+        converged = next.filter(col("improved")).isEmpty
+        lab = next.select(col("node"), col("lbl"))
+      }
+    } finally edges.unpersist(false)
     lab
   }
 

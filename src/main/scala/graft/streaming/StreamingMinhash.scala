@@ -42,17 +42,16 @@ object StreamingMinhash {
                  watermarkDelay: String = "10 minutes"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // per-row shingle set via the batch kernel (typed map: codegen-speed
-    // string walking, no HOF-lambda O(len²) re-tokenization)
-    val withShingles = docs
-      .map(d => (d.doc_id, d.ts, Dedup.hashShingleWindows(d.text, n)))
-      .toDF("doc_id", "ts", "hs")
-      .filter(size(col("hs")) > 0) // batch drops shingle-less docs too
-    // in-row signature: array_min over the doc's own shingles per seed —
-    // `hs` is an attribute, so the lambda reads it, never recomputes it
+    // per-row signature via THE batch kernel (Dedup.minhashSigArr — one
+    // running-min pass, no HOF lambdas): the hash family lives in one
+    // place, so batch and stream cannot drift
     val sigCols = (0 until Dedup.NumHashes).map(i =>
-      array_min(transform(col("hs"), x => xxhash64(lit(i), x))).as(s"m$i"))
-    val sig = withShingles.select(col("doc_id") +: col("ts") +: sigCols: _*)
+      element_at(col("sig"), i + 1).as(s"m$i"))
+    val sig = docs
+      .map(d => (d.doc_id, d.ts, Dedup.minhashSigArr(d.text, n)))
+      .toDF("doc_id", "ts", "sig")
+      .filter(size(col("sig")) > 0) // batch drops shingle-less docs too
+      .select(col("doc_id") +: col("ts") +: sigCols: _*)
     // band explode inline (not Dedup.bandTable) so ts rides along — a
     // re-join to recover it would be a stream-stream join
     sig.select(col("doc_id"), col("ts"), posexplode(array(
