@@ -38,6 +38,22 @@ package object api {
       Dedup.minhashDedup(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, threshold)
 
+    /** Duplicate-cluster formation + keeper election: one row per input
+      * doc with its near-dup cluster id (smallest member id; singletons
+      * their own cluster) and the keep/drop verdict — MinHash pair
+      * discovery composed with distributed connected components. */
+    def duplicateClusters(idCol: String, textCol: String,
+                          n: Int = 3, threshold: Double = 0.5): DataFrame =
+      Dedup.dedupClustersOf(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, threshold)
+
+    /** Overlapping context-window chunks of a text column: one row per
+      * (doc, chunk) with id, token count, text — scan-speed row
+      * expansion, no joins or aggregation. */
+    def chunked(idCol: String, textCol: String): DataFrame =
+      TextOps.chunkDocumentsOf(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
     /** Top-k rows per group, deterministic tie-break on `tieBreak`. */
     def topKPerGroup(k: Int, partitionBy: Seq[String], order: Column,
                      tieBreak: Column): DataFrame = {

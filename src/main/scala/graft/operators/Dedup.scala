@@ -421,9 +421,13 @@ object Dedup {
     * keep/drop verdict. The component table is corpus-derived (worst
     * case every doc pairs), so its verdict join shuffles per the
     * broadcast rule. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val comp = connectedComponents(minhashDedup(docs, 3, 0.5).select("a", "b"))
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersOf(documents(s, d), 3, 0.5)
+
+  /** The operator over an arbitrary (doc_id, text) frame — what the
+    * registered query runs and what the fluent API exposes. */
+  def dedupClustersOf(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val comp = connectedComponents(minhashDedup(docs, n, threshold).select("a", "b"))
       .withColumnRenamed("node", "doc_id")
     docs.select(col("doc_id"))
       .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")

@@ -24,6 +24,20 @@ class ApiSpec extends SparkSpec {
     assert(groups.count() == corpus.select("body").distinct().count())
   }
 
+  test("duplicateClusters matches the registered cluster operator under renamed columns") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(rows(corpus.duplicateClusters("my_id", "body"))
+      == rows(Dedup.dedupClusters(spark, sf)))
+  }
+
+  test("chunked matches the registered chunk operator under renamed columns") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(rows(corpus.chunked("my_id", "body"))
+      == rows(graft.operators.TextOps.chunkDocuments(spark, sf)))
+  }
+
   test("topKPerGroup bounds group size and orders deterministically") {
     val top = Tables.orders(spark, sf)
       .topKPerGroup(2, Seq("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
