@@ -66,6 +66,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (Curation.decontaminateBloom _),
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
     "doc_repetition"  -> (Curation.docRepetition _),
+    "boilerplate_screen" -> (Curation.boilerplateScreen _),
     "pii_scrub"       -> (Curation.piiScrub _),
     "multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "decontaminate_bloom" -> Curation.decontaminateOracle,
     "decontaminate_fuzzy" -> Curation.decontaminateFuzzyOracle,
     "doc_repetition"  -> Curation.docRepetitionOracle,
+    "boilerplate_screen" -> Curation.boilerplateScreenOracle,
     "pii_scrub"       -> Curation.piiScrubOracle,
     "multimodal_meta"   -> Multimodal.multimodalMetaOracle,
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,

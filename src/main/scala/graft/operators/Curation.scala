@@ -212,6 +212,74 @@ object Curation {
     JOIN sz sb ON b = sb.doc_id
     WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $FuzzyThreshold"""
 
+  // ---------------------------------------------------- boilerplate_screen
+
+  /** A shingle present in at least this many distinct docs is
+    * boilerplate; a doc whose shingle set is more than [[BoilerplateMaxFrac]]
+    * boilerplate gets flagged. */
+  val BoilerplateMinDocs = 3
+  val BoilerplateMaxFrac = 0.5
+
+  /** Cross-document boilerplate screen (the C4/RefinedWeb dedup-of-
+    * lines idea at shingle grain): find n-grams shared by ≥
+    * [[BoilerplateMinDocs]] distinct docs, then flag docs dominated by
+    * them — headers, footers, templated text that repetition rules
+    * (intra-doc) and near-dup pairs (whole-doc) both miss. Two
+    * shuffles, both keyed: shingle-grain document frequency (per-doc
+    * shingles are already distinct, so count(*) IS the doc count), and
+    * the per-doc rollup; the common-shingle set is corpus-derived, so
+    * its semi-join shuffles per the broadcast rule. */
+  def boilerplateScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // one explode feeds three consumers (document frequency, per-doc
+    // totals, per-doc boilerplate hits) — staged like the fuzzy
+    // screen's scratch, released by staged() after materialization
+    val sh = Dedup.shingles(docs, DecontamN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerplateMinDocs)
+      .select(col("shingle"))
+    val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hit = sh.join(common.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boilerplate"))
+    val frac = when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+      .otherwise(
+        coalesce(col("n_boilerplate"), lit(0L)).cast("double") / col("n_shingles"))
+    val res = docs.select(col("doc_id"))
+      .join(tot.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(hit.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        frac.as("boilerplate_frac"),
+        (frac > BoilerplateMaxFrac).as("boilerplate"))
+    Dedup.staged(res, sh)
+  }
+
+  def boilerplateScreenOracle: String = s"""
+    WITH ${Dedup.shingleSqlCte(DecontamN)},
+    common AS (
+      SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= $BoilerplateMinDocs),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+    hit AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_boilerplate
+      FROM sh s JOIN common USING (shingle) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(t.n_shingles, 0) AS n_shingles,
+           COALESCE(h.n_boilerplate, 0) AS n_boilerplate,
+           CASE WHEN COALESCE(t.n_shingles, 0) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(COALESCE(h.n_boilerplate, 0) AS DOUBLE) / t.n_shingles
+           END AS boilerplate_frac,
+           CASE WHEN COALESCE(t.n_shingles, 0) = 0 THEN FALSE
+                ELSE CAST(COALESCE(h.n_boilerplate, 0) AS DOUBLE) / t.n_shingles
+                       > $BoilerplateMaxFrac
+           END AS boilerplate
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN hit h USING (doc_id)"""
+
   // -------------------------------------------------------- doc_repetition
 
   /** Gopher rule thresholds: flag a doc when its duplicate-bigram fraction

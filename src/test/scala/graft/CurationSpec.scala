@@ -43,6 +43,26 @@ class CurationSpec extends SparkSpec {
       plan.split("\n").filter(_.contains("Broadcast")).mkString("\n"))
   }
 
+  test("boilerplate_screen matches a plain-Scala recomputation of document frequency") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1), Curation.DecontamN).toSet).toMap
+    val docFreq = docs.values.flatten.groupBy(identity).map { case (g, occ) => g -> occ.size }
+    val common = docFreq.filter(_._2 >= Curation.BoilerplateMinDocs).keySet
+    assert(common.nonEmpty, "fixture needs common shingles")
+
+    val got = Curation.boilerplateScreen(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(got.map(_._1).toSet == docs.keySet)
+    got.foreach { case (id, n, b, flag) =>
+      assert(n == docs(id).size, s"doc $id total")
+      val expectB = docs(id).count(common)
+      assert(b == expectB, s"doc $id boilerplate count")
+      assert(flag == (n > 0 && b.toDouble / n > Curation.BoilerplateMaxFrac), s"doc $id flag")
+    }
+    assert(got.exists(_._4) && got.exists(!_._4), "need mixed flags")
+  }
+
   test("doc_repetition matches a plain-Scala recomputation per doc") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
