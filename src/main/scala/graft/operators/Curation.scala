@@ -224,37 +224,43 @@ object Curation {
     * lines idea at shingle grain): find n-grams shared by ≥
     * [[BoilerplateMinDocs]] distinct docs, then flag docs dominated by
     * them — headers, footers, templated text that repetition rules
-    * (intra-doc) and near-dup pairs (whole-doc) both miss. Two
-    * shuffles, both keyed: shingle-grain document frequency (per-doc
-    * shingles are already distinct, so count(*) IS the doc count), and
-    * the per-doc rollup; the common-shingle set is corpus-derived, so
-    * its semi-join shuffles per the broadcast rule. */
+    * (intra-doc) and near-dup pairs (whole-doc) both miss. Counts run
+    * on 64-bit HASHED shingles (the codegen kernel; per-doc counts and
+    * document frequency are unchanged up to the xxhash collision odds
+    * the string-shingle oracle already tolerates across the dedup
+    * family) and the plan is two keyed shuffles: shingle-grain document
+    * frequency (per-doc shingles are already distinct, so count(*) IS
+    * the doc count), and ONE per-doc rollup — the boilerplate hits
+    * come from a marked left join (count skips nulls), not a second
+    * aggregation. The common-shingle set is corpus-derived, so its
+    * join shuffles per the broadcast rule. */
   def boilerplateScreen(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    // one explode feeds three consumers (document frequency, per-doc
-    // totals, per-doc boilerplate hits) — staged like the fuzzy
-    // screen's scratch, released by staged() after materialization
-    val sh = Dedup.shingles(docs, DecontamN)
+    // one kernel pass feeds both consumers (document frequency + the
+    // rollup) — staged, and released on ANY exit like the bloom screen
+    val sh = Dedup.hashedShingles(docs, DecontamN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= BoilerplateMinDocs)
-      .select(col("shingle"))
-    val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hit = sh.join(common.hint("shuffle_hash"), Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boilerplate"))
-    val frac = when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
-      .otherwise(
-        coalesce(col("n_boilerplate"), lit(0L)).cast("double") / col("n_shingles"))
-    val res = docs.select(col("doc_id"))
-      .join(tot.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .join(hit.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
-        frac.as("boilerplate_frac"),
-        (frac > BoilerplateMaxFrac).as("boilerplate"))
-    Dedup.staged(res, sh)
+    try {
+      val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= BoilerplateMinDocs)
+        .select(col("shingle"), lit(1).as("bp"))
+      val perDoc = sh.join(common.hint("shuffle_hash"), Seq("shingle"), "left")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_shingles"),
+          count(col("bp")).as("n_boilerplate"))
+      val frac = when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+        .otherwise(
+          coalesce(col("n_boilerplate"), lit(0L)).cast("double") / col("n_shingles"))
+      val res = docs.select(col("doc_id"))
+        .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+          frac.as("boilerplate_frac"),
+          (frac > BoilerplateMaxFrac).as("boilerplate"))
+      Dedup.staged(res, sh)
+    } catch { case t: Throwable => sh.unpersist(false); throw t }
   }
 
   def boilerplateScreenOracle: String = s"""
