@@ -117,10 +117,23 @@ object Bloom {
     out.flush(); bytes.toByteArray
   }
 
+  /** Header-validated: `graft_bloom_contains` is SQL-visible, so this can
+    * receive arbitrary user BINARY — the embedded word count must be
+    * checked against the blob's actual length BEFORE the allocation, or a
+    * crafted value throws a raw EOFException / NegativeArraySizeException
+    * or attempts a multi-GB array. */
   def deserialize(b: Array[Byte]): BloomBuffer = {
+    require(b.length >= 8,
+      s"graft_bloom: filter blob is ${b.length} bytes — not a serialized " +
+        "bloom filter (needs an 8-byte header)")
     val in = new DataInputStream(new ByteArrayInputStream(b))
     val k = in.readInt()
-    val words = new Array[Long](in.readInt())
+    val numWords = in.readInt()
+    require(k >= 1 && k <= 16 && numWords >= 0 && 8 + 8L * numWords == b.length,
+      s"graft_bloom: malformed filter header (numHashes=$k, numWords=" +
+        s"$numWords) for a ${b.length}-byte blob — expected " +
+        "numHashes in [1,16] and 8 + 8*numWords == length")
+    val words = new Array[Long](numWords)
     var i = 0
     while (i < words.length) { words(i) = in.readLong(); i += 1 }
     new BloomBuffer(k, words)

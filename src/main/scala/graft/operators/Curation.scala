@@ -174,24 +174,26 @@ object Curation {
     // copy), so they are not persisted at all.
     val sig = Dedup.minhashSignaturesInRow(docs, DecontamN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bBands = Dedup.bandTable(sig.filter(isBench))
-      .withColumnRenamed("doc_id", "bench_doc")
-    // shuffle, not broadcast: a REAL eval suite is metadata-sized, but
-    // this stand-in slice is corpus-proportional (doc_id % 7) — and the
-    // repo's rule is that nothing corpus-proportional is ever a
-    // broadcast side, test data included
-    val cands = Dedup.bandTable(sig.filter(!isBench))
-      .join(bBands.hint("shuffle_hash"), Seq("band", "bv"))
-      .select(col("doc_id").as("a"), col("bench_doc").as("b"))
-      .distinct()
-    // verifyJaccardOf materializes its result before returning, so the
-    // signature scratch can drop immediately after
-    val res = Dedup.verifyJaccardOf(cands, Dedup.hashedShingles(docs, DecontamN),
-        FuzzyThreshold)
-      .select(col("a").as("doc_id"), col("b").as("bench_doc"),
-        col("jaccard"))
-    sig.unpersist(false)
-    res
+    // the cache must not outlive a failed candidate/verify job — release
+    // on ANY exit, like the bloom and boilerplate screens
+    try {
+      val bBands = Dedup.bandTable(sig.filter(isBench))
+        .withColumnRenamed("doc_id", "bench_doc")
+      // shuffle, not broadcast: a REAL eval suite is metadata-sized, but
+      // this stand-in slice is corpus-proportional (doc_id % 7) — and the
+      // repo's rule is that nothing corpus-proportional is ever a
+      // broadcast side, test data included
+      val cands = Dedup.bandTable(sig.filter(!isBench))
+        .join(bBands.hint("shuffle_hash"), Seq("band", "bv"))
+        .select(col("doc_id").as("a"), col("bench_doc").as("b"))
+        .distinct()
+      // verifyJaccardOf materializes its result before returning, so the
+      // signature scratch can drop immediately after
+      Dedup.verifyJaccardOf(cands, Dedup.hashedShingles(docs, DecontamN),
+          FuzzyThreshold)
+        .select(col("a").as("doc_id"), col("b").as("bench_doc"),
+          col("jaccard"))
+    } finally sig.unpersist(false)
   }
 
   /** Oracle = the EXACT cross-pair answer (corpus × benchmark at the

@@ -425,16 +425,23 @@ object Dedup {
     dedupClustersOf(documents(s, d), 3, 0.5)
 
   /** The operator over an arbitrary (doc_id, text) frame — what the
-    * registered query runs and what the fluent API exposes. */
+    * registered query runs and what the fluent API exposes. The near-dup
+    * pair frame minhashDedup persists is SCRATCH here, not the output —
+    * the verdict frame is materialized and the pair cache released before
+    * returning (on any exit), per the staged-release discipline. */
   def dedupClustersOf(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val comp = connectedComponents(minhashDedup(docs, n, threshold).select("a", "b"))
-      .withColumnRenamed("node", "doc_id")
-    docs.select(col("doc_id"))
-      .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
-        (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("is_keeper"))
+    val pairs = minhashDedup(docs, n, threshold)
+    try {
+      val comp = connectedComponents(pairs.select("a", "b"))
+        .withColumnRenamed("node", "doc_id")
+      val res = docs.select(col("doc_id"))
+        .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+          (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("is_keeper"))
+      staged(res, pairs)
+    } catch { case t: Throwable => pairs.unpersist(false); throw t }
   }
 
   /** Oracle: transitive closure of the exact-Jaccard pair graph via a

@@ -60,6 +60,25 @@ class BloomSpec extends SparkSpec {
     assert(wTiny >= 1 && kTiny >= 1) // degenerate suite still yields a valid filter
   }
 
+  test("deserialize rejects malformed blobs before allocating") {
+    def bad(b: Array[Byte]): Unit = {
+      val e = intercept[IllegalArgumentException](Bloom.deserialize(b))
+      assert(e.getMessage.contains("graft_bloom"), e.getMessage)
+    }
+    bad(Array.emptyByteArray)
+    bad(Array[Byte](1, 2, 3)) // shorter than the header
+    // claims 2^28 words (2 GiB) in a 16-byte blob — must fail, not allocate
+    bad(java.nio.ByteBuffer.allocate(16).putInt(5).putInt(1 << 28).array())
+    // negative word count — must fail, not throw NegativeArraySizeException
+    bad(java.nio.ByteBuffer.allocate(16).putInt(5).putInt(-4).array())
+    // truncated body: header says 4 words, blob carries 2
+    bad(java.nio.ByteBuffer.allocate(8 + 16).putInt(5).putInt(4).array())
+    // a valid filter still round-trips
+    val buf = new functions.BloomBuffer(3, new Array[Long](8))
+    buf.add(42L)
+    assert(Bloom.deserialize(Bloom.serialize(buf)).mightContain(42L))
+  }
+
   test("the bloom screen's verdicts equal the shuffled screen's exactly") {
     val plain = Curation.decontaminate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
