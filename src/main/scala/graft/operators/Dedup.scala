@@ -364,54 +364,198 @@ object Dedup {
 
   // -------------------------------------------------- duplicate clusters
 
-  /** Connected components of an (a, b) pair graph by min-label
-    * propagation: every node's label converges to the smallest doc id
-    * reachable from it, in O(graph diameter) joined-and-aggregated
-    * rounds — each round is one shuffle on the edge key and one on the
-    * node key, never an all-pairs closure. Dedup-cluster graphs have
-    * tiny diameters (near-dup chains), so rounds stay in low single
-    * digits; for adversarial diameters the same loop accepts the
-    * large-star/small-star edge rewrites (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14) without changing the
-    * fixpoint. Lineage is cut per round (localCheckpoint), the loop is
-    * driver-controlled with a hard round bound, and convergence is "no
-    * label improved this round". */
+  /** Round budget for the min-label fast path before escalating to the
+    * star rewrites: near-dup cluster graphs have single-digit diameters
+    * (chains of serial edits), so the fast path nearly always converges
+    * well inside it; past the budget, one-hop-per-round propagation
+    * across an adversarial diameter would take O(diameter) rounds where
+    * the rewrites take O(log). */
+  val PropagationRoundBudget = 8
+
+  /** Hard bound on alternating large-star/small-star rounds. The round
+    * count is O(log² n) worst case (Kiveris et al.) and single digits in
+    * practice, so tripping this is a malfunction, not a tuning knob. */
+  val StarRoundBound = 50
+
+  /** When set on the session, each round of an iterative loop spills to
+    * parquet under this directory (stable storage — survives executor
+    * loss) instead of localCheckpoint's executor-resident blocks. */
+  val CcCheckpointDirKey = "spark.graft.cc.checkpointDir"
+
+  /** Per-round lineage cut for driver-controlled iterative loops. The
+    * default localCheckpoint is fast, but its blocks live on executors:
+    * a mid-loop executor loss is fatal on a real cluster because the
+    * lineage behind the blocks was truncated. With [[CcCheckpointDirKey]]
+    * set, rounds spill to parquet under a per-run subdir instead — the
+    * cluster-grade cut (the IvfIndex scratch idiom). Superseded rounds
+    * are reclaimed as the loop advances (keeping the two newest: loops
+    * compare round N against N-1); like Spark's own reliable
+    * checkpoints, the final round's files outlive the call — the
+    * returned frame reads them — so the per-run subdir is the caller's
+    * to delete once the result is consumed. */
+  private final class LineageCutter(spark: SparkSession) {
+    private val base = spark.conf.getOption(CcCheckpointDirKey)
+      .map(d => s"$d/cc-${java.util.UUID.randomUUID()}")
+    private var round = 0
+    private val live = scala.collection.mutable.Queue.empty[org.apache.hadoop.fs.Path]
+
+    private def delete(p: org.apache.hadoop.fs.Path): Unit =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    def cut(df: DataFrame): DataFrame = base match {
+      case None => df.localCheckpoint()
+      case Some(b) =>
+        val p = new org.apache.hadoop.fs.Path(s"$b/round-$round")
+        round += 1
+        df.write.mode("overwrite").parquet(p.toString)
+        live.enqueue(p)
+        while (live.size > 2) delete(live.dequeue())
+        spark.read.parquet(p.toString)
+    }
+
+    /** Reclaim every spilled round but the newest (still referenced by
+      * the returned frame). No-op on the localCheckpoint path. */
+    def release(): Unit = while (live.size > 1) delete(live.dequeue())
+  }
+
+  /** One large-star round (Kiveris et al. SoCC'14, Algorithm 3): for
+    * every node u, connect each strictly-larger neighbor to the minimum
+    * of u's closed neighborhood. Output edges are (larger, smaller). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round (Algorithm 4): key each edge by its larger
+    * endpoint, then connect that node and all its (smaller) neighbors to
+    * the neighborhood minimum. Canonical (u > v) in and out. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+    dir.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Alternate large-star/small-star until the edge set is a fixpoint —
+    * at which point every component is a star rooted at its minimum
+    * node (Kiveris et al. prove convergence in O(log² n) rounds; ~log
+    * diameter in practice). Each round is two grouped self-joins cut
+    * once; the fixpoint test is exact (both sides are distinct canonical
+    * sets, so equal count + empty difference ⇒ equal). Returns the star
+    * edges (node, component-min). */
+  private def starContract(edges0: DataFrame, cutter: LineageCutter): DataFrame = {
+    var e = cutter.cut(edges0
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var n = e.count()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= StarRoundBound,
+        s"starContract: no fixpoint in $StarRoundBound rounds — the " +
+          "rewrites converge in O(log² n); this is a malfunction")
+      val next = cutter.cut(smallStar(largeStar(e)))
+      val m = next.count()
+      converged = m == n && next.except(e).isEmpty
+      e = next; n = m
+    }
+    e
+  }
+
+  /** Connected components of an (a, b) pair graph: every node's label
+    * converges to the smallest doc id reachable from it.
+    *
+    * Fast path: min-label propagation — one shuffle on the edge key and
+    * one on the node key per round, O(diameter) rounds, never an
+    * all-pairs closure. Convergence ("no label improved") rides the
+    * round's own materialization job as an observed metric
+    * (CollectMetrics), not a second action. Past
+    * [[PropagationRoundBudget]] rounds the loop escalates to the
+    * large-star/small-star rewrites ([[starContract]]), seeded with the
+    * partial labels already won (label pointers are within-component
+    * edges, so the union preserves components exactly) — adversarial
+    * diameters (a 200-link chain of serial template edits) converge in
+    * O(log) further rounds instead of aborting.
+    *
+    * Lineage is cut per round — localCheckpoint by default, stable-
+    * storage parquet when [[CcCheckpointDirKey]] is set (see
+    * [[LineageCutter]]) — and the loop is driver-controlled. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val cutter = new LineageCutter(spark)
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var lab = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+    var lab = cutter.cut(edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
     var converged = false
     var rounds = 0
-    // each round's localCheckpoint blocks are node-grain (nodes touched
-    // by a pair, not the corpus) and become unreachable as `lab` is
-    // reassigned — ContextCleaner reclaims them; the explicitly-persisted
-    // edge frame is released on every exit path below
+    // each round's cut blocks are node-grain (nodes touched by a pair,
+    // not the corpus); localCheckpoint blocks become unreachable as
+    // `lab` is reassigned (ContextCleaner reclaims them), spilled rounds
+    // are reclaimed by the cutter, and the explicitly-persisted edge
+    // frame is released on every exit path below
     try {
-      while (!converged) {
+      while (!converged && rounds < PropagationRoundBudget) {
         rounds += 1
-        require(rounds <= 50,
-          "connectedComponents: no fixpoint in 50 rounds — diameter this " +
-            "large wants the large-star/small-star rewrite")
+        val obs = org.apache.spark.sql.Observation(s"graft_cc_round_$rounds")
         val prop = edges
           .join(lab.select(col("node").as("vn"), col("lbl").as("vlbl")),
             col("v") === col("vn"))
           .groupBy(col("u")).agg(min(col("vlbl")).as("nbr"))
         // inner join: every labeled node is an edge endpoint by
         // construction, so it always has ≥ 1 neighbor row in prop
-        val next = lab
+        val next = cutter.cut(lab
           .join(prop, col("node") === col("u"))
           .select(col("node"),
             least(col("lbl"), col("nbr")).as("lbl"),
             (col("nbr") < col("lbl")).as("improved"))
-          .localCheckpoint()
-        converged = next.filter(col("improved")).isEmpty
+          .observe(obs, count(when(col("improved"), true)).as("n_improved")))
+        // the metric arrives via an async listener shortly after the cut's
+        // job; if it hasn't landed within the bounded wait, fall back to
+        // one scan over the just-materialized blocks
+        converged =
+          try scala.concurrent.Await
+            .result(obs.future, scala.concurrent.duration.Duration(5, "s"))
+            .getAs[Long]("n_improved") == 0L
+          catch { case _: java.util.concurrent.TimeoutException =>
+            next.filter(col("improved")).isEmpty
+          }
         lab = next.select(col("node"), col("lbl"))
       }
-    } finally edges.unpersist(false)
-    lab
+      if (!converged) {
+        // seed with the partial labels already won — the seed is
+        // materialized by starContract's first cut, after which the
+        // fast path's `lab` round is never read again (the star loop's
+        // keep-2 spill reclamation may delete it)
+        val stars = starContract(
+          edges.select(col("u"), col("v"))
+            .union(lab.select(col("node").as("u"), col("lbl").as("v"))),
+          cutter)
+        // roots never appear as a star edge's larger endpoint → label
+        // self. Node universe comes from the persisted edge frame, and
+        // the final cut materializes the join NOW — while edges is still
+        // cached — so the returned frame is self-contained on both cut
+        // paths.
+        lab = cutter.cut(edges.select(col("u").as("node")).distinct()
+          .join(stars.select(col("u").as("node"), col("v").as("slbl"))
+            .hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("slbl"), col("node")).as("lbl")))
+      }
+      lab
+    } finally { edges.unpersist(false); cutter.release() }
   }
 
   /** Cluster formation + keeper election over the MinHash near-dup
