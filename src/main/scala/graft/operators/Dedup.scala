@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   *   additionally proves banding recall against brute force.
   *
   * Skew note (100 TB): hub shingles (stop-phrase posting lists) skew the
-  * inverted-index join. The standard mitigation — salt the hot shingle's
-  * posting list into S sub-buckets and replicate the other side S× (or
-  * drop shingles with document frequency above a cutoff from *candidate
-  * generation only*, never from verification) — composes with both the
-  * LSH and exact paths; AQE skew-join handles the moderate case.
+  * inverted-index join — IMPLEMENTED as the [[HubDfCutoff]] document-
+  * frequency cap in [[ngramCandidates]]: shingles above the cutoff are
+  * dropped from candidate generation only, never from verification, so
+  * per-shingle fanout is bounded at cutoff² while results stay exact
+  * (DedupSpec plants a stop phrase in every doc to prove both). The LSH
+  * path is structurally immune to posting skew (signatures are in-row;
+  * its band buckets only grow with genuinely identical band values,
+  * which ARE near-dups); AQE skew-join handles the moderate residue.
   */
 object Dedup {
 
@@ -622,32 +625,90 @@ object Dedup {
 
   // ---------------------------------------------------------------- ngram
 
-  /** Exact 4-gram Jaccard near-dup pairs via inverted index. The posting
-    * self-join's (a,b) group count IS the intersection size — no separate
-    * candidate/verify passes, one fanout, map-side combinable. */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(documents(s, d), 4)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // the posting SELF-join shuffles both sides on the shingle key —
-    // postings are corpus × shingles, never a broadcast side
-    val inter = sh.as("x").join(sh.as("y").hint("shuffle_hash"),
+  /** Hub-shingle document-frequency cutoff for candidate generation. A
+    * shingle present in D docs fans its posting list out to D² rows in
+    * the candidate self-join, so ONE stop-phrase shingle in every doc
+    * turns the join all-pairs — the skew a 100 TB corpus is guaranteed
+    * to contain. Shingles above the cutoff are dropped from CANDIDATE
+    * GENERATION ONLY; verification always runs over the full posting
+    * table, so reported intersections, sizes and Jaccard are exact. A
+    * true pair is missed only if EVERY shared shingle is a hub — at
+    * J ≥ 0.5 that means two docs assembled almost entirely from stop
+    * phrases, which is boilerplate_screen's province, not near-dup
+    * detection's. (The test corpus's max document frequency is 6, so
+    * the cutoff provably changes nothing there — the oracle stays the
+    * exact all-pairs answer.) */
+  val HubDfCutoff = 128
+
+  /** Candidate pairs from a posting table, hub shingles dropped: the
+    * per-shingle fanout is bounded at maxDf², never corpus². The hot
+    * set is df-bounded small in practice but corpus-derived, so both
+    * joins shuffle per the broadcast rule. */
+  def ngramCandidates(sh: DataFrame, maxDf: Int): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    val rare = sh.join(hot.hint("shuffle_hash"), Seq("shingle"), "left_anti")
+    rare.as("x").join(rare.as("y").hint("shuffle_hash"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("intersection"))
-    val j = col("intersection").cast("double") /
-      (col("size_a") + col("size_b") - col("intersection"))
-    // sizes is doc-grain (corpus-scale): shuffle, don't broadcast
-    val res = inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a")
-        .hint("shuffle_hash"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b")
-        .hint("shuffle_hash"), "b")
-      .filter(j >= 0.5)
-      .select(col("a"), col("b"), col("intersection"),
-        col("size_a"), col("size_b"), j.as("jaccard"))
-    staged(res, sh)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
   }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index,
+    * hub-capped. Postings are annotated with their shingle's document
+    * frequency (one skew-safe partial-combined aggregate + one equi-join
+    * that also establishes the shingle partitioning every consumer
+    * reuses from the cache; AQE skew-join can split a hub's partition
+    * here, where a window-function form would pin it to one task). The
+    * sub-cutoff posting self-join then produces candidates AND their
+    * rare-shingle intersections in ONE fused pass — its group count is
+    * the rare intersection, its key set is the candidate set — and hub
+    * shingles contribute their exact co-occurrence counts through joins
+    * restricted to the candidate pairs, so reported intersections/
+    * Jaccard are exact while no posting list ever fans out past
+    * cutoff². On a hub-free corpus (the test data: max df 6) the hub
+    * branches are empty and the plan is the old fused self-join plus
+    * one posting-annotation shuffle. */
+  def ngramDedup(docs: DataFrame, n: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val sh = hashedShingles(docs, n)
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ann = sh.join(dfTab.hint("shuffle_hash"), Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rare = ann.filter(col("df") <= maxDf)
+      val interRare = rare.as("x").join(rare.as("y").hint("shuffle_hash"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("rare_i"))
+      val hub = ann.filter(col("df") > maxDf).select(col("doc_id"), col("shingle"))
+      // hub completion fans out candidate pairs × their docs' hub
+      // shingles — bounded by the candidate set, never df²
+      val hubInter = interRare.select(col("a"), col("b")).hint("shuffle_hash")
+        .join(hub.as("ha"), col("a") === col("ha.doc_id"))
+        .join(hub.as("hb").hint("shuffle_hash"),
+          col("b") === col("hb.doc_id") && col("ha.shingle") === col("hb.shingle"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hub_i"))
+      val sizes = ann.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val j = col("intersection").cast("double") /
+        (col("size_a") + col("size_b") - col("intersection"))
+      val res = interRare
+        .join(hubInter.hint("shuffle_hash"), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("rare_i") + coalesce(col("hub_i"), lit(0L))).as("intersection"))
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a")
+          .hint("shuffle_hash"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b")
+          .hint("shuffle_hash"), "b")
+        .filter(j >= threshold)
+        .select(col("a"), col("b"), col("intersection"),
+          col("size_a"), col("size_b"), j.as("jaccard"))
+      staged(res, ann)
+    } catch { case t: Throwable => ann.unpersist(false); throw t }
+  }
+
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    ngramDedup(documents(s, d), 4, 0.5, HubDfCutoff)
 
   def dedupNgramOracle: String = jaccardOracle(4, 0.5)
 

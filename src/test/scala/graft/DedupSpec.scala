@@ -88,6 +88,40 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 14) // only nodes that appear in pairs
   }
 
+  test("hub-shingle DF cutoff: a stop phrase in every doc stays exact without quadratic fanout") {
+    import spark.implicits._
+    // every doc opens with the same 12-word stop phrase (9 hub 4-gram
+    // shingles, df = 40); similarity evidence lives in the unique tails
+    val stop = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val rows = (0L until 20L).flatMap { k =>
+      val tail = s"t$k r$k g$k b$k c$k m$k y$k w$k"
+      if (k < 10) Seq((2 * k, s"$stop $tail one"), (2 * k + 1, s"$stop $tail two"))
+      else Seq((2 * k, s"$stop $tail solo"), (2 * k + 1, s"$stop x$k q$k z$k u$k o$k p$k v$k n$k solo"))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val sh = Dedup.hashedShingles(docs, 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // without the cutoff the stop phrase makes EVERY pair a candidate —
+      // the quadratic fanout; with it, only tail-sharing pairs survive
+      assert(Dedup.ngramCandidates(sh, Int.MaxValue).count() == 40L * 39 / 2)
+      assert(Dedup.ngramCandidates(sh, 10).count() == 10L)
+    } finally sh.unpersist(false)
+    // and the capped operator still returns the exact brute-force answer
+    val sets = docs.select(col("doc_id"), Dedup.shingleArr(col("text"), 4).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).sortBy(_._1)
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      inter = (sa & sb).size if inter > 0
+      jac = inter.toDouble / (sa.size + sb.size - inter) if jac >= 0.5
+    } yield (a, b)).toSet
+    assert(expected.size == 10, s"corpus construction: ${expected.size} true pairs")
+    val got = Dedup.ngramDedup(docs, 4, 0.5, 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("a 200-link chain escalates to the star rewrites and converges") {
     import spark.implicits._
     // diameter 200 ≫ the 8-round propagation budget: the old loop aborted
