@@ -216,11 +216,25 @@ object Curation {
 
   // ---------------------------------------------------- boilerplate_screen
 
-  /** A shingle present in at least this many distinct docs is
-    * boilerplate; a doc whose shingle set is more than [[BoilerplateMaxFrac]]
-    * boilerplate gets flagged. */
-  val BoilerplateMinDocs = 3
-  val BoilerplateMaxFrac = 0.5
+  /** A shingle is boilerplate when it appears in at least
+    * max([[BoilerplateMinDocsFloor]], ⌈corpus / [[BoilerplateDocDivisor]]⌉)
+    * distinct docs; a doc whose shingle set is more than
+    * [[BoilerplateMaxFrac]] boilerplate gets flagged. The threshold is
+    * corpus-RELATIVE with a small-corpus floor: an absolute cutoff
+    * saturates as the corpus grows (at 10× the test corpus every doc
+    * crossed it — template echoes, not boilerplate), while a fixed
+    * fraction of the corpus is scale-stable: real headers/footers track
+    * corpus size, statistical shingle collisions don't. Integer
+    * arithmetic ((n + divisor-1) / divisor) so Spark and the oracle
+    * compute the identical threshold — a 0.005 double multiply rounds
+    * differently than DuckDB's decimal literal at some corpus sizes. */
+  val BoilerplateMinDocsFloor = 3
+  val BoilerplateDocDivisor   = 200
+  val BoilerplateMaxFrac      = 0.5
+
+  def boilerplateMinDocs(nDocs: Long): Long =
+    math.max(BoilerplateMinDocsFloor.toLong,
+      (nDocs + BoilerplateDocDivisor - 1) / BoilerplateDocDivisor)
 
   /** Cross-document boilerplate screen (the C4/RefinedWeb dedup-of-
     * lines idea at shingle grain): find n-grams shared by ≥
@@ -238,13 +252,16 @@ object Curation {
     * join shuffles per the broadcast rule. */
   def boilerplateScreen(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // one metadata action (parquet footer counts) sizes the relative
+    // threshold — same pattern as the bloom screen's sizing count
+    val minDocs = boilerplateMinDocs(docs.count())
     // one kernel pass feeds both consumers (document frequency + the
     // rollup) — staged, and released on ANY exit like the bloom screen
     val sh = Dedup.hashedShingles(docs, DecontamN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= BoilerplateMinDocs)
+        .filter(col("df") >= minDocs)
         .select(col("shingle"), lit(1).as("bp"))
       val perDoc = sh.join(common.hint("shuffle_hash"), Seq("shingle"), "left")
         .groupBy(col("doc_id")).agg(
@@ -268,7 +285,10 @@ object Curation {
   def boilerplateScreenOracle: String = s"""
     WITH ${Dedup.shingleSqlCte(DecontamN)},
     common AS (
-      SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= $BoilerplateMinDocs),
+      SELECT shingle FROM sh GROUP BY 1
+      HAVING count(*) >= greatest($BoilerplateMinDocsFloor,
+        (SELECT (count(*) + ${BoilerplateDocDivisor - 1}) // $BoilerplateDocDivisor
+         FROM documents))),
     tot AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
     hit AS (

@@ -33,32 +33,63 @@ object Pipeline {
   }
 
   /** The FULL curation funnel as one declarative DAG: quality scoring,
-    * Gopher repetition rules, benchmark decontamination, and exact-dup
-    * keeper selection composed over the documents table — what a user
-    * runs nightly over the whole corpus. Each stage is a single corpus
-    * pass keyed by doc_id; the verdict joins shuffle on doc_id (every
-    * side is doc-grain), the benchmark slice is excluded from training
-    * output by construction, and the one content-hash shuffle resolves
-    * keepers. */
+    * Gopher repetition rules, cross-document boilerplate screening,
+    * benchmark decontamination, exact-dup keeper selection, and
+    * near-dup CLUSTER keeper election composed over the documents
+    * table — every screen the engine ships, in the one nightly run a
+    * user actually schedules (the reference's worker loop runs ALL its
+    * scripts in one consume→crunch pass). Each verdict stage is a
+    * single corpus pass keyed by doc_id and its join shuffles on doc_id
+    * (every side is doc-grain); the benchmark slice is excluded from
+    * training output by construction; one content-hash shuffle resolves
+    * exact keepers; and the near-dup stage (MinHash LSH → exact verify
+    * → connected components) runs over the exact-dedup SURVIVORS only —
+    * the funnel order that avoids clustering rows the earlier screens
+    * already dropped. Output: one row per kept doc with its duplicate
+    * cluster and the final keep verdict. */
   def pipelineCurate(s: SparkSession, d: String): DataFrame = {
     val scored = TextOps.textStatsOf(documents(s, d), col("text"), col("lang"))
       .filter(col("doc_id") % Curation.BenchMod =!= 0)
     val rep = Curation.docRepetition(s, d).select(col("doc_id"), col("repetitive"))
     val con = Curation.decontaminate(s, d).select(col("doc_id"), col("contaminated"))
+    val bp  = Curation.boilerplateScreen(s, d).select(col("doc_id"), col("boilerplate"))
     val kept = scored
       .join(rep.hint("shuffle_hash"), "doc_id")
       .join(con.hint("shuffle_hash"), "doc_id")
+      .join(bp.hint("shuffle_hash"), "doc_id")
       .filter(col("quality_score") >= QualityThreshold &&
-        !col("repetitive") && !col("contaminated"))
-    val keepers = kept.groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    keepers.hint("shuffle_hash").join(kept, "doc_id")
+        !col("repetitive") && !col("contaminated") && !col("boilerplate"))
+    // exact keeper election as ONE window pass (row_number over the
+    // content hash, doc_id order) — the groupBy-then-self-join form
+    // executes the whole five-way funnel TWICE (once under the agg, once
+    // as the join side; the subtrees differ, so exchange reuse can't
+    // merge them) where this runs it once with one shuffle
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id")))
+    // the exact-keeper frame feeds the near-dup stage several times
+    // (shingles, signatures, node universe) — without the pin, the
+    // funnel would re-execute per consumer
+    val kdocs = kept
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", rn)
+      .filter(col("rn") === 1)
       .select(col("doc_id"), col("content_hash"), col("lang"),
-        col("n_tokens"), col("quality_score"))
+        col("n_tokens"), col("quality_score"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clusters = Dedup
+        .dedupClustersOf(kdocs.select(col("doc_id"), col("text")), 3, 0.5)
+      val res = kdocs
+        .join(clusters.hint("shuffle_hash"), "doc_id")
+        .select(col("doc_id"), col("content_hash"), col("lang"),
+          col("n_tokens"), col("quality_score"),
+          col("cluster_id"), col("is_keeper").as("near_dup_keeper"))
+      Dedup.staged(res, kdocs)
+    } catch { case t: Throwable => kdocs.unpersist(false); throw t }
   }
 
   def pipelineCurateOracle: String = s"""
-    WITH toks AS (
+    WITH RECURSIVE toks AS (
       SELECT doc_id, text, lang,
         string_split_regex(lower(trim(text)), '\\s+') AS w,
         CAST(length(text) AS BIGINT) AS n_chars,
@@ -76,6 +107,25 @@ object Pipeline {
         list_transform(range(1, greatest(len(w) - 1, 1)),
           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
       FROM toks),
+    common AS (
+      SELECT shingle FROM sh GROUP BY 1
+      HAVING count(*) >= greatest(${Curation.BoilerplateMinDocsFloor},
+        (SELECT (count(*) + ${Curation.BoilerplateDocDivisor - 1})
+                  // ${Curation.BoilerplateDocDivisor}
+         FROM documents))),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+    hitbp AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_bp
+      FROM sh s JOIN common USING (shingle) GROUP BY 1),
+    bp AS (
+      SELECT d.doc_id,
+        CASE WHEN COALESCE(t.n_sh, 0) = 0 THEN FALSE
+             ELSE CAST(COALESCE(h.n_bp, 0) AS DOUBLE) / t.n_sh
+                    > ${Curation.BoilerplateMaxFrac}
+        END AS boilerplate
+      FROM documents d
+      LEFT JOIN tot t USING (doc_id)
+      LEFT JOIN hitbp h USING (doc_id)),
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % ${Curation.BenchMod} = 0),
     hits AS (
       SELECT s.doc_id FROM sh s JOIN bench USING (shingle)
@@ -107,15 +157,40 @@ object Pipeline {
     kept AS (
       SELECT q.doc_id, q.text, q.lang, q.n_tokens, q.quality_score
       FROM q JOIN rep ON q.doc_id = rep.doc_id
+      JOIN bp ON q.doc_id = bp.doc_id
       LEFT JOIN hits h ON q.doc_id = h.doc_id
       WHERE q.doc_id % ${Curation.BenchMod} <> 0
         AND q.quality_score >= $QualityThreshold
-        AND NOT repetitive AND h.doc_id IS NULL),
+        AND NOT repetitive AND NOT boilerplate AND h.doc_id IS NULL),
     keepers AS (
       SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
-      FROM kept GROUP BY 1)
-    SELECT k.doc_id, k.content_hash, s.lang, s.n_tokens, s.quality_score
-    FROM keepers k JOIN kept s ON k.doc_id = s.doc_id"""
+      FROM kept GROUP BY 1),
+    kdocs AS (
+      SELECT k.doc_id, k.content_hash, s.lang, s.n_tokens, s.quality_score
+      FROM keepers k JOIN kept s ON k.doc_id = s.doc_id),
+    ksh AS (SELECT sh.doc_id, shingle FROM sh JOIN kdocs USING (doc_id)),
+    ksz AS (SELECT doc_id, count(*) AS sz FROM ksh GROUP BY 1),
+    kinter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM ksh x JOIN ksh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a, b FROM kinter
+      JOIN ksz sa ON a = sa.doc_id
+      JOIN ksz sb ON b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node),
+    comp AS (
+      SELECT node AS doc_id, LEAST(node, min(r)) AS cluster_id
+      FROM reach GROUP BY node)
+    SELECT d.doc_id, d.content_hash, d.lang, d.n_tokens, d.quality_score,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS near_dup_keeper
+    FROM kdocs d LEFT JOIN comp c USING (doc_id)"""
 
   def pipelineCleanOracle: String = s"""
     WITH t AS (

@@ -48,7 +48,7 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> grams(r.getString(1), Curation.DecontamN).toSet).toMap
     val docFreq = docs.values.flatten.groupBy(identity).map { case (g, occ) => g -> occ.size }
-    val common = docFreq.filter(_._2 >= Curation.BoilerplateMinDocs).keySet
+    val common = docFreq.filter(_._2 >= Curation.boilerplateMinDocs(docs.size)).keySet
     assert(common.nonEmpty, "fixture needs common shingles")
 
     val got = Curation.boilerplateScreen(spark, sf).collect()
