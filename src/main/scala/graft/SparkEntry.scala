@@ -67,6 +67,7 @@ object SparkEntry {
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
     "doc_repetition"  -> (Curation.docRepetition _),
     "boilerplate_screen" -> (Curation.boilerplateScreen _),
+    "boilerplate_strip" -> (Curation.boilerplateStrip _),
     "pii_scrub"       -> (Curation.piiScrub _),
     "multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "decontaminate_fuzzy" -> Curation.decontaminateFuzzyOracle,
     "doc_repetition"  -> Curation.docRepetitionOracle,
     "boilerplate_screen" -> Curation.boilerplateScreenOracle,
+    "boilerplate_strip" -> Curation.boilerplateStripOracle,
     "pii_scrub"       -> Curation.piiScrubOracle,
     "multimodal_meta"   -> Multimodal.multimodalMetaOracle,
     "multimodal_frames" -> Multimodal.multimodalFramesOracle,

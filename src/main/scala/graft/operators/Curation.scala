@@ -308,6 +308,81 @@ object Curation {
     LEFT JOIN tot t USING (doc_id)
     LEFT JOIN hit h USING (doc_id)"""
 
+  // ------------------------------------------------------ boilerplate_strip
+
+  /** Boilerplate REMOVAL — the C4/RefinedWeb rule's remediation half:
+    * where [[boilerplateScreen]] flags documents, this rewrites them. A
+    * word is dropped when ANY corpus-common [[DecontamN]]-shingle window
+    * (document frequency ≥ the screen's relative threshold) covers it;
+    * the output is the cleaned text — in the shingle tokenization's
+    * normal form (lowercased, whitespace-normalized), which is what a
+    * training pipeline feeds the tokenizer anyway — plus drop
+    * accounting, oracle-checked string-for-string like pii_scrub's
+    * scrubbed column.
+    *
+    * Plan shape: positional windows at scan speed (the token-array
+    * barrier, then posexplode), ONE shuffle into the common-shingle
+    * join on 8-byte hashed keys (corpus-derived set → shuffle per the
+    * broadcast rule), one doc-grain covered-set aggregation (bounded by
+    * document length), and the rebuild is an index-filter projection.
+    * Nothing is ever all-pairs and the text payload crosses no
+    * shuffle — only (doc_id, position) pairs do. */
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val minDocs = boilerplateMinDocs(docs.count())
+    val common = Dedup.hashedShingles(docs, DecontamN)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("shingle"))
+    val base = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .repartition(col("doc_id")) // token-array barrier (see Dedup.shingles)
+    // positional windows: duplicates kept, 0-based window start. The
+    // string window hashes with the same xxhash64(seed 42) the kernel
+    // uses, so the join keys line up bit-for-bit.
+    val win = base.select(col("doc_id"),
+        posexplode(Dedup.ngramsOfTokens(col("w"), DecontamN)).as(Seq("i", "g")))
+      .select(col("doc_id"), col("i"), xxhash64(col("g")).as("shingle"))
+    val covered = win.join(common.hint("shuffle_hash"), "shingle")
+      .select(col("doc_id"),
+        explode(array(col("i"), col("i") + 1, col("i") + 2)).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    val noCov = array().cast("array<int>")
+    base.join(covered.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_dropped"),
+        concat_ws(" ", filter(col("w"),
+          (_, i) => !array_contains(coalesce(col("cov"), noCov), i)))
+          .as("cleaned"))
+  }
+
+  /** DuckDB twin: same windows (1-based there), same relative DF
+    * threshold, same covered-position set, same index-filter rebuild. */
+  def boilerplateStripOracle: String = s"""
+    WITH ${Dedup.shingleSqlCte(DecontamN)},
+    common AS (
+      SELECT shingle FROM sh GROUP BY 1
+      HAVING count(*) >= greatest($BoilerplateMinDocsFloor,
+        (SELECT (count(*) + ${BoilerplateDocDivisor - 1}) // $BoilerplateDocDivisor
+         FROM documents))),
+    win AS (
+      SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+    cov AS (
+      SELECT doc_id, list(DISTINCT p) AS cov
+      FROM (SELECT w.doc_id, u.p
+            FROM win w JOIN common USING (shingle),
+            UNNEST([w.i, w.i + 1, w.i + 2]) AS u(p)) hits
+      GROUP BY 1)
+    SELECT t.doc_id,
+      CAST(len(w) AS BIGINT) AS n_tokens,
+      CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_dropped,
+      COALESCE(array_to_string(list_transform(list_filter(range(1, len(w) + 1),
+        i -> NOT list_contains(COALESCE(cov, []), i)), i -> w[i]), ' '), '')
+        AS cleaned
+    FROM toks t LEFT JOIN cov USING (doc_id)"""
+
   // -------------------------------------------------------- doc_repetition
 
   /** Gopher rule thresholds: flag a doc when its duplicate-bigram fraction

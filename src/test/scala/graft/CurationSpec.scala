@@ -63,6 +63,37 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(_._4) && got.exists(!_._4), "need mixed flags")
   }
 
+  test("boilerplate_strip drops exactly the words covered by common shingles") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docFreq = docs.values
+      .map(t => grams(t, Curation.DecontamN).toSet).flatten
+      .groupBy(identity).map { case (g, occ) => g -> occ.size }
+    val minDocs = Curation.boilerplateMinDocs(docs.size)
+    val common = docFreq.filter(_._2 >= minDocs).keySet
+
+    val got = Curation.boilerplateStrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.map(_._1).toSet == docs.keySet)
+    got.foreach { case (id, n, dropped, cleaned) =>
+      val w = toks(docs(id))
+      val covered = w.sliding(Curation.DecontamN).zipWithIndex
+        .filter { case (g, _) => g.length == Curation.DecontamN && common(g.mkString(" ")) }
+        .flatMap { case (_, i) => i until i + Curation.DecontamN }
+        .toSet
+      assert(n == w.length, s"doc $id n_tokens")
+      assert(dropped == covered.size, s"doc $id n_dropped")
+      val expect = w.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        .mkString(" ")
+      assert(cleaned == expect, s"doc $id cleaned")
+    }
+    // fixture exercises full-strip, partial-strip and untouched docs
+    assert(got.exists(_._3 == 0) || got.exists(g => g._3 == g._2),
+      "need boundary coverage")
+    assert(got.exists(g => g._3 > 0 && g._3 < g._2), "need partial strips")
+  }
+
   test("doc_repetition matches a plain-Scala recomputation per doc") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
