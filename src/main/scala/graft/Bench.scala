@@ -33,7 +33,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+      // lifecycle drives (store chains, iterative loops, the composed
+      // funnel) run ONCE: each rep would redo real I/O work and widen
+      // the host-drift window without re-measuring a plan
+      val qreps = if (SparkEntry.lifecycleQueries(name)) 1 else reps
+      val runs = (1 to qreps).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, n)
@@ -50,6 +54,7 @@ object Bench {
       val contaminated = times.max / times.min.max(1e-9) > 3.0
       System.err.println(f"[bench] $name%-20s $sec%8.2fs rows=$n" +
         runs.map(r => f"${r._1}%.2f").mkString(" (reps: ", " ", ")") +
+        (if (qreps == 1 && reps > 1) "  LIFECYCLE(1 rep)" else "") +
         (if (contaminated) "  CONTAMINATED" else ""))
       (name, sec, contaminated)
     }

@@ -16,6 +16,17 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Queries that DRIVE a full on-disk or multi-operator lifecycle per
+    * execution — store append/compact/poll chains, iterative cluster
+    * loops, the composed curation funnel. They are lifecycle drives,
+    * not plans: re-running them per bench repetition multiplies real
+    * I/O work and the host-drift exposure window without re-measuring
+    * anything, so Bench runs them once (visibly flagged in the rep
+    * log; artifact schema unchanged). */
+  val lifecycleQueries: Set[String] = Set(
+    "point_store_roundtrip", "point_store_changes", "point_store_follower",
+    "dedup_clusters", "pipeline_curate")
+
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
     "crunch_global"      -> (Crunch.global _),
