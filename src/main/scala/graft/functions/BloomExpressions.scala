@@ -129,10 +129,13 @@ object Bloom {
     val in = new DataInputStream(new ByteArrayInputStream(b))
     val k = in.readInt()
     val numWords = in.readInt()
-    require(k >= 1 && k <= 16 && numWords >= 0 && 8 + 8L * numWords == b.length,
+    // numWords >= 1, not 0: a zero-word filter would pass the length
+    // check but make every probe index an empty array (legitimate
+    // filters always have >= 1 word — optimal() floors m at 64 bits)
+    require(k >= 1 && k <= 16 && numWords >= 1 && 8 + 8L * numWords == b.length,
       s"graft_bloom: malformed filter header (numHashes=$k, numWords=" +
         s"$numWords) for a ${b.length}-byte blob — expected " +
-        "numHashes in [1,16] and 8 + 8*numWords == length")
+        "numHashes in [1,16], numWords >= 1, and 8 + 8*numWords == length")
     val words = new Array[Long](numWords)
     var i = 0
     while (i < words.length) { words(i) = in.readLong(); i += 1 }

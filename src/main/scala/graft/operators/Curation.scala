@@ -344,22 +344,31 @@ object Curation {
       .select(col("doc_id"), col("i"), xxhash64(col("g")).as("shingle"))
     val covered = win.join(common.hint("shuffle_hash"), "shingle")
       .select(col("doc_id"),
-        explode(array(col("i"), col("i") + 1, col("i") + 2)).as("p"))
+        explode(array((0 until DecontamN).map(k => col("i") + k): _*)).as("p"))
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    // kept positions via array_except (hash-set lookup — O(len + |cov|)
+    // per row, where a per-token array_contains scan would be O(len²)
+    // on a fully-covered doc); order of the first operand is preserved
     val noCov = array().cast("array<int>")
+    val keptIdx = array_except(sequence(lit(0), size(col("w")) - 1),
+      coalesce(col("cov"), noCov))
     base.join(covered.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_dropped"),
-        concat_ws(" ", filter(col("w"),
-          (_, i) => !array_contains(coalesce(col("cov"), noCov), i)))
+        concat_ws(" ", transform(keptIdx, i => element_at(col("w"), i + 1)))
           .as("cleaned"))
   }
 
   /** DuckDB twin: same windows (1-based there), same relative DF
-    * threshold, same covered-position set, same index-filter rebuild. */
-  def boilerplateStripOracle: String = s"""
+    * threshold, same covered-position set, same index-filter rebuild —
+    * all generated from [[DecontamN]] like the Spark side, so a shingle
+    * arity change cannot leave the two computing different windows. */
+  def boilerplateStripOracle: String = {
+    val cat = (0 until DecontamN).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    val span = (0 until DecontamN).map(k => s"w.i + $k").mkString(", ")
+    s"""
     WITH ${Dedup.shingleSqlCte(DecontamN)},
     common AS (
       SELECT shingle FROM sh GROUP BY 1
@@ -367,13 +376,13 @@ object Curation {
         (SELECT (count(*) + ${BoilerplateDocDivisor - 1}) // $BoilerplateDocDivisor
          FROM documents))),
     win AS (
-      SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+      SELECT doc_id, i, $cat AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(w) - ${DecontamN - 2}, 1))) AS t(i)),
     cov AS (
       SELECT doc_id, list(DISTINCT p) AS cov
       FROM (SELECT w.doc_id, u.p
             FROM win w JOIN common USING (shingle),
-            UNNEST([w.i, w.i + 1, w.i + 2]) AS u(p)) hits
+            UNNEST([$span]) AS u(p)) hits
       GROUP BY 1)
     SELECT t.doc_id,
       CAST(len(w) AS BIGINT) AS n_tokens,
@@ -382,6 +391,7 @@ object Curation {
         i -> NOT list_contains(COALESCE(cov, []), i)), i -> w[i]), ' '), '')
         AS cleaned
     FROM toks t LEFT JOIN cov USING (doc_id)"""
+  }
 
   // -------------------------------------------------------- doc_repetition
 

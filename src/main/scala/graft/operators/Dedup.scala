@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *
   * Skew note (100 TB): hub shingles (stop-phrase posting lists) skew the
   * inverted-index join — IMPLEMENTED as the [[HubDfCutoff]] document-
-  * frequency cap in [[ngramCandidates]]: shingles above the cutoff are
-  * dropped from candidate generation only, never from verification, so
+  * frequency cap over the [[dfAnnotated]] posting table in
+  * [[ngramDedup]] (with a content-hash rescue for verbatim copies whose
+  * own shingles became hubs): shingles above the cutoff are dropped
+  * from candidate generation only, never from verification, so
   * per-shingle fanout is bounded at cutoff² while results stay exact
   * (DedupSpec plants a stop phrase in every doc to prove both). The LSH
   * path is structurally immune to posting skew (signatures are in-row;
@@ -392,10 +394,11 @@ object Dedup {
     * set, rounds spill to parquet under a per-run subdir instead — the
     * cluster-grade cut (the IvfIndex scratch idiom). Superseded rounds
     * are reclaimed as the loop advances (keeping the two newest: loops
-    * compare round N against N-1); like Spark's own reliable
-    * checkpoints, the final round's files outlive the call — the
-    * returned frame reads them — so the per-run subdir is the caller's
-    * to delete once the result is consumed. */
+    * compare round N against N-1), and [[detach]] + [[release]] leave
+    * NOTHING behind: the result is re-pinned off the scratch files,
+    * then the whole per-run subdir is deleted before the call returns —
+    * a nightly job must not accumulate one orphaned directory per
+    * run. */
   private final class LineageCutter(spark: SparkSession) {
     private val base = spark.conf.getOption(CcCheckpointDirKey)
       .map(d => s"$d/cc-${java.util.UUID.randomUUID()}")
@@ -416,9 +419,21 @@ object Dedup {
         spark.read.parquet(p.toString)
     }
 
-    /** Reclaim every spilled round but the newest (still referenced by
-      * the returned frame). No-op on the localCheckpoint path. */
-    def release(): Unit = while (live.size > 1) delete(live.dequeue())
+    /** On the spill path, re-pin `df` off the scratch files (one
+      * node-grain eager localCheckpoint — the loop-phase durability
+      * already did its job, so the return value needs no more than any
+      * cached frame gets) so [[release]] can delete every round.
+      * Identity on the localCheckpoint path. */
+    def detach(df: DataFrame): DataFrame =
+      if (base.isEmpty) df else df.localCheckpoint()
+
+    /** Delete the entire per-run scratch subdir (call after [[detach]]
+      * has re-pinned anything still needed). No-op without a spill
+      * dir. */
+    def release(): Unit = {
+      live.clear()
+      base.foreach(b => delete(new org.apache.hadoop.fs.Path(b)))
+    }
   }
 
   /** One large-star round (Kiveris et al. SoCC'14, Algorithm 3): for
@@ -557,7 +572,7 @@ object Dedup {
             .hint("shuffle_hash"), Seq("node"), "left")
           .select(col("node"), coalesce(col("slbl"), col("node")).as("lbl")))
       }
-      lab
+      cutter.detach(lab)
     } finally { edges.unpersist(false); cutter.release() }
   }
 
@@ -631,24 +646,34 @@ object Dedup {
     * turns the join all-pairs — the skew a 100 TB corpus is guaranteed
     * to contain. Shingles above the cutoff are dropped from CANDIDATE
     * GENERATION ONLY; verification always runs over the full posting
-    * table, so reported intersections, sizes and Jaccard are exact. A
-    * true pair is missed only if EVERY shared shingle is a hub — at
-    * J ≥ 0.5 that means two docs assembled almost entirely from stop
-    * phrases, which is boilerplate_screen's province, not near-dup
-    * detection's. (The test corpus's max document frequency is 6, so
-    * the cutoff provably changes nothing there — the oracle stays the
-    * exact all-pairs answer.) */
+    * table, so reported intersections, sizes and Jaccard are exact, and
+    * [[ngramDedup]]'s content-hash rescue restores the pairs whose
+    * every shared shingle is a hub because the docs are VERBATIM copies
+    * (heavy replication makes a doc's own shingles hubs). The only
+    * missed pairs are NON-identical docs sharing nothing but hub
+    * shingles — assembled almost entirely from stop phrases, which is
+    * boilerplate_screen's province, not near-dup detection's. (The test
+    * corpus's max document frequency is 6, so the cutoff provably
+    * changes nothing there — the oracle stays the exact all-pairs
+    * answer.) */
   val HubDfCutoff = 128
 
+  /** Postings annotated with their shingle's document frequency: one
+    * skew-safe partial-combined aggregate + one equi-join that also
+    * establishes the shingle partitioning downstream consumers reuse
+    * (AQE skew-join can split a hub's partition here, where a
+    * window-function form would pin it to one task). The single
+    * primitive behind the hub cutoff — both the candidate API and the
+    * fused operator filter THIS frame, so the drop rule cannot drift
+    * between them. */
+  private[graft] def dfAnnotated(sh: DataFrame): DataFrame =
+    sh.join(sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .hint("shuffle_hash"), Seq("shingle"))
+
   /** Candidate pairs from a posting table, hub shingles dropped: the
-    * per-shingle fanout is bounded at maxDf², never corpus². The hot
-    * set is df-bounded small in practice but corpus-derived, so both
-    * joins shuffle per the broadcast rule. */
+    * per-shingle fanout is bounded at maxDf², never corpus². */
   def ngramCandidates(sh: DataFrame, maxDf: Int): DataFrame = {
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select(col("shingle"))
-    val rare = sh.join(hot.hint("shuffle_hash"), Seq("shingle"), "left_anti")
+    val rare = dfAnnotated(sh).filter(col("df") <= maxDf)
     rare.as("x").join(rare.as("y").hint("shuffle_hash"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -656,24 +681,31 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index,
-    * hub-capped. Postings are annotated with their shingle's document
-    * frequency (one skew-safe partial-combined aggregate + one equi-join
-    * that also establishes the shingle partitioning every consumer
-    * reuses from the cache; AQE skew-join can split a hub's partition
-    * here, where a window-function form would pin it to one task). The
-    * sub-cutoff posting self-join then produces candidates AND their
-    * rare-shingle intersections in ONE fused pass — its group count is
-    * the rare intersection, its key set is the candidate set — and hub
-    * shingles contribute their exact co-occurrence counts through joins
+    * hub-capped. The sub-cutoff posting self-join over the
+    * [[dfAnnotated]] table produces candidates AND their rare-shingle
+    * intersections in ONE fused pass — its group count is the rare
+    * intersection, its key set is the candidate set — and hub shingles
+    * contribute their exact co-occurrence counts through joins
     * restricted to the candidate pairs, so reported intersections/
     * Jaccard are exact while no posting list ever fans out past
-    * cutoff². On a hub-free corpus (the test data: max df 6) the hub
-    * branches are empty and the plan is the old fused self-join plus
-    * one posting-annotation shuffle. */
+    * cutoff².
+    *
+    * The content-hash RESCUE: a doc replicated more than maxDf times
+    * turns its own shingles into hubs, so its verbatim copies share no
+    * sub-cutoff shingle and the rare path would miss their pairs. One
+    * md5 self-join recovers every identical-text pair directly —
+    * intersection = size, Jaccard exactly 1.0, no posting work — at
+    * cost proportional to the TRUE OUTPUT (E copies genuinely have
+    * E(E-1)/2 pairs; no algorithm returns the exact answer smaller).
+    * Hash-equal pairs are excluded from the rare path's result before
+    * the union, so small duplicate groups (df under the cutoff, found
+    * by both routes) are not emitted twice.
+    *
+    * On a hub-free corpus (the test data: max df 6) the hub branches
+    * are empty and the plan is the old fused self-join plus the
+    * posting-annotation shuffle and the (output-sized) hash join. */
   def ngramDedup(docs: DataFrame, n: Int, threshold: Double, maxDf: Int): DataFrame = {
-    val sh = hashedShingles(docs, n)
-    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ann = sh.join(dfTab.hint("shuffle_hash"), Seq("shingle"))
+    val ann = dfAnnotated(hashedShingles(docs, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val rare = ann.filter(col("df") <= maxDf)
@@ -690,6 +722,18 @@ object Dedup {
           col("b") === col("hb.doc_id") && col("ha.shingle") === col("hb.shingle"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hub_i"))
       val sizes = ann.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      // verbatim-copy pairs by content hash; the sizes join (inner)
+      // also drops docs with no n-window, which can share no shingle —
+      // matching the posting paths and the oracle
+      val hashes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val exactPairs = hashes.as("x").join(hashes.as("y").hint("shuffle_hash"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val exactRows = exactPairs
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a")
+          .hint("shuffle_hash"), "a")
+        .select(col("a"), col("b"), col("size_a").as("intersection"),
+          col("size_a"), col("size_a").as("size_b"), lit(1.0).as("jaccard"))
       val j = col("intersection").cast("double") /
         (col("size_a") + col("size_b") - col("intersection"))
       val res = interRare
@@ -703,6 +747,8 @@ object Dedup {
         .filter(j >= threshold)
         .select(col("a"), col("b"), col("intersection"),
           col("size_a"), col("size_b"), j.as("jaccard"))
+        .join(exactPairs.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
+        .unionByName(exactRows)
       staged(res, ann)
     } catch { case t: Throwable => ann.unpersist(false); throw t }
   }

@@ -52,7 +52,11 @@ object Pipeline {
       .filter(col("doc_id") % Curation.BenchMod =!= 0)
     val rep = Curation.docRepetition(s, d).select(col("doc_id"), col("repetitive"))
     val con = Curation.decontaminate(s, d).select(col("doc_id"), col("contaminated"))
-    val bp  = Curation.boilerplateScreen(s, d).select(col("doc_id"), col("boilerplate"))
+    // the screen and cluster results below are staged (persisted) by
+    // their operators; HERE they are scratch, not the output — hold the
+    // persisted handles so the final staged() releases them with kdocs
+    val screen = Curation.boilerplateScreen(s, d)
+    val bp  = screen.select(col("doc_id"), col("boilerplate"))
     val kept = scored
       .join(rep.hint("shuffle_hash"), "doc_id")
       .join(con.hint("shuffle_hash"), "doc_id")
@@ -79,13 +83,17 @@ object Pipeline {
     try {
       val clusters = Dedup
         .dedupClustersOf(kdocs.select(col("doc_id"), col("text")), 3, 0.5)
-      val res = kdocs
-        .join(clusters.hint("shuffle_hash"), "doc_id")
-        .select(col("doc_id"), col("content_hash"), col("lang"),
-          col("n_tokens"), col("quality_score"),
-          col("cluster_id"), col("is_keeper").as("near_dup_keeper"))
-      Dedup.staged(res, kdocs)
-    } catch { case t: Throwable => kdocs.unpersist(false); throw t }
+      try {
+        val res = kdocs
+          .join(clusters.hint("shuffle_hash"), "doc_id")
+          .select(col("doc_id"), col("content_hash"), col("lang"),
+            col("n_tokens"), col("quality_score"),
+            col("cluster_id"), col("is_keeper").as("near_dup_keeper"))
+        Dedup.staged(res, kdocs, screen, clusters)
+      } catch { case t: Throwable => clusters.unpersist(false); throw t }
+    } catch { case t: Throwable =>
+      kdocs.unpersist(false); screen.unpersist(false); throw t
+    }
   }
 
   def pipelineCurateOracle: String = s"""

@@ -73,6 +73,9 @@ class BloomSpec extends SparkSpec {
     bad(java.nio.ByteBuffer.allocate(16).putInt(5).putInt(-4).array())
     // truncated body: header says 4 words, blob carries 2
     bad(java.nio.ByteBuffer.allocate(8 + 16).putInt(5).putInt(4).array())
+    // zero words: length-consistent but every probe would index an
+    // empty array
+    bad(java.nio.ByteBuffer.allocate(8).putInt(5).putInt(0).array())
     // a valid filter still round-trips
     val buf = new functions.BloomBuffer(3, new Array[Long](8))
     buf.add(42L)

@@ -122,6 +122,24 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("verbatim copies replicated past the DF cutoff are rescued by content hash") {
+    import spark.implicits._
+    // 30 identical copies: every shingle of the page has df=30 > cutoff
+    // 10, so the rare path generates NO candidates for them — the md5
+    // rescue must return all C(30,2) pairs at exactly J=1.0, once each
+    val page = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val rows = (0L until 30L).map(i => (i, page)) :+
+      ((100L, "unrelated aa bb cc dd ee ff gg hh"))
+    val got = Dedup.ngramDedup(rows.toDF("doc_id", "text"), 4, 0.5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length == 30 * 29 / 2, s"${got.length} pairs")
+    val sz = 9L // 12 words → 9 distinct 4-shingles
+    got.foreach { case (a, b, i, sa, sb, jac) =>
+      assert(a < b && i == sz && sa == sz && sb == sz && jac == 1.0, s"pair ($a,$b)")
+    }
+  }
+
   test("a 200-link chain escalates to the star rewrites and converges") {
     import spark.implicits._
     // diameter 200 ≫ the 8-round propagation budget: the old loop aborted
@@ -150,12 +168,10 @@ class DedupSpec extends SparkSpec {
       assert(spilled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == default)
       // the returned frame is self-contained: re-consumable after release()
       assert(spilled.count() == default.size.toLong)
-      // every superseded round was reclaimed — only the final round's
-      // files remain under the per-run subdir
-      val remaining = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => p.getFileName.toString.startsWith("round-"))
-        .count()
-      assert(remaining == 1, s"expected 1 surviving round dir, found $remaining")
+      // the ENTIRE per-run scratch subdir is reclaimed before the call
+      // returns — a nightly job must not leak one directory per run
+      val remaining = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count()
+      assert(remaining == 0, s"expected an empty checkpoint dir, found $remaining entries")
     } finally {
       spark.conf.unset(Dedup.CcCheckpointDirKey)
       val p = new org.apache.hadoop.fs.Path(dir)
