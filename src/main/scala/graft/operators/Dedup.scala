@@ -420,9 +420,15 @@ object Dedup {
     }
 
     /** On the spill path, re-pin `df` off the scratch files (one
-      * node-grain eager localCheckpoint — the loop-phase durability
-      * already did its job, so the return value needs no more than any
-      * cached frame gets) so [[release]] can delete every round.
+      * node-grain eager localCheckpoint) so [[release]] can delete
+      * every round. The contract this sets: the spill dir makes the
+      * LOOP — the O(rounds) expensive part — survive executor loss;
+      * the returned value then carries the same executor-resident
+      * exposure as the default path's (lineage-free cached blocks,
+      * promptly re-materialized by every in-repo caller via staged()).
+      * A caller that needs the RESULT durable writes it to a table, as
+      * a nightly job does anyway — what it must not need is a scratch
+      * dir that grows by one orphaned run-subdir per invocation.
       * Identity on the localCheckpoint path. */
     def detach(df: DataFrame): DataFrame =
       if (base.isEmpty) df else df.localCheckpoint()
@@ -648,10 +654,11 @@ object Dedup {
     * GENERATION ONLY; verification always runs over the full posting
     * table, so reported intersections, sizes and Jaccard are exact, and
     * [[ngramDedup]]'s content-hash rescue restores the pairs whose
-    * every shared shingle is a hub because the docs are VERBATIM copies
-    * (heavy replication makes a doc's own shingles hubs). The only
-    * missed pairs are NON-identical docs sharing nothing but hub
-    * shingles — assembled almost entirely from stop phrases, which is
+    * every shared shingle is a hub because the docs are normalization-
+    * identical copies (heavy replication makes a doc's own shingles
+    * hubs). The only missed pairs are docs that are NOT copies yet
+    * share nothing but hub shingles — assembled almost entirely from
+    * stop phrases, which is
     * boilerplate_screen's province, not near-dup detection's. (The test
     * corpus's max document frequency is 6, so the cutoff provably
     * changes nothing there — the oracle stays the exact all-pairs
@@ -691,9 +698,11 @@ object Dedup {
     * cutoff².
     *
     * The content-hash RESCUE: a doc replicated more than maxDf times
-    * turns its own shingles into hubs, so its verbatim copies share no
+    * turns its own shingles into hubs, so its copies share no
     * sub-cutoff shingle and the rare path would miss their pairs. One
-    * md5 self-join recovers every identical-text pair directly —
+    * md5 self-join over the NORMALIZED token stream (lower/trim/\s+ —
+    * the shingles' own normal form, so case/whitespace variants of a
+    * copy are equal too) recovers every such pair directly —
     * intersection = size, Jaccard exactly 1.0, no posting work — at
     * cost proportional to the TRUE OUTPUT (E copies genuinely have
     * E(E-1)/2 pairs; no algorithm returns the exact answer smaller).
@@ -705,8 +714,10 @@ object Dedup {
     * are empty and the plan is the old fused self-join plus the
     * posting-annotation shuffle and the (output-sized) hash join. */
   def ngramDedup(docs: DataFrame, n: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val ann = dfAnnotated(hashedShingles(docs, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned += ann
     try {
       val rare = ann.filter(col("df") <= maxDf)
       val interRare = rare.as("x").join(rare.as("y").hint("shuffle_hash"),
@@ -722,13 +733,21 @@ object Dedup {
           col("b") === col("hb.doc_id") && col("ha.shingle") === col("hb.shingle"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hub_i"))
       val sizes = ann.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      // verbatim-copy pairs by content hash; the sizes join (inner)
-      // also drops docs with no n-window, which can share no shingle —
-      // matching the posting paths and the oracle
-      val hashes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      // verbatim-after-NORMALIZATION copy pairs: the hash runs over the
+      // same lower/trim/\s+ token stream the shingles do, so copies
+      // differing only in case or whitespace — identical shingle sets,
+      // J exactly 1.0 — are caught too, not just byte-identical text.
+      // The sizes join (inner) also drops docs with no n-window, which
+      // can share no shingle — matching the posting paths and the
+      // oracle. Consumed twice below (anti-join + exactRows): persisted,
+      // released by staged with ann.
+      val hashes = docs.select(col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("h"))
       val exactPairs = hashes.as("x").join(hashes.as("y").hint("shuffle_hash"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += exactPairs
       val exactRows = exactPairs
         .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a")
           .hint("shuffle_hash"), "a")
@@ -749,8 +768,10 @@ object Dedup {
           col("size_a"), col("size_b"), j.as("jaccard"))
         .join(exactPairs.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
         .unionByName(exactRows)
-      staged(res, ann)
-    } catch { case t: Throwable => ann.unpersist(false); throw t }
+      staged(res, pinned.toSeq: _*)
+    } catch { case t: Throwable =>
+      pinned.foreach(_.unpersist(false)); throw t
+    }
   }
 
   def dedupNgram(s: SparkSession, d: String): DataFrame =

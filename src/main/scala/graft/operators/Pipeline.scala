@@ -52,47 +52,51 @@ object Pipeline {
       .filter(col("doc_id") % Curation.BenchMod =!= 0)
     val rep = Curation.docRepetition(s, d).select(col("doc_id"), col("repetitive"))
     val con = Curation.decontaminate(s, d).select(col("doc_id"), col("contaminated"))
-    // the screen and cluster results below are staged (persisted) by
-    // their operators; HERE they are scratch, not the output — hold the
-    // persisted handles so the final staged() releases them with kdocs
-    val screen = Curation.boilerplateScreen(s, d)
-    val bp  = screen.select(col("doc_id"), col("boilerplate"))
-    val kept = scored
-      .join(rep.hint("shuffle_hash"), "doc_id")
-      .join(con.hint("shuffle_hash"), "doc_id")
-      .join(bp.hint("shuffle_hash"), "doc_id")
-      .filter(col("quality_score") >= QualityThreshold &&
-        !col("repetitive") && !col("contaminated") && !col("boilerplate"))
-    // exact keeper election as ONE window pass (row_number over the
-    // content hash, doc_id order) — the groupBy-then-self-join form
-    // executes the whole five-way funnel TWICE (once under the agg, once
-    // as the join side; the subtrees differ, so exchange reuse can't
-    // merge them) where this runs it once with one shuffle
-    val rn = row_number().over(org.apache.spark.sql.expressions.Window
-      .partitionBy(col("content_hash")).orderBy(col("doc_id")))
-    // the exact-keeper frame feeds the near-dup stage several times
-    // (shingles, signatures, node universe) — without the pin, the
-    // funnel would re-execute per consumer
-    val kdocs = kept
-      .withColumn("content_hash", md5(col("text")))
-      .withColumn("rn", rn)
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("content_hash"), col("lang"),
-        col("n_tokens"), col("quality_score"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every persisted frame below is SCRATCH here, not the output
+    // (screen/clusters are staged by their operators, kdocs by us) —
+    // track them all so the final staged() releases them together and
+    // ANY exit (including eager AnalysisExceptions while the later
+    // plans are being constructed) releases whatever is pinned so far
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
+      val screen = Curation.boilerplateScreen(s, d)
+      pinned += screen
+      val bp  = screen.select(col("doc_id"), col("boilerplate"))
+      val kept = scored
+        .join(rep.hint("shuffle_hash"), "doc_id")
+        .join(con.hint("shuffle_hash"), "doc_id")
+        .join(bp.hint("shuffle_hash"), "doc_id")
+        .filter(col("quality_score") >= QualityThreshold &&
+          !col("repetitive") && !col("contaminated") && !col("boilerplate"))
+      // exact keeper election as ONE window pass (row_number over the
+      // content hash, doc_id order) — the groupBy-then-self-join form
+      // executes the whole five-way funnel TWICE (once under the agg, once
+      // as the join side; the subtrees differ, so exchange reuse can't
+      // merge them) where this runs it once with one shuffle
+      val rn = row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id")))
+      // the exact-keeper frame feeds the near-dup stage several times
+      // (shingles, signatures, node universe) — without the pin, the
+      // funnel would re-execute per consumer
+      val kdocs = kept
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rn", rn)
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("content_hash"), col("lang"),
+          col("n_tokens"), col("quality_score"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += kdocs
       val clusters = Dedup
         .dedupClustersOf(kdocs.select(col("doc_id"), col("text")), 3, 0.5)
-      try {
-        val res = kdocs
-          .join(clusters.hint("shuffle_hash"), "doc_id")
-          .select(col("doc_id"), col("content_hash"), col("lang"),
-            col("n_tokens"), col("quality_score"),
-            col("cluster_id"), col("is_keeper").as("near_dup_keeper"))
-        Dedup.staged(res, kdocs, screen, clusters)
-      } catch { case t: Throwable => clusters.unpersist(false); throw t }
+      pinned += clusters
+      val res = kdocs
+        .join(clusters.hint("shuffle_hash"), "doc_id")
+        .select(col("doc_id"), col("content_hash"), col("lang"),
+          col("n_tokens"), col("quality_score"),
+          col("cluster_id"), col("is_keeper").as("near_dup_keeper"))
+      Dedup.staged(res, pinned.toSeq: _*)
     } catch { case t: Throwable =>
-      kdocs.unpersist(false); screen.unpersist(false); throw t
+      pinned.foreach(_.unpersist(false)); throw t
     }
   }
 
