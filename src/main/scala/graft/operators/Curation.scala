@@ -109,18 +109,17 @@ object Curation {
     * loudly, and that workload belongs on the shuffled screen. */
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
     val docs   = documents(s, d)
-    // the bench pipeline feeds THREE consumers (sizing count, bloom
-    // aggregate, exact-verify join) — stage it once, like the fuzzy
-    // screen's posting scratch, instead of re-tokenizing per consumer
-    val bench  = Dedup.shingles(docs.filter(col("doc_id") % BenchMod === 0), DecontamN)
-      .select(col("shingle")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
     // the size-guard requires below are a DESIGNED exit (corpus-scale
-    // suite → use the shuffled screen) — the cache must not outlive a
-    // throw from them, or from any failed job, so everything after the
-    // persist releases it on the way out (staged releases it on success)
-    try {
+    // suite → use the shuffled screen) — the scope releases the bench
+    // cache on that throw, on any failed job, and on success
+    Dedup.stagedScope { scratch =>
+      // the bench pipeline feeds THREE consumers (sizing count, bloom
+      // aggregate, exact-verify join) — stage it once, like the fuzzy
+      // screen's posting scratch, instead of re-tokenizing per consumer
+      val bench  = scratch.pin(
+        Dedup.shingles(docs.filter(col("doc_id") % BenchMod === 0), DecontamN)
+          .select(col("shingle")).distinct())
+      val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
       // size the filter from the suite's distinct-shingle count (a
       // metadata result; this count also materializes the staged frame),
       // then build it in one aggregate: partial bit-arrays OR together,
@@ -137,8 +136,8 @@ object Curation {
       val screened = Dedup.shingles(corpus, DecontamN)
         .filter(graft.functions.BloomOps.mightContain(xxhash64(col("shingle")), bloom))
       // verdictsOf's bench join is the exact verify that kills the FPs
-      Dedup.staged(verdictsOf(corpus, screened, bench), bench)
-    } catch { case t: Throwable => bench.unpersist(false); throw t }
+      verdictsOf(corpus, screened, bench)
+    }
   }
 
   /** Jaccard bar for the fuzzy screen — a corpus doc this similar to a
@@ -256,10 +255,9 @@ object Curation {
     // threshold — same pattern as the bloom screen's sizing count
     val minDocs = boilerplateMinDocs(docs.count())
     // one kernel pass feeds both consumers (document frequency + the
-    // rollup) — staged, and released on ANY exit like the bloom screen
-    val sh = Dedup.hashedShingles(docs, DecontamN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // rollup) — pinned, released on ANY exit like the bloom screen
+    Dedup.stagedScope { scratch =>
+      val sh = scratch.pin(Dedup.hashedShingles(docs, DecontamN))
       val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= minDocs)
         .select(col("shingle"), lit(1).as("bp"))
@@ -278,8 +276,8 @@ object Curation {
           coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
           frac.as("boilerplate_frac"),
           (frac > BoilerplateMaxFrac).as("boilerplate"))
-      Dedup.staged(res, sh)
-    } catch { case t: Throwable => sh.unpersist(false); throw t }
+      res
+    }
   }
 
   def boilerplateScreenOracle: String = s"""

@@ -180,12 +180,49 @@ object Dedup {
     * posting caches inflated a later unrelated aggregation from 4.9 s to
     * 16 s under an 8 GiB heap. On a cluster the equivalent staging is a
     * scratch-parquet write (what IvfIndex does); in-session this is the
-    * same lifecycle with the block manager as the scratch space. */
+    * same lifecycle with the block manager as the scratch space. Self-
+    * cleaning: a failed materialization releases the result's fresh
+    * cache AND the staged frames before rethrowing, so no exit path
+    * leaves blocks pinned (callers' own releases are then idempotent
+    * no-ops). */
   private[operators] def staged(result: DataFrame, stagedFrames: DataFrame*): DataFrame = {
     val r = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    r.count()
+    try r.count()
+    catch { case t: Throwable =>
+      r.unpersist(false); stagedFrames.foreach(_.unpersist(false)); throw t
+    }
     stagedFrames.foreach(_.unpersist(false))
     r
+  }
+
+  /** Scratch-frame registry for [[stagedScope]]: an operator pins its
+    * intermediate frames through this instead of hand-rolling the
+    * track-and-release bookkeeping at each site. */
+  private[operators] final class Scratch {
+    private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    /** Persist `df` (MEMORY_AND_DISK) as scratch, registered for
+      * release on every exit of the enclosing scope. */
+    def pin(df: DataFrame): DataFrame =
+      track(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    /** Register an ALREADY-persisted frame (one a callee staged) for
+      * release without re-persisting it. */
+    def track(df: DataFrame): DataFrame = { pinned += df; df }
+    private[Dedup] def frames: Seq[DataFrame] = pinned.toSeq
+    private[Dedup] def releaseAll(): Unit = pinned.foreach(_.unpersist(false))
+  }
+
+  /** The pin/track/release-on-ANY-exit discipline as one combinator:
+    * `body` builds the result, pinning scratch via its [[Scratch]]; the
+    * result is then [[staged]] (materialized into its own cache) and
+    * every pinned frame released — on success AND on any throw,
+    * including eager AnalysisExceptions raised while later plans are
+    * still being constructed. Replaces the per-operator try/catch
+    * variants that each re-implemented (and twice mis-implemented)
+    * this lifecycle. */
+  private[operators] def stagedScope(body: Scratch => DataFrame): DataFrame = {
+    val scratch = new Scratch
+    try staged(body(scratch), scratch.frames: _*)
+    catch { case t: Throwable => scratch.releaseAll(); throw t }
   }
 
   /** Public face of [[verifyJaccard]] for the fluent API (graft.api). */
@@ -597,20 +634,18 @@ object Dedup {
     * pair frame minhashDedup persists is SCRATCH here, not the output —
     * the verdict frame is materialized and the pair cache released before
     * returning (on any exit), per the staged-release discipline. */
-  def dedupClustersOf(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val pairs = minhashDedup(docs, n, threshold)
-    try {
+  def dedupClustersOf(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    stagedScope { scratch =>
+      val pairs = scratch.track(minhashDedup(docs, n, threshold))
       val comp = connectedComponents(pairs.select("a", "b"))
         .withColumnRenamed("node", "doc_id")
-      val res = docs.select(col("doc_id"))
+      docs.select(col("doc_id"))
         .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
           (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("is_keeper"))
-      staged(res, pairs)
-    } catch { case t: Throwable => pairs.unpersist(false); throw t }
-  }
+    }
 
   /** Oracle: transitive closure of the exact-Jaccard pair graph via a
     * recursive CTE — min reachable id per node, singletons fall back to
@@ -713,12 +748,9 @@ object Dedup {
     * On a hub-free corpus (the test data: max df 6) the hub branches
     * are empty and the plan is the old fused self-join plus the
     * posting-annotation shuffle and the (output-sized) hash join. */
-  def ngramDedup(docs: DataFrame, n: Int, threshold: Double, maxDf: Int): DataFrame = {
-    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    val ann = dfAnnotated(hashedShingles(docs, n))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pinned += ann
-    try {
+  def ngramDedup(docs: DataFrame, n: Int, threshold: Double, maxDf: Int): DataFrame =
+    stagedScope { scratch =>
+      val ann = scratch.pin(dfAnnotated(hashedShingles(docs, n)))
       val rare = ann.filter(col("df") <= maxDf)
       val interRare = rare.as("x").join(rare.as("y").hint("shuffle_hash"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -737,17 +769,21 @@ object Dedup {
       // same lower/trim/\s+ token stream the shingles do, so copies
       // differing only in case or whitespace — identical shingle sets,
       // J exactly 1.0 — are caught too, not just byte-identical text.
-      // The sizes join (inner) also drops docs with no n-window, which
-      // can share no shingle — matching the posting paths and the
-      // oracle. Consumed twice below (anti-join + exactRows): persisted,
-      // released by staged with ann.
+      // Windowless docs (< n tokens — note every empty/whitespace-only
+      // doc normalizes to the SAME hash) are semi-joined away BEFORE
+      // the self-join: they can share no shingle, the posting paths and
+      // the oracle both drop them, and left in they would blow the pair
+      // frame up quadratically while contributing nothing downstream.
       val hashes = docs.select(col("doc_id"),
-        md5(concat_ws(" ", tokens(col("text")))).as("h"))
-      val exactPairs = hashes.as("x").join(hashes.as("y").hint("shuffle_hash"),
+          md5(concat_ws(" ", tokens(col("text")))).as("h"))
+        .join(sizes.select(col("doc_id")).hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+      // consumed twice below (anti-join + exactRows): pinned, released
+      // by the enclosing scope
+      val exactPairs = scratch.pin(
+        hashes.as("x").join(hashes.as("y").hint("shuffle_hash"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += exactPairs
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
       val exactRows = exactPairs
         .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a")
           .hint("shuffle_hash"), "a")
@@ -768,11 +804,8 @@ object Dedup {
           col("size_a"), col("size_b"), j.as("jaccard"))
         .join(exactPairs.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
         .unionByName(exactRows)
-      staged(res, pinned.toSeq: _*)
-    } catch { case t: Throwable =>
-      pinned.foreach(_.unpersist(false)); throw t
+      res
     }
-  }
 
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     ngramDedup(documents(s, d), 4, 0.5, HubDfCutoff)

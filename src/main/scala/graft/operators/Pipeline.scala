@@ -54,13 +54,11 @@ object Pipeline {
     val con = Curation.decontaminate(s, d).select(col("doc_id"), col("contaminated"))
     // every persisted frame below is SCRATCH here, not the output
     // (screen/clusters are staged by their operators, kdocs by us) —
-    // track them all so the final staged() releases them together and
-    // ANY exit (including eager AnalysisExceptions while the later
-    // plans are being constructed) releases whatever is pinned so far
-    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    try {
-      val screen = Curation.boilerplateScreen(s, d)
-      pinned += screen
+    // the scope tracks them all, releasing on success and on ANY exit
+    // (including eager AnalysisExceptions while the later plans are
+    // still being constructed)
+    Dedup.stagedScope { scratch =>
+      val screen = scratch.track(Curation.boilerplateScreen(s, d))
       val bp  = screen.select(col("doc_id"), col("boilerplate"))
       val kept = scored
         .join(rep.hint("shuffle_hash"), "doc_id")
@@ -78,25 +76,19 @@ object Pipeline {
       // the exact-keeper frame feeds the near-dup stage several times
       // (shingles, signatures, node universe) — without the pin, the
       // funnel would re-execute per consumer
-      val kdocs = kept
+      val kdocs = scratch.pin(kept
         .withColumn("content_hash", md5(col("text")))
         .withColumn("rn", rn)
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("content_hash"), col("lang"),
-          col("n_tokens"), col("quality_score"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += kdocs
-      val clusters = Dedup
-        .dedupClustersOf(kdocs.select(col("doc_id"), col("text")), 3, 0.5)
-      pinned += clusters
-      val res = kdocs
+          col("n_tokens"), col("quality_score"), col("text")))
+      val clusters = scratch.track(Dedup
+        .dedupClustersOf(kdocs.select(col("doc_id"), col("text")), 3, 0.5))
+      kdocs
         .join(clusters.hint("shuffle_hash"), "doc_id")
         .select(col("doc_id"), col("content_hash"), col("lang"),
           col("n_tokens"), col("quality_score"),
           col("cluster_id"), col("is_keeper").as("near_dup_keeper"))
-      Dedup.staged(res, pinned.toSeq: _*)
-    } catch { case t: Throwable =>
-      pinned.foreach(_.unpersist(false)); throw t
     }
   }
 

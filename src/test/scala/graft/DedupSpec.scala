@@ -140,6 +140,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("windowless docs stay out of the rescue; normalization variants stay in") {
+    import spark.implicits._
+    // 40 windowless docs that all normalize to the SAME (empty) token
+    // stream plus 20 identical sub-n one-liners: left in the rescue's
+    // hash self-join they'd materialize C(40,2)+C(20,2) pairs that every
+    // downstream consumer discards — the sizes semi-join keeps them out,
+    // and the output for them is empty (no window ⇒ no shingle ⇒ no
+    // pair), matching the posting paths and the all-pairs oracle. The
+    // case/whitespace variant pair, which DOES have windows, must
+    // still be rescued at exactly J = 1.0.
+    val rows = (0L until 20L).map(i => (i, "")) ++
+      (20L until 40L).map(i => (i, " \t \n ")) ++
+      (40L until 60L).map(i => (i, "tiny doc")) ++ // 2 tokens < n=4
+      Seq((100L, "CASE And WhiteSpace  test one two three four five"),
+          (101L, "case and whitespace test one two three four five"))
+    val got = Dedup.ngramDedup(rows.toDF("doc_id", "text"), 4, 0.5, 10)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == Set((100L, 101L, 1.0)))
+  }
+
   test("a 200-link chain escalates to the star rewrites and converges") {
     import spark.implicits._
     // diameter 200 ≫ the 8-round propagation budget: the old loop aborted
