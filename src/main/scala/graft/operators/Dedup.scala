@@ -188,12 +188,21 @@ object Dedup {
   private[operators] def staged(result: DataFrame, stagedFrames: DataFrame*): DataFrame = {
     val r = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try r.count()
-    catch { case t: Throwable =>
-      r.unpersist(false); stagedFrames.foreach(_.unpersist(false)); throw t
-    }
+    catch { case t: Throwable => quietRelease(r +: stagedFrames, t); throw t }
     stagedFrames.foreach(_.unpersist(false))
     r
   }
+
+  /** Release caches on a failure path without masking the root cause: an
+    * unpersist that itself throws (e.g. the context already stopped
+    * because the failure WAS a shutdown) is attached as suppressed to
+    * the original exception instead of replacing it, and the remaining
+    * frames still get their release attempt. */
+  private def quietRelease(frames: Seq[DataFrame], cause: Throwable): Unit =
+    frames.foreach { f =>
+      try f.unpersist(false)
+      catch { case c: Throwable => cause.addSuppressed(c) }
+    }
 
   /** Scratch-frame registry for [[stagedScope]]: an operator pins its
     * intermediate frames through this instead of hand-rolling the
@@ -208,7 +217,8 @@ object Dedup {
       * release without re-persisting it. */
     def track(df: DataFrame): DataFrame = { pinned += df; df }
     private[Dedup] def frames: Seq[DataFrame] = pinned.toSeq
-    private[Dedup] def releaseAll(): Unit = pinned.foreach(_.unpersist(false))
+    private[Dedup] def releaseAll(cause: Throwable): Unit =
+      quietRelease(pinned.toSeq, cause)
   }
 
   /** The pin/track/release-on-ANY-exit discipline as one combinator:
@@ -221,8 +231,16 @@ object Dedup {
     * this lifecycle. */
   private[operators] def stagedScope(body: Scratch => DataFrame): DataFrame = {
     val scratch = new Scratch
-    try staged(body(scratch), scratch.frames: _*)
-    catch { case t: Throwable => scratch.releaseAll(); throw t }
+    try {
+      val result = body(scratch)
+      // a body may return a frame it pinned (persisted for several
+      // consumers AND the output) — that frame must not be in the
+      // release list, or the combinator would silently drop the result's
+      // own cache right after materializing it
+      staged(result, scratch.frames.filterNot(f =>
+        (f eq result) ||
+          (f.queryExecution.logical eq result.queryExecution.logical)): _*)
+    } catch { case t: Throwable => scratch.releaseAll(t); throw t }
   }
 
   /** Public face of [[verifyJaccard]] for the fluent API (graft.api). */
