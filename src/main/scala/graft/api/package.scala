@@ -134,7 +134,7 @@ package object api {
       * counts and the composite quality score). */
     def withTextStats(textCol: String): DataFrame =
       df.withColumn("_stats", TextOps.textStatsExpr(col(textCol)))
-        .select(df.columns.map(col) :+ col("_stats.*"): _*)
+        .select((df.columns.map(col) :+ col("_stats.*")).toIndexedSeq: _*)
 
     /** Rewrite this frame to `outPath` clustered on the Z-order of two
       * numeric columns (min/max collected here — two rows of metadata),

@@ -132,7 +132,7 @@ object Curation {
           "it with the shuffled decontaminate join instead")
       val bloom = bench
         .agg(graft.functions.BloomOps.bloomAgg(xxhash64(col("shingle")), words, hashes))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val screened = Dedup.shingles(corpus, DecontamN)
         .filter(graft.functions.BloomOps.mightContain(xxhash64(col("shingle")), bloom))
       // verdictsOf's bench join is the exact verify that kills the FPs
