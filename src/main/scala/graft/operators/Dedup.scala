@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * Skew note (100 TB): hub shingles (stop-phrase posting lists) skew the
   * inverted-index join — IMPLEMENTED as the [[HubDfCutoff]] document-
   * frequency cap over the [[dfAnnotated]] posting table in
-  * [[ngramDedup]] (with a content-hash rescue for verbatim copies whose
+  * [[ngramDedup]] (with a set-fingerprint rescue for J=1.0 copies whose
   * own shingles became hubs): shingles above the cutoff are dropped
   * from candidate generation only, never from verification, so
   * per-shingle fanout is bounded at cutoff² while results stay exact
@@ -706,12 +706,12 @@ object Dedup {
     * to contain. Shingles above the cutoff are dropped from CANDIDATE
     * GENERATION ONLY; verification always runs over the full posting
     * table, so reported intersections, sizes and Jaccard are exact, and
-    * [[ngramDedup]]'s content-hash rescue restores the pairs whose
-    * every shared shingle is a hub because the docs are normalization-
-    * identical copies (heavy replication makes a doc's own shingles
-    * hubs). The only missed pairs are docs that are NOT copies yet
-    * share nothing but hub shingles — assembled almost entirely from
-    * stop phrases, which is
+    * [[ngramDedup]]'s set-fingerprint rescue restores every pair with
+    * an IDENTICAL shingle set — J exactly 1.0 — whose shared shingles
+    * are all hubs (heavy replication makes a doc's own shingles hubs).
+    * The only missed pairs are docs with DIFFERENT shingle sets sharing
+    * nothing but hub shingles — assembled almost entirely from stop
+    * phrases, which is
     * boilerplate_screen's province, not near-dup detection's. (The test
     * corpus's max document frequency is 6, so the cutoff provably
     * changes nothing there — the oracle stays the exact all-pairs
@@ -750,18 +750,22 @@ object Dedup {
     * Jaccard are exact while no posting list ever fans out past
     * cutoff².
     *
-    * The content-hash RESCUE: a doc replicated more than maxDf times
-    * turns its own shingles into hubs, so its copies share no
-    * sub-cutoff shingle and the rare path would miss their pairs. One
-    * md5 self-join over the NORMALIZED token stream (lower/trim/\s+ —
-    * the shingles' own normal form, so case/whitespace variants of a
-    * copy are equal too) recovers every such pair directly —
-    * intersection = size, Jaccard exactly 1.0, no posting work — at
+    * The set-fingerprint RESCUE: a doc replicated more than maxDf
+    * times turns its own shingles into hubs, so its copies share no
+    * sub-cutoff shingle and the rare path would miss their pairs. A
+    * J = 1.0 pair is BY DEFINITION two docs with the same shingle set,
+    * so an md5 over each doc's sorted shingle list — folded into the
+    * size aggregation the operator already runs over the cached
+    * postings, no corpus text re-scan — makes exactly those pairs
+    * collide; one self-join on the fingerprint recovers them directly
+    * (intersection = size, Jaccard exactly 1.0, no posting work) at
     * cost proportional to the TRUE OUTPUT (E copies genuinely have
     * E(E-1)/2 pairs; no algorithm returns the exact answer smaller).
-    * Hash-equal pairs are excluded from the rare path's result before
-    * the union, so small duplicate groups (df under the cutoff, found
-    * by both routes) are not emitted twice.
+    * This covers case/whitespace variants (same normalized tokens ⇒
+    * same windows) and even permuted docs with equal window sets.
+    * Fingerprint-equal pairs are excluded from the rare path's result
+    * before the union, so small duplicate groups (df under the cutoff,
+    * found by both routes) are not emitted twice.
     *
     * On a hub-free corpus (the test data: max df 6) the hub branches
     * are empty and the plan is the old fused self-join plus the
@@ -782,40 +786,42 @@ object Dedup {
         .join(hub.as("hb").hint("shuffle_hash"),
           col("b") === col("hb.doc_id") && col("ha.shingle") === col("hb.shingle"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hub_i"))
-      val sizes = ann.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      // verbatim-after-NORMALIZATION copy pairs: the hash runs over the
-      // same lower/trim/\s+ token stream the shingles do, so copies
-      // differing only in case or whitespace — identical shingle sets,
-      // J exactly 1.0 — are caught too, not just byte-identical text.
-      // Windowless docs (< n tokens — note every empty/whitespace-only
-      // doc normalizes to the SAME hash) are semi-joined away BEFORE
-      // the self-join: they can share no shingle, the posting paths and
-      // the oracle both drop them, and left in they would blow the pair
-      // frame up quadratically while contributing nothing downstream.
-      val hashes = docs.select(col("doc_id"),
-          md5(concat_ws(" ", tokens(col("text")))).as("h"))
-        .join(sizes.select(col("doc_id")).hint("shuffle_hash"),
-          Seq("doc_id"), "left_semi")
+      // per-doc size AND whole-set fingerprint in ONE aggregation over
+      // the cached postings: md5 of the sorted 64-bit shingle list —
+      // set-EQUAL docs (the exact J = 1.0 pairs the rescue must
+      // restore) collide on it and, up to md5, nothing else does.
+      // Deriving the fingerprint here instead of re-hashing document
+      // text deletes a whole corpus text scan, and windowless docs
+      // (empty/whitespace/sub-n) are absent from the posting table by
+      // construction — they can share no shingle, so the posting paths
+      // and the oracle both drop them, and a text-keyed rescue would
+      // have collapsed them all into one quadratic hash class. Pinned:
+      // the self-join consumes it twice, the result assembly twice more.
+      val sizes = scratch.pin(ann.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("sz"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("shingle"))),
+            x => x.cast("string")))).as("seth")))
       // consumed twice below (anti-join + exactRows): pinned, released
       // by the enclosing scope
       val exactPairs = scratch.pin(
-        hashes.as("x").join(hashes.as("y").hint("shuffle_hash"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
+        sizes.as("x").join(sizes.as("y").hint("shuffle_hash"),
+          col("x.seth") === col("y.seth") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sz").as("esz")))
       val exactRows = exactPairs
-        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a")
-          .hint("shuffle_hash"), "a")
-        .select(col("a"), col("b"), col("size_a").as("intersection"),
-          col("size_a"), col("size_a").as("size_b"), lit(1.0).as("jaccard"))
+        .select(col("a"), col("b"), col("esz").as("intersection"),
+          col("esz").as("size_a"), col("esz").as("size_b"),
+          lit(1.0).as("jaccard"))
       val j = col("intersection").cast("double") /
         (col("size_a") + col("size_b") - col("intersection"))
       val res = interRare
         .join(hubInter.hint("shuffle_hash"), Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           (col("rare_i") + coalesce(col("hub_i"), lit(0L))).as("intersection"))
-        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "size_a")
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("size_a"))
           .hint("shuffle_hash"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "size_b")
+        .join(sizes.select(col("doc_id").as("b"), col("sz").as("size_b"))
           .hint("shuffle_hash"), "b")
         .filter(j >= threshold)
         .select(col("a"), col("b"), col("intersection"),
