@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   * Skew note (100 TB): hub shingles (stop-phrase posting lists) skew the
   * inverted-index join — IMPLEMENTED as the [[HubDfCutoff]] document-
   * frequency cap over the [[dfAnnotated]] posting table in
-  * [[ngramDedup]] (with a set-fingerprint rescue for J=1.0 copies whose
-  * own shingles became hubs): shingles above the cutoff are dropped
-  * from candidate generation only, never from verification, so
-  * per-shingle fanout is bounded at cutoff² while results stay exact
-  * (DedupSpec plants a stop phrase in every doc to prove both). The LSH
+  * [[ngramDedup]], measured at DISTINCT-SET grain (set-identical docs
+  * collapse to one representative first, so replication cannot
+  * manufacture hubs): shingles above the cutoff are dropped from
+  * candidate generation only, never from verification, so per-shingle
+  * fanout is bounded at cutoff² while results stay exact (DedupSpec
+  * plants a stop phrase in every doc, and separately a 30×-replicated
+  * page with a near-dup variant, to prove both). The LSH
   * path is structurally immune to posting skew (signatures are in-row;
   * its band buckets only grow with genuinely identical band values,
   * which ARE near-dups); AQE skew-join handles the moderate residue.
@@ -700,22 +702,26 @@ object Dedup {
   // ---------------------------------------------------------------- ngram
 
   /** Hub-shingle document-frequency cutoff for candidate generation. A
-    * shingle present in D docs fans its posting list out to D² rows in
-    * the candidate self-join, so ONE stop-phrase shingle in every doc
-    * turns the join all-pairs — the skew a 100 TB corpus is guaranteed
-    * to contain. Shingles above the cutoff are dropped from CANDIDATE
-    * GENERATION ONLY; verification always runs over the full posting
-    * table, so reported intersections, sizes and Jaccard are exact, and
-    * [[ngramDedup]]'s set-fingerprint rescue restores every pair with
-    * an IDENTICAL shingle set — J exactly 1.0 — whose shared shingles
-    * are all hubs (heavy replication makes a doc's own shingles hubs).
-    * The only missed pairs are docs with DIFFERENT shingle sets sharing
-    * nothing but hub shingles — assembled almost entirely from stop
-    * phrases, which is
-    * boilerplate_screen's province, not near-dup detection's. (The test
-    * corpus's max document frequency is 6, so the cutoff provably
-    * changes nothing there — the oracle stays the exact all-pairs
-    * answer.) */
+    * shingle present in D posting rows fans out to D² in the candidate
+    * self-join, so ONE stop-phrase shingle in every doc turns the join
+    * all-pairs — the skew a 100 TB corpus is guaranteed to contain.
+    * Shingles above the cutoff are dropped from CANDIDATE GENERATION
+    * ONLY; verification always runs over the full posting table, so
+    * reported intersections, sizes and Jaccard are exact.
+    *
+    * [[ngramDedup]] measures df at DISTINCT-SET grain (set-identical
+    * docs collapse to one representative before candidate generation),
+    * so REPLICATION cannot manufacture hubs: a page copied a million
+    * times — plus its lightly-edited variants — contributes one
+    * distinct set per variant, their shared shingles stay rare, and
+    * both the J=1.0 copy pairs and the J<1.0 variant pairs come out
+    * exact (DedupSpec pins both). The only missed pairs are docs with
+    * DIFFERENT shingle sets sharing nothing but shingles present in
+    * more than `cutoff` DISTINCT sets — text assembled almost entirely
+    * from genuine stop phrases, which is boilerplate_screen's province,
+    * not near-dup detection's. (The test corpus's max document
+    * frequency is 6, so the cutoff provably changes nothing there —
+    * the oracle stays the exact all-pairs answer.) */
   val HubDfCutoff = 128
 
   /** Postings annotated with their shingle's document frequency: one
@@ -750,29 +756,71 @@ object Dedup {
     * Jaccard are exact while no posting list ever fans out past
     * cutoff².
     *
-    * The set-fingerprint RESCUE: a doc replicated more than maxDf
-    * times turns its own shingles into hubs, so its copies share no
-    * sub-cutoff shingle and the rare path would miss their pairs. A
-    * J = 1.0 pair is BY DEFINITION two docs with the same shingle set,
-    * so an md5 over each doc's sorted shingle list — folded into the
-    * size aggregation the operator already runs over the cached
-    * postings, no corpus text re-scan — makes exactly those pairs
-    * collide; one self-join on the fingerprint recovers them directly
-    * (intersection = size, Jaccard exactly 1.0, no posting work) at
-    * cost proportional to the TRUE OUTPUT (E copies genuinely have
-    * E(E-1)/2 pairs; no algorithm returns the exact answer smaller).
-    * This covers case/whitespace variants (same normalized tokens ⇒
-    * same windows) and even permuted docs with equal window sets.
-    * Fingerprint-equal pairs are excluded from the rare path's result
-    * before the union, so small duplicate groups (df under the cutoff,
-    * found by both routes) are not emitted twice.
+    * DISTINCT-SET grain (the replication defense): the kernel pass
+    * fingerprints each doc's shingle SET (size + two seeded xor
+    * channels), set-identical docs collapse to one representative, and
+    * the whole posting machinery — df annotation, candidate self-join,
+    * hub completion, verification — runs over representatives only.
+    * Replication therefore cannot create hubs: a page copied E times
+    * is ONE distinct set, so a lightly-edited variant still shares
+    * RARE shingles with it and is found by the normal path, where a
+    * doc-grain df would have pushed every shared shingle past the
+    * cutoff and silently dropped the variant pair (DedupSpec pins
+    * exactly this corpus). Results expand back to document grain at
+    * cost proportional to the TRUE OUTPUT: within-group pairs are
+    * J = 1.0 by set equality (E copies genuinely have E(E-1)/2 pairs;
+    * no algorithm returns the exact answer smaller), and a rep-pair's
+    * exact Jaccard holds verbatim for every cross-group member pair.
+    * The two expansions are disjoint (J = 1.0 ⟺ equal sets ⟺ same
+    * group), so nothing is emitted twice.
     *
-    * On a hub-free corpus (the test data: max df 6) the hub branches
-    * are empty and the plan is the old fused self-join plus the
-    * posting-annotation shuffle and the (output-sized) hash join. */
+    * On a collapse-free corpus (every set distinct, no hubs — the test
+    * data: max df 6) the plan degenerates to the classic fused
+    * self-join over all docs plus the annotation shuffle, the doc-grain
+    * fingerprint window, and two output-sized expansion joins. */
   def ngramDedup(docs: DataFrame, n: Int, threshold: Double, maxDf: Int): DataFrame =
     stagedScope { scratch =>
-      val ann = scratch.pin(dfAnnotated(hashedShingles(docs, n)))
+      import docs.sparkSession.implicits._
+      // ONE kernel pass emits each doc's shingle array AND its set
+      // fingerprint: size + two independently-seeded xor channels —
+      // commutative, constant-state, ~2^-128 pair-collision odds on
+      // non-adversarial data. A collision would merge two distinct sets
+      // into one group — the same accepted-risk class as the family's
+      // 64-bit shingle hashing, and the reason there are TWO channels
+      // (one 64-bit xor alone is birthday-weak at corpus scale).
+      val base = scratch.pin(docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
+        .map { case (id, text) =>
+          val hs = hashShingleWindows(text, n)
+          var f1 = 0L; var f2 = 0L; var i = 0
+          while (i < hs.length) {
+            f1 ^= hs(i)
+            f2 ^= org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(hs(i), 1L)
+            i += 1
+          }
+          (id, hs, hs.length.toLong, f1, f2)
+        }.toDF("doc_id", "hs", "sz", "fp1", "fp2"))
+      // DISTINCT-SET grain: set-identical docs collapse to one
+      // representative (min doc_id) BEFORE candidate generation, so
+      // replication cannot create hub shingles — a page copied a
+      // million times contributes ONE distinct set to every document
+      // frequency. The sz > 0 filter keeps windowless docs (empty
+      // array ⇒ the shared (0,0,0) fingerprint) out of the groups:
+      // no window ⇒ no shingle ⇒ no pair, matching the oracle.
+      val members = scratch.pin(base.filter(col("sz") > 0)
+        .select(col("doc_id"), col("sz"),
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("sz"), col("fp1"), col("fp2"))).as("rep")))
+      val reps = members.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"))
+      // postings of REPRESENTATIVE docs only, DF-annotated at the
+      // distinct-set grain the cutoff now means
+      val ann = scratch.pin(dfAnnotated(base
+        .join(reps.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("hs")).as("shingle"))))
       val rare = ann.filter(col("df") <= maxDf)
       val interRare = rare.as("x").join(rare.as("y").hint("shuffle_hash"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -786,49 +834,49 @@ object Dedup {
         .join(hub.as("hb").hint("shuffle_hash"),
           col("b") === col("hb.doc_id") && col("ha.shingle") === col("hb.shingle"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hub_i"))
-      // per-doc size AND whole-set fingerprint in ONE aggregation over
-      // the cached postings: md5 of the sorted 64-bit shingle list —
-      // set-EQUAL docs (the exact J = 1.0 pairs the rescue must
-      // restore) collide on it and, up to md5, nothing else does.
-      // Deriving the fingerprint here instead of re-hashing document
-      // text deletes a whole corpus text scan, and windowless docs
-      // (empty/whitespace/sub-n) are absent from the posting table by
-      // construction — they can share no shingle, so the posting paths
-      // and the oracle both drop them, and a text-keyed rescue would
-      // have collapsed them all into one quadratic hash class. Pinned:
-      // the self-join consumes it twice, the result assembly twice more.
-      val sizes = scratch.pin(ann.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("sz"),
-        md5(concat_ws(",",
-          transform(sort_array(collect_list(col("shingle"))),
-            x => x.cast("string")))).as("seth")))
-      // consumed twice below (anti-join + exactRows): pinned, released
-      // by the enclosing scope
-      val exactPairs = scratch.pin(
-        sizes.as("x").join(sizes.as("y").hint("shuffle_hash"),
-          col("x.seth") === col("y.seth") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sz").as("esz")))
-      val exactRows = exactPairs
-        .select(col("a"), col("b"), col("esz").as("intersection"),
-          col("esz").as("size_a"), col("esz").as("size_b"),
-          lit(1.0).as("jaccard"))
+      val rsizes = members.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("sz"))
       val j = col("intersection").cast("double") /
         (col("size_a") + col("size_b") - col("intersection"))
-      val res = interRare
+      // exact pair results at the representative grain (a < b rep ids)
+      val repPairs = interRare
         .join(hubInter.hint("shuffle_hash"), Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           (col("rare_i") + coalesce(col("hub_i"), lit(0L))).as("intersection"))
-        .join(sizes.select(col("doc_id").as("a"), col("sz").as("size_a"))
+        .join(rsizes.select(col("doc_id").as("a"), col("sz").as("size_a"))
           .hint("shuffle_hash"), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("sz").as("size_b"))
+        .join(rsizes.select(col("doc_id").as("b"), col("sz").as("size_b"))
           .hint("shuffle_hash"), "b")
         .filter(j >= threshold)
         .select(col("a"), col("b"), col("intersection"),
           col("size_a"), col("size_b"), j.as("jaccard"))
-        .join(exactPairs.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
-        .unionByName(exactRows)
-      res
+      // expansion back to document grain — both frames are sized by the
+      // TRUE OUTPUT (every emitted pair genuinely has its Jaccard):
+      // within a group every pair is J = 1.0 by definition of set
+      // equality, and a rep-pair's Jaccard holds verbatim for every
+      // cross-group member pair. The two frames are disjoint by
+      // construction (J = 1.0 ⟺ equal sets ⟺ same group), so no
+      // dedup/anti-join pass is needed.
+      val within = members.as("m1").join(members.as("m2").hint("shuffle_hash"),
+          col("m1.rep") === col("m2.rep") &&
+            col("m1.doc_id") < col("m2.doc_id"))
+        .select(col("m1.doc_id").as("a"), col("m2.doc_id").as("b"),
+          col("m1.sz").as("intersection"), col("m1.sz").as("size_a"),
+          col("m2.sz").as("size_b"), lit(1.0).as("jaccard"))
+      val cross = repPairs
+        .join(members.select(col("rep").as("a"), col("doc_id").as("da"))
+          .hint("shuffle_hash"), "a")
+        .join(members.select(col("rep").as("b"), col("doc_id").as("db"))
+          .hint("shuffle_hash"), "b")
+        .select(least(col("da"), col("db")).as("a"),
+          greatest(col("da"), col("db")).as("b"),
+          col("intersection"),
+          when(col("da") < col("db"), col("size_a"))
+            .otherwise(col("size_b")).as("size_a"),
+          when(col("da") < col("db"), col("size_b"))
+            .otherwise(col("size_a")).as("size_b"),
+          col("jaccard"))
+      cross.unionByName(within)
     }
 
   def dedupNgram(s: SparkSession, d: String): DataFrame =

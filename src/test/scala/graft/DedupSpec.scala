@@ -141,6 +141,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("near-dup variant of a heavily replicated page survives the cutoff") {
+    import spark.implicits._
+    // 30 verbatim copies of P push every P-shingle's DOC-grain df to 30
+    // > cutoff 10 — under doc-grain df the variant P' (P plus one
+    // sentence) would share only hub shingles with the copies and its
+    // pairs would be silently dropped, though J = 9/13 ≥ 0.5. At
+    // DISTINCT-SET grain P is ONE set, its shingles have df = 2
+    // ({P, P'}), and the rare path finds the variant against every
+    // copy: 30 variant pairs + C(30,2) copy pairs, all values exact.
+    val p = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val rows = (0L until 30L).map(i => (i, p)) :+
+      ((50L, s"$p sigma tau upsilon phi"))
+    val got = Dedup.ngramDedup(rows.toDF("doc_id", "text"), 4, 0.5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 30 * 29 / 2 + 30, s"${got.size} pairs")
+    (0L until 30L).foreach { i =>
+      // P: 12 words → 9 distinct 4-shingles; P': 16 words → 13; ∩ = 9
+      assert(got((i, 50L)) == ((9L, 9L, 13L, 9.0 / 13.0)),
+        s"variant pair ($i,50): ${got((i, 50L))}")
+    }
+    got.filterNot(_._1._2 == 50L).values.foreach { v =>
+      assert(v == ((9L, 9L, 9L, 1.0)), s"copy pair: $v")
+    }
+  }
+
   test("windowless docs stay out of the rescue; normalization variants stay in") {
     import spark.implicits._
     // 40 windowless docs that all normalize to the SAME (empty) token
