@@ -90,15 +90,24 @@ object Dedup {
     * speed. The repartition spreads single-file inputs across cores. */
   def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    // Explicit partition count: this map stage is compute-bound, so it must
-    // keep full parallelism even when AQE (rightly) coalesces the tiny
-    // downstream shuffles — a size-based coalesce would serialize it.
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+    kernelSource(docs)
       .map { case (id, text) => (id, hashShingleWindows(text, n)) }
       .toDF("doc_id", "hs")
       .select(col("doc_id"), explode(col("hs")).as("shingle"))
+  }
+
+  /** Typed (doc_id, text) source repartitioned for a kernel map stage.
+    * Explicit partition count: the downstream map is compute-bound, so
+    * it must keep full parallelism even when AQE (rightly) coalesces
+    * the tiny downstream shuffles — a size-based coalesce would
+    * serialize it. Shared by [[hashedShingles]] and [[ngramDedup]]'s
+    * fingerprinting pass so the invariant lives in one place. */
+  private def kernelSource(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
   }
 
   /** Distinct 64-bit hashes of the word n-windows of `text`: the same
@@ -218,6 +227,11 @@ object Dedup {
     /** Register an ALREADY-persisted frame (one a callee staged) for
       * release without re-persisting it. */
     def track(df: DataFrame): DataFrame = { pinned += df; df }
+    /** Eagerly release a pinned frame MID-scope, once its last consumer
+      * has materialized: the footprint-handoff idiom for scratch that
+      * feeds only the early stages of a long plan — holding it to scope
+      * end would stack its cache on top of everything derived from it. */
+    def release(df: DataFrame): Unit = { pinned -= df; df.unpersist(false) }
     private[Dedup] def frames: Seq[DataFrame] = pinned.toSeq
     private[Dedup] def releaseAll(cause: Throwable): Unit =
       quietRelease(pinned.toSeq, cause)
@@ -728,16 +742,23 @@ object Dedup {
     * skew-safe partial-combined aggregate + one equi-join that also
     * establishes the shingle partitioning downstream consumers reuse
     * (AQE skew-join can split a hub's partition here, where a
-    * window-function form would pin it to one task). The single
-    * primitive behind the hub cutoff — both the candidate API and the
-    * fused operator filter THIS frame, so the drop rule cannot drift
-    * between them. */
+    * window-function form would pin it to one task). The shared
+    * posting-annotation primitive behind the hub cutoff — df is
+    * counted at whatever grain the caller's posting table carries:
+    * [[ngramCandidates]] annotates the table it is given (doc grain),
+    * while [[ngramDedup]] feeds it REPRESENTATIVE postings, so its
+    * cutoff means distinct sets (see its scaladoc for why that grain
+    * is the one that survives replication). */
   private[graft] def dfAnnotated(sh: DataFrame): DataFrame =
     sh.join(sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .hint("shuffle_hash"), Seq("shingle"))
 
   /** Candidate pairs from a posting table, hub shingles dropped: the
-    * per-shingle fanout is bounded at maxDf², never corpus². */
+    * per-shingle fanout is bounded at maxDf², never corpus². df is
+    * measured over the rows of `sh` AS GIVEN (doc grain for a raw
+    * posting table) — a caller defending against replication-made hubs
+    * should pass representative postings or use [[ngramDedup]], which
+    * collapses set-identical docs before annotating. */
   def ngramCandidates(sh: DataFrame, maxDf: Int): DataFrame = {
     val rare = dfAnnotated(sh).filter(col("df") <= maxDf)
     rare.as("x").join(rare.as("y").hint("shuffle_hash"),
@@ -788,10 +809,7 @@ object Dedup {
       // into one group — the same accepted-risk class as the family's
       // 64-bit shingle hashing, and the reason there are TWO channels
       // (one 64-bit xor alone is birthday-weak at corpus scale).
-      val base = scratch.pin(docs.select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
-          col("doc_id"))
+      val base = scratch.pin(kernelSource(docs)
         .map { case (id, text) =>
           val hs = hashShingleWindows(text, n)
           var f1 = 0L; var f2 = 0L; var i = 0
@@ -807,20 +825,37 @@ object Dedup {
       // representative (min doc_id) BEFORE candidate generation, so
       // replication cannot create hub shingles — a page copied a
       // million times contributes ONE distinct set to every document
-      // frequency. The sz > 0 filter keeps windowless docs (empty
-      // array ⇒ the shared (0,0,0) fingerprint) out of the groups:
-      // no window ⇒ no shingle ⇒ no pair, matching the oracle.
-      val members = scratch.pin(base.filter(col("sz") > 0)
-        .select(col("doc_id"), col("sz"),
-          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("sz"), col("fp1"), col("fp2"))).as("rep")))
-      val reps = members.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id"))
+      // frequency. groupBy + join back, NOT a fingerprint-partitioned
+      // window: min() partial-aggregates map-side so a mega-group
+      // shrinks to one row per input partition before the shuffle, and
+      // the join back is AQE-skew-splittable, where a window would pin
+      // the whole group's rows to a single task (the dfAnnotated design
+      // note, applied to this stage). The sz > 0 filter keeps
+      // windowless docs (empty array ⇒ the shared (0,0,0) fingerprint)
+      // out of the groups: no window ⇒ no shingle ⇒ no pair, matching
+      // the oracle.
+      val fps = base.filter(col("sz") > 0)
+        .select(col("doc_id"), col("sz"), col("fp1"), col("fp2"))
+      val grp = fps.groupBy(col("sz"), col("fp1"), col("fp2"))
+        .agg(min(col("doc_id")).as("rep"))
+      val members = scratch.pin(fps
+        .join(grp.hint("shuffle_hash"), Seq("sz", "fp1", "fp2"))
+        .select(col("doc_id"), col("sz"), col("rep")))
+      val rsizes = members.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("sz"))
+      val reps = rsizes.select(col("doc_id"))
       // postings of REPRESENTATIVE docs only, DF-annotated at the
       // distinct-set grain the cutoff now means
       val ann = scratch.pin(dfAnnotated(base
         .join(reps.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(col("hs")).as("shingle"))))
+      // footprint handoff: the candidate/verify shuffles below never
+      // read base, so materialize ann (and members, computed inside the
+      // same job) now and drop the kernel arrays — holding both to
+      // scope end would cache the corpus's shingle data twice on a
+      // collapse-free corpus (reps == all docs)
+      ann.count()
+      scratch.release(base)
       val rare = ann.filter(col("df") <= maxDf)
       val interRare = rare.as("x").join(rare.as("y").hint("shuffle_hash"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -834,8 +869,6 @@ object Dedup {
         .join(hub.as("hb").hint("shuffle_hash"),
           col("b") === col("hb.doc_id") && col("ha.shingle") === col("hb.shingle"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hub_i"))
-      val rsizes = members.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("sz"))
       val j = col("intersection").cast("double") /
         (col("size_a") + col("size_b") - col("intersection"))
       // exact pair results at the representative grain (a < b rep ids)

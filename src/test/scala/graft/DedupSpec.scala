@@ -122,12 +122,12 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("verbatim copies replicated past the DF cutoff are rescued by set fingerprint") {
+  test("verbatim copies replicated past the DF cutoff keep all their pairs") {
     import spark.implicits._
-    // 30 identical copies: every shingle of the page has df=30 > cutoff
-    // 10, so the rare path generates NO candidates for them — the
-    // set-fingerprint rescue must return all C(30,2) pairs at exactly
-    // J=1.0, once each
+    // 30 identical copies: at DOC grain every shingle would have df=30
+    // > cutoff 10; at the operator's distinct-set grain they are ONE
+    // group, and the within-group expansion must return all C(30,2)
+    // pairs at exactly J=1.0, once each
     val page = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
     val rows = (0L until 30L).map(i => (i, page)) :+
       ((100L, "unrelated aa bb cc dd ee ff gg hh"))
@@ -169,16 +169,15 @@ class DedupSpec extends SparkSpec {
 
   test("windowless docs stay out of the rescue; normalization variants stay in") {
     import spark.implicits._
-    // 40 windowless docs that all normalize to the SAME (empty) token
-    // stream plus 20 identical sub-n one-liners: a rescue keyed on
-    // document TEXT would collapse them into quadratic hash classes
-    // (C(40,2)+C(20,2) pairs every downstream consumer discards) — the
-    // set-fingerprint rescue runs off the posting table, where
-    // windowless docs don't exist, so their output is empty (no window
-    // ⇒ no shingle ⇒ no pair), matching the posting paths and the
-    // all-pairs oracle. The case/whitespace variant pair, which DOES
-    // have windows (identical shingle sets), must still be rescued at
-    // exactly J = 1.0.
+    // 40 windowless docs that all share the empty shingle set (the
+    // (0,0,0) fingerprint) plus 20 identical sub-n one-liners: without
+    // the sz > 0 guard the group collapse would treat them as one
+    // duplicate group and the within-group expansion would emit
+    // C(40,2)+C(20,2) spurious J=1.0 pairs — they must instead produce
+    // NOTHING (no window ⇒ no shingle ⇒ no pair), matching the posting
+    // paths and the all-pairs oracle. The case/whitespace variant pair,
+    // which DOES have windows (identical shingle sets), must still
+    // come out at exactly J = 1.0.
     val rows = (0L until 20L).map(i => (i, "")) ++
       (20L until 40L).map(i => (i, " \t \n ")) ++
       (40L until 60L).map(i => (i, "tiny doc")) ++ // 2 tokens < n=4
