@@ -435,6 +435,23 @@ object Dedup {
     staged(res, scratch: _*)
   }
 
+  /** [[minhashDedup]] restricted to pairs within a doc_id subset
+    * (`keep`), shaped for scale: both kernel passes still run over the
+    * RAW input at scan grain — the text payload never crosses a shuffle
+    * (feeding a pre-filtered join plan instead would re-execute a
+    * corpus-text exchange once per kernel consumer) — and the subset
+    * filter lands on the COMPACT signature frame, so band candidates
+    * only ever contain kept docs and verifyJaccard's own candidate
+    * semi-join prunes the posting table to them automatically. */
+  private[operators] def minhashDedupAmong(docs: DataFrame, keep: DataFrame,
+      n: Int, threshold: Double): DataFrame = {
+    val sig = minhashSignaturesInRow(docs, n)
+      .join(keep.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    val (res, scratch) =
+      verifyJaccard(minhashCandidates(sig), hashedShingles(docs, n), threshold)
+    staged(res, scratch: _*)
+  }
+
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashDedup(documents(s, d), 3, 0.5)
 
@@ -457,6 +474,17 @@ object Dedup {
     * parquet under this directory (stable storage — survives executor
     * loss) instead of localCheckpoint's executor-resident blocks. */
   val CcCheckpointDirKey = "spark.graft.cc.checkpointDir"
+
+  /** Largest verbatim-copy group [[dedupClustersOf]]'s direct path
+    * tolerates before pre-collapsing. At m copies a group contributes
+    * C(m,2) J=1.0 pairs to the graph — harmless at 64 (~2k edges),
+    * quadratic death at a million — and the collapse machinery costs a
+    * signature semi-join plus the member expansion, pure overhead on
+    * the typical mostly-distinct corpus. The gate itself costs one
+    * doc-grain hash pass and a metadata aggregate (one Long to the
+    * driver) — the collapsed path reuses that pass as its group
+    * table. */
+  val CollapseMaxGroup = 64
 
   /** Per-round lineage cut for driver-controlled iterative loops. The
     * default localCheckpoint is fast, but its blocks live on executors:
@@ -667,18 +695,71 @@ object Dedup {
     * registered query runs and what the fluent API exposes. The near-dup
     * pair frame minhashDedup persists is SCRATCH here, not the output —
     * the verdict frame is materialized and the pair cache released before
-    * returning (on any exit), per the staged-release discipline. */
+    * returning (on any exit), per the staged-release discipline.
+    *
+    * Exact PRE-COLLAPSE, gated (the replication defense at cluster
+    * grain): verbatim copies of a page are pairwise J = 1.0, so a
+    * corpus with a million-times-replicated page would feed the pair
+    * graph O(copies²) edges before clustering even starts. One
+    * doc-grain hash pass measures the LARGEST verbatim-copy group; at
+    * or under [[CollapseMaxGroup]] the direct path runs (the tiny
+    * C(m,2) edge groups are harmless, and the collapse machinery —
+    * a signature semi-join and the member expansion — would be pure
+    * overhead on the typical mostly-distinct corpus), past it docs
+    * with identical text collapse to one representative (min doc_id;
+    * groupBy + join back, not a window, per [[ngramDedup]]'s skew
+    * note), the near-dup machinery runs over distinct texts only, and
+    * members inherit their representative's component label through
+    * one star join. Labels are identical on both paths: rep = min of
+    * its text group and the CC label = min rep in the component, so
+    * cluster_id is always the smallest member id of the whole
+    * cluster. Windowless docs (fewer than n tokens) get singleton
+    * keys rather than collapsing: they produce no shingles, so the
+    * pair graph — and the oracle — keeps them as singleton clusters
+    * even when their texts are identical. */
   def dedupClustersOf(docs: DataFrame, n: Int, threshold: Double): DataFrame =
     stagedScope { scratch =>
-      val pairs = scratch.track(minhashDedup(docs, n, threshold))
-      val comp = connectedComponents(pairs.select("a", "b"))
-        .withColumnRenamed("node", "doc_id")
-      docs.select(col("doc_id"))
-        .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
-          (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("is_keeper"))
+      // h is doc-grain metadata (id + 32-char hash) — pinned so the
+      // corpus text is scanned ONCE for the gate + collapse; released
+      // as soon as the path is chosen (direct) or members materializes
+      // (collapsed): every later stage reads doc-grain frames, never
+      // the text
+      val h = scratch.pin(docs.select(col("doc_id"),
+        when(size(tokens(col("text"))) >= n, md5(col("text")))
+          .otherwise(concat(lit("solo:"), col("doc_id"))).as("h")))
+      val grp = h.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+      // metadata gate: one Long reaches the driver
+      val maxGroup = grp.agg(max(col("m"))).head().getLong(0)
+      if (maxGroup <= CollapseMaxGroup) {
+        scratch.release(h)
+        val pairs = scratch.track(minhashDedup(docs, n, threshold))
+        val comp = connectedComponents(pairs.select("a", "b"))
+          .withColumnRenamed("node", "doc_id")
+        docs.select(col("doc_id"))
+          .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+            (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("is_keeper"))
+      } else {
+        val members = scratch.pin(h
+          .join(grp.select(col("h"), col("rep")).hint("shuffle_hash"), Seq("h"))
+          .select(col("doc_id"), col("rep")))
+        members.count()
+        scratch.release(h)
+        val reps = members.filter(col("doc_id") === col("rep"))
+          .select(col("doc_id"))
+        val pairs = scratch.track(minhashDedupAmong(docs, reps, n, threshold))
+        val comp = connectedComponents(pairs.select("a", "b"))
+          .withColumnRenamed("node", "rep")
+        members
+          .join(comp.hint("shuffle_hash"), Seq("rep"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("lbl"), col("rep")).as("cluster_id"),
+            (col("doc_id") === coalesce(col("lbl"), col("rep"))).as("is_keeper"))
+      }
     }
 
   /** Oracle: transitive closure of the exact-Jaccard pair graph via a

@@ -189,6 +189,39 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet == Set((100L, 101L, 1.0)))
   }
 
+  test("cluster election pre-collapses heavy verbatim replication; windowless copies stay singletons") {
+    import spark.implicits._
+    // 80 copies of P (> CollapseMaxGroup 64) would feed the direct pair
+    // graph C(80,2)=3160 J=1.0 edges; the gated pre-collapse reduces
+    // them to one representative node whose members inherit the
+    // component label — including the label pulled in by P's near-dup
+    // variant (J = 7/9). Identical sub-n docs (no shingles ⇒ no pairs
+    // ⇒ oracle keeps them apart) must NOT collapse.
+    assert(80 > Dedup.CollapseMaxGroup)
+    val p = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val rows = (0L until 80L).map(i => (i, p)) ++ Seq(
+      (90L, s"$p kappa lambda"), // variant: 7 shared / 9 ∪ 7 → J ≈ 0.78
+      (95L, "xy"), (96L, "xy"),  // 2 tokens < n=3, identical text
+      (99L, "totally unrelated content on an entirely different page"))
+    val got = Dedup.dedupClustersOf(rows.toDF("doc_id", "text"), 3, 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.size == 84)
+    (0L until 80L).foreach(i => assert(got(i) == ((0L, i == 0L)), s"copy $i: ${got(i)}"))
+    assert(got(90L) == ((0L, false)), s"variant: ${got(90L)}")
+    assert(got(95L) == ((95L, true)) && got(96L) == ((96L, true)),
+      s"windowless: ${got(95L)} ${got(96L)}")
+    assert(got(99L) == ((99L, true)))
+    // the SAME corpus under the gate (5 copies) takes the direct path
+    // and must produce the same verdict shape
+    val small = ((0L until 5L).map(i => (i, p)) ++ Seq(
+      (90L, s"$p kappa lambda"), (95L, "xy"), (96L, "xy"))).toDF("doc_id", "text")
+    val got2 = Dedup.dedupClustersOf(small, 3, 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    (0L until 5L).foreach(i => assert(got2(i) == ((0L, i == 0L))))
+    assert(got2(90L) == ((0L, false)))
+    assert(got2(95L) == ((95L, true)) && got2(96L) == ((96L, true)))
+  }
+
   test("a 200-link chain escalates to the star rewrites and converges") {
     import spark.implicits._
     // diameter 200 ≫ the 8-round propagation budget: the old loop aborted
