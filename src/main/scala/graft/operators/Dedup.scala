@@ -42,6 +42,23 @@ object Dedup {
     * string_split_regex(lower(trim(text)), '\s+'). */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** Tokens as the [[hashShingleWindows]] kernel counts them. Java's
+    * `String.split` drops trailing empty tokens where SQL `split` keeps
+    * them, so text ending in non-space whitespace ("hello world\n")
+    * tokenizes as 2 words in the kernel but 3 in [[tokens]] — enough to
+    * flip a `size >= n` window test or mint a phantom trailing shingle.
+    * Stripping trailing whitespace before the SQL split restores
+    * agreement; the ENTIRE shingle family shares these semantics (the
+    * kernel, this SQL-expression path, the DuckDB twins via
+    * [[shingleSqlCte]], and [[dedupClustersOf]]'s windowless gate),
+    * while [[tokens]] keeps plain SQL-split semantics for the
+    * text-stats/token-count family and their oracles. Sole residual
+    * corner: whitespace-only text is zero kernel tokens but one empty
+    * SQL token — the same side of every `>= n` test for n >= 2, and no
+    * shingle either way. */
+  def shingleTokens(c: Column): Column =
+    split(regexp_replace(lower(trim(c)), "\\s+$", ""), "\\s+")
+
   /** ALL word n-grams (duplicates kept, document order) from a
     * MATERIALIZED token-array column. `w` must be a plain column
     * reference: Catalyst does not CSE through higher-order lambdas, so
@@ -59,7 +76,8 @@ object Dedup {
     array_distinct(ngramsOfTokens(w, n))
 
   /** Inline convenience for small inputs (tests) — quadratic form. */
-  def shingleArr(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
+  def shingleArr(c: Column, n: Int): Column =
+    shinglesOfTokens(shingleTokens(c), n)
 
   /** Exploded (doc_id, shingle) posting table. The tokenization is
     * projected first and pinned by a repartition exchange: the exchange is
@@ -68,7 +86,7 @@ object Dedup {
     * materialized (CollapseProject would otherwise re-inline the split
     * into every lambda element access). */
   def shingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    docs.select(col("doc_id"), shingleTokens(col("text")).as("w"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shinglesOfTokens(col("w"), n)).as("shingle"))
 
@@ -158,7 +176,8 @@ object Dedup {
   /** The DuckDB twin of [[shingleArr]]: 1-based list indexing, same split. */
   def shingleSqlCte(n: Int): String = {
     val cat = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
-    s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    s"""toks AS (SELECT doc_id, string_split_regex(
+       |            regexp_replace(lower(trim(text)), '\\s+$$', ''), '\\s+') AS w
        |          FROM documents),
        |sh AS (SELECT doc_id, unnest(list_distinct(
        |         list_transform(range(1, greatest(len(w) - ${n - 2}, 1)), i -> $cat)
@@ -197,7 +216,15 @@ object Dedup {
     * leaves blocks pinned (callers' own releases are then idempotent
     * no-ops). */
   private[operators] def staged(result: DataFrame, stagedFrames: DataFrame*): DataFrame = {
-    val r = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-persist only if needed: a nested stagedScope returns a frame
+    // that is already persisted (re-persisting logs a CacheManager
+    // warning); the count stays unconditional — it is what guarantees
+    // the result is materialized before its scratch lineage is
+    // released, and is ~free on a warm cache
+    val r =
+      if (result.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else result
     try r.count()
     catch { case t: Throwable => quietRelease(r +: stagedFrames, t); throw t }
     stagedFrames.foreach(_.unpersist(false))
@@ -723,25 +750,22 @@ object Dedup {
       // corpus text is scanned ONCE for the gate + collapse; released
       // as soon as the path is chosen (direct) or members materializes
       // (collapsed): every later stage reads doc-grain frames, never
-      // the text
+      // the text. The windowless test matches the KERNEL's token count
+      // (shingleTokens, not tokens): the pair graph is kernel-built, so
+      // a doc the kernel sees as windowless must key "solo" here even
+      // when SQL split would count a trailing empty token.
       val h = scratch.pin(docs.select(col("doc_id"),
-        when(size(tokens(col("text"))) >= n, md5(col("text")))
+        when(size(shingleTokens(col("text"))) >= n, md5(col("text")))
           .otherwise(concat(lit("solo:"), col("doc_id"))).as("h")))
       val grp = h.groupBy(col("h"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
-      // metadata gate: one Long reaches the driver
-      val maxGroup = grp.agg(max(col("m"))).head().getLong(0)
+      // metadata gate: one Long reaches the driver (coalesce: max over
+      // an empty corpus is one null row, not zero rows)
+      val maxGroup =
+        grp.agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
       if (maxGroup <= CollapseMaxGroup) {
         scratch.release(h)
-        val pairs = scratch.track(minhashDedup(docs, n, threshold))
-        val comp = connectedComponents(pairs.select("a", "b"))
-          .withColumnRenamed("node", "doc_id")
-        docs.select(col("doc_id"))
-          .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
-          .select(
-            col("doc_id"),
-            coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
-            (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("is_keeper"))
+        dedupClustersDirect(docs, n, threshold)
       } else {
         val members = scratch.pin(h
           .join(grp.select(col("h"), col("rep")).hint("shuffle_hash"), Seq("h"))
@@ -753,14 +777,38 @@ object Dedup {
         val pairs = scratch.track(minhashDedupAmong(docs, reps, n, threshold))
         val comp = connectedComponents(pairs.select("a", "b"))
           .withColumnRenamed("node", "rep")
-        members
-          .join(comp.hint("shuffle_hash"), Seq("rep"), "left")
-          .select(
-            col("doc_id"),
-            coalesce(col("lbl"), col("rep")).as("cluster_id"),
-            (col("doc_id") === coalesce(col("lbl"), col("rep"))).as("is_keeper"))
+        clusterVerdict(members, comp, "rep")
       }
     }
+
+  /** The ungated direct path: pair graph at doc grain, no collapse
+    * machinery and no gate scan. Callers that already exact-deduplicated
+    * the input use this directly — [[Pipeline.pipelineCurate]] elects one
+    * keeper per content hash before clustering, so the gate's full-text
+    * hash pass could only ever observe maxGroup = 1. */
+  private[graft] def dedupClustersDirect(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame =
+    stagedScope { scratch =>
+      val pairs = scratch.track(minhashDedup(docs, n, threshold))
+      val comp = connectedComponents(pairs.select("a", "b"))
+        .withColumnRenamed("node", "doc_id")
+      clusterVerdict(docs.select(col("doc_id")), comp, "doc_id")
+    }
+
+  /** Shared verdict shape of both cluster paths: left-join the universe
+    * to the component labels on `key` (a no-label node is its own
+    * cluster), emit (doc_id, cluster_id, is_keeper). Direct path:
+    * universe = docs at doc grain, key = doc_id. Collapsed path:
+    * universe = (doc_id, rep) members, key = rep — the coalesce falls
+    * back to the representative, which IS the group min. */
+  private def clusterVerdict(universe: DataFrame, comp: DataFrame,
+      key: String): DataFrame =
+    universe
+      .join(comp.hint("shuffle_hash"), Seq(key), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("lbl"), col(key)).as("cluster_id"),
+        (col("doc_id") === coalesce(col("lbl"), col(key))).as("is_keeper"))
 
   /** Oracle: transitive closure of the exact-Jaccard pair graph via a
     * recursive CTE — min reachable id per node, singletons fall back to

@@ -82,8 +82,11 @@ object Pipeline {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("content_hash"), col("lang"),
           col("n_tokens"), col("quality_score"), col("text")))
+      // direct (ungated) path: kdocs is already one keeper per content
+      // hash, so the gate's full-text measurement pass could only ever
+      // observe maxGroup = 1 — pure scan cost here
       val clusters = scratch.track(Dedup
-        .dedupClustersOf(kdocs.select(col("doc_id"), col("text")), 3, 0.5))
+        .dedupClustersDirect(kdocs.select(col("doc_id"), col("text")), 3, 0.5))
       kdocs
         .join(clusters.hint("shuffle_hash"), "doc_id")
         .select(col("doc_id"), col("content_hash"), col("lang"),
@@ -96,6 +99,8 @@ object Pipeline {
     WITH RECURSIVE toks AS (
       SELECT doc_id, text, lang,
         string_split_regex(lower(trim(text)), '\\s+') AS w,
+        string_split_regex(
+          regexp_replace(lower(trim(text)), '\\s+$$', ''), '\\s+') AS wsh,
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
       FROM documents),
@@ -108,8 +113,8 @@ object Pipeline {
       FROM toks),
     sh AS (
       SELECT doc_id, unnest(list_distinct(
-        list_transform(range(1, greatest(len(w) - 1, 1)),
-          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        list_transform(range(1, greatest(len(wsh) - 1, 1)),
+          i -> wsh[i] || ' ' || wsh[i+1] || ' ' || wsh[i+2]))) AS shingle
       FROM toks),
     common AS (
       SELECT shingle FROM sh GROUP BY 1

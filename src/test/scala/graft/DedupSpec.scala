@@ -222,6 +222,50 @@ class DedupSpec extends SparkSpec {
     assert(got2(95L) == ((95L, true)) && got2(96L) == ((96L, true)))
   }
 
+  test("cluster election: empty corpus yields an empty verdict frame") {
+    import spark.implicits._
+    // max(m) over zero groups is one NULL row — the gate must coalesce
+    // it, not NPE, and fall through to an empty result
+    val got = Dedup.dedupClustersOf(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 3, 0.5)
+    assert(got.columns.toSeq == Seq("doc_id", "cluster_id", "is_keeper"))
+    assert(got.count() == 0L)
+  }
+
+  test("the windowless gate counts tokens as the kernel does (trailing whitespace)") {
+    import spark.implicits._
+    // "hello world\n" is 3 tokens to plain SQL split (trailing empty
+    // kept) but 2 to the kernel's Java split — below n=3, so the pair
+    // graph has no shingles for it: 70 identical copies must stay
+    // singletons even while P's 80 copies trip the collapsed path (the
+    // ungated-count bug fused all 70 into one cluster here). Docs 90/91
+    // differ only by trailing whitespace: one md5 group they are NOT
+    // (texts differ), but their rtrim'd shingle sets are identical, so
+    // the kernel pairs them at J = 1.0.
+    val p = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val rows = (0L until 80L).map(i => (i, p)) ++
+      (100L until 170L).map(i => (i, "hello world\n")) ++
+      Seq((90L, "one two three four"), (91L, "one two three four\n"))
+    val got = Dedup.dedupClustersOf(rows.toDF("doc_id", "text"), 3, 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.size == 152)
+    (0L until 80L).foreach(i => assert(got(i) == ((0L, i == 0L)), s"P copy $i: ${got(i)}"))
+    (100L until 170L).foreach(i =>
+      assert(got(i) == ((i, true)), s"windowless copy $i fused: ${got(i)}"))
+    assert(got(90L) == ((90L, true)) && got(91L) == ((90L, false)),
+      s"trailing-ws near-dup: ${got(90L)} ${got(91L)}")
+    // the SQL-expression path shares the kernel's tokenization
+    val arrs = Seq(("a b c", "a b c\n", "a b c \n \t"))
+      .toDF("x", "y", "z")
+      .select(Dedup.shingleArr(col("x"), 3).as("x"),
+        Dedup.shingleArr(col("y"), 3).as("y"),
+        Dedup.shingleArr(col("z"), 3).as("z"))
+      .head()
+    assert(arrs.getSeq[String](0) == Seq("a b c"))
+    assert(arrs.getSeq[String](1) == Seq("a b c"))
+    assert(arrs.getSeq[String](2) == Seq("a b c"))
+  }
+
   test("a 200-link chain escalates to the star rewrites and converges") {
     import spark.implicits._
     // diameter 200 ≫ the 8-round propagation budget: the old loop aborted
