@@ -332,7 +332,12 @@ object Curation {
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select(col("shingle"))
-    val base = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+    // shingleTokens, not tokens: the windows must line up with the
+    // kernel-built `common` set and the oracle's rtrim'd toks.w — plain
+    // SQL split would mint a phantom trailing token (and shingle) for
+    // text ending in non-space whitespace
+    val base = docs.select(col("doc_id"),
+        Dedup.shingleTokens(col("text")).as("w"))
       .repartition(col("doc_id")) // token-array barrier (see Dedup.shingles)
     // positional windows: duplicates kept, 0-based window start. The
     // string window hashes with the same xxhash64(seed 42) the kernel

@@ -57,7 +57,11 @@ object Dedup {
     * SQL token — the same side of every `>= n` test for n >= 2, and no
     * shingle either way. */
   def shingleTokens(c: Column): Column =
-    split(regexp_replace(lower(trim(c)), "\\s+$", ""), "\\s+")
+    // \z, not $: Java's $ also matches BEFORE a final line terminator,
+    // and U+0085/U+2028/U+2029 are terminators outside \s -- with $,
+    // text like "a b<LF><U+2029>" would lose its INTERIOR newline and
+    // re-diverge from the kernel's split and the RE2 twin ($ = \z there)
+    split(regexp_replace(lower(trim(c)), "\\s+\\z", ""), "\\s+")
 
   /** ALL word n-grams (duplicates kept, document order) from a
     * MATERIALIZED token-array column. `w` must be a plain column
@@ -173,11 +177,17 @@ object Dedup {
     if (uniq == out.length) out else java.util.Arrays.copyOf(out, uniq)
   }
 
+  /** The DuckDB rendering of [[shingleTokens]] — ONE definition shared
+    * by [[shingleSqlCte]] and the pipeline oracle's shingle array, so a
+    * tokenization tweak cannot silently miss a twin. RE2's $ is plain
+    * end-of-text (the Java side needed \z). */
+  val shingleSplitSql: String =
+    """string_split_regex(regexp_replace(lower(trim(text)), '\s+$', ''), '\s+')"""
+
   /** The DuckDB twin of [[shingleArr]]: 1-based list indexing, same split. */
   def shingleSqlCte(n: Int): String = {
     val cat = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
-    s"""toks AS (SELECT doc_id, string_split_regex(
-       |            regexp_replace(lower(trim(text)), '\\s+$$', ''), '\\s+') AS w
+    s"""toks AS (SELECT doc_id, $shingleSplitSql AS w
        |          FROM documents),
        |sh AS (SELECT doc_id, unnest(list_distinct(
        |         list_transform(range(1, greatest(len(w) - ${n - 2}, 1)), i -> $cat)
@@ -744,42 +754,47 @@ object Dedup {
     * keys rather than collapsing: they produce no shingles, so the
     * pair graph — and the oracle — keeps them as singleton clusters
     * even when their texts are identical. */
-  def dedupClustersOf(docs: DataFrame, n: Int, threshold: Double): DataFrame =
-    stagedScope { scratch =>
-      // h is doc-grain metadata (id + 32-char hash) — pinned so the
-      // corpus text is scanned ONCE for the gate + collapse; released
-      // as soon as the path is chosen (direct) or members materializes
-      // (collapsed): every later stage reads doc-grain frames, never
-      // the text. The windowless test matches the KERNEL's token count
-      // (shingleTokens, not tokens): the pair graph is kernel-built, so
-      // a doc the kernel sees as windowless must key "solo" here even
-      // when SQL split would count a trailing empty token.
-      val h = scratch.pin(docs.select(col("doc_id"),
-        when(size(shingleTokens(col("text"))) >= n, md5(col("text")))
-          .otherwise(concat(lit("solo:"), col("doc_id"))).as("h")))
-      val grp = h.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
-      // metadata gate: one Long reaches the driver (coalesce: max over
-      // an empty corpus is one null row, not zero rows)
-      val maxGroup =
-        grp.agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
-      if (maxGroup <= CollapseMaxGroup) {
-        scratch.release(h)
-        dedupClustersDirect(docs, n, threshold)
-      } else {
-        val members = scratch.pin(h
-          .join(grp.select(col("h"), col("rep")).hint("shuffle_hash"), Seq("h"))
-          .select(col("doc_id"), col("rep")))
-        members.count()
-        scratch.release(h)
-        val reps = members.filter(col("doc_id") === col("rep"))
-          .select(col("doc_id"))
-        val pairs = scratch.track(minhashDedupAmong(docs, reps, n, threshold))
-        val comp = connectedComponents(pairs.select("a", "b"))
-          .withColumnRenamed("node", "rep")
-        clusterVerdict(members, comp, "rep")
-      }
+  def dedupClustersOf(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // h is doc-grain metadata (id + 32-char hash) — persisted so the
+    // corpus text is scanned ONCE for the gate + collapse; released as
+    // soon as the path is chosen (direct) or members materializes
+    // (collapsed): every later stage reads doc-grain frames, never the
+    // text. The windowless test matches the KERNEL's token count
+    // (shingleTokens, not tokens): the pair graph is kernel-built, so
+    // a doc the kernel sees as windowless must key "solo" here even
+    // when SQL split would count a trailing empty token.
+    val h = docs.select(col("doc_id"),
+      when(size(shingleTokens(col("text"))) >= n, md5(col("text")))
+        .otherwise(concat(lit("solo:"), col("doc_id"))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = h.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+    // metadata gate: one Long reaches the driver (coalesce: max over
+    // an empty corpus is one null row, not zero rows). The gate runs
+    // OUTSIDE the staged scope so the common direct path can return
+    // dedupClustersDirect's already-staged frame as-is — re-wrapping
+    // it would re-count the verdict cache for nothing.
+    val maxGroup =
+      try grp.agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
+      catch { case t: Throwable => quietRelease(Seq(h), t); throw t }
+    if (maxGroup <= CollapseMaxGroup) {
+      h.unpersist(false)
+      dedupClustersDirect(docs, n, threshold)
+    } else stagedScope { scratch =>
+      scratch.track(h)
+      val members = scratch.pin(h
+        .join(grp.select(col("h"), col("rep")).hint("shuffle_hash"), Seq("h"))
+        .select(col("doc_id"), col("rep")))
+      members.count()
+      scratch.release(h)
+      val reps = members.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"))
+      val pairs = scratch.track(minhashDedupAmong(docs, reps, n, threshold))
+      val comp = connectedComponents(pairs.select("a", "b"))
+        .withColumnRenamed("node", "rep")
+      clusterVerdict(members, comp, "rep")
     }
+  }
 
   /** The ungated direct path: pair graph at doc grain, no collapse
     * machinery and no gate scan. Callers that already exact-deduplicated

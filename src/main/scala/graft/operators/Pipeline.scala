@@ -99,8 +99,7 @@ object Pipeline {
     WITH RECURSIVE toks AS (
       SELECT doc_id, text, lang,
         string_split_regex(lower(trim(text)), '\\s+') AS w,
-        string_split_regex(
-          regexp_replace(lower(trim(text)), '\\s+$$', ''), '\\s+') AS wsh,
+        ${Dedup.shingleSplitSql} AS wsh,
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
       FROM documents),

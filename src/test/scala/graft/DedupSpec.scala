@@ -264,6 +264,12 @@ class DedupSpec extends SparkSpec {
     assert(arrs.getSeq[String](0) == Seq("a b c"))
     assert(arrs.getSeq[String](1) == Seq("a b c"))
     assert(arrs.getSeq[String](2) == Seq("a b c"))
+    // Java's $ would strip the INTERIOR \n before a final U+2029 (a
+    // line terminator that is NOT \s); the \z anchor must not — the
+    // kernel and the RE2 twin both keep all four tokens here
+    val lt = Seq(Tuple1("a b c\n\u2029")).toDF("t")
+      .select(Dedup.shingleArr(col("t"), 3).as("s")).head().getSeq[String](0)
+    assert(lt == Seq("a b c", "b c \u2029"), s"line-terminator corner: $lt")
   }
 
   test("a 200-link chain escalates to the star rewrites and converges") {
