@@ -450,7 +450,7 @@ object Curation {
 
   def docRepetitionOracle: String = s"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w
       FROM documents),
     u AS (SELECT doc_id, unnest(w) AS tok FROM toks),
     uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),

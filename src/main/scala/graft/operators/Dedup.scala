@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace tokens, lowercased — identical semantics to the oracle's
-    * string_split_regex(lower(trim(text)), '\s+'). */
+  /** Whitespace tokens, lowercased — identical semantics to the
+    * oracles' string_split_regex(lower(trim(text)), '[WsChars]+')
+    * (Java's \s IS [[WsChars]]; the oracles spell the class out
+    * because RE2's \s lacks U+000B). */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Tokens as the [[hashShingleWindows]] kernel counts them. Java's
@@ -177,12 +179,22 @@ object Dedup {
     if (uniq == out.length) out else java.util.Arrays.copyOf(out, uniq)
   }
 
+  /** Java's \s character class written out: space, \t, \n, \x0b, \f,
+    * \r. RE2 (DuckDB) EXCLUDES U+000B (vertical tab) from \s while
+    * Java includes it, so any regex that must mean the same thing in
+    * both engines spells the class with this constant — valid and
+    * identical in Java regex and RE2. Java-ONLY regexes ([[tokens]],
+    * [[shingleTokens]], the kernel's split) keep plain \s, which in
+    * Java is exactly this class. */
+  val WsChars: String = """ \t\n\x0b\f\r"""
+
   /** The DuckDB rendering of [[shingleTokens]] — ONE definition shared
     * by [[shingleSqlCte]] and the pipeline oracle's shingle array, so a
     * tokenization tweak cannot silently miss a twin. RE2's $ is plain
-    * end-of-text (the Java side needed \z). */
+    * end-of-text (the Java side needed \z); the whitespace class is
+    * explicit because RE2's \s lacks U+000B. */
   val shingleSplitSql: String =
-    """string_split_regex(regexp_replace(lower(trim(text)), '\s+$', ''), '\s+')"""
+    s"string_split_regex(regexp_replace(lower(trim(text)), '[$WsChars]+$$', ''), '[$WsChars]+')"
 
   /** The DuckDB twin of [[shingleArr]]: 1-based list indexing, same split. */
   def shingleSqlCte(n: Int): String = {

@@ -98,10 +98,10 @@ object Pipeline {
   def pipelineCurateOracle: String = s"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, text, lang,
-        string_split_regex(lower(trim(text)), '\\s+') AS w,
+        string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w,
         ${Dedup.shingleSplitSql} AS wsh,
         CAST(length(text) AS BIGINT) AS n_chars,
-        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9${Dedup.WsChars}]', '', 'g')) AS BIGINT) AS n_punct
       FROM documents),
     q AS (
       SELECT doc_id, text, lang,
@@ -203,9 +203,9 @@ object Pipeline {
   def pipelineCleanOracle: String = s"""
     WITH t AS (
       SELECT doc_id, text, lang,
-        string_split_regex(lower(trim(text)), '\\s+') AS w,
+        string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w,
         CAST(length(text) AS BIGINT) AS n_chars,
-        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9${Dedup.WsChars}]', '', 'g')) AS BIGINT) AS n_punct
       FROM documents),
     c AS (
       SELECT doc_id, text, lang,

@@ -188,7 +188,7 @@ object Sampling {
   def packSequencesOracle: String = s"""
     WITH t AS (
       SELECT doc_id, lang,
-        CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+        CAST(len(string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+')) AS BIGINT) AS n_tokens
       FROM documents),
     o AS (
       SELECT doc_id, lang, n_tokens,

@@ -28,7 +28,7 @@ object TextOps {
     val nChars   = length(col("text")).cast("long")
     val nTokens  = size(w).cast("long")
     // chars removed by stripping non-alphanumeric-non-space = punctuation
-    val nPunct   = (nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+    val nPunct   = (nChars - length(regexp_replace(col("text"), s"[^a-zA-Z0-9${Dedup.WsChars}]", "")))
       .cast("long")
     val stop     = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     val nStop    = size(filter(w, t => t.isin(stop.map(lit): _*))).cast("long")
@@ -48,12 +48,12 @@ object TextOps {
         .as("quality_score"): _*)
   }
 
-  def textStatsOracle: String = """
+  def textStatsOracle: String = raw"""
     WITH t AS (
       SELECT doc_id, text,
-        string_split_regex(lower(trim(text)), '\s+') AS w,
+        string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w,
         CAST(length(text) AS BIGINT) AS n_chars,
-        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9${Dedup.WsChars}]', '', 'g')) AS BIGINT) AS n_punct
       FROM documents),
     c AS (
       SELECT doc_id, n_chars, n_punct,
@@ -77,7 +77,7 @@ object TextOps {
     val w        = Dedup.tokens(text)
     val nChars   = length(text).cast("long")
     val nTokens  = size(w).cast("long")
-    val nPunct   = (nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+    val nPunct   = (nChars - length(regexp_replace(text, s"[^a-zA-Z0-9${Dedup.WsChars}]", "")))
       .cast("long")
     val stop     = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     val nStop    = size(filter(w, t => t.isin(stop.map(lit): _*))).cast("long")
@@ -97,7 +97,7 @@ object TextOps {
     * letters, runs of digits, and single other non-space chars — the same
     * classes a byte-level BPE pre-tokenizer uses; identical semantics in
     * Java regex and DuckDB's RE2. */
-  val BpeIsh = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  val BpeIsh = s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9${Dedup.WsChars}]"
 
   def tokenCount(s: SparkSession, d: String): DataFrame = {
     val w = Dedup.tokens(col("text"))
@@ -111,8 +111,8 @@ object TextOps {
 
   def tokenCountOracle: String = s"""
     SELECT doc_id,
-      CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS ws_tokens,
-      CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS distinct_tokens,
+      CAST(len(string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+')) AS BIGINT) AS ws_tokens,
+      CAST(len(list_distinct(string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+'))) AS BIGINT) AS distinct_tokens,
       CAST(len(regexp_extract_all(text, '$BpeIsh')) AS BIGINT) AS bpe_tokens
     FROM documents"""
 
@@ -162,10 +162,10 @@ object TextOps {
     val scoreCols = Profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
       s"CAST(len(list_filter(w, x -> x IN (${inList(stops)}))) AS DOUBLE) AS s_$lang"
     }.mkString(",\n        ")
-    """
+    raw"""
     WITH t AS (
       SELECT doc_id, lang, text,
-        string_split_regex(lower(trim(text)), '\s+') AS w
+        string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w
       FROM documents),
     s AS (
       SELECT doc_id, lang AS lang_label,
@@ -244,7 +244,7 @@ object TextOps {
     * shorter than one shingle. */
   def docFingerprintOracle: String = raw"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w
       FROM documents),
     h AS (
       SELECT doc_id,
@@ -288,7 +288,7 @@ object TextOps {
 
   def freqTokensOracle: String = raw"""
     WITH toks AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      SELECT unnest(string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+')) AS token
       FROM documents),
     c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
     SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20"""
@@ -315,7 +315,7 @@ object TextOps {
 
   def trendingByLangOracle: String = raw"""
     WITH toks AS (
-      SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      SELECT lang, unnest(string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+')) AS token
       FROM documents),
     c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
           FROM toks GROUP BY 1, 2),
@@ -369,7 +369,7 @@ object TextOps {
 
   def chunkDocumentsOracle: String = raw"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w
       FROM documents),
     c AS (
       SELECT doc_id, w, len(w) AS n,

@@ -270,6 +270,13 @@ class DedupSpec extends SparkSpec {
     val lt = Seq(Tuple1("a b c\n\u2029")).toDF("t")
       .select(Dedup.shingleArr(col("t"), 3).as("s")).head().getSeq[String](0)
     assert(lt == Seq("a b c", "b c \u2029"), s"line-terminator corner: $lt")
+    // and the KERNEL must agree on that corner — a tokenizer that
+    // treats U+2029 as whitespace (e.g. Character.isWhitespace) would
+    // silently re-diverge the pair graph from the SQL family
+    val sqlHashes = Seq(Tuple1("a b c\n\u2029")).toDF("t")
+      .select(explode(Dedup.shingleArr(col("t"), 3)).as("s"))
+      .select(xxhash64(col("s"))).collect().map(_.getLong(0)).toSet
+    assert(Dedup.hashShingleWindows("a b c\n\u2029", 3).toSet == sqlHashes)
   }
 
   test("a 200-link chain escalates to the star rewrites and converges") {
