@@ -955,28 +955,32 @@ object Dedup {
     * data: max df 6) the plan degenerates to the classic fused
     * self-join over all docs plus the annotation shuffle, the doc-grain
     * fingerprint window, and two output-sized expansion joins. */
+  /** ONE kernel pass emits each doc's shingle array AND its set
+    * fingerprint: size + two independently-seeded xor channels —
+    * commutative, constant-state, ~2^-128 pair-collision odds on
+    * non-adversarial data. A collision would merge two distinct sets
+    * into one group — the same accepted-risk class as the family's
+    * 64-bit shingle hashing, and the reason there are TWO channels
+    * (one 64-bit xor alone is birthday-weak at corpus scale). */
+  private[graft] def fingerprintedKernel(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    kernelSource(docs)
+      .map { case (id, text) =>
+        val hs = hashShingleWindows(text, n)
+        var f1 = 0L; var f2 = 0L; var i = 0
+        while (i < hs.length) {
+          f1 ^= hs(i)
+          f2 ^= org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(hs(i), 1L)
+          i += 1
+        }
+        (id, hs, hs.length.toLong, f1, f2)
+      }.toDF("doc_id", "hs", "sz", "fp1", "fp2")
+  }
+
   def ngramDedup(docs: DataFrame, n: Int, threshold: Double, maxDf: Int): DataFrame =
     stagedScope { scratch =>
-      import docs.sparkSession.implicits._
-      // ONE kernel pass emits each doc's shingle array AND its set
-      // fingerprint: size + two independently-seeded xor channels —
-      // commutative, constant-state, ~2^-128 pair-collision odds on
-      // non-adversarial data. A collision would merge two distinct sets
-      // into one group — the same accepted-risk class as the family's
-      // 64-bit shingle hashing, and the reason there are TWO channels
-      // (one 64-bit xor alone is birthday-weak at corpus scale).
-      val base = scratch.pin(kernelSource(docs)
-        .map { case (id, text) =>
-          val hs = hashShingleWindows(text, n)
-          var f1 = 0L; var f2 = 0L; var i = 0
-          while (i < hs.length) {
-            f1 ^= hs(i)
-            f2 ^= org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashLong(hs(i), 1L)
-            i += 1
-          }
-          (id, hs, hs.length.toLong, f1, f2)
-        }.toDF("doc_id", "hs", "sz", "fp1", "fp2"))
+      val base = scratch.pin(fingerprintedKernel(docs, n))
       // DISTINCT-SET grain: set-identical docs collapse to one
       // representative (min doc_id) BEFORE candidate generation, so
       // replication cannot create hub shingles — a page copied a
