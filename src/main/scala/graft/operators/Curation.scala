@@ -69,6 +69,19 @@ object Curation {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[decontaminate]]'s verdicts over a PREBUILT hashed posting table
+    * covering ALL docs (bench slice included) — the shared-scan entry
+    * for [[Pipeline.pipelineCurate]]. The standalone operator keeps its
+    * string-shingle path (its oracle hash-compares exact n_hits);
+    * here only the boolean matters downstream and hashed keys join
+    * identically (collisions are the family's accepted ~k²/2⁶⁵). */
+  private[graft] def decontamVerdicts(corpus: DataFrame,
+      sh: DataFrame): DataFrame = {
+    val bench = sh.filter(col("doc_id") % BenchMod === 0)
+      .select(col("shingle")).distinct()
+    verdictsOf(corpus, sh.filter(col("doc_id") % BenchMod =!= 0), bench)
+  }
+
   def decontaminateOracle: String = s"""
     WITH ${Dedup.shingleSqlCte(DecontamN)},
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $BenchMod = 0),
@@ -258,26 +271,36 @@ object Curation {
     // rollup) — pinned, released on ANY exit like the bloom screen
     Dedup.stagedScope { scratch =>
       val sh = scratch.pin(Dedup.hashedShingles(docs, DecontamN))
-      val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= minDocs)
-        .select(col("shingle"), lit(1).as("bp"))
-      val perDoc = sh.join(common.hint("shuffle_hash"), Seq("shingle"), "left")
-        .groupBy(col("doc_id")).agg(
-          count(lit(1)).as("n_shingles"),
-          count(col("bp")).as("n_boilerplate"))
-      val frac = when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
-        .otherwise(
-          coalesce(col("n_boilerplate"), lit(0L)).cast("double") / col("n_shingles"))
-      val res = docs.select(col("doc_id"))
-        .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-          coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
-          frac.as("boilerplate_frac"),
-          (frac > BoilerplateMaxFrac).as("boilerplate"))
-      res
+      boilerplateVerdicts(docs, sh, minDocs)
     }
+  }
+
+  /** [[boilerplateScreen]]'s verdict core over a PREBUILT hashed
+    * posting table — the shared-scan entry [[Pipeline.pipelineCurate]]
+    * uses so the nightly funnel shingles the corpus once for every
+    * screen. `sh` must cover all of `docs` at [[DecontamN]] grain and
+    * should be persisted by the caller (both consumers below re-read
+    * it). */
+  private[graft] def boilerplateVerdicts(docs: DataFrame, sh: DataFrame,
+      minDocs: Long): DataFrame = {
+    val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("shingle"), lit(1).as("bp"))
+    val perDoc = sh.join(common.hint("shuffle_hash"), Seq("shingle"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("bp")).as("n_boilerplate"))
+    val frac = when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+      .otherwise(
+        coalesce(col("n_boilerplate"), lit(0L)).cast("double") / col("n_shingles"))
+    docs.select(col("doc_id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        frac.as("boilerplate_frac"),
+        (frac > BoilerplateMaxFrac).as("boilerplate"))
   }
 
   def boilerplateScreenOracle: String = s"""

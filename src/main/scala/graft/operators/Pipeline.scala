@@ -48,18 +48,28 @@ object Pipeline {
     * already dropped. Output: one row per kept doc with its duplicate
     * cluster and the final keep verdict. */
   def pipelineCurate(s: SparkSession, d: String): DataFrame = {
-    val scored = TextOps.textStatsOf(documents(s, d), col("text"), col("lang"))
+    val docs = documents(s, d)
+    val scored = TextOps.textStatsOf(docs, col("text"), col("lang"))
       .filter(col("doc_id") % Curation.BenchMod =!= 0)
     val rep = Curation.docRepetition(s, d).select(col("doc_id"), col("repetitive"))
-    val con = Curation.decontaminate(s, d).select(col("doc_id"), col("contaminated"))
-    // every persisted frame below is SCRATCH here, not the output
-    // (screen/clusters are staged by their operators, kdocs by us) —
+    // boilerplate sizing: a parquet-footer metadata action
+    val minDocs = Curation.boilerplateMinDocs(docs.count())
+    // every persisted frame below is SCRATCH here, not the output —
     // the scope tracks them all, releasing on success and on ANY exit
     // (including eager AnalysisExceptions while the later plans are
     // still being constructed)
     Dedup.stagedScope { scratch =>
-      val screen = scratch.track(Curation.boilerplateScreen(s, d))
-      val bp  = screen.select(col("doc_id"), col("boilerplate"))
+      // ONE corpus shingle pass feeds BOTH cross-document screens —
+      // boilerplate df + decontamination — instead of each operator
+      // paying its own full text scan (at 100 TB every extra pass is a
+      // corpus read; the oracle has always modeled this shared shape:
+      // its single sh CTE feeds common, bench, and hits alike)
+      val sh = scratch.pin(Dedup.hashedShingles(docs, Curation.DecontamN))
+      val con = Curation
+        .decontamVerdicts(docs.filter(col("doc_id") % Curation.BenchMod =!= 0), sh)
+        .select(col("doc_id"), col("contaminated"))
+      val bp = Curation.boilerplateVerdicts(docs, sh, minDocs)
+        .select(col("doc_id"), col("boilerplate"))
       val kept = scored
         .join(rep.hint("shuffle_hash"), "doc_id")
         .join(con.hint("shuffle_hash"), "doc_id")
@@ -87,6 +97,10 @@ object Pipeline {
       // observe maxGroup = 1 — pure scan cost here
       val clusters = scratch.track(Dedup
         .dedupClustersDirect(kdocs.select(col("doc_id"), col("text")), 3, 0.5))
+      // footprint handoff: clusters' staging materialized kdocs (and
+      // through it both screens), so the corpus-scale posting cache can
+      // drop before the final doc-grain assembly
+      scratch.release(sh)
       kdocs
         .join(clusters.hint("shuffle_hash"), "doc_id")
         .select(col("doc_id"), col("content_hash"), col("lang"),
