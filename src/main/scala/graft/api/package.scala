@@ -72,7 +72,8 @@ package object api {
       df.withColumn("_prev", lag(col(time), 1).over(byKey))
         .withColumn("_gap",
           when(col("_prev").isNull ||
-            unix_micros(col(time)) - unix_micros(col("_prev")) > gapMinutes * 60000000L, 1L)
+            unix_micros(col(time).cast("timestamp")) -
+              unix_micros(col("_prev").cast("timestamp")) > gapMinutes * 60000000L, 1L)
             .otherwise(0L))
         .withColumn("session_id", sum(col("_gap")).over(
           byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -39,9 +39,14 @@ object Windows {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events(s, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // the casts make the gap math type-agnostic: unix_micros rejects
+      // TIMESTAMP_NTZ (what naive parquet timestamps infer as), and the
+      // NTZ→LTZ cast is value-preserving under the UTC session timezone
+      // (identity on LTZ input) — the PointStore.orderingKey idiom
       .withColumn("gap_start",
         when(col("prev_ts").isNull ||
-             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+             unix_micros(col("ts").cast("timestamp")) -
+               unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("gap_start")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
