@@ -64,7 +64,17 @@ package object api {
     /** Gap-based sessionization over (`key`, `time`): adds session_id.
       * `tieBreak` columns make ordering deterministic under duplicate
       * timestamps (same reason the registered operator orders by
-      * (ts, event_id)). */
+      * (ts, event_id)).
+      *
+      * Timezone note: when `time` is TIMESTAMP_NTZ (naive parquet
+      * timestamps), the pre-`unix_micros` cast interprets the naive value
+      * in the SESSION timezone (`spark.sql.session.timeZone`). Gap math is
+      * value-preserving only under UTC or another fixed-offset zone — the
+      * setting this library's sessions force. Under a DST zone, a gap
+      * spanning a transition shifts by the offset change and ambiguous
+      * local times collapse; pin the session timezone to UTC (or store
+      * instants as TIMESTAMP_LTZ / epoch longs) before sessionizing NTZ
+      * data. */
     def sessionized(key: String, time: String, gapMinutes: Int = 30,
                     tieBreak: Seq[String] = Nil): DataFrame = {
       val byKey = Window.partitionBy(col(key))

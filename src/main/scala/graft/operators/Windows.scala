@@ -42,7 +42,7 @@ object Windows {
       // the casts make the gap math type-agnostic: unix_micros rejects
       // TIMESTAMP_NTZ (what naive parquet timestamps infer as), and the
       // NTZ→LTZ cast is value-preserving under the UTC session timezone
-      // (identity on LTZ input) — the PointStore.orderingKey idiom
+      // (identity on LTZ input) — the PointStore.keyAsLong idiom
       .withColumn("gap_start",
         when(col("prev_ts").isNull ||
              unix_micros(col("ts").cast("timestamp")) -
