@@ -25,7 +25,7 @@ object SparkEntry {
     * log; artifact schema unchanged). */
   val lifecycleQueries: Set[String] = Set(
     "point_store_roundtrip", "point_store_changes", "point_store_follower",
-    "dedup_clusters", "pipeline_curate")
+    "dedup_clusters", "pipeline_curate", "dedup_incremental")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -73,6 +73,8 @@ object SparkEntry {
     "trending_by_lang" -> (TextOps.trendingByLang _),
     "chunk_documents" -> (TextOps.chunkDocuments _),
     "dedup_clusters"  -> (Dedup.dedupClusters _),
+    // #49: incremental corpus-delta dedup against a persisted LSH index
+    "dedup_incremental" -> (DedupIndex.dedupIncremental _),
     "decontaminate"   -> (Curation.decontaminate _),
     "decontaminate_bloom" -> (Curation.decontaminateBloom _),
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
@@ -138,6 +140,8 @@ object SparkEntry {
     "trending_by_lang" -> TextOps.trendingByLangOracle,
     "chunk_documents" -> TextOps.chunkDocumentsOracle,
     "dedup_clusters"  -> Dedup.dedupClustersOracle,
+    // incremental build/append/probe must land on the one-shot pairs
+    "dedup_incremental" -> DedupIndex.dedupIncrementalOracle,
     "decontaminate"   -> Curation.decontaminateOracle,
     // the bloom-pruned screen must land on the identical verdicts
     "decontaminate_bloom" -> Curation.decontaminateOracle,

@@ -405,9 +405,15 @@ object Dedup {
     * [[hashShingleWindows]]' distinct shingle hashes — no explode, no
     * per-posting expression eval, no aggregation state. Empty when the
     * doc has no n-window (the groupBy form emits no row there). */
-  private[graft] def minhashSigArr(text: String, n: Int): Array[Long] = {
+  private[graft] def minhashSigArr(text: String, n: Int): Array[Long] =
+    minhashSigOfHashes(hashShingleWindows(text, n))
+
+  /** The running-min loop alone, over an already-hashed shingle set —
+    * the seam [[graft.operators.DedupIndex]]'s kernel uses to derive
+    * signature AND stored shingle set from ONE [[hashShingleWindows]]
+    * pass instead of hashing the text twice. */
+  private[graft] def minhashSigOfHashes(hs: Array[Long]): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val hs = hashShingleWindows(text, n)
     if (hs.isEmpty) return Array.emptyLongArray
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     var j = 0

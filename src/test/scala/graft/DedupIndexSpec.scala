@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Dedup, DedupIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted LSH signature index: incremental build/append/probe
+  * must reproduce the one-shot minhash dedup exactly, and the tagged
+  * append must be idempotent under redelivery — across a compaction. */
+class DedupIndexSpec extends SparkSpec {
+
+  private def freshDir(name: String): java.io.File = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    graft.sources.PointStore.deleteRec(f)
+    f
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def pairMap(df: DataFrame): Map[(Long, Long), (Long, Long, Long, Double)] =
+    df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+      ((r.getAs[Long]("intersection"), r.getAs[Long]("size_a"),
+        r.getAs[Long]("size_b"), r.getAs[Double]("jaccard")))).toMap
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val oneShot = pairMap(Dedup.minhashDedup(docs, 3, 0.5))
+
+  test("allPairs over a built index equals the one-shot minhash dedup") {
+    val dir = freshDir("graft_test_dedupindex_all")
+    val idx = DedupIndex.build(docs, dir.getPath, 3)
+    assert(pairMap(idx.allPairs(0.5)) == oneShot)
+  }
+
+  test("incremental build+append+probe equals one-shot over corpus ∪ delta") {
+    val dir = freshDir("graft_test_dedupindex_inc")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val idx = DedupIndex.build(corpus, dir.getPath, 3)
+    val historical = pairMap(idx.allPairs(0.5))
+    idx.appendTagged("n1", delta)
+    val fresh = pairMap(idx.pairsInvolving("append-n1", 0.5))
+    // the two halves partition the one-shot result: corpus-internal
+    // pairs vs pairs with >=1 delta endpoint — no overlap, no gap
+    assert(historical.keySet.intersect(fresh.keySet).isEmpty)
+    assert(historical ++ fresh == oneShot)
+    // sanity: the probe actually finds cross-boundary pairs at this SF
+    assert(fresh.nonEmpty, "delta probe found no pairs — split too clean to test anything")
+  }
+
+  test("appendTagged redelivery is a no-op; ledger survives compaction") {
+    val dir = freshDir("graft_test_dedupindex_ledger")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val idx = DedupIndex.build(corpus, dir.getPath, 3)
+    idx.appendTagged("n1", delta)
+    idx.appendTagged("n1", delta) // redelivery
+    assert(idx.members == Seq("base", "append-n1"))
+    assert(idx.consumedTags == Set("n1"))
+    val rowsBefore = idx.index.count()
+    // exactly one stored row per shingle-bearing doc, none duplicated
+    assert(rowsBefore == docs.select(Dedup.shingleArr(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0).count())
+    val before = pairMap(idx.allPairs(0.5))
+    idx.compact()
+    assert(idx.members.length == 1 && idx.members.head.startsWith("compact-"))
+    assert(idx.consumedTags == Set("n1"), "compaction must not erase the ledger")
+    // a LATE redelivery after compaction must still commit nothing
+    idx.appendTagged("n1", delta)
+    assert(idx.members.length == 1)
+    assert(idx.index.count() == rowsBefore)
+    assert(pairMap(idx.allPairs(0.5)) == before,
+      "compaction changed the stored pairs")
+    assert(before == oneShot)
+  }
+
+  test("append pins the build-time shingle width") {
+    val dir = freshDir("graft_test_dedupindex_width")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val idx = DedupIndex.build(corpus, dir.getPath, 4)
+    assert(idx.shingleWidth == 4)
+    idx.appendTagged("n1", docs.filter(col("doc_id") % 5 === 0))
+    // all pairs at width 4 equal the one-shot run at width 4
+    assert(pairMap(idx.allPairs(0.5)) == pairMap(Dedup.minhashDedup(docs, 4, 0.5)))
+  }
+
+  test("a fresh handle sees a committed append; a stale snapshot does not") {
+    val dir = freshDir("graft_test_dedupindex_snap")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val idx = DedupIndex.build(corpus, dir.getPath, 3)
+    val stale = DedupIndex.load(spark, dir.getPath)
+    idx.appendTagged("n1", docs.filter(col("doc_id") % 5 === 0))
+    assert(stale.members == Seq("base"), "snapshot must not move under a reader")
+    assert(stale.reload().members == Seq("base", "append-n1"))
+  }
+
+  test("registered dedup_incremental query equals the one-shot operator") {
+    val got = pairMap(DedupIndex.dedupIncremental(spark, sf))
+    assert(got == oneShot)
+  }
+}
