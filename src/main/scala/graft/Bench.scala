@@ -1,6 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object Bench {
+
+  /** Drift-detection arithmetic, pure and unit-tested (BenchDriftSpec).
+    * The r9 artifact recorded 33 s for a 2 s query because SUSTAINED
+    * host contention inflates every rep equally — the per-query
+    * max/min-spread detector only sees contention that starts or stops
+    * MID-query, and single-rep lifecycle entries have no spread at all.
+    * The probe series is the orthogonal signal: a fixed CPU-bound job
+    * timed between queries, whose only variable is the host. */
+  private[graft] object Drift {
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n == 0) 0.0
+      else if (n % 2 == 1) s(n / 2)
+      else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
+    /** `probes` brackets the queries: probes(i) ran immediately before
+      * query i, probes(i+1) immediately after (length = nQueries + 1).
+      * Query i's window is DRIFTY when either bracketing probe ran >2×
+      * the session median — the host was contended while the query was
+      * in flight, so its time is suspect no matter what the rep spread
+      * says. */
+    def windowFlags(probes: IndexedSeq[Double], nQueries: Int): IndexedSeq[Boolean] = {
+      require(probes.length == nQueries + 1,
+        s"need ${nQueries + 1} probes for $nQueries queries, got ${probes.length}")
+      val m = median(probes)
+      (0 until nQueries).map(i =>
+        m > 0 && math.max(probes(i), probes(i + 1)) > 2.0 * m)
+    }
+  }
+
+  /** The calibration probe: a fixed, deterministic, CPU-bound job — 4M
+    * xxhash64+sum over an in-memory range, no I/O, no shuffle variance
+    * (partition count pinned to the core count), same canonical plan
+    * every time so codegen is compiled once and the measured quantity
+    * is pure execution. ~30-80 ms at local[32]: cheap enough to run
+    * between every query, long enough to see a contended scheduler. */
+  private def probeOnce(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 4L << 20, 1, cpus)
+      .agg(max(xxhash64(col("id")))).collect() // max: no ANSI sum overflow
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,6 +61,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val nCpus = cpus.toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Repetitions per query, min taken: a single timed run is at the
     // mercy of transient host contention (BENCH_r03/r04 each carried a
@@ -30,18 +79,29 @@ object Bench {
     // one untimed scan+agg so JVM/codegen/readers warm up outside the
     // first query's timing
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // untimed probe warmup: the first run compiles the probe's codegen
+    // and the next two settle JIT/scheduler state — without them the
+    // first RECORDED probe reads 2-3× the session median and spuriously
+    // drift-flags the first query of every session
+    (1 to 3).foreach(_ => probeOnce(spark, nCpus))
+
+    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val probes = scala.collection.mutable.ArrayBuffer(probeOnce(spark, nCpus))
+    val measured = queries.map { case (name, fn) =>
       // lifecycle drives (store chains, iterative loops, the composed
       // funnel) run ONCE: each rep would redo real I/O work and widen
       // the host-drift window without re-measuring a plan
       val qreps = if (SparkEntry.lifecycleQueries(name)) 1 else reps
-      val runs = (1 to qreps).map { _ =>
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, n)
-      }
+      val runs = (1 to qreps).map(_ => timedRun(fn))
+      probes += probeOnce(spark, nCpus)
       // min over SUCCESSFUL reps: a transiently-failed rep must not
       // contribute its (fast, bogus) time; rows=-1 only if every rep died
       val ok = runs.filter(_._2 >= 0)
@@ -58,12 +118,41 @@ object Bench {
         (if (contaminated) "  CONTAMINATED" else ""))
       (name, sec, contaminated)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // drift pass: the probe series says which query WINDOWS were
+    // contended, independently of rep spread — exactly the signal the
+    // r9 artifact lacked (sustained contention inflated single-rep
+    // lifecycle entries 6-16× with nothing to flag it)
+    val mainFlags = Drift.windowFlags(probes.toIndexedSeq, measured.length)
+    // flagged lifecycle entries get ONE retry: their single rep has no
+    // min-of-N defense, so a clean re-measurement is the only way to an
+    // honest number; keep the flag only if the retry window was drifty
+    // too (min is still taken — contention only ever inflates)
+    val results = measured.zipWithIndex.map { case ((name, sec, cont), i) =>
+      if (mainFlags(i) && SparkEntry.lifecycleQueries(name)) {
+        val pBefore = probeOnce(spark, nCpus)
+        val (rSec, rN) = timedRun(SparkEntry.queries(name))
+        val pAfter = probeOnce(spark, nCpus)
+        probes += pBefore += pAfter // retries extend the recorded series
+        val m = Drift.median(probes.toIndexedSeq)
+        val retryDrifty = m > 0 && math.max(pBefore, pAfter) > 2.0 * m
+        val best = if (rN >= 0) math.min(sec, rSec) else sec
+        System.err.println(f"[bench] $name%-20s $best%8.2fs  DRIFT-RETRY " +
+          f"(was $sec%.2f, retry $rSec%.2f, probes $pBefore%.3f/$pAfter%.3f" +
+          (if (retryDrifty) " — still drifty)" else ")"))
+        (name, best, cont, retryDrifty, true)
+      } else (name, sec, cont, mainFlags(i), false)
+    }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val contaminatedQs = results.collect { case (k, _, true) => s"\"" + k + "\"" }
+    val contaminatedQs = results.collect { case (k, _, true, _, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"contaminated":$contaminatedQs,"sf":"$sfDir"}""")
+    val driftQs = results.collect { case (k, _, _, true, _) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val retriedQs = results.collect { case (k, _, _, _, true) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val probeSeries = probes.map(p => f"$p%.4f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"contaminated":$contaminatedQs,"drift_flagged":$driftQs,"drift_retried":$retriedQs,"probe_median":${f"${Drift.median(probes.toIndexedSeq)}%.4f"},"probes":$probeSeries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
