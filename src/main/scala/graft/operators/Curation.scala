@@ -275,6 +275,15 @@ object Curation {
     }
   }
 
+  /** Corpus-common shingles of a hashed posting table: document
+    * frequency ≥ `minDocs` (per-doc shingles are already distinct, so
+    * count(*) IS the doc count). The one definition both the screen's
+    * verdicts and the strip's covered-window join key on. */
+  private[graft] def commonShingles(sh: DataFrame, minDocs: Long): DataFrame =
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("shingle"))
+
   /** [[boilerplateScreen]]'s verdict core over a PREBUILT hashed
     * posting table — the shared-scan entry [[Pipeline.pipelineCurate]]
     * uses so the nightly funnel shingles the corpus once for every
@@ -283,9 +292,7 @@ object Curation {
     * it). */
   private[graft] def boilerplateVerdicts(docs: DataFrame, sh: DataFrame,
       minDocs: Long): DataFrame = {
-    val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select(col("shingle"), lit(1).as("bp"))
+    val common = commonShingles(sh, minDocs).withColumn("bp", lit(1))
     val perDoc = sh.join(common.hint("shuffle_hash"), Seq("shingle"), "left")
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_shingles"),
@@ -351,10 +358,15 @@ object Curation {
   def boilerplateStrip(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val minDocs = boilerplateMinDocs(docs.count())
-    val common = Dedup.hashedShingles(docs, DecontamN)
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select(col("shingle"))
+    stripWith(docs, commonShingles(Dedup.hashedShingles(docs, DecontamN), minDocs))
+  }
+
+  /** [[boilerplateStrip]]'s rewrite core against a PREBUILT common-
+    * shingle set — the shared-scan entry [[Pipeline.pipelineCurate]]
+    * uses so the funnel's pinned posting pass prices `common` once for
+    * the screen and the strip alike. One row per `docs` row:
+    * (doc_id, n_tokens, n_dropped, cleaned). */
+  private[graft] def stripWith(docs: DataFrame, common: DataFrame): DataFrame = {
     // shingleTokens, not tokens: the windows must line up with the
     // kernel-built `common` set and the oracle's rtrim'd toks.w — plain
     // SQL split would mint a phantom trailing token (and shingle) for

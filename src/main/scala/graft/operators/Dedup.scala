@@ -627,10 +627,14 @@ object Dedup {
   /** Alternate large-star/small-star until the edge set is a fixpoint —
     * at which point every component is a star rooted at its minimum
     * node (Kiveris et al. prove convergence in O(log² n) rounds; ~log
-    * diameter in practice). Each round is two grouped self-joins cut
-    * once; the fixpoint test is exact (both sides are distinct canonical
-    * sets, so equal count + empty difference ⇒ equal). Returns the star
-    * edges (node, component-min). */
+    * diameter in practice). Each round is ONE job: the two grouped
+    * self-joins, a marker left-join against the previous (cut,
+    * materialized) set, and the cut — with the fixpoint test riding
+    * that job as an Observation (the fast path's idiom), not a
+    * separate count() + except() pair. The test stays exact: both
+    * sides are distinct canonical sets, so equal cardinality + no
+    * edge outside the previous set ⇒ equal. Returns the star edges
+    * (node, component-min). */
   private def starContract(edges0: DataFrame, cutter: LineageCutter): DataFrame = {
     var e = cutter.cut(edges0
       .select(greatest(col("u"), col("v")).as("u"),
@@ -644,9 +648,31 @@ object Dedup {
       require(rounds <= StarRoundBound,
         s"starContract: no fixpoint in $StarRoundBound rounds — the " +
           "rewrites converge in O(log² n); this is a malfunction")
-      val next = cutter.cut(smallStar(largeStar(e)))
-      val m = next.count()
-      converged = m == n && next.except(e).isEmpty
+      val obs = org.apache.spark.sql.Observation(s"graft_star_round_$rounds")
+      // `e` is the previous round's materialized cut and distinct on
+      // (u, v), so the marker join duplicates nothing and reads blocks,
+      // not lineage; `novel` edges are exactly next ∖ e
+      val marked = smallStar(largeStar(e))
+        .join(e.select(col("u"), col("v"), lit(1).as("old")),
+          Seq("u", "v"), "left")
+        .observe(obs,
+          count(lit(1)).as("total"),
+          count(when(col("old").isNull, true)).as("novel"))
+      val next = cutter.cut(marked.select(col("u"), col("v")))
+      // metrics land via an async listener right after the cut's job;
+      // past the bounded wait, fall back to scanning the materialized
+      // blocks (the pre-r10 two-action test)
+      val (m, converged0) =
+        try {
+          val row = scala.concurrent.Await
+            .result(obs.future, scala.concurrent.duration.Duration(5, "s"))
+          (row.getAs[Long]("total"),
+            row.getAs[Long]("total") == n && row.getAs[Long]("novel") == 0L)
+        } catch { case _: java.util.concurrent.TimeoutException =>
+          val c = next.count()
+          (c, c == n && next.except(e).isEmpty)
+        }
+      converged = converged0
       e = next; n = m
     }
     e

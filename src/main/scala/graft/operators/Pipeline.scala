@@ -46,7 +46,11 @@ object Pipeline {
     * → connected components) runs over the exact-dedup SURVIVORS only —
     * the funnel order that avoids clustering rows the earlier screens
     * already dropped. Output: one row per kept doc with its duplicate
-    * cluster and the final keep verdict. */
+    * cluster, the final keep verdict, and the boilerplate-STRIPPED
+    * `cleaned` text (the screen's remediation half, r9 verdict item:
+    * survivors below the drop threshold still shed their residual
+    * corpus-common windows before training — string-exact against the
+    * oracle like the standalone boilerplate_strip). */
   def pipelineCurate(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val scored = TextOps.textStatsOf(docs, col("text"), col("lang"))
@@ -94,18 +98,37 @@ object Pipeline {
           col("n_tokens"), col("quality_score"), col("text")))
       // direct (ungated) path: kdocs is already one keeper per content
       // hash, so the gate's full-text measurement pass could only ever
-      // observe maxGroup = 1 — pure scan cost here
+      // observe maxGroup = 1. The stage's two kernel passes re-read
+      // kdocs' CACHED text deliberately: deriving signatures + verify
+      // postings from the pinned `sh` frame instead was A/B-measured
+      // and REJECTED (r10, PERF.md) — the posting route costs a
+      // corpus-grain semi-join shuffle plus a posting-grain signature
+      // groupBy (the typed kernel erased sh's doc_id partitioning, so
+      // both re-shuffle every posting) where the kernel passes shuffle
+      // nothing, and it measured ~25% slower warm at sf0.1
       val clusters = scratch.track(Dedup
         .dedupClustersDirect(kdocs.select(col("doc_id"), col("text")), 3, 0.5))
+      // the strip rides the SAME pinned posting pass: its common set is
+      // the screen's document-frequency threshold over `sh`, so folding
+      // the remediation in costs one windows pass over the KEPT docs'
+      // cached text, never a corpus re-scan or a second df aggregation
+      val stripped = scratch.pin(Curation.stripWith(
+          kdocs.select(col("doc_id"), col("text")),
+          Curation.commonShingles(sh, minDocs))
+        .select(col("doc_id"), col("cleaned")))
+      stripped.count() // materialize: the last consumer of `sh`
       // footprint handoff: clusters' staging materialized kdocs (and
-      // through it both screens), so the corpus-scale posting cache can
-      // drop before the final doc-grain assembly
+      // through it both screens) and the strip is pinned above, so the
+      // corpus-scale posting cache can drop before the final doc-grain
+      // assembly
       scratch.release(sh)
       kdocs
         .join(clusters.hint("shuffle_hash"), "doc_id")
+        .join(stripped.hint("shuffle_hash"), "doc_id")
         .select(col("doc_id"), col("content_hash"), col("lang"),
           col("n_tokens"), col("quality_score"),
-          col("cluster_id"), col("is_keeper").as("near_dup_keeper"))
+          col("cluster_id"), col("is_keeper").as("near_dup_keeper"),
+          col("cleaned"))
     }
   }
 
@@ -208,11 +231,27 @@ object Pipeline {
       SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node),
     comp AS (
       SELECT node AS doc_id, LEAST(node, min(r)) AS cluster_id
-      FROM reach GROUP BY node)
+      FROM reach GROUP BY node),
+    winK AS (
+      SELECT t.doc_id, i, wsh[i] || ' ' || wsh[i+1] || ' ' || wsh[i+2] AS shingle
+      FROM toks t JOIN kdocs USING (doc_id),
+      UNNEST(range(1, greatest(len(wsh) - 1, 1))) AS tt(i)),
+    covK AS (
+      SELECT doc_id, list(DISTINCT p) AS cov
+      FROM (SELECT w.doc_id, u.p
+            FROM winK w JOIN common USING (shingle),
+            UNNEST([w.i, w.i + 1, w.i + 2]) AS u(p)) hits
+      GROUP BY 1)
     SELECT d.doc_id, d.content_hash, d.lang, d.n_tokens, d.quality_score,
            COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS near_dup_keeper
-    FROM kdocs d LEFT JOIN comp c USING (doc_id)"""
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS near_dup_keeper,
+           COALESCE(array_to_string(list_transform(
+             list_filter(range(1, len(t.wsh) + 1),
+               i -> NOT list_contains(COALESCE(cov, []), i)),
+             i -> t.wsh[i]), ' '), '') AS cleaned
+    FROM kdocs d LEFT JOIN comp c USING (doc_id)
+    JOIN toks t USING (doc_id)
+    LEFT JOIN covK USING (doc_id)"""
 
   def pipelineCleanOracle: String = s"""
     WITH t AS (

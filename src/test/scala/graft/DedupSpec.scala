@@ -292,6 +292,51 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 203)
   }
 
+  test("star rounds ride one job each: fixpoint via Observation, not count+except") {
+    import spark.implicits._
+    // count ACTIONS (SQL executions), not scheduler jobs: under AQE one
+    // action runs a job per query stage, so job counts vary with the
+    // plan while the action count is exactly what the fixpoint
+    // restructuring changed
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          jobs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    // a fresh 150-link chain (node ids unused by other tests, so no
+    // cached-plan reuse skews the count) forces the star escalation
+    val pairs = (3000L until 3150L).map(i => (i, i + 1)).toDF("a", "b")
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val res = Dedup.connectedComponents(pairs).collect()
+        // listener events post asynchronously; wait for the bus to drain
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var last = -1
+        while (jobs.get != last && System.nanoTime() < deadline) {
+          last = jobs.get; Thread.sleep(100)
+        }
+        res
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val labels = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (3000L to 3150L).foreach(n => assert(labels(n) == 3000L))
+    // Action budget for the whole CC call, measured at 19 on this
+    // chain: edge persist + label seed (2), eight fast-path rounds (1
+    // action each), star seed cut + its count (2), ~5 star rounds at
+    // ONE action per round (the Observation rides the round's own
+    // cut), final star-label join cut (1), the collect (1). The
+    // pre-r10 fixpoint test ran count + except as two EXTRA actions
+    // per star round (~29 here), which this bound rejects while
+    // leaving ~3 rounds of slack for graph-shape drift.
+    assert(jobs.get <= 25,
+      s"connected components ran ${jobs.get} jobs — a star round is " +
+        "running extra fixpoint actions")
+  }
+
   test("stable-storage checkpoint path: identical labels, superseded rounds reclaimed") {
     import spark.implicits._
     // diameter 60 forces the escalation too, so BOTH loops run their
