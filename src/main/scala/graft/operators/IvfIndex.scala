@@ -276,6 +276,39 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
         col("neighbor_id"))
   }
 
+  /** Per-cell occupancy of the index's CURRENT contents (cell, n) —
+    * row counts over every member, cheap against the cell-partitioned
+    * layout (a columnless count per partition). */
+  def cellStats: DataFrame =
+    index.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+  /** Occupancy summary — the probe-side DRIFT signal. Appends assign
+    * new vectors with the BUILD-time centroids (correct but
+    * drift-prone): as the ingested distribution shifts, mass
+    * concentrates into the few cells that happen to align, probed-cell
+    * candidate lists balloon, and partial-probe cost/recall drifts —
+    * none of which a build-time recall spec can see. `imbalance` (max
+    * cell count over the mean across ALL trained cells) is the
+    * one-number alarm: near the build-time value ⇒ healthy; a multiple
+    * of it ⇒ the ingested distribution has left the quantizer behind —
+    * [[rebalance]] to re-fit quantizer and codebooks to the current
+    * contents. Read post-rebalance imbalance honestly: if it FALLS the
+    * drift was quantizer misfit, now repaired; if it PERSISTS the data
+    * itself has become modal (a genuinely concentrated direction
+    * cluster, which spherical cells cannot and should not pretend to
+    * spread) — raise the cell count or shard the hot cell. IvfIndexSpec
+    * pins the cycle: alarm fires on a drifted batch, partial-probe
+    * recall@10 holds through append and rebalance. Driver cost: one
+    * ≤[[Ann.Cells]]-row collect — metadata, like the centroids. */
+  def occupancy: IvfIndex.Occupancy = {
+    val rows = cellStats.collect().map(r => (r.getInt(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    val mx = if (rows.isEmpty) 0L else rows.map(_._2).max
+    val mean = if (centroids.isEmpty) 0.0 else total.toDouble / centroids.length
+    IvfIndex.Occupancy(centroids.length, rows.length, total, mx,
+      if (mean > 0) mx / mean else 0.0)
+  }
+
   private def probedOf(queries: DataFrame, nprobe: Int): DataFrame =
     queries
       .select(col("qid"), col("qv"),
@@ -288,6 +321,12 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
 }
 
 object IvfIndex {
+
+  /** [[IvfIndex.occupancy]]'s summary row: `cells` trained, `populated`
+    * non-empty, `total` stored vectors, `max` the fullest cell,
+    * `imbalance` = max / (total / cells). */
+  final case class Occupancy(cells: Int, populated: Int, total: Long,
+                             max: Long, imbalance: Double)
 
   private[operators] def probeCellsExpr(
       v: org.apache.spark.sql.Column,

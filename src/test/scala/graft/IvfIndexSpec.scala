@@ -92,6 +92,81 @@ class IvfIndexSpec extends SparkSpec {
     // check — consumed tags short-circuit first, by design)
   }
 
+  test("occupancy alarm fires on distribution drift; recall holds through the cycle") {
+    val d = Files.createTempDirectory("graft_ivf_drift").toString
+    val emb = Tables.embeddings(spark, sf)
+    val idx = IvfIndex.buildFrom(emb.filter(col("vec_id") % 2 === 0), d)
+
+    /** recall@10 of a PARTIAL probe against in-suite brute force over
+      * the index's current stored contents (exact scoring, so recall
+      * loss is purely probe misses — the quantity appends degrade). */
+    def recallAt10(ix: IvfIndex): Double = {
+      val stored = ix.index.select(col("neighbor_id"), col("nv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      val qs = queries.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      val got = ix.search(queries, Ann.K, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      val hits = qs.map { case (qid, qv) =>
+        val exact = stored.filter(_._1 != qid)
+          .map { case (id, nv) =>
+            (id, nv.zip(qv).map { case (a, b) => a * b }.sum) }
+          .sortBy { case (id, c) => (-c, id) }.take(Ann.K).map(_._1).toSet
+        (got.getOrElse(qid, Set.empty[Long]) & exact).size.toDouble / exact.size
+      }
+      hits.sum / hits.length
+    }
+
+    val o0 = idx.occupancy
+    val r0 = recallAt10(idx)
+    // healthy append: the other half of the SAME distribution — balance
+    // and partial-probe recall both hold
+    idx.appendTagged("same-dist", emb.filter(col("vec_id") % 2 =!= 0))
+    val o1 = idx.occupancy
+    val r1 = recallAt10(idx)
+    assert(o1.total == emb.count(), "append lost rows")
+    assert(o1.imbalance <= o0.imbalance * 1.5 + 0.5,
+      s"same-distribution append skewed occupancy: ${o0.imbalance} -> ${o1.imbalance}")
+    assert(r1 >= r0 - 0.1,
+      s"same-distribution append broke partial-probe recall: $r0 -> $r1")
+
+    // drift: an equally-sized batch from a NEW mode — a wide cone
+    // around the all-ones direction (internal cosine ~0.14, so the
+    // mode has real angular spread) that the build-time quantizer
+    // allocated no cells to, so it funnels into the few centroids
+    // that happen to align and the alarm must fire
+    val drifted = emb.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.4f)).as("embedding"))
+    idx.appendTagged("drifted", drifted)
+    val o2 = idx.occupancy
+    val r2 = recallAt10(idx)
+    assert(o2.imbalance >= o1.imbalance * 2,
+      s"drift metric missed a shifted batch: ${o1.imbalance} -> ${o2.imbalance}")
+    // the verdict bound: recall@10 post-append stays within band even
+    // with a drifted mode crowding the index (exact scoring; only
+    // probe selection can lose neighbors)
+    assert(r2 >= r0 - 0.1,
+      s"post-drift recall left the band: $r0 -> $r2")
+
+    // rebalance retrains quantizer + codebooks on the CURRENT contents
+    // and must hold recall. Occupancy is asserted to stay an HONEST
+    // metric, not to flatten: the drifted mode is a genuinely
+    // concentrated direction cluster, and spherical k-means cannot
+    // (and should not pretend to) spread one direction across cells —
+    // imbalance that PERSISTS after a rebalance is the signal that the
+    // data itself became modal (raise Cells or shard the hot cell),
+    // exactly what the occupancy scaladoc tells an operator
+    val idx2 = idx.rebalance()
+    val o3 = idx2.occupancy
+    val r3 = recallAt10(idx2)
+    assert(o3.total == o2.total, "rebalance lost rows")
+    assert(o3.populated == o0.cells, "rebalance left dead cells")
+    assert(r3 >= r0 - 0.1,
+      s"rebalance broke partial-probe recall: $r0 -> $r3")
+    System.err.println(f"[ivf-drift] imbalance ${o0.imbalance}%.2f -> ${o1.imbalance}%.2f -> ${o2.imbalance}%.2f -> ${o3.imbalance}%.2f; recall@10 $r0%.3f -> $r1%.3f -> $r2%.3f -> $r3%.3f; populated ${o0.populated}/${o1.populated}/${o2.populated}/${o3.populated}")
+  }
+
   test("partial probe prunes the index scan to the probed cell partitions") {
     val idx = IvfIndex.load(spark, indexDir)
     val search = idx.search(queries, Ann.K, nprobe = 2)

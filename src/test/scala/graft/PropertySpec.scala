@@ -136,6 +136,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ngram pair recall is invariant across replication factor × DF cutoff") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // The hub cutoff drops high-DF shingles from candidate GENERATION
+    // only; verification completes hub co-occurrences per pair, and DF
+    // is measured at DISTINCT-SET grain, so neither mass replication
+    // (which cannot raise any set-grain DF) nor the cutoff's position
+    // relative to a hub's DF may cost a single true pair. This sweeps
+    // both knobs through the regimes that used to matter — cutoff below
+    // and above the stop phrase's DF (24), replication from none to far
+    // past every cutoff — asserting exact brute-force equality in each.
+    val stop = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val page = "omega psi chi phi upsilon tau sigma rho"
+    for (repl <- Seq(1, 15, 40); cutoff <- Seq(5, 10, 25)) {
+      val rows: Seq[(Long, String)] =
+        (0 until 12).flatMap { k =>
+          val tail = s"a$k b$k c$k d$k e$k f$k g$k"
+          Seq((2L * k, s"$stop $tail one"), (2L * k + 1, s"$stop $tail two"))
+        } ++
+          (0 until repl).map(i => (100L + i, page)) :+
+          ((500L, s"$page sigma2 tau2 rho2"))
+      val docs = rows.toDF("doc_id", "text")
+      val sets = docs
+        .select(col("doc_id"), Dedup.shingleArr(col("text"), 4).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).sortBy(_._1)
+      val expected = (for {
+        i <- sets.indices; j <- (i + 1) until sets.length
+        (a, sa) = sets(i); (b, sb) = sets(j)
+        inter = (sa & sb).size if inter > 0
+        jac = inter.toDouble / (sa.size + sb.size - inter) if jac >= 0.5
+      } yield (a, b)).toSet
+      assert(expected.nonEmpty, s"degenerate corpus repl=$repl")
+      val got = Dedup.ngramDedup(docs, 4, 0.5, cutoff)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"repl=$repl cutoff=$cutoff: recall broke (got ${got.size}, " +
+          s"want ${expected.size})")
+    }
+  }
+
   test("chunking invariants hold for arbitrary document lengths") {
     import graft.operators.TextOps
     import graft.operators.TextOps.{ChunkStride, ChunkTokens}
