@@ -49,6 +49,15 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One probe SLOT = min of two consecutive runs. The first probe after
+    * a heavy query reads the JVM still digesting it (GC, block-manager
+    * eviction) and chronically false-flagged every lifecycle entry's
+    * window; residual digestion hits only the first run, while REAL
+    * host contention is sustained and keeps both runs slow — so the min
+    * preserves detection and kills the self-flag. */
+  private def probeSlot(spark: SparkSession, cpus: Int): Double =
+    math.min(probeOnce(spark, cpus), probeOnce(spark, cpus))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,14 +103,14 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val probes = scala.collection.mutable.ArrayBuffer(probeOnce(spark, nCpus))
+    val probes = scala.collection.mutable.ArrayBuffer(probeSlot(spark, nCpus))
     val measured = queries.map { case (name, fn) =>
       // lifecycle drives (store chains, iterative loops, the composed
       // funnel) run ONCE: each rep would redo real I/O work and widen
       // the host-drift window without re-measuring a plan
       val qreps = if (SparkEntry.lifecycleQueries(name)) 1 else reps
       val runs = (1 to qreps).map(_ => timedRun(fn))
-      probes += probeOnce(spark, nCpus)
+      probes += probeSlot(spark, nCpus)
       // min over SUCCESSFUL reps: a transiently-failed rep must not
       // contribute its (fast, bogus) time; rows=-1 only if every rep died
       val ok = runs.filter(_._2 >= 0)
@@ -129,9 +138,9 @@ object Bench {
     // too (min is still taken — contention only ever inflates)
     val results = measured.zipWithIndex.map { case ((name, sec, cont), i) =>
       if (mainFlags(i) && SparkEntry.lifecycleQueries(name)) {
-        val pBefore = probeOnce(spark, nCpus)
+        val pBefore = probeSlot(spark, nCpus)
         val (rSec, rN) = timedRun(SparkEntry.queries(name))
-        val pAfter = probeOnce(spark, nCpus)
+        val pAfter = probeSlot(spark, nCpus)
         probes += pBefore += pAfter // retries extend the recorded series
         val m = Drift.median(probes.toIndexedSeq)
         val retryDrifty = m > 0 && math.max(pBefore, pAfter) > 2.0 * m
