@@ -158,6 +158,34 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     Dedup.verifyJaccardOf(cand, shc, threshold)
   }
 
+  /** Probe WITHOUT appending — "does this batch duplicate anything we
+    * already hold?" ahead of ingest (the batch face of
+    * [[graft.streaming.StreamingMinhash]]'s stream-static join, with
+    * the verify stage included). One kernel pass over `docs` computes
+    * signatures and shingle sets in-row; candidates come from the
+    * probe's bands against the STORED band table, and exact Jaccard
+    * reads the probe's own shingles plus stored shingle sets restricted
+    * to candidate docs. Output rows are (a, b, …) with `a` the PROBE
+    * doc and `b` the indexed doc — directional, unlike the a<b
+    * convention of the self-join operators. Probe doc_ids must be
+    * disjoint from indexed ids (the append contract; equal ids are
+    * dropped as self-matches). */
+  def probe(docs: DataFrame, threshold: Double): DataFrame = {
+    val rows = DedupIndex.kernelRows(docs, shingleWidth)
+    val pBands = Dedup.bandTable(sigFrame(rows))
+    val iBands = Dedup.bandTable(sigFrame(index))
+    val cand = pBands.as("x")
+      .join(iBands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val ids = cand.select(col("b").as("doc_id")).distinct()
+    val sh = postings(rows).unionByName(postings(
+      index.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")))
+    Dedup.verifyJaccardOf(cand, sh, threshold)
+  }
+
   /** Exactly-once tagged append — the nightly-delta commit. One kernel
     * pass over `docs` text produces (sig, sh) per row into this tag's
     * OWN member directory (Overwrite: a crashed attempt's half-written
@@ -213,7 +241,7 @@ object DedupIndex {
     * running-min loop over its output, so signature and stored set
     * CANNOT disagree. Shingle-less docs are dropped, as the one-shot
     * path drops them (no signature row, no postings). */
-  private def writeMember(docs: DataFrame, n: Int, path: String): Unit = {
+  private[operators] def kernelRows(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -225,8 +253,10 @@ object DedupIndex {
       }
       .toDF("doc_id", "sig", "sh")
       .filter(size(col("sh")) > 0)
-      .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  private def writeMember(docs: DataFrame, n: Int, path: String): Unit =
+    kernelRows(docs, n).write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Build a fresh index over `docs` at shingle width `n`. The member
     * write lands first; the manifest flip publishes it atomically. */
