@@ -230,6 +230,20 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     manifest = newLines
   }
 
+  /** Reclaim member directories the manifest no longer references —
+    * the space step [[compact]] deliberately defers (old members stay
+    * on disk for in-flight readers; the manifest flip is the commit
+    * point). Call once no reader still holds a pre-compaction handle
+    * (single-writer contract, PointStore's vacuum caveat). Idempotent;
+    * never touches the manifest or live members, so the ledger and
+    * pair results are unchanged (DedupIndexSpec). */
+  def vacuum(): Unit = {
+    val live = membersOf(readManifest()).toSet
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && !live(f.getName))
+      .foreach(PointStore.deleteRec)
+  }
+
   /** Fresh handle on the same directory (re-reads the manifest). */
   def reload(): DedupIndex = DedupIndex.load(spark, dir)
 }

@@ -72,6 +72,16 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairMap(idx.allPairs(0.5)) == before,
       "compaction changed the stored pairs")
     assert(before == oneShot)
+    // vacuum reclaims exactly the superseded member dirs: base and the
+    // append vanish, the compacted member / manifest / ledger survive,
+    // results unchanged; a second vacuum is a no-op
+    idx.vacuum()
+    idx.vacuum()
+    val onDisk = Option(dir.listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(onDisk == idx.members.toSet, s"leftover dirs: $onDisk")
+    assert(idx.consumedTags == Set("n1"))
+    assert(pairMap(idx.reload().allPairs(0.5)) == before)
   }
 
   test("append pins the build-time shingle width") {
