@@ -47,6 +47,19 @@ package object api {
       Dedup.dedupClustersOf(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, threshold)
 
+    /** Build a persisted near-dup signature index over this frame's
+      * documents at `indexDir` — the state an incremental (nightly /
+      * streaming) dedup maintains. Append later crawl deltas with
+      * [[graft.operators.DedupIndex.appendTagged]] (exactly-once under
+      * redelivery), probe batches before ingest with `probe`, and take
+      * the delta's verified pairs with `pairsInvolving` — O(delta)
+      * kernel work, never a corpus re-shingle. */
+    def buildDedupIndex(idCol: String, textCol: String, indexDir: String,
+                        n: Int = 3): graft.operators.DedupIndex =
+      graft.operators.DedupIndex.build(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        indexDir, n)
+
     /** Overlapping context-window chunks of a text column: one row per
       * (doc, chunk) with id, token count, text — scan-speed row
       * expansion, no joins or aggregation. */

@@ -19,6 +19,22 @@ class ApiSpec extends SparkSpec {
     assert(pairs == reference && pairs.nonEmpty)
   }
 
+  test("buildDedupIndex round-trips the incremental dedup surface under renamed columns") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_test_api_dedupindex")
+    graft.sources.PointStore.deleteRec(dir)
+    val idx = corpus.filter(col("my_id") % 5 =!= 0)
+      .buildDedupIndex("my_id", "body", dir.getPath)
+    idx.appendTagged("delta", corpus.filter(col("my_id") % 5 === 0)
+      .select(col("my_id").as("doc_id"), col("body").as("text")))
+    // the maintained index answers exactly like the one-shot operator
+    val got = idx.allPairs(0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = corpus.minhashDedupPairs("my_id", "body")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("exactDedupGroups counts every distinct body once") {
     val groups = corpus.exactDedupGroups("my_id", "body")
     assert(groups.count() == corpus.select("body").distinct().count())
