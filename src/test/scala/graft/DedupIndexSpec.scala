@@ -84,6 +84,29 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairMap(idx.reload().allPairs(0.5)) == before)
   }
 
+  test("a half-written member dir is invisible until the manifest names it") {
+    import spark.implicits._
+    val dir = freshDir("graft_test_dedupindex_orphan")
+    val idx = DedupIndex.build(docs, dir.getPath, 3)
+    val before = pairMap(idx.allPairs(0.5))
+    // simulate a crashed append attempt: a data directory exists on
+    // disk but no manifest flip ever published it
+    val orphan = new java.io.File(dir, "append-crashed")
+    DedupIndex.build( // easiest way to mint a valid-looking parquet dir
+      Seq((999999L, "orphan text that would corrupt pair counts orphan text"))
+        .toDF("doc_id", "text"), orphan.getPath + "_idx", 3)
+    java.nio.file.Files.move(
+      new java.io.File(orphan.getPath + "_idx", "base").toPath, orphan.toPath)
+    graft.sources.PointStore.deleteRec(new java.io.File(orphan.getPath + "_idx"))
+    // readers never see it: membership and results are manifest-defined
+    val re = idx.reload()
+    assert(re.members == Seq("base"))
+    assert(pairMap(re.allPairs(0.5)) == before)
+    // and vacuum reclaims the orphan along with any superseded member
+    re.vacuum()
+    assert(!orphan.exists, "vacuum left the crashed attempt on disk")
+  }
+
   test("append pins the build-time shingle width") {
     val dir = freshDir("graft_test_dedupindex_width")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
