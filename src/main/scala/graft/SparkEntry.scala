@@ -25,7 +25,8 @@ object SparkEntry {
     * log; artifact schema unchanged). */
   val lifecycleQueries: Set[String] = Set(
     "point_store_roundtrip", "point_store_changes", "point_store_follower",
-    "dedup_clusters", "pipeline_curate", "dedup_incremental")
+    "dedup_clusters", "pipeline_curate", "dedup_incremental",
+    "dedup_embedding_delta")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -62,6 +63,8 @@ object SparkEntry {
     "dedup_ngram"     -> (Dedup.dedupNgram _),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Ann.dedupEmbedding _),
+    // #49b: incremental embedding-delta dedup against the persisted IVF index
+    "dedup_embedding_delta" -> (Ann.dedupEmbeddingDelta _),
     "ann_topk"        -> (Ann.annTopk _),
     "ann_ivf"         -> (Ann.annIvf _),
     "ann_pq"          -> (Pq.annPq _),
@@ -131,6 +134,8 @@ object SparkEntry {
     "dedup_ngram"     -> Dedup.dedupNgramOracle,
     "dedup_simhash"   -> Dedup.dedupSimhashOracle,
     "dedup_embedding" -> Ann.dedupEmbeddingOracle,
+    // incremental build/append/probe must land on the one-shot pairs
+    "dedup_embedding_delta" -> Ann.dedupEmbeddingOracle,
     "ann_topk"        -> Ann.annTopkOracle,
     "text_stats"      -> TextOps.textStatsOracle,
     "token_count"     -> TextOps.tokenCountOracle,

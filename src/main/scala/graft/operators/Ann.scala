@@ -369,4 +369,40 @@ object Ann {
     WHERE list_cosine_similarity(
             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= $DupThreshold"""
+
+  /** Per-JVM run counter for [[dedupEmbeddingDelta]]'s scratch dir —
+    * the same cache-manager collision [[DedupIndex.dedupIncremental]]
+    * documents: reusing a path makes a later run's identical plans
+    * resolve to the previous run's cached entries over deleted files. */
+  private val deltaRunCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** `dedup_embedding_delta`: incremental embedding near-dup — the
+    * vector twin of `dedup_incremental`. Build the persisted IVF index
+    * over the historical corpus (80% of embeddings), take the
+    * historical pairs FROM STORAGE ([[IvfIndex.nearDupPairs]]: no
+    * re-assignment), append the nightly delta under a tag with one
+    * redelivery (must commit nothing), and probe for every pair the
+    * delta introduced ([[IvfIndex.nearDupPairsInvolving]]). The oracle
+    * is the ONE-SHOT [[dedupEmbeddingOracle]] over the unsplit table:
+    * a hash match proves the storage-fed cell cover + incremental
+    * split reproduce the exact all-pairs answer — while the delta was
+    * assigned exactly once, at append. */
+  def dedupEmbeddingDelta(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_embdelta_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_run${deltaRunCounter.getAndIncrement()}")
+    graft.sources.PointStore.deleteRec(dir) // clobber a stale same-name dir
+    val idx = IvfIndex.buildFrom(corpus, dir.getPath)
+    // radii and membership resolve against the pre-append snapshot, so
+    // this frame is corpus-internal pairs only even evaluated later
+    val historical = idx.nearDupPairs(DupThreshold)
+    idx.appendTagged("nightly", delta)
+    idx.appendTagged("nightly", delta) // at-least-once redelivery: no-op
+    historical.unionByName(
+      idx.nearDupPairsInvolving("append-nightly", DupThreshold))
+  }
 }

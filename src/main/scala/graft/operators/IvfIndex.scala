@@ -276,6 +276,83 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
         col("neighbor_id"))
   }
 
+  /** Exact cosine near-dup pairs (dot ≥ threshold) over the STORED
+    * vectors — [[Ann.dedupEmbedding]]'s triangle-pruned cell-pair cover
+    * executed from storage with THIS index's cells: no re-assignment,
+    * no all-pairs, and the cover stays provably exact for any centroid
+    * set (the spherical triangle inequality never references centroid
+    * quality — worse centroids only admit more candidate cell pairs).
+    * The backfill face of incremental embedding dedup. */
+  def nearDupPairs(threshold: Double): DataFrame =
+    nearDupBetween(index, threshold, memberSide = None)
+
+  /** The incremental face: exact near-dup pairs with at least one
+    * endpoint in `member` (typically the delta [[appendTagged]] just
+    * committed) — delta cells against the whole index, O(delta)-sided
+    * assignment work (the delta was assigned once, at append). Pairs
+    * are (id_a < id_b) like the one-shot operator; member-vs-member
+    * collisions arrive in both orientations and are normalized. */
+  def nearDupPairsInvolving(member: String, threshold: Double): DataFrame = {
+    require(members.contains(member), s"unknown member $member (have $members)")
+    nearDupBetween(index, threshold,
+      memberSide = Some(spark.read.parquet(s"$dir/$member")))
+  }
+
+  /** Shared cover: per-cell angular radii over the WHOLE index (every
+    * stored vector, appended members included, must be inside its
+    * cell's radius or the cover is no longer a proof), candidate cell
+    * pairs by the spherical triangle inequality, then broadcast-equi-
+    * joins — the corpus side shuffles on the cell key, the cell-pair
+    * list is Cells²-bounded metadata. */
+  private def nearDupBetween(all: DataFrame, threshold: Double,
+      memberSide: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val cents = centroids
+    val centsDf = broadcast(
+      cents.toSeq.toDF("cell", "cv"))
+    // radii: one columnar pass over (nv, cell) — at nightly scale these
+    // are persistable cell metadata; recomputing keeps them trivially
+    // consistent with the current contents
+    val radius = all.join(centsDf, Seq("cell"))
+      .groupBy(col("cell")).agg(min(dot(col("nv"), col("cv"))).as("mindot"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        math.acos(math.max(-1.0, math.min(1.0, r.getDouble(1))))).toMap
+    val thetaThr = math.acos(threshold)
+    def angle(u: Array[Double], v: Array[Double]): Double = {
+      val d0 = u.indices.foldLeft(0.0)((acc, i) => acc + u(i) * v(i))
+      math.acos(math.max(-1.0, math.min(1.0, d0)))
+    }
+    val candPairs = for {
+      (i, ci) <- cents.toSeq; (j, cj) <- cents.toSeq
+      ri <- radius.get(i); rj <- radius.get(j) // empty cells: no radius row
+      // 1e-9 slack: double rounding must never exclude an at-threshold pair
+      if angle(ci, cj) - ri - rj <= thetaThr + 1e-9
+    } yield (i, j)
+    val aSide = memberSide.getOrElse(all)
+    val a = aSide.select(col("neighbor_id").as("id_a"), col("nv").as("na"),
+      col("cell").as("cell_a"))
+    val b = all.select(col("neighbor_id").as("id_b"), col("nv").as("nb"),
+      col("cell").as("cell_b"))
+    val scored = a
+      .join(broadcast(candPairs.toDF("cell_a", "cell_b")), Seq("cell_a"))
+      .join(b.hint("shuffle_hash"), Seq("cell_b"))
+      .filter(col("id_a") =!= col("id_b") &&
+        dot(col("na"), col("nb")) >= threshold)
+    memberSide match {
+      // self-cover: both orientations per unordered cell pair, so
+      // id_a < id_b keeps exactly one copy of every vector pair
+      case None => scored.filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      // member-vs-all: member-member pairs arrive both ways, member-vs-
+      // older once — least/greatest + distinct normalizes both
+      case Some(_) => scored
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+    }
+  }
+
   /** Per-cell occupancy of the index's CURRENT contents (cell, n) —
     * row counts over every member, cheap against the cell-partitioned
     * layout (a columnless count per partition). */

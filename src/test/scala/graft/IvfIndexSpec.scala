@@ -92,6 +92,29 @@ class IvfIndexSpec extends SparkSpec {
     // check — consumed tags short-circuit first, by design)
   }
 
+  test("storage-fed near-dup cover equals the one-shot operator; incremental split is exact") {
+    val d = Files.createTempDirectory("graft_ivf_neardup").toString
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = pairs(Ann.dedupEmbedding(spark, sf))
+    // full-corpus index: stored-vector cover == the one-shot operator,
+    // even though THIS index's centroids differ from the operator's
+    // (the cover's exactness is centroid-agnostic)
+    val full = IvfIndex.buildFrom(emb, d)
+    assert(pairs(full.nearDupPairs(Ann.DupThreshold)) == oneShot)
+    // incremental: corpus-internal (pre-append snapshot) ∪ delta-
+    // involving partitions the one-shot set — no overlap, no gap
+    val d2 = Files.createTempDirectory("graft_ivf_neardup2").toString
+    val idx = IvfIndex.buildFrom(emb.filter(col("vec_id") % 5 =!= 0), d2)
+    val hist = pairs(idx.nearDupPairs(Ann.DupThreshold))
+    idx.appendTagged("n1", emb.filter(col("vec_id") % 5 === 0))
+    val fresh = pairs(idx.nearDupPairsInvolving("append-n1", Ann.DupThreshold))
+    assert(hist.intersect(fresh).isEmpty)
+    assert(hist.union(fresh) == oneShot)
+    assert(fresh.nonEmpty, "split produced no delta-involving pairs to check")
+  }
+
   test("occupancy alarm fires on distribution drift; recall holds through the cycle") {
     val d = Files.createTempDirectory("graft_ivf_drift").toString
     val emb = Tables.embeddings(spark, sf)
