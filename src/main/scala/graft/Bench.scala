@@ -136,18 +136,29 @@ object Bench {
     // min-of-N defense, so a clean re-measurement is the only way to an
     // honest number; keep the flag only if the retry window was drifty
     // too (min is still taken — contention only ever inflates)
+    // retry probes live in their OWN series: appending them to `probes`
+    // would break the documented bracketing (probes(i)/probes(i+1)
+    // bracket query i) and make the published median differ from the
+    // one that produced the flags
+    val retryProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = measured.zipWithIndex.map { case ((name, sec, cont), i) =>
       if (mainFlags(i) && SparkEntry.lifecycleQueries(name)) {
         val pBefore = probeSlot(spark, nCpus)
         val (rSec, rN) = timedRun(SparkEntry.queries(name))
         val pAfter = probeSlot(spark, nCpus)
-        probes += pBefore += pAfter // retries extend the recorded series
-        val m = Drift.median(probes.toIndexedSeq)
-        val retryDrifty = m > 0 && math.max(pBefore, pAfter) > 2.0 * m
+        retryProbes += pBefore += pAfter
+        val m = Drift.median(probes.toIndexedSeq ++ retryProbes)
+        // a FAILED retry proves nothing: the entry keeps its original
+        // (contended-window) time AND its flag — publishing the
+        // inflated number unflagged is the exact failure mode the
+        // drift series exists to prevent
+        val retryDrifty = rN < 0 ||
+          (m > 0 && math.max(pBefore, pAfter) > 2.0 * m)
         val best = if (rN >= 0) math.min(sec, rSec) else sec
         System.err.println(f"[bench] $name%-20s $best%8.2fs  DRIFT-RETRY " +
           f"(was $sec%.2f, retry $rSec%.2f, probes $pBefore%.3f/$pAfter%.3f" +
-          (if (retryDrifty) " — still drifty)" else ")"))
+          (if (rN < 0) " — retry FAILED, flag kept)"
+           else if (retryDrifty) " — still drifty)" else ")"))
         (name, best, cont, retryDrifty, true)
       } else (name, sec, cont, mainFlags(i), false)
     }
@@ -161,7 +172,8 @@ object Bench {
     val retriedQs = results.collect { case (k, _, _, _, true) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val probeSeries = probes.map(p => f"$p%.4f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"contaminated":$contaminatedQs,"drift_flagged":$driftQs,"drift_retried":$retriedQs,"probe_median":${f"${Drift.median(probes.toIndexedSeq)}%.4f"},"probes":$probeSeries,"sf":"$sfDir"}""")
+    val retrySeries = retryProbes.map(p => f"$p%.4f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"contaminated":$contaminatedQs,"drift_flagged":$driftQs,"drift_retried":$retriedQs,"probe_median":${f"${Drift.median(probes.toIndexedSeq)}%.4f"},"probes":$probeSeries,"retry_probes":$retrySeries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -370,12 +370,6 @@ object Ann {
             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= $DupThreshold"""
 
-  /** Per-JVM run counter for [[dedupEmbeddingDelta]]'s scratch dir —
-    * the same cache-manager collision [[DedupIndex.dedupIncremental]]
-    * documents: reusing a path makes a later run's identical plans
-    * resolve to the previous run's cached entries over deleted files. */
-  private val deltaRunCounter = new java.util.concurrent.atomic.AtomicLong()
-
   /** `dedup_embedding_delta`: incremental embedding near-dup — the
     * vector twin of `dedup_incremental`. Build the persisted IVF index
     * over the historical corpus (80% of embeddings), take the
@@ -391,11 +385,9 @@ object Ann {
     val emb = embeddings(s, d)
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val delta = emb.filter(col("vec_id") % 5 === 0)
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_embdelta_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        s"_run${deltaRunCounter.getAndIncrement()}")
-    graft.sources.PointStore.deleteRec(dir) // clobber a stale same-name dir
+    // unique-per-run scratch dir: the cache-manager collision
+    // DedupIndex.freshRunDir documents
+    val dir = DedupIndex.freshRunDir("graft_embdelta_", d)
     val idx = IvfIndex.buildFrom(corpus, dir.getPath)
     // radii and membership resolve against the pre-append snapshot, so
     // this frame is corpus-internal pairs only even evaluated later

@@ -126,7 +126,7 @@ object Dedup {
     * the tiny downstream shuffles — a size-based coalesce would
     * serialize it. Shared by [[hashedShingles]] and [[ngramDedup]]'s
     * fingerprinting pass so the invariant lives in one place. */
-  private def kernelSource(docs: DataFrame)
+  private[operators] def kernelSource(docs: DataFrame)
       : org.apache.spark.sql.Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]

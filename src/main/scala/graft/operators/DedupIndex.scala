@@ -171,19 +171,28 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * disjoint from indexed ids (the append contract; equal ids are
     * dropped as self-matches). */
   def probe(docs: DataFrame, threshold: Double): DataFrame = {
+    // pinned: bands AND postings both read the kernel output, and the
+    // typed map above the repartition exchange would otherwise re-run
+    // the shingle+signature kernel once per consumer — the exact cost
+    // the one-pass contract promises to pay once. verifyJaccardOf
+    // materializes its result eagerly, so the pin is safe to drop
+    // before returning.
     val rows = DedupIndex.kernelRows(docs, shingleWidth)
-    val pBands = Dedup.bandTable(sigFrame(rows))
-    val iBands = Dedup.bandTable(sigFrame(index))
-    val cand = pBands.as("x")
-      .join(iBands.as("y").hint("shuffle_hash"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val ids = cand.select(col("b").as("doc_id")).distinct()
-    val sh = postings(rows).unionByName(postings(
-      index.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")))
-    Dedup.verifyJaccardOf(cand, sh, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pBands = Dedup.bandTable(sigFrame(rows))
+      val iBands = Dedup.bandTable(sigFrame(index))
+      val cand = pBands.as("x")
+        .join(iBands.as("y").hint("shuffle_hash"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val ids = cand.select(col("b").as("doc_id")).distinct()
+      val sh = postings(rows).unionByName(postings(
+        index.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")))
+      Dedup.verifyJaccardOf(cand, sh, threshold)
+    } finally rows.unpersist(false)
   }
 
   /** Exactly-once tagged append — the nightly-delta commit. One kernel
@@ -219,8 +228,14 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     val lines = readManifest()
     val mem = membersOf(lines)
     if (mem.size <= 1) return
-    val n = Option(new java.io.File(dir).list()).toSeq.flatten
-      .count(_.startsWith("compact-"))
+    // next sequence = max existing index + 1, over BOTH disk and the
+    // manifest: COUNTING compact-* dirs breaks after a vacuum (three
+    // compactions + a vacuum made the count collide with the LIVE
+    // member, and the Overwrite would have targeted its own input)
+    val seen = Option(new java.io.File(dir).list()).toSeq.flatten ++ mem
+    val n = seen.collect {
+      case s if s.startsWith("compact-") => s.stripPrefix("compact-").toInt
+    }.foldLeft(-1)(math.max) + 1
     val name = f"compact-$n%03d"
     rowsOf(mem).write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
     val meta = lines.filter(l => l.startsWith("#") && !l.startsWith("#tag:"))
@@ -258,9 +273,9 @@ object DedupIndex {
   private[operators] def kernelRows(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id")) // compute-bound kernel stage: keep full parallelism
+    // source via Dedup.kernelSource: the full-parallelism repartition
+    // rule for compute-bound kernel stages lives in ONE place
+    Dedup.kernelSource(docs)
       .map { case (id, text) =>
         val hs = Dedup.hashShingleWindows(text, n)
         (id, Dedup.minhashSigOfHashes(hs), hs)
@@ -273,8 +288,16 @@ object DedupIndex {
     kernelRows(docs, n).write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Build a fresh index over `docs` at shingle width `n`. The member
-    * write lands first; the manifest flip publishes it atomically. */
+    * write lands first; the manifest flip publishes it atomically.
+    * Refuses a directory that already holds an index: writing `base`
+    * with Overwrite would DELETE the live member's data while the old
+    * manifest still names it — every reader would see a half-written
+    * index, the one state the atomic-flip contract rules out. Rebuild
+    * by building into a fresh directory (or delete this one first). */
   def build(docs: DataFrame, indexDir: String, n: Int): DedupIndex = {
+    require(!new java.io.File(indexDir, "_MEMBERS").exists,
+      s"an index already exists at $indexDir — append to it, or build " +
+        "into a fresh directory (in-place rebuild would corrupt readers)")
     writeMember(docs, n, s"$indexDir/base")
     PointStore.atomicWrite(new java.io.File(indexDir, "_MEMBERS"),
       Seq("base", s"#n:$n").mkString("\n").getBytes)
@@ -293,25 +316,32 @@ object DedupIndex {
     * ONE-SHOT minhash oracle over the unsplit table, so a hash match
     * proves build/append/probe reproduce the full recompute exactly —
     * while having shingled each document exactly once. */
-  /** Per-JVM run counter for [[dedupIncremental]]'s scratch directory.
-    * Each run gets a path no earlier run in this session used: a prior
-    * run's staged verify results stay registered in the cache manager
-    * keyed by their (path-rooted) plans, so REUSING the path would make
-    * this run's identical-looking plans resolve to those entries — and
-    * any recompute would walk the deleted previous listing
+  /** Per-JVM-unique scratch directory for index-lifecycle queries
+    * (`dedup_incremental`, `dedup_embedding_delta`). Each run gets a
+    * path no earlier run in this session used: a prior run's staged
+    * verify results stay registered in the cache manager keyed by
+    * their (path-rooted) plans, so REUSING the path would make this
+    * run's identical-looking plans resolve to those entries — and any
+    * recompute would walk the deleted previous listing
     * (FILE_NOT_EXIST). Unique paths make the collision impossible
-    * without clearing any session cache. */
+    * without clearing any session cache. A previous SESSION's
+    * same-name leftover is clobbered. */
   private val runCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private[operators] def freshRunDir(prefix: String, d: String): java.io.File = {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      prefix + d.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_run${runCounter.getAndIncrement()}")
+    PointStore.deleteRec(dir)
+    dir
+  }
 
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val delta = docs.filter(col("doc_id") % 5 === 0)
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_dedupindex_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        s"_run${runCounter.getAndIncrement()}")
-    PointStore.deleteRec(dir) // clobber a previous SESSION's leftover
+    val dir = freshRunDir("graft_dedupindex_", d)
     val idx = build(corpus, dir.getPath, 3)
     val historical = idx.allPairs(0.5) // reads only the base member
     idx.appendTagged("nightly", delta)

@@ -84,6 +84,35 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairMap(idx.reload().allPairs(0.5)) == before)
   }
 
+  test("compact after vacuum never renames onto the live member; build refuses a live index") {
+    val dir = freshDir("graft_test_dedupindex_cycle")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val idx = DedupIndex.build(corpus, dir.getPath, 3)
+    val before = pairMap(idx.allPairs(0.5))
+    // two full nightly cycles: append -> compact -> vacuum. A compact
+    // name derived by COUNTING compact-* dirs collides with the live
+    // member on the cycle after a vacuum (the overwrite would target
+    // its own input); sequence numbers must come from max+1
+    idx.appendTagged("n1", delta)
+    idx.compact(); idx.vacuum()
+    assert(idx.members == Seq("compact-000"))
+    idx.appendTagged("n2", docs.limit(0)) // an empty nightly still cycles
+    idx.compact(); idx.vacuum()
+    assert(idx.members == Seq("compact-001"))
+    idx.appendTagged("n3", docs.limit(0))
+    idx.compact(); idx.vacuum() // pre-fix: count=1 -> "compact-001" == live
+    assert(idx.members == Seq("compact-002"))
+    assert(pairMap(idx.allPairs(0.5)) == oneShot)
+    assert(before.keySet.subsetOf(oneShot.keySet))
+    // in-place rebuild over a live index is refused loudly: the base
+    // Overwrite would destroy data the old manifest still names
+    val ex = intercept[IllegalArgumentException] {
+      DedupIndex.build(corpus, dir.getPath, 3)
+    }
+    assert(ex.getMessage.contains("already exists"), ex.getMessage)
+  }
+
   test("a half-written member dir is invisible until the manifest names it") {
     import spark.implicits._
     val dir = freshDir("graft_test_dedupindex_orphan")
