@@ -147,7 +147,13 @@ object Bench {
         val (rSec, rN) = timedRun(SparkEntry.queries(name))
         val pAfter = probeSlot(spark, nCpus)
         retryProbes += pBefore += pAfter
-        val m = Drift.median(probes.toIndexedSeq ++ retryProbes)
+        // judge the retry against the FIXED main-series median that
+        // produced the flags: folding retryProbes in would re-derive a
+        // median progressively polluted by earlier retries' (by
+        // construction contended-window) slots, making the same retry
+        // outcome depend on how many flagged queries preceded it —
+        // retryProbes stay purely recorded evidence (r10 ADVICE)
+        val m = Drift.median(probes.toIndexedSeq)
         // a FAILED retry proves nothing: the entry keeps its original
         // (contended-window) time AND its flag — publishing the
         // inflated number unflagged is the exact failure mode the

@@ -53,7 +53,15 @@ package object api {
       * [[graft.operators.DedupIndex.appendTagged]] (exactly-once under
       * redelivery), probe batches before ingest with `probe`, and take
       * the delta's verified pairs with `pairsInvolving` — O(delta)
-      * kernel work, never a corpus re-shingle. */
+      * kernel work, never a corpus re-shingle.
+      *
+      * Contract: ids appended or probed later must be DISJOINT from the
+      * ids already indexed — the same document under two tags would
+      * double its postings and silently corrupt Jaccard intersection
+      * counts (redelivery of the SAME tag is the covered, no-op case).
+      * When disjointness isn't structural (fresh crawl ids), pass
+      * `verifyDisjoint = true` to `appendTagged`, or check
+      * `overlapCount` explicitly, to fail loudly instead. */
     def buildDedupIndex(idCol: String, textCol: String, indexDir: String,
                         n: Int = 3): graft.operators.DedupIndex =
       graft.operators.DedupIndex.build(

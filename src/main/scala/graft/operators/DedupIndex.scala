@@ -195,19 +195,43 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     } finally rows.unpersist(false)
   }
 
+  /** Count of `docs` ids ALREADY indexed — the cheap face of the
+    * disjointness contract (class scaladoc: a doc appended twice under
+    * different tags double-counts postings and silently corrupts
+    * Jaccard intersection counts). One O(delta)-sided semi-join against
+    * a column-pruned scan of stored ids; callers who cannot guarantee
+    * disjoint deltas pass `verifyDisjoint = true` to [[appendTagged]],
+    * which fails loudly instead of corrupting (r10 ADVICE). */
+  def overlapCount(docs: DataFrame): Long =
+    docs.select(col("doc_id")).distinct()
+      .join(index.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .count()
+
   /** Exactly-once tagged append — the nightly-delta commit. One kernel
     * pass over `docs` text produces (sig, sh) per row into this tag's
     * OWN member directory (Overwrite: a crashed attempt's half-written
     * dir is clobbered on retry, never read — only the manifest flip
     * publishes it); the flip also consumes the tag, so an at-least-once
     * redelivery is a no-op. Shingle width comes from the manifest — an
-    * append cannot drift from the build. */
-  def appendTagged(tag: String, docs: DataFrame): Unit = {
+    * append cannot drift from the build. `verifyDisjoint` turns the
+    * doc-comment disjointness contract into a loud [[overlapCount]]
+    * check (one extra O(delta)-sided job) — off by default because the
+    * nightly caller typically proves disjointness for free (new crawl
+    * ids) and the check scans the stored id column. */
+  def appendTagged(tag: String, docs: DataFrame,
+                   verifyDisjoint: Boolean = false): Unit = {
     // one LIVE manifest read feeds the ledger check, the width, and the
     // flip (the IvfIndex check-vs-target lesson)
     val lines = readManifest()
     val tags = tagsOf(lines)
     if (tags(tag)) return
+    if (verifyDisjoint) {
+      val o = overlapCount(docs)
+      require(o == 0L,
+        s"$o delta doc_id(s) are already indexed at $dir — appending " +
+          "them would double their postings and corrupt intersection " +
+          "counts; dedup the delta against the index first")
+    }
     val n = widthOf(lines)
     val name = s"append-$tag"
     DedupIndex.writeMember(docs, n, s"$dir/$name")
@@ -304,8 +328,18 @@ object DedupIndex {
     load(docs.sparkSession, indexDir)
   }
 
-  def load(s: SparkSession, indexDir: String): DedupIndex =
-    new DedupIndex(s, indexDir)
+  /** Load fails LOUDLY on a directory with no committed index: a handle
+    * over an empty/missing `_MEMBERS` manifest would die much later in
+    * `rowsOf`'s reduce with an opaque "empty.reduceLeft" — name the
+    * directory up front instead, matching [[build]]'s refusal style
+    * (r10 ADVICE). */
+  def load(s: SparkSession, indexDir: String): DedupIndex = {
+    val idx = new DedupIndex(s, indexDir)
+    require(idx.members.nonEmpty,
+      s"no dedup index at $indexDir — the _MEMBERS manifest is missing " +
+        "or names no members; build() one first")
+    idx
+  }
 
   /** `dedup_incremental`: the nightly lifecycle against an index on
     * disk — build over the historical corpus (80% of documents), take
@@ -328,12 +362,36 @@ object DedupIndex {
     * same-name leftover is clobbered. */
   private val runCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Per-JVM random token in every scratch path: two concurrent sessions
+    * over the same dataset would otherwise both use `_run0`, and the
+    * second's deleteRec would destroy the first's LIVE index mid-query
+    * (r10 ADVICE). The token makes cross-JVM collision impossible; the
+    * counter keeps within-JVM runs distinct (the cache-manager argument
+    * above). */
+  private val jvmToken =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** Scratch dirs this JVM created, reaped at exit: a run's returned
+    * frame reads the index LAZILY (the driver consumes it after the
+    * query function returns), so deletion can only be deferred to JVM
+    * shutdown — without the hook, one corpus-sized index per bench
+    * rep/retry accumulates in java.io.tmpdir for the host's lifetime. */
+  private val scratchDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.io.File]())
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach(PointStore.deleteRec(_))))
+  }
+
   private[operators] def freshRunDir(prefix: String, d: String): java.io.File = {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       prefix + d.replaceAll("[^A-Za-z0-9]", "_") +
-        s"_run${runCounter.getAndIncrement()}")
+        s"_${jvmToken}_run${runCounter.getAndIncrement()}")
     PointStore.deleteRec(dir)
+    scratchDirs.add(dir)
     dir
   }
 

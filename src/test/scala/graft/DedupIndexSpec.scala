@@ -160,4 +160,33 @@ class DedupIndexSpec extends SparkSpec {
     val got = pairMap(DedupIndex.dedupIncremental(spark, sf))
     assert(got == oneShot)
   }
+
+  test("load on a directory with no committed index fails loudly, naming it") {
+    val dir = freshDir("graft_test_dedupindex_missing")
+    val ex = intercept[IllegalArgumentException] {
+      DedupIndex.load(spark, dir.getPath)
+    }
+    assert(ex.getMessage.contains(dir.getPath), ex.getMessage)
+    assert(ex.getMessage.contains("_MEMBERS"), ex.getMessage)
+  }
+
+  test("verifyDisjoint append refuses an overlapping delta; clean delta passes") {
+    val dir = freshDir("graft_test_dedupindex_disjoint")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val idx = DedupIndex.build(corpus, dir.getPath, 3)
+    assert(idx.overlapCount(delta) == 0L)
+    // an overlapping delta (one already-indexed doc smuggled in) is the
+    // silent-corruption case the contract forbids — checked, it is loud
+    val dirty = delta.unionByName(corpus.limit(1))
+    assert(idx.overlapCount(dirty) == 1L)
+    val ex = intercept[IllegalArgumentException] {
+      idx.appendTagged("bad", dirty, verifyDisjoint = true)
+    }
+    assert(ex.getMessage.contains("already indexed"), ex.getMessage)
+    assert(idx.consumedTags.isEmpty, "refused append must commit nothing")
+    // the clean delta passes the same check and commits normally
+    idx.appendTagged("good", delta, verifyDisjoint = true)
+    assert(pairMap(idx.allPairs(0.5)) == oneShot)
+  }
 }
