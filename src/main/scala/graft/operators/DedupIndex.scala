@@ -57,15 +57,15 @@ import org.apache.spark.sql.functions._
   */
 final class DedupIndex private (spark: SparkSession, dir: String) {
 
-  private def membersFile = new java.io.File(dir, "_MEMBERS")
+  // manifest/member path handling via the Hadoop FileSystem API: the
+  // index lives on any Hadoop filesystem (file://, hdfs://, s3a://) —
+  // atomic-flip semantics per backend on graft.sources.StoreFs
+  private val sfs = graft.sources.StoreFs(spark, dir)
 
   /** The manifest on disk RIGHT NOW — what write paths check against.
     * Reads use the [[manifest]] snapshot (one handle = one membership
     * view; only this handle's own commits advance it). */
-  private def readManifest(): Seq[String] =
-    if (!membersFile.exists) Seq.empty
-    else new String(java.nio.file.Files.readAllBytes(membersFile.toPath))
-      .trim.split("\n").toSeq.filter(_.nonEmpty)
+  private def readManifest(): Seq[String] = sfs.linesIfExists("_MEMBERS")
 
   @volatile private var manifest: Seq[String] = readManifest()
 
@@ -96,7 +96,7 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * read separately and unioned (partition discovery refuses sibling
     * roots in one read). */
   private def rowsOf(ms: Seq[String]): DataFrame =
-    ms.map(m => spark.read.parquet(s"$dir/$m")).reduce(_ unionByName _)
+    ms.map(m => spark.read.parquet(sfs.pathOf(m))).reduce(_ unionByName _)
 
   /** The full stored index frame. */
   def index: DataFrame = rowsOf(members)
@@ -234,11 +234,11 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     }
     val n = widthOf(lines)
     val name = s"append-$tag"
-    DedupIndex.writeMember(docs, n, s"$dir/$name")
+    DedupIndex.writeMember(docs, n, sfs.pathOf(name))
     val meta = lines.filter(l => l.startsWith("#") && !l.startsWith("#tag:"))
     val newLines = (membersOf(lines) :+ name) ++ meta ++
       (tags + tag).toSeq.sorted.map("#tag:" + _)
-    PointStore.atomicWrite(membersFile, newLines.mkString("\n").getBytes)
+    sfs.atomicWrite("_MEMBERS", newLines.mkString("\n").getBytes)
     manifest = newLines // writer reads its own append; same width always
   }
 
@@ -256,16 +256,16 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     // manifest: COUNTING compact-* dirs breaks after a vacuum (three
     // compactions + a vacuum made the count collide with the LIVE
     // member, and the Overwrite would have targeted its own input)
-    val seen = Option(new java.io.File(dir).list()).toSeq.flatten ++ mem
+    val seen = sfs.names() ++ mem
     val n = seen.collect {
       case s if s.startsWith("compact-") => s.stripPrefix("compact-").toInt
     }.foldLeft(-1)(math.max) + 1
     val name = f"compact-$n%03d"
-    rowsOf(mem).write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    rowsOf(mem).write.mode(SaveMode.Overwrite).parquet(sfs.pathOf(name))
     val meta = lines.filter(l => l.startsWith("#") && !l.startsWith("#tag:"))
     val newLines = (Seq(name) ++ meta ++
       tagsOf(lines).toSeq.sorted.map("#tag:" + _))
-    PointStore.atomicWrite(membersFile, newLines.mkString("\n").getBytes)
+    sfs.atomicWrite("_MEMBERS", newLines.mkString("\n").getBytes)
     manifest = newLines
   }
 
@@ -278,9 +278,7 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * pair results are unchanged (DedupIndexSpec). */
   def vacuum(): Unit = {
     val live = membersOf(readManifest()).toSet
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && !live(f.getName))
-      .foreach(PointStore.deleteRec)
+    sfs.dirNames().filterNot(live).foreach(sfs.deleteChild)
   }
 
   /** Fresh handle on the same directory (re-reads the manifest). */
@@ -319,12 +317,12 @@ object DedupIndex {
     * index, the one state the atomic-flip contract rules out. Rebuild
     * by building into a fresh directory (or delete this one first). */
   def build(docs: DataFrame, indexDir: String, n: Int): DedupIndex = {
-    require(!new java.io.File(indexDir, "_MEMBERS").exists,
+    val sfs = graft.sources.StoreFs(docs.sparkSession, indexDir)
+    require(!sfs.exists("_MEMBERS"),
       s"an index already exists at $indexDir — append to it, or build " +
         "into a fresh directory (in-place rebuild would corrupt readers)")
-    writeMember(docs, n, s"$indexDir/base")
-    PointStore.atomicWrite(new java.io.File(indexDir, "_MEMBERS"),
-      Seq("base", s"#n:$n").mkString("\n").getBytes)
+    writeMember(docs, n, sfs.pathOf("base"))
+    sfs.atomicWrite("_MEMBERS", Seq("base", s"#n:$n").mkString("\n").getBytes)
     load(docs.sparkSession, indexDir)
   }
 

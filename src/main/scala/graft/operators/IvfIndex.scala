@@ -28,14 +28,14 @@ import org.apache.spark.sql.functions._
   */
 final class IvfIndex private (spark: SparkSession, dir: String) {
 
-  private def membersFile = new java.io.File(dir, "_MEMBERS")
+  // manifest/member path handling via the Hadoop FileSystem API: the
+  // index lives on any Hadoop filesystem (file://, hdfs://, s3a://) —
+  // atomic-flip semantics per backend on graft.sources.StoreFs
+  private val sfs = graft.sources.StoreFs(spark, dir)
 
   /** The manifest on disk RIGHT NOW — what the write paths check their
     * staleness against. Reads never call this; they use [[manifest]]. */
-  private def readManifest(): Seq[String] =
-    if (!membersFile.exists) Seq.empty
-    else new String(java.nio.file.Files.readAllBytes(membersFile.toPath))
-      .trim.split("\n").toSeq.filter(_.nonEmpty)
+  private def readManifest(): Seq[String] = sfs.linesIfExists("_MEMBERS")
 
   /** Manifest SNAPSHOT this handle reads against, taken at construction:
     * one handle = one quantizer generation. `members`/`index` and the
@@ -54,7 +54,8 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * write. Absent → the build-time `centroids`/`pq` dirs. */
   private def quantDir(base: String): String =
     manifest.collectFirst { case l if l.startsWith("#quant:") =>
-      s"$dir/$base-${l.stripPrefix("#quant:")}" }.getOrElse(s"$dir/$base")
+      sfs.pathOf(s"$base-${l.stripPrefix("#quant:")}") }
+      .getOrElse(sfs.pathOf(base))
 
   lazy val centroids: Array[(Int, Array[Double])] =
     spark.read.parquet(quantDir("centroids")).collect()
@@ -102,7 +103,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * is identical to the single-root case (StreamingIndexSpec pins
     * it). */
   def index: DataFrame =
-    members.map(m => spark.read.parquet(s"$dir/$m")).reduce(_ unionByName _)
+    members.map(m => spark.read.parquet(sfs.pathOf(m))).reduce(_ unionByName _)
 
   /** Incremental maintenance: assign NEW vectors with the EXISTING
     * quantizer (cells AND PQ codebooks) and append their rows to the
@@ -147,7 +148,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     // invisible to every union read
     val head = membersOf(lines).head
     IvfIndex.writeAssignments(newEmb, centroids, codebooks,
-      s"$dir/$head", org.apache.spark.sql.SaveMode.Append)
+      sfs.pathOf(head), org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Tagged exactly-once append — the streaming-maintenance commit
@@ -165,7 +166,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     if (tags(tag)) return
     requireFreshQuantizers(lines)
     val name = s"append-$tag"
-    IvfIndex.writeAssignments(newEmb, centroids, codebooks, s"$dir/$name",
+    IvfIndex.writeAssignments(newEmb, centroids, codebooks, sfs.pathOf(name),
       org.apache.spark.sql.SaveMode.Overwrite)
     // preserve every non-tag metadata line (the #quant: pointer a
     // rebalance published!) — rebuilding the manifest from members+tags
@@ -174,8 +175,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     val mem = membersOf(lines)
     val newLines =
       (mem :+ name) ++ meta ++ (tags + tag).toSeq.sorted.map("#tag:" + _)
-    graft.sources.PointStore.atomicWrite(membersFile,
-      newLines.mkString("\n").getBytes)
+    sfs.atomicWrite("_MEMBERS", newLines.mkString("\n").getBytes)
     // the commit this handle just made is the SAME quantizer generation
     // (requireFreshQuantizers above), so advancing the read snapshot to
     // it keeps the one-handle-one-generation invariant while letting the
@@ -206,18 +206,17 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     requireFreshQuantizers(lines) // same single-writer contract as the appends
     val mem = membersOf(lines)
     val tags = tagsOf(lines)
-    val all = mem.map(m => spark.read.parquet(s"$dir/$m")).reduce(_ unionByName _)
+    val all = mem.map(m => spark.read.parquet(sfs.pathOf(m))).reduce(_ unionByName _)
       .select(col("neighbor_id").as("vec_id"), col("nv").as("embedding"))
     val cents = Ann.trainCentroids(all)
     val cb = Pq.trainCodebooks(all)
-    val n = Option(new java.io.File(dir).list()).toSeq.flatten
-      .count(_.startsWith("rebase-"))
+    val n = sfs.names().count(_.startsWith("rebase-"))
     val name = f"rebase-$n%03d"
-    IvfIndex.writeAssignments(all, cents, cb, s"$dir/$name",
+    IvfIndex.writeAssignments(all, cents, cb, sfs.pathOf(name),
       SaveMode.Overwrite)
     IvfIndex.writeQuantizers(spark, cents, cb,
-      s"$dir/centroids-$name", s"$dir/pq-$name")
-    graft.sources.PointStore.atomicWrite(membersFile,
+      sfs.pathOf(s"centroids-$name"), sfs.pathOf(s"pq-$name"))
+    sfs.atomicWrite("_MEMBERS",
       ((Seq(name, s"#quant:$name")) ++
         tags.toSeq.sorted.map("#tag:" + _)).mkString("\n").getBytes)
     IvfIndex.load(spark, dir)
@@ -295,7 +294,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
   def nearDupPairsInvolving(member: String, threshold: Double): DataFrame = {
     require(members.contains(member), s"unknown member $member (have $members)")
     nearDupBetween(index, threshold,
-      memberSide = Some(spark.read.parquet(s"$dir/$member")))
+      memberSide = Some(spark.read.parquet(sfs.pathOf(member))))
   }
 
   /** Shared cover: per-cell angular radii over the WHOLE index (every

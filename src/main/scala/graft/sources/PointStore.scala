@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   *    fall before it must resync from [[snapshot]]).
   *
   * Commits are an atomic manifest flip (`_MANIFEST` written via temp file
-  * + ATOMIC_MOVE): a reader sees the store before a commit or after it,
-  * never half of one. Single writer, any number of readers — the
+  * + rename through [[StoreFs]] — POSIX ATOMIC_MOVE on `file://`, a
+  * NameNode-atomic rename on `hdfs://`; per-backend semantics on
+  * [[StoreFs]]'s doc): a reader sees the store before a commit or after
+  * it, never half of one. The store path may be any Hadoop filesystem
+  * URI. Single writer, any number of readers — the
   * reference's worker is a single queue consumer with the same contract.
   * The additive-merge law (MergeSpec: crunch(A) ⊕ crunch(B) ==
   * crunch(A ∪ B)) makes batch boundaries and compaction points invisible
@@ -51,17 +54,16 @@ final class PointStore(spark: SparkSession, path: String,
   require(keys.nonEmpty && (sums.nonEmpty || maxes.nonEmpty),
     "point store needs key columns and at least one measure")
 
-  private val root = new java.io.File(path)
-  root.mkdirs()
-  private def manifestFile = new java.io.File(root, "_MANIFEST")
+  // all manifest/member path handling via the Hadoop FileSystem API —
+  // the store works unchanged on file://, hdfs://, s3a:// (atomic-
+  // rename semantics per backend documented on StoreFs)
+  private val sfs = StoreFs(spark, path)
+  sfs.mkdirs()
 
   /** Raw manifest lines: member directories plus `#tag:` ledger entries
     * (tags of tagged deltas that have been folded away by [[compact]] —
     * kept so [[appendTagged]] idempotence survives compaction). */
-  private def manifestLines: Seq[String] =
-    if (!manifestFile.exists) Seq.empty
-    else new String(java.nio.file.Files.readAllBytes(manifestFile.toPath))
-      .trim.split("\n").toSeq.filter(_.nonEmpty)
+  private def manifestLines: Seq[String] = sfs.linesIfExists("_MANIFEST")
 
   /** Member directories of the current snapshot, oldest first. */
   def members: Seq[String] = manifestLines.filterNot(_.startsWith("#"))
@@ -132,7 +134,7 @@ final class PointStore(spark: SparkSession, path: String,
         s"point store at $path is empty — the changefeed has no schema " +
           "before the first append")
       snapshot.limit(0)
-    } else mergeAgg(dirs.map(m => spark.read.parquet(s"$path/$m"))
+    } else mergeAgg(dirs.map(m => spark.read.parquet(sfs.pathOf(m)))
       .reduce(_ unionByName _))
   }
 
@@ -155,21 +157,21 @@ final class PointStore(spark: SparkSession, path: String,
     val name = f"base-$nextSeq%06d"
     mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/$name")
+      .parquet(sfs.pathOf(name))
     val v = version + 1
     writeManifest((name +: (consumedTags + tag).toSeq.sorted.map(TagLine + _)) :+
       s"$VacLine$v")
   }
 
   private def writeManifest(ms: Seq[String]): Unit =
-    PointStore.atomicWrite(manifestFile, ms.mkString("\n").getBytes)
+    sfs.atomicWrite("_MANIFEST", ms.mkString("\n").getBytes)
 
   /** Next commit sequence number: one past the highest ever written —
     * scanning the DIRECTORY (not the manifest) so a compacted-away name
     * is never reused while an old reader might still hold it. */
   private def nextSeq: Long = {
     val m = "(?:base|delta)-([0-9]+)".r
-    val existing = Option(root.list()).getOrElse(Array.empty[String])
+    val existing = sfs.names()
       .flatMap { case m(d) => Some(d.toLong); case _ => None }
     if (existing.isEmpty) 1L else existing.max + 1L
   }
@@ -208,7 +210,7 @@ final class PointStore(spark: SparkSession, path: String,
   private def writeDelta(name: String, partial: DataFrame): Unit = {
     mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/$name")
+      .parquet(sfs.pathOf(name))
     writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")
   }
 
@@ -218,7 +220,7 @@ final class PointStore(spark: SparkSession, path: String,
   def snapshot: DataFrame = {
     val ms = members
     require(ms.nonEmpty, s"point store at $path is empty")
-    mergeAgg(ms.map(m => spark.read.parquet(s"$path/$m"))
+    mergeAgg(ms.map(m => spark.read.parquet(sfs.pathOf(m)))
       .reduce(_ unionByName _))
   }
 
@@ -259,7 +261,7 @@ final class PointStore(spark: SparkSession, path: String,
             .sortWithinPartitions(col("__z"))
             .drop("__z")
         }
-      out.write.parquet(s"$path/$name")
+      out.write.parquet(sfs.pathOf(name))
       // content is unchanged, so the version does not bump; the change
       // log and vacuum horizon carry over verbatim
       writeManifest((name +: consumedTags.toSeq.sorted.map(TagLine + _)) ++
@@ -299,9 +301,7 @@ final class PointStore(spark: SparkSession, path: String,
         changeLog.filter(_._1 > horizon).map { case (v, n) => s"$LogLine$v:$n" } :+
         s"$VacLine$horizon")
     val live = members.toSet ++ changeLog.map(_._2)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !live(f.getName))
-      .foreach(PointStore.deleteRec)
+    sfs.dirNames().filterNot(live).foreach(sfs.deleteChild)
   }
 }
 
@@ -331,11 +331,10 @@ object PointStore {
     * QueryServer `/version` route, where the caller knows only a
     * directory name. */
   def versionOf(path: String): Option[Long] = {
-    val mf = new java.io.File(path, "_MANIFEST")
-    if (!mf.exists) None
+    val sfs = StoreFs.anonymous(path)
+    if (!sfs.exists("_MANIFEST")) None
     else {
-      val lines = new String(java.nio.file.Files.readAllBytes(mf.toPath))
-        .trim.split("\n").toSeq.filter(_.nonEmpty)
+      val lines = sfs.linesIfExists("_MANIFEST")
       val logs = lines.collect { case l if l.startsWith("#log:") =>
         val rest = l.stripPrefix("#log:"); rest.take(rest.indexOf(':')).toLong }
       val vac = lines.collect { case l if l.startsWith("#vacuumed:") =>

@@ -46,17 +46,18 @@ final class IncrementalCruncher(spark: SparkSession, stateDir: String,
     sums = Seq("played", "wins", "time_spent_d", "gold_d"),
     maxes = Seq("last_match"))
 
-  private val root = new java.io.File(stateDir)
-  private def committedFile = new java.io.File(root, "_COMMITTED")
+  // the batch ledger lives next to the store's manifest, and like it
+  // goes through the Hadoop FileSystem API (StoreFs) so the whole state
+  // dir may live on hdfs:// / s3a:// — the cruncher's checkpoint
+  // already could (Structured Streaming requires it)
+  private val sfs = graft.sources.StoreFs(spark, stateDir)
 
   /** Batch ids already folded into the store. */
   def committedBatches: Set[Long] =
-    if (!committedFile.exists) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(committedFile.toPath))
-      .split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+    sfs.linesIfExists("_COMMITTED").map(_.toLong).toSet
 
   private def commitBatch(id: Long): Unit =
-    PointStore.atomicWrite(committedFile,
+    sfs.atomicWrite("_COMMITTED",
       (committedBatches + id).toSeq.sorted.mkString("\n").getBytes)
 
   /** The live point table (None before the first batch). */
