@@ -217,14 +217,36 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * doc-comment disjointness contract into a loud [[overlapCount]]
     * check (one extra O(delta)-sided job) — off by default because the
     * nightly caller typically proves disjointness for free (new crawl
-    * ids) and the check scans the stored id column. */
+    * ids) and the check scans the stored id column.
+    *
+    * AUTO-COMPACTION (the LSM norm): each append adds one member — one
+    * union branch in every read plan ([[rowsOf]]) — and nothing else
+    * bounds member count between manual [[compact]] calls, so after a
+    * year of nightly appends the plan would carry 365 branches. When
+    * the index is already at `autoCompactAt` members, the append folds
+    * the EXISTING members first and then commits its delta beside the
+    * fresh base (the occupancy→rebalance pattern [[IvfIndex]]
+    * established for quantizer drift, applied to plan width).
+    * Fold-before-commit, not after, for two reasons: the nightly
+    * `appendTagged(tag)` → `pairsInvolving("append-" + tag)` pattern
+    * must never lose its just-committed member to the fold, and a
+    * crash mid-fold loses no delta (the manifest hasn't flipped; the
+    * retry re-folds). The fold is the ordinary [[compact]]: ledger
+    * survives, pairs unchanged, superseded dirs stay for in-flight
+    * readers until [[vacuum]] — which stays manual, because only the
+    * owner knows when no reader still holds a pre-compaction plan. */
   def appendTagged(tag: String, docs: DataFrame,
-                   verifyDisjoint: Boolean = false): Unit = {
-    // one LIVE manifest read feeds the ledger check, the width, and the
-    // flip (the IvfIndex check-vs-target lesson)
+                   verifyDisjoint: Boolean = false,
+                   autoCompactAt: Int = DedupIndex.AutoCompactMembers): Unit = {
+    // ledger check first: a redelivered tag must not trigger a fold
+    val pre = readManifest()
+    if (tagsOf(pre)(tag)) return
+    if (membersOf(pre).size >= autoCompactAt) compact()
+    // one LIVE manifest read feeds the width, the member list, and the
+    // flip (the IvfIndex check-vs-target lesson) — re-read after the
+    // possible fold so the commit appends to the folded member list
     val lines = readManifest()
     val tags = tagsOf(lines)
-    if (tags(tag)) return
     if (verifyDisjoint) {
       val o = overlapCount(docs)
       require(o == 0L,
@@ -286,6 +308,15 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
 }
 
 object DedupIndex {
+
+  /** Default member-count bound for [[DedupIndex.appendTagged]]'s
+    * auto-compaction: past this many members an append folds the index.
+    * 16 union branches keep planning cost trivial while letting two
+    * weeks of nightly appends accumulate between folds — each fold
+    * rewrites the whole index (O(corpus) I/O, no re-hash), so folding
+    * every night would pay corpus-sized writes for plan width nobody
+    * is hurt by yet. */
+  val AutoCompactMembers = 16
 
   /** One kernel pass: (doc_id, 64-hash signature, distinct shingle
     * hashes) per document — [[Dedup.hashShingleWindows]] once, then the

@@ -161,6 +161,33 @@ class DedupIndexSpec extends SparkSpec {
     assert(got == oneShot)
   }
 
+  test("append past the member bound auto-compacts: ledger intact, pairs unchanged") {
+    val dir = freshDir("graft_test_dedupindex_autocompact")
+    val q = (m: Int) => docs.filter(col("doc_id") % 4 === m)
+    val idx = DedupIndex.build(q(0), dir.getPath, 3)
+    idx.appendTagged("n1", q(1), autoCompactAt = 3)
+    idx.appendTagged("n2", q(2), autoCompactAt = 3)
+    assert(idx.members == Seq("base", "append-n1", "append-n2"),
+      "below the bound, appends must not fold")
+    // at the bound, the append folds the EXISTING members first, then
+    // commits its delta beside the fresh base — the just-committed
+    // member must survive for the nightly pairsInvolving pattern
+    idx.appendTagged("n3", q(3), autoCompactAt = 3)
+    assert(idx.members == Seq("compact-000", "append-n3"),
+      s"expected fold-then-commit, got ${idx.members}")
+    assert(idx.consumedTags == Set("n1", "n2", "n3"),
+      "auto-compaction must carry the whole ledger")
+    // the nightly probe still works on the surviving member
+    assert(pairMap(idx.pairsInvolving("append-n3", 0.5)).keySet
+      .subsetOf(oneShot.keySet))
+    // a late redelivery of a folded-away tag commits nothing AND folds
+    // nothing (ledger check precedes the fold trigger)
+    idx.appendTagged("n2", q(2), autoCompactAt = 3)
+    assert(idx.members == Seq("compact-000", "append-n3"))
+    assert(pairMap(idx.allPairs(0.5)) == oneShot,
+      "auto-compaction changed the stored pairs")
+  }
+
   test("load on a directory with no committed index fails loudly, naming it") {
     val dir = freshDir("graft_test_dedupindex_missing")
     val ex = intercept[IllegalArgumentException] {
