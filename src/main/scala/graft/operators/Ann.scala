@@ -292,6 +292,44 @@ object Ann {
 
   val DupThreshold = 0.45
 
+  /** Candidate cell pairs for the exact near-dup cover, born
+    * DISTRIBUTED: `meta` is the (cell, cv, r) frame — per-cell centroid
+    * and angular radius, Cells rows — and the output is every (cell_a,
+    * cell_b) the spherical triangle inequality cannot rule out:
+    * angle(cᵃ,cᵇ) − rᵃ − rᵇ ≤ arccos(threshold) (+1e-9 slack so double
+    * rounding never excludes an at-threshold pair — the same bound, the
+    * same slack, the exactness proof unchanged). Executed as a
+    * broadcast-nested-loop self-join over the metadata frame: the
+    * Cells² filter work happens on executors, not in a driver loop —
+    * at the documented √n cell sizing a 10¹¹-vector corpus means
+    * ~10¹⁰ pair checks, which a driver `for` serializes but a
+    * 1000-executor cluster absorbs (the one loop r10's verdict flagged
+    * as quadratic in a quantity the scale plan grows). Output rows are
+    * bounded by locality (cells whose caps overlap within the
+    * threshold), the thing the cover exists to exploit. */
+  private[operators] def candCellPairs(meta: DataFrame,
+                                       thetaThr: Double): DataFrame = {
+    val a = meta.select(col("cell").as("cell_a"), col("cv").as("cv_a"),
+      col("r").as("r_a"))
+    val b = meta.select(col("cell").as("cell_b"), col("cv").as("cv_b"),
+      col("r").as("r_b"))
+    a.join(broadcast(b),
+        acos(greatest(lit(-1.0), least(lit(1.0), dot(col("cv_a"), col("cv_b"))))) -
+          col("r_a") - col("r_b") <= lit(thetaThr + 1e-9))
+      .select(col("cell_a"), col("cell_b"))
+  }
+
+  /** Per-cell cover metadata: angular radius r = acos(min cos-to-own-
+    * centroid) per populated cell, joined with the centroid vectors —
+    * the Cells-row frame [[candCellPairs]] consumes. `cellDots` is any
+    * (cell, cdot) frame where cdot = cos(member, own centroid). */
+  private[operators] def coverMeta(cellDots: DataFrame,
+      centsDf: DataFrame): DataFrame =
+    cellDots.groupBy(col("cell")).agg(min(col("cdot")).as("mindot"))
+      .select(col("cell"),
+        acos(greatest(lit(-1.0), least(lit(1.0), col("mindot")))).as("r"))
+      .join(centsDf, Seq("cell"))
+
   /** Vectors with their IVF cell and the cosine to their own centroid,
     * in one codegen'd projection over the fused score vector. */
   private def assignedWithScore(nemb: DataFrame,
@@ -325,25 +363,17 @@ object Ann {
     val assigned = assignedWithScore(normed(embeddings(s, d)), cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // per-cell angular radius — Cells rows of metadata, like the centroids
-    val radius = assigned.groupBy(col("cell"))
-      .agg(min(col("cdot")).as("mindot")).collect()
-      .map(r => r.getInt(0) ->
-        math.acos(math.max(-1.0, math.min(1.0, r.getDouble(1))))).toMap
-    val thetaThr = math.acos(DupThreshold)
-    def angle(u: Array[Double], v: Array[Double]): Double = {
-      val d0 = u.indices.foldLeft(0.0)((acc, i) => acc + u(i) * v(i))
-      math.acos(math.max(-1.0, math.min(1.0, d0)))
-    }
-    val candPairs = for {
-      (i, ci) <- cents.toSeq; (j, cj) <- cents.toSeq
-      ri <- radius.get(i); rj <- radius.get(j) // empty cells have no radius row
-      // 1e-9 slack: the bound must never exclude an exactly-at-threshold
-      // pair through double rounding
-      if angle(ci, cj) - ri - rj <= thetaThr + 1e-9
-    } yield (i, j)
-
+    // per-cell angular radius — Cells rows of metadata, like the
+    // centroids — kept as a FRAME: the candidate cell-pair list is a
+    // broadcast-nested-loop self-join over it (candCellPairs), so the
+    // Cells² triangle-inequality filter runs on executors, never in a
+    // driver loop (the r10 verdict's quadratic-in-Cells watch item)
     import s.implicits._
+    val centsDf = broadcast(
+      cents.toSeq.map { case (i, c) => (i, c.toSeq) }.toDF("cell", "cv"))
+    val thetaThr = math.acos(DupThreshold)
+    val candPairs = candCellPairs(
+      coverMeta(assigned.select(col("cell"), col("cdot")), centsDf), thetaThr)
     val a = assigned.select(col("vec_id").as("id_a"), col("nv").as("na"),
       col("cell").as("cell_a"))
     val b = assigned.select(col("vec_id").as("id_b"), col("nv").as("nb"),
@@ -353,7 +383,7 @@ object Ann {
     // candPairs is Cells²-bounded metadata — broadcast by design; the B
     // side is the CORPUS and must shuffle on the cell key (the planner
     // otherwise broadcasts the persisted corpus frame at bench SF)
-    val pairs = a.join(broadcast(candPairs.toDF("cell_a", "cell_b")), Seq("cell_a"))
+    val pairs = a.join(broadcast(candPairs), Seq("cell_a"))
       .join(b.hint("shuffle_hash"), Seq("cell_b"))
       .filter(col("id_a") < col("id_b") && dot(col("na"), col("nb")) >= DupThreshold)
       .select(col("id_a"), col("id_b"))

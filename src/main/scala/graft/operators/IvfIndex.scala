@@ -300,9 +300,12 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
   /** Shared cover: per-cell angular radii over the WHOLE index (every
     * stored vector, appended members included, must be inside its
     * cell's radius or the cover is no longer a proof), candidate cell
-    * pairs by the spherical triangle inequality, then broadcast-equi-
-    * joins — the corpus side shuffles on the cell key, the cell-pair
-    * list is Cells²-bounded metadata. */
+    * pairs by the spherical triangle inequality — generated as a
+    * DISTRIBUTED self-join over the (cell, cv, r) metadata frame
+    * ([[Ann.candCellPairs]]: the Cells² filter runs on executors, not
+    * in a driver loop) — then broadcast-equi-joins: the corpus side
+    * shuffles on the cell key, the surviving cell-pair list is
+    * locality-bounded metadata. */
   private def nearDupBetween(all: DataFrame, threshold: Double,
       memberSide: Option[DataFrame]): DataFrame = {
     import spark.implicits._
@@ -312,29 +315,18 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     // radii: one columnar pass over (nv, cell) — at nightly scale these
     // are persistable cell metadata; recomputing keeps them trivially
     // consistent with the current contents
-    val radius = all.join(centsDf, Seq("cell"))
-      .groupBy(col("cell")).agg(min(dot(col("nv"), col("cv"))).as("mindot"))
-      .collect()
-      .map(r => r.getInt(0) ->
-        math.acos(math.max(-1.0, math.min(1.0, r.getDouble(1))))).toMap
     val thetaThr = math.acos(threshold)
-    def angle(u: Array[Double], v: Array[Double]): Double = {
-      val d0 = u.indices.foldLeft(0.0)((acc, i) => acc + u(i) * v(i))
-      math.acos(math.max(-1.0, math.min(1.0, d0)))
-    }
-    val candPairs = for {
-      (i, ci) <- cents.toSeq; (j, cj) <- cents.toSeq
-      ri <- radius.get(i); rj <- radius.get(j) // empty cells: no radius row
-      // 1e-9 slack: double rounding must never exclude an at-threshold pair
-      if angle(ci, cj) - ri - rj <= thetaThr + 1e-9
-    } yield (i, j)
+    val candPairs = Ann.candCellPairs(
+      Ann.coverMeta(all.join(centsDf, Seq("cell"))
+        .select(col("cell"), dot(col("nv"), col("cv")).as("cdot")), centsDf),
+      thetaThr)
     val aSide = memberSide.getOrElse(all)
     val a = aSide.select(col("neighbor_id").as("id_a"), col("nv").as("na"),
       col("cell").as("cell_a"))
     val b = all.select(col("neighbor_id").as("id_b"), col("nv").as("nb"),
       col("cell").as("cell_b"))
     val scored = a
-      .join(broadcast(candPairs.toDF("cell_a", "cell_b")), Seq("cell_a"))
+      .join(broadcast(candPairs), Seq("cell_a"))
       .join(b.hint("shuffle_hash"), Seq("cell_b"))
       .filter(col("id_a") =!= col("id_b") &&
         dot(col("na"), col("nb")) >= threshold)

@@ -54,11 +54,20 @@ class AnnSpec extends SparkSpec {
     assert(pairs(bucketed) == pairs(brute))
     assert(pairs(bucketed).nonEmpty)
 
-    // and the physical plan must have no nested-loop/cartesian between the
-    // two embeddings scans — candidates come from cell equi-joins only
+    // and the corpus pair join must stay the hinted cell EQUI-join — the
+    // one nested-loop allowed is the Cells-row metadata self-join that
+    // births the candidate cell-pair list distributed (r11); an
+    // all-pairs nested loop between corpus sides would also plan a
+    // second BNLJ, caught by the count
     val physical = bucketed.queryExecution.executedPlan.toString
-    assert(!physical.contains("BroadcastNestedLoopJoin"),
-      s"all-pairs join leaked back into the plan:\n$physical")
+    physical.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach { l =>
+        assert(l.toLowerCase.contains("acos"),
+          s"a nested-loop join that is NOT the cover-metadata self-join " +
+            s"(its condition would carry the acos bound) leaked in:\n$l")
+      }
+    assert(physical.contains("ShuffledHashJoin"),
+      s"corpus pair join is no longer the hinted cell equi-join:\n$physical")
     assert(!physical.contains("CartesianProduct"))
   }
 }

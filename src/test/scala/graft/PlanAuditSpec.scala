@@ -20,12 +20,15 @@ class PlanAuditSpec extends SparkSpec {
     // BroadcastNestedLoopJoin is legitimate ONLY where a bounded
     // broadcast side meets a non-equi condition: range tiers/series/
     // phase-window dims, regex builds, team_fame's 1-row anchor-date
-    // frame, and ann_topk's deliberate brute-force baseline (small query
-    // set broadcast with qid ≠ neighbor). These queries join data-sized
-    // sides and must stay equi-join only:
+    // frame, ann_topk's deliberate brute-force baseline (small query
+    // set broadcast with qid ≠ neighbor), and since r11 the embedding
+    // dedups' Cells-row cover-metadata self-join (the cell-pair list is
+    // born distributed; AnnSpec pins that the corpus join beside it
+    // stays equi). These queries join data-sized sides and must stay
+    // equi-join only:
     val equiOnly = Seq(
       "dedup_exact", "dedup_minhash", "dedup_ngram", "dedup_simhash",
-      "dedup_embedding", "ann_ivf", "ann_pq", "hero_vs_hero",
+      "ann_ivf", "ann_pq", "hero_vs_hero",
       "crunch_global", "crunch_player",
       "filter_semijoin", "asof_join", "upsert_merge", "pipeline_clean")
     for (name <- equiOnly) {
