@@ -90,6 +90,63 @@ class StreamingIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("occupancy drift in the stream triggers the offline rebalance between batches") {
+    val dir = Files.createTempDirectory("graft_sidx_drift").toString
+    val idx = IvfIndex.buildFrom(emb.filter(col("vec_id") % 2 === 0), dir)
+    // bound: twice the healthy build-time imbalance — the same band the
+    // IvfIndexSpec drift cycle established
+    val bound = idx.occupancy.imbalance * 2
+    val sink = new StreamingIndexer(idx, rebalanceAtImbalance = bound)
+
+    // batch 1: the rest of the SAME distribution — no alarm, no retrain
+    sink.indexBatch(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    assert(sink.rebalances == 0L,
+      "a same-distribution batch must not trigger a rebalance")
+
+    // batch 2: a drifted mode (wide cone the build-time quantizer has no
+    // cells for) — the alarm fires and the indexer retrains BETWEEN
+    // batches: one member, new quantizer generation
+    val drifted = emb.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.4f)).as("embedding"))
+    sink.indexBatch(drifted, 2L)
+    assert(sink.rebalances == 1L, "drifted batch must trigger the rebalance")
+    val cur = sink.currentIndex
+    assert(cur.members.length == 1 && cur.members.head.startsWith("rebase-"),
+      s"expected a retrained single member, got ${cur.members}")
+
+    // exactly-once THROUGH the triggered retrain: the ledger survived,
+    // so redelivered batch ids commit nothing — and a retrain that
+    // didn't flatten a genuinely modal mode must not storm
+    val total = cur.index.count()
+    assert(total == emb.count() + drifted.count())
+    sink.indexBatch(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    sink.indexBatch(drifted, 2L)
+    assert(sink.currentIndex.index.count() == total,
+      "redelivery after the triggered rebalance double-indexed a batch")
+    assert(sink.rebalances == 1L,
+      "no-op redeliveries must not trigger repeat retrains")
+
+    // the retrained index still answers exactly: full-probe search over
+    // the drifted contents ≡ in-suite brute force (exact scoring, and a
+    // full probe is centroid-agnostic)
+    val stored = sink.currentIndex.index.select(col("neighbor_id"), col("nv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val qs = queries.limit(3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val got = sink.currentIndex
+      .search(queries.limit(3), Ann.K, nprobe = sink.currentIndex.centroids.length)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    qs.foreach { case (qid, qv) =>
+      val exact = stored.filter(_._1 != qid)
+        .map { case (id, nv) =>
+          (id, nv.zip(qv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, c) => (-c, id) }.take(Ann.K).map(_._1).toSet
+      assert(got(qid) == exact, s"query $qid: search diverged from brute force")
+    }
+  }
+
   test("appended members keep partition pruning in the searchPq scan") {
     val dir = Files.createTempDirectory("graft_sidx2").toString
     val idx = IvfIndex.buildFrom(emb.filter(col("vec_id") % 2 === 0), dir)
