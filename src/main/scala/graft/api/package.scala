@@ -87,24 +87,26 @@ package object api {
       * timestamps (same reason the registered operator orders by
       * (ts, event_id)).
       *
-      * Timezone note: when `time` is TIMESTAMP_NTZ (naive parquet
-      * timestamps), the pre-`unix_micros` cast interprets the naive value
-      * in the SESSION timezone (`spark.sql.session.timeZone`). Gap math is
-      * value-preserving only under UTC or another fixed-offset zone — the
-      * setting this library's sessions force. Under a DST zone, a gap
-      * spanning a transition shifts by the offset change and ambiguous
-      * local times collapse; pin the session timezone to UTC (or store
-      * instants as TIMESTAMP_LTZ / epoch longs) before sessionizing NTZ
-      * data. */
+      * Timezone-independent: TIMESTAMP_NTZ (naive parquet timestamps)
+      * gaps are computed by NTZ−NTZ interval subtraction on the naive
+      * VALUES — no cast through the session timezone — so the result is
+      * identical under UTC, a fixed offset, or a DST zone (a gap
+      * spanning a DST transition neither stretches nor collapses, and
+      * ambiguous local times don't fold; AdviceFixSpec pins the DST-zone
+      * invariance). Other input types (LTZ, date, string) are cast to
+      * TIMESTAMP first, as before, and subtract as instants. */
     def sessionized(key: String, time: String, gapMinutes: Int = 30,
                     tieBreak: Seq[String] = Nil): DataFrame = {
       val byKey = Window.partitionBy(col(key))
         .orderBy((col(time) +: tieBreak.map(col)): _*)
+      val ntz = df.schema(time).dataType ==
+        org.apache.spark.sql.types.TimestampNTZType
+      def asTime(c: Column): Column = if (ntz) c else c.cast("timestamp")
       df.withColumn("_prev", lag(col(time), 1).over(byKey))
         .withColumn("_gap",
           when(col("_prev").isNull ||
-            unix_micros(col(time).cast("timestamp")) -
-              unix_micros(col("_prev").cast("timestamp")) > gapMinutes * 60000000L, 1L)
+            asTime(col(time)) - asTime(col("_prev")) >
+              expr(s"INTERVAL '$gapMinutes' MINUTE"), 1L)
             .otherwise(0L))
         .withColumn("session_id", sum(col("_gap")).over(
           byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -163,4 +163,38 @@ class AdviceFixSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSeq
     assert(dropped == Seq(2L))
   }
+
+  test("sessionized NTZ gaps are timezone-invariant across a DST transition") {
+    import spark.implicits._
+    import graft.api._
+    import java.time.LocalDateTime
+    // naive 01:30 -> 03:10 on the US spring-forward date: 100 naive
+    // minutes, but only 40 INSTANT minutes in America/New_York (02:00
+    // EST jumps to 03:00 EDT). Value-based NTZ gap math must split at
+    // gap=60 in EVERY session timezone; the old cast-through-session-tz
+    // path saw 40 minutes under New York and merged the sessions.
+    val df = Seq(
+      (1L, LocalDateTime.parse("2021-03-14T01:30:00"), 1L),
+      (1L, LocalDateTime.parse("2021-03-14T03:10:00"), 2L),
+      // fall-back ambiguity: 01:30 occurs twice on Nov 7; naive math
+      // has one well-defined 75-minute gap
+      (2L, LocalDateTime.parse("2021-11-07T00:15:00"), 3L),
+      (2L, LocalDateTime.parse("2021-11-07T01:30:00"), 4L))
+      .toDF("uid", "t", "eid")
+    assert(df.schema("t").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    def sessions(zone: String): Seq[(Long, Long)] = {
+      val prev = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", zone)
+      try df.sessionized("uid", "t", gapMinutes = 60, tieBreak = Seq("eid"))
+        .orderBy("eid").select("eid", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      finally spark.conf.set("spark.sql.session.timeZone", prev)
+    }
+    val utc = sessions("UTC")
+    assert(sessions("America/New_York") == utc,
+      "NTZ session gaps moved with the session timezone")
+    assert(utc == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L)),
+      s"value-based gaps wrong: $utc")
+  }
 }
