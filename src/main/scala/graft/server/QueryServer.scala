@@ -23,6 +23,22 @@ import java.nio.charset.StandardCharsets
   *                                      poll that pairs with the
   *                                      crunch_update notify hook
   *                                      (worker.js:184-190)
+  *   POST /probe/dedup?index=<name>[&threshold=T&limit=N]
+  *                                   → probe a persisted [[graft.operators
+  *                                      .DedupIndex]] under `indexRoot`
+  *                                      with the posted batch (JSON array
+  *                                      or JSONL of {"doc_id","text"}):
+  *                                      "does this batch duplicate the
+  *                                      corpus?" ahead of ingest — the
+  *                                      nightly question, served without
+  *                                      appending (read-only; O(batch)
+  *                                      kernel work against the stored
+  *                                      band table). Returns verified
+  *                                      (a=probe, b=indexed) pairs with
+  *                                      exact Jaccard. Probe doc_ids
+  *                                      should be disjoint from indexed
+  *                                      ids (the index contract; equal
+  *                                      ids are dropped as self-matches).
   *
   * The server holds ONE SparkSession; queries are declarative DataFrames,
   * so concurrent requests are just concurrent Spark jobs under the
@@ -30,7 +46,8 @@ import java.nio.charset.StandardCharsets
   * executors — the driver only concatenates bounded output.
   */
 final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
-                        storeRoot: Option[String] = None) {
+                        storeRoot: Option[String] = None,
+                        indexRoot: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -95,6 +112,71 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               respond(ex, 404, s"""{"error":"no store named '$name'"}""")
             case Some(v) =>
               respond(ex, 200, s"""{"store":"$name","version":$v}""")
+          }
+      }
+    })
+    // the probe face of the incremental dedup surface: POST a batch,
+    // learn what it duplicates — without appending. The body parses
+    // through Spark's own JSON reader (schema-enforced), the index
+    // resolves under the canonicalize-under-root discipline of
+    // /version, and the response is bounded like /query.
+    server.createContext("/probe/dedup", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405, """{"error":"POST a JSON batch of {doc_id, text}"}""")
+      else (indexRoot, param(ex, "index")) match {
+        case (None, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None) =>
+          respond(ex, 400, """{"error":"index param required"}""")
+        case (Some(root), Some(name)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val thr = param(ex, "threshold")
+            .map(p => scala.util.Try(p.toDouble).toOption)
+          val lim = param(ex, "limit")
+            .map(p => scala.util.Try(p.toInt).toOption)
+          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"index not under the index root"}""")
+          else if (thr.contains(None))
+            respond(ex, 400, """{"error":"threshold must be a number"}""")
+          else if (lim.contains(None))
+            respond(ex, 400, """{"error":"limit must be an integer"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val loaded =
+              try Some(graft.operators.DedupIndex.load(spark, dir.getPath))
+              catch { case e: IllegalArgumentException
+                  if e.getMessage != null && e.getMessage.contains("_MEMBERS") =>
+                None
+              }
+            loaded match {
+              case None =>
+                respond(ex, 404, s"""{"error":"no dedup index named '$name'"}""")
+              case Some(idx) =>
+                val body = new String(ex.getRequestBody.readAllBytes(),
+                  StandardCharsets.UTF_8)
+                import spark.implicits._
+                // JSONL or one JSON array; schema-enforced, so junk rows
+                // surface as nulls and are refused rather than probed
+                val docs = spark.read.schema("doc_id LONG, text STRING")
+                  .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+                  .cache()
+                try {
+                  val bad = docs
+                    .filter(col("doc_id").isNull || col("text").isNull).count()
+                  if (docs.count() == 0 || bad > 0)
+                    respond(ex, 400,
+                      """{"error":"body must be JSON rows of {doc_id, text}"}""")
+                  else {
+                    val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                    val rows = idx.probe(docs, thr.flatten.getOrElse(0.5))
+                      .orderBy(col("a"), col("b")).limit(limit).toJSON.collect()
+                    respond(ex, 200, rows.mkString("[", ",", "]"))
+                  }
+                } finally docs.unpersist(false)
+            }
+          } catch { case e: Throwable =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })
@@ -163,7 +245,9 @@ object QueryServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val srv = new QueryServer(spark, sf, port)
+    val srv = new QueryServer(spark, sf, port,
+      storeRoot = sys.env.get("GRAFT_STORE_ROOT"),
+      indexRoot = sys.env.get("GRAFT_INDEX_ROOT"))
     srv.start()
     println(s"[graft] query server on :${srv.boundPort}")
     Thread.currentThread.join()

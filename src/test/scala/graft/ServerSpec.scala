@@ -62,6 +62,62 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val rsp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (rsp.statusCode(), rsp.body())
+  }
+
+  test("POST /probe/dedup probes a persisted index over a real socket") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_indexes").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0).limit(40)
+    val idx = graft.operators.DedupIndex.build(corpus, s"$root/docs", 3)
+
+    val srv = new QueryServer(spark, sf, indexRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // the posted batch: JSONL of {doc_id, text} — the nightly "does
+      // this crawl duplicate the corpus?" question
+      val body = batch.toJSON.collect().mkString("\n")
+      val (pc, pBody) = post(port, "/probe/dedup?index=docs&threshold=0.5", body)
+      assert(pc == 200, pBody)
+      // the socket answer equals the direct probe, pair for pair
+      val want = idx.probe(batch, 0.5).select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = """"a":(\d+),"b":(\d+)""".r.findAllMatchIn(pBody)
+        .map(m => (m.group(1).toLong, m.group(2).toLong)).toSet
+      assert(got == want, s"socket probe diverged: got $got want $want")
+      assert(want.nonEmpty, "probe found no pairs — batch too clean to test")
+
+      // guardrails: wrong method, unknown index, traversal, bad body
+      val (mc, _) = get(port, "/probe/dedup?index=docs")
+      assert(mc == 405)
+      val (uc, _) = post(port, "/probe/dedup?index=nope", body)
+      assert(uc == 404)
+      val (tc, _) = post(port, "/probe/dedup?index=..%2Fdocs", body)
+      assert(tc == 403)
+      val (bc, _) = post(port, "/probe/dedup?index=docs", """{"junk": 1}""")
+      assert(bc == 400)
+      val (nc, _) = post(port, "/probe/dedup?index=docs&threshold=x", body)
+      assert(nc == 400)
+    } finally srv.stop()
+  }
+
+  test("/probe/dedup without a configured index root answers 404") {
+    val srv = new QueryServer(spark, sf)
+    srv.start()
+    try {
+      val (c, _) = post(srv.boundPort, "/probe/dedup?index=docs", "{}")
+      assert(c == 404)
+    } finally srv.stop()
+  }
+
   test("/version serves point-store content versions under the store root") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft_stores").toString
