@@ -26,7 +26,7 @@ object SparkEntry {
   val lifecycleQueries: Set[String] = Set(
     "point_store_roundtrip", "point_store_changes", "point_store_follower",
     "dedup_clusters", "pipeline_curate", "dedup_incremental",
-    "dedup_embedding_delta")
+    "dedup_embedding_delta", "pipeline_curate_delta")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -95,6 +95,8 @@ object SparkEntry {
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
     "pipeline_curate" -> (Pipeline.pipelineCurate _),
+    // #50: the nightly funnel folded incrementally against persisted state
+    "pipeline_curate_delta" -> (CurateStore.pipelineCurateDelta _),
     "cluster_zorder"  -> (Layout.clusterZorderQuery _),
     // sinks (#38): LSM point-table store — append/compact/merge-on-read
     "point_store_roundtrip" -> (graft.sources.PointStore.roundtrip _),
@@ -165,6 +167,8 @@ object SparkEntry {
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
     "pipeline_curate" -> Pipeline.pipelineCurateOracle,
+    // build + night-fold + merge-on-read must land on the one-shot funnel
+    "pipeline_curate_delta" -> CurateStore.pipelineCurateDeltaOracle,
     "cluster_zorder"  -> Layout.clusterZorderOracle,
     "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,
     "point_store_changes"   -> graft.sources.PointStore.changefeedOracle,

@@ -68,6 +68,24 @@ package object api {
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
         indexDir, n)
 
+    /** Build a persisted CURATION store over this frame's documents at
+      * `storeDir` — the full cleaning funnel (quality, repetition,
+      * decontamination, corpus-relative boilerplate screen + strip,
+      * exact keepers, near-dup clusters) run once and persisted, so
+      * later crawl deltas fold in with
+      * [[graft.operators.CurateStore.curateNight]] (O(delta) text work,
+      * exactly-once under redelivery) and
+      * [[graft.operators.CurateStore.snapshot]] reassembles the curated
+      * corpus from state alone. Delta ids must be disjoint from the
+      * ingested corpus (the [[buildDedupIndex]] contract — the store
+      * appends into its nested signature index). */
+    def buildCurateStore(idCol: String, textCol: String, langCol: String,
+                         storeDir: String): graft.operators.CurateStore =
+      graft.operators.CurateStore.build(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+          col(langCol).as("lang")),
+        storeDir)
+
     /** Overlapping context-window chunks of a text column: one row per
       * (doc, chunk) with id, token count, text — scan-speed row
       * expansion, no joins or aggregation. */

@@ -1,0 +1,592 @@
+package graft.operators
+
+import graft.sources.{PointStore, StoreFs}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted curation state — the nightly [[Pipeline.pipelineCurate]]
+  * funnel as an INCREMENTAL fold over a crawl delta, instead of a
+  * corpus-wide recompute every night.
+  *
+  * The one-shot funnel's cost at 100 TB is its text passes: every night
+  * it re-tokenizes, re-shingles, and re-strips the WHOLE corpus to
+  * re-derive verdicts that mostly did not change. This store persists
+  * everything those passes produce, so a night touches document text
+  * exactly once — the delta's — and every corpus-side read is a columnar
+  * scan of stored state (the reference's incremental-fold philosophy:
+  * cruncher crunch_global.sql:58-75 ON DUPLICATE KEY merge,
+  * worker.js:119-165 delta batches — applied to the whole curation DAG,
+  * not just one aggregate). Composition of the repo's persisted-index
+  * family:
+  *
+  *  - a nested [[DedupIndex]] (`sigindex/`) holds per-doc MinHash
+  *    signatures + distinct hashed-shingle sets: near-dup candidates and
+  *    verify run from storage ([[DedupIndex.pairsInvolving]]), and the
+  *    same stored shingle sets feed the boilerplate / decontamination
+  *    screens — one kernel pass per document EVER, shared by every
+  *    cross-document screen (they are all [[Curation.DecontamN]]-grain);
+  *  - a [[PointStore]] (`df/`) holds the shingle document-frequency
+  *    table: the boilerplate screen's corpus-RELATIVE threshold needs
+  *    corpus-wide df, and the store's additive merge folds a night's
+  *    delta df in O(delta) write / one merge-on-read scan;
+  *  - a [[PointStore]] (`bench/`) holds the benchmark shingle set for
+  *    decontamination — contamination is MONOTONE (the set only grows),
+  *    so a night only probes the corpus against NEWLY-benchmark shingles;
+  *  - manifest-listed parquet members hold per-doc stats (quality /
+  *    repetition / verdict flags / content hash — latest-wins
+  *    merge-on-read, so a night commits O(changed) override rows), the
+  *    verified near-dup pair set (append-only), the positional window
+  *    arrays ([[Curation.windowsOf]] — the forward index that lets a
+  *    later night re-strip a doc against a changed common set without
+  *    touching text), and the stripped `cleaned` output text
+  *    (latest-wins).
+  *
+  * Per-night work, for a delta of D docs against a corpus of C docs:
+  * text kernels O(D) (stats, repetition, window, signature passes over
+  * DELTA text only); candidate generation = delta bands ⋈ stored bands
+  * (equi-join, never corpus × corpus); verdict maintenance = the stored
+  * shingle-set column probed by two delta-derived sets (the
+  * common-membership FLIPS and the newly-benchmark shingles — each a
+  * columnar scan streaming against a delta-sized build side, never a
+  * corpus shuffle); re-strips run over AFFECTED docs only (those
+  * holding a flipped shingle), from stored windows. Every WRITE is
+  * O(D + affected): the corpus is never rewritten.
+  *
+  * Verdict-stability argument the incremental fold leans on (and
+  * CurateStoreSpec pins): quality/repetition/content-hash are doc-local
+  * (never change); contamination is monotone in the growing bench set;
+  * boilerplate verdicts and stripped text change ONLY for docs holding
+  * a shingle whose common-set membership flipped — both the df side and
+  * the threshold side of a flip are captured by diffing the old/new
+  * common sets, which the stored df table reproduces for BOTH nights
+  * (old = pre-fold, new = folded + the delta's own df). Exact-keeper
+  * election stays a stored-hash groupBy because identical text implies
+  * identical screen verdicts — an exact-dup group survives or dies as a
+  * unit, so keepers never migrate within the stored corpus.
+  *
+  * Durability contract (single writer, like the sibling stores): the
+  * `_CURATE` manifest flip is the ONE commit point of a night. Member
+  * dirs land before it (a crashed night's half-written dirs are
+  * invisible and clobbered by the retry's Overwrite); the nested
+  * sub-stores commit EARLIER but idempotently under the night's tag,
+  * and the night's read phase reconstructs their pre-night state when a
+  * crashed attempt already folded them (the additive merge makes the
+  * delta's contribution subtractable — [[minusTag]]), so a re-run of a
+  * half-committed night converges on the identical store state. A
+  * redelivered tag whose manifest flip committed is a no-op.
+  */
+final class CurateStore private (spark: SparkSession, dir: String) {
+
+  import CurateStore._
+
+  private val sfs = StoreFs(spark, dir)
+
+  private[operators] val sigindex: DedupIndex =
+    DedupIndex.load(spark, sfs.pathOf("sigindex"))
+  private val dfStore =
+    new PointStore(spark, sfs.pathOf("df"), Seq("shingle"), Seq("df"), Nil)
+  private val benchStore =
+    new PointStore(spark, sfs.pathOf("bench"), Seq("shingle"), Seq("n_docs"), Nil)
+
+  private def manifestLines: Seq[String] = sfs.linesIfExists(ManifestName)
+
+  /** Nights whose manifest flip committed. */
+  def consumedTags: Set[String] =
+    manifestLines.collect { case l if l.startsWith("#tag:") =>
+      l.stripPrefix("#tag:") }.toSet
+
+  /** Total documents ever ingested (corpus + committed deltas) — the
+    * denominator of the boilerplate screen's corpus-relative threshold. */
+  def docCount: Long =
+    manifestLines.collectFirst { case l if l.startsWith("#count:") =>
+      l.stripPrefix("#count:").toLong }
+      .getOrElse(sys.error(s"no curate store at $dir (missing #count)"))
+
+  private def tableMembers(t: String): Seq[String] =
+    manifestLines.collect { case l if l.startsWith(t + ":") =>
+      l.stripPrefix(t + ":") }
+
+  /** Members of one logical table unioned with their commit generation —
+    * the raw merge-on-read input ([[latestWins]] resolves overrides). */
+  private def readTable(t: String): DataFrame = {
+    val ms = tableMembers(t)
+    require(ms.nonEmpty, s"curate store at $dir has no $t members")
+    ms.zipWithIndex.map { case (m, g) =>
+        spark.read.parquet(sfs.pathOf(m)).withColumn("_gen", lit(g)) }
+      .reduce(_ unionByName _)
+  }
+
+  /** Latest-wins merge-on-read: one key-grain shuffle, newest member's
+    * row wins (a night's override member out-ranks the base). */
+  private def latestWins(df: DataFrame, key: String): DataFrame = {
+    val others = df.columns.filterNot(c => c == key || c == "_gen")
+    df.groupBy(col(key))
+      .agg(max_by(struct(others.map(col): _*), col("_gen")).as("_st"))
+      .select(col(key) +: others.map(c => col(s"_st.$c").as(c)): _*)
+  }
+
+  private def writeMember(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(sfs.pathOf(name))
+
+  /** The current curated corpus, assembled purely from stored state —
+    * identical columns and rows to [[Pipeline.pipelineCurate]] run
+    * one-shot over everything ever ingested (the registered
+    * `pipeline_curate_delta` proves this against the UNSPLIT oracle).
+    * No text is read: survivors and exact keepers come from the stats
+    * table (one hash-grain shuffle for the election), clusters from the
+    * stored pair set restricted to keepers
+    * ([[Dedup.connectedComponents]] — O(pairs), not O(corpus)), and
+    * `cleaned` from the strips table. */
+  def snapshot(): DataFrame = Dedup.stagedScope { scratch =>
+    val stats = scratch.pin(latestWins(readTable("stats"), "doc_id"))
+    val surv = stats.filter(
+      col("quality_score") >= Pipeline.QualityThreshold &&
+        !col("repetitive") && !col("contaminated") && !col("boilerplate") &&
+        col("doc_id") % Curation.BenchMod =!= 0)
+    // exact-keeper election over stored content hashes — one shuffle
+    val keep = surv.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val kdocs = scratch.pin(
+      surv.join(keep.hint("shuffle_hash"), Seq("doc_id"), "left_semi"))
+    val kIds = kdocs.select(col("doc_id"))
+    val pairs = readTable("pairs").select(col("a"), col("b"))
+    // near-dup clustering over keepers only (the funnel order): stored
+    // pairs cover ALL indexed docs, so restricting both endpoints to
+    // tonight's keepers reproduces exactly the pair set a one-shot
+    // minhash over the keeper frame would find (band collisions and
+    // Jaccard are pairwise properties, indifferent to the rest)
+    val kp = pairs
+      .join(kIds.withColumnRenamed("doc_id", "a").hint("shuffle_hash"),
+        Seq("a"), "left_semi")
+      .join(kIds.withColumnRenamed("doc_id", "b").hint("shuffle_hash"),
+        Seq("b"), "left_semi")
+    val comp = Dedup.connectedComponents(kp)
+      .withColumnRenamed("node", "doc_id")
+    val strips = latestWins(readTable("strips"), "doc_id")
+    kdocs
+      .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(strips.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), col("content_hash"), col("lang"),
+        col("n_tokens"), col("quality_score"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+        (col("doc_id") === coalesce(col("lbl"), col("doc_id")))
+          .as("near_dup_keeper"),
+        col("cleaned"))
+  }
+
+  /** Fold every table's member list into one member per table, and
+    * compact the nested sub-stores — the LSM norm, bounding plan width
+    * after many nightly appends (each night adds one member per table =
+    * one union branch in every merge-on-read plan). Latest-wins tables
+    * (stats, strips) fold through [[latestWins]], so override history
+    * collapses to its outcome; append-only tables (windows, pairs) fold
+    * verbatim. ONE manifest flip publishes all four folds together
+    * (count, tag ledger, and results unchanged — CurateStoreSpec);
+    * superseded dirs stay for in-flight readers until [[vacuum]]. */
+  def compact(): Unit = {
+    val lines = manifestLines
+    val tables = Seq("stats", "strips", "windows", "pairs")
+    if (tables.forall(t => tableMembers(t).size <= 1)) ()
+    else {
+      val seen = sfs.names()
+      val n = seen.collect {
+        case s if s.matches("[a-z]+-compact-[0-9]+") =>
+          s.split("-").last.toInt
+      }.foldLeft(-1)(math.max) + 1
+      val folded = tables.map { t =>
+        val name = f"$t-compact-$n%03d"
+        val df = readTable(t)
+        val out =
+          if (t == "stats" || t == "strips") latestWins(df, "doc_id")
+          else df.drop("_gen")
+        writeMember(name, out)
+        s"$t:$name"
+      }
+      val meta = lines.filter(_.startsWith("#"))
+      sfs.atomicWrite(ManifestName, (folded ++ meta).mkString("\n").getBytes)
+    }
+    sigindex.compact()
+    dfStore.compact()
+    benchStore.compact()
+  }
+
+  /** Reclaim member directories the manifest no longer references (the
+    * space half [[compact]] defers; sub-stores vacuum themselves). Run
+    * once no reader holds a pre-compaction plan — the single-writer
+    * contract shared with the sibling stores. */
+  def vacuum(): Unit = {
+    val live = manifestLines.filterNot(_.startsWith("#"))
+      .map(_.split(":", 2)(1)).toSet ++ SubStoreDirs
+    sfs.dirNames().filterNot(live).foreach(sfs.deleteChild)
+    sigindex.vacuum()
+    dfStore.vacuum()
+    benchStore.vacuum()
+  }
+
+  /** A sub-store's state BEFORE this night: normally its snapshot; if a
+    * CRASHED attempt of the same tag already folded the delta, subtract
+    * the (deterministic) delta contribution back out — additive sums
+    * make the pre-image exact, which is what lets a night retry re-read
+    * "old df / old bench" correctly after a partial commit. */
+  private def minusTag(store: PointStore, tag: String,
+      deltaPart: DataFrame, valueCol: String): DataFrame = {
+    val snap = store.snapshot
+    if (!store.consumedTags.contains(tag)) snap
+    else snap
+      .join(deltaPart.select(col("shingle"), col(valueCol).as("_dsub")),
+        Seq("shingle"), "left")
+      .select(col("shingle"),
+        (col(valueCol) - coalesce(col("_dsub"), lit(0L))).as(valueCol))
+      .filter(col(valueCol) > 0)
+  }
+
+  /** Fold one night's crawl delta into the store. Text work is O(delta);
+    * corpus-side work is columnar scans of stored state; writes are
+    * O(delta + affected docs). Delta doc_ids must be disjoint from the
+    * stored corpus (the [[DedupIndex]] append contract — new crawl ids).
+    * Single writer; see the class doc for crash/retry semantics. */
+  def curateNight(tag: String, delta: DataFrame,
+                  autoCompactAt: Int = CurateStore.AutoCompactMembers): Unit = {
+    if (consumedTags.contains(tag)) return
+    // fold-before-commit (the DedupIndex auto-compaction rule): past the
+    // bound, fold the EXISTING members first so tonight's member always
+    // survives the fold and a crash mid-fold loses no delta
+    if (tableMembers("stats").size >= autoCompactAt) compact()
+    val lines = manifestLines
+    val nOld = docCount
+    val nDelta = delta.count()
+    val minDocsOld = Curation.boilerplateMinDocs(nOld)
+    val minDocsNew = Curation.boilerplateMinDocs(nOld + nDelta)
+
+    // every multi-consumer frame below is pinned here and released on
+    // ANY exit — the night is a sequence of EAGER writes, so nothing
+    // outlives the call (unlike the lazy lifecycle queries)
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pinned += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+
+    // pre-state snapshot: the plan pins the CURRENT member lists (member
+    // dirs are immutable, so it stays valid after the appends below)
+    val statsPre = pin(latestWins(readTable("stats"), "doc_id"))
+
+    try {
+      // ---- the night's ONE text ingestion: signature-index append
+      // (tokenize + shingle + 64-hash MinHash over DELTA text only;
+      // exactly-once under the tag) ----
+      sigindex.appendTagged(tag, delta)
+      val member = s"append-$tag"
+      // delta shingle sets re-read FROM the member just committed — the
+      // screens below never re-run the kernel
+      val deltaRows = sigindex.memberRows(member)
+      val deltaSh = deltaRows
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+      // ---- document-frequency fold: old/new common sets, their diff ----
+      val deltaDf = deltaSh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+      val oldDf = minusTag(dfStore, tag, deltaDf, "df")
+      val newDf = oldDf.select(col("shingle"), col("df").as("_do"))
+        .join(deltaDf.select(col("shingle"), col("df").as("_dn")),
+          Seq("shingle"), "full")
+        .select(col("shingle"),
+          (coalesce(col("_do"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+            .as("df"))
+      val oldCommon = oldDf.filter(col("df") >= minDocsOld).select(col("shingle"))
+      val newCommon = pin(
+        newDf.filter(col("df") >= minDocsNew).select(col("shingle")))
+      // membership flips — from df growth AND the threshold move alike;
+      // only docs holding one of these can change boilerplate verdict
+      // or stripped text
+      val flipped = pin(oldCommon.except(newCommon)
+        .union(newCommon.except(oldCommon)))
+
+      // ---- benchmark-set fold: contamination is monotone, so only
+      // NEWLY-benchmark shingles need to probe the corpus ----
+      val deltaBenchDf = deltaSh
+        .filter(col("doc_id") % Curation.BenchMod === 0)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      val oldBench = minusTag(benchStore, tag, deltaBenchDf, "n_docs")
+        .select(col("shingle"))
+      val newBenchSh = deltaBenchDf.select(col("shingle")).except(oldBench)
+      val fullBench = oldBench.union(deltaBenchDf.select(col("shingle"))).distinct()
+
+      // ---- ONE probe of the stored corpus shingle sets by both
+      // delta-derived sets. "Stored corpus" = the index minus tonight's
+      // member — a plain member-list split, NO restriction join (a
+      // doc_id semi-join would shuffle the whole stored payload). The
+      // probe join carries NO shuffle hint deliberately: its build side
+      // is delta-derived (flips + newly-benchmark shingles), so AQE
+      // broadcasts it and the corpus posting explode STREAMS at scan
+      // speed — hinting shuffle here would exchange corpus-postings-
+      // grain rows every night. ----
+      val corpusRows = sigindex.rowsExcept(member)
+        .select(col("doc_id"), col("sh"))
+      val probeSh = flipped
+        .select(col("shingle"), lit(true).as("bp_probe"), lit(false).as("ct_probe"))
+        .unionByName(newBenchSh
+          .select(col("shingle"), lit(false).as("bp_probe"), lit(true).as("ct_probe")))
+      val hits = corpusRows
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(probeSh, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("bp_probe")).as("bp_hit"), max(col("ct_probe")).as("ct_hit"))
+
+      // ---- O(affected) verdict maintenance: re-derive boilerplate for
+      // flip-affected docs from their STORED shingle sets (restricted at
+      // doc grain before the explode); contamination only ever turns on ----
+      val affected = statsPre.join(hits.hint("shuffle_hash"), Seq("doc_id"))
+      val bpIds = pin(affected.filter(col("bp_hit")).select(col("doc_id")))
+      // unhinted restriction again: bpIds is O(affected), AQE broadcasts
+      // it, the stored sh arrays stream instead of shuffling
+      val nbp = corpusRows
+        .join(bpIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(newCommon.hint("shuffle_hash"), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+      val overrides = affected
+        .join(nbp.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality_score"), col("repetitive"),
+          (col("contaminated") ||
+            (col("ct_hit") && col("doc_id") % Curation.BenchMod =!= 0))
+            .as("contaminated"),
+          when(col("bp_hit"),
+            coalesce(col("n_bp"), lit(0L)).cast("double") / col("n_sh")
+              > Curation.BoilerplateMaxFrac)
+            .otherwise(col("boilerplate")).as("boilerplate"),
+          col("content_hash"), col("n_sh"))
+
+      // ---- delta doc stats: the remaining O(delta) text passes ----
+      val q = TextOps.textStatsOf(delta, col("lang"),
+          md5(col("text")).as("content_hash"))
+        .select(col("doc_id"), col("lang"), col("content_hash"),
+          col("n_tokens"), col("quality_score"))
+      val rep = Curation.docRepetitionOf(delta)
+        .select(col("doc_id"), col("repetitive"))
+      val nshD = deltaRows
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+      val ctD = deltaSh
+        .join(fullBench.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("_ct", lit(true))
+      val bpD = deltaSh
+        .join(newCommon.hint("shuffle_hash"), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+      val deltaStats = q
+        .join(rep.hint("shuffle_hash"), Seq("doc_id"))
+        .join(nshD.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(ctD.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(bpD.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality_score"), col("repetitive"),
+          (coalesce(col("_ct"), lit(false)) &&
+            col("doc_id") % Curation.BenchMod =!= 0).as("contaminated"),
+          when(coalesce(col("n_sh"), lit(0L)) === 0, lit(false))
+            .otherwise(coalesce(col("n_bp"), lit(0L)).cast("double")
+              / col("n_sh") > Curation.BoilerplateMaxFrac).as("boilerplate"),
+          col("content_hash"),
+          coalesce(col("n_sh"), lit(0L)).as("n_sh"))
+
+      // ---- member writes (invisible until the manifest flip) ----
+      writeMember(s"stats-$tag", overrides.unionByName(deltaStats))
+      writeMember(s"pairs-$tag",
+        sigindex.pairsInvolving(member, NearDupThreshold)
+          .select(col("a"), col("b")))
+      writeMember(s"windows-$tag", Curation.windowsOf(delta))
+
+      // ---- strips for tonight's NEW/CHANGED keepers, from stored
+      // windows — never a text re-read. Keeper set: the committed stats
+      // member (storage-fed) overrides the pre-state; only delta docs
+      // and flip-affected docs can need a fresh `cleaned`. ----
+      val statsMember = spark.read.parquet(sfs.pathOf(s"stats-$tag"))
+      val statsNow = statsPre
+        .join(statsMember.select(col("doc_id")).hint("shuffle_hash"),
+          Seq("doc_id"), "left_anti")
+        .unionByName(statsMember)
+      val surv = statsNow.filter(
+        col("quality_score") >= Pipeline.QualityThreshold &&
+          !col("repetitive") && !col("contaminated") && !col("boilerplate") &&
+          col("doc_id") % Curation.BenchMod =!= 0)
+      val keep = surv.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val stripIds = keep.join(
+        bpIds.union(delta.select(col("doc_id"))).distinct()
+          .hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+      // no hint on the window restriction either: stripIds is O(delta +
+      // affected), so AQE broadcasts it and the stored (w, whs) arrays —
+      // the heaviest rows the store holds — never cross an exchange
+      val winAll = readTable("windows")
+        .select(col("doc_id"), col("w"), col("whs"))
+        .unionByName(spark.read.parquet(sfs.pathOf(s"windows-$tag")))
+      val strips = Curation.stripFromWindows(
+          winAll.join(stripIds, Seq("doc_id"), "left_semi"),
+          newCommon)
+        .select(col("doc_id"), col("cleaned"))
+      writeMember(s"strips-$tag", strips)
+
+      // ---- sub-store folds (idempotent under the tag; O(delta) writes) ----
+      dfStore.appendTagged(tag, deltaDf)
+      benchStore.appendTagged(tag, deltaBenchDf)
+
+      // ---- the ONE commit point ----
+      val meta = lines.filter(_.startsWith("#"))
+        .filterNot(_.startsWith("#count:"))
+      val memberLines = lines.filterNot(_.startsWith("#")) ++ Seq(
+        s"stats:stats-$tag", s"pairs:pairs-$tag",
+        s"windows:windows-$tag", s"strips:strips-$tag")
+      sfs.atomicWrite(ManifestName,
+        (memberLines ++ Seq(s"#count:${nOld + nDelta}") ++ meta ++
+          Seq(s"#tag:$tag")).mkString("\n").getBytes)
+    } finally {
+      pinned.foreach(_.unpersist(false))
+    }
+  }
+}
+
+object CurateStore {
+
+  private val ManifestName = "_CURATE"
+
+  /** Directories that belong to the nested sub-stores, never to the
+    * member namespace — [[CurateStore.vacuum]] must not touch them. */
+  private val SubStoreDirs = Set("sigindex", "df", "bench")
+
+  /** Member-count bound per table before [[curateNight]] folds the
+    * store (16 = two weeks of nightly appends between folds — the
+    * [[DedupIndex.AutoCompactMembers]] rationale). */
+  val AutoCompactMembers = 16
+
+  /** Near-dup Jaccard bar — must match the one-shot funnel's
+    * ([[Pipeline.pipelineCurate]] clusters at width
+    * [[Curation.DecontamN]], threshold 0.5). */
+  val NearDupThreshold = 0.5
+
+  /** Night-0 build: run the full funnel over the initial corpus ONCE and
+    * persist every reusable byproduct. This is the one corpus-scale
+    * text pass the store ever pays; the per-table writes mirror what
+    * [[curateNight]] maintains incrementally. Refuses an existing store
+    * (the [[DedupIndex.build]] in-place-rebuild rule). */
+  def build(corpus: DataFrame, dir: String): CurateStore = {
+    val spark = corpus.sparkSession
+    val sfs = StoreFs(spark, dir)
+    require(!sfs.exists(ManifestName),
+      s"a curate store already exists at $dir — curateNight() into it, " +
+        "or build into a fresh directory")
+    sfs.mkdirs()
+    val n = corpus.count()
+    val minDocs0 = Curation.boilerplateMinDocs(n)
+
+    // the corpus kernel pass lands in the signature index; everything
+    // shingle-shaped below reads the STORED sets back, not the text
+    val idx = DedupIndex.build(corpus, sfs.pathOf("sigindex"),
+      Curation.DecontamN)
+    val rows = idx.index
+    val post = rows.select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+    val dfStore = new PointStore(spark, sfs.pathOf("df"),
+      Seq("shingle"), Seq("df"), Nil)
+    dfStore.appendTagged("base",
+      post.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+    val benchStore = new PointStore(spark, sfs.pathOf("bench"),
+      Seq("shingle"), Seq("n_docs"), Nil)
+    benchStore.appendTagged("base",
+      post.filter(col("doc_id") % Curation.BenchMod === 0)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs")))
+    val common0 = dfStore.snapshot.filter(col("df") >= minDocs0)
+      .select(col("shingle"))
+    val bench0 = benchStore.snapshot.select(col("shingle"))
+
+    // per-doc stats: quality + content hash in one text pass, repetition
+    // in its keyed-agg pass, screen verdicts from stored postings
+    val q = TextOps.textStatsOf(corpus, col("lang"),
+        md5(col("text")).as("content_hash"))
+      .select(col("doc_id"), col("lang"), col("content_hash"),
+        col("n_tokens"), col("quality_score"))
+    val rep = Curation.docRepetitionOf(corpus)
+      .select(col("doc_id"), col("repetitive"))
+    val nsh = rows.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val ct = post.filter(col("doc_id") % Curation.BenchMod =!= 0)
+      .join(bench0.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("_ct", lit(true))
+    val bp = post.join(common0.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+    val stats0 = q
+      .join(rep.hint("shuffle_hash"), Seq("doc_id"))
+      .join(nsh.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(ct.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(bp.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("repetitive"),
+        coalesce(col("_ct"), lit(false)).as("contaminated"),
+        when(coalesce(col("n_sh"), lit(0L)) === 0, lit(false))
+          .otherwise(coalesce(col("n_bp"), lit(0L)).cast("double")
+            / col("n_sh") > Curation.BoilerplateMaxFrac).as("boilerplate"),
+        col("content_hash"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"))
+    stats0.write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("stats-base"))
+
+    idx.allPairs(NearDupThreshold).select(col("a"), col("b"))
+      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("pairs-base"))
+    Curation.windowsOf(corpus)
+      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("windows-base"))
+
+    // strips for the night-0 keepers, storage-fed (stats + windows read
+    // back from the members just written)
+    val statsR = spark.read.parquet(sfs.pathOf("stats-base"))
+    val surv = statsR.filter(
+      col("quality_score") >= Pipeline.QualityThreshold &&
+        !col("repetitive") && !col("contaminated") && !col("boilerplate") &&
+        col("doc_id") % Curation.BenchMod =!= 0)
+    val keep = surv.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val winR = spark.read.parquet(sfs.pathOf("windows-base"))
+    Curation.stripFromWindows(
+        winR.join(keep.hint("shuffle_hash"), Seq("doc_id"), "left_semi"),
+        common0)
+      .select(col("doc_id"), col("cleaned"))
+      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("strips-base"))
+
+    sfs.atomicWrite(ManifestName, Seq(
+      "stats:stats-base", "pairs:pairs-base",
+      "windows:windows-base", "strips:strips-base",
+      s"#count:$n").mkString("\n").getBytes)
+    load(spark, dir)
+  }
+
+  /** Load fails loudly on a directory with no committed store
+    * ([[DedupIndex.load]]'s refusal style). */
+  def load(spark: SparkSession, dir: String): CurateStore = {
+    val store = new CurateStore(spark, dir)
+    store.docCount // throws with the directory named if absent
+    store
+  }
+
+  /** `pipeline_curate_delta`: the nightly lifecycle against a store on
+    * disk — build over the historical corpus (doc_id ≤ 80% of the id
+    * range), fold the crawl delta (the newest 20%) in as one night with
+    * an at-least-once redelivery (must commit nothing), and read the
+    * assembled result. The oracle is the ONE-SHOT
+    * [[Pipeline.pipelineCurateOracle]] over the UNSPLIT table, so a
+    * hash match proves build + night-fold + merge-on-read reproduce the
+    * full recompute exactly — quality, repetition, decontamination,
+    * corpus-relative boilerplate (verdicts AND stripped text), exact
+    * keepers, and near-dup clusters — while having touched each
+    * document's text exactly once. */
+  def pipelineCurateDelta(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId * 4 / 5
+    val corpus = docs.filter(col("doc_id") <= cut)
+    val delta = docs.filter(col("doc_id") > cut)
+    val dir = DedupIndex.freshRunDir("graft_curatestore_", d)
+    val store = build(corpus, dir.getPath)
+    store.curateNight("nightly", delta)
+    store.curateNight("nightly", delta) // redelivered night: no-op
+    store.snapshot()
+  }
+
+  /** Same result as the one-shot funnel — the whole point. */
+  def pipelineCurateDeltaOracle: String = Pipeline.pipelineCurateOracle
+}

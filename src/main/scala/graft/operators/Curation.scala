@@ -366,20 +366,41 @@ object Curation {
     * uses so the funnel's pinned posting pass prices `common` once for
     * the screen and the strip alike. One row per `docs` row:
     * (doc_id, n_tokens, n_dropped, cleaned). */
-  private[graft] def stripWith(docs: DataFrame, common: DataFrame): DataFrame = {
-    // shingleTokens, not tokens: the windows must line up with the
-    // kernel-built `common` set and the oracle's rtrim'd toks.w — plain
-    // SQL split would mint a phantom trailing token (and shingle) for
-    // text ending in non-space whitespace
-    val base = docs.select(col("doc_id"),
+  private[graft] def stripWith(docs: DataFrame, common: DataFrame): DataFrame =
+    stripFromWindows(windowsOf(docs), common)
+
+  /** The positional-window frame the strip consumes — and the
+    * [[CurateStore]] persists as its forward index: one row per doc with
+    * the token array and the POSITIONAL window-hash array (`whs[i]` =
+    * xxhash64 of the [[DecontamN]]-gram starting at 0-based token `i`;
+    * duplicates kept, unlike the distinct-set kernel). Persisting this
+    * frame is what lets a later night re-strip a document against a
+    * CHANGED common-shingle set without re-reading or re-tokenizing its
+    * text — the re-strip becomes a columnar read of (w, whs).
+    *
+    * shingleTokens, not tokens: the windows must line up with the
+    * kernel-built `common` set and the oracle's rtrim'd toks.w — plain
+    * SQL split would mint a phantom trailing token (and shingle) for
+    * text ending in non-space whitespace. The string window hashes with
+    * the same xxhash64(seed 42) the kernel uses, so join keys against
+    * kernel-derived df tables line up bit-for-bit. */
+  private[graft] def windowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         Dedup.shingleTokens(col("text")).as("w"))
       .repartition(col("doc_id")) // token-array barrier (see Dedup.shingles)
-    // positional windows: duplicates kept, 0-based window start. The
-    // string window hashes with the same xxhash64(seed 42) the kernel
-    // uses, so the join keys line up bit-for-bit.
+      .select(col("doc_id"), col("w"),
+        transform(Dedup.ngramsOfTokens(col("w"), DecontamN),
+          g => xxhash64(g)).as("whs"))
+
+  /** [[stripWith]]'s rewrite core over a PREBUILT (doc_id, w, whs)
+    * window frame — either [[windowsOf]] inline (the one-shot path) or
+    * a [[CurateStore]] member read back from storage (the incremental
+    * re-strip path, where the text is never touched again). */
+  private[graft] def stripFromWindows(base: DataFrame,
+      common: DataFrame): DataFrame = {
+    // positional windows: duplicates kept, 0-based window start
     val win = base.select(col("doc_id"),
-        posexplode(Dedup.ngramsOfTokens(col("w"), DecontamN)).as(Seq("i", "g")))
-      .select(col("doc_id"), col("i"), xxhash64(col("g")).as("shingle"))
+      posexplode(col("whs")).as(Seq("i", "shingle")))
     val covered = win.join(common.hint("shuffle_hash"), "shingle")
       .select(col("doc_id"),
         explode(array((0 until DecontamN).map(k => col("i") + k): _*)).as("p"))
@@ -447,8 +468,14 @@ object Curation {
     * All counts are exact integers and every ratio is one int/int double
     * division (exactly rounded IEEE), so the flag — a comparison on those
     * doubles — is bit-stable across engines. */
-  def docRepetition(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+  def docRepetition(s: SparkSession, d: String): DataFrame =
+    docRepetitionOf(documents(s, d))
+
+  /** [[docRepetition]] over an arbitrary (doc_id, text) frame — the
+    * entry [[CurateStore]] uses to score a nightly delta alone (the
+    * rules are doc-local, so a stored verdict never changes). */
+  private[graft] def docRepetitionOf(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
       .repartition(col("doc_id")) // parallelism + token-array barrier (see Dedup.shingles)
     val uni = base.select(col("doc_id"), explode(col("w")).as("tok"))

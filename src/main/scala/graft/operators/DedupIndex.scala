@@ -101,6 +101,26 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
   /** The full stored index frame. */
   def index: DataFrame = rowsOf(members)
 
+  /** One member's stored (doc_id, sig, sh) rows — the storage-fed read
+    * [[CurateStore]] uses so a night's delta shingle sets come from the
+    * member the append just committed instead of a second kernel pass. */
+  private[operators] def memberRows(member: String): DataFrame = {
+    require(members.contains(member), s"unknown member $member (have $members)")
+    rowsOf(Seq(member))
+  }
+
+  /** Everything EXCEPT one member — "the index as it stood before this
+    * append", read as a plain member union with NO restriction join
+    * (a doc_id semi-join against the stored-id column would shuffle the
+    * whole (sig, sh) payload; the member list already encodes the
+    * split). Correct across [[appendTagged]]'s fold-before-commit
+    * auto-compaction: the post-append member list minus the appended
+    * member IS the pre-append content, whatever names the fold left. */
+  private[operators] def rowsExcept(member: String): DataFrame = {
+    require(members.contains(member), s"unknown member $member (have $members)")
+    rowsOf(members.filterNot(_ == member))
+  }
+
   /** Signature frame in the one-shot pipeline's m0..m63 column layout,
     * so [[Dedup.minhashCandidates]]/[[Dedup.bandTable]] consume stored
     * rows unchanged — the hash family and band keys live in ONE place

@@ -51,11 +51,17 @@ object Pipeline {
     * survivors below the drop threshold still shed their residual
     * corpus-common windows before training — string-exact against the
     * oracle like the standalone boilerplate_strip). */
-  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def pipelineCurate(s: SparkSession, d: String): DataFrame =
+    pipelineCurateOf(documents(s, d))
+
+  /** The funnel over an arbitrary (doc_id, text, lang) frame — also the
+    * in-suite equivalence target for [[CurateStore]]'s incremental
+    * night: curate-the-delta must land on exactly this result computed
+    * one-shot over corpus ∪ delta. */
+  private[graft] def pipelineCurateOf(docs: DataFrame): DataFrame = {
     val scored = TextOps.textStatsOf(docs, col("text"), col("lang"))
       .filter(col("doc_id") % Curation.BenchMod =!= 0)
-    val rep = Curation.docRepetition(s, d).select(col("doc_id"), col("repetitive"))
+    val rep = Curation.docRepetitionOf(docs).select(col("doc_id"), col("repetitive"))
     // boilerplate sizing: a parquet-footer metadata action
     val minDocs = Curation.boilerplateMinDocs(docs.count())
     // every persisted frame below is SCRATCH here, not the output —

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.sources.PointStore
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The persisted curation store: night-0 build + nightly delta folds
+  * must reproduce the one-shot [[Pipeline.pipelineCurateOf]] funnel
+  * EXACTLY over everything ingested so far — across common-set flips
+  * (both the df-growth and the threshold-move direction), monotone
+  * contamination growth, exact-keeper election, cross-boundary near-dup
+  * clusters, and the string-exact stripped text — while never touching
+  * corpus text after night 0 (pinned here by literally deleting the
+  * corpus parquet before the night runs). */
+class CurateStoreSpec extends SparkSpec {
+
+  private def freshDir(name: String): java.io.File = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    PointStore.deleteRec(f)
+    f
+  }
+
+  /** Full-row compare key→value map; doubles exact (same Spark
+    * expressions on both sides), cleaned string-exact. */
+  private def resultMap(df: DataFrame): Map[Long, (String, String, Long, Double, Long, Boolean, String)] =
+    df.collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("content_hash"), r.getAs[String]("lang"),
+          r.getAs[Long]("n_tokens"), r.getAs[Double]("quality_score"),
+          r.getAs[Long]("cluster_id"), r.getAs[Boolean]("near_dup_keeper"),
+          r.getAs[String]("cleaned")))
+    }.toMap
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("night-0 build reproduces the one-shot funnel over the corpus") {
+    val dir = freshDir("graft_test_curate_n0")
+    val corpus = docs.filter(col("doc_id") <= 399)
+    val store = CurateStore.build(corpus, dir.getPath)
+    assert(store.docCount == corpus.count())
+    assert(resultMap(store.snapshot()) ==
+      resultMap(Pipeline.pipelineCurateOf(corpus)))
+  }
+
+  test("one night equals one-shot over corpus ∪ delta — with the corpus " +
+    "text DELETED before the night (zero corpus re-reads), and a " +
+    "redelivered night a no-op") {
+    val dir = freshDir("graft_test_curate_night")
+    val cDir = freshDir("graft_test_curate_night_corpus")
+    val dDir = freshDir("graft_test_curate_night_delta")
+    docs.filter(col("doc_id") <= 399).write.parquet(cDir.getPath)
+    docs.filter(col("doc_id") > 399).write.parquet(dDir.getPath)
+    val corpus = spark.read.parquet(cDir.getPath)
+    val delta = spark.read.parquet(dDir.getPath)
+    // expected from the ORIGINAL testdata parquet (not the doomed copy)
+    val expected = resultMap(Pipeline.pipelineCurateOf(docs))
+    val store = CurateStore.build(corpus, dir.getPath)
+    val night0 = resultMap(store.snapshot())
+    // every corpus-side nightly read must come from the store: the
+    // corpus text is GONE before the night runs
+    PointStore.deleteRec(cDir)
+    store.curateNight("n1", delta)
+    val night1 = resultMap(store.snapshot())
+    assert(night1 == expected)
+    // sanity: the incremental machinery actually fired at this SF —
+    // some kept corpus doc's stripped text changed under the grown
+    // common set (re-strip from stored windows)
+    val restripped = night0.keySet.intersect(night1.keySet)
+      .filter(id => id <= 399 && night0(id)._7 != night1(id)._7)
+    assert(restripped.nonEmpty,
+      "no corpus doc re-stripped — the delta produced no common-set flips")
+    // redelivered night: no-op (count, members, result all unchanged)
+    store.curateNight("n1", delta)
+    assert(store.docCount == 500L)
+    assert(resultMap(store.snapshot()) == expected)
+  }
+
+  test("two nights fold like one (order-insensitive state, tags distinct)") {
+    val dir = freshDir("graft_test_curate_two")
+    val store = CurateStore.build(docs.filter(col("doc_id") <= 299), dir.getPath)
+    store.curateNight("n1",
+      docs.filter(col("doc_id") > 299 && col("doc_id") <= 399))
+    store.curateNight("n2", docs.filter(col("doc_id") > 399))
+    assert(store.docCount == 500L)
+    assert(resultMap(store.snapshot()) ==
+      resultMap(Pipeline.pipelineCurateOf(docs)))
+  }
+
+  test("night retry after a crash mid-commit converges (sub-stores " +
+    "already folded under the tag; the manifest flip never happened)") {
+    val dir = freshDir("graft_test_curate_crash")
+    val corpus = docs.filter(col("doc_id") <= 399)
+    val delta = docs.filter(col("doc_id") > 399)
+    val store = CurateStore.build(corpus, dir.getPath)
+    // simulate the crashed attempt: signature index, df table, and bench
+    // table all committed their tagged folds, then the process died
+    // before any member write / manifest flip
+    store.sigindex.appendTagged("n1", delta)
+    val deltaSh = store.sigindex.memberRows("append-n1")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    new PointStore(spark, s"${dir.getPath}/df", Seq("shingle"), Seq("df"), Nil)
+      .appendTagged("n1", deltaSh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")))
+    new PointStore(spark, s"${dir.getPath}/bench", Seq("shingle"), Seq("n_docs"), Nil)
+      .appendTagged("n1", deltaSh
+        .filter(col("doc_id") % Curation.BenchMod === 0)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs")))
+    assert(store.consumedTags.isEmpty) // the night itself never committed
+    // the retry must reconstruct the PRE-night df/bench state (additive
+    // subtract) and land on the identical result
+    store.curateNight("n1", delta)
+    assert(resultMap(store.snapshot()) ==
+      resultMap(Pipeline.pipelineCurateOf(docs)))
+  }
+
+  test("auto-compaction folds the member lists (fold-before-commit); " +
+    "tag ledger, count, and results survive; vacuum reclaims") {
+    val dir = freshDir("graft_test_curate_compact")
+    val store = CurateStore.build(docs.filter(col("doc_id") <= 299), dir.getPath)
+    store.curateNight("n1",
+      docs.filter(col("doc_id") > 299 && col("doc_id") <= 399),
+      autoCompactAt = 2)
+    // night 2 arrives at the bound (stats members: base + n1) → the
+    // existing members fold FIRST, then the night commits beside the
+    // fresh base — tonight's member always survives the fold
+    store.curateNight("n2", docs.filter(col("doc_id") > 399),
+      autoCompactAt = 2)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir.getPath, "_CURATE")))
+    assert(manifest.contains("stats:stats-compact-000") &&
+      manifest.contains("stats:stats-n2"), s"unexpected manifest:\n$manifest")
+    assert(store.consumedTags == Set("n1", "n2"))
+    assert(store.docCount == 500L)
+    val expected = resultMap(Pipeline.pipelineCurateOf(docs))
+    assert(resultMap(store.snapshot()) == expected)
+    // a redelivered pre-compaction night is still a no-op (the ledger
+    // survived the fold)
+    store.curateNight("n1",
+      docs.filter(col("doc_id") > 299 && col("doc_id") <= 399))
+    assert(store.docCount == 500L)
+    // vacuum reclaims the superseded dirs, never the sub-stores
+    store.vacuum()
+    assert(!new java.io.File(dir, "stats-base").exists())
+    assert(new java.io.File(dir, "sigindex").exists())
+    assert(resultMap(store.snapshot()) == expected)
+  }
+
+  // ---- synthetic corpus: the threshold-move flip direction (a shingle
+  // LEAVES the common set because the corpus grew, resurrecting a doc
+  // the night-0 screen dropped) — real testdata can only grow the set ----
+
+  private def synDoc(id: Long, words: Seq[String]): (Long, String, String) =
+    (id, words.mkString(" "), "en")
+
+  private def synFrame(rows: Seq[(Long, String, String)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (i, t, l) => Row(i, t, l) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+  }
+
+  test("threshold move resurrects a night-0 boilerplate doc (common " +
+    "shrink), with its stripped text rebuilt from stored windows") {
+    val phrase = (0 until 40).map(i => s"ph$i")
+    def filler(id: Long, tag: String, n: Int) =
+      (0 until n).map(k => s"$tag${id}x$k")
+    // 553 corpus docs → minDocs = max(3, ceil(553/200)) = 3: the phrase
+    // (in exactly 3 docs) is corpus-common on night 0
+    val dominated = synDoc(10, filler(10, "f", 6) ++ phrase ++ filler(10, "g", 6))
+    val carriers = Seq(11L, 12L).map(id =>
+      synDoc(id, filler(id, "p", 30) ++ phrase ++ filler(id, "q", 30)))
+    val fillers = (13L until 563L).map(id => synDoc(id, filler(id, "w", 48)))
+    val corpus = synFrame(dominated +: carriers ++: fillers)
+    // 150 phrase-free delta docs → 703 total → minDocs = 4: the phrase
+    // drops OUT of the common set
+    val delta = synFrame((1000L until 1150L).map(id => synDoc(id, filler(id, "d", 48))))
+    val union = synFrame((dominated +: carriers ++: fillers) ++
+      (1000L until 1150L).map(id => synDoc(id, filler(id, "d", 48))))
+
+    val dir = freshDir("graft_test_curate_resurrect")
+    val store = CurateStore.build(corpus, dir.getPath)
+    val night0 = resultMap(store.snapshot())
+    // night 0: the phrase-dominated doc is boilerplate (38 of 50
+    // distinct shingles common) and gone; carriers are kept with the
+    // phrase stripped out of `cleaned`
+    assert(!night0.contains(10L))
+    assert(night0.contains(11L) && !night0(11L)._7.contains("ph0"))
+
+    store.curateNight("n1", delta)
+    val night1 = resultMap(store.snapshot())
+    assert(night1 == resultMap(Pipeline.pipelineCurateOf(union)))
+    // the dominated doc resurrected — and its `cleaned` was built
+    // tonight from the STORED window arrays (it had no night-0 strip)
+    assert(night1.contains(10L))
+    assert(night1(10L)._7.contains("ph0"))
+    // carriers' strips were rebuilt too: nothing is covered any more
+    assert(night1(11L)._7.contains("ph0"))
+  }
+}
