@@ -483,7 +483,12 @@ object CurateStore {
     val idx = DedupIndex.build(corpus, sfs.pathOf("sigindex"),
       Curation.DecontamN)
     val rows = idx.index
+    // the posting view feeds FOUR consumers below (df fold, bench fold,
+    // contamination, boilerplate hits) — pin it once instead of paying
+    // four parquet re-reads + explodes of the stored sets
     val post = rows.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     val dfStore = new PointStore(spark, sfs.pathOf("df"),
       Seq("shingle"), Seq("df"), Nil)
@@ -553,6 +558,7 @@ object CurateStore {
       "windows:windows-base", "strips:strips-base",
       s"#count:$n").mkString("\n").getBytes)
     load(spark, dir)
+    } finally post.unpersist(false)
   }
 
   /** Load fails loudly on a directory with no committed store

@@ -35,6 +35,25 @@ class ApiSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("buildCurateStore round-trips the incremental curation surface " +
+    "under renamed columns") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_test_api_curatestore")
+    graft.sources.PointStore.deleteRec(dir)
+    val docs3 = Tables.documents(spark, sf).select(col("doc_id").as("my_id"),
+      col("text").as("body"), col("lang").as("tongue"))
+    val store = docs3.filter(col("my_id") <= 399)
+      .buildCurateStore("my_id", "body", "tongue", dir.getPath)
+    store.curateNight("delta", docs3.filter(col("my_id") > 399)
+      .select(col("my_id").as("doc_id"), col("body").as("text"),
+        col("tongue").as("lang")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("content_hash"),
+        r.getAs[Long]("cluster_id"), r.getAs[String]("cleaned"))).toSet
+    assert(rows(store.snapshot()) ==
+      rows(graft.operators.Pipeline.pipelineCurate(spark, sf)))
+  }
+
   test("exactDedupGroups counts every distinct body once") {
     val groups = corpus.exactDedupGroups("my_id", "body")
     assert(groups.count() == corpus.select("body").distinct().count())
