@@ -81,7 +81,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
 
   private val sfs = StoreFs(spark, dir)
 
-  private[operators] val sigindex: DedupIndex =
+  // lazy: [[CurateStore.load]]'s missing-store refusal (the #count
+  // check) must fire before the nested index's own loader — a caller
+  // probing a nonexistent store should hear "no curate store", not a
+  // sigindex internals error
+  private[operators] lazy val sigindex: DedupIndex =
     DedupIndex.load(spark, sfs.pathOf("sigindex"))
   private val dfStore =
     new PointStore(spark, sfs.pathOf("df"), Seq("shingle"), Seq("df"), Nil)
@@ -238,6 +242,58 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       .select(col("shingle"),
         (col(valueCol) - coalesce(col("_dsub"), lit(0L))).as(valueCol))
       .filter(col(valueCol) > 0)
+  }
+
+  /** Screen a candidate batch against the CURRENT store state WITHOUT
+    * committing anything — [[DedupIndex.probe]]'s pre-ingest face for
+    * the whole funnel ("would curation keep these documents, and what
+    * do they duplicate?"). Doc-local scores (quality, repetition) come
+    * from the batch's own text; the cross-document verdicts price the
+    * batch against the corpus AS IT STANDS — boilerplate vs the stored
+    * df table at the current threshold, contamination vs the stored
+    * benchmark set, `n_near_dup` = stored documents with Jaccard ≥
+    * [[NearDupThreshold]] (signature-index probe, no commit). One row
+    * per batch doc; `keep` = the screens' composite (benchmark-slice
+    * docs excluded, as the funnel excludes them). A later
+    * [[curateNight]] of the same batch additionally folds the batch's
+    * OWN df/bench contributions — the probe deliberately answers the
+    * pre-ingest question, not the post-fold one. O(batch) text work;
+    * corpus-side reads are the df/bench snapshots and the band table. */
+  def probe(docs: DataFrame): DataFrame = {
+    val minDocs = Curation.boilerplateMinDocs(docCount)
+    val common = dfStore.snapshot.filter(col("df") >= minDocs)
+      .select(col("shingle"))
+    val bench = benchStore.snapshot.select(col("shingle"))
+    val q = TextOps.textStatsOf(docs, col("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+    val rep = Curation.docRepetitionOf(docs)
+      .select(col("doc_id"), col("repetitive"))
+    val sh = Dedup.hashedShingles(docs, Curation.DecontamN)
+    val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val ct = sh.join(bench.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("_ct", lit(true))
+    val bp = sh.join(common.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+    val nd = sigindex.probe(docs, NearDupThreshold)
+      .groupBy(col("a")).agg(count(lit(1)).as("n_near_dup"))
+      .withColumnRenamed("a", "doc_id")
+    val contaminated = coalesce(col("_ct"), lit(false)) &&
+      col("doc_id") % Curation.BenchMod =!= 0
+    val boilerplate = when(coalesce(col("n_sh"), lit(0L)) === 0, lit(false))
+      .otherwise(coalesce(col("n_bp"), lit(0L)).cast("double") / col("n_sh")
+        > Curation.BoilerplateMaxFrac)
+    q.join(rep.hint("shuffle_hash"), Seq("doc_id"))
+      .join(nsh.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(ct.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(bp.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(nd.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("repetitive"),
+        contaminated.as("contaminated"), boilerplate.as("boilerplate"),
+        coalesce(col("n_near_dup"), lit(0L)).as("n_near_dup"),
+        (col("quality_score") >= Pipeline.QualityThreshold &&
+          !col("repetitive") && !contaminated && !boilerplate &&
+          col("doc_id") % Curation.BenchMod =!= 0).as("keep"))
   }
 
   /** Fold one night's crawl delta into the store. Text work is O(delta);

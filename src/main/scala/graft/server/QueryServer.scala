@@ -39,6 +39,20 @@ import java.nio.charset.StandardCharsets
   *                                      should be disjoint from indexed
   *                                      ids (the index contract; equal
   *                                      ids are dropped as self-matches).
+  *   POST /probe/curate?store=<name>[&limit=N]
+  *                                   → screen the posted batch (JSON
+  *                                      rows of {"doc_id","text","lang"})
+  *                                      against a persisted
+  *                                      [[graft.operators.CurateStore]]
+  *                                      under `indexRoot` WITHOUT
+  *                                      committing: per doc the quality /
+  *                                      repetition scores, the
+  *                                      boilerplate + contamination
+  *                                      verdicts vs the stored state as
+  *                                      it stands, the stored near-dup
+  *                                      count, and the composite `keep`
+  *                                      — "would curation keep this
+  *                                      crawl?" ahead of ingest.
   *
   * The server holds ONE SparkSession; queries are declarative DataFrames,
   * so concurrent requests are just concurrent Spark jobs under the
@@ -171,6 +185,66 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                     val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
                     val rows = idx.probe(docs, thr.flatten.getOrElse(0.5))
                       .orderBy(col("a"), col("b")).limit(limit).toJSON.collect()
+                    respond(ex, 200, rows.mkString("[", ",", "]"))
+                  }
+                } finally docs.unpersist(false)
+            }
+          } catch { case e: Throwable =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the pre-ingest face of the curation surface: POST a batch, learn
+    // whether curation would keep it — same transport discipline as
+    // /probe/dedup (schema-enforced body, canonicalize-under-root store
+    // resolution, bounded response)
+    server.createContext("/probe/curate", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405, """{"error":"POST a JSON batch of {doc_id, text, lang}"}""")
+      else (indexRoot, param(ex, "store")) match {
+        case (None, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (Some(root), Some(name)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val lim = param(ex, "limit")
+            .map(p => scala.util.Try(p.toInt).toOption)
+          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the index root"}""")
+          else if (lim.contains(None))
+            respond(ex, 400, """{"error":"limit must be an integer"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val loaded =
+              try Some(graft.operators.CurateStore.load(spark, dir.getPath))
+              catch { case e: RuntimeException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("no curate store") =>
+                None
+              }
+            loaded match {
+              case None =>
+                respond(ex, 404, s"""{"error":"no curate store named '$name'"}""")
+              case Some(store) =>
+                val body = new String(ex.getRequestBody.readAllBytes(),
+                  StandardCharsets.UTF_8)
+                import spark.implicits._
+                val docs = spark.read
+                  .schema("doc_id LONG, text STRING, lang STRING")
+                  .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+                  .cache()
+                try {
+                  val bad = docs
+                    .filter(col("doc_id").isNull || col("text").isNull).count()
+                  if (docs.count() == 0 || bad > 0)
+                    respond(ex, 400,
+                      """{"error":"body must be JSON rows of {doc_id, text, lang}"}""")
+                  else {
+                    val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                    val rows = store.probe(docs)
+                      .orderBy(col("doc_id")).limit(limit).toJSON.collect()
                     respond(ex, 200, rows.mkString("[", ",", "]"))
                   }
                 } finally docs.unpersist(false)

@@ -109,6 +109,47 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /probe/curate screens a batch against a persisted curate " +
+    "store over a real socket") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_curates").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") <= 399)
+    val batch = docs.filter(col("doc_id") > 399).limit(40)
+    val store = graft.operators.CurateStore.build(corpus, s"$root/docs")
+
+    val srv = new QueryServer(spark, sf, indexRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val body = batch.select("doc_id", "text", "lang").toJSON.collect()
+        .mkString("\n")
+      val (pc, pBody) = post(port, "/probe/curate?store=docs", body)
+      assert(pc == 200, pBody)
+      // the socket answer equals the direct probe, verdict for verdict
+      val want = store.probe(batch)
+        .select("doc_id", "keep", "n_near_dup").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+      val got = """"doc_id":(\d+).*?"n_near_dup":(\d+),"keep":(true|false)""".r
+        .findAllMatchIn(pBody)
+        .map(m => (m.group(1).toLong, m.group(3).toBoolean, m.group(2).toLong))
+        .toSet
+      assert(got == want, s"socket probe diverged: got $got want $want")
+      assert(want.exists(_._2) && want.exists(!_._2),
+        "batch should mix keeps and drops at this SF")
+
+      // guardrails: wrong method, unknown store, traversal, bad body
+      val (mc, _) = get(port, "/probe/curate?store=docs")
+      assert(mc == 405)
+      val (uc, _) = post(port, "/probe/curate?store=nope", body)
+      assert(uc == 404)
+      val (tc, _) = post(port, "/probe/curate?store=..%2Fdocs", body)
+      assert(tc == 403)
+      val (bc, _) = post(port, "/probe/curate?store=docs", """{"junk": 1}""")
+      assert(bc == 400)
+    } finally srv.stop()
+  }
+
   test("/probe/dedup without a configured index root answers 404") {
     val srv = new QueryServer(spark, sf)
     srv.start()

@@ -115,6 +115,57 @@ class CurateStoreSpec extends SparkSpec {
       resultMap(Pipeline.pipelineCurateOf(docs)))
   }
 
+  test("probe screens a batch against current state without committing — " +
+    "verdicts match a string-shingle recomputation, near-dups the " +
+    "one-shot cross pairs") {
+    val dir = freshDir("graft_test_curate_probe")
+    val corpus = docs.filter(col("doc_id") <= 399)
+    val batch = docs.filter(col("doc_id") > 399)
+    val store = CurateStore.build(corpus, dir.getPath)
+    val countBefore = store.docCount
+    val probed = store.probe(batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("contaminated"), r.getAs[Boolean]("boilerplate"),
+          r.getAs[Long]("n_near_dup"), r.getAs[Boolean]("keep")))).toMap
+    assert(store.docCount == countBefore, "probe must commit nothing")
+
+    // independent recomputation on STRING shingles (no stored state, no
+    // hash family): the screen thresholds against the corpus as it
+    // stands, batch docs screened one by one
+    val minDocs = Curation.boilerplateMinDocs(corpus.count())
+    def strSh(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(Dedup.shingleArr(col("text"), Curation.DecontamN)).as("s"))
+    val corpusSh = strSh(corpus).cache()
+    val commonStr = corpusSh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDocs).select(col("s"))
+      .collect().map(_.getString(0)).toSet
+    val benchStr = corpusSh.filter(col("doc_id") % Curation.BenchMod === 0)
+      .select(col("s")).distinct().collect().map(_.getString(0)).toSet
+    corpusSh.unpersist(false)
+    val batchSh = strSh(batch).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // one-shot union pairs restricted to the boundary give the near-dup
+    // counts (a genuinely different path from the banded index probe)
+    val crossCount = Dedup.minhashDedup(docs, 3, 0.5).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a > 399) != (b > 399) }
+      .groupBy { case (a, b) => math.max(a, b) }.view.mapValues(_.size).toMap
+    batch.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val sh = batchSh.getOrElse(id, Set.empty[String])
+      val ct = id % Curation.BenchMod != 0 && sh.exists(benchStr)
+      val bp = sh.nonEmpty &&
+        sh.count(commonStr).toDouble / sh.size > Curation.BoilerplateMaxFrac
+      val (gotCt, gotBp, gotNd, _) = probed(id)
+      assert(gotCt == ct && gotBp == bp, s"verdict mismatch for doc $id")
+      assert(gotNd == crossCount.getOrElse(id, 0).toLong,
+        s"near-dup count mismatch for doc $id")
+    }
+    assert(probed.values.exists(_._4) && probed.values.exists(!_._4),
+      "probe batch should mix keeps and drops at this SF")
+  }
+
   test("auto-compaction folds the member lists (fold-before-commit); " +
     "tag ledger, count, and results survive; vacuum reclaims") {
     val dir = freshDir("graft_test_curate_compact")
