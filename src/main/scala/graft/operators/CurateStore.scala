@@ -132,15 +132,32 @@ final class CurateStore private (spark: SparkSession, dir: String) {
   private def writeMember(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(sfs.pathOf(name))
 
+  /** Near-dup cluster labels over the CURRENT keepers, from a pair
+    * frame covering all stored pairs: restricting both endpoints to the
+    * keeper set reproduces exactly the pair set a one-shot minhash over
+    * the keeper frame would find (band collisions and Jaccard are
+    * pairwise properties, indifferent to the rest), and
+    * [[Dedup.connectedComponents]] is O(pairs), not O(corpus). Runs at
+    * WRITE time — [[build]]/[[curateNight]] persist the labels as the
+    * single-member `clusters` table, so the read path never iterates. */
+  private def clusterLabels(keeperIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val kp = pairs
+      .join(keeperIds.withColumnRenamed("doc_id", "a").hint("shuffle_hash"),
+        Seq("a"), "left_semi")
+      .join(keeperIds.withColumnRenamed("doc_id", "b").hint("shuffle_hash"),
+        Seq("b"), "left_semi")
+    Dedup.connectedComponents(kp).withColumnRenamed("node", "doc_id")
+  }
+
   /** The current curated corpus, assembled purely from stored state —
     * identical columns and rows to [[Pipeline.pipelineCurate]] run
     * one-shot over everything ever ingested (the registered
     * `pipeline_curate_delta` proves this against the UNSPLIT oracle).
-    * No text is read: survivors and exact keepers come from the stats
-    * table (one hash-grain shuffle for the election), clusters from the
-    * stored pair set restricted to keepers
-    * ([[Dedup.connectedComponents]] — O(pairs), not O(corpus)), and
-    * `cleaned` from the strips table. */
+    * Pure merge-on-read: survivors and exact keepers from the stats
+    * table (one hash-grain shuffle for the election), cluster labels
+    * from the `clusters` table the last commit MATERIALIZED (no
+    * iterative work on the read path), `cleaned` from the strips
+    * table. No text, no kernels, no loops. */
   def snapshot(): DataFrame = Dedup.stagedScope { scratch =>
     val stats = scratch.pin(latestWins(readTable("stats"), "doc_id"))
     val surv = stats.filter(
@@ -152,20 +169,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val kdocs = scratch.pin(
       surv.join(keep.hint("shuffle_hash"), Seq("doc_id"), "left_semi"))
-    val kIds = kdocs.select(col("doc_id"))
-    val pairs = readTable("pairs").select(col("a"), col("b"))
-    // near-dup clustering over keepers only (the funnel order): stored
-    // pairs cover ALL indexed docs, so restricting both endpoints to
-    // tonight's keepers reproduces exactly the pair set a one-shot
-    // minhash over the keeper frame would find (band collisions and
-    // Jaccard are pairwise properties, indifferent to the rest)
-    val kp = pairs
-      .join(kIds.withColumnRenamed("doc_id", "a").hint("shuffle_hash"),
-        Seq("a"), "left_semi")
-      .join(kIds.withColumnRenamed("doc_id", "b").hint("shuffle_hash"),
-        Seq("b"), "left_semi")
-    val comp = Dedup.connectedComponents(kp)
-      .withColumnRenamed("node", "doc_id")
+    val comp = spark.read.parquet(sfs.pathOf(tableMembers("clusters").last))
     val strips = latestWins(readTable("strips"), "doc_id")
     kdocs
       .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
@@ -206,8 +210,12 @@ final class CurateStore private (spark: SparkSession, dir: String) {
         writeMember(name, out)
         s"$t:$name"
       }
+      // the clusters table is already single-member (replaced per
+      // commit) — carried through the fold verbatim
+      val carried = lines.filter(_.startsWith("clusters:"))
       val meta = lines.filter(_.startsWith("#"))
-      sfs.atomicWrite(ManifestName, (folded ++ meta).mkString("\n").getBytes)
+      sfs.atomicWrite(ManifestName,
+        (folded ++ carried ++ meta).mkString("\n").getBytes)
     }
     sigindex.compact()
     dfStore.compact()
@@ -464,8 +472,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
         col("quality_score") >= Pipeline.QualityThreshold &&
           !col("repetitive") && !col("contaminated") && !col("boilerplate") &&
           col("doc_id") % Curation.BenchMod =!= 0)
-      val keep = surv.groupBy(col("content_hash"))
-        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      // tonight's keeper ids feed the strip restriction AND the cluster
+      // materialization — pinned so the stats-merge + election chain
+      // runs once
+      val keep = pin(surv.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")))
       val stripIds = keep.join(
         bpIds.union(delta.select(col("doc_id"))).distinct()
           .hint("shuffle_hash"),
@@ -482,6 +493,15 @@ final class CurateStore private (spark: SparkSession, dir: String) {
         .select(col("doc_id"), col("cleaned"))
       writeMember(s"strips-$tag", strips)
 
+      // ---- cluster labels MATERIALIZED at write time (tonight's
+      // keepers over all stored pairs) — the one iterative computation
+      // the store runs, paid once per commit so every snapshot() read
+      // is loop-free. `clusters` is a REPLACE table: one member, fully
+      // rewritten per commit (it is O(pair-touched docs), not corpus). ----
+      val pairsAll = readTable("pairs").select(col("a"), col("b"))
+        .unionByName(spark.read.parquet(sfs.pathOf(s"pairs-$tag")))
+      writeMember(s"clusters-$tag", clusterLabels(keep, pairsAll))
+
       // ---- sub-store folds (idempotent under the tag; O(delta) writes) ----
       dfStore.appendTagged(tag, deltaDf)
       benchStore.appendTagged(tag, deltaBenchDf)
@@ -489,9 +509,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       // ---- the ONE commit point ----
       val meta = lines.filter(_.startsWith("#"))
         .filterNot(_.startsWith("#count:"))
-      val memberLines = lines.filterNot(_.startsWith("#")) ++ Seq(
+      val memberLines = lines.filterNot(_.startsWith("#"))
+        .filterNot(_.startsWith("clusters:")) ++ Seq(
         s"stats:stats-$tag", s"pairs:pairs-$tag",
-        s"windows:windows-$tag", s"strips:strips-$tag")
+        s"windows:windows-$tag", s"strips:strips-$tag",
+        s"clusters:clusters-$tag")
       sfs.atomicWrite(ManifestName,
         (memberLines ++ Seq(s"#count:${nOld + nDelta}") ++ meta ++
           Seq(s"#tag:$tag")).mkString("\n").getBytes)
@@ -609,9 +631,23 @@ object CurateStore {
       .select(col("doc_id"), col("cleaned"))
       .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("strips-base"))
 
+    // cluster labels materialized like every later commit does (the
+    // handle's clusterLabels needs a loaded store, so inline the same
+    // two-semi-join + components shape over the written pairs member)
+    val pairsR = spark.read.parquet(sfs.pathOf("pairs-base"))
+      .select(col("a"), col("b"))
+    val kp = pairsR
+      .join(keep.withColumnRenamed("doc_id", "a").hint("shuffle_hash"),
+        Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("doc_id", "b").hint("shuffle_hash"),
+        Seq("b"), "left_semi")
+    Dedup.connectedComponents(kp).withColumnRenamed("node", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("clusters-base"))
+
     sfs.atomicWrite(ManifestName, Seq(
       "stats:stats-base", "pairs:pairs-base",
       "windows:windows-base", "strips:strips-base",
+      "clusters:clusters-base",
       s"#count:$n").mkString("\n").getBytes)
     load(spark, dir)
     } finally post.unpersist(false)
