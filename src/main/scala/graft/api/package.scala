@@ -117,7 +117,11 @@ package object api {
                     tieBreak: Seq[String] = Nil): DataFrame = {
       val byKey = Window.partitionBy(col(key))
         .orderBy((col(time) +: tieBreak.map(col)): _*)
-      val ntz = df.schema(time).dataType ==
+      // resolve through the ANALYZER, not StructType.apply: a direct
+      // df.schema(time) lookup is case-sensitive and rejects nested
+      // field paths, where every col(time) below resolves under the
+      // session's resolver — the type check must see the same column
+      val ntz = df.select(col(time)).schema.head.dataType ==
         org.apache.spark.sql.types.TimestampNTZType
       def asTime(c: Column): Column = if (ntz) c else c.cast("timestamp")
       df.withColumn("_prev", lag(col(time), 1).over(byKey))

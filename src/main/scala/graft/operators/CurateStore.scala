@@ -87,9 +87,13 @@ final class CurateStore private (spark: SparkSession, dir: String) {
   // sigindex internals error
   private[operators] lazy val sigindex: DedupIndex =
     DedupIndex.load(spark, sfs.pathOf("sigindex"))
-  private val dfStore =
+  // lazy like the sigindex: PointStore's constructor mkdirs its root,
+  // so an eager field would make load() on a NONEXISTENT store create
+  // df/ and bench/ directory litter before the #count check throws
+  // (every bogus /probe/curate request would mint one tree)
+  private lazy val dfStore =
     new PointStore(spark, sfs.pathOf("df"), Seq("shingle"), Seq("df"), Nil)
-  private val benchStore =
+  private lazy val benchStore =
     new PointStore(spark, sfs.pathOf("bench"), Seq("shingle"), Seq("n_docs"), Nil)
 
   private def manifestLines: Seq[String] = sfs.linesIfExists(ManifestName)
@@ -267,7 +271,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * OWN df/bench contributions — the probe deliberately answers the
     * pre-ingest question, not the post-fold one. O(batch) text work;
     * corpus-side reads are the df/bench snapshots and the band table. */
-  def probe(docs: DataFrame): DataFrame = {
+  def probe(docs: DataFrame): DataFrame = Dedup.stagedScope { scratch =>
     val minDocs = Curation.boilerplateMinDocs(docCount)
     val common = dfStore.snapshot.filter(col("df") >= minDocs)
       .select(col("shingle"))
@@ -276,7 +280,10 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
     val rep = Curation.docRepetitionOf(docs)
       .select(col("doc_id"), col("repetitive"))
-    val sh = Dedup.hashedShingles(docs, Curation.DecontamN)
+    // pinned: three consumers below (n_sh, bench semi-join, common
+    // join) would each re-run the tokenize+shingle+hash kernel over the
+    // batch text otherwise — the replay DedupIndex.probe pins against
+    val sh = scratch.pin(Dedup.hashedShingles(docs, Curation.DecontamN))
     val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val ct = sh.join(bench.hint("shuffle_hash"), Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("_ct", lit(true))
@@ -311,6 +318,16 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * Single writer; see the class doc for crash/retry semantics. */
   def curateNight(tag: String, delta: DataFrame,
                   autoCompactAt: Int = CurateStore.AutoCompactMembers): Unit = {
+    // member names are <table>-<tag>, so the tag must stay out of the
+    // build/fold namespaces: tag "base" would Overwrite the LIVE
+    // night-0 member dirs BEFORE any commit point, and "compact-N" a
+    // folded base; path separators / ":" would break member paths and
+    // the manifest grammar (the PointStore.appendTagged contract, made
+    // loud here because this store's member names embed the tag)
+    require(tag.matches("[A-Za-z0-9._-]+") && tag != "base" &&
+      !tag.matches("compact-[0-9]+"),
+      s"night tag '$tag' must be filesystem-safe ([A-Za-z0-9._-]+) and " +
+        "outside the reserved 'base'/'compact-N' member namespaces")
     if (consumedTags.contains(tag)) return
     // fold-before-commit (the DedupIndex auto-compaction rule): past the
     // bound, fold the EXISTING members first so tonight's member always
@@ -342,8 +359,20 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       sigindex.appendTagged(tag, delta)
       val member = s"append-$tag"
       // delta shingle sets re-read FROM the member just committed — the
-      // screens below never re-run the kernel
-      val deltaRows = sigindex.memberRows(member)
+      // screens below never re-run the kernel. Recovery corner: if an
+      // offline compact() ran between a crashed attempt and this retry,
+      // the member NAME is folded away (its rows live inside the fold) —
+      // recover the same delta/corpus split by delta-id joins against
+      // the folded index (the id list is delta-sized and broadcasts;
+      // the plain member-list split stays the zero-join common path)
+      val (deltaRows, corpusRows0) =
+        if (sigindex.members.contains(member))
+          (sigindex.memberRows(member), sigindex.rowsExcept(member))
+        else {
+          val ids = delta.select(col("doc_id"))
+          (sigindex.index.join(ids, Seq("doc_id"), "left_semi"),
+            sigindex.index.join(ids, Seq("doc_id"), "left_anti"))
+        }
       val deltaSh = deltaRows
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
@@ -378,15 +407,14 @@ final class CurateStore private (spark: SparkSession, dir: String) {
 
       // ---- ONE probe of the stored corpus shingle sets by both
       // delta-derived sets. "Stored corpus" = the index minus tonight's
-      // member — a plain member-list split, NO restriction join (a
-      // doc_id semi-join would shuffle the whole stored payload). The
-      // probe join carries NO shuffle hint deliberately: its build side
-      // is delta-derived (flips + newly-benchmark shingles), so AQE
-      // broadcasts it and the corpus posting explode STREAMS at scan
-      // speed — hinting shuffle here would exchange corpus-postings-
-      // grain rows every night. ----
-      val corpusRows = sigindex.rowsExcept(member)
-        .select(col("doc_id"), col("sh"))
+      // member — the member-list split from above, NO restriction join
+      // (a doc_id semi-join would shuffle the whole stored payload).
+      // The probe join carries NO shuffle hint deliberately: its build
+      // side is delta-derived (flips + newly-benchmark shingles), so
+      // AQE broadcasts it and the corpus posting explode STREAMS at
+      // scan speed — hinting shuffle here would exchange corpus-
+      // postings-grain rows every night. ----
+      val corpusRows = corpusRows0.select(col("doc_id"), col("sh"))
       val probeSh = flipped
         .select(col("shingle"), lit(true).as("bp_probe"), lit(false).as("ct_probe"))
         .unionByName(newBenchSh
@@ -455,7 +483,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       // ---- member writes (invisible until the manifest flip) ----
       writeMember(s"stats-$tag", overrides.unionByName(deltaStats))
       writeMember(s"pairs-$tag",
-        sigindex.pairsInvolving(member, NearDupThreshold)
+        sigindex.pairsInvolvingRows(deltaRows, NearDupThreshold)
           .select(col("a"), col("b")))
       writeMember(s"windows-$tag", Curation.windowsOf(delta))
 

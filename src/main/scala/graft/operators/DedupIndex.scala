@@ -157,7 +157,18 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * least/greatest + distinct collapses them). */
   def pairsInvolving(member: String, threshold: Double): DataFrame = {
     require(members.contains(member), s"unknown member $member (have $members)")
-    val newBands = Dedup.bandTable(sigFrame(rowsOf(Seq(member))))
+    pairsInvolvingRows(rowsOf(Seq(member)), threshold)
+  }
+
+  /** [[pairsInvolving]] over an ARBITRARY stored-row frame instead of a
+    * named member — the recovery face [[CurateStore]] needs when a
+    * compaction between a crashed night and its retry has folded the
+    * appended member away (the rows still exist inside the fold; only
+    * the name is gone). `rows` must be a subset of [[index]] in the
+    * stored (doc_id, sig, sh) shape. */
+  private[operators] def pairsInvolvingRows(rows: DataFrame,
+      threshold: Double): DataFrame = {
+    val newBands = Dedup.bandTable(sigFrame(rows))
     val allBands = Dedup.bandTable(sigFrame(index))
     // shuffle on the (band, bv) key: both sides scale with their data —
     // the probe side is delta-sized, so AQE may elect a broadcast at

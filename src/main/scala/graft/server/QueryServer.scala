@@ -236,8 +236,12 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
                   .cache()
                 try {
+                  // lang participates in the verdicts, so a missing
+                  // field is refused loudly rather than flowing a null
+                  // quality_score / keep into the response
                   val bad = docs
-                    .filter(col("doc_id").isNull || col("text").isNull).count()
+                    .filter(col("doc_id").isNull || col("text").isNull ||
+                      col("lang").isNull).count()
                   if (docs.count() == 0 || bad > 0)
                     respond(ex, 400,
                       """{"error":"body must be JSON rows of {doc_id, text, lang}"}""")

@@ -307,18 +307,6 @@ final class PointStore(spark: SparkSession, path: String,
 
 object PointStore {
 
-  /** Atomic small-file commit: write a temp sibling, ATOMIC_MOVE over
-    * the target — a reader sees the old content or the new, never a
-    * torn write. Shared by the store manifest and the cruncher's
-    * batch ledger. */
-  private[graft] def atomicWrite(target: java.io.File, bytes: Array[Byte]): Unit = {
-    val tmp = new java.io.File(target.getParentFile, target.getName + ".tmp")
-    java.nio.file.Files.write(tmp.toPath, bytes)
-    java.nio.file.Files.move(tmp.toPath, target.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
-
   private[graft] def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete()

@@ -115,6 +115,33 @@ class CurateStoreSpec extends SparkSpec {
       resultMap(Pipeline.pipelineCurateOf(docs)))
   }
 
+  test("night retry converges even when an offline compaction folded " +
+    "the crashed attempt's sigindex member away") {
+    val dir = freshDir("graft_test_curate_crashfold")
+    val corpus = docs.filter(col("doc_id") <= 399)
+    val delta = docs.filter(col("doc_id") > 399)
+    val store = CurateStore.build(corpus, dir.getPath)
+    // crashed attempt: only the signature-index append committed...
+    store.sigindex.appendTagged("n1", delta)
+    // ...then a maintenance compaction folds append-n1 into the base
+    store.sigindex.compact()
+    assert(!store.sigindex.members.contains("append-n1"))
+    // the retry recovers the delta/corpus split by id against the fold
+    store.curateNight("n1", delta)
+    assert(resultMap(store.snapshot()) ==
+      resultMap(Pipeline.pipelineCurateOf(docs)))
+  }
+
+  test("reserved or unsafe night tags are refused before any write") {
+    val dir = freshDir("graft_test_curate_tags")
+    val store = CurateStore.build(docs.filter(col("doc_id") <= 60), dir.getPath)
+    val delta = docs.filter(col("doc_id") > 480)
+    Seq("base", "compact-000", "a/b", "a:b", "").foreach { bad =>
+      intercept[IllegalArgumentException](store.curateNight(bad, delta))
+    }
+    assert(store.docCount == 61L, "a refused tag must commit nothing")
+  }
+
   test("probe screens a batch against current state without committing — " +
     "verdicts match a string-shingle recomputation, near-dups the " +
     "one-shot cross pairs") {
