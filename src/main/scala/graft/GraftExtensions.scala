@@ -38,6 +38,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk_freq"),
       new ExpressionInfo(classOf[graft.functions.TopKFreq].getName, "graft_topk_freq"),
       graft.functions.TopKFreq.builder _))
+    // distinct-count sketch family: build / fold / read — the
+    // persistable cardinality aggregate (sparse-exact → dense-HLL)
+    ext.injectFunction((
+      FunctionIdentifier("graft_distinct_sketch"),
+      new ExpressionInfo(classOf[graft.functions.DistinctSketchAgg].getName,
+        "graft_distinct_sketch"),
+      graft.functions.DistinctSketchAgg.builder _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sketch_merge"),
+      new ExpressionInfo(classOf[graft.functions.SketchMergeAgg].getName,
+        "graft_sketch_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_sketch_merge(sketch) takes exactly one argument")
+        graft.functions.SketchMergeAgg(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sketch_est"),
+      new ExpressionInfo(classOf[graft.functions.SketchEst].getName,
+        "graft_sketch_est"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_sketch_est(sketch) takes exactly one argument")
+        graft.functions.SketchEst(children.head)
+      }))
+    // quantile sketch family: build / fold / read — order statistics
+    // as a persistable column (exact below k, compactor summary past it)
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantile_sketch"),
+      new ExpressionInfo(classOf[graft.functions.QuantileSketchAgg].getName,
+        "graft_quantile_sketch"),
+      graft.functions.QuantileSketchAgg.builder _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantile_merge"),
+      new ExpressionInfo(classOf[graft.functions.QuantileMergeAgg].getName,
+        "graft_quantile_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_quantile_merge(sketch) takes exactly one argument")
+        graft.functions.QuantileMergeAgg(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantile_at"),
+      new ExpressionInfo(classOf[graft.functions.QuantileAt].getName,
+        "graft_quantile_at"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_quantile_at(sketch, q) takes exactly two arguments")
+        graft.functions.QuantileAt(children(0), children(1))
+      }))
     // bloom build + probe: the scan-side semi-join prune, SQL-visible
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),

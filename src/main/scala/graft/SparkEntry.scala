@@ -26,7 +26,8 @@ object SparkEntry {
   val lifecycleQueries: Set[String] = Set(
     "point_store_roundtrip", "point_store_changes", "point_store_follower",
     "dedup_clusters", "pipeline_curate", "dedup_incremental",
-    "dedup_embedding_delta", "pipeline_curate_delta")
+    "dedup_embedding_delta", "pipeline_curate_delta", "jsonl_roundtrip",
+    "point_store_sketch")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -68,12 +69,19 @@ object SparkEntry {
     "ann_topk"        -> (Ann.annTopk _),
     "ann_ivf"         -> (Ann.annIvf _),
     "ann_pq"          -> (Pq.annPq _),
+    "ann_pq_refine"   -> (Pq.annPqRefine _),
     "text_stats"      -> (TextOps.textStats _),
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
+    // mergeable distinct-count sketches (exact sparse regime at bench SFs)
+    "distinct_by_lang"     -> (TextOps.distinctByLang _),
+    "distinct_incremental" -> (TextOps.distinctIncremental _),
+    // mergeable quantile sketches (exact regime at bench SFs)
+    "quantiles_by_lang"      -> (TextOps.quantilesByLang _),
+    "quantiles_incremental"  -> (TextOps.quantilesIncremental _),
     "chunk_documents" -> (TextOps.chunkDocuments _),
     "dedup_clusters"  -> (Dedup.dedupClusters _),
     // #49: incremental corpus-delta dedup against a persisted LSH index
@@ -104,6 +112,10 @@ object SparkEntry {
     "point_store_changes"   -> (graft.sources.PointStore.changefeed _),
     // #38c: the changefeed CONSUMER — a chained derived store
     "point_store_follower"  -> (graft.sources.ChangefeedFollower.follower _),
+    // #51: JSONL crawl ingest — schema'd read, corrupt-line quarantine
+    "jsonl_roundtrip"       -> (graft.sources.JsonlCorpus.roundtrip _),
+    // #52c: sketch-measured point table (distinct counts through the LSM)
+    "point_store_sketch"    -> (graft.sources.PointStore.sketchStore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,12 +151,22 @@ object SparkEntry {
     // incremental build/append/probe must land on the one-shot pairs
     "dedup_embedding_delta" -> Ann.dedupEmbeddingOracle,
     "ann_topk"        -> Ann.annTopkOracle,
+    // PQ candidates + exact re-rank restore the brute-force answer
+    // (KRefine carries a measured 2.3-3× margin over the deepest true
+    // top-10 position in the ADC ranking — the exact-regime pattern)
+    "ann_pq_refine"   -> Pq.annPqRefineOracle,
     "text_stats"      -> TextOps.textStatsOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,
+    "distinct_by_lang"     -> TextOps.distinctByLangOracle,
+    // the per-night fold must land on the same one-shot distinct counts
+    "distinct_incremental" -> TextOps.distinctIncrementalOracle,
+    "quantiles_by_lang"      -> TextOps.quantilesByLangOracle,
+    // the per-night fold must land on the same one-shot quantiles
+    "quantiles_incremental"  -> TextOps.quantilesIncrementalOracle,
     "chunk_documents" -> TextOps.chunkDocumentsOracle,
     "dedup_clusters"  -> Dedup.dedupClustersOracle,
     // incremental build/append/probe must land on the one-shot pairs
@@ -173,5 +195,9 @@ object SparkEntry {
     "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,
     "point_store_changes"   -> graft.sources.PointStore.changefeedOracle,
     "point_store_follower"  -> graft.sources.ChangefeedFollower.followerOracle,
+    // write → parse → quarantine-route must byte-preserve every field
+    "jsonl_roundtrip"       -> graft.sources.JsonlCorpus.roundtripOracle,
+    // the LSM lifecycle must land on the one-shot distinct counts
+    "point_store_sketch"    -> graft.sources.PointStore.sketchStoreOracle,
   )
 }

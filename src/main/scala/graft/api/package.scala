@@ -192,6 +192,23 @@ package object api {
       df.withColumn("_stats", TextOps.textStatsExpr(col(textCol)))
         .select((df.columns.map(col) :+ col("_stats.*")).toIndexedSeq: _*)
 
+    /** Per-group distinct-count estimate of `valueCol` via the mergeable
+      * [[graft.functions.DistinctSketch]]: adds `<valueCol>_distinct`.
+      * EXACT below `sparseCap` distinct values per group; past it, dense
+      * HLL at 2^p bytes of state per group with ~1.04/√2^p relative
+      * error. For the persisted night-over-night shape, aggregate with
+      * `SketchOps.distinctSketch` instead, store the binary column
+      * (PointStore accepts it as a `sketches` measure), and fold with
+      * `SketchOps.sketchMerge`. */
+    def distinctCountBy(groupCols: Seq[String], valueCol: String,
+                        p: Int = 14, sparseCap: Int = 1 << 16): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(graft.functions.SketchOps.distinctSketch(col(valueCol), p, sparseCap)
+          .as("_sk"))
+        .select((groupCols.map(col) :+
+          graft.functions.SketchOps.sketchEst(org.apache.spark.sql.functions
+            .col("_sk")).as(s"${valueCol}_distinct")).toIndexedSeq: _*)
+
     /** Rewrite this frame to `outPath` clustered on the Z-order of two
       * numeric columns (min/max collected here — two rows of metadata),
       * so file-level statistics prune scans on EITHER column; returns

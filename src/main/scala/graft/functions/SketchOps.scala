@@ -12,4 +12,40 @@ object SketchOps {
   def topkFreq(c: Column, k: Int): Column =
     GraftShim.column(
       TopKFreq(GraftShim.expression(c), k).toAggregateExpression())
+
+  /** Distinct-count sketch aggregate: serialized [[DistinctSketch]]
+    * (binary) — exact below `sparseCap` distinct values, dense HLL with
+    * ~1.04/√2^p relative error past it. A first-class column: store it,
+    * fold it with [[sketchMerge]], read it with [[sketchEst]]. */
+  def distinctSketch(c: Column, p: Int, sparseCap: Int): Column =
+    GraftShim.column(
+      DistinctSketchAgg(GraftShim.expression(c), p, sparseCap)
+        .toAggregateExpression())
+
+  /** Fold a column of serialized sketches into one. */
+  def sketchMerge(c: Column): Column =
+    GraftShim.column(
+      SketchMergeAgg(GraftShim.expression(c)).toAggregateExpression())
+
+  /** Cardinality estimate of a serialized sketch. */
+  def sketchEst(c: Column): Column =
+    GraftShim.column(SketchEst(GraftShim.expression(c)))
+
+  /** Quantile sketch aggregate over a long/int column: serialized
+    * [[QuantileSketch]] (binary) — EXACT below k values per group,
+    * bounded-rank-error compactor summary past it. Store it, fold it
+    * with [[quantileMerge]], read it with [[quantileAt]]. */
+  def quantileSketch(c: Column, k: Int): Column =
+    GraftShim.column(
+      QuantileSketchAgg(GraftShim.expression(c), k).toAggregateExpression())
+
+  /** Fold a column of serialized quantile sketches into one. */
+  def quantileMerge(c: Column): Column =
+    GraftShim.column(
+      QuantileMergeAgg(GraftShim.expression(c)).toAggregateExpression())
+
+  /** The q-quantile of a serialized sketch (DuckDB quantile_disc rule). */
+  def quantileAt(c: Column, q: Double): Column =
+    GraftShim.column(QuantileAt(GraftShim.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(q)))
 }

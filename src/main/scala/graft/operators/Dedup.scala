@@ -196,12 +196,15 @@ object Dedup {
   val shingleSplitSql: String =
     s"string_split_regex(regexp_replace(lower(trim(text)), '[$WsChars]+$$', ''), '[$WsChars]+')"
 
-  /** The DuckDB twin of [[shingleArr]]: 1-based list indexing, same split. */
-  def shingleSqlCte(n: Int): String = {
+  /** The DuckDB twin of [[shingleArr]]: 1-based list indexing, same split.
+    * `carry` columns ride from documents through both CTEs (the
+    * distinct-sketch oracles group shingles by lang). */
+  def shingleSqlCte(n: Int, carry: Seq[String] = Nil): String = {
     val cat = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
-    s"""toks AS (SELECT doc_id, $shingleSplitSql AS w
+    val cs = carry.map(c => s"$c, ").mkString
+    s"""toks AS (SELECT doc_id, $cs$shingleSplitSql AS w
        |          FROM documents),
-       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |sh AS (SELECT doc_id, ${cs}unnest(list_distinct(
        |         list_transform(range(1, greatest(len(w) - ${n - 2}, 1)), i -> $cat)
        |       )) AS shingle FROM toks)""".stripMargin
   }

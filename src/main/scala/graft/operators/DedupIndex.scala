@@ -445,7 +445,7 @@ object DedupIndex {
       scratchDirs.forEach(PointStore.deleteRec(_))))
   }
 
-  private[operators] def freshRunDir(prefix: String, d: String): java.io.File = {
+  private[graft] def freshRunDir(prefix: String, d: String): java.io.File = {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       prefix + d.replaceAll("[^A-Za-z0-9]", "_") +

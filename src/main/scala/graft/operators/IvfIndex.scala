@@ -247,7 +247,20 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * whole query batch come from one [[graft.functions.PqAdcAll]] kernel
     * pass; the probed (qid, cell) pairs then keep each candidate only
     * for the queries that actually probe its cell. */
-  def searchPq(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  def searchPq(queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    adcRanked(queries, k, nprobe) match {
+      case None => IvfIndex.emptyTopk(spark)
+      case Some((ranked, _)) =>
+        ranked.select(col("qid").as("query_id"),
+          col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }
+
+  /** ADC top-k per query over the probed cells — (qid, neighbor_id, rank,
+    * c) plus the probed cell list — or None for an empty workload.
+    * Shared by [[searchPq]] (rename and done) and [[searchPqRefine]]
+    * (candidate stage). */
+  private def adcRanked(queries: DataFrame, k: Int, nprobe: Int)
+      : Option[(DataFrame, Seq[Int])] = {
     val cb = codebooks
     val probed = probedOf(queries, nprobe)
     val cells = probedCells(probed)
@@ -255,7 +268,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
       .select(col("qid"), Pq.lutCol(col("qv"), cb).as("lut"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    if (qluts.isEmpty) return IvfIndex.emptyTopk(spark)
+    if (qluts.isEmpty) return None
     val qids = qluts.map(_._1)
     val pruned = index.filter(col("cell").isin(cells: _*))
       .select(col("neighbor_id"), col("codes"), col("cell"))
@@ -267,12 +280,51 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
         "left_semi")
       .filter(col("qid") =!= col("neighbor_id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("neighbor_id"))
-    scored
+    Some((scored
       .select(col("qid"), col("neighbor_id"), col("c"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"))
+      .filter(col("rank") <= k), cells))
+  }
+
+  /** IVF-PQ with exact re-ranking (the FAISS refine stage): ADC retrieves
+    * `kRefine ≥ k` candidates per query from the probed cells — 16-byte
+    * code rows, never the vector — then ONLY the candidate rows' full
+    * vectors are read back and the final top-k is ranked by EXACT cosine.
+    * Cost at 100 TB: the scan-heavy stage stays pure PQ (32× less IO);
+    * the refine reads Q × kRefine vectors through a partition-pruned
+    * (probed cells only), broadcast-semi-joined fetch — workload-sized,
+    * not corpus-sized. Buys back most of the quantization recall loss:
+    * ADC only has to land the true neighbors anywhere in its top
+    * kRefine, not rank them correctly (IvfIndexSpec measures the
+    * recall@10 lift and pins the codes-only candidate scan). Ties rank
+    * like [[search]] (cosine desc, neighbor_id asc). */
+  def searchPqRefine(queries: DataFrame, k: Int, nprobe: Int,
+                     kRefine: Int): DataFrame = {
+    require(kRefine >= k,
+      s"searchPqRefine: kRefine ($kRefine) must be >= k ($k)")
+    adcRanked(queries, kRefine, nprobe) match {
+      case None => IvfIndex.emptyTopk(spark)
+      case Some((cand, cells)) =>
+        val candIds = cand.select(col("qid"), col("neighbor_id"))
+        // candidate ids are workload-bounded (Q × kRefine) → broadcast;
+        // the cell filter keeps file-level pruning on the vector fetch
+        val vecs = index.filter(col("cell").isin(cells: _*))
+          .select(col("neighbor_id"), col("nv"))
+          .join(broadcast(candIds.select(col("neighbor_id")).distinct()),
+            Seq("neighbor_id"), "left_semi")
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("neighbor_id"))
+        broadcast(candIds)
+          .join(vecs, Seq("neighbor_id"))
+          .join(broadcast(queries.select(col("qid"), col("qv")).distinct()),
+            Seq("qid"))
+          .withColumn("c", dot(col("qv"), col("nv")))
+          .select(col("qid"), col("neighbor_id"), col("c"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("qid").as("query_id"),
+            col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }
   }
 
   /** Exact cosine near-dup pairs (dot ≥ threshold) over the STORED

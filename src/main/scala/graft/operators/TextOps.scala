@@ -324,6 +324,154 @@ object TextOps {
           FROM c)
     SELECT lang, token, cnt, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5"""
 
+  // --------------------------------------------------------- distinct_by_lang
+
+  /** Sketch shape for the registered distinct-count queries: p=14 → the
+    * dense regime caps state at 16 KiB registers per group, whatever the
+    * corpus; sparseCap 2¹⁶ keeps BOTH registered queries in the sketch's
+    * EXACT sparse regime at every driver SF (max per-lang distinct
+    * 3-shingle cardinality measured 26.5k at sf0.1), so the
+    * `count(DISTINCT …)` DuckDB oracle hash-match proves the machinery —
+    * rehash, partial buffers, merge tree, serialization — is
+    * count-preserving, the [[SketchK]] exact-regime trick. The dense
+    * regime (accuracy ~1.04/√2¹⁴ ≈ 0.8%) is SketchSpec-bound. */
+  val DistinctP = 14
+  val DistinctSparseCap = 1 << 16
+
+  /** (night, lang, shingle-hash) postings from ONE run of the engine's
+    * shingle kernel, the group keys carried through the typed map — the
+    * group-by below needs no posting-grain join back to documents. */
+  private def nightLangShingles(docs: DataFrame, cut: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .map { case (id, lang, text) =>
+        (if (id <= cut) 0 else 1, lang,
+          Dedup.hashShingleWindows(text, Curation.DecontamN)) }
+      .toDF("night", "lang", "hs")
+      .select(col("night"), col("lang"), explode(col("hs")).as("shingle"))
+  }
+
+  /** (lang, shingle-hash) postings — the [[nightLangShingles]] kernel
+    * without the night split (shared with `point_store_sketch`'s batch
+    * partials). */
+  private[graft] def langShingles(docs: DataFrame): DataFrame =
+    nightLangShingles(docs, Long.MaxValue).drop("night")
+
+  /** Per-language distinct-shingle cardinality (vocabulary size — the
+    * corpus-health metric a training mix is balanced against) via the
+    * mergeable [[graft.functions.DistinctSketch]]: partials cap state at
+    * one sketch per (partition, lang) and only sketch buffers cross the
+    * exchange — an exact count(DISTINCT) would shuffle the whole posting
+    * table (the shingle universe is corpus-proportional: ~2.5M distinct
+    * at sf0.1, growing with every crawl). */
+  def distinctByLang(s: SparkSession, d: String): DataFrame =
+    nightLangShingles(documents(s, d), Long.MaxValue)
+      .groupBy(col("lang"))
+      .agg(graft.functions.SketchOps.distinctSketch(col("shingle"),
+        DistinctP, DistinctSparseCap).as("sk"))
+      .select(col("lang"),
+        graft.functions.SketchOps.sketchEst(col("sk")).as("n_shingles"))
+      .orderBy(col("lang"))
+
+  def distinctByLangOracle: String = s"""
+    WITH ${Dedup.shingleSqlCte(Curation.DecontamN, carry = Seq("lang"))}
+    SELECT lang, CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
+    FROM sh GROUP BY 1 ORDER BY 1"""
+
+  // ----------------------------------------------------- distinct_incremental
+
+  /** The persisted-fold shape for a NON-additive measure: per-night
+    * per-lang sketches (the rows a nightly pipeline would land in
+    * parquet next to its PointStore point tables), folded to the lang
+    * grain with `graft_sketch_merge`. Landing on the same
+    * count(DISTINCT) oracle as [[distinctByLang]] proves the
+    * night-over-night merge is union-exact — "sketch night A, sketch
+    * night B, merge" ≡ "sketch A∪B", the [[Merge.upsertMerge]] additive
+    * contract extended to cardinality. At 100 TB the inner agg is what
+    * each night computes over its delta alone; the outer fold moves
+    * k-byte buffers, never postings. */
+  def distinctIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    nightLangShingles(docs, cut)
+      .groupBy(col("night"), col("lang"))
+      .agg(graft.functions.SketchOps.distinctSketch(col("shingle"),
+        DistinctP, DistinctSparseCap).as("sk"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.SketchOps.sketchMerge(col("sk")).as("sk"))
+      .select(col("lang"),
+        graft.functions.SketchOps.sketchEst(col("sk")).as("n_shingles"))
+      .orderBy(col("lang"))
+  }
+
+  def distinctIncrementalOracle: String = distinctByLangOracle
+
+  // --------------------------------------------------------- quantiles_by_lang
+
+  /** Capacity for the registered quantile queries: 4096 ≥ the largest
+    * per-lang document count at any driver SF (en = 2059 at sf0.1), so
+    * both queries run in the sketch's EXACT regime — the full sorted
+    * multiset — and the `quantile_disc` DuckDB oracle hash-matches
+    * (estimator rule matched to DuckDB's). The compacted regime is
+    * QuantileSketchSpec-bound. */
+  val QuantileK = 4096
+
+  private val QuantilePoints =
+    Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+
+  private def quantileCols(sk: Column): Seq[Column] =
+    QuantilePoints.map { case (q, n) =>
+      graft.functions.SketchOps.quantileAt(sk, q).as(n) }
+
+  /** Per-language token-count distribution (p25/p50/p75/p95 of document
+    * length — the corpus-shape metric behind chunking and packing
+    * budgets) via the mergeable [[graft.functions.QuantileSketch]]:
+    * partials compact map-side, only k-scale buffers cross the
+    * exchange — an exact percentile would sort the corpus per group. */
+  def quantilesByLang(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.SketchOps.quantileSketch(col("nt"), QuantileK).as("sk"))
+      .select(col("lang") +: quantileCols(col("sk")): _*)
+      .orderBy(col("lang"))
+
+  def quantilesByLangOracle: String = s"""
+    WITH t AS (
+      SELECT lang,
+        CAST(len(string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+')) AS BIGINT) AS nt
+      FROM documents)
+    SELECT lang,
+      quantile_disc(nt, 0.25) AS p25, quantile_disc(nt, 0.5) AS p50,
+      quantile_disc(nt, 0.75) AS p75, quantile_disc(nt, 0.95) AS p95
+    FROM t GROUP BY 1 ORDER BY 1"""
+
+  /** The persisted-fold shape for ORDER STATISTICS: per-night per-lang
+    * quantile sketches folded to the lang grain with
+    * `graft_quantile_merge` — landing on the same quantile_disc oracle
+    * as [[quantilesByLang]] proves the night-over-night merge preserves
+    * the full multiset in the exact regime (and stays bounded-error
+    * past it). */
+  def quantilesIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    docs
+      .select(col("lang"),
+        when(col("doc_id") <= cut, 0).otherwise(1).as("night"),
+        size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("night"), col("lang"))
+      .agg(graft.functions.SketchOps.quantileSketch(col("nt"), QuantileK).as("sk"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.SketchOps.quantileMerge(col("sk")).as("sk"))
+      .select(col("lang") +: quantileCols(col("sk")): _*)
+      .orderBy(col("lang"))
+  }
+
+  def quantilesIncrementalOracle: String = quantilesByLangOracle
+
   // --------------------------------------------------------- chunk_documents
 
   /** Context-window chunking: [[ChunkTokens]]-token chunks every

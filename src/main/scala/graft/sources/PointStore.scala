@@ -47,11 +47,19 @@ import org.apache.spark.sql.functions._
   * @param keys  grouping key columns (the table's primary key)
   * @param sums  measure columns merged by SUM
   * @param maxes measure columns merged by MAX
+  * @param sketches measure columns holding serialized
+  *   [[graft.functions.DistinctSketch]] binaries, merged with
+  *   `graft_sketch_merge` — NON-additive measures (distinct counts) as
+  *   first-class point-table columns, the Druid/DataSketches model. The
+  *   additive-merge law holds because the sketch merge is associative,
+  *   commutative, state-exact (merge(sk(A), sk(B)) ≡ sk(A∪B)) and
+  *   byte-deterministic, so batch boundaries and compaction points stay
+  *   invisible in the snapshot exactly as they are for sums.
   */
 final class PointStore(spark: SparkSession, path: String,
                        keys: Seq[String], sums: Seq[String],
-                       maxes: Seq[String]) {
-  require(keys.nonEmpty && (sums.nonEmpty || maxes.nonEmpty),
+                       maxes: Seq[String], sketches: Seq[String] = Nil) {
+  require(keys.nonEmpty && (sums.nonEmpty || maxes.nonEmpty || sketches.nonEmpty),
     "point store needs key columns and at least one measure")
 
   // all manifest/member path handling via the Hadoop FileSystem API —
@@ -117,7 +125,8 @@ final class PointStore(spark: SparkSession, path: String,
     * when a writer commits concurrently: fold exactly the window you
     * checkpoint, never "everything at read time". The rows are additive
     * upsert images: downstream consumers fold them exactly like
-    * [[snapshot]]'s merge (sums add, maxes fold) — the same contract
+    * [[snapshot]]'s merge (sums add, maxes fold, sketch measures
+    * fold with `graft_sketch_merge`) — the same contract
     * the reference's ON DUPLICATE KEY consumers have. Asking for a
     * horizon [[vacuum]] has pruned fails loudly (resync from
     * [[snapshot]] instead of silently losing rows); a caught-up read on
@@ -155,7 +164,7 @@ final class PointStore(spark: SparkSession, path: String,
     // an unnecessary cascading resync
     if (consumedTags(tag)) return
     val name = f"base-$nextSeq%06d"
-    mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
+    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sfs.pathOf(name))
     val v = version + 1
@@ -181,7 +190,8 @@ final class PointStore(spark: SparkSession, path: String,
 
   private def mergeAgg(df: DataFrame): DataFrame = {
     val exprs = sums.map(c => sum(col(c)).as(c)) ++
-      maxes.map(c => max(col(c)).as(c))
+      maxes.map(c => max(col(c)).as(c)) ++
+      sketches.map(c => graft.functions.SketchOps.sketchMerge(col(c)).as(c))
     df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
 
@@ -208,7 +218,7 @@ final class PointStore(spark: SparkSession, path: String,
   }
 
   private def writeDelta(name: String, partial: DataFrame): Unit = {
-    mergeAgg(partial.select((keys ++ sums ++ maxes).map(col): _*))
+    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sfs.pathOf(name))
     writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")
@@ -387,4 +397,52 @@ object PointStore {
 
   def changefeedOracle: String =
     graft.operators.Merge.pointOracle(where = "WHERE l_orderkey % 3 = 2")
+
+  /** `point_store_sketch`: a SKETCH-measured point table — the Druid/
+    * DataSketches production shape, composed from this store and
+    * [[graft.functions.DistinctSketch]]: per-language vocabulary
+    * (distinct shingles, NON-additive) and posting counts (additive)
+    * folded together through the full LSM lifecycle — three tagged
+    * batch upserts, a compaction between the second and third, an
+    * at-least-once redelivery that must commit nothing, then a
+    * merge-on-read snapshot read through `graft_sketch_est`. The oracle
+    * is the ONE-SHOT per-lang `count(*)` / `count(DISTINCT shingle)`
+    * (exact sparse regime, [[graft.operators.TextOps.DistinctSparseCap]]),
+    * so a hash match proves the additive-merge law extends to the
+    * sketch measure through real parquet round-trips: batch boundaries,
+    * the compaction point, and the redelivery are all invisible. */
+  def sketchStore(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchOps
+    import graft.operators.TextOps
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_pointstore_sk_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    deleteRec(dir) // deterministic rebuild per run
+    val store = new PointStore(s, dir.getPath,
+      keys = Seq("lang"), sums = Seq("n_post"), maxes = Nil,
+      sketches = Seq("vocab"))
+    val docs = graft.Tables.documents(s, d)
+    def batch(m: Int) =
+      TextOps.langShingles(docs.filter(col("doc_id") % 3 === m))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_post"),
+          SketchOps.distinctSketch(col("shingle"),
+            TextOps.DistinctP, TextOps.DistinctSparseCap).as("vocab"))
+    store.appendTagged("b0", batch(0))
+    store.appendTagged("b1", batch(1))
+    store.compact()
+    store.appendTagged("b2", batch(2))
+    store.appendTagged("b2", batch(2)) // at-least-once redelivery: no-op
+    store.snapshot
+      .select(col("lang"), col("n_post"),
+        SketchOps.sketchEst(col("vocab")).as("n_shingles"))
+      .orderBy(col("lang"))
+  }
+
+  def sketchStoreOracle: String = s"""
+    WITH ${graft.operators.Dedup.shingleSqlCte(
+      graft.operators.Curation.DecontamN, carry = Seq("lang"))}
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_post,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
+    FROM sh GROUP BY 1 ORDER BY 1"""
 }

@@ -92,6 +92,17 @@ class ApiSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("distinctCountBy is exact in the sparse regime on any schema") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (s"g${i % 3}", (i % 97).toLong))
+    val got = rows.toDF("bucket", "item")
+      .distinctCountBy(Seq("bucket"), "item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(got == exact)
+  }
+
   test("withTextStats appends the quality columns to any frame") {
     val stats = corpus.withTextStats("body")
     assert(stats.columns.toSet.contains("quality_score"))

@@ -229,6 +229,45 @@ class IvfIndexSpec extends SparkSpec {
     assert(search.count() > 0)
   }
 
+  test("searchPqRefine: full-candidate refine == exact search; partial refine " +
+    "lifts ADC recall; vectors read only in the refine fetch") {
+    val idx = IvfIndex.load(spark, indexDir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactFull = idx.search(queries, Ann.K, nprobe = Ann.Cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // kRefine covering the whole index: every stored vector is a
+    // candidate, so the exact re-rank IS exact search — rank-for-rank
+    val refFull = idx.searchPqRefine(queries, Ann.K, nprobe = Ann.Cells,
+        kRefine = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(refFull == exactFull)
+    // recall@10 vs exact, both full-probe: the re-rank can only help —
+    // ADC now only has to LAND the true neighbors in its top kRefine,
+    // not rank them (plain ADC recall@10 is ~0.74, the PqSpec number)
+    val truth = exactFull.map(t => (t._1, t._3))
+    def recallOf(got: Set[(Long, Long)]): Double =
+      got.count(truth.contains).toDouble / truth.size
+    val rAdc = recallOf(pairs(idx.searchPq(queries, Ann.K, nprobe = Ann.Cells)))
+    val rRef = recallOf(pairs(
+      idx.searchPqRefine(queries, Ann.K, nprobe = Ann.Cells, kRefine = 50)))
+    assert(rRef >= rAdc, s"refine $rRef < plain ADC $rAdc")
+    assert(rRef >= 0.9, s"refine recall@10 $rRef")
+    // plan: the candidate stage stays codes-only (PQ's entire point);
+    // the vector column appears ONLY in the pruned, semi-joined refine
+    // fetch — both scans partition-pruned at a partial probe
+    val plan = idx.searchPqRefine(queries, Ann.K, nprobe = 2, kRefine = 50)
+      .queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.exists(s => s.contains("codes") && !s.contains("nv")),
+      scans.mkString("\n"))
+    assert(scans.exists(s => s.contains("nv") && !s.contains("codes")),
+      scans.mkString("\n"))
+    assert(plan.contains("PartitionFilters: [cell#") ||
+           plan.matches("(?s).*PartitionFilters: \\[.*cell.*IN.*"),
+      plan.split("\n").filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("a reader handle is ONE quantizer generation across a concurrent rebalance") {
     val d = Files.createTempDirectory("graft_ivf_snap").toString
     val emb = Tables.embeddings(spark, sf)

@@ -67,7 +67,9 @@ class PlanAuditSpec extends SparkSpec {
     val boundedBroadcast = Set(
       // the ANN query batch (vec_id % 100): sized by the caller's
       // workload; brute-force/IVF scoring broadcasts queries BY DESIGN
-      "ann_topk", "ann_ivf", "ann_pq")
+      // (ann_pq_refine additionally broadcasts its Q × KRefine
+      // candidate list — workload-sized by construction)
+      "ann_topk", "ann_ivf", "ann_pq", "ann_pq_refine")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val lines = plan.linesIterator.toVector

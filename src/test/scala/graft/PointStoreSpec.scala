@@ -40,6 +40,42 @@ class PointStoreSpec extends SparkSpec {
     assert(store.members.size == 2 && store.members.head.startsWith("base-"))
   }
 
+  test("sketch measures fold through append/compact/changefeed like sums") {
+    import graft.functions.SketchOps
+    import spark.implicits._
+    // (grp, v): 600 distinct values across two groups, batched 4 ways
+    val rows = (0 until 600).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+    def batch(m: Int) = rows.filter(_._2 % 4 == m).toDF("grp", "v")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        SketchOps.distinctSketch(col("v"), 12, 4096).as("sk"))
+    val dir = freshDir("sketch")
+    val store = new PointStore(spark, dir, keys = Seq("grp"),
+      sums = Seq("n"), maxes = Nil, sketches = Seq("sk"))
+    store.appendTagged("s0", batch(0))
+    store.appendTagged("s1", batch(1))
+    val checkpoint = store.version
+    store.compact()
+    store.appendTagged("s2", batch(2))
+    store.appendTagged("s2", batch(2)) // redelivery: no-op
+    store.append(batch(3))
+    def est(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.select(col("grp"), col("n"), SketchOps.sketchEst(col("sk")).as("d"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    // snapshot: batch boundaries, the compaction, and the redelivery are
+    // invisible — counts additive, distinct counts union-exact
+    assert(est(store.snapshot) == Map("a" -> ((300L, 300L)), "b" -> ((300L, 300L))))
+    // changefeed window since the checkpoint: exactly batches 2+3's fold,
+    // sketch measures merging like any other column
+    assert(est(store.changesSince(checkpoint)) ==
+      Map("a" -> ((150L, 150L)), "b" -> ((150L, 150L))))
+    // a reopened handle reads the same state from the manifest alone
+    val reopened = new PointStore(spark, dir, keys = Seq("grp"),
+      sums = Seq("n"), maxes = Nil, sketches = Seq("sk"))
+    assert(est(reopened.snapshot) == est(store.snapshot))
+  }
+
   test("a reopened store recovers the snapshot from the manifest alone") {
     val dir = freshDir("reopen")
     val store = build(dir)
