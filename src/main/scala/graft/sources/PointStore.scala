@@ -55,11 +55,18 @@ import org.apache.spark.sql.functions._
   *   commutative, state-exact (merge(sk(A), sk(B)) ≡ sk(A∪B)) and
   *   byte-deterministic, so batch boundaries and compaction points stay
   *   invisible in the snapshot exactly as they are for sums.
+  * @param quantiles measure columns holding serialized
+  *   [[graft.functions.QuantileSketch]] binaries, merged with
+  *   `graft_quantile_merge` — order-statistics measures (length/latency
+  *   distributions per key) beside the counts; exact below the sketch
+  *   capacity, bounded rank error past it.
   */
 final class PointStore(spark: SparkSession, path: String,
                        keys: Seq[String], sums: Seq[String],
-                       maxes: Seq[String], sketches: Seq[String] = Nil) {
-  require(keys.nonEmpty && (sums.nonEmpty || maxes.nonEmpty || sketches.nonEmpty),
+                       maxes: Seq[String], sketches: Seq[String] = Nil,
+                       quantiles: Seq[String] = Nil) {
+  require(keys.nonEmpty &&
+    (sums.nonEmpty || maxes.nonEmpty || sketches.nonEmpty || quantiles.nonEmpty),
     "point store needs key columns and at least one measure")
 
   // all manifest/member path handling via the Hadoop FileSystem API —
@@ -164,7 +171,7 @@ final class PointStore(spark: SparkSession, path: String,
     // an unnecessary cascading resync
     if (consumedTags(tag)) return
     val name = f"base-$nextSeq%06d"
-    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches).map(col): _*))
+    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches ++ quantiles).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sfs.pathOf(name))
     val v = version + 1
@@ -191,7 +198,8 @@ final class PointStore(spark: SparkSession, path: String,
   private def mergeAgg(df: DataFrame): DataFrame = {
     val exprs = sums.map(c => sum(col(c)).as(c)) ++
       maxes.map(c => max(col(c)).as(c)) ++
-      sketches.map(c => graft.functions.SketchOps.sketchMerge(col(c)).as(c))
+      sketches.map(c => graft.functions.SketchOps.sketchMerge(col(c)).as(c)) ++
+      quantiles.map(c => graft.functions.SketchOps.quantileMerge(col(c)).as(c))
     df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
 
@@ -218,7 +226,7 @@ final class PointStore(spark: SparkSession, path: String,
   }
 
   private def writeDelta(name: String, partial: DataFrame): Unit = {
-    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches).map(col): _*))
+    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches ++ quantiles).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sfs.pathOf(name))
     writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")
