@@ -90,6 +90,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (Curation.decontaminateBloom _),
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
     "doc_repetition"  -> (Curation.docRepetition _),
+    "source_reputation" -> (Curation.sourceReputation _),
     "boilerplate_screen" -> (Curation.boilerplateScreen _),
     "boilerplate_strip" -> (Curation.boilerplateStrip _),
     "pii_scrub"       -> (Curation.piiScrub _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "decontaminate_bloom" -> Curation.decontaminateOracle,
     "decontaminate_fuzzy" -> Curation.decontaminateFuzzyOracle,
     "doc_repetition"  -> Curation.docRepetitionOracle,
+    "source_reputation" -> Curation.sourceReputationOracle,
     "boilerplate_screen" -> Curation.boilerplateScreenOracle,
     "boilerplate_strip" -> Curation.boilerplateStripOracle,
     "pii_scrub"       -> Curation.piiScrubOracle,

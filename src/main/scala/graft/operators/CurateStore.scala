@@ -95,6 +95,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     new PointStore(spark, sfs.pathOf("df"), Seq("shingle"), Seq("df"), Nil)
   private lazy val benchStore =
     new PointStore(spark, sfs.pathOf("bench"), Seq("shingle"), Seq("n_docs"), Nil)
+  private lazy val healthStore = CurateStore.healthStoreAt(spark, sfs)
 
   private def manifestLines: Seq[String] = sfs.linesIfExists(ManifestName)
 
@@ -224,6 +225,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     sigindex.compact()
     dfStore.compact()
     benchStore.compact()
+    healthStore.compact()
   }
 
   /** Reclaim member directories the manifest no longer references (the
@@ -237,7 +239,30 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     sigindex.vacuum()
     dfStore.vacuum()
     benchStore.vacuum()
+    healthStore.vacuum()
   }
+
+  /** Corpus-health time series, from state alone: one row per
+    * (night, lang) ever folded — document count, vocabulary size
+    * (distinct shingles, [[graft.functions.DistinctSketch]] exact in
+    * the driver regime), and token-count p50/p95
+    * ([[graft.functions.QuantileSketch]]) — "how did the corpus's
+    * composition evolve, drop by drop?", the question a curation
+    * operator asks before touching mixture weights. The rows ride the
+    * nightly fold as a nested sketch-measured [[PointStore]] keyed by
+    * (night, lang): each night's metrics derive from frames the fold
+    * already materialized (the stats member and the signature-index
+    * member — ZERO extra text passes), land under the night's tag
+    * (idempotent under crash-retry like every sub-store commit), and
+    * need no subtraction path because a night only ever writes its own
+    * (night, lang) keys. */
+  def health(): DataFrame =
+    healthStore.snapshot
+      .select(col("night"), col("lang"), col("n_docs"),
+        graft.functions.SketchOps.sketchEst(col("vocab")).as("n_shingles"),
+        graft.functions.SketchOps.quantileAt(col("lens"), 0.5).as("p50_tokens"),
+        graft.functions.SketchOps.quantileAt(col("lens"), 0.95).as("p95_tokens"))
+      .orderBy(col("night"), col("lang"))
 
   /** A sub-store's state BEFORE this night: normally its snapshot; if a
     * CRASHED attempt of the same tag already folded the delta, subtract
@@ -533,6 +558,13 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       // ---- sub-store folds (idempotent under the tag; O(delta) writes) ----
       dfStore.appendTagged(tag, deltaDf)
       benchStore.appendTagged(tag, deltaBenchDf)
+      // health metrics for THE DELTA alone: the stats member holds
+      // override rows for flip-affected corpus docs too, so restrict to
+      // tonight's ids (O(delta), AQE broadcasts it); shingles come from
+      // the committed signature member — zero extra text passes
+      healthStore.appendTagged(tag, CurateStore.healthPartial(lit(tag),
+        statsMember.join(delta.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        deltaRows))
 
       // ---- the ONE commit point ----
       val meta = lines.filter(_.startsWith("#"))
@@ -557,7 +589,44 @@ object CurateStore {
 
   /** Directories that belong to the nested sub-stores, never to the
     * member namespace — [[CurateStore.vacuum]] must not touch them. */
-  private val SubStoreDirs = Set("sigindex", "df", "bench")
+  private val SubStoreDirs = Set("sigindex", "df", "bench", "health")
+
+  /** The nested health store: (night, lang)-keyed doc counts plus
+    * vocabulary (distinct sketch) and token-length (quantile sketch)
+    * measures. */
+  private def healthStoreAt(spark: SparkSession, sfs: StoreFs): PointStore =
+    new PointStore(spark, sfs.pathOf("health"),
+      keys = Seq("night", "lang"), sums = Seq("n_docs"), maxes = Nil,
+      sketches = Seq("vocab"), quantiles = Seq("lens"))
+
+  /** One night's (night, lang) health partial, computed purely from
+    * frames the fold already materialized: `stats` (doc_id, lang,
+    * n_tokens — the night's stats member restricted to its own docs)
+    * and `sigRows` (doc_id, sh — the night's signature member). The
+    * vocabulary join EXPLODES the stored sets before its shuffle — the
+    * night's plan contract says stored arrays never cross an exchange
+    * (CurateStorePlanSpec pins it), and the exploded posting rows are
+    * 16 bytes each where the array rows are kilobytes. A lang whose
+    * docs carry no shingles is dropped by the inner join — at the
+    * driver corpus every lang has shingles, and the count row would
+    * otherwise carry a null sketch the merge refuses. */
+  private def healthPartial(night: org.apache.spark.sql.Column,
+      stats: DataFrame, sigRows: DataFrame): DataFrame = {
+    import graft.functions.SketchOps
+    val vocab = sigRows
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(stats.select(col("doc_id"), col("lang")).hint("shuffle_hash"),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(SketchOps.distinctSketch(col("shingle"),
+        TextOps.DistinctP, TextOps.DistinctSparseCap).as("vocab"))
+    stats.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        SketchOps.quantileSketch(col("n_tokens"), TextOps.QuantileK).as("lens"))
+      .join(vocab, Seq("lang"))
+      .select(night.as("night"), col("lang"), col("n_docs"),
+        col("vocab"), col("lens"))
+  }
 
   /** Member-count bound per table before [[curateNight]] folds the
     * store (16 = two weeks of nightly appends between folds — the
@@ -658,6 +727,11 @@ object CurateStore {
         common0)
       .select(col("doc_id"), col("cleaned"))
       .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("strips-base"))
+
+    // night-0 health row per lang, storage-fed like the strips (stats +
+    // signature rows read back from what was just written)
+    healthStoreAt(spark, sfs).appendTagged("base",
+      healthPartial(lit("base"), statsR, rows))
 
     // cluster labels materialized like every later commit does (the
     // handle's clusterLabels needs a loaded store, so inline the same

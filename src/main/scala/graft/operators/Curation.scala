@@ -588,4 +588,68 @@ object Curation {
           '$Ipv4Re', '<ip>', 'g'),
         '$BlocklistRe', '<masked>', 'g') AS scrubbed
     FROM documents"""
+
+  // ----------------------------------------------------- source_reputation
+
+  /** Keep-bar for a source's low-quality share: sources where more than
+    * [[MaxLowQualityShare]] of documents fall under
+    * [[Pipeline.QualityThreshold]] are dropped wholesale. 0.3 splits the
+    * driver corpus (per-source shares span 0.12-0.48), so both verdicts
+    * appear at every SF. */
+  val MaxLowQualityShare = 0.3
+
+  /** Source/domain reputation (the RefinedWeb/C4 URL-level idea at the
+    * `source` grain): a domain whose sample is mostly junk is dropped
+    * WHOLE, because per-document screens leak boilerplate-adjacent junk
+    * a domain-level prior catches. One [[TextOps.textStatsOf]] scan,
+    * one source-grain hash agg; every output is bit-stable by
+    * construction — counts are exact integers, shares are single
+    * int/int divisions, min/max of the per-doc score are selections
+    * (never a double SUM, which is order-dependent and would break the
+    * hash oracle at any partitioning). At 100 TB this is a scan +
+    * one metadata-grain shuffle (domains are bounded). */
+  def sourceReputation(s: SparkSession, d: String): DataFrame =
+    TextOps.textStatsOf(documents(s, d), col("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(when(col("quality_score") < Pipeline.QualityThreshold, 1L)
+          .otherwise(0L)).as("n_low_quality"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .select(col("source"), col("n_docs"), col("n_chars_total"),
+        col("n_low_quality"),
+        (col("n_low_quality").cast("double") / col("n_docs"))
+          .as("low_quality_share"),
+        col("min_quality"), col("max_quality"),
+        (col("n_low_quality").cast("double") / col("n_docs")
+          <= MaxLowQualityShare).as("keep"))
+      .orderBy(col("source"))
+
+  def sourceReputationOracle: String = raw"""
+    WITH t AS (
+      SELECT source, text,
+        string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9${Dedup.WsChars}]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents),
+    c AS (
+      SELECT source, n_chars,
+        least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) * 0.5
+          + (CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(w)) * 0.3
+          + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2 AS quality_score
+      FROM t),
+    g AS (
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        CAST(sum(CASE WHEN quality_score < ${Pipeline.QualityThreshold} THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+        min(quality_score) AS min_quality,
+        max(quality_score) AS max_quality
+      FROM c GROUP BY 1)
+    SELECT source, n_docs, n_chars_total, n_low_quality,
+      CAST(n_low_quality AS DOUBLE) / n_docs AS low_quality_share,
+      min_quality, max_quality,
+      CAST(n_low_quality AS DOUBLE) / n_docs <= $MaxLowQualityShare AS keep
+    FROM g ORDER BY 1"""
 }

@@ -53,6 +53,13 @@ import java.nio.charset.StandardCharsets
   *                                      count, and the composite `keep`
   *                                      — "would curation keep this
   *                                      crawl?" ahead of ingest.
+  *   GET /health/curate?store=<name>[&limit=N]
+  *                                   → the store's per-night corpus-
+  *                                      health series (doc counts,
+  *                                      vocabulary size, token-length
+  *                                      p50/p95 per lang) — the
+  *                                      dashboard poll; state-only, no
+  *                                      text or kernels touched.
   *
   * The server holds ONE SparkSession; queries are declarative DataFrames,
   * so concurrent requests are just concurrent Spark jobs under the
@@ -188,6 +195,50 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                     respond(ex, 200, rows.mkString("[", ",", "]"))
                   }
                 } finally docs.unpersist(false)
+            }
+          } catch { case e: Throwable =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the monitoring face of the curation surface: the per-night
+    // corpus-health series (doc counts, vocabulary, length percentiles
+    // per lang) a dashboard polls — GET, state-only (no text, no
+    // kernels; CurateStore.health reads the nested sketch store), same
+    // canonicalize-under-root + bounded-response discipline
+    server.createContext("/health/curate", (ex: HttpExchange) => {
+      (indexRoot, param(ex, "store")) match {
+        case (None, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (Some(root), Some(name)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val lim = param(ex, "limit")
+            .map(p => scala.util.Try(p.toInt).toOption)
+          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the index root"}""")
+          else if (lim.contains(None))
+            respond(ex, 400, """{"error":"limit must be an integer"}""")
+          else try {
+            val loaded =
+              try Some(graft.operators.CurateStore.load(spark, dir.getPath))
+              catch { case e: RuntimeException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("no curate store") =>
+                None
+              }
+            loaded match {
+              case None =>
+                respond(ex, 404, s"""{"error":"no curate store named '$name'"}""")
+              case Some(store) =>
+                import org.apache.spark.sql.functions.col
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                val rows = store.health()
+                  .orderBy(col("night"), col("lang"))
+                  .limit(limit).toJSON.collect()
+                respond(ex, 200, rows.mkString("[", ",", "]"))
             }
           } catch { case e: Throwable =>
             respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")

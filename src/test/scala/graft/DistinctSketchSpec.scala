@@ -138,6 +138,36 @@ class DistinctSketchSpec extends SparkSpec {
     assert(chain(e).contains("no sketches"), chain(e))
   }
 
+  test("property: sketch state is a pure function of the value set — " +
+    "any chunking, any merge order, identical bytes") {
+    // the distributed guarantee in one line: however the planner splits
+    // and merges partials, the final sketch (and so the estimate and
+    // any bytes landed in parquet) is identical
+    var seed = 0xD15C0L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 1 to 20) {
+      val p = 8 + next(5)
+      val cap = 50 + next(400)
+      val distinct = 20 + next(800) // straddles cap across trials
+      val vals = Seq.tabulate(distinct * 2)(i => (i % distinct).toLong + trial * 100000L)
+      val oneShot = sketchOf(vals, p, cap).serialize()
+      // random chunking, then merge chunks in a random order
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var rest = vals
+      while (rest.nonEmpty) {
+        val n = 1 + next(math.max(1, rest.length))
+        chunks += rest.take(n); rest = rest.drop(n)
+      }
+      val shuffledChunks = chunks.sortBy(_ => next(1 << 20))
+      val merged = shuffledChunks.map(c => sketchOf(c, p, cap)).reduce(_ mergeIn _)
+      assert(java.util.Arrays.equals(merged.serialize(), oneShot),
+        s"trial $trial (p=$p cap=$cap distinct=$distinct chunks=${chunks.size})")
+    }
+  }
+
   test("plan: sketch partials run through ObjectHashAggregate (map-side combine)") {
     import spark.implicits._
     val plan = stream(13L, 50).toDF("v").repartition(4)

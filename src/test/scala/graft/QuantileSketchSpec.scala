@@ -145,6 +145,32 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("property: rank error stays bounded under random chunking and merge order") {
+    var seed = 0xCAFE5L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 1 to 12) {
+      val n = 2000 + next(18000)
+      val k = 512
+      val vals = shuffled(n, 1000L + trial)
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var rest = vals
+      while (rest.nonEmpty) {
+        val c = 1 + next(math.max(1, rest.length))
+        chunks += rest.take(c); rest = rest.drop(c)
+      }
+      val merged = chunks.sortBy(_ => next(1 << 20))
+        .map(c => sketchOf(c, k)).reduce(_ mergeIn _)
+      val worst = (1 to 9).map(_ / 10.0).map { q =>
+        math.abs(merged.estimate(q) - trueQ(n, q)).toDouble / n
+      }.max
+      assert(worst < 0.05,
+        s"trial $trial: n=$n chunks=${chunks.size} max rank error $worst")
+    }
+  }
+
   test("plan: sketch partials run through ObjectHashAggregate (map-side combine)") {
     import spark.implicits._
     val plan = shuffled(100, 31L).toDF("v").repartition(4)

@@ -147,6 +147,19 @@ class ServerSpec extends SparkSpec {
       assert(tc == 403)
       val (bc, _) = post(port, "/probe/curate?store=docs", """{"junk": 1}""")
       assert(bc == 400)
+
+      // GET /health/curate: the per-night series, state-only
+      val (hc, hBody) = get(port, "/health/curate?store=docs")
+      assert(hc == 200, hBody)
+      val wantH = store.health().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val gotH = """"night":"([^"]+)","lang":"([^"]+)","n_docs":(\d+)""".r
+        .findAllMatchIn(hBody)
+        .map(m => (m.group(1), m.group(2), m.group(3).toLong)).toSet
+      assert(gotH == wantH && gotH.nonEmpty,
+        s"health series diverged: got $gotH want $wantH")
+      val (hu, _) = get(port, "/health/curate?store=nope")
+      assert(hu == 404)
     } finally srv.stop()
   }
 

@@ -77,6 +77,46 @@ class CurateStoreSpec extends SparkSpec {
     assert(resultMap(store.snapshot()) == expected)
   }
 
+  test("health(): per-night vocabulary and length metrics from state alone, " +
+    "exact, retry-stable, compaction-invariant") {
+    val dir = freshDir("graft_test_curate_health")
+    val corpus = docs.filter(col("doc_id") <= 399)
+    val delta = docs.filter(col("doc_id") > 399)
+    val store = CurateStore.build(corpus, dir.getPath)
+    store.curateNight("n1", delta)
+    store.curateNight("n1", delta) // redelivered night: health unchanged
+
+    def healthMap(df: DataFrame): Map[(String, String), (Long, Long, Long, Long)] =
+      df.collect().map { r =>
+        (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      }.toMap
+    val got = healthMap(store.health())
+
+    // expected, computed independently per night slice: doc count,
+    // distinct shingles, token-count p50/p95 per lang
+    def expect(slice: DataFrame, night: String): Map[(String, String), (Long, Long, Long, Long)] = {
+      val stats = slice.select(col("doc_id"), col("lang"),
+        size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+      val voc = Dedup.hashedShingles(slice, Curation.DecontamN)
+        .join(stats.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang")).agg(countDistinct(col("shingle")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      stats.collect().groupBy(_.getString(1)).map { case (lang, rows) =>
+        val lens = rows.map(_.getLong(2)).sorted
+        def disc(q: Double): Long =
+          lens(math.max(1, math.ceil(q * lens.size).toInt) - 1)
+        (night, lang) -> ((rows.length.toLong, voc(lang), disc(0.5), disc(0.95)))
+      }
+    }
+    val want = expect(corpus, "base") ++ expect(delta, "n1")
+    assert(got == want)
+
+    // compaction folds the nested store without changing the series
+    store.compact()
+    assert(healthMap(store.health()) == want)
+  }
+
   test("two nights fold like one (order-insensitive state, tags distinct)") {
     val dir = freshDir("graft_test_curate_two")
     val store = CurateStore.build(docs.filter(col("doc_id") <= 299), dir.getPath)
