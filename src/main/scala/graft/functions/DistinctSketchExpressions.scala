@@ -133,35 +133,44 @@ final class DistinctSketch(val p: Int, val sparseCap: Int) {
     while (j < table.length) { if (table(j) != 0L) f(table(j)); j += 1 }
   }
 
-  /** Merged sketch (both operands left untouched unless one is the
-    * empty placeholder, which simply adopts the other). Parameters must
-    * match — silently folding a p=12 sketch into a p=16 one would yield
-    * a number with neither sketch's guarantee, so mismatches are loud. */
-  def mergeIn(other: DistinctSketch): DistinctSketch = {
+  /** Fold `other` into THIS sketch in place — the aggregation path
+    * (O(other) per fold instead of rebuilding the accumulated state per
+    * input row). Returns the surviving instance: `other` when this is
+    * the placeholder (a freshly-deserialized input is safe to own),
+    * this otherwise. Parameters must match — silently folding a p=12
+    * sketch into a p=16 one would yield a number with neither sketch's
+    * guarantee, so mismatches are loud. The final state is a pure
+    * function of the value set whatever the fold tree (set union /
+    * register max; DistinctSketchSpec's chunking property pins it). */
+  def absorb(other: DistinctSketch): DistinctSketch = {
     if (other.isEmptyPlaceholder) return this
     if (isEmptyPlaceholder) return other
     require(p == other.p && sparseCap == other.sparseCap,
       s"graft_sketch_merge: cannot merge sketches with different shapes " +
         s"(p=$p cap=$sparseCap vs p=${other.p} cap=${other.sparseCap})")
-    if (isDense || other.isDense) {
-      val out = new DistinctSketch(p, sparseCap)
-      out.promote()
-      if (isDense) Array.copy(regs, 0, out.regs, 0, regs.length)
-      else foreachSparse(out.addDense)
+    if (other.isDense && !isDense) promote()
+    if (isDense) {
       if (other.isDense) {
         var i = 0
-        while (i < out.regs.length) {
-          if (other.regs(i) > out.regs(i)) out.regs(i) = other.regs(i)
+        while (i < regs.length) {
+          if (other.regs(i) > regs(i)) regs(i) = other.regs(i)
           i += 1
         }
-      } else other.foreachSparse(out.addDense)
-      out
-    } else {
-      val out = new DistinctSketch(p, sparseCap)
-      foreachSparse(out.add)
-      other.foreachSparse(out.add)
-      out
-    }
+      } else other.foreachSparse(addDense)
+    } else other.foreachSparse(add) // add promotes if the union crosses cap
+    this
+  }
+
+  /** Pure merge (operands untouched): a deep copy of this absorbs
+    * `other` — identical semantics to the aggregation path. */
+  def mergeIn(other: DistinctSketch): DistinctSketch =
+    copySketch().absorb(other)
+
+  private def copySketch(): DistinctSketch = {
+    val out = new DistinctSketch(p, sparseCap)
+    if (isDense) { out.promote(); Array.copy(regs, 0, out.regs, 0, regs.length) }
+    else if (p != 0) foreachSparse(out.add)
+    out
   }
 
   /** The cardinality estimate: exact sparse size, or the HLL estimator
@@ -280,11 +289,20 @@ case class DistinctSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DistinctSketch] with UnaryLike[Expression] {
 
+  require(p >= 4 && p <= 18,
+    s"graft_distinct_sketch: precision must be in [4, 18], got $p")
   require(sparseCap >= 0, s"graft_distinct_sketch: negative sparseCap $sparseCap")
 
   override def prettyName: String = "graft_distinct_sketch"
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(LongType, IntegerType, StringType, BinaryType).contains(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_distinct_sketch expects a long/int/string/binary column, " +
+        s"got ${child.dataType}")
 
   override def createAggregationBuffer(): DistinctSketch =
     new DistinctSketch(p, sparseCap)
@@ -296,7 +314,7 @@ case class DistinctSketchAgg(
   }
 
   override def merge(a: DistinctSketch, b: DistinctSketch): DistinctSketch =
-    a.mergeIn(b)
+    a.absorb(b) // partial buffers are aggregation-private: in-place is safe
 
   override def eval(buf: DistinctSketch): Any = buf.serialize()
 
@@ -348,11 +366,12 @@ case class SketchMergeAgg(
   override def update(buf: DistinctSketch, input: InternalRow): DistinctSketch = {
     val v = child.eval(input)
     if (v == null) buf
-    else buf.mergeIn(DistinctSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    // in-place absorb: O(input) per row, not O(accumulated state)
+    else buf.absorb(DistinctSketch.deserialize(v.asInstanceOf[Array[Byte]]))
   }
 
   override def merge(a: DistinctSketch, b: DistinctSketch): DistinctSketch =
-    a.mergeIn(b)
+    a.absorb(b)
 
   override def eval(buf: DistinctSketch): Any = {
     require(!buf.isEmptyPlaceholder,

@@ -64,44 +64,67 @@ final class QuantileSketch(val k: Int) {
   }
 
   /** Sort level i, promote every other element (alternating offset) to
-    * level i+1 with doubled implicit weight, cascade if that fills. */
+    * level i+1 with doubled implicit weight, cascade if that fills.
+    * Weight is conserved EXACTLY: an odd-length buffer (reachable only
+    * through [[absorb]]'s level concatenation — [[add]] compacts at
+    * exactly k, which is even) retains its largest element at level i
+    * instead of folding it into a half-pair, so
+    * totalWeight(merge(a, b)) == totalWeight(a) + totalWeight(b) always
+    * (the KLL/Munro-Paterson leftover rule; QuantileSketchSpec pins the
+    * invariant). */
   private def compactLevel(i: Int): Unit = {
     val arr = levels(i).toArray
     java.util.Arrays.sort(arr)
+    val even = arr.length & ~1
     val off = ((toggles >>> i) & 1L).toInt
     toggles ^= 1L << i
     if (levels.length == i + 1) levels += ArrayBuffer.empty[Long]
     val up = levels(i + 1)
     var j = off
-    while (j < arr.length) { up += arr(j); j += 2 }
+    while (j < even) { up += arr(j); j += 2 }
     levels(i).clear()
+    if (even < arr.length) levels(i) += arr(even) // the unpaired leftover
     if (up.length >= k) compactLevel(i + 1)
   }
 
-  /** Merged sketch (operands untouched unless one is the placeholder):
-    * level-wise concatenation, then recompaction bottom-up. Capacities
-    * must match — the loud-mismatch rule the whole family shares. */
-  def mergeIn(other: QuantileSketch): QuantileSketch = {
+  /** Fold `other` into THIS sketch in place — the aggregation path
+    * (O(other) per fold instead of rebuilding the accumulated state
+    * per input row). Returns the surviving instance: `other` when this
+    * is the placeholder (a freshly-deserialized input is safe to own),
+    * this otherwise. Capacities must match — the loud-mismatch rule
+    * the whole family shares. */
+  def absorb(other: QuantileSketch): QuantileSketch = {
     if (other.isEmptyPlaceholder) return this
     if (isEmptyPlaceholder) return other
     require(k == other.k,
       s"graft_quantile_merge: cannot merge sketches with different " +
         s"capacities ($k vs ${other.k})")
-    val out = new QuantileSketch(k)
-    out.toggles = toggles ^ other.toggles
-    val n = math.max(levels.length, other.levels.length)
-    while (out.levels.length < n) out.levels += ArrayBuffer.empty[Long]
+    toggles ^= other.toggles
+    while (levels.length < other.levels.length)
+      levels += ArrayBuffer.empty[Long]
     var i = 0
-    while (i < n) {
-      if (i < levels.length) out.levels(i) ++= levels(i)
-      if (i < other.levels.length) out.levels(i) ++= other.levels(i)
+    while (i < other.levels.length) {
+      levels(i) ++= other.levels(i)
       i += 1
     }
     i = 0
-    while (i < out.levels.length) { // cascade handles freshly-filled uppers
-      if (out.levels(i).length >= k) out.compactLevel(i)
+    while (i < levels.length) { // cascade handles freshly-filled uppers
+      if (levels(i).length >= k) compactLevel(i)
       i += 1
     }
+    this
+  }
+
+  /** Pure merge (operands untouched): a deep copy of this absorbs
+    * `other` — identical semantics to the aggregation path. */
+  def mergeIn(other: QuantileSketch): QuantileSketch =
+    copySketch().absorb(other)
+
+  private def copySketch(): QuantileSketch = {
+    val out = new QuantileSketch(k)
+    out.toggles = toggles
+    out.levels.clear()
+    levels.foreach(b => out.levels += b.clone())
     out
   }
 
@@ -187,6 +210,12 @@ case class QuantileSketchAgg(
   override def prettyName: String = "graft_quantile_sketch"
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType || child.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_quantile_sketch expects an integer column, got ${child.dataType}")
 
   override def createAggregationBuffer(): QuantileSketch = new QuantileSketch(k)
 
@@ -202,7 +231,7 @@ case class QuantileSketchAgg(
   }
 
   override def merge(a: QuantileSketch, b: QuantileSketch): QuantileSketch =
-    a.mergeIn(b)
+    a.absorb(b) // partial buffers are aggregation-private: in-place is safe
 
   override def eval(buf: QuantileSketch): Any = buf.serialize()
   override def serialize(buf: QuantileSketch): Array[Byte] = buf.serialize()
@@ -247,11 +276,12 @@ case class QuantileMergeAgg(
   override def update(buf: QuantileSketch, input: InternalRow): QuantileSketch = {
     val v = child.eval(input)
     if (v == null) buf
-    else buf.mergeIn(QuantileSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    // in-place absorb: O(input) per row, not O(accumulated state)
+    else buf.absorb(QuantileSketch.deserialize(v.asInstanceOf[Array[Byte]]))
   }
 
   override def merge(a: QuantileSketch, b: QuantileSketch): QuantileSketch =
-    a.mergeIn(b)
+    a.absorb(b)
 
   override def eval(buf: QuantileSketch): Any = {
     require(!buf.isEmptyPlaceholder,
@@ -276,17 +306,16 @@ case class QuantileMergeAgg(
 /** `graft_quantile_at(sketch, q)` — the q-quantile of a serialized
   * sketch. Group-grain input, codegen'd anyway (one static call). */
 case class QuantileAt(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def prettyName: String = "graft_quantile_at"
   override def dataType: DataType = LongType
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (left.dataType == BinaryType && right.dataType == DoubleType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_quantile_at expects (binary sketch, double quantile), got " +
-        s"(${left.dataType}, ${right.dataType})")
+  // ImplicitCastInputTypes: the natural SQL spelling
+  // graft_quantile_at(sk, 0.5) parses 0.5 as DECIMAL — the analyzer
+  // inserts the double cast instead of rejecting it (covariant return:
+  // AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
 
   override def nullSafeEval(sk: Any, q: Any): Any =
     QuantileSketch.estimateBytes(sk.asInstanceOf[Array[Byte]],

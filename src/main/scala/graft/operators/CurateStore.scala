@@ -256,13 +256,22 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * (idempotent under crash-retry like every sub-store commit), and
     * need no subtraction path because a night only ever writes its own
     * (night, lang) keys. */
-  def health(): DataFrame =
+  def health(): DataFrame = {
+    import spark.implicits._
+    // a store written before the health series existed has no members —
+    // an empty series, not an error (the one sub-store whose absence is
+    // benign: it holds derived metrics, never curation state)
+    if (healthStore.members.isEmpty)
+      return Seq.empty[(String, String, Long, Long, Long, Long)]
+        .toDF("night", "lang", "n_docs", "n_shingles", "p50_tokens",
+          "p95_tokens")
     healthStore.snapshot
       .select(col("night"), col("lang"), col("n_docs"),
         graft.functions.SketchOps.sketchEst(col("vocab")).as("n_shingles"),
         graft.functions.SketchOps.quantileAt(col("lens"), 0.5).as("p50_tokens"),
         graft.functions.SketchOps.quantileAt(col("lens"), 0.95).as("p95_tokens"))
       .orderBy(col("night"), col("lang"))
+  }
 
   /** A sub-store's state BEFORE this night: normally its snapshot; if a
     * CRASHED attempt of the same tag already folded the delta, subtract
@@ -607,9 +616,10 @@ object CurateStore {
     * night's plan contract says stored arrays never cross an exchange
     * (CurateStorePlanSpec pins it), and the exploded posting rows are
     * 16 bytes each where the array rows are kilobytes. A lang whose
-    * docs carry no shingles is dropped by the inner join — at the
-    * driver corpus every lang has shingles, and the count row would
-    * otherwise carry a null sketch the merge refuses. */
+    * docs carry no shingles (every doc shorter than the shingle width)
+    * keeps its (night, lang) row — count and length quantiles ARE
+    * computable — with an EMPTY vocabulary sketch coalesced in, so the
+    * series never silently under-reports an ingested lang. */
   private def healthPartial(night: org.apache.spark.sql.Column,
       stats: DataFrame, sigRows: DataFrame): DataFrame = {
     import graft.functions.SketchOps
@@ -620,12 +630,14 @@ object CurateStore {
       .groupBy(col("lang"))
       .agg(SketchOps.distinctSketch(col("shingle"),
         TextOps.DistinctP, TextOps.DistinctSparseCap).as("vocab"))
+    val emptyVocab = new graft.functions.DistinctSketch(
+      TextOps.DistinctP, TextOps.DistinctSparseCap).serialize()
     stats.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         SketchOps.quantileSketch(col("n_tokens"), TextOps.QuantileK).as("lens"))
-      .join(vocab, Seq("lang"))
+      .join(vocab, Seq("lang"), "left")
       .select(night.as("night"), col("lang"), col("n_docs"),
-        col("vocab"), col("lens"))
+        coalesce(col("vocab"), lit(emptyVocab)).as("vocab"), col("lens"))
   }
 
   /** Member-count bound per table before [[curateNight]] folds the

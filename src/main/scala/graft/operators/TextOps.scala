@@ -363,10 +363,14 @@ object TextOps {
   /** Per-language distinct-shingle cardinality (vocabulary size — the
     * corpus-health metric a training mix is balanced against) via the
     * mergeable [[graft.functions.DistinctSketch]]: partials cap state at
-    * one sketch per (partition, lang) and only sketch buffers cross the
-    * exchange — an exact count(DISTINCT) would shuffle the whole posting
-    * table (the shingle universe is corpus-proportional: ~2.5M distinct
-    * at sf0.1, growing with every crawl). */
+    * one sketch per (partition, lang), so past the kernel's
+    * parallelism-barrier exchange (the [[Dedup.kernelSource]]
+    * discipline — the compute-bound shingle map must not serialize on a
+    * single-split input; a many-split 100 TB scan wouldn't need it)
+    * only sketch buffers move — an exact count(DISTINCT) would shuffle
+    * the whole posting table (the shingle universe is
+    * corpus-proportional: ~2.5M distinct at sf0.1, growing with every
+    * crawl). */
   def distinctByLang(s: SparkSession, d: String): DataFrame =
     nightLangShingles(documents(s, d), Long.MaxValue)
       .groupBy(col("lang"))

@@ -122,6 +122,26 @@ class DistinctSketchSpec extends SparkSpec {
     assert(e.getMessage.contains("different shapes"))
   }
 
+  test("bad precision and unsupported child types fail analysis, not mid-job") {
+    import spark.implicits._
+    // p=0 is the internal placeholder escape hatch — the aggregate
+    // must reject it before any executor sees a null table
+    intercept[Exception] {
+      Seq(1L).toDF("v").agg(SketchOps.distinctSketch(col("v"), 0, 100)).collect()
+    }
+    // double input: rehashing a rounded double would silently conflate
+    // values — refused at analysis
+    val e = intercept[Exception] {
+      Seq(1.5).toDF("v").agg(SketchOps.distinctSketch(col("v"), 12, 100)).collect()
+    }
+    assert(e.getMessage.contains("long/int/string/binary") ||
+      e.toString.contains("DATATYPE_MISMATCH"), e.toString)
+    // quantile sketch likewise refuses a string column
+    intercept[Exception] {
+      Seq("x").toDF("v").agg(SketchOps.quantileSketch(col("v"), 64)).collect()
+    }
+  }
+
   test("empty input: sketch of nothing estimates 0; merging nothing is loud") {
     import spark.implicits._
     val est = Seq.empty[Long].toDF("v")

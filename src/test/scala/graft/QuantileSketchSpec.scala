@@ -68,11 +68,13 @@ class QuantileSketchSpec extends SparkSpec {
     val a = shuffled(4000, 3L).filter(_ % 2 == 0) // evens
     val b = shuffled(4000, 5L).filter(_ % 2 == 1) // odds
     val merged = sketchOf(a, 8192).mergeIn(sketchOf(b, 8192))
+    assert(merged.totalWeight == a.size + b.size) // weight conserved exactly
     for (q <- Seq(0.1, 0.5, 0.9))
       assert(merged.estimate(q) == trueQ(4000, q), s"q=$q")
     // compacted: two 100k halves at k=1024
     val big = sketchOf(shuffled(200000, 13L).filter(_ < 100000), 1024)
       .mergeIn(sketchOf(shuffled(200000, 17L).filter(_ >= 100000), 1024))
+    assert(big.totalWeight == 200000L) // conserved through odd-length compactions
     val worst = (1 to 9).map(_ / 10.0).map { q =>
       math.abs(big.estimate(q) - trueQ(200000, q)).toDouble / 200000
     }.max
@@ -112,11 +114,11 @@ class QuantileSketchSpec extends SparkSpec {
     val vals = shuffled(700, 29L)
     vals.toDF("v").createOrReplaceTempView("qsk_vals")
     val viaSql = spark.sql(
-      """SELECT graft_quantile_at(graft_quantile_sketch(v, 4096), 0.5d) AS m
+      """SELECT graft_quantile_at(graft_quantile_sketch(v, 4096), 0.5) AS m
         |FROM qsk_vals""".stripMargin).head().getLong(0)
     assert(viaSql == trueQ(700, 0.5))
     val viaMerge = spark.sql(
-      """SELECT graft_quantile_at(graft_quantile_merge(sk), 0.75d) AS m FROM (
+      """SELECT graft_quantile_at(graft_quantile_merge(sk), 0.75) AS m FROM (
         |  SELECT graft_quantile_sketch(v, 4096) AS sk
         |  FROM qsk_vals GROUP BY v % 5)""".stripMargin).head().getLong(0)
     assert(viaMerge == trueQ(700, 0.75))
@@ -163,6 +165,8 @@ class QuantileSketchSpec extends SparkSpec {
       }
       val merged = chunks.sortBy(_ => next(1 << 20))
         .map(c => sketchOf(c, k)).reduce(_ mergeIn _)
+      assert(merged.totalWeight == n.toLong,
+        s"trial $trial: weight ${merged.totalWeight} != $n")
       val worst = (1 to 9).map(_ / 10.0).map { q =>
         math.abs(merged.estimate(q) - trueQ(n, q)).toDouble / n
       }.max

@@ -117,6 +117,25 @@ class CurateStoreSpec extends SparkSpec {
     assert(healthMap(store.health()) == want)
   }
 
+  test("health keeps a (night, lang) row even when every doc of that lang " +
+    "is too short to shingle") {
+    import spark.implicits._
+    val dir = freshDir("graft_test_curate_health_short")
+    // lang 'xx': all docs under the shingle width (2 tokens < DecontamN=3)
+    // → zero shingles, but counts and length quantiles ARE computable
+    val corpus = ((0L until 20L).map(i =>
+        (i, s"alpha beta gamma delta epsilon zeta token$i", "en", "s", 40L)) ++
+      (20L until 26L).map(i => (i, "aa bb", "xx", "s", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val store = CurateStore.build(corpus, dir.getPath)
+    val got = store.health().collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.contains("xx"), s"shingle-less lang dropped from health: $got")
+    assert(got("xx") == ((6L, 0L, 2L))) // 6 docs, empty vocab, p50 = 2 tokens
+    assert(got("en")._1 == 20L && got("en")._2 > 0L)
+  }
+
   test("two nights fold like one (order-insensitive state, tags distinct)") {
     val dir = freshDir("graft_test_curate_two")
     val store = CurateStore.build(docs.filter(col("doc_id") <= 299), dir.getPath)
