@@ -573,7 +573,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       // the committed signature member — zero extra text passes
       healthStore.appendTagged(tag, CurateStore.healthPartial(lit(tag),
         statsMember.join(delta.select(col("doc_id")), Seq("doc_id"), "left_semi"),
-        deltaRows))
+        deltaSh))
 
       // ---- the ONE commit point ----
       val meta = lines.filter(_.startsWith("#"))
@@ -611,20 +611,23 @@ object CurateStore {
   /** One night's (night, lang) health partial, computed purely from
     * frames the fold already materialized: `stats` (doc_id, lang,
     * n_tokens — the night's stats member restricted to its own docs)
-    * and `sigRows` (doc_id, sh — the night's signature member). The
-    * vocabulary join EXPLODES the stored sets before its shuffle — the
-    * night's plan contract says stored arrays never cross an exchange
-    * (CurateStorePlanSpec pins it), and the exploded posting rows are
+    * and `postings` (doc_id, shingle — the caller's ALREADY-EXPLODED
+    * posting view: build reuses its pinned corpus postings, a night
+    * its delta postings, so the health fold never re-reads or
+    * re-explodes the stored sets). Joining at posting grain also
+    * keeps the night's plan contract
+    * — stored arrays never cross an exchange
+    * (CurateStorePlanSpec pins it); the posting rows are
     * 16 bytes each where the array rows are kilobytes. A lang whose
     * docs carry no shingles (every doc shorter than the shingle width)
     * keeps its (night, lang) row — count and length quantiles ARE
     * computable — with an EMPTY vocabulary sketch coalesced in, so the
     * series never silently under-reports an ingested lang. */
   private def healthPartial(night: org.apache.spark.sql.Column,
-      stats: DataFrame, sigRows: DataFrame): DataFrame = {
+      stats: DataFrame, postings: DataFrame): DataFrame = {
     import graft.functions.SketchOps
-    val vocab = sigRows
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val vocab = postings
+      .select(col("doc_id"), col("shingle"))
       .join(stats.select(col("doc_id"), col("lang")).hint("shuffle_hash"),
         Seq("doc_id"))
       .groupBy(col("lang"))
@@ -743,7 +746,7 @@ object CurateStore {
     // night-0 health row per lang, storage-fed like the strips (stats +
     // signature rows read back from what was just written)
     healthStoreAt(spark, sfs).appendTagged("base",
-      healthPartial(lit("base"), statsR, rows))
+      healthPartial(lit("base"), statsR, post))
 
     // cluster labels materialized like every later commit does (the
     // handle's clusterLabels needs a loaded store, so inline the same

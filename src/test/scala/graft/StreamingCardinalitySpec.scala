@@ -79,5 +79,23 @@ class StreamingCardinalitySpec extends SparkSpec {
       val m = ls(math.max(1, math.ceil(0.5 * ls.size).toInt) - 1)
       assert(folded(g) == ((d, m)), g)
     }
+
+    // stream → window sketch → LSM store: the finalized window rows
+    // fold into a persisted sketch-measured PointStore (the composed
+    // pipeline the docs describe), and the merge-on-read snapshot
+    // reproduces the emitted estimates through a real disk round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_card_store").toString
+    val store = new graft.sources.PointStore(spark, dir,
+      keys = Seq("ws", "grp"), sums = Nil, maxes = Nil,
+      sketches = Seq("dsk"), quantiles = Seq("qsk"))
+    graft.streaming.StreamingPointStore.foldBatch(store,
+      b => b.select(col("ws"), col("grp"), col("dsk"), col("qsk")),
+      spark.table("card_out"), 0L)
+    val stored = store.snapshot
+      .select(col("ws"), col("grp"),
+        SketchOps.sketchEst(col("dsk")).as("n_distinct"),
+        SketchOps.quantileAt(col("qsk"), 0.5).as("p50"),
+        SketchOps.quantileAt(col("qsk"), 0.95).as("p95"))
+    assert(norm(stored) == got)
   }
 }

@@ -60,5 +60,16 @@ class StreamingCuratorSpec extends SparkSpec {
       docs.filter(col("doc_id") > 299 && col("doc_id") <= 399), 0L)
     assert(store.docCount == 500L)
     assert(resultMap(store.snapshot()) == expected)
+
+    // the health series rides the stream: night 0 plus one night per
+    // MICRO-BATCH (AvailableNow may coalesce queued drops into one),
+    // current to the last batch, doc counts summing to everything ever
+    // curated — and the forced redelivery added no extra night
+    val health = store.health().collect()
+    val nights = health.map(_.getString(0)).toSet
+    assert(nights.contains("base") &&
+      (nights - "base").nonEmpty && (nights - "base").forall(_.startsWith("b")),
+      s"expected base + batch nights, got $nights")
+    assert(health.map(_.getLong(2)).sum == 500L)
   }
 }
