@@ -27,7 +27,7 @@ object SparkEntry {
     "point_store_roundtrip", "point_store_changes", "point_store_follower",
     "dedup_clusters", "pipeline_curate", "dedup_incremental",
     "dedup_embedding_delta", "pipeline_curate_delta", "jsonl_roundtrip",
-    "point_store_sketch")
+    "point_store_sketch", "source_reputation_incremental")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -91,6 +91,8 @@ object SparkEntry {
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
     "doc_repetition"  -> (Curation.docRepetition _),
     "source_reputation" -> (Curation.sourceReputation _),
+    // #54b: the reputation table as a nightly LSM fold (SUM/MIN/MAX)
+    "source_reputation_incremental" -> (Curation.sourceReputationIncremental _),
     "boilerplate_screen" -> (Curation.boilerplateScreen _),
     "boilerplate_strip" -> (Curation.boilerplateStrip _),
     "pii_scrub"       -> (Curation.piiScrub _),
@@ -178,6 +180,8 @@ object SparkEntry {
     "decontaminate_fuzzy" -> Curation.decontaminateFuzzyOracle,
     "doc_repetition"  -> Curation.docRepetitionOracle,
     "source_reputation" -> Curation.sourceReputationOracle,
+    // the nightly fold must land on the one-shot reputation table
+    "source_reputation_incremental" -> Curation.sourceReputationOracle,
     "boilerplate_screen" -> Curation.boilerplateScreenOracle,
     "boilerplate_strip" -> Curation.boilerplateStripOracle,
     "pii_scrub"       -> Curation.piiScrubOracle,

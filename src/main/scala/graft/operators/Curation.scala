@@ -609,7 +609,14 @@ object Curation {
     * hash oracle at any partitioning). At 100 TB this is a scan +
     * one metadata-grain shuffle (domains are bounded). */
   def sourceReputation(s: SparkSession, d: String): DataFrame =
-    TextOps.textStatsOf(documents(s, d), col("source"))
+    sourceReputationFinish(sourceReputationPartial(documents(s, d)))
+
+  /** The source-grain partial — every measure folds under the point-
+    * store algebra (counts SUM, extremes MIN/MAX), which is what makes
+    * the reputation table incrementally maintainable
+    * ([[sourceReputationIncremental]]). */
+  private[operators] def sourceReputationPartial(docs: DataFrame): DataFrame =
+    TextOps.textStatsOf(docs, col("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars_total"),
@@ -617,6 +624,12 @@ object Curation {
           .otherwise(0L)).as("n_low_quality"),
         min(col("quality_score")).as("min_quality"),
         max(col("quality_score")).as("max_quality"))
+
+  /** Shares and the keep verdict derive from the folded integers at
+    * read time — they are NOT stored (a ratio does not fold; its
+    * numerator and denominator do, the reference's point-table rule). */
+  private[operators] def sourceReputationFinish(partial: DataFrame): DataFrame =
+    partial
       .select(col("source"), col("n_docs"), col("n_chars_total"),
         col("n_low_quality"),
         (col("n_low_quality").cast("double") / col("n_docs"))
@@ -625,6 +638,36 @@ object Curation {
         (col("n_low_quality").cast("double") / col("n_docs")
           <= MaxLowQualityShare).as("keep"))
       .orderBy(col("source"))
+
+  /** `source_reputation_incremental`: the reputation table maintained as
+    * a nightly LSM fold — three batch upserts into a [[graft.sources
+    * .PointStore]] (counts as SUM measures, quality extremes as MIN/MAX
+    * measures) with a compaction between the second and third and an
+    * at-least-once redelivery, then shares/verdicts derived from the
+    * merge-on-read snapshot. Same oracle as the one-shot
+    * [[sourceReputation]]: a hash match proves a domain's keep verdict
+    * is maintainable at O(batch) nightly cost — each night folds only
+    * its own delta's per-source integers, never re-scoring the corpus. */
+  def sourceReputationIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PointStore
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_srcrep_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    PointStore.deleteRec(dir) // deterministic rebuild per run
+    val store = new PointStore(s, dir.getPath,
+      keys = Seq("source"),
+      sums = Seq("n_docs", "n_chars_total", "n_low_quality"),
+      maxes = Seq("max_quality"), mins = Seq("min_quality"))
+    val docs = documents(s, d)
+    def batch(m: Int) =
+      sourceReputationPartial(docs.filter(col("doc_id") % 3 === m))
+    store.appendTagged("b0", batch(0))
+    store.appendTagged("b1", batch(1))
+    store.compact()
+    store.appendTagged("b2", batch(2))
+    store.appendTagged("b2", batch(2)) // at-least-once redelivery: no-op
+    sourceReputationFinish(store.snapshot)
+  }
 
   def sourceReputationOracle: String = raw"""
     WITH t AS (

@@ -60,13 +60,18 @@ import org.apache.spark.sql.functions._
   *   `graft_quantile_merge` — order-statistics measures (length/latency
   *   distributions per key) beside the counts; exact below the sketch
   *   capacity, bounded rank error past it.
+  * @param mins measure columns merged by MIN (MAX's twin — any
+  *   idempotent, commutative, associative fold composes with the LSM
+  *   lifecycle the same way).
   */
 final class PointStore(spark: SparkSession, path: String,
                        keys: Seq[String], sums: Seq[String],
                        maxes: Seq[String], sketches: Seq[String] = Nil,
-                       quantiles: Seq[String] = Nil) {
+                       quantiles: Seq[String] = Nil,
+                       mins: Seq[String] = Nil) {
   require(keys.nonEmpty &&
-    (sums.nonEmpty || maxes.nonEmpty || sketches.nonEmpty || quantiles.nonEmpty),
+    (sums.nonEmpty || maxes.nonEmpty || sketches.nonEmpty ||
+      quantiles.nonEmpty || mins.nonEmpty),
     "point store needs key columns and at least one measure")
 
   // all manifest/member path handling via the Hadoop FileSystem API —
@@ -171,7 +176,7 @@ final class PointStore(spark: SparkSession, path: String,
     // an unnecessary cascading resync
     if (consumedTags(tag)) return
     val name = f"base-$nextSeq%06d"
-    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches ++ quantiles).map(col): _*))
+    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches ++ quantiles ++ mins).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sfs.pathOf(name))
     val v = version + 1
@@ -198,6 +203,7 @@ final class PointStore(spark: SparkSession, path: String,
   private def mergeAgg(df: DataFrame): DataFrame = {
     val exprs = sums.map(c => sum(col(c)).as(c)) ++
       maxes.map(c => max(col(c)).as(c)) ++
+      mins.map(c => min(col(c)).as(c)) ++
       sketches.map(c => graft.functions.SketchOps.sketchMerge(col(c)).as(c)) ++
       quantiles.map(c => graft.functions.SketchOps.quantileMerge(col(c)).as(c))
     df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -226,7 +232,7 @@ final class PointStore(spark: SparkSession, path: String,
   }
 
   private def writeDelta(name: String, partial: DataFrame): Unit = {
-    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches ++ quantiles).map(col): _*))
+    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches ++ quantiles ++ mins).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sfs.pathOf(name))
     writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")
