@@ -86,7 +86,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2,
           "graft_quantile_at(sketch, q) takes exactly two arguments")
-        graft.functions.QuantileAt(children(0), children(1))
+        // explicit double cast on the quantile arg only (SQL decimal
+        // literals like 0.5); the sketch arg stays strictly binary
+        graft.functions.QuantileAt(children(0),
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+            org.apache.spark.sql.types.DoubleType))
       }))
     // bloom build + probe: the scan-side semi-join prune, SQL-visible
     ext.injectFunction((

@@ -306,16 +306,22 @@ case class QuantileMergeAgg(
 /** `graft_quantile_at(sketch, q)` — the q-quantile of a serialized
   * sketch. Group-grain input, codegen'd anyway (one static call). */
 case class QuantileAt(left: Expression, right: Expression)
-  extends BinaryExpression
-  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  extends BinaryExpression {
 
   override def prettyName: String = "graft_quantile_at"
   override def dataType: DataType = LongType
-  // ImplicitCastInputTypes: the natural SQL spelling
-  // graft_quantile_at(sk, 0.5) parses 0.5 as DECIMAL — the analyzer
-  // inserts the double cast instead of rejecting it (covariant return:
-  // AbstractDataType itself is private[sql])
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  // STRICT on the sketch side: an implicit-cast trait would let the
+  // analyzer cast a string column to binary and fail at runtime inside
+  // deserialize with a garbage-header message; only the QUANTILE arg is
+  // coercible, and the SQL builder inserts that cast explicitly so the
+  // natural spelling graft_quantile_at(sk, 0.5) (DECIMAL literal) works
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_quantile_at expects (binary sketch, double quantile), got " +
+        s"(${left.dataType}, ${right.dataType})")
 
   override def nullSafeEval(sk: Any, q: Any): Any =
     QuantileSketch.estimateBytes(sk.asInstanceOf[Array[Byte]],

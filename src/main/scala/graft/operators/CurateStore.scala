@@ -260,8 +260,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     import spark.implicits._
     // a store written before the health series existed has no members —
     // an empty series, not an error (the one sub-store whose absence is
-    // benign: it holds derived metrics, never curation state)
-    if (healthStore.members.isEmpty)
+    // benign: it holds derived metrics, never curation state). Probed
+    // via the manifest FILE, not the lazy healthStore: constructing the
+    // PointStore mkdirs health/ — a GET must not mutate the store (and
+    // must work on a read-only replica mount)
+    if (!StoreFs(spark, sfs.pathOf("health")).exists("_MANIFEST"))
       return Seq.empty[(String, String, Long, Long, Long, Long)]
         .toDF("night", "lang", "n_docs", "n_shingles", "p50_tokens",
           "p95_tokens")
@@ -359,8 +362,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     // the manifest grammar (the PointStore.appendTagged contract, made
     // loud here because this store's member names embed the tag)
     require(tag.matches("[A-Za-z0-9._-]+") && tag != "base" &&
-      !tag.matches("compact-[0-9]+"),
-      s"night tag '$tag' must be filesystem-safe ([A-Za-z0-9._-]+) and " +
+      !tag.matches("compact-[0-9]+") && !tag.forall(_.isDigit),
+      s"night tag '$tag' must be filesystem-safe ([A-Za-z0-9._-]+), " +
+        "non-numeric (the nested PointStore tag contract — a date like " +
+        "20260814 would collide with the sequence-numbered delta " +
+        "namespace and lose its ledger entry on compaction), and " +
         "outside the reserved 'base'/'compact-N' member namespaces")
     if (consumedTags.contains(tag)) return
     // fold-before-commit (the DedupIndex auto-compaction rule): past the

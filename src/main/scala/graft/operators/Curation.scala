@@ -650,10 +650,9 @@ object Curation {
     * its own delta's per-source integers, never re-scoring the corpus. */
   def sourceReputationIncremental(s: SparkSession, d: String): DataFrame = {
     import graft.sources.PointStore
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_srcrep_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    PointStore.deleteRec(dir) // deterministic rebuild per run
+    // freshRunDir: per-JVM token + run counter + exit reaping (the
+    // lifecycle-scratch idiom every on-disk registered query shares)
+    val dir = DedupIndex.freshRunDir("graft_srcrep_store_", d)
     val store = new PointStore(s, dir.getPath,
       keys = Seq("source"),
       sums = Seq("n_docs", "n_chars_total", "n_low_quality"),

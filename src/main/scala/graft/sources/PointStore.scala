@@ -226,6 +226,13 @@ final class PointStore(spark: SparkSession, path: String,
     * `tag` must be filesystem-safe and non-numeric (numeric names are the
     * sequence-numbered namespace of [[append]]/[[compact]]). */
   def appendTagged(tag: String, partial: DataFrame): Boolean = {
+    // loud contract, not doc-only: a purely-numeric tag's member name
+    // lands in append/compact's sequence-numbered `delta-N` namespace,
+    // where consumedTags cannot tell it from an untagged delta — after
+    // a compaction the tag silently vanishes from the ledger and a
+    // redelivery double-counts (caught in review before it ever could)
+    require(tag.matches("[A-Za-z0-9._-]+") && !tag.forall(_.isDigit),
+      s"append tag '$tag' must be filesystem-safe and non-numeric")
     val name = s"delta-$tag"
     if (members.contains(name) || consumedTags(tag)) false
     else { writeDelta(name, partial); true }
@@ -362,10 +369,9 @@ object PointStore {
     * preserve the additive-merge law through real parquet round-trips. */
   def roundtrip(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Merge
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_pointstore_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    deleteRec(dir) // deterministic rebuild per run
+    // per-JVM token + run counter + exit reaping: two concurrent
+    // sessions on the same dataset never clobber each other's live store
+    val dir = graft.operators.DedupIndex.freshRunDir("graft_pointstore_", d)
     val store = new PointStore(s, dir.getPath,
       keys = Seq("game_mode", "role"),
       sums = Seq("played", "wins", "time_spent_d", "gold_d"),
@@ -390,10 +396,9 @@ object PointStore {
     * correct across a compaction boundary and idempotent redelivery. */
   def changefeed(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Merge
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_pointstore_cdc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    deleteRec(dir) // deterministic rebuild per run
+    // per-JVM token + run counter + exit reaping: two concurrent
+    // sessions on the same dataset never clobber each other's live store
+    val dir = graft.operators.DedupIndex.freshRunDir("graft_pointstore_cdc_", d)
     val store = new PointStore(s, dir.getPath,
       keys = Seq("game_mode", "role"),
       sums = Seq("played", "wins", "time_spent_d", "gold_d"),
@@ -428,10 +433,9 @@ object PointStore {
   def sketchStore(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SketchOps
     import graft.operators.TextOps
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_pointstore_sk_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    deleteRec(dir) // deterministic rebuild per run
+    // per-JVM token + run counter + exit reaping: two concurrent
+    // sessions on the same dataset never clobber each other's live store
+    val dir = graft.operators.DedupIndex.freshRunDir("graft_pointstore_sk_", d)
     val store = new PointStore(s, dir.getPath,
       keys = Seq("lang"), sums = Seq("n_post"), maxes = Nil,
       sketches = Seq("vocab"))

@@ -267,6 +267,15 @@ class PointStoreSpec extends SparkSpec {
       == oneShot)
   }
 
+  test("appendTagged refuses numeric tags — they collide with the " +
+    "sequence-numbered delta namespace and would vanish from the ledger") {
+    val store = build(freshDir("numtag"))
+    val e = intercept[IllegalArgumentException] {
+      store.appendTagged("20260814", Merge.pointAgg(Tables.lineitem(spark, sf)))
+    }
+    assert(e.getMessage.contains("non-numeric"), e.getMessage)
+  }
+
   test("appendTagged idempotence survives compaction and reopen (ADVICE r5)") {
     val dir = freshDir("tags")
     val store = build(dir)

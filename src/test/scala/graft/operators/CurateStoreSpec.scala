@@ -117,6 +117,27 @@ class CurateStoreSpec extends SparkSpec {
     assert(healthMap(store.health()) == want)
   }
 
+  test("health() on a store predating the series: empty frame, and the " +
+    "read mints no health/ directory (read-only-mount safe)") {
+    val dir = freshDir("graft_test_curate_health_legacy")
+    CurateStore.build(docs.filter(col("doc_id") <= 199), dir.getPath)
+    val healthDir = new java.io.File(dir, "health")
+    PointStore.deleteRec(healthDir) // simulate a pre-series store
+    val reloaded = CurateStore.load(spark, dir.getPath)
+    assert(reloaded.health().count() == 0)
+    assert(!healthDir.exists(), "a GET-shaped read minted store litter")
+  }
+
+  test("numeric night tags are refused loudly (the nested point-store " +
+    "tag contract — a date tag would lose its ledger entry on compaction)") {
+    val dir = freshDir("graft_test_curate_numtag")
+    val store = CurateStore.build(docs.filter(col("doc_id") <= 199), dir.getPath)
+    val e = intercept[IllegalArgumentException] {
+      store.curateNight("20260814", docs.filter(col("doc_id") > 480))
+    }
+    assert(e.getMessage.contains("non-numeric"), e.getMessage)
+  }
+
   test("health keeps a (night, lang) row even when every doc of that lang " +
     "is too short to shingle") {
     import spark.implicits._
