@@ -56,6 +56,13 @@ import org.apache.spark.unsafe.types.UTF8String
 final class DistinctSketch(val p: Int, val sparseCap: Int) {
   require(p == 0 || (p >= 4 && p <= 18),
     s"graft_distinct_sketch: precision must be in [4, 18], got $p")
+  // beyond this the sparse regime's memory cost dwarfs the dense
+  // registers it exists to avoid — and grow()'s doubled table length
+  // would overflow Int around 1.5e9 entries
+  require(sparseCap <= DistinctSketch.MaxSparseCap,
+    s"graft_distinct_sketch: sparseCap $sparseCap exceeds the " +
+      s"${DistinctSketch.MaxSparseCap} bound (use the dense regime — " +
+      "a larger p — past that)")
 
   import DistinctSketch._
 
@@ -224,6 +231,11 @@ final class DistinctSketch(val p: Int, val sparseCap: Int) {
 
 object DistinctSketch {
 
+  /** Upper bound on the sparse-exact regime (2^27 entries ≈ 1 GiB of
+    * table at the 0.7 load factor) — past it the open-addressed table's
+    * doubling would overflow and the dense registers are cheaper anyway. */
+  val MaxSparseCap: Int = 1 << 27
+
   /** Empty placeholder a [[SketchMergeAgg]] buffer starts as — adopts
     * the first real sketch's parameters on merge. */
   def placeholder(): DistinctSketch = new DistinctSketch(0, 0)
@@ -357,7 +369,10 @@ case class SketchMergeAgg(
   extends TypedImperativeAggregate[DistinctSketch] with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_sketch_merge"
-  override def nullable: Boolean = false
+  // SQL-conventional: an empty or all-null group merges to NULL rather
+  // than aborting the whole snapshot read (one bad group would otherwise
+  // throw from eval and kill the job)
+  override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
 
   override def createAggregationBuffer(): DistinctSketch =
@@ -373,11 +388,8 @@ case class SketchMergeAgg(
   override def merge(a: DistinctSketch, b: DistinctSketch): DistinctSketch =
     a.absorb(b)
 
-  override def eval(buf: DistinctSketch): Any = {
-    require(!buf.isEmptyPlaceholder,
-      "graft_sketch_merge: no sketches to merge (empty or all-null input)")
-    buf.serialize()
-  }
+  override def eval(buf: DistinctSketch): Any =
+    if (buf.isEmptyPlaceholder) null else buf.serialize()
 
   override def serialize(buf: DistinctSketch): Array[Byte] =
     if (buf.isEmptyPlaceholder) Array.emptyByteArray else buf.serialize()

@@ -267,7 +267,10 @@ case class QuantileMergeAgg(
   extends TypedImperativeAggregate[QuantileSketch] with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_quantile_merge"
-  override def nullable: Boolean = false
+  // SQL-conventional: an empty or all-null group merges to NULL rather
+  // than aborting the whole snapshot read (one bad group would otherwise
+  // throw from eval and kill the job)
+  override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
 
   override def createAggregationBuffer(): QuantileSketch =
@@ -283,11 +286,8 @@ case class QuantileMergeAgg(
   override def merge(a: QuantileSketch, b: QuantileSketch): QuantileSketch =
     a.absorb(b)
 
-  override def eval(buf: QuantileSketch): Any = {
-    require(!buf.isEmptyPlaceholder,
-      "graft_quantile_merge: no sketches to merge (empty or all-null input)")
-    buf.serialize()
-  }
+  override def eval(buf: QuantileSketch): Any =
+    if (buf.isEmptyPlaceholder) null else buf.serialize()
 
   override def serialize(buf: QuantileSketch): Array[Byte] =
     if (buf.isEmptyPlaceholder) Array.emptyByteArray else buf.serialize()

@@ -361,6 +361,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     // folded base; path separators / ":" would break member paths and
     // the manifest grammar (the PointStore.appendTagged contract, made
     // loud here because this store's member names embed the tag)
+    // idempotence check FIRST (the PointStore.appendTagged ordering): a
+    // night that already committed — however its tag was named — must
+    // stay a redelivery no-op, even one that predates the namespace
+    // contract below
+    if (consumedTags.contains(tag)) return
     require(tag.matches("[A-Za-z0-9._-]+") && tag != "base" &&
       !tag.matches("compact-[0-9]+") && !tag.forall(_.isDigit),
       s"night tag '$tag' must be filesystem-safe ([A-Za-z0-9._-]+), " +
@@ -368,7 +373,6 @@ final class CurateStore private (spark: SparkSession, dir: String) {
         "20260814 would collide with the sequence-numbered delta " +
         "namespace and lose its ledger entry on compaction), and " +
         "outside the reserved 'base'/'compact-N' member namespaces")
-    if (consumedTags.contains(tag)) return
     // fold-before-commit (the DedupIndex auto-compaction rule): past the
     // bound, fold the EXISTING members first so tonight's member always
     // survives the fold and a crash mid-fold loses no delta

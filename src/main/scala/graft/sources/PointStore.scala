@@ -226,16 +226,22 @@ final class PointStore(spark: SparkSession, path: String,
     * `tag` must be filesystem-safe and non-numeric (numeric names are the
     * sequence-numbered namespace of [[append]]/[[compact]]). */
   def appendTagged(tag: String, partial: DataFrame): Boolean = {
-    // loud contract, not doc-only: a purely-numeric tag's member name
-    // lands in append/compact's sequence-numbered `delta-N` namespace,
-    // where consumedTags cannot tell it from an untagged delta — after
-    // a compaction the tag silently vanishes from the ledger and a
-    // redelivery double-counts (caught in review before it ever could)
+    // idempotence check FIRST: a tag that already committed — however it
+    // was named — must stay a redelivery no-op, even one that predates
+    // the namespace contract below (an at-least-once retry of a
+    // historical delivery must never crash on a rule its original
+    // commit didn't face)
+    val name = s"delta-$tag"
+    if (members.contains(name) || consumedTags(tag)) return false
+    // loud contract for FRESH tags, not doc-only: a purely-numeric
+    // tag's member name lands in append/compact's sequence-numbered
+    // `delta-N` namespace, where consumedTags cannot tell it from an
+    // untagged delta — after a compaction the tag silently vanishes
+    // from the ledger and a redelivery double-counts (caught in review
+    // before it ever could)
     require(tag.matches("[A-Za-z0-9._-]+") && !tag.forall(_.isDigit),
       s"append tag '$tag' must be filesystem-safe and non-numeric")
-    val name = s"delta-$tag"
-    if (members.contains(name) || consumedTags(tag)) false
-    else { writeDelta(name, partial); true }
+    writeDelta(name, partial); true
   }
 
   private def writeDelta(name: String, partial: DataFrame): Unit = {

@@ -197,4 +197,64 @@ class AdviceFixSpec extends SparkSpec {
     assert(utc == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L)),
       s"value-based gaps wrong: $utc")
   }
+
+  test("sketch merges over an empty/all-null group yield NULL, not a crash") {
+    import spark.implicits._
+    import graft.functions.SketchOps
+    // one group has real sketches, one is entirely NULL — the all-null
+    // group must come back as a NULL measure instead of aborting the job
+    val sk = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+      .groupBy($"g")
+      .agg(SketchOps.distinctSketch($"v", 12, 1024).as("dsk"),
+        SketchOps.quantileSketch($"v", 64).as("qsk"))
+      .select($"g", $"dsk", $"qsk")
+      .unionByName(Seq("b").toDF("g")
+        .select($"g", lit(null).cast("binary").as("dsk"),
+          lit(null).cast("binary").as("qsk")))
+    val out = sk.groupBy($"g")
+      .agg(SketchOps.sketchMerge($"dsk").as("dm"),
+        SketchOps.quantileMerge($"qsk").as("qm"))
+      .orderBy($"g").collect()
+    assert(out.length == 2)
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2),
+      "all-null group should merge to NULL sketches")
+    // and the surviving group's merged sketch is still sound
+    assert(graft.functions.DistinctSketch
+      .estimateBytes(out(0).getAs[Array[Byte]]("dm")) == 2L)
+  }
+
+  test("distinct sketch refuses an overflow-prone sparseCap at construction") {
+    val e = intercept[IllegalArgumentException] {
+      new graft.functions.DistinctSketch(12, (1 << 27) + 1)
+    }
+    assert(e.getMessage.contains("sparseCap"))
+    // the bound itself is accepted
+    new graft.functions.DistinctSketch(12, 1 << 27)
+  }
+
+  test("appendTagged no-ops on a historically-committed tag before the namespace check") {
+    import graft.sources.PointStore
+    import spark.implicits._
+    val dir = graft.operators.DedupIndex.freshRunDir("graft_advice_tag_", sf)
+    val store = new PointStore(spark, dir.getPath,
+      keys = Seq("k"), sums = Seq("n"), maxes = Nil)
+    val batch = Seq(("a", 1L)).toDF("k", "n")
+    store.appendTagged("b0", batch)
+    // simulate a store written before the non-numeric-tag contract: a
+    // purely numeric tag sits in the ledger from a legal historical commit
+    val mf = java.nio.file.Paths.get(dir.getPath, "_MANIFEST")
+    java.nio.file.Files.writeString(mf,
+      java.nio.file.Files.readString(mf) + "\n#tag:20260814")
+    // an at-least-once redelivery of that tag must stay the documented
+    // no-op instead of crashing on the (fresh-tag) namespace require
+    assert(!store.appendTagged("20260814", batch))
+    // fresh numeric tags are still refused loudly
+    val e = intercept[IllegalArgumentException] {
+      store.appendTagged("123", batch)
+    }
+    assert(e.getMessage.contains("non-numeric"))
+    assert(store.snapshot.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 1L)))
+  }
 }

@@ -142,20 +142,23 @@ class DistinctSketchSpec extends SparkSpec {
     }
   }
 
-  test("empty input: sketch of nothing estimates 0; merging nothing is loud") {
+  test("empty input: sketch of nothing estimates 0; merging nothing is NULL") {
     import spark.implicits._
     val est = Seq.empty[Long].toDF("v")
       .agg(SketchOps.distinctSketch(col("v"), 12, 100).as("sk"))
       .select(SketchOps.sketchEst(col("sk"))).head().getLong(0)
     assert(est == 0L)
-    val e = intercept[Exception] {
-      Seq.empty[Array[Byte]].toDF("sk")
-        .agg(SketchOps.sketchMerge(col("sk")).as("m"))
-        .collect()
-    }
-    def chain(t: Throwable): String =
-      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
-    assert(chain(e).contains("no sketches"), chain(e))
+    // SQL-conventional empty-input aggregate: NULL, not a crash — one
+    // all-null group must not abort a whole snapshot read (r11 ADVICE)
+    val m = Seq.empty[Array[Byte]].toDF("sk")
+      .agg(SketchOps.sketchMerge(col("sk")).as("m"),
+        SketchOps.quantileMerge(col("sk")).as("q"))
+      .head()
+    assert(m.isNullAt(0) && m.isNullAt(1))
+    // and the estimate of a NULL sketch propagates NULL
+    assert(Seq.empty[Array[Byte]].toDF("sk")
+      .agg(SketchOps.sketchMerge(col("sk")).as("m"))
+      .select(SketchOps.sketchEst(col("m"))).head().isNullAt(0))
   }
 
   test("property: sketch state is a pure function of the value set — " +
