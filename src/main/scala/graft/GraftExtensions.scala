@@ -38,6 +38,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk_freq"),
       new ExpressionInfo(classOf[graft.functions.TopKFreq].getName, "graft_topk_freq"),
       graft.functions.TopKFreq.builder _))
+    // storable heavy-hitters family: build / fold / read — the
+    // serialized SpaceSaving state as a first-class binary column
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_sketch"),
+      new ExpressionInfo(classOf[graft.functions.TopKSketchAgg].getName,
+        "graft_topk_sketch"),
+      graft.functions.TopKSketchAgg.builder _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_merge"),
+      new ExpressionInfo(classOf[graft.functions.TopKMergeAgg].getName,
+        "graft_topk_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_topk_merge(sketch) takes exactly one argument")
+        graft.functions.TopKMergeAgg(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_read"),
+      new ExpressionInfo(classOf[graft.functions.TopKRead].getName,
+        "graft_topk_read"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_topk_read(sketch) takes exactly one argument")
+        graft.functions.TopKRead(children.head)
+      }))
     // distinct-count sketch family: build / fold / read — the
     // persistable cardinality aggregate (sparse-exact → dense-HLL)
     ext.injectFunction((

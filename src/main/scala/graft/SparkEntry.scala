@@ -76,6 +76,8 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
+    // heavy hitters as a persisted PointStore `topks` measure (#43c)
+    "trending_incremental" -> (TextOps.trendingIncremental _),
     // mergeable distinct-count sketches (exact sparse regime at bench SFs)
     "distinct_by_lang"     -> (TextOps.distinctByLang _),
     "distinct_incremental" -> (TextOps.distinctIncremental _),
@@ -164,6 +166,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,
+    "trending_incremental" -> TextOps.trendingIncrementalOracle,
     "distinct_by_lang"     -> TextOps.distinctByLangOracle,
     // the per-night fold must land on the same one-shot distinct counts
     "distinct_incremental" -> TextOps.distinctIncrementalOracle,

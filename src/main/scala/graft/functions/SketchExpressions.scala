@@ -83,6 +83,77 @@ final class SpaceSaving(val k: Int) {
   def sorted: Seq[(String, Long, Long)] =
     entries.toSeq.map { case (i, (c, e)) => (i, c, e) }
       .sortBy { case (i, c, _) => (-c, i) }
+
+  /** The [[SpaceSaving.placeholder]] a merge buffer starts as. */
+  def isEmptyPlaceholder: Boolean = k == 0
+
+  /** Fold `other` into a merged sketch — the serialized-column merge
+    * path ([[TopKMergeAgg]]). Placeholders adopt the other side;
+    * mismatched k is loud (the [[DistinctSketch.absorb]] rule: silently
+    * folding a k=64 sketch into a k=256 one would yield counts with
+    * neither sketch's floor guarantee). */
+  def absorb(other: SpaceSaving): SpaceSaving =
+    if (other.isEmptyPlaceholder) this
+    else if (isEmptyPlaceholder) other
+    else {
+      require(k == other.k,
+        s"graft_topk_merge: cannot merge sketches with different k " +
+          s"($k vs ${other.k})")
+      mergeIn(other)
+    }
+
+  /** Wire format (entries SORTED count desc, item asc → equal states are
+    * equal bytes — the [[DistinctSketch.serialize]] determinism rule,
+    * required of any sketch landed as a parquet column): k, count, then
+    * per entry writeInt(byteLen) + raw UTF-8 (NOT writeUTF, whose
+    * modified-UTF-8 format caps entries at 64 KB) + est + err. */
+  def serialize(): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(k)
+    out.writeInt(entries.size)
+    sorted.foreach { case (i, c, e) =>
+      val ib = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(ib.length); out.write(ib)
+      out.writeLong(c); out.writeLong(e)
+    }
+    out.flush(); bytes.toByteArray
+  }
+}
+
+object SpaceSaving {
+
+  /** Empty placeholder a [[TopKMergeAgg]] buffer starts as — adopts the
+    * first real sketch's k on merge. */
+  def placeholder(): SpaceSaving = new SpaceSaving(0)
+
+  def deserialize(b: Array[Byte]): SpaceSaving = {
+    val in = new DataInputStream(new ByteArrayInputStream(b))
+    val buf = new SpaceSaving(in.readInt())
+    var n = in.readInt()
+    while (n > 0) {
+      val ib = new Array[Byte](in.readInt()); in.readFully(ib)
+      val i = new String(ib, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
+      buf.entries.update(i, (c, e)); n -= 1
+    }
+    buf
+  }
+
+  /** The `array<struct<item, count, err>>` row type every top-k eval
+    * shares ([[TopKFreq]], [[TopKRead]]). */
+  private[functions] val EntriesType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+
+  private[functions] def toArrayData(buf: SpaceSaving): GenericArrayData =
+    new GenericArrayData(buf.sorted.map { case (i, c, e) =>
+      InternalRow(UTF8String.fromString(i), c, e)
+    }.toArray[Any])
+
+  /** Static read entry the codegen'd [[TopKRead]] calls. */
+  def readBytes(b: Array[Byte]): GenericArrayData = toArrayData(deserialize(b))
 }
 
 /** `graft_topk_freq(item, k)` — TypedImperativeAggregate over string keys
@@ -101,10 +172,7 @@ case class TopKFreq(
 
   override def prettyName: String = "graft_topk_freq"
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("item", StringType, nullable = false),
-    StructField("count", LongType, nullable = false),
-    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def dataType: DataType = SpaceSaving.EntriesType
 
   override def createAggregationBuffer(): SpaceSaving = new SpaceSaving(k)
 
@@ -117,41 +185,11 @@ case class TopKFreq(
   override def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving =
     a.mergeIn(b)
 
-  override def eval(buf: SpaceSaving): Any =
-    new GenericArrayData(buf.sorted.map { case (i, c, e) =>
-      InternalRow(UTF8String.fromString(i), c, e)
-    }.toArray[Any])
+  override def eval(buf: SpaceSaving): Any = SpaceSaving.toArrayData(buf)
 
-  /** Items serialize as writeInt(byteLen) + raw UTF-8 — NOT writeUTF,
-    * whose modified-UTF-8 format caps entries at 64 KB and would crash
-    * the partial-buffer shuffle on a pathological whitespace-free
-    * document fed to the SQL-registered aggregate. The wire format
-    * matches the unbounded in-memory representation. */
-  override def serialize(buf: SpaceSaving): Array[Byte] = {
-    val bytes = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bytes)
-    out.writeInt(buf.k)
-    out.writeInt(buf.entries.size)
-    buf.entries.foreach { case (i, (c, e)) =>
-      val ib = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeInt(ib.length); out.write(ib)
-      out.writeLong(c); out.writeLong(e)
-    }
-    out.flush(); bytes.toByteArray
-  }
-
-  override def deserialize(b: Array[Byte]): SpaceSaving = {
-    val in = new DataInputStream(new ByteArrayInputStream(b))
-    val buf = new SpaceSaving(in.readInt())
-    var n = in.readInt()
-    while (n > 0) {
-      val ib = new Array[Byte](in.readInt()); in.readFully(ib)
-      val i = new String(ib, java.nio.charset.StandardCharsets.UTF_8)
-      val c = in.readLong(); val e = in.readLong()
-      buf.entries.update(i, (c, e)); n -= 1
-    }
-    buf
-  }
+  override def serialize(buf: SpaceSaving): Array[Byte] = buf.serialize()
+  override def deserialize(b: Array[Byte]): SpaceSaving =
+    SpaceSaving.deserialize(b)
 
   override def withNewMutableAggBufferOffset(o: Int): TopKFreq =
     copy(mutableAggBufferOffset = o)
@@ -173,4 +211,141 @@ object TopKFreq {
     }
     TopKFreq(children.head, k)
   }
+}
+
+/** `graft_topk_sketch(item, k)` — the STORABLE form of [[TopKFreq]]:
+  * identical SpaceSaving machinery, but eval returns the serialized
+  * sketch (binary) instead of the unpacked entry array. Completes the
+  * persisted-sketch trio's store story: heavy hitters join distinct
+  * counts ([[DistinctSketchAgg]]) and quantiles ([[QuantileSketchAgg]])
+  * as first-class BINARY columns — land one per (group, night) in
+  * parquet or a [[graft.sources.PointStore]] `topks` measure, fold them
+  * night over night with `graft_topk_merge` (the mergeable-summaries
+  * merge is what makes the fold tree associative), and read the ranking
+  * back with `graft_topk_read`. */
+case class TopKSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving] with UnaryLike[Expression] {
+
+  require(k > 0, s"graft_topk_sketch: k must be positive, got $k")
+
+  override def prettyName: String = "graft_topk_sketch"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): SpaceSaving = new SpaceSaving(k)
+
+  override def update(buf: SpaceSaving, input: InternalRow): SpaceSaving = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+
+  override def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving =
+    a.mergeIn(b)
+
+  override def eval(buf: SpaceSaving): Any = buf.serialize()
+
+  override def serialize(buf: SpaceSaving): Array[Byte] = buf.serialize()
+  override def deserialize(b: Array[Byte]): SpaceSaving =
+    SpaceSaving.deserialize(b)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): TopKSketchAgg =
+    copy(child = newChild)
+}
+
+object TopKSketchAgg {
+  /** SQL-registry builder: `graft_topk_sketch(item, k)`, k a literal. */
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "graft_topk_sketch(item, k) takes exactly two arguments")
+    val k = children(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_topk_sketch: k must be an integer literal, got $other")
+    }
+    TopKSketchAgg(children.head, k)
+  }
+}
+
+/** `graft_topk_merge(sketch)` — folds a column of serialized SpaceSaving
+  * sketches into one (binary). The read half of the persisted-fold
+  * pattern, and the merge a [[graft.sources.PointStore]] `topks`
+  * measure compacts with. Empty/all-null input merges to NULL (the
+  * SQL-aggregate convention the sketch/quantile merges share). */
+case class TopKMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_topk_merge"
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): SpaceSaving =
+    SpaceSaving.placeholder()
+
+  override def update(buf: SpaceSaving, input: InternalRow): SpaceSaving = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else buf.absorb(SpaceSaving.deserialize(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving =
+    a.absorb(b)
+
+  override def eval(buf: SpaceSaving): Any =
+    if (buf.isEmptyPlaceholder) null else buf.serialize()
+
+  override def serialize(buf: SpaceSaving): Array[Byte] =
+    if (buf.isEmptyPlaceholder) Array.emptyByteArray else buf.serialize()
+  override def deserialize(b: Array[Byte]): SpaceSaving =
+    if (b.isEmpty) SpaceSaving.placeholder()
+    else SpaceSaving.deserialize(b)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): TopKMergeAgg =
+    copy(child = newChild)
+}
+
+/** `graft_topk_read(sketch)` — unpack a serialized SpaceSaving sketch to
+  * the `array<struct<item, count, err>>` eval form of [[TopKFreq]],
+  * sorted (count desc, item asc) so `posexplode` IS the per-group
+  * ranking. Group-grain input, but codegen'd anyway (one static call)
+  * so it never breaks a WholeStageCodegen span. */
+case class TopKRead(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "graft_topk_read"
+  override def dataType: DataType = SpaceSaving.EntriesType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_read expects a binary sketch, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    SpaceSaving.readBytes(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"graft.functions.SpaceSaving$$.MODULE$$.readBytes($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopKRead =
+    copy(child = newChild)
 }

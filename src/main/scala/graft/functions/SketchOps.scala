@@ -13,6 +13,23 @@ object SketchOps {
     GraftShim.column(
       TopKFreq(GraftShim.expression(c), k).toAggregateExpression())
 
+  /** STORABLE heavy-hitters sketch aggregate: the serialized SpaceSaving
+    * state (binary) instead of [[topkFreq]]'s unpacked array — land it
+    * in parquet or a PointStore `topks` measure, fold with
+    * [[topkMerge]], read with [[topkRead]]. */
+  def topkSketch(c: Column, k: Int): Column =
+    GraftShim.column(
+      TopKSketchAgg(GraftShim.expression(c), k).toAggregateExpression())
+
+  /** Fold a column of serialized SpaceSaving sketches into one. */
+  def topkMerge(c: Column): Column =
+    GraftShim.column(
+      TopKMergeAgg(GraftShim.expression(c)).toAggregateExpression())
+
+  /** Unpack a serialized SpaceSaving sketch to the sorted entry array. */
+  def topkRead(c: Column): Column =
+    GraftShim.column(TopKRead(GraftShim.expression(c)))
+
   /** Distinct-count sketch aggregate: serialized [[DistinctSketch]]
     * (binary) — exact below `sparseCap` distinct values, dense HLL with
     * ~1.04/√2^p relative error past it. A first-class column: store it,

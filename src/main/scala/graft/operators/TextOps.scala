@@ -324,6 +324,58 @@ object TextOps {
           FROM c)
     SELECT lang, token, cnt, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5"""
 
+  // ---------------------------------------------------- trending_incremental
+
+  /** "Top tokens per language, corpus-wide, updated nightly": the
+    * heavy-hitters counterpart of `distinct_incremental` /
+    * `quantiles_incremental`, through a PERSISTED [[PointStore]] `topks`
+    * measure rather than an in-plan fold — the last sketch in the trio
+    * to land in an LSM point table (reference analog: the ON DUPLICATE
+    * KEY fold, crunch_global.sql:58-75, applied to a ranking). Three
+    * tagged nightly batches upsert per-lang SpaceSaving sketches
+    * (each night's partial is that night's O(delta) work), a compaction
+    * folds the first two with `graft_topk_merge`, an at-least-once
+    * redelivery must commit nothing, and the merge-on-read snapshot is
+    * read back through `graft_topk_read` — whose (count desc, item asc)
+    * eval order makes `posexplode` the per-group ranking. Exact regime
+    * (k=[[SketchK]] ≫ per-lang token cardinality at every driver SF, so
+    * no eviction happens in any night's partial and the mergeable-
+    * summaries fold is plain count addition): sharing
+    * [[trendingByLangOracle]] proves the nightly fold — through real
+    * parquet round-trips, the compaction, and the redelivery — lands on
+    * the identical ranking a one-shot windowed GROUP BY computes. At
+    * 100 TB each night folds k-entry buffers per language, and the
+    * corpus-wide ranking is maintained without ever re-tokenizing the
+    * corpus. */
+  def trendingIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchOps
+    // per-JVM token + run counter + exit reaping: two concurrent
+    // sessions on the same dataset never clobber each other's live store
+    val dir = DedupIndex.freshRunDir("graft_pointstore_tk_", d)
+    val store = new graft.sources.PointStore(s, dir.getPath,
+      keys = Seq("lang"), sums = Nil, maxes = Nil,
+      topks = Seq("toptok"))
+    val docs = documents(s, d)
+    def batch(m: Int) =
+      docs.filter(col("doc_id") % 3 === m)
+        .select(col("lang"), explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"))
+        .agg(SketchOps.topkSketch(col("token"), SketchK).as("toptok"))
+    store.appendTagged("b0", batch(0))
+    store.appendTagged("b1", batch(1))
+    store.compact()
+    store.appendTagged("b2", batch(2))
+    store.appendTagged("b2", batch(2)) // at-least-once redelivery: no-op
+    store.snapshot
+      .select(col("lang"),
+        posexplode(SketchOps.topkRead(col("toptok"))).as(Seq("pos", "e")))
+      .filter(col("pos") < 5)
+      .select(col("lang"), col("e.item").as("token"), col("e.count").as("cnt"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  def trendingIncrementalOracle: String = trendingByLangOracle
+
   // --------------------------------------------------------- distinct_by_lang
 
   /** Sketch shape for the registered distinct-count queries: p=14 → the

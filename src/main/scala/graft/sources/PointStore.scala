@@ -63,15 +63,27 @@ import org.apache.spark.sql.functions._
   * @param mins measure columns merged by MIN (MAX's twin — any
   *   idempotent, commutative, associative fold composes with the LSM
   *   lifecycle the same way).
+  * @param topks measure columns holding serialized SpaceSaving
+  *   heavy-hitters sketches ([[graft.functions.TopKSketchAgg]]), merged
+  *   with `graft_topk_merge` — "top tokens per language, corpus-wide,
+  *   updated nightly" as a point-table column, completing the sketch
+  *   trio's store story (distinct counts and quantiles landed in r11).
+  *   The mergeable-summaries merge (Agarwal PODS'12) is associative and
+  *   commutative with the true ≤ est ≤ true + err bound preserved, and
+  *   serialization is sorted → byte-deterministic, so batch boundaries
+  *   and compaction points stay invisible exactly as for sums; in the
+  *   exact regime (k ≥ cardinality anywhere a partial is built) the
+  *   folded ranking is bit-identical to a one-shot GROUP BY.
   */
 final class PointStore(spark: SparkSession, path: String,
                        keys: Seq[String], sums: Seq[String],
                        maxes: Seq[String], sketches: Seq[String] = Nil,
                        quantiles: Seq[String] = Nil,
-                       mins: Seq[String] = Nil) {
+                       mins: Seq[String] = Nil,
+                       topks: Seq[String] = Nil) {
   require(keys.nonEmpty &&
     (sums.nonEmpty || maxes.nonEmpty || sketches.nonEmpty ||
-      quantiles.nonEmpty || mins.nonEmpty),
+      quantiles.nonEmpty || mins.nonEmpty || topks.nonEmpty),
     "point store needs key columns and at least one measure")
 
   // all manifest/member path handling via the Hadoop FileSystem API —
@@ -176,7 +188,7 @@ final class PointStore(spark: SparkSession, path: String,
     // an unnecessary cascading resync
     if (consumedTags(tag)) return
     val name = f"base-$nextSeq%06d"
-    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches ++ quantiles ++ mins).map(col): _*))
+    mergeAgg(partial.select((keys ++ measureCols).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sfs.pathOf(name))
     val v = version + 1
@@ -200,12 +212,16 @@ final class PointStore(spark: SparkSession, path: String,
   /** Deltas currently live in the manifest (excludes the base). */
   def deltaCount: Int = members.count(_.startsWith("delta-"))
 
+  private def measureCols: Seq[String] =
+    sums ++ maxes ++ sketches ++ quantiles ++ mins ++ topks
+
   private def mergeAgg(df: DataFrame): DataFrame = {
     val exprs = sums.map(c => sum(col(c)).as(c)) ++
       maxes.map(c => max(col(c)).as(c)) ++
       mins.map(c => min(col(c)).as(c)) ++
       sketches.map(c => graft.functions.SketchOps.sketchMerge(col(c)).as(c)) ++
-      quantiles.map(c => graft.functions.SketchOps.quantileMerge(col(c)).as(c))
+      quantiles.map(c => graft.functions.SketchOps.quantileMerge(col(c)).as(c)) ++
+      topks.map(c => graft.functions.SketchOps.topkMerge(col(c)).as(c))
     df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
 
@@ -245,7 +261,7 @@ final class PointStore(spark: SparkSession, path: String,
   }
 
   private def writeDelta(name: String, partial: DataFrame): Unit = {
-    mergeAgg(partial.select((keys ++ sums ++ maxes ++ sketches ++ quantiles ++ mins).map(col): _*))
+    mergeAgg(partial.select((keys ++ measureCols).map(col): _*))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sfs.pathOf(name))
     writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")

@@ -76,6 +76,66 @@ class PointStoreSpec extends SparkSpec {
     assert(est(reopened.snapshot) == est(store.snapshot))
   }
 
+  test("topk measures fold through append/compact/changefeed like sums") {
+    import graft.functions.SketchOps
+    import spark.implicits._
+    // skewed token stream across two groups, batched 4 ways; k=32 is the
+    // exact regime (8 distinct tokens), so every folded count is exact
+    val rows = (0 until 600).map { i =>
+      (if (i % 2 == 0) "a" else "b", s"t${i % 16 / 2}", i.toLong) }
+    def batch(m: Int) = rows.filter(_._3 % 4 == m).toDF("grp", "token", "i")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        SketchOps.topkSketch(col("token"), 32).as("tk"))
+    def open(dir: String) = new PointStore(spark, dir, keys = Seq("grp"),
+      sums = Seq("n"), maxes = Nil, topks = Seq("tk"))
+    val dir = freshDir("topk")
+    val store = open(dir)
+    store.appendTagged("t0", batch(0))
+    store.appendTagged("t1", batch(1))
+    val checkpoint = store.version
+    store.compact()
+    store.appendTagged("t2", batch(2))
+    store.appendTagged("t2", batch(2)) // redelivery: no-op
+    store.append(batch(3))
+    def top(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(String, Long, Long)]] =
+      df.select(col("grp"), SketchOps.topkRead(col("tk")).as("e"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (e.getString(0), e.getLong(1), e.getLong(2))).toSeq)
+        .toMap
+    // each group saw tokens t0..t7, 75 hits over 2 batches... exact
+    // counts: group "a" gets even i → tokens t0..t7 each 600/2/8 = 37 or 38
+    // — assert against a directly computed truth instead
+    val truth = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.groupBy(_._2).map { case (t, ts) => (t, ts.size.toLong, 0L) }
+        .toSeq.sortBy { case (t, c, _) => (-c, t) }
+    }
+    val snap = top(store.snapshot)
+    assert(snap == truth,
+      s"folded ranking diverged from the one-shot truth: $snap vs $truth")
+    // changefeed window: exactly batches 2+3's fold, topk merging like
+    // any other measure
+    val cfTruth = rows.filter(_._3 % 4 >= 2).groupBy(_._1).map { case (g, rs) =>
+      g -> rs.groupBy(_._2).map { case (t, ts) => (t, ts.size.toLong, 0L) }
+        .toSeq.sortBy { case (t, c, _) => (-c, t) }
+    }
+    assert(top(store.changesSince(checkpoint)) == cfTruth)
+    // a reopened handle reads the same state from the manifest alone
+    assert(top(open(dir).snapshot) == snap)
+    // mismatched k refuses to fold rather than yield boundless counts
+    val e = intercept[Exception] {
+      store.append(rows.take(4).toDF("grp", "token", "i")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          SketchOps.topkSketch(col("token"), 8).as("tk")))
+      store.snapshot.collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("different k"), chain(e))
+  }
+
   test("a reopened store recovers the snapshot from the manifest alone") {
     val dir = freshDir("reopen")
     val store = build(dir)

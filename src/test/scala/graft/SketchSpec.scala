@@ -140,6 +140,45 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("storable face: sketch→merge→read equals topk_freq; empty merges NULL; " +
+    "bytes are deterministic") {
+    import spark.implicits._
+    // split the corpus 3 ways, sketch each part to a binary, merge the
+    // binaries, read the ranking — must equal the one-shot topkFreq
+    // (exact regime, so both are the plain counts)
+    val withId = corpus.withColumn("part", pmod(crc32(col("token")), lit(3)))
+    val parts = withId.groupBy(col("part"))
+      .agg(SketchOps.topkSketch(col("token"), 256).as("tk"))
+    val merged = parts.agg(SketchOps.topkMerge(col("tk")).as("tk"))
+      .select(explode(SketchOps.topkRead(col("tk"))).as("e"))
+      .select("e.item", "e.count", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val oneShot = corpus.agg(SketchOps.topkFreq(col("token"), 256).as("tk"))
+      .select(explode(col("tk")).as("e")).select("e.item", "e.count", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == oneShot)
+    // SQL registration of all three
+    withId.createOrReplaceTempView("sk_corpus3")
+    val viaSql = spark.sql("""
+      WITH p AS (SELECT part, graft_topk_sketch(token, 256) AS tk
+                 FROM sk_corpus3 GROUP BY 1),
+           m AS (SELECT graft_topk_merge(tk) AS tk FROM p)
+      SELECT e.item, e.count, e.err
+      FROM m LATERAL VIEW explode(graft_topk_read(tk)) AS e""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == oneShot)
+    // byte determinism: equal states serialize to equal bytes whatever
+    // the partitioning (the stored-column contract)
+    def bytesOf(parts: Int): Seq[Byte] =
+      corpus.repartition(parts)
+        .agg(SketchOps.topkSketch(col("token"), 256).as("tk"))
+        .head().getAs[Array[Byte]](0).toSeq
+    assert(bytesOf(2) == bytesOf(7))
+    // empty/all-null input merges to NULL, not a crash
+    assert(Seq.empty[Array[Byte]].toDF("tk")
+      .agg(SketchOps.topkMerge(col("tk"))).head().isNullAt(0))
+  }
+
   test("items beyond writeUTF's 64 KB cap survive the partial-buffer shuffle") {
     import spark.implicits._
     // modified-UTF-8 writeUTF would throw UTFDataFormatException on this
