@@ -625,32 +625,40 @@ object CurateStore {
     * posting view: build reuses its pinned corpus postings, a night
     * its delta postings, so the health fold never re-reads or
     * re-explodes the stored sets). Joining at posting grain also
-    * keeps the night's plan contract
-    * — stored arrays never cross an exchange
-    * (CurateStorePlanSpec pins it); the posting rows are
-    * 16 bytes each where the array rows are kilobytes. A lang whose
-    * docs carry no shingles (every doc shorter than the shingle width)
-    * keeps its (night, lang) row — count and length quantiles ARE
-    * computable — with an EMPTY vocabulary sketch coalesced in, so the
-    * series never silently under-reports an ingested lang. */
+    * keeps the night's plan contract — stored arrays never cross an
+    * exchange (CurateStorePlanSpec pins it); the posting rows are
+    * 16 bytes each where the array rows are kilobytes. */
   private def healthPartial(night: org.apache.spark.sql.Column,
       stats: DataFrame, postings: DataFrame): DataFrame = {
     import graft.functions.SketchOps
-    val vocab = postings
+    // ONE lang-keyed aggregation computes all three measures (r11 ran
+    // two — vocab via the posting join, counts+quantiles directly — plus
+    // a lang-grain stitch join): posting rows carry (lang, shingle) with
+    // a null token count, doc rows carry (lang, n_tokens) with a null
+    // shingle, and each sketch update skips its branch's nulls, so the
+    // union needs no marker resolution beyond the doc-row counter. A
+    // lang whose docs carry no shingles (every doc shorter than the
+    // shingle width) keeps its (night, lang) row through the doc branch,
+    // its vocab the genuinely empty sketch — the series never silently
+    // under-reports an ingested lang.
+    val shingleType = postings.schema("shingle").dataType
+    val postRows = postings
       .select(col("doc_id"), col("shingle"))
       .join(stats.select(col("doc_id"), col("lang")).hint("shuffle_hash"),
         Seq("doc_id"))
+      .select(col("lang"), col("shingle"),
+        lit(null).cast("long").as("n_tokens"), lit(0L).as("is_doc"))
+    val docRows = stats.select(col("lang"),
+      lit(null).cast(shingleType).as("shingle"),
+      col("n_tokens").cast("long").as("n_tokens"), lit(1L).as("is_doc"))
+    postRows.unionByName(docRows)
       .groupBy(col("lang"))
-      .agg(SketchOps.distinctSketch(col("shingle"),
-        TextOps.DistinctP, TextOps.DistinctSparseCap).as("vocab"))
-    val emptyVocab = new graft.functions.DistinctSketch(
-      TextOps.DistinctP, TextOps.DistinctSparseCap).serialize()
-    stats.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum(col("is_doc")).as("n_docs"),
+        SketchOps.distinctSketch(col("shingle"),
+          TextOps.DistinctP, TextOps.DistinctSparseCap).as("vocab"),
         SketchOps.quantileSketch(col("n_tokens"), TextOps.QuantileK).as("lens"))
-      .join(vocab, Seq("lang"), "left")
       .select(night.as("night"), col("lang"), col("n_docs"),
-        coalesce(col("vocab"), lit(emptyVocab)).as("vocab"), col("lens"))
+        col("vocab"), col("lens"))
   }
 
   /** Member-count bound per table before [[curateNight]] folds the
