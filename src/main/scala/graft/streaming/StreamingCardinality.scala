@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * emitted rows carry the SERIALIZED sketches too, so a downstream
   * [[StreamingPointStore]] can fold finalized windows straight into a
   * persisted sketch-measured point table — stream → window sketch →
-  * LSM store, every stage mergeable. */
+  * LSM store, every stage mergeable (StreamingCardinalitySpec pins the
+  * wired chain end-to-end: append-mode finalized windows foldBatch'd
+  * per micro-batch, maintained snapshot ≡ the batch recompute across
+  * restart, forced redelivery, and compaction). */
 object StreamingCardinality {
 
   /** One ingest event: a group key, a distinct-counted item, and a

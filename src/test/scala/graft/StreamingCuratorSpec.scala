@@ -72,4 +72,48 @@ class StreamingCuratorSpec extends SparkSpec {
       s"expected base + batch nights, got $nights")
     assert(health.map(_.getLong(2)).sum == 500L)
   }
+
+  test("health series is current to the LAST ingested drop, and " +
+    "redelivery/restart/compaction leave it bit-stable") {
+    val dir = Files.createTempDirectory("graft_streamcurate_h").toString
+    val store = CurateStore.build(docs.filter(col("doc_id") <= 299), dir)
+    def healthRows = store.health().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    def drop(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+
+    // before any drop: night 0 alone, covering the built corpus
+    val h0 = healthRows
+    assert(h0.map(_._1) == Set("base") && h0.toSeq.map(_._3).sum == 300L)
+
+    // FRESHNESS: after each drop the series gains exactly that drop's
+    // night, doc counts current to everything ingested so far — the
+    // series rides curateNight, so a drop is visible the moment its
+    // fold commits, with no separate refresh step
+    StreamingCurator.curateBatch(store, drop(299, 399), 7L)
+    val h1 = healthRows
+    assert(h1.map(_._1) == Set("base", "b7"), s"nights ${h1.map(_._1)}")
+    assert(h1.filter(_._1 == "b7").toSeq.map(_._3).sum == 100L)
+    assert(h0.subsetOf(h1), "drop 7 must not rewrite earlier nights")
+
+    StreamingCurator.curateBatch(store, drop(399, 499), 8L)
+    val h2 = healthRows
+    assert(h2.map(_._1) == Set("base", "b7", "b8"))
+    assert(h2.toSeq.map(_._3).sum == 500L)
+    assert(h1.subsetOf(h2))
+
+    // an at-least-once REDELIVERY of a committed drop adds no night and
+    // changes no row (sketch bytes are deterministic, so estimates are
+    // bit-stable, not merely approximately equal)
+    StreamingCurator.curateBatch(store, drop(299, 399), 7L)
+    assert(healthRows == h2)
+
+    // a reopened handle (the restart read path) and an offline
+    // compaction + vacuum see the identical series
+    assert(CurateStore.load(spark, dir).health().collect().length == h2.size)
+    store.compact()
+    store.vacuum()
+    assert(healthRows == h2)
+  }
 }
