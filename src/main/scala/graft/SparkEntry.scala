@@ -119,6 +119,8 @@ object SparkEntry {
     "point_store_follower"  -> (graft.sources.ChangefeedFollower.follower _),
     // #51: JSONL crawl ingest — schema'd read, corrupt-line quarantine
     "jsonl_roundtrip"       -> (graft.sources.JsonlCorpus.roundtrip _),
+    // #51b: the CSV twin — same explicit-schema + quarantine discipline
+    "csv_roundtrip"         -> (graft.sources.CsvCorpus.roundtrip _),
     // #52c: sketch-measured point table (distinct counts through the LSM)
     "point_store_sketch"    -> (graft.sources.PointStore.sketchStore _),
   )
@@ -206,6 +208,7 @@ object SparkEntry {
     "point_store_follower"  -> graft.sources.ChangefeedFollower.followerOracle,
     // write → parse → quarantine-route must byte-preserve every field
     "jsonl_roundtrip"       -> graft.sources.JsonlCorpus.roundtripOracle,
+    "csv_roundtrip"         -> graft.sources.CsvCorpus.roundtripOracle,
     // the LSM lifecycle must land on the one-shot distinct counts
     "point_store_sketch"    -> graft.sources.PointStore.sketchStoreOracle,
   )
