@@ -196,7 +196,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * verbatim. ONE manifest flip publishes all four folds together
     * (count, tag ledger, and results unchanged — CurateStoreSpec);
     * superseded dirs stay for in-flight readers until [[vacuum]]. */
-  def compact(): Unit = {
+  def compact(): Unit = sfs.withWriterLease() {
     val lines = manifestLines
     val tables = Seq("stats", "strips", "windows", "pairs")
     if (tables.forall(t => tableMembers(t).size <= 1)) ()
@@ -232,7 +232,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * space half [[compact]] defers; sub-stores vacuum themselves). Run
     * once no reader holds a pre-compaction plan — the single-writer
     * contract shared with the sibling stores. */
-  def vacuum(): Unit = {
+  def vacuum(): Unit = sfs.withWriterLease() {
     val live = manifestLines.filterNot(_.startsWith("#"))
       .map(_.split(":", 2)(1)).toSet ++ SubStoreDirs
     sfs.dirNames().filterNot(live).foreach(sfs.deleteChild)
@@ -354,7 +354,8 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * stored corpus (the [[DedupIndex]] append contract — new crawl ids).
     * Single writer; see the class doc for crash/retry semantics. */
   def curateNight(tag: String, delta: DataFrame,
-                  autoCompactAt: Int = CurateStore.AutoCompactMembers): Unit = {
+                  autoCompactAt: Int = CurateStore.AutoCompactMembers): Unit =
+      sfs.withWriterLease() {
     // member names are <table>-<tag>, so the tag must stay out of the
     // build/fold namespaces: tag "base" would Overwrite the LIVE
     // night-0 member dirs BEFORE any commit point, and "compact-N" a

@@ -268,7 +268,7 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * owner knows when no reader still holds a pre-compaction plan. */
   def appendTagged(tag: String, docs: DataFrame,
                    verifyDisjoint: Boolean = false,
-                   autoCompactAt: Int = DedupIndex.AutoCompactMembers): Unit = {
+                   autoCompactAt: Int = DedupIndex.AutoCompactMembers): Unit = sfs.withWriterLease() {
     // ledger check first: a redelivered tag must not trigger a fold
     val pre = readManifest()
     if (tagsOf(pre)(tag)) return
@@ -301,7 +301,7 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * ledger SURVIVES so a late redelivery of an already-indexed batch
     * stays a no-op, and old member dirs stay on disk for in-flight
     * readers — the manifest is the one commit point. */
-  def compact(): Unit = {
+  def compact(): Unit = sfs.withWriterLease() {
     val lines = readManifest()
     val mem = membersOf(lines)
     if (mem.size <= 1) return
@@ -329,7 +329,7 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * (single-writer contract, PointStore's vacuum caveat). Idempotent;
     * never touches the manifest or live members, so the ledger and
     * pair results are unchanged (DedupIndexSpec). */
-  def vacuum(): Unit = {
+  def vacuum(): Unit = sfs.withWriterLease() {
     val live = membersOf(readManifest()).toSet
     sfs.dirNames().filterNot(live).foreach(sfs.deleteChild)
   }

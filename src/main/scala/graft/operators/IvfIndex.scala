@@ -159,7 +159,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * manifest flip publishes the member and consumes the tag. A retry
     * of a consumed tag is a no-op, so foreachBatch's at-least-once
     * redeliveries index each batch exactly once. */
-  def appendTagged(tag: String, newEmb: DataFrame): Unit = {
+  def appendTagged(tag: String, newEmb: DataFrame): Unit = sfs.withWriterLease() {
     // one LIVE manifest read for the whole commit (see append's note)
     val lines = readManifest()
     val tags = tagsOf(lines)
@@ -196,7 +196,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * member/quantizer dirs stay on disk for in-flight readers — the
     * manifest is the one commit point. Returns a fresh handle; this
     * instance's memoized quantizers are stale after the flip. */
-  def rebalance(): IvfIndex = {
+  def rebalance(): IvfIndex = sfs.withWriterLease() {
     // LIVE manifest for the whole rebuild — members, tags, AND the
     // freshness check. Rebuilding from this handle's read snapshot would
     // silently drop any member another handle committed since this

@@ -181,20 +181,21 @@ final class PointStore(spark: SparkSession, path: String,
     * version: this store's own downstream consumers fail loudly on
     * their next poll and resync in turn (the cascading-resync
     * contract). */
-  def overwriteTagged(tag: String, partial: DataFrame): Unit = {
-    // tag-idempotent like appendTagged: an at-least-once resync retry whose
-    // tag already committed must NOT re-replace the base — the version bump
-    // + vacuum-horizon advance would force this store's own consumers into
-    // an unnecessary cascading resync
-    if (consumedTags(tag)) return
-    val name = f"base-$nextSeq%06d"
-    mergeAgg(partial.select((keys ++ measureCols).map(col): _*))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(sfs.pathOf(name))
-    val v = version + 1
-    writeManifest((name +: (consumedTags + tag).toSeq.sorted.map(TagLine + _)) :+
-      s"$VacLine$v")
-  }
+  def overwriteTagged(tag: String, partial: DataFrame): Unit =
+    sfs.withWriterLease() {
+      // tag-idempotent like appendTagged: an at-least-once resync retry
+      // whose tag already committed must NOT re-replace the base — the
+      // version bump + vacuum-horizon advance would force this store's own
+      // consumers into an unnecessary cascading resync
+      if (consumedTags(tag)) return
+      val name = f"base-$nextSeq%06d"
+      mergeAgg(partial.select((keys ++ measureCols).map(col): _*))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(sfs.pathOf(name))
+      val v = version + 1
+      writeManifest((name +: (consumedTags + tag).toSeq.sorted.map(TagLine + _)) :+
+        s"$VacLine$v")
+    }
 
   private def writeManifest(ms: Seq[String]): Unit =
     sfs.atomicWrite("_MANIFEST", ms.mkString("\n").getBytes)
@@ -260,12 +261,16 @@ final class PointStore(spark: SparkSession, path: String,
     writeDelta(name, partial); true
   }
 
-  private def writeDelta(name: String, partial: DataFrame): Unit = {
-    mergeAgg(partial.select((keys ++ measureCols).map(col): _*))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(sfs.pathOf(name))
-    writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")
-  }
+  // writer lease on every mutator (the enforced single-writer contract,
+  // StoreFs.withWriterLease): a concurrent second driver fails fast with
+  // the holder named instead of interleaving manifest commits
+  private def writeDelta(name: String, partial: DataFrame): Unit =
+    sfs.withWriterLease() {
+      mergeAgg(partial.select((keys ++ measureCols).map(col): _*))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(sfs.pathOf(name))
+      writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")
+    }
 
   /** Merge-on-read view: base + deltas scanned in parallel, one
     * shuffle-on-key re-aggregation (PointStoreSpec pins the plan to a
@@ -294,7 +299,7 @@ final class PointStore(spark: SparkSession, path: String,
     * only — content and manifest semantics are identical, and snapshot
     * reads of a keyed slice prune files on ANY key subset
     * (PointStoreSpec measures the per-file bounding boxes). */
-  def compact(clusterFiles: Int = 0): Unit = {
+  def compact(clusterFiles: Int = 0): Unit = sfs.withWriterLease() {
     val ms = members
     if (ms.size > 1 || (ms.size == 1 && !ms.head.startsWith("base-"))) {
       val name = f"base-$nextSeq%06d"
@@ -347,7 +352,7 @@ final class PointStore(spark: SparkSession, path: String,
     * [[vacuumedThrough]], so a consumer that fell behind fails loudly
     * instead of silently missing rows. The default retains nothing —
     * pure space reclamation, the pre-changefeed behavior. */
-  def vacuum(retainVersions: Long = 0L): Unit = {
+  def vacuum(retainVersions: Long = 0L): Unit = sfs.withWriterLease() {
     val horizon = math.max(vacuumedThrough, version - retainVersions)
     writeManifest(
       manifestLines.filterNot(l => l.startsWith(LogLine) || l.startsWith(VacLine)) ++

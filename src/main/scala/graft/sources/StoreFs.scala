@@ -104,9 +104,129 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
 
   /** Recursive delete of one child; no-op when absent. */
   def deleteChild(name: String): Unit = fs.delete(child(name), true)
+
+  // ------------------------------------------------------- writer lease
+
+  /** Run `f` holding this store's writer lease — the ENFORCED face of
+    * the family's documented single-writer contract. Two concurrent
+    * drivers pointed at the same store (the scheduler double-fires a
+    * nightly job, an operator runs a manual backfill while the cron is
+    * live) would interleave read-modify-write manifest commits and
+    * corrupt silently; with the lease the second writer FAILS FAST with
+    * the holder named instead.
+    *
+    * Mechanics: a `_WRITER.lock` file at the store root, created
+    * exclusively (`create(overwrite = false)` — atomic on `file://` and
+    * `hdfs://`; on `s3a://` create-exclusive is best-effort like the
+    * manifest rename, and the same external-coordination note applies).
+    * The file carries `holder` (host:pid:per-JVM-uuid) and `heartbeat`
+    * (epoch millis at acquisition, refreshed per re-entrant acquire).
+    *
+    *  - **Conflict**: another live holder → loud IllegalStateException
+    *    naming the holder and the lock age.
+    *  - **Crashed-holder takeover**: a crash leaves the lock file
+    *    behind; once its heartbeat is older than `staleMs` (default
+    *    [[StoreFs.DefaultLeaseStaleMs]] — size it above the longest
+    *    expected write operation) the next writer BREAKS the stale
+    *    lease and proceeds. Until then writers refuse; an operator who
+    *    knows the holder is dead can [[breakWriterLease]] explicitly.
+    *  - **Re-entrant** within the owning JVM (a night's fold calls
+    *    compact() on the same store): inner acquires ride the held
+    *    lease via a per-root count; the file is removed when the
+    *    outermost scope exits, exceptions included. A crash inside `f`
+    *    leaves the lock for the stale window — intentional, since a
+    *    half-written (uncommitted) attempt is exactly when a concurrent
+    *    writer is least welcome. */
+  def withWriterLease[T](staleMs: Long = StoreFs.DefaultLeaseStaleMs)(f: => T): T = {
+    val key = root.toString
+    val held = StoreFs.leaseCounts.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicInteger)
+    val outermost = held.synchronized {
+      val first = held.get() == 0
+      if (first) acquireLeaseFile(staleMs)
+      held.incrementAndGet()
+      first
+    }
+    try f
+    finally held.synchronized {
+      if (held.decrementAndGet() == 0 && outermost) releaseLeaseFile()
+    }
+  }
+
+  /** Current lock contents: (holder, heartbeat millis), if any. */
+  def leaseHolder(): Option[(String, Long)] =
+    linesIfExists(StoreFs.LeaseName) match {
+      case Seq(h, hb, _*) => Some((h, hb.toLong))
+      case _ => None
+    }
+
+  /** Operator escape hatch: remove the lock unconditionally (use when
+    * the holder is known dead and the stale window is too long to
+    * wait). */
+  def breakWriterLease(): Unit = fs.delete(child(StoreFs.LeaseName), true)
+
+  private def acquireLeaseFile(staleMs: Long): Unit = {
+    mkdirs()
+    val target = child(StoreFs.LeaseName)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(target, false) // exclusive: fails if present
+        try out.write(s"${StoreFs.jvmHolderId}\n${System.currentTimeMillis()}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val now = System.currentTimeMillis()
+      leaseHolder() match {
+        case Some((holder, hb)) if now - hb < staleMs =>
+          throw new IllegalStateException(
+            s"store at $root is write-locked by $holder " +
+              s"(heartbeat ${now - hb} ms ago, stale after $staleMs ms) — " +
+              "single-writer contract: wait for it, or breakWriterLease() " +
+              "if the holder is known dead")
+        case _ =>
+          // stale (or vanished mid-read): break and take over. The
+          // delete+create window is the best-effort race every
+          // lock-file scheme has; the stale path only runs after a
+          // crash, never in healthy operation.
+          breakWriterLease()
+          if (!tryCreate()) acquireLeaseFile(staleMs) // lost the race: re-judge
+      }
+    }
+  }
+
+  private def releaseLeaseFile(): Unit = {
+    // only remove our own lock: a stale-break by another writer may have
+    // replaced it while we were (wrongly presumed dead but) still running
+    if (leaseHolder().exists(_._1 == StoreFs.jvmHolderId)) breakWriterLease()
+  }
 }
 
 object StoreFs {
+
+  /** Writer-lease lock file name (store-root child). */
+  val LeaseName = "_WRITER.lock"
+
+  /** Default staleness horizon before a crashed holder's lease may be
+    * broken: 30 minutes — above any single write operation at bench
+    * scale by orders of magnitude; size it above the longest expected
+    * operation (a 100 TB compaction) in production. */
+  val DefaultLeaseStaleMs: Long = 30L * 60 * 1000
+
+  /** One writer identity per JVM: the single-writer contract is per
+    * driver process, and the per-JVM uuid keeps two drivers on the same
+    * host distinct. */
+  private[sources] val jvmHolderId: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    s"$host:${ProcessHandle.current.pid}:${java.util.UUID.randomUUID}"
+  }
+
+  /** Re-entrancy counts per qualified store root (JVM-global). */
+  private[sources] val leaseCounts =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicInteger]
 
   /** Resolve against the session's Hadoop configuration — credentials,
     * endpoints, and filesystem impls configured for Spark apply to the

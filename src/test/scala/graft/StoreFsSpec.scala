@@ -99,4 +99,76 @@ class StoreFsSpec extends SparkSpec {
       normalize(toDouble(col("embedding"))).as("qv"))
     assert(idx.search(queries, 5, nprobe = graft.operators.Ann.Cells).count() > 0)
   }
+
+  test("writer lease: a second live writer refuses loudly; stale and " +
+    "explicit takeover; re-entrancy; exception-safe release") {
+    val uri = freshUri("graft_test_storefs_lease")
+    val sfs = StoreFs(spark, uri)
+
+    // held scope excludes a FOREIGN holder (simulated by a lock file
+    // another process would have created) and is re-entrant within the
+    // owning JVM
+    var ran = 0
+    sfs.withWriterLease() {
+      assert(sfs.exists(StoreFs.LeaseName))
+      sfs.withWriterLease() { ran += 1 } // nested: rides the held lease
+      ran += 1
+    }
+    assert(ran == 2 && !sfs.exists(StoreFs.LeaseName),
+      "lease must release when the outermost scope exits")
+
+    // foreign live holder → loud refusal naming it
+    sfs.atomicWrite(StoreFs.LeaseName,
+      s"otherhost:999:dead-beef\n${System.currentTimeMillis()}".getBytes)
+    val e = intercept[IllegalStateException] { sfs.withWriterLease() { fail() } }
+    assert(e.getMessage.contains("otherhost:999:dead-beef") &&
+      e.getMessage.contains("write-locked"), e.getMessage)
+
+    // crashed-holder takeover: once the heartbeat is older than staleMs
+    // the next writer breaks the lease and proceeds
+    sfs.atomicWrite(StoreFs.LeaseName,
+      s"otherhost:999:dead-beef\n${System.currentTimeMillis() - 10000}".getBytes)
+    var tookOver = false
+    sfs.withWriterLease(staleMs = 1000) { tookOver = true }
+    assert(tookOver && !sfs.exists(StoreFs.LeaseName))
+
+    // explicit operator takeover for a live-looking but known-dead holder
+    sfs.atomicWrite(StoreFs.LeaseName,
+      s"otherhost:999:dead-beef\n${System.currentTimeMillis()}".getBytes)
+    sfs.breakWriterLease()
+    sfs.withWriterLease() { tookOver = true }
+
+    // an exception inside the scope still releases (in-JVM failures must
+    // not wedge the store; only a process CRASH leaves the lock behind)
+    intercept[RuntimeException] {
+      sfs.withWriterLease() { throw new RuntimeException("boom") }
+    }
+    assert(!sfs.exists(StoreFs.LeaseName))
+  }
+
+  test("writer lease: store mutators are guarded — a foreign lock makes " +
+    "append/compact fail fast, and a finished writer leaves no lock") {
+    import spark.implicits._
+    val uri = freshUri("graft_test_storefs_lease_store")
+    val store = new PointStore(spark, uri,
+      keys = Seq("k"), sums = Seq("n"), maxes = Nil)
+    val batch = Seq(("a", 1L)).toDF("k", "n")
+    store.append(batch)
+    val sfs = StoreFs(spark, uri)
+    assert(!sfs.exists(StoreFs.LeaseName), "no lock after a completed append")
+
+    // a concurrent (foreign, live) writer blocks every mutator...
+    sfs.atomicWrite(StoreFs.LeaseName,
+      s"otherhost:999:dead-beef\n${System.currentTimeMillis()}".getBytes)
+    intercept[IllegalStateException] { store.append(batch) }
+    intercept[IllegalStateException] { store.appendTagged("t1", batch) }
+    intercept[IllegalStateException] { store.compact() }
+    intercept[IllegalStateException] { store.vacuum() }
+    // ...but never a reader (many-reader contract)
+    assert(store.snapshot.collect().length == 1)
+
+    sfs.breakWriterLease()
+    store.appendTagged("t1", batch)
+    assert(store.snapshot.agg(sum(col("n"))).head().getLong(0) == 2L)
+  }
 }
