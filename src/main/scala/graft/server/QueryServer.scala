@@ -60,6 +60,18 @@ import java.nio.charset.StandardCharsets
   *                                      p50/p95 per lang) — the
   *                                      dashboard poll; state-only, no
   *                                      text or kernels touched.
+  *   POST /ingest/curate?store=<name>&tag=<tag>
+  *                                   → the WRITE face (worker.js
+  *                                      delivered writes, 119-165):
+  *                                      fold the posted batch into the
+  *                                      persisted CurateStore as one
+  *                                      night under the caller's tag.
+  *                                      Idempotent by the store's
+  *                                      consumed-tag ledger — a queue
+  *                                      redelivery or client retry of a
+  *                                      committed tag reports
+  *                                      committed=false and changes
+  *                                      nothing.
   *
   * The server holds ONE SparkSession; queries are declarative DataFrames,
   * so concurrent requests are just concurrent Spark jobs under the
@@ -301,6 +313,83 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                     val rows = store.probe(docs)
                       .orderBy(col("doc_id")).limit(limit).toJSON.collect()
                     respond(ex, 200, rows.mkString("[", ",", "]"))
+                  }
+                } finally docs.unpersist(false)
+            }
+          } catch { case e: Throwable =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the WRITE face of the curation surface — the reference's queue
+    // delivered writes, not reads (worker.js:119-165): POST a crawl
+    // drop with a caller-supplied batch tag and the server folds it
+    // into the persisted store via curateNight. Exactly-once WITHOUT
+    // server-side state: the tag rides the store's consumed-tag ledger,
+    // so a queue redelivery (or a client retry after a lost response)
+    // of a committed tag answers {"committed":false} and changes
+    // nothing — the worker.js ack/redeliver loop's idempotence, held
+    // by the store instead of the broker. Same transport discipline as
+    // /probe/curate; the tag is pre-validated so contract violations
+    // are a 400, not a 500 from inside the fold.
+    server.createContext("/ingest/curate", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405,
+          """{"error":"POST a JSON batch of {doc_id, text, lang} with ?tag="}""")
+      else (indexRoot, param(ex, "store"), param(ex, "tag")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None, _) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (_, _, None) =>
+          respond(ex, 400, """{"error":"tag param required (the batch id
+            redeliveries are judged by)"}""".linesIterator.map(_.trim)
+            .mkString(" "))
+        case (Some(root), Some(name), Some(tag)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the index root"}""")
+          else if (!tag.matches("[A-Za-z0-9._-]+") || tag.forall(_.isDigit) ||
+              tag == "base" || tag.matches("compact-[0-9]+"))
+            respond(ex, 400,
+              """{"error":"tag must be filesystem-safe, non-numeric, and outside the base/compact-N namespaces"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val loaded =
+              try Some(graft.operators.CurateStore.load(spark, dir.getPath))
+              catch { case e: RuntimeException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("no curate store") =>
+                None
+              }
+            loaded match {
+              case None =>
+                respond(ex, 404, s"""{"error":"no curate store named '$name'"}""")
+              case Some(store) =>
+                val body = new String(ex.getRequestBody.readAllBytes(),
+                  StandardCharsets.UTF_8)
+                import spark.implicits._
+                val docs = spark.read
+                  .schema("doc_id LONG, text STRING, lang STRING")
+                  .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+                  .cache()
+                try {
+                  val n = docs.count()
+                  val bad = docs
+                    .filter(col("doc_id").isNull || col("text").isNull ||
+                      col("lang").isNull).count()
+                  if (n == 0 || bad > 0)
+                    respond(ex, 400,
+                      """{"error":"body must be JSON rows of {doc_id, text, lang}"}""")
+                  else if (store.consumedTags.contains(tag))
+                    // redelivered tag: the no-op answer, no fold started
+                    respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+                      s""""committed":false,"doc_count":${store.docCount}}""")
+                  else {
+                    store.curateNight(tag, docs)
+                    respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+                      s""""committed":true,"doc_count":${store.docCount}}""")
                   }
                 } finally docs.unpersist(false)
             }

@@ -163,6 +163,67 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /ingest/curate folds a drop into a persisted store over a " +
+    "real socket; a redelivered tag is a committed=false no-op") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_ingests").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") <= 399)
+    val drop = docs.filter(col("doc_id") > 399)
+    graft.operators.CurateStore.build(corpus, s"$root/docs")
+
+    val srv = new QueryServer(spark, sf, indexRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val body = drop.select("doc_id", "text", "lang").toJSON.collect()
+        .mkString("\n")
+
+      // the write: one night under the caller's tag
+      val (ic, iBody) = post(port, "/ingest/curate?store=docs&tag=drop-7", body)
+      assert(ic == 200, iBody)
+      assert(iBody.contains("\"committed\":true") &&
+        iBody.contains("\"doc_count\":500"), iBody)
+
+      // REDELIVERY of the same tag (queue redeliver / client retry after
+      // a lost response): no fold, no state change, the no-op answer
+      val (rc, rBody) = post(port, "/ingest/curate?store=docs&tag=drop-7", body)
+      assert(rc == 200, rBody)
+      assert(rBody.contains("\"committed\":false") &&
+        rBody.contains("\"doc_count\":500"), rBody)
+
+      // the ingested store now answers identically to the one-shot
+      // funnel over everything — the same contract curateNight carries
+      val store = graft.operators.CurateStore.load(spark, s"$root/docs")
+      def keyOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "cluster_id", "cleaned").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = keyOf(graft.operators.Pipeline.pipelineCurateOf(docs))
+      val got = keyOf(store.snapshot())
+      assert(got == want, "server-ingested state diverged from the one-shot funnel")
+      // and the health series is current to the ingested drop
+      assert(store.health().collect().map(_.getString(0)).toSet
+        == Set("base", "drop-7"))
+
+      // guardrails: wrong method, missing/invalid tag, unknown store,
+      // traversal, bad body — each refused before any fold starts
+      val (mc, _) = get(port, "/ingest/curate?store=docs&tag=x1")
+      assert(mc == 405)
+      val (ntc, _) = post(port, "/ingest/curate?store=docs", body)
+      assert(ntc == 400)
+      val (numc, numBody) = post(port, "/ingest/curate?store=docs&tag=20260814", body)
+      assert(numc == 400 && numBody.contains("non-numeric"), numBody)
+      val (basec, _) = post(port, "/ingest/curate?store=docs&tag=base", body)
+      assert(basec == 400)
+      val (uc, _) = post(port, "/ingest/curate?store=nope&tag=x1", body)
+      assert(uc == 404)
+      val (tc, _) = post(port, "/ingest/curate?store=..%2Fdocs&tag=x1", body)
+      assert(tc == 403)
+      val (bc, _) = post(port, "/ingest/curate?store=docs&tag=x1", """{"junk": 1}""")
+      assert(bc == 400)
+    } finally srv.stop()
+  }
+
   test("/probe/dedup without a configured index root answers 404") {
     val srv = new QueryServer(spark, sf)
     srv.start()
