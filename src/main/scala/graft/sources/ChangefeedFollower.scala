@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * re-fold — the same law [[graft.operators.Merge]] proves for the
   * upstream itself). Then folding derive(changes) per window equals
   * deriving the whole table, whatever the batch/compaction boundaries.
+  * The law covers EVERY measure class the stores support: the sketch
+  * merges (distinct / quantile / topk) are associative, commutative,
+  * and state-exact, so a sketch-merging `derive` is exactly such a
+  * homomorphism — "vocabulary per lang, derived from the per-night
+  * health table, maintained at O(changes) per poll" chains the same
+  * way a SUM rollup does (PointStoreSpec pins it).
   *
   * Exactly-once without a separate ledger: each poll folds the window
   * `(checkpoint, upstream.version]` as a delta TAGGED `v<toVersion>` —
@@ -31,11 +37,17 @@ import org.apache.spark.sql.functions._
 final class ChangefeedFollower(spark: SparkSession, upstream: PointStore,
                                path: String, derive: DataFrame => DataFrame,
                                keys: Seq[String], sums: Seq[String],
-                               maxes: Seq[String]) {
+                               maxes: Seq[String],
+                               sketches: Seq[String] = Nil,
+                               quantiles: Seq[String] = Nil,
+                               mins: Seq[String] = Nil,
+                               topks: Seq[String] = Nil) {
 
   /** The derived store (all state on disk — a follower restart just
-    * reconstructs this wrapper). */
-  val store = new PointStore(spark, path, keys, sums, maxes)
+    * reconstructs this wrapper). Carries every measure class, sketch
+    * columns included. */
+  val store = new PointStore(spark, path, keys, sums, maxes,
+    sketches, quantiles, mins, topks)
 
   /** Upstream version this follower has folded through. Only this
     * class's own `v<N>` tags count — a caller's unrelated tags on the

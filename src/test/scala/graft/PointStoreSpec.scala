@@ -281,6 +281,65 @@ class PointStoreSpec extends SparkSpec {
     assert(f.result.get.collect().map(_.mkString("|")).toSet == expectRollup)
   }
 
+  test("a follower derives a sketch-measured rollup at O(changes) per poll") {
+    import graft.functions.SketchOps
+    import graft.sources.ChangefeedFollower
+    import spark.implicits._
+    // upstream: the per-(night, lang) health-table shape — counts plus
+    // distinct/quantile/topk sketch measures; downstream: the lang-grain
+    // rollup a dashboard reads, maintained by changefeed polls. The
+    // sketch merges are state-exact homomorphisms, so the chained
+    // O(changes) folds must land on the one-shot answer exactly.
+    val rows = (0 until 600).map { i =>
+      (s"n${i % 3}", if (i % 2 == 0) "en" else "de", (i % 97).toLong) }
+    def partial(night: String) = rows.filter(_._1 == night)
+      .toDF("night", "lang", "v")
+      .groupBy(col("night"), col("lang"))
+      .agg(count(lit(1)).as("n"),
+        SketchOps.distinctSketch(col("v"), 12, 4096).as("dsk"),
+        SketchOps.quantileSketch(col("v"), 1024).as("qsk"),
+        SketchOps.topkSketch(pmod(col("v"), lit(5L)).cast("string"), 16).as("tk"))
+    val dir = freshDir("skfollow")
+    val upstream = new PointStore(spark, s"$dir/up",
+      keys = Seq("night", "lang"), sums = Seq("n"), maxes = Nil,
+      sketches = Seq("dsk"), quantiles = Seq("qsk"), topks = Seq("tk"))
+    def rollup(changes: org.apache.spark.sql.DataFrame) =
+      changes.groupBy(col("lang")).agg(
+        sum(col("n")).as("n"),
+        SketchOps.sketchMerge(col("dsk")).as("dsk"),
+        SketchOps.quantileMerge(col("qsk")).as("qsk"),
+        SketchOps.topkMerge(col("tk")).as("tk"))
+    def follow() = new ChangefeedFollower(spark, upstream, s"$dir/down",
+      rollup, keys = Seq("lang"), sums = Seq("n"), maxes = Nil,
+      sketches = Seq("dsk"), quantiles = Seq("qsk"), topks = Seq("tk"))
+
+    upstream.appendTagged("n0", partial("n0"))
+    upstream.appendTagged("n1", partial("n1"))
+    follow().poll()           // mid-stream fold
+    upstream.compact()        // invisible to the feed
+    upstream.appendTagged("n2", partial("n2"))
+    follow().poll()           // tail fold (a RESTARTED wrapper)
+    follow().poll()           // caught up: no-op
+
+    val got = follow().result.get
+      .select(col("lang"), col("n"),
+        SketchOps.sketchEst(col("dsk")).as("d"),
+        SketchOps.quantileAt(col("qsk"), 0.5).as("m"),
+        SketchOps.topkRead(col("tk")).getItem(0).getField("item").as("top"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val want = rows.groupBy(_._2).map { case (lang, rs) =>
+      val vs = rs.map(_._3)
+      val sorted = vs.sorted
+      val med = sorted(math.max(1, math.ceil(0.5 * sorted.size).toInt) - 1)
+      val top = vs.groupBy(_ % 5).map { case (k, g) => (k.toString, g.size) }
+        .toSeq.sortBy { case (k, c) => (-c, k) }.head._1
+      lang -> ((vs.size.toLong, vs.distinct.size.toLong, med, top))
+    }
+    assert(got == want, s"chained sketch rollup diverged: $got vs $want")
+  }
+
   test("clustered compaction z-orders the base: keyed slices prune files") {
     val dir = freshDir("zcompact")
     // numeric 2-key store with enough key-tuple cardinality to spread files
