@@ -104,6 +104,10 @@ object SparkEntry {
     "sample_stratified" -> (Sampling.sampleStratified _),
     "pack_sequences"    -> (Sampling.packSequences _),
     "pack_sequences_sharded" -> (Sampling.packSequencesSharded _),
+    // training-mix assembly (#30g-i): epochs, budget fill, global shuffle
+    "corpus_mix"          -> (Mix.corpusMix _),
+    "token_budget_select" -> (Mix.tokenBudgetSelect _),
+    "shuffle_deterministic" -> (Mix.shuffleDeterministic _),
     // scale patterns + composition (#36-37, #39)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
@@ -197,6 +201,9 @@ object SparkEntry {
     "pack_sequences"    -> Sampling.packSequencesOracle,
     // the sharded scale path must land on the identical layout
     "pack_sequences_sharded" -> Sampling.packSequencesOracle,
+    "corpus_mix"          -> Mix.corpusMixOracle,
+    "token_budget_select" -> Mix.tokenBudgetSelectOracle,
+    "shuffle_deterministic" -> Mix.shuffleDeterministicOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
     "pipeline_curate" -> Pipeline.pipelineCurateOracle,

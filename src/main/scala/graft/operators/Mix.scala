@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix assembly: the three operations between "curated corpus"
+  * and [[Sampling.packOf]]'s packed contexts in a pretraining data
+  * pipeline — epoch-weighted mixing, token-budget selection, and the
+  * deterministic global shuffle. Together with stratified sampling and
+  * packing they close the loop: select → mix → shuffle → pack.
+  *
+  * All three are deterministic (seeded hashes, never `rand()`), so a
+  * training run is REPRODUCIBLE from the corpus + the recipe — rerunning
+  * the pipeline, on any partitioning, yields byte-identical batches (the
+  * property every data-ablation study and every resumed run depends on).
+  *
+  *  - [[mixOf]] — per-stratum EPOCH weights (the Dolma/data-mix recipe:
+  *    "2.3 epochs of en, 0.5 of es"): each doc is emitted floor(w) times
+  *    plus one more for the id-hash fraction that lands under frac(w).
+  *    Generalizes stratified sampling to weights ≥ 1; scan-speed
+  *    (broadcast weight dim + one explode, no shuffle).
+  *  - [[budgetOf]] — quality-ranked token-budget fill per stratum ("the
+  *    best docs until N tokens per language"): rank by (score desc, id),
+  *    running token sum, keep every doc that STARTS inside the budget.
+  *    One window per stratum — [[Sampling.packOfSharded]]'s hierarchical
+  *    trick applies unchanged if a stratum outgrows a partition.
+  *  - [[shuffleOf]] — seeded global permutation: order by
+  *    (md5(seed:id), id). The md5 family keeps the order engine-portable
+  *    (the DuckDB oracle replays it verbatim). The RANK is computed
+  *    hierarchically — intra-shard row_number plus a running base over
+  *    per-shard counts, where the shard IS the key's first hex byte, so
+  *    shard order ≡ key order and the stitched rank equals the global
+  *    row_number (the oracle proves it) without any single-partition
+  *    window; shards are uniform by construction (hash prefix).
+  */
+object Mix {
+
+  // ------------------------------------------------------------ corpus_mix
+
+  /** Epoch weights per language for the registered query: en upsampled
+    * past two epochs, the long tail downsampled — both directions of the
+    * mixing recipe in one table. */
+  val Epochs: Seq[(String, Double)] =
+    Seq("en" -> 2.3, "de" -> 1.5, "fr" -> 1.0, "es" -> 0.5)
+  val DefaultEpochs = 0.25
+
+  private val M32 = 4294967296L // 2^32
+  private def thr(frac: Double): Long = (frac * M32).toLong
+
+  /** Knuth multiplicative id hash into [0, 2³²) — shared with
+    * [[Sampling]] (same constant, same pmod guard for negative ids), so
+    * the fractional-epoch keep set NESTS across weights exactly like the
+    * sampler's: the docs kept at frac 0.3 are a subset of frac 0.5. */
+  private def hash32(id: Column) =
+    pmod(id, lit(2147483648L)) * lit(2654435761L) % lit(M32)
+
+  /** Emit each row `floor(w)` times plus one for the hash-selected
+    * fraction, `copy` = 0-based repeat index (epoch number — a loader
+    * that interleaves copies across epochs reads `copy` directly).
+    * Weights < 1 degenerate to sampling; weight 0 drops the stratum. */
+  def mixOf(df: DataFrame, idCol: String, strataCol: String,
+            epochs: Seq[(String, Double)], defaultEpochs: Double): DataFrame = {
+    require((defaultEpochs +: epochs.map(_._2)).forall(w => w >= 0 && w <= 64),
+      s"epoch weights must be in [0, 64]: $epochs default=$defaultEpochs")
+    require(epochs.map(_._1).distinct.size == epochs.size,
+      s"duplicate stratum in epochs: ${epochs.map(_._1).mkString(",")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = epochs.map { case (l, w) =>
+      (l, math.floor(w).toLong, thr(w - math.floor(w))) }
+      .toDF("_m_stratum", "_m_whole", "_m_frac")
+    val whole = coalesce(col("_m_whole"),
+      lit(math.floor(defaultEpochs).toLong))
+    val frac = coalesce(col("_m_frac"),
+      lit(thr(defaultEpochs - math.floor(defaultEpochs))))
+    val copies = whole + when(hash32(col(idCol)) < frac, 1L).otherwise(0L)
+    df.join(broadcast(wDf), col(strataCol) === col("_m_stratum"), "left")
+      // sequence(0, -1) would DESCEND, not empty — guard the zero-copy
+      // case to an empty array so explode drops the row
+      .withColumn("copy", explode(when(copies > 0,
+        sequence(lit(0L), copies - 1)).otherwise(array())))
+      .drop("_m_stratum", "_m_whole", "_m_frac")
+  }
+
+  /** `corpus_mix`: the documents table under [[Epochs]] — (doc_id, lang,
+    * copy) rows, one per scheduled epoch appearance. */
+  def corpusMix(s: SparkSession, d: String): DataFrame =
+    mixOf(documents(s, d).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", Epochs, DefaultEpochs)
+      .select(col("doc_id"), col("lang"), col("copy"))
+
+  def corpusMixOracle: String = {
+    val wSql = Epochs.map { case (l, w) =>
+      s"('$l', ${math.floor(w).toLong}, ${thr(w - math.floor(w))})" }
+      .mkString(", ")
+    val dWhole = math.floor(DefaultEpochs).toLong
+    val dFrac = thr(DefaultEpochs - math.floor(DefaultEpochs))
+    s"""
+    WITH c AS (
+      SELECT doc_id, lang,
+        coalesce(whole, $dWhole)
+          + CASE WHEN ((doc_id % 2147483648 + 2147483648) % 2147483648)
+                      * 2654435761 % $M32 < coalesce(frac, $dFrac)
+                 THEN 1 ELSE 0 END AS copies
+      FROM documents
+      LEFT JOIN (VALUES $wSql) AS w(w_lang, whole, frac) ON lang = w_lang)
+    SELECT doc_id, lang,
+      CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS copy
+    FROM c WHERE copies > 0"""
+  }
+
+  // ---------------------------------------------------- token_budget_select
+
+  /** Per-language token budget for the registered query — small enough
+    * that every driver SF genuinely cuts (the selection is the point). */
+  val TokenBudget = 2048L
+
+  /** Quality-ranked budget fill: order `df` by (`scoreCol` desc, `idCol`)
+    * within each stratum, run the token prefix sum, and keep every doc
+    * whose START offset is inside `budget` (so the budget-straddling doc
+    * is kept whole — "take docs until the budget is reached"). Appends
+    * `sel_rank` (0-based quality rank) and `start_offset`. */
+  def budgetOf(df: DataFrame, idCol: String, strataCol: String,
+               tokensCol: String, scoreCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val order = Seq(col(scoreCol).desc_nulls_last, col(idCol))
+    val w = Window.partitionBy(col(strataCol)).orderBy(order: _*)
+    val toks = col(tokensCol).cast("long")
+    df.withColumn("sel_rank", row_number().over(w).cast("long") - 1)
+      .withColumn("start_offset",
+        sum(toks).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - toks)
+      .filter(col("start_offset") < budget)
+  }
+
+  /** `token_budget_select`: the highest-quality [[TokenBudget]] tokens
+    * per language — [[graft.operators.TextOps.textStatsOf]]'s
+    * quality_score ranks (the score the text_stats oracle already
+    * proves engine-identical, which is what lets a double-ordered
+    * selection hash-match), whitespace token counts fill the budget. */
+  def tokenBudgetSelect(s: SparkSession, d: String): DataFrame =
+    budgetOf(
+      TextOps.textStatsOf(documents(s, d), col("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality_score")),
+      "doc_id", "lang", "n_tokens", "quality_score", TokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("sel_rank"), col("start_offset"))
+
+  def tokenBudgetSelectOracle: String = raw"""
+    WITH t AS (
+      SELECT doc_id, lang,
+        string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9${Dedup.WsChars}]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_chars, n_punct,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stopwords
+      FROM t),
+    q AS (
+      SELECT doc_id, lang, n_tokens,
+        least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+          + (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3
+          + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2 AS quality_score
+      FROM c),
+    r AS (
+      SELECT doc_id, lang, n_tokens,
+        CAST(row_number() OVER win AS BIGINT) - 1 AS sel_rank,
+        CAST(sum(n_tokens) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) - n_tokens AS start_offset
+      FROM q
+      WINDOW win AS (PARTITION BY lang
+                     ORDER BY quality_score DESC NULLS LAST, doc_id))
+    SELECT doc_id, lang, n_tokens, sel_rank, start_offset
+    FROM r WHERE start_offset < $TokenBudget"""
+
+  // -------------------------------------------------- shuffle_deterministic
+
+  /** Seed for the registered query (any string; a run is identified by
+    * its seed). */
+  val ShuffleSeed = "graft-r12"
+
+  /** Seeded deterministic global permutation: `shuffle_key` =
+    * md5(seed:id), `shuffle_rank` = the 0-based global rank under
+    * (key, id) order. The rank is stitched hierarchically: the shard is
+    * the key's FIRST HEX BYTE (a prefix, so shard order ≡ key order and
+    * the concatenated shard-local orders ARE the global order),
+    * intra-shard ranks come from one row_number window each, and each
+    * shard's base is the running sum of per-shard counts — a ≤256-row
+    * broadcast frame. No single-partition window anywhere: at 100 TB
+    * the 256 hash-prefix shards are uniform by construction, and a
+    * deeper prefix (two bytes → 65536 shards) is the same plan. */
+  def shuffleOf(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val withKey = df.withColumn("shuffle_key", key)
+      .withColumn("_shard", conv(substring(col("shuffle_key"), 1, 2), 16, 10)
+        .cast("long"))
+    val wLocal = Window.partitionBy(col("_shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    val wBase = Window.orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-shard counts: ≤256 rows — the base window is metadata-sized
+    val bases = withKey.groupBy(col("_shard")).agg(count(lit(1)).as("_n"))
+      .withColumn("_base", coalesce(sum(col("_n")).over(wBase), lit(0L)))
+      .select(col("_shard").as("_b_shard"), col("_base"))
+    withKey
+      .withColumn("_local", row_number().over(wLocal).cast("long"))
+      .join(broadcast(bases), col("_shard") === col("_b_shard"))
+      .withColumn("shuffle_rank", col("_base") + col("_local") - 1)
+      .drop("_shard", "_b_shard", "_base", "_local")
+  }
+
+  /** `shuffle_deterministic`: the documents table under [[ShuffleSeed]].
+    * The oracle computes the rank as ONE global row_number over the same
+    * md5 order, so the hash match proves the hierarchical stitch is
+    * exactly the global permutation. */
+  def shuffleDeterministic(s: SparkSession, d: String): DataFrame =
+    shuffleOf(documents(s, d).select(col("doc_id"), col("lang")),
+      "doc_id", ShuffleSeed)
+      .select(col("doc_id"), col("lang"), col("shuffle_key"),
+        col("shuffle_rank"))
+
+  def shuffleDeterministicOracle: String = s"""
+    WITH k AS (
+      SELECT doc_id, lang,
+        md5(concat('$ShuffleSeed', ':', CAST(doc_id AS VARCHAR))) AS shuffle_key
+      FROM documents)
+    SELECT doc_id, lang, shuffle_key,
+      CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) - 1
+        AS shuffle_rank
+    FROM k"""
+}

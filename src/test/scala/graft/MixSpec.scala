@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Mix
+import org.apache.spark.sql.functions._
+
+/** Training-mix assembly properties the DuckDB oracles can't state:
+  * reproducibility under repartitioning, the nesting law on fractional
+  * epochs, the shuffle's permutation contract, and budget-fill edges. */
+class MixSpec extends SparkSpec {
+
+  test("mixOf: epoch counts honor floor+fraction; fractional keeps NEST " +
+    "across weights; partitioning never changes the schedule") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "hi" else "lo")).toDF("doc_id", "lang")
+    def mix(w: Double, parts: Int) = Mix.mixOf(
+        docs.repartition(parts), "doc_id", "lang",
+        Seq("hi" -> 2.5, "lo" -> w), 0.0)
+      .select("doc_id", "lang", "copy")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val m = mix(0.3, 4)
+    // whole epochs: every hi doc appears at least twice, copies 0 and 1
+    val hiCopies = m.filter(_._2 == "hi").groupBy(_._1).map(_._2.size)
+    assert(hiCopies.forall(c => c == 2 || c == 3))
+    // the fractional share is the hash-selected subset, copy index = 2
+    assert(m.filter(t => t._2 == "hi" && t._3 == 2L).nonEmpty)
+    // weight < 1 degenerates to sampling at copy 0
+    val lo3 = m.filter(_._2 == "lo")
+    assert(lo3.nonEmpty && lo3.forall(_._3 == 0L))
+    assert(lo3.size < 200, "fractional weight must actually subsample")
+    // NESTING: the docs scheduled at frac 0.3 are a subset of frac 0.6
+    val lo6 = mix(0.6, 4).filter(_._2 == "lo")
+    assert(lo3.map(_._1).subsetOf(lo6.map(_._1)))
+    // determinism: a different partitioning yields the identical schedule
+    assert(mix(0.3, 13) == m)
+  }
+
+  test("shuffleOf: a true permutation, seeded, stable under partitioning, " +
+    "different under a different seed") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
+    def ranks(seed: String, parts: Int): Seq[(Long, Long)] =
+      Mix.shuffleOf(docs.repartition(parts), "doc_id", seed)
+        .select("doc_id", "shuffle_rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val a = ranks("s1", 4)
+    // every rank 0..n-1 exactly once (the hierarchical stitch is a
+    // permutation, no gap and no collision at shard boundaries)
+    assert(a.map(_._2).sorted == (0L until 500L))
+    // seeded + deterministic: same seed reproduces, new seed permutes anew
+    assert(ranks("s1", 11) == a)
+    val b = ranks("s2", 4)
+    assert(b.map(_._2).sorted == (0L until 500L) && b != a)
+    // and the order really is the md5 order (spot-check adjacency)
+    val byRank = Mix.shuffleOf(docs, "doc_id", "s1")
+      .orderBy("shuffle_rank").select("shuffle_key")
+      .collect().map(_.getString(0)).toSeq
+    assert(byRank == byRank.sorted, "rank order must equal key order")
+  }
+
+  test("budgetOf: straddling doc kept whole, ranking is quality-first, " +
+    "over-budget tail dropped, small stratum survives whole") {
+    import spark.implicits._
+    val docs = Seq(
+      // stratum a: scores order c3 > c1 > c2; budget 100 cuts inside c1
+      (1L, "a", 60L, 0.8), (2L, "a", 60L, 0.5), (3L, "a", 50L, 0.9),
+      // stratum b: fits entirely
+      (4L, "b", 10L, 0.1))
+      .toDF("doc_id", "lang", "n_tokens", "q")
+    val got = Mix.budgetOf(docs, "doc_id", "lang", "n_tokens", "q", 100L)
+      .select("doc_id", "sel_rank", "start_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // c3 (rank 0, start 0), c1 (rank 1, start 50 < 100: kept WHOLE even
+    // though it ends at 110), c2 (start 110 ≥ 100: dropped), d4 kept
+    assert(got == Set((3L, 0L, 0L), (1L, 1L, 50L), (4L, 0L, 0L)), got)
+  }
+}
