@@ -168,7 +168,9 @@ final class PointStore(spark: SparkSession, path: String,
           "before the first append")
       snapshot.limit(0)
     } else mergeAgg(dirs.map(m => spark.read.parquet(sfs.pathOf(m)))
-      .reduce(_ unionByName _))
+      // null-fill across windows written before a schema-evolved measure
+      // existed (the snapshot's additive-evolution contract)
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   /** Atomically REPLACE the store's content with `partial` (aggregated
@@ -216,13 +218,25 @@ final class PointStore(spark: SparkSession, path: String,
   private def measureCols: Seq[String] =
     sums ++ maxes ++ sketches ++ quantiles ++ mins ++ topks
 
+  /** Merge the frame to the key grain. Read-side schema evolution: only
+    * measures PRESENT in the frame are folded — a time-travel window
+    * predating an added column correctly yields a result WITHOUT that
+    * column (it didn't exist at that version), while writes stay strict
+    * (the append path selects the full declared list, so a partial
+    * missing a declared measure fails loudly there). */
   private def mergeAgg(df: DataFrame): DataFrame = {
-    val exprs = sums.map(c => sum(col(c)).as(c)) ++
-      maxes.map(c => max(col(c)).as(c)) ++
-      mins.map(c => min(col(c)).as(c)) ++
-      sketches.map(c => graft.functions.SketchOps.sketchMerge(col(c)).as(c)) ++
-      quantiles.map(c => graft.functions.SketchOps.quantileMerge(col(c)).as(c)) ++
-      topks.map(c => graft.functions.SketchOps.topkMerge(col(c)).as(c))
+    val have = df.columns.toSet
+    keys.foreach(k => require(have(k), s"key column '$k' missing from frame"))
+    def keep(cs: Seq[String]) = cs.filter(have)
+    val exprs = keep(sums).map(c => sum(col(c)).as(c)) ++
+      keep(maxes).map(c => max(col(c)).as(c)) ++
+      keep(mins).map(c => min(col(c)).as(c)) ++
+      keep(sketches).map(c => graft.functions.SketchOps.sketchMerge(col(c)).as(c)) ++
+      keep(quantiles).map(c => graft.functions.SketchOps.quantileMerge(col(c)).as(c)) ++
+      keep(topks).map(c => graft.functions.SketchOps.topkMerge(col(c)).as(c))
+    require(exprs.nonEmpty,
+      s"none of the declared measures (${measureCols.mkString(", ")}) are " +
+        "present in the frame")
     df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
 
@@ -274,12 +288,46 @@ final class PointStore(spark: SparkSession, path: String,
 
   /** Merge-on-read view: base + deltas scanned in parallel, one
     * shuffle-on-key re-aggregation (PointStoreSpec pins the plan to a
-    * single exchange). */
+    * single exchange).
+    *
+    * SCHEMA EVOLUTION (additive): a store may GROW measure columns over
+    * its life — open the same directory with a wider measure list and
+    * append; members written before the new column simply lack it, the
+    * union null-fills (`allowMissingColumns`), and every merge skips
+    * nulls (SUM/MAX/MIN by SQL semantics, the sketch merges by their
+    * all-null→NULL contract), so history never needs a rewrite — the
+    * nightly table gains a metric and old keys read NULL for it until
+    * a delta (or a compaction of one) covers them. Dropping or
+    * renaming a measure is NOT supported this way (open with the old
+    * list or compact first); keys cannot evolve (they define the
+    * grain). */
   def snapshot: DataFrame = {
     val ms = members
     require(ms.nonEmpty, s"point store at $path is empty")
     mergeAgg(ms.map(m => spark.read.parquet(sfs.pathOf(m)))
-      .reduce(_ unionByName _))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** TIME TRAVEL: the store's content as of `version` — the merge-fold
+    * of every change window up to it, which equals the snapshot a
+    * reader at that version saw (content versions only move on
+    * append, so the fold over `(vacuumedThrough, version]` IS that
+    * snapshot; compaction never bumps a version). Bounded by the same
+    * retention horizon as the changefeed: once [[vacuum]] has pruned
+    * past a version it is loudly unreadable ([[changesSince]]'s
+    * contract), so retention policy — not silent staleness — decides
+    * how far back a reader may ask. `version` must be ≥ the horizon
+    * and ≤ [[version]]. */
+  def snapshotAt(asOf: Long): DataFrame = {
+    require(asOf <= version,
+      s"version $asOf is in the future — current version is $version")
+    if (asOf == version) snapshot // current content is always readable
+    else {
+      require(asOf > vacuumedThrough,
+        s"version $asOf predates the retention horizon ($vacuumedThrough) — " +
+          "raise vacuum's retainVersions to keep deeper history readable")
+      changesSince(vacuumedThrough, asOf)
+    }
   }
 
   /** Fold the snapshot into a single new base and drop the delta list

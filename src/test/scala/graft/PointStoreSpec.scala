@@ -281,6 +281,55 @@ class PointStoreSpec extends SparkSpec {
     assert(f.result.get.collect().map(_.mkString("|")).toSet == expectRollup)
   }
 
+  test("additive schema evolution: a store grows a measure without " +
+    "rewriting history; time travel reads each version's own schema") {
+    import spark.implicits._
+    val dir = freshDir("evolve")
+    def narrow() = new PointStore(spark, dir,
+      keys = Seq("k"), sums = Seq("n"), maxes = Nil)
+    def wide() = new PointStore(spark, dir,
+      keys = Seq("k"), sums = Seq("n", "m"), maxes = Nil)
+
+    narrow().appendTagged("b0", Seq(("a", 1L), ("b", 2L)).toDF("k", "n"))
+    narrow().appendTagged("b1", Seq(("a", 10L)).toDF("k", "n"))
+    // the table grows measure m: same directory, wider handle
+    wide().appendTagged("b2", Seq(("a", 100L, 5L), ("c", 1L, 7L))
+      .toDF("k", "n", "m"))
+
+    // current snapshot: n folds across the epoch boundary; m is NULL for
+    // keys no post-evolution delta covered (never a crash, never a zero)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.length < 3 || r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows(wide().snapshot.select("k", "n", "m")) == Set(
+      ("a", 111L, Some(5L)), ("b", 2L, None), ("c", 1L, Some(7L))))
+    // a pre-evolution reader (old handle) still reads its own schema
+    assert(rows(narrow().snapshot.select("k", "n")) == Set(
+      ("a", 111L, None), ("b", 2L, None), ("c", 1L, None)))
+
+    // TIME TRAVEL: version 2 predates m — its snapshot has no m column
+    val at2 = wide().snapshotAt(2)
+    assert(!at2.columns.contains("m"))
+    assert(rows(at2.select("k", "n")) == Set(("a", 11L, None), ("b", 2L, None)))
+    // version 3 is the present
+    assert(rows(wide().snapshotAt(3).select("k", "n", "m"))
+      == rows(wide().snapshot.select("k", "n", "m")))
+    // compaction folds the evolved schema and history stays readable
+    wide().compact()
+    assert(rows(wide().snapshot.select("k", "n", "m")) == Set(
+      ("a", 111L, Some(5L)), ("b", 2L, None), ("c", 1L, Some(7L))))
+    assert(rows(wide().snapshotAt(2).select("k", "n"))
+      == Set(("a", 11L, None), ("b", 2L, None)))
+    // the future and the vacuumed past refuse loudly
+    intercept[IllegalArgumentException] { wide().snapshotAt(9) }
+    wide().vacuum() // retains nothing: horizon = current version
+    intercept[IllegalArgumentException] { wide().snapshotAt(2) }
+    // writes stay strict: a partial missing a declared measure is loud
+    intercept[Exception] {
+      wide().appendTagged("b3", Seq(("a", 1L)).toDF("k", "n"))
+    }
+  }
+
   test("a follower derives a sketch-measured rollup at O(changes) per poll") {
     import graft.functions.SketchOps
     import graft.sources.ChangefeedFollower
