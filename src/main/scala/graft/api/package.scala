@@ -186,6 +186,29 @@ package object api {
                         budget: Long = graft.operators.Sampling.Budget): DataFrame =
       graft.operators.Sampling.packOf(df, idCol, strataCol, tokensCol, budget)
 
+    /** Epoch-weighted corpus mixing (the data-mix recipe: "2.3 epochs of
+      * en, 0.5 of es"): each row emitted floor(w) times per its stratum's
+      * weight plus an id-hash-selected fractional copy; adds `copy` (the
+      * 0-based epoch index). Deterministic on any partitioning. */
+    def mixedByEpochs(idCol: String, strataCol: String,
+                      epochs: Seq[(String, Double)],
+                      defaultEpochs: Double = 0.0): DataFrame =
+      graft.operators.Mix.mixOf(df, idCol, strataCol, epochs, defaultEpochs)
+
+    /** Quality-ranked token-budget fill per stratum ("the best docs until
+      * N tokens per language"): adds `sel_rank` and `start_offset`, keeps
+      * every row starting inside the budget (the straddling row whole). */
+    def tokenBudget(idCol: String, strataCol: String, tokensCol: String,
+                    scoreCol: String, budget: Long): DataFrame =
+      graft.operators.Mix.budgetOf(df, idCol, strataCol, tokensCol,
+        scoreCol, budget)
+
+    /** Seeded deterministic global shuffle: adds `shuffle_key`
+      * (md5(seed:id)) and `shuffle_rank` (the 0-based global permutation
+      * rank), computed hierarchically — no single-partition window. */
+    def shuffledBy(idCol: String, seed: String): DataFrame =
+      graft.operators.Mix.shuffleOf(df, idCol, seed)
+
     /** Text quality statistics for a `textCol` (adds token/stopword/punct
       * counts and the composite quality score). */
     def withTextStats(textCol: String): DataFrame =

@@ -160,4 +160,28 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       src.limit(0).zOrdered("o_custkey", "o_orderkey", "/tmp/graft_api_z2"))
   }
+
+  test("mix/budget/shuffle fluent faces match the registered operators " +
+    "under renamed columns") {
+    import spark.implicits._
+    import graft.api._
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 2 == 0) "x" else "y", (i % 40) + 1, (i % 7).toDouble))
+    val frame = rows.toDF("rid", "bucket", "toks", "score")
+
+    val mixed = frame.mixedByEpochs("rid", "bucket", Seq("x" -> 1.5, "y" -> 0.5))
+      .select("rid", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mixedDirect = graft.operators.Mix.mixOf(frame, "rid", "bucket",
+      Seq("x" -> 1.5, "y" -> 0.5), 0.0)
+      .select("rid", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixed == mixedDirect && mixed.nonEmpty)
+
+    val budget = frame.tokenBudget("rid", "bucket", "toks", "score", 200L)
+    assert(budget.columns.contains("sel_rank") &&
+      budget.agg(max(col("start_offset"))).head().getLong(0) < 200L)
+
+    val shuffled = frame.shuffledBy("rid", "seed-a")
+    assert(shuffled.select("shuffle_rank").collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 300L))
+  }
 }
