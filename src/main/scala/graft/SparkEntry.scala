@@ -108,6 +108,7 @@ object SparkEntry {
     "corpus_mix"          -> (Mix.corpusMix _),
     "token_budget_select" -> (Mix.tokenBudgetSelect _),
     "shuffle_deterministic" -> (Mix.shuffleDeterministic _),
+    "assemble_epochs"     -> (Mix.assembleEpochs _),
     // scale patterns + composition (#36-37, #39)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
@@ -204,6 +205,7 @@ object SparkEntry {
     "corpus_mix"          -> Mix.corpusMixOracle,
     "token_budget_select" -> Mix.tokenBudgetSelectOracle,
     "shuffle_deterministic" -> Mix.shuffleDeterministicOracle,
+    "assemble_epochs"     -> Mix.assembleEpochsOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
     "pipeline_curate" -> Pipeline.pipelineCurateOracle,

@@ -233,4 +233,79 @@ object Mix {
       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) - 1
         AS shuffle_rank
     FROM k"""
+
+  // --------------------------------------------------------- assemble_epochs
+
+  /** `assemble_epochs`: the WHOLE assembly composed — mix under
+    * [[Epochs]], shuffle the emitted (doc, copy) appearances under
+    * [[ShuffleSeed]], pack the shuffled stream per language into
+    * [[Sampling.Budget]]-token training contexts — one declarative DAG
+    * from curated corpus to batch layout (the composition face, like
+    * `pipeline_clean`/`pipeline_curate` for cleaning). The per-doc
+    * token count is computed ONCE, before the mix multiplies rows, so
+    * a 2.3-epoch language never re-tokenizes; the shuffle id is the
+    * (doc, copy) appearance — `doc_id · 128 + copy`, injective since the
+    * mixer's weight-≤64 bound caps copies at 65 — so two copies of one doc land at
+    * independent positions (copies clumping together would put near-
+    * identical gradients in adjacent batches, the thing the shuffle
+    * exists to prevent); packing then runs per language in shuffle
+    * order. The DuckDB oracle replays the identical three stages, so
+    * the hash match proves the composed layout end-to-end. */
+  def assembleEpochs(s: SparkSession, d: String): DataFrame = {
+    val withToks = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+    val mixed = mixOf(withToks, "doc_id", "lang", Epochs, DefaultEpochs)
+      .withColumn("_mix_id", col("doc_id") * 128L + col("copy"))
+    val shuffled = shuffleOf(mixed, "_mix_id", ShuffleSeed)
+    Sampling.packOf(shuffled, "shuffle_rank", "lang", "n_tokens",
+        Sampling.Budget)
+      .select(col("doc_id"), col("copy"), col("lang"), col("n_tokens"),
+        col("shuffle_rank"), col("start_offset"), col("bin"),
+        col("bin_offset"))
+  }
+
+  def assembleEpochsOracle: String = {
+    val wSql = Epochs.map { case (l, w) =>
+      s"('$l', ${math.floor(w).toLong}, ${thr(w - math.floor(w))})" }
+      .mkString(", ")
+    val dWhole = math.floor(DefaultEpochs).toLong
+    val dFrac = thr(DefaultEpochs - math.floor(DefaultEpochs))
+    raw"""
+    WITH t AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    m AS (
+      SELECT doc_id, lang, n_tokens,
+        coalesce(whole, $dWhole)
+          + CASE WHEN ((doc_id % 2147483648 + 2147483648) % 2147483648)
+                      * 2654435761 % $M32 < coalesce(frac, $dFrac)
+                 THEN 1 ELSE 0 END AS copies
+      FROM t
+      LEFT JOIN (VALUES $wSql) AS w(w_lang, whole, frac) ON lang = w_lang),
+    e AS (
+      SELECT doc_id, lang, n_tokens,
+        CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS copy
+      FROM m WHERE copies > 0),
+    k AS (
+      SELECT *, md5(concat('$ShuffleSeed', ':',
+        CAST(doc_id * 128 + copy AS VARCHAR))) AS skey
+      FROM e),
+    r AS (
+      SELECT doc_id, copy, lang, n_tokens,
+        CAST(row_number() OVER (ORDER BY skey, doc_id * 128 + copy) AS BIGINT) - 1
+          AS shuffle_rank
+      FROM k),
+    o AS (
+      SELECT doc_id, copy, lang, n_tokens, shuffle_rank,
+        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY shuffle_rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          - n_tokens AS start_offset
+      FROM r)
+    SELECT doc_id, copy, lang, n_tokens, shuffle_rank, start_offset,
+      start_offset // ${Sampling.Budget} AS bin,
+      start_offset % ${Sampling.Budget} AS bin_offset
+    FROM o"""
+  }
 }
