@@ -23,6 +23,16 @@ import java.nio.charset.StandardCharsets
   *                                      poll that pairs with the
   *                                      crunch_update notify hook
   *                                      (worker.js:184-190)
+  *   GET /store/<name>[?version=V&limit=N]
+  *                                   → rows of that point store, at the
+  *                                      current version or a TIME-TRAVEL
+  *                                      one (poll /version, then read
+  *                                      the version you saw — a
+  *                                      consistent read without any
+  *                                      server-side pinning); zero
+  *                                      configuration, the layout comes
+  *                                      from the store's self-describing
+  *                                      manifest
   *   POST /probe/dedup?index=<name>[&threshold=T&limit=N]
   *                                   → probe a persisted [[graft.operators
   *                                      .DedupIndex]] under `indexRoot`
@@ -145,6 +155,63 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               respond(ex, 404, s"""{"error":"no store named '$name'"}""")
             case Some(v) =>
               respond(ex, 200, s"""{"store":"$name","version":$v}""")
+          }
+      }
+    })
+    // the data-read face of the point-store family: rows of a store
+    // under the store root, at the current version or a time-travel one
+    // (pairs with /version's change poll — poll, then read the version
+    // you saw). Zero configuration: the store's layout comes from its
+    // self-describing manifest (PointStore.open). Bounded like /query.
+    server.createContext("/store/", (ex: HttpExchange) => {
+      val name = ex.getRequestURI.getPath.stripPrefix("/store/")
+      (storeRoot, name) match {
+        case (None, _) =>
+          respond(ex, 404, """{"error":"no store root configured"}""")
+        case (Some(root), n) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, n).getCanonicalFile
+          val ver = param(ex, "version")
+            .map(p => scala.util.Try(p.toLong).toOption)
+          val lim = param(ex, "limit")
+            .map(p => scala.util.Try(p.toInt).toOption)
+          if (!n.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else if (ver.contains(None))
+            respond(ex, 400, """{"error":"version must be an integer"}""")
+          else if (lim.contains(None))
+            respond(ex, 400, """{"error":"limit must be an integer"}""")
+          else try {
+            val store =
+              try graft.sources.PointStore.open(spark, dir.getPath)
+              catch { case e: IllegalArgumentException =>
+                respond(ex,
+                  if (e.getMessage != null && e.getMessage.contains("no point store"))
+                    404 else 400,
+                  s"""{"error":"${e.getMessage.takeWhile(_ != '\n')
+                    .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+                null
+              }
+            if (store != null) {
+              import org.apache.spark.sql.functions.col
+              val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+              val frame = ver.flatten match {
+                case Some(v) => store.snapshotAt(v)
+                case None => store.snapshot
+              }
+              val keyCols = store.storedSchema.get("keys").map(col)
+              val rows = frame.orderBy(keyCols: _*).limit(limit)
+                .toJSON.collect()
+              respond(ex, 200, rows.mkString("[", ",", "]"))
+            }
+          } catch {
+            case e: IllegalArgumentException =>
+              // future / vacuumed-past version asks are caller errors
+              respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("bad request").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })

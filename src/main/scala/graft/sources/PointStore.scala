@@ -114,6 +114,56 @@ final class PointStore(spark: SparkSession, path: String,
   private val TagLine = "#tag:"
   private val LogLine = "#log:"
 
+  // ---- self-describing schema (r12): the key/measure-class layout is
+  // MANIFEST METADATA, not code-only knowledge — every commit records
+  // it, so [[PointStore.open]] can read a store directory with zero
+  // configuration (the table-format property every catalog relies on),
+  // and a handle whose declaration CONTRADICTS the stored layout is
+  // refused at construction instead of silently mis-merging (a column
+  // stored as a SUM opened as a MAX would fold wrong, quietly).
+  // Widening (schema evolution) and narrowing (an old reader) are both
+  // legal; moving a column between classes or changing the keys is not.
+  private def classesOf: Seq[(String, Seq[String])] = Seq(
+    "keys" -> keys, "sums" -> sums, "maxes" -> maxes,
+    "sketches" -> sketches, "quantiles" -> quantiles,
+    "mins" -> mins, "topks" -> topks)
+
+  /** The layout recorded in the manifest, if any (pre-r12 stores have
+    * none and stay readable — their first new commit records one). */
+  def storedSchema: Option[Map[String, Seq[String]]] =
+    manifestLines.find(_.startsWith(PointStore.SchemaLine))
+      .map(PointStore.parseSchema)
+
+  storedSchema.foreach { st =>
+    require(st.getOrElse("keys", Nil) == keys,
+      s"point store at $path is keyed (${st.getOrElse("keys", Nil).mkString(",")}) " +
+        s"but this handle declares (${keys.mkString(",")}) — the key tuple " +
+        "defines the grain and cannot change")
+    for {
+      (cls, cols) <- classesOf if cls != "keys"
+      c <- cols
+      (storedCls, storedCols) <- st if storedCls != cls && storedCls != "keys"
+      if storedCols.contains(c)
+    } throw new IllegalArgumentException(
+      s"column '$c' is stored as $storedCls at $path but this handle " +
+        s"declares it as $cls — a cross-class merge would fold it wrong; " +
+        "open with the stored class (or compact under the old layout " +
+        "and migrate explicitly)")
+  }
+
+  /** Manifest schema line: the union of the stored layout and this
+    * handle's declaration, so an old narrow handle committing to an
+    * evolved store never erases the wider layout. */
+  private def schemaLine: String = {
+    val st = storedSchema.getOrElse(Map.empty)
+    PointStore.SchemaLine + classesOf.map { case (cls, cols) =>
+      val merged =
+        if (cls == "keys") keys
+        else (st.getOrElse(cls, Nil) ++ cols).distinct
+      s"$cls=${merged.mkString(",")}"
+    }.mkString("|")
+  }
+
   /** Commit log of content changes: (version, delta dir), ascending.
     * Only [[append]]/[[appendTagged]] bump the version — [[compact]]
     * reorganizes storage without changing content, so a changefeed
@@ -200,7 +250,9 @@ final class PointStore(spark: SparkSession, path: String,
     }
 
   private def writeManifest(ms: Seq[String]): Unit =
-    sfs.atomicWrite("_MANIFEST", ms.mkString("\n").getBytes)
+    sfs.atomicWrite("_MANIFEST",
+      (ms.filterNot(_.startsWith(PointStore.SchemaLine)) :+ schemaLine)
+        .mkString("\n").getBytes)
 
   /** Next commit sequence number: one past the highest ever written —
     * scanning the DIRECTORY (not the manifest) so a compacted-away name
@@ -412,6 +464,34 @@ final class PointStore(spark: SparkSession, path: String,
 }
 
 object PointStore {
+
+  private[sources] val SchemaLine = "#schema:"
+
+  private[sources] def parseSchema(line: String): Map[String, Seq[String]] =
+    line.stripPrefix(SchemaLine).split("\\|").map { part =>
+      val cut = part.indexOf('=')
+      part.take(cut) ->
+        part.drop(cut + 1).split(",").toSeq.filter(_.nonEmpty)
+    }.toMap
+
+  /** Open a store from its directory alone — the layout comes from the
+    * manifest's schema record, no caller-side configuration (what a
+    * catalog, a server, or an ad-hoc reader needs). Fails loudly on a
+    * directory with no committed store or a manifest predating the
+    * schema record (open it once with the explicit constructor; its
+    * next commit records the layout). */
+  def open(spark: SparkSession, path: String): PointStore = {
+    val lines = StoreFs(spark, path).linesIfExists("_MANIFEST")
+    require(lines.nonEmpty, s"no point store at $path")
+    val schema = lines.find(_.startsWith(SchemaLine)).map(parseSchema)
+      .getOrElse(throw new IllegalArgumentException(
+        s"point store at $path has no schema record (written before " +
+          "self-describing manifests) — construct it with the explicit " +
+          "layout once; its next commit records the schema"))
+    def cls(c: String) = schema.getOrElse(c, Nil)
+    new PointStore(spark, path, cls("keys"), cls("sums"), cls("maxes"),
+      cls("sketches"), cls("quantiles"), cls("mins"), cls("topks"))
+  }
 
   private[graft] def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)

@@ -330,6 +330,58 @@ class PointStoreSpec extends SparkSpec {
     }
   }
 
+  test("self-describing manifest: open() needs no configuration; " +
+    "cross-class and key drift refuse at construction") {
+    import graft.functions.SketchOps
+    import spark.implicits._
+    val dir = freshDir("schema")
+    val store = new PointStore(spark, dir, keys = Seq("k"),
+      sums = Seq("n"), maxes = Nil, sketches = Seq("sk"))
+    store.appendTagged("b0", Seq(("a", 1L, 10L), ("b", 2L, 20L))
+      .toDF("k", "n", "v")
+      .groupBy("k").agg(sum(col("n")).as("n"),
+        SketchOps.distinctSketch(col("v"), 12, 100).as("sk")))
+
+    // zero-configuration open: layout from the manifest record
+    val opened = graft.sources.PointStore.open(spark, dir)
+    assert(opened.snapshot
+      .select(col("k"), col("n"), SketchOps.sketchEst(col("sk")).as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == Set(("a", 1L, 1L), ("b", 2L, 1L)))
+
+    // evolution is recorded: a wider handle appends, open() sees m...
+    new PointStore(spark, dir, keys = Seq("k"), sums = Seq("n", "m"),
+      maxes = Nil, sketches = Seq("sk"))
+      .appendTagged("b1", Seq(("a", 5L, 7L, 30L)).toDF("k", "n", "m", "v")
+        .groupBy("k").agg(sum(col("n")).as("n"), sum(col("m")).as("m"),
+          SketchOps.distinctSketch(col("v"), 12, 100).as("sk")))
+    assert(graft.sources.PointStore.open(spark, dir)
+      .snapshot.columns.contains("m"))
+    // ...and a NARROW handle's later commit must not erase it
+    new PointStore(spark, dir, keys = Seq("k"), sums = Seq("n"),
+      maxes = Nil, sketches = Seq("sk"))
+      .appendTagged("b2", Seq(("c", 9L, 40L)).toDF("k", "n", "v")
+        .groupBy("k").agg(sum(col("n")).as("n"),
+          SketchOps.distinctSketch(col("v"), 12, 100).as("sk")))
+    assert(graft.sources.PointStore.open(spark, dir)
+      .snapshot.columns.contains("m"))
+
+    // a column cannot move between merge classes (sums→maxes would
+    // silently fold wrong), and the key tuple cannot change
+    val e = intercept[IllegalArgumentException] {
+      new PointStore(spark, dir, keys = Seq("k"), sums = Nil,
+        maxes = Seq("n"))
+    }
+    assert(e.getMessage.contains("cross-class"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      new PointStore(spark, dir, keys = Seq("z"), sums = Seq("n"), maxes = Nil)
+    }
+    // an empty directory has no store to open
+    intercept[IllegalArgumentException] {
+      graft.sources.PointStore.open(spark, freshDir("schema_none"))
+    }
+  }
+
   test("a follower derives a sketch-measured rollup at O(changes) per poll") {
     import graft.functions.SketchOps
     import graft.sources.ChangefeedFollower

@@ -258,6 +258,30 @@ class ServerSpec extends SparkSpec {
       // the store param is a NAME: traversal out of the root is refused
       val (tc, _) = get(port, "/version?store=..%2Fpoints")
       assert(tc == 403)
+
+      // GET /store/<name>: the data-read face — rows at the current
+      // version, zero configuration (layout from the self-describing
+      // manifest), poll-then-read pairing with /version
+      val (sc, sBody) = get(port, "/store/points?limit=5000")
+      assert(sc == 200, sBody)
+      val direct = graft.sources.PointStore.open(spark, s"$root/points")
+      val rowsNow = """"game_mode":"([^"]+)"""".r
+        .findAllMatchIn(sBody).map(_.group(1)).toSeq
+      assert(rowsNow.nonEmpty &&
+        rowsNow.size == direct.snapshot.count(), sBody.take(200))
+      // TIME TRAVEL: version 1 is the first batch alone
+      val (tc1, tBody) = get(port, "/store/points?version=1&limit=5000")
+      assert(tc1 == 200, tBody)
+      val at1 = direct.snapshotAt(1).collect().map(_.mkString("|")).toSet
+      assert(at1.nonEmpty &&
+        """"game_mode"""".r.findAllMatchIn(tBody).size == at1.size)
+      // the future refuses as a caller error, not a 500
+      val (fc, _) = get(port, "/store/points?version=99")
+      assert(fc == 400)
+      val (nsc, _) = get(port, "/store/missing")
+      assert(nsc == 404)
+      val (stc, _) = get(port, "/store/..%2Fpoints")
+      assert(stc == 403)
     } finally srv.stop()
   }
 }
