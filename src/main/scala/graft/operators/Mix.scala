@@ -194,25 +194,35 @@ object Mix {
     * broadcast frame. No single-partition window anywhere: at 100 TB
     * the 256 hash-prefix shards are uniform by construction, and a
     * deeper prefix (two bytes → 65536 shards) is the same plan. */
-  def shuffleOf(df: DataFrame, idCol: String, seed: String): DataFrame = {
-    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val withKey = df.withColumn("shuffle_key", key)
-      .withColumn("_shard", conv(substring(col("shuffle_key"), 1, 2), 16, 10)
-        .cast("long"))
-    val wLocal = Window.partitionBy(col("_shard"))
-      .orderBy(col("shuffle_key"), col(idCol))
-    val wBase = Window.orderBy(col("_shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // per-shard counts: ≤256 rows — the base window is metadata-sized
-    val bases = withKey.groupBy(col("_shard")).agg(count(lit(1)).as("_n"))
-      .withColumn("_base", coalesce(sum(col("_n")).over(wBase), lit(0L)))
-      .select(col("_shard").as("_b_shard"), col("_base"))
-    withKey
-      .withColumn("_local", row_number().over(wLocal).cast("long"))
-      .join(broadcast(bases), col("_shard") === col("_b_shard"))
-      .withColumn("shuffle_rank", col("_base") + col("_local") - 1)
-      .drop("_shard", "_b_shard", "_base", "_local")
-  }
+  def shuffleOf(df: DataFrame, idCol: String, seed: String): DataFrame =
+    // the keyed frame feeds TWO consumers (the ranking window and the
+    // per-shard count aggregate); without staging, each would re-run
+    // the whole upstream pipeline — in assemble_epochs that is a second
+    // tokenize + mix pass over the corpus (column pruning differentiates
+    // the two subtrees, so exchange reuse cannot dedupe them). The
+    // stagedScope combinator pins it once behind the _shard exchange
+    // and releases the scratch after the result materializes — the
+    // engine-wide multi-consumer discipline (Dedup.staged's doc).
+    Dedup.stagedScope { scratch =>
+      val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+      val withKey = scratch.pin(df.withColumn("shuffle_key", key)
+        .withColumn("_shard",
+          conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("long"))
+        .repartition(col("_shard")))
+      val wLocal = Window.partitionBy(col("_shard"))
+        .orderBy(col("shuffle_key"), col(idCol))
+      val wBase = Window.orderBy(col("_shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // per-shard counts: ≤256 rows — the base window is metadata-sized
+      val bases = withKey.groupBy(col("_shard")).agg(count(lit(1)).as("_n"))
+        .withColumn("_base", coalesce(sum(col("_n")).over(wBase), lit(0L)))
+        .select(col("_shard").as("_b_shard"), col("_base"))
+      withKey
+        .withColumn("_local", row_number().over(wLocal).cast("long"))
+        .join(broadcast(bases), col("_shard") === col("_b_shard"))
+        .withColumn("shuffle_rank", col("_base") + col("_local") - 1)
+        .drop("_shard", "_b_shard", "_base", "_local")
+    }
 
   /** `shuffle_deterministic`: the documents table under [[ShuffleSeed]].
     * The oracle computes the rank as ONE global row_number over the same

@@ -185,10 +185,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             val store =
               try graft.sources.PointStore.open(spark, dir.getPath)
               catch { case e: IllegalArgumentException =>
+                val msg = Option(e.getMessage).getOrElse("bad store")
                 respond(ex,
-                  if (e.getMessage != null && e.getMessage.contains("no point store"))
-                    404 else 400,
-                  s"""{"error":"${e.getMessage.takeWhile(_ != '\n')
+                  if (msg.contains("no point store")) 404 else 400,
+                  s"""{"error":"${msg.takeWhile(_ != '\n')
                     .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
                 null
               }

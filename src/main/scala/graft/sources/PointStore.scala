@@ -308,24 +308,30 @@ final class PointStore(spark: SparkSession, path: String,
     * without the other. Returns whether this call committed the delta.
     * `tag` must be filesystem-safe and non-numeric (numeric names are the
     * sequence-numbered namespace of [[append]]/[[compact]]). */
-  def appendTagged(tag: String, partial: DataFrame): Boolean = {
-    // idempotence check FIRST: a tag that already committed — however it
-    // was named — must stay a redelivery no-op, even one that predates
-    // the namespace contract below (an at-least-once retry of a
-    // historical delivery must never crash on a rule its original
-    // commit didn't face)
-    val name = s"delta-$tag"
-    if (members.contains(name) || consumedTags(tag)) return false
-    // loud contract for FRESH tags, not doc-only: a purely-numeric
-    // tag's member name lands in append/compact's sequence-numbered
-    // `delta-N` namespace, where consumedTags cannot tell it from an
-    // untagged delta — after a compaction the tag silently vanishes
-    // from the ledger and a redelivery double-counts (caught in review
-    // before it ever could)
-    require(tag.matches("[A-Za-z0-9._-]+") && !tag.forall(_.isDigit),
-      s"append tag '$tag' must be filesystem-safe and non-numeric")
-    writeDelta(name, partial); true
-  }
+  def appendTagged(tag: String, partial: DataFrame): Boolean =
+    // check-and-commit INSIDE the writer lease (re-entrant through
+    // writeDelta's own acquire): two writers redelivering the same tag
+    // otherwise both pass the check before either commits, and the
+    // second manifest append folds the delta twice forever
+    sfs.withWriterLease() {
+      // ledger check first: a tag recorded as consumed — including a
+      // live non-numeric tagged member, which consumedTags reads off
+      // the manifest — stays a redelivery no-op even if it predates the
+      // namespace contract below
+      if (consumedTags(tag)) false
+      else {
+        // loud contract for everything else, not doc-only: a purely-
+        // numeric tag's member name lands in append/compact's
+        // sequence-numbered `delta-N` namespace, where consumedTags
+        // cannot tell it from an untagged delta — post-compaction
+        // redeliveries would double-count, and a fresh zero-padded tag
+        // colliding with an existing `delta-000NNN` member would be
+        // silently swallowed as "already committed" (data loss)
+        require(tag.matches("[A-Za-z0-9._-]+") && !tag.forall(_.isDigit),
+          s"append tag '$tag' must be filesystem-safe and non-numeric")
+        writeDelta(s"delta-$tag", partial); true
+      }
+    }
 
   // writer lease on every mutator (the enforced single-writer contract,
   // StoreFs.withWriterLease): a concurrent second driver fails fast with
@@ -361,24 +367,30 @@ final class PointStore(spark: SparkSession, path: String,
   }
 
   /** TIME TRAVEL: the store's content as of `version` — the merge-fold
-    * of every change window up to it, which equals the snapshot a
-    * reader at that version saw (content versions only move on
-    * append, so the fold over `(vacuumedThrough, version]` IS that
-    * snapshot; compaction never bumps a version). Bounded by the same
-    * retention horizon as the changefeed: once [[vacuum]] has pruned
-    * past a version it is loudly unreadable ([[changesSince]]'s
-    * contract), so retention policy — not silent staleness — decides
-    * how far back a reader may ask. `version` must be ≥ the horizon
-    * and ≤ [[version]]. */
+    * of EVERY change window up to it, which equals the snapshot a
+    * reader at that version saw (content versions only move on append;
+    * compaction never bumps one). That reconstruction needs the FULL
+    * change history: once [[vacuum]] has pruned anything (or
+    * [[overwriteTagged]] reset the log), content at or below the
+    * horizon lives only in folded bases the log can no longer slice by
+    * version — so historical reads then refuse LOUDLY rather than
+    * return a partial fold that silently misses pre-horizon content
+    * (retention policy, not staleness, decides how far back a reader
+    * may ask; vacuum with the default retains nothing and ends time
+    * travel). The current version is always readable. */
   def snapshotAt(asOf: Long): DataFrame = {
     require(asOf <= version,
       s"version $asOf is in the future — current version is $version")
     if (asOf == version) snapshot // current content is always readable
     else {
-      require(asOf > vacuumedThrough,
-        s"version $asOf predates the retention horizon ($vacuumedThrough) — " +
-          "raise vacuum's retainVersions to keep deeper history readable")
-      changesSince(vacuumedThrough, asOf)
+      require(vacuumedThrough == 0,
+        s"time travel to version $asOf needs the full change history, " +
+          s"but the store was vacuumed through $vacuumedThrough — " +
+          "content at or below the horizon is folded into bases the " +
+          "log cannot slice by version; retain history (vacuum " +
+          "retainVersions covering the whole log) to keep past " +
+          "versions readable")
+      changesSince(0, asOf)
     }
   }
 

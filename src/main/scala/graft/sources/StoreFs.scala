@@ -120,7 +120,10 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
     * `hdfs://`; on `s3a://` create-exclusive is best-effort like the
     * manifest rename, and the same external-coordination note applies).
     * The file carries `holder` (host:pid:per-JVM-uuid) and `heartbeat`
-    * (epoch millis at acquisition, refreshed per re-entrant acquire).
+    * — epoch millis AT ACQUISITION, written once (rewriting the lock
+    * mid-hold would race the very readers judging it, and on a
+    * checksummed local FS would desync the .crc sidecar); the staleMs
+    * sizing rule below is therefore the whole liveness story.
     *
     *  - **Conflict**: another live holder → loud IllegalStateException
     *    naming the holder and the lock age.
@@ -130,27 +133,27 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
     *    expected write operation) the next writer BREAKS the stale
     *    lease and proceeds. Until then writers refuse; an operator who
     *    knows the holder is dead can [[breakWriterLease]] explicitly.
-    *  - **Re-entrant** within the owning JVM (a night's fold calls
-    *    compact() on the same store): inner acquires ride the held
-    *    lease via a per-root count; the file is removed when the
-    *    outermost scope exits, exceptions included. A crash inside `f`
+    *  - **Re-entrant per THREAD, mutually exclusive per JVM**: a
+    *    per-root ReentrantLock backs the file, so a nested acquire on
+    *    the owning thread (a night's fold calls compact() on the same
+    *    store) rides the held lease, while
+    *    a DIFFERENT thread in the same JVM (a server thread pool
+    *    driving two ingests at one store) BLOCKS until the holder
+    *    finishes, rather than riding into exactly the interleaving the
+    *    lease exists to prevent. The file is removed when the last
+    *    hold drains, exceptions included. A process crash inside `f`
     *    leaves the lock for the stale window — intentional, since a
     *    half-written (uncommitted) attempt is exactly when a concurrent
     *    writer is least welcome. */
   def withWriterLease[T](staleMs: Long = StoreFs.DefaultLeaseStaleMs)(f: => T): T = {
-    val key = root.toString
-    val held = StoreFs.leaseCounts.computeIfAbsent(key,
-      _ => new java.util.concurrent.atomic.AtomicInteger)
-    val outermost = held.synchronized {
-      val first = held.get() == 0
-      if (first) acquireLeaseFile(staleMs)
-      held.incrementAndGet()
-      first
-    }
-    try f
-    finally held.synchronized {
-      if (held.decrementAndGet() == 0 && outermost) releaseLeaseFile()
-    }
+    val lock = StoreFs.leaseLocks.computeIfAbsent(root.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock)
+    lock.lock()
+    try {
+      if (lock.getHoldCount == 1) acquireLeaseFile(staleMs)
+      try f
+      finally if (lock.getHoldCount == 1) releaseLeaseFile()
+    } finally lock.unlock()
   }
 
   /** Current lock contents: (holder, heartbeat millis), if any. */
@@ -223,10 +226,11 @@ object StoreFs {
     s"$host:${ProcessHandle.current.pid}:${java.util.UUID.randomUUID}"
   }
 
-  /** Re-entrancy counts per qualified store root (JVM-global). */
-  private[sources] val leaseCounts =
+  /** Per-root writer locks (JVM-global): same-thread re-entrancy,
+    * cross-thread mutual exclusion. */
+  private[sources] val leaseLocks =
     new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.atomic.AtomicInteger]
+      String, java.util.concurrent.locks.ReentrantLock]
 
   /** Resolve against the session's Hadoop configuration — credentials,
     * endpoints, and filesystem impls configured for Spark apply to the

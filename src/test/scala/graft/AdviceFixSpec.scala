@@ -254,7 +254,18 @@ class AdviceFixSpec extends SparkSpec {
       store.appendTagged("123", batch)
     }
     assert(e.getMessage.contains("non-numeric"))
+    // including a zero-padded one COLLIDING with a sequence-numbered
+    // member (store.append wrote delta-000002 above... an untagged
+    // append's namespace): swallowing it as "already committed" would
+    // silently drop the batch
+    store.append(batch) // creates the next sequence-numbered delta dir
+    val seqName = store.members.filter(_.matches("delta-[0-9]+")).head
+    val e2 = intercept[IllegalArgumentException] {
+      store.appendTagged(seqName.stripPrefix("delta-"), batch)
+    }
+    assert(e2.getMessage.contains("non-numeric"),
+      "a colliding numeric tag must fail loudly, not no-op")
     assert(store.snapshot.collect().map(r => (r.getString(0), r.getLong(1)))
-      .toSeq == Seq(("a", 1L)))
+      .toSeq == Seq(("a", 2L)))
   }
 }

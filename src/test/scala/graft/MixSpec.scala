@@ -59,6 +59,29 @@ class MixSpec extends SparkSpec {
     assert(byRank == byRank.sorted, "rank order must equal key order")
   }
 
+  test("shuffleOf evaluates its input once: both consumers read the " +
+    "staged keyed frame, never the upstream pipeline twice") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(Tuple1(_)).toDF("doc_id")
+    val out = Mix.shuffleOf(docs, "doc_id", "s1")
+    assert(out.select("shuffle_rank").collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 300L))
+    // the keyed frame is staged (Dedup.stagedScope — its release
+    // lifecycle is StagedScopeSpec's subject), so the executed plan
+    // reads the CACHE on both the window branch and the count branch,
+    // and the upstream pipeline (tokenize + mix in assemble_epochs)
+    // appears in neither
+    // (the plan PRINTER nests the cached relation's own build plan under
+    // each scan site, so the upstream may appear in the STRING twice —
+    // the cache scans are what prove it executes once)
+    val plan = out.queryExecution.executedPlan.toString
+    val cacheReads =
+      "InMemoryTableScan|TableCacheQueryStage".r.findAllIn(plan).size
+    assert(cacheReads >= 2,
+      s"expected both consumers to read the staged cache, found " +
+        s"$cacheReads cache scans:\n$plan")
+  }
+
   test("budgetOf: straddling doc kept whole, ranking is quality-first, " +
     "over-budget tail dropped, small stratum survives whole") {
     import spark.implicits._

@@ -320,8 +320,15 @@ class PointStoreSpec extends SparkSpec {
       ("a", 111L, Some(5L)), ("b", 2L, None), ("c", 1L, Some(7L))))
     assert(rows(wide().snapshotAt(2).select("k", "n"))
       == Set(("a", 11L, None), ("b", 2L, None)))
-    // the future and the vacuumed past refuse loudly
+    // the future refuses loudly
     intercept[IllegalArgumentException] { wide().snapshotAt(9) }
+    // a vacuum whose retention covers the WHOLE log keeps history
+    // readable (space reclaim without ending time travel)...
+    wide().vacuum(retainVersions = 99)
+    assert(rows(wide().snapshotAt(2).select("k", "n"))
+      == Set(("a", 11L, None), ("b", 2L, None)))
+    // ...but ANY pruning refuses historical reads outright — a partial
+    // change-window fold would silently miss pre-horizon content
     wide().vacuum() // retains nothing: horizon = current version
     intercept[IllegalArgumentException] { wide().snapshotAt(2) }
     // writes stay strict: a partial missing a declared measure is loud

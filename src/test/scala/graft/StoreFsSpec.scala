@@ -146,6 +146,34 @@ class StoreFsSpec extends SparkSpec {
     assert(!sfs.exists(StoreFs.LeaseName))
   }
 
+  test("writer lease: a second THREAD in the same JVM blocks until the " +
+    "holder finishes — never rides — and the lock always releases") {
+    val uri = freshUri("graft_test_storefs_lease_thr")
+    val sfs = StoreFs(spark, uri)
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val aIn = new java.util.concurrent.CountDownLatch(1)
+    val aGo = new java.util.concurrent.CountDownLatch(1)
+    val tA = new Thread(() => sfs.withWriterLease() {
+      order.add("A-in"); aIn.countDown(); aGo.await(); order.add("A-out")
+    })
+    val tB = new Thread(() => {
+      aIn.await()
+      order.add("B-wait")
+      sfs.withWriterLease() { order.add("B-in") }
+    })
+    tA.start(); tB.start()
+    aIn.await()
+    // B must BLOCK while A holds — two server threads interleaving
+    // manifest read-modify-writes is exactly what the lease prevents
+    Thread.sleep(200)
+    assert(!order.contains("B-in"), s"thread B rode A's lease: $order")
+    aGo.countDown(); tA.join(10000); tB.join(10000)
+    assert(order.toArray.toSeq == Seq("A-in", "B-wait", "A-out", "B-in"),
+      order.toString)
+    // whichever thread exits last, the file is gone
+    assert(!sfs.exists(StoreFs.LeaseName))
+  }
+
   test("writer lease: store mutators are guarded — a foreign lock makes " +
     "append/compact fail fast, and a finished writer leaves no lock") {
     import spark.implicits._
