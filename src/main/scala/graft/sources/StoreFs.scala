@@ -145,12 +145,13 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
     *    leaves the lock for the stale window — intentional, since a
     *    half-written (uncommitted) attempt is exactly when a concurrent
     *    writer is least welcome. */
-  def withWriterLease[T](staleMs: Long = StoreFs.DefaultLeaseStaleMs)(f: => T): T = {
+  def withWriterLease[T](staleMs: Long = StoreFs.DefaultLeaseStaleMs,
+                         waitMs: Long = 0L)(f: => T): T = {
     val lock = StoreFs.leaseLocks.computeIfAbsent(root.toString,
       _ => new java.util.concurrent.locks.ReentrantLock)
     lock.lock()
     try {
-      if (lock.getHoldCount == 1) acquireLeaseFile(staleMs)
+      if (lock.getHoldCount == 1) acquireLeaseFile(staleMs, waitMs)
       try f
       finally if (lock.getHoldCount == 1) releaseLeaseFile()
     } finally lock.unlock()
@@ -168,7 +169,12 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
     * wait). */
   def breakWriterLease(): Unit = fs.delete(child(StoreFs.LeaseName), true)
 
-  private def acquireLeaseFile(staleMs: Long): Unit = {
+  /** `waitMs > 0` turns a live-holder conflict into a bounded poll
+    * (1 s cadence) before the loud refusal — the double-firing-
+    * scheduler convenience: the second firing of a nightly job waits
+    * out the first instead of crashing, while the default (0) keeps
+    * the fail-fast contract for everything that didn't opt in. */
+  private def acquireLeaseFile(staleMs: Long, waitMs: Long = 0L): Unit = {
     mkdirs()
     val target = child(StoreFs.LeaseName)
     def tryCreate(): Boolean =
@@ -179,22 +185,29 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (!tryCreate()) {
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = tryCreate()
+    while (!acquired) {
       val now = System.currentTimeMillis()
       leaseHolder() match {
         case Some((holder, hb)) if now - hb < staleMs =>
-          throw new IllegalStateException(
+          if (now < deadline) {
+            Thread.sleep(math.min(1000L, deadline - now))
+            acquired = tryCreate()
+          } else throw new IllegalStateException(
             s"store at $root is write-locked by $holder " +
               s"(heartbeat ${now - hb} ms ago, stale after $staleMs ms) — " +
-              "single-writer contract: wait for it, or breakWriterLease() " +
-              "if the holder is known dead")
+              "single-writer contract: wait for it (waitMs bounds a " +
+              "polling wait), or breakWriterLease() if the holder is " +
+              "known dead")
         case _ =>
           // stale (or vanished mid-read): break and take over. The
           // delete+create window is the best-effort race every
           // lock-file scheme has; the stale path only runs after a
-          // crash, never in healthy operation.
+          // crash, never in healthy operation. On a lost race the loop
+          // re-judges the new holder's freshness.
           breakWriterLease()
-          if (!tryCreate()) acquireLeaseFile(staleMs) // lost the race: re-judge
+          acquired = tryCreate()
       }
     }
   }

@@ -144,6 +144,25 @@ class StoreFsSpec extends SparkSpec {
       sfs.withWriterLease() { throw new RuntimeException("boom") }
     }
     assert(!sfs.exists(StoreFs.LeaseName))
+
+    // opt-in bounded wait: a live foreign holder that RELEASES within
+    // the window is waited out instead of crashed on (the double-firing
+    // scheduler convenience); one that doesn't still refuses loudly
+    sfs.atomicWrite(StoreFs.LeaseName,
+      s"otherhost:999:dead-beef\n${System.currentTimeMillis()}".getBytes)
+    val releaser = new Thread(() => { Thread.sleep(1500); sfs.breakWriterLease() })
+    releaser.start()
+    var waited = false
+    sfs.withWriterLease(waitMs = 10000) { waited = true }
+    releaser.join()
+    assert(waited && !sfs.exists(StoreFs.LeaseName))
+    sfs.atomicWrite(StoreFs.LeaseName,
+      s"otherhost:999:dead-beef\n${System.currentTimeMillis()}".getBytes)
+    val e2 = intercept[IllegalStateException] {
+      sfs.withWriterLease(waitMs = 1200) { fail() }
+    }
+    assert(e2.getMessage.contains("write-locked"))
+    sfs.breakWriterLease()
   }
 
   test("writer lease: a second THREAD in the same JVM blocks until the " +
