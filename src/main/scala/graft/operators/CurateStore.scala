@@ -352,9 +352,16 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * corpus-side work is columnar scans of stored state; writes are
     * O(delta + affected docs). Delta doc_ids must be disjoint from the
     * stored corpus (the [[DedupIndex]] append contract — new crawl ids).
-    * Single writer; see the class doc for crash/retry semantics. */
+    * Single writer; see the class doc for crash/retry semantics.
+    *
+    * Returns whether THIS call committed the night: `false` means the
+    * tag was already in the ledger (a redelivery no-op). The check runs
+    * INSIDE the writer lease, so of two concurrent deliveries of one
+    * tag exactly one observes `true` — callers reporting commit status
+    * (the server's /ingest/curate face) must derive it from this return
+    * value, never from their own pre-check (TOCTOU). */
   def curateNight(tag: String, delta: DataFrame,
-                  autoCompactAt: Int = CurateStore.AutoCompactMembers): Unit =
+                  autoCompactAt: Int = CurateStore.AutoCompactMembers): Boolean =
       sfs.withWriterLease() {
     // member names are <table>-<tag>, so the tag must stay out of the
     // build/fold namespaces: tag "base" would Overwrite the LIVE
@@ -366,7 +373,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     // night that already committed — however its tag was named — must
     // stay a redelivery no-op, even one that predates the namespace
     // contract below
-    if (consumedTags.contains(tag)) return
+    if (consumedTags.contains(tag)) return false
     require(tag.matches("[A-Za-z0-9._-]+") && tag != "base" &&
       !tag.matches("compact-[0-9]+") && !tag.forall(_.isDigit),
       s"night tag '$tag' must be filesystem-safe ([A-Za-z0-9._-]+), " +
@@ -597,6 +604,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       sfs.atomicWrite(ManifestName,
         (memberLines ++ Seq(s"#count:${nOld + nDelta}") ++ meta ++
           Seq(s"#tag:$tag")).mkString("\n").getBytes)
+      true
     } finally {
       pinned.foreach(_.unpersist(false))
     }

@@ -356,11 +356,29 @@ object TextOps {
       keys = Seq("lang"), sums = Nil, maxes = Nil,
       topks = Seq("toptok"))
     val docs = documents(s, d)
+    // the exact-regime assumption (per-lang distinct token cardinality
+    // < SketchK in EVERY night's partial — the premise of sharing the
+    // windowed-GROUP-BY oracle) is asserted in-plan: past the threshold
+    // SpaceSaving eviction starts and the folded ranking may lawfully
+    // diverge from the one-shot oracle, so the failure must name the
+    // cause, not surface as an opaque hash mismatch at a larger SF. The
+    // countDistinct rides the same per-lang agg (an Expand, priced
+    // O(night tokens) — the scan the sketch already pays).
     def batch(m: Int) =
       docs.filter(col("doc_id") % 3 === m)
         .select(col("lang"), explode(Dedup.tokens(col("text"))).as("token"))
         .groupBy(col("lang"))
-        .agg(SketchOps.topkSketch(col("token"), SketchK).as("toptok"))
+        .agg(SketchOps.topkSketch(col("token"), SketchK).as("toptok"),
+          countDistinct(col("token")).as("_card"))
+        .select(col("lang"),
+          when(col("_card") >= SketchK, raise_error(concat(
+            lit("trending_incremental exact-regime assumption violated: "),
+            lit("per-lang distinct token cardinality "), col("_card"),
+            lit(s" >= SketchK=$SketchK for lang '"), col("lang"),
+            lit("' — eviction would begin and the folded ranking may " +
+              "diverge from the one-shot oracle; raise SketchK above " +
+              "the per-lang vocabulary or accept approximate ranking"))))
+            .otherwise(col("toptok")).as("toptok"))
     store.appendTagged("b0", batch(0))
     store.appendTagged("b1", batch(1))
     store.compact()

@@ -449,14 +449,15 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   if (n == 0 || bad > 0)
                     respond(ex, 400,
                       """{"error":"body must be JSON rows of {doc_id, text, lang}"}""")
-                  else if (store.consumedTags.contains(tag))
-                    // redelivered tag: the no-op answer, no fold started
-                    respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
-                      s""""committed":false,"doc_count":${store.docCount}}""")
                   else {
-                    store.curateNight(tag, docs)
+                    // committed comes from curateNight's OWN return — the
+                    // ledger check runs inside the writer lease there, so
+                    // of two concurrent deliveries of one tag exactly one
+                    // reports true (a pre-check here would TOCTOU: both
+                    // could pass it and both claim the commit)
+                    val committed = store.curateNight(tag, docs)
                     respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
-                      s""""committed":true,"doc_count":${store.docCount}}""")
+                      s""""committed":$committed,"doc_count":${store.docCount}}""")
                   }
                 } finally docs.unpersist(false)
             }

@@ -71,8 +71,25 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
     }
 
   /** Atomic small-file commit: write a temp sibling, rename over the
-    * target — semantics per backend in the class doc. */
+    * target — semantics per backend in the class doc.
+    *
+    * When the calling thread holds this store's writer lease, the lease
+    * file is re-read FIRST and must still name this JVM: a holder whose
+    * write outlived `staleMs` (and was therefore taken over by a second
+    * writer judging the once-written heartbeat stale) fails LOUDLY here
+    * instead of silently interleaving manifest commits with the usurper.
+    * One small-file read per commit — priced far below the parquet work
+    * any commit follows. */
   def atomicWrite(name: String, bytes: Array[Byte]): Unit = {
+    val lock = StoreFs.leaseLocks.get(root.toString)
+    if (lock != null && lock.isHeldByCurrentThread &&
+        !leaseHolder().exists(_._1 == StoreFs.jvmHolderId))
+      throw new IllegalStateException(
+        s"writer lease for $root lost before committing '$name': the lock " +
+          s"now reads ${leaseHolder().map(_._1).getOrElse("<absent>")} — " +
+          "this write outlived staleMs and another writer took over; " +
+          "aborting instead of interleaving commits (re-run with a larger " +
+          "staleMs sized above the longest write operation)")
     mkdirs()
     val target = child(name)
     val tmp = child(name + ".tmp")
@@ -123,7 +140,10 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
     * — epoch millis AT ACQUISITION, written once (rewriting the lock
     * mid-hold would race the very readers judging it, and on a
     * checksummed local FS would desync the .crc sidecar); the staleMs
-    * sizing rule below is therefore the whole liveness story.
+    * sizing rule below is therefore the whole liveness story — backed
+    * by [[atomicWrite]]'s commit-time check that the lease still names
+    * this JVM, so a write that DOES outlive staleMs and gets taken over
+    * aborts loudly at its next commit instead of interleaving.
     *
     *  - **Conflict**: another live holder → loud IllegalStateException
     *    naming the holder and the lock age.
@@ -177,20 +197,40 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
   private def acquireLeaseFile(staleMs: Long, waitMs: Long = 0L): Unit = {
     mkdirs()
     val target = child(StoreFs.LeaseName)
+    // Exclusive create. ONLY an already-exists outcome means "held by
+    // someone" — any other IOException (permissions, quota, read-only
+    // FS) is an environment fault that would otherwise busy-spin the
+    // loop below forever, so it propagates loudly. Local-FS caveat: a
+    // concurrent create can also surface as a rename/FNF-flavored
+    // IOException whose message names the lock path; treat those as
+    // held too (the verify step below disambiguates a wrongly-claimed
+    // win, and a wrongly-claimed loss just re-loops).
     def tryCreate(): Boolean =
       try {
         val out = fs.create(target, false) // exclusive: fails if present
         try out.write(s"${StoreFs.jvmHolderId}\n${System.currentTimeMillis()}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+        // create-then-verify: a competing stale-breaker may have deleted
+        // our fresh lock and installed its own between our create and
+        // now — claiming the win without the read-back would let two
+        // writers proceed. Losing the verify just re-loops.
+        leaseHolder().exists(_._1 == StoreFs.jvmHolderId)
+      } catch {
+        case e: java.io.IOException
+          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+             e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+             (e.getMessage != null && e.getMessage.contains(target.getName)) =>
+          false
+      }
     val deadline = System.currentTimeMillis() + waitMs
+    var vanishedRetries = 0
     var acquired = tryCreate()
     while (!acquired) {
       val now = System.currentTimeMillis()
       leaseHolder() match {
         case Some((holder, hb)) if now - hb < staleMs =>
+          vanishedRetries = 0
           if (now < deadline) {
             Thread.sleep(math.min(1000L, deadline - now))
             acquired = tryCreate()
@@ -200,13 +240,27 @@ final class StoreFs private (val fs: FileSystem, conf: Configuration,
               "single-writer contract: wait for it (waitMs bounds a " +
               "polling wait), or breakWriterLease() if the holder is " +
               "known dead")
-        case _ =>
-          // stale (or vanished mid-read): break and take over. The
+        case Some(_) =>
+          // CONFIRMED stale heartbeat: break and take over. The
           // delete+create window is the best-effort race every
-          // lock-file scheme has; the stale path only runs after a
-          // crash, never in healthy operation. On a lost race the loop
-          // re-judges the new holder's freshness.
+          // lock-file scheme has; tryCreate's read-back verify closes
+          // the "our fresh lock got deleted under us" half of it, and
+          // on a lost race the loop re-judges the new holder.
           breakWriterLease()
+          acquired = tryCreate()
+        case None =>
+          // Vanished between tryCreate and the read — NORMAL operation
+          // (the holder released in that window), not a crash: never
+          // delete here, just re-attempt the exclusive create. Bounded,
+          // because an FS that persistently fails create without
+          // leaving a readable lock would otherwise spin forever.
+          vanishedRetries += 1
+          if (vanishedRetries > 50) throw new IllegalStateException(
+            s"cannot acquire writer lease at $root: exclusive create " +
+              s"failed $vanishedRetries times with no readable lock file " +
+              "— filesystem refusing creates? (permissions / quota / " +
+              "read-only mount)")
+          Thread.sleep(20L)
           acquired = tryCreate()
       }
     }

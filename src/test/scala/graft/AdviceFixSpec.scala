@@ -268,4 +268,26 @@ class AdviceFixSpec extends SparkSpec {
     assert(store.snapshot.collect().map(r => (r.getString(0), r.getLong(1)))
       .toSeq == Seq(("a", 2L)))
   }
+
+  test("trending_incremental names its exact-regime violation instead of " +
+    "surfacing an opaque oracle hash mismatch") {
+    import spark.implicits._
+    // 900 single-token docs in one lang → each of the three nightly
+    // batches (doc_id % 3) holds ~300 distinct tokens ≥ SketchK=256:
+    // SpaceSaving eviction would begin, so the fold must abort NAMING
+    // the assumption, not lawfully diverge from the shared oracle
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_test_trend_regime")
+    graft.sources.PointStore.deleteRec(dir)
+    (0L until 900L).map(i => (i, s"tok$i", "xx")).toDF("doc_id", "text", "lang")
+      .write.parquet(new java.io.File(dir, "documents.parquet").getPath)
+    val e = intercept[Exception] {
+      graft.operators.TextOps.trendingIncremental(spark, dir.getPath)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exact-regime assumption violated")),
+      s"expected the named assertion, got: ${messages(e).mkString(" | ")}")
+  }
 }

@@ -218,4 +218,52 @@ class StoreFsSpec extends SparkSpec {
     store.appendTagged("t1", batch)
     assert(store.snapshot.agg(sum(col("n"))).head().getLong(0) == 2L)
   }
+
+  test("writer lease: a refused acquire never deletes the live holder's " +
+    "lock (the healthy-operation half of the stale-break path)") {
+    val uri = freshUri("graft_test_storefs_lease_keep")
+    val sfs = StoreFs(spark, uri)
+    val hb = System.currentTimeMillis()
+    sfs.atomicWrite(StoreFs.LeaseName, s"otherhost:999:live-holder\n$hb".getBytes)
+    intercept[IllegalStateException] { sfs.withWriterLease() { fail() } }
+    // the foreign FRESH lock must survive the refusal byte-for-byte: a
+    // delete here (the pre-r13 None-branch behavior reachable when the
+    // holder releases mid-read) would let two writers hold concurrently
+    assert(sfs.leaseHolder().contains(("otherhost:999:live-holder", hb)),
+      s"refused acquire disturbed the live lock: ${sfs.leaseHolder()}")
+    sfs.breakWriterLease()
+  }
+
+  test("writer lease: a commit after a mid-hold takeover aborts loudly " +
+    "instead of interleaving manifest writes") {
+    val uri = freshUri("graft_test_storefs_lease_lost")
+    val sfs = StoreFs(spark, uri)
+    intercept[IllegalStateException] {
+      sfs.withWriterLease() {
+        // a commit while the lease still names us goes through…
+        sfs.atomicWrite("_PROBE", "ok".getBytes)
+        // …then simulate a staleMs takeover: a second writer judged our
+        // once-written heartbeat stale and installed its own lock (raw fs
+        // delete+create, the takeover's own path — atomicWrite's nio move
+        // would desync the checksummed local FS's .crc sidecar)
+        sfs.fs.delete(new org.apache.hadoop.fs.Path(
+          sfs.pathOf(StoreFs.LeaseName)), false)
+        val out = sfs.fs.create(new org.apache.hadoop.fs.Path(
+          sfs.pathOf(StoreFs.LeaseName)), false)
+        try out.write(
+          s"otherhost:999:usurper\n${System.currentTimeMillis()}".getBytes)
+        finally out.close()
+        val e = intercept[IllegalStateException] {
+          sfs.atomicWrite("_MANIFEST", "torn".getBytes)
+        }
+        assert(e.getMessage.contains("lease") && e.getMessage.contains("lost"),
+          e.getMessage)
+        assert(!sfs.exists("_MANIFEST"), "the lost-lease commit must not land")
+        throw e // surface: the write aborted, the night fails loudly
+      }
+    }
+    // release must not remove the usurper's lock either
+    assert(sfs.leaseHolder().exists(_._1 == "otherhost:999:usurper"))
+    sfs.breakWriterLease()
+  }
 }

@@ -61,7 +61,8 @@ class CurateStoreSpec extends SparkSpec {
     // every corpus-side nightly read must come from the store: the
     // corpus text is GONE before the night runs
     PointStore.deleteRec(cDir)
-    store.curateNight("n1", delta)
+    assert(store.curateNight("n1", delta),
+      "first delivery must report committed=true")
     val night1 = resultMap(store.snapshot())
     assert(night1 == expected)
     // sanity: the incremental machinery actually fired at this SF —
@@ -71,8 +72,11 @@ class CurateStoreSpec extends SparkSpec {
       .filter(id => id <= 399 && night0(id)._7 != night1(id)._7)
     assert(restripped.nonEmpty,
       "no corpus doc re-stripped — the delta produced no common-set flips")
-    // redelivered night: no-op (count, members, result all unchanged)
-    store.curateNight("n1", delta)
+    // redelivered night: no-op (count, members, result all unchanged) —
+    // and curateNight's OWN return says so (the server's committed field
+    // derives from it; a caller-side pre-check would TOCTOU)
+    assert(!store.curateNight("n1", delta),
+      "redelivery must report committed=false")
     assert(store.docCount == 500L)
     assert(resultMap(store.snapshot()) == expected)
   }
