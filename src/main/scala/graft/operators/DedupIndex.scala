@@ -81,6 +81,10 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
       l.stripPrefix("#n:").toInt }
       .getOrElse(sys.error(s"dedup index at $dir has no #n: line"))
 
+  private def tombsOf(lines: Seq[String]): Seq[String] =
+    lines.collect { case l if l.startsWith("#tomb:") =>
+      l.stripPrefix("#tomb:") }
+
   /** Member data directories (relative to `dir`), snapshot-consistent. */
   def members: Seq[String] = membersOf(manifest)
 
@@ -92,11 +96,24 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
   /** Shingle width pinned at build time. */
   def shingleWidth: Int = widthOf(manifest)
 
-  /** Stored rows of the given members: (doc_id, sig, sh). Members are
-    * read separately and unioned (partition discovery refuses sibling
-    * roots in one read). */
-  private def rowsOf(ms: Seq[String]): DataFrame =
-    ms.map(m => spark.read.parquet(sfs.pathOf(m))).reduce(_ unionByName _)
+  /** Stored rows of the given members: (doc_id, sig, sh), with any
+    * tombstoned docs ([[delete]]) subtracted. Members are read
+    * separately and unioned (partition discovery refuses sibling roots
+    * in one read). The tombstone restriction is ONE anti-join whose
+    * build side is the takedown list — small relative to the corpus by
+    * nature, so AQE broadcasts it and the stored (sig, sh) payload
+    * streams at scan speed; [[compact]] applies it physically and drops
+    * the list. */
+  private def rowsOf(ms: Seq[String]): DataFrame = {
+    val rows = ms.map(m => spark.read.parquet(sfs.pathOf(m)))
+      .reduce(_ unionByName _)
+    val ts = tombsOf(manifest)
+    if (ts.isEmpty) rows
+    else rows.join(
+      ts.map(t => spark.read.parquet(sfs.pathOf(t))).reduce(_ unionByName _)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
 
   /** The full stored index frame. */
   def index: DataFrame = rowsOf(members)
@@ -295,16 +312,57 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     manifest = newLines // writer reads its own append; same width always
   }
 
+  /** Doc-grain deletion — the takedown/opt-out verb (copyright removal,
+    * user opt-out, PII discovery): after `delete`, the named docs'
+    * signatures and postings are gone from every read face (`index`,
+    * `probe`, `allPairs`, `pairsInvolving`) exactly as if they were
+    * never appended. Mechanics: the id list lands in its own tombstone
+    * member dir and the manifest flip publishes it as a `#tomb:` line —
+    * O(takedown) write, no member rewrite; reads subtract it with one
+    * broadcast-sided anti-join ([[rowsOf]]); the next [[compact]]
+    * applies it PHYSICALLY (the fold reads through the restriction) and
+    * drops the line, so [[vacuum]] then reclaims both the tombstone dir
+    * and the deleted rows' bytes. Exactly-once under redelivery via the
+    * same consumed-tag ledger as [[appendTagged]] (deletion is also
+    * semantically idempotent — re-deleting an absent id is a no-op —
+    * but the ledger keeps a redelivered request from minting tombstone
+    * members forever). A deleted doc_id is RETIRED: re-appending it is
+    * a contract violation like double-appending (before the next
+    * compaction the tombstone would silently filter the new rows; after
+    * it they would resurface) — takedowns are permanent, re-ingest
+    * corrected content under a fresh id. Returns whether THIS call
+    * committed. */
+  def delete(tag: String, docIds: DataFrame): Boolean = sfs.withWriterLease() {
+    val pre = readManifest()
+    if (tagsOf(pre)(tag)) return false
+    val seen = sfs.names() ++ tombsOf(pre)
+    val k = seen.collect {
+      case s if s.startsWith("tombs-") => s.stripPrefix("tombs-").toInt
+    }.foldLeft(-1)(math.max) + 1
+    val name = f"tombs-$k%03d"
+    docIds.select(col("doc_id")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf(name))
+    val newLines = (membersOf(pre) ++
+      pre.filter(l => l.startsWith("#") && !l.startsWith("#tag:")) ++
+      Seq(s"#tomb:$name") ++
+      (tagsOf(pre) + tag).toSeq.sorted.map("#tag:" + _))
+    sfs.atomicWrite("_MEMBERS", newLines.mkString("\n").getBytes)
+    manifest = newLines
+    true
+  }
+
   /** Fold all members into one — the LSM-compaction analog, bounding the
     * union fan-in after many nightly appends. Stored rows are rewritten
     * verbatim (no re-hash), published by one atomic flip; the tag
     * ledger SURVIVES so a late redelivery of an already-indexed batch
     * stays a no-op, and old member dirs stay on disk for in-flight
-    * readers — the manifest is the one commit point. */
+    * readers — the manifest is the one commit point. Tombstoned docs
+    * ([[delete]]) are dropped physically by the fold and their `#tomb:`
+    * lines retired. */
   def compact(): Unit = sfs.withWriterLease() {
     val lines = readManifest()
     val mem = membersOf(lines)
-    if (mem.size <= 1) return
+    if (mem.size <= 1 && tombsOf(lines).isEmpty) return
     // next sequence = max existing index + 1, over BOTH disk and the
     // manifest: COUNTING compact-* dirs breaks after a vacuum (three
     // compactions + a vacuum made the count collide with the LIVE
@@ -315,7 +373,10 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     }.foldLeft(-1)(math.max) + 1
     val name = f"compact-$n%03d"
     rowsOf(mem).write.mode(SaveMode.Overwrite).parquet(sfs.pathOf(name))
-    val meta = lines.filter(l => l.startsWith("#") && !l.startsWith("#tag:"))
+    // #tomb lines retire with the fold: rowsOf read THROUGH the
+    // restriction, so the folded member physically excludes deleted rows
+    val meta = lines.filter(l => l.startsWith("#") &&
+      !l.startsWith("#tag:") && !l.startsWith("#tomb:"))
     val newLines = (Seq(name) ++ meta ++
       tagsOf(lines).toSeq.sorted.map("#tag:" + _))
     sfs.atomicWrite("_MEMBERS", newLines.mkString("\n").getBytes)
@@ -330,7 +391,8 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * never touches the manifest or live members, so the ledger and
     * pair results are unchanged (DedupIndexSpec). */
   def vacuum(): Unit = sfs.withWriterLease() {
-    val live = membersOf(readManifest()).toSet
+    val lines = readManifest()
+    val live = membersOf(lines).toSet ++ tombsOf(lines)
     sfs.dirNames().filterNot(live).foreach(sfs.deleteChild)
   }
 

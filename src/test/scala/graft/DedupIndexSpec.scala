@@ -216,4 +216,49 @@ class DedupIndexSpec extends SparkSpec {
     idx.appendTagged("good", delta, verifyDisjoint = true)
     assert(pairMap(idx.allPairs(0.5)) == oneShot)
   }
+
+  test("delete(docIds): every read face equals an index never holding " +
+    "those docs; redelivery no-op; compact+vacuum reclaims the bytes") {
+    import spark.implicits._
+    val dir = freshDir("graft_test_dedupindex_del")
+    val gone = docs.filter(col("doc_id") % 7 === 0)
+    val kept = docs.filter(col("doc_id") % 7 =!= 0)
+    val idx = DedupIndex.build(docs, dir.getPath, 3)
+    // the never-ingested reference: a fresh index over the kept docs
+    val refDir = freshDir("graft_test_dedupindex_del_ref")
+    val ref = DedupIndex.build(kept, refDir.getPath, 3)
+    val refPairs = pairMap(ref.allPairs(0.5))
+
+    assert(idx.delete("takedown-1", gone.select(col("doc_id"))),
+      "first delivery must commit")
+    assert(!idx.delete("takedown-1", gone.select(col("doc_id"))),
+      "redelivered takedown must no-op")
+    assert(pairMap(idx.allPairs(0.5)) == refPairs,
+      "allPairs after delete must equal the never-ingested index")
+    assert(idx.index.join(gone.select(col("doc_id")), Seq("doc_id"),
+      "left_semi").count() == 0, "deleted ids must be gone from index")
+    // probe: a copy of a deleted doc must find NOTHING (its signatures
+    // are gone), while kept docs still match
+    val probeGone = gone.limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
+    assert(idx.probe(probeGone, 0.99).count() == 0,
+      "an exact copy of a deleted doc must not match the index")
+    assert(pairMap(idx.probe(kept.limit(50)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          col("lang")), 0.99).filter(col("b") === col("a") - 2000000L))
+      .nonEmpty, "kept docs must still self-match under probe")
+
+    // compact applies the deletion physically; vacuum reclaims dirs
+    val nGone = gone.count()
+    idx.compact(); idx.vacuum()
+    val names = new java.io.File(dir, "").list().toSeq
+    assert(!names.exists(_.startsWith("tombs-")),
+      s"tombstone dirs must be reclaimed, have $names")
+    val folded = spark.read.parquet(
+      new java.io.File(dir, names.filter(_.startsWith("compact-")).head).getPath)
+    assert(folded.join(gone.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .count() == 0, "folded member must physically exclude deleted rows")
+    assert(pairMap(idx.reload().allPairs(0.5)) == refPairs)
+    assert(nGone > 0)
+  }
 }
