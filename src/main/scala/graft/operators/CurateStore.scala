@@ -104,6 +104,14 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     manifestLines.collect { case l if l.startsWith("#tag:") =>
       l.stripPrefix("#tag:") }.toSet
 
+  /** Nights removed by [[rollbackNight]] — RETIRED tags: their data is
+    * gone and the tag name is burned (a fixed batch re-ingests under a
+    * fresh tag; reusing the name would collide with the sub-stores'
+    * consumed-tag ledgers, which cannot forget). */
+  def rolledBackTags: Set[String] =
+    manifestLines.collect { case l if l.startsWith("#rolledback:") =>
+      l.stripPrefix("#rolledback:") }.toSet
+
   /** Total documents ever ingested (corpus + committed deltas) — the
     * denominator of the boilerplate screen's corpus-relative threshold. */
   def docCount: Long =
@@ -116,14 +124,30 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       l.stripPrefix(t + ":") }
 
   /** Members of one logical table unioned with their commit generation —
-    * the raw merge-on-read input ([[latestWins]] resolves overrides). */
+    * the raw merge-on-read input ([[latestWins]] resolves overrides).
+    * `allowMissingColumns`: a [[rollbackNight]] member carries the
+    * `_deleted` tombstone column older members predate — they read it
+    * as null (= alive). */
+  private def readTableOf(ms: Seq[String]): DataFrame = {
+    require(ms.nonEmpty, s"curate store at $dir has no members in $ms")
+    ms.zipWithIndex.map { case (m, g) =>
+        spark.read.parquet(sfs.pathOf(m)).withColumn("_gen", lit(g)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   private def readTable(t: String): DataFrame = {
     val ms = tableMembers(t)
     require(ms.nonEmpty, s"curate store at $dir has no $t members")
-    ms.zipWithIndex.map { case (m, g) =>
-        spark.read.parquet(sfs.pathOf(m)).withColumn("_gen", lit(g)) }
-      .reduce(_ unionByName _)
+    readTableOf(ms)
   }
+
+  /** Drop tombstoned rows (and the marker column) after a latest-wins
+    * resolve — [[rollbackNight]] removes a night's docs by out-
+    * generationing them with `_deleted = true` rows, the only mechanism
+    * that still works after a compaction folded the night's member. */
+  private def alive(df: DataFrame): DataFrame =
+    if (!df.columns.contains("_deleted")) df
+    else df.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
 
   /** Latest-wins merge-on-read: one key-grain shuffle, newest member's
     * row wins (a night's override member out-ranks the base). */
@@ -163,8 +187,15 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * from the `clusters` table the last commit MATERIALIZED (no
     * iterative work on the read path), `cleaned` from the strips
     * table. No text, no kernels, no loops. */
-  def snapshot(): DataFrame = Dedup.stagedScope { scratch =>
-    val stats = scratch.pin(latestWins(readTable("stats"), "doc_id"))
+  def snapshot(): DataFrame =
+    snapshotFrom(tableMembers("stats"), tableMembers("strips"),
+      tableMembers("clusters").last)
+
+  /** [[snapshot]] over explicit member lists — shared by the live read
+    * and [[snapshotAt]]'s historical one. */
+  private def snapshotFrom(statsMs: Seq[String], stripsMs: Seq[String],
+      clustersM: String): DataFrame = Dedup.stagedScope { scratch =>
+    val stats = scratch.pin(alive(latestWins(readTableOf(statsMs), "doc_id")))
     val surv = stats.filter(
       col("quality_score") >= Pipeline.QualityThreshold &&
         !col("repetitive") && !col("contaminated") && !col("boilerplate") &&
@@ -174,8 +205,8 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val kdocs = scratch.pin(
       surv.join(keep.hint("shuffle_hash"), Seq("doc_id"), "left_semi"))
-    val comp = spark.read.parquet(sfs.pathOf(tableMembers("clusters").last))
-    val strips = latestWins(readTable("strips"), "doc_id")
+    val comp = spark.read.parquet(sfs.pathOf(clustersM))
+    val strips = latestWins(readTableOf(stripsMs), "doc_id")
     kdocs
       .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
       .join(strips.hint("shuffle_hash"), Seq("doc_id"))
@@ -185,6 +216,49 @@ final class CurateStore private (spark: SparkSession, dir: String) {
         (col("doc_id") === coalesce(col("lbl"), col("doc_id")))
           .as("near_dup_keeper"),
         col("cleaned"))
+  }
+
+  /** Committed nights in LEDGER order (`base` first) — the time axis
+    * [[snapshotAt]] travels. */
+  def nightsInOrder: Seq[String] =
+    "base" +: manifestLines.collect { case l if l.startsWith("#tag:") =>
+      l.stripPrefix("#tag:") }
+
+  /** Time travel: the curated corpus AS OF night `night` — the member
+    * lists each table held when that night's manifest flip committed,
+    * read through the same merge-on-read as [[snapshot]] (member names
+    * embed their night tag and commits only append, so the prefix up to
+    * `<table>-<night>` IS the historical list; the PointStore
+    * `snapshotAt` idea without needing a version log). Loudly bounded
+    * by the maintenance horizon: a [[compact]] folds per-night members
+    * away and [[vacuum]] reclaims superseded `clusters-*` dirs, so
+    * history older than the last compaction (or a vacuumed clusters
+    * member) refuses with the cause named — time travel is a debugging
+    * window, not an archive; snapshot early nights before compacting if
+    * you need them. A rolled-back night is not a valid target (its tag
+    * left the ledger); nights AFTER a rollback show the rolled-back
+    * docs as they stood then — historically accurate. */
+  def snapshotAt(night: String): DataFrame = {
+    val order = nightsInOrder
+    require(order.contains(night),
+      s"night '$night' is not in the ledger of the store at $dir " +
+        s"(have: ${order.mkString(", ")}) — rolled-back nights are " +
+        "retired and cannot be time-traveled to")
+    def upTo(t: String): Seq[String] = {
+      val ms = tableMembers(t)
+      val target = s"$t-$night"
+      val i = ms.indexOf(target)
+      require(i >= 0,
+        s"$target is no longer a live member of the store at $dir — a " +
+          "compaction folded history up to it; snapshotAt is bounded " +
+          "by the last compact()")
+      ms.take(i + 1)
+    }
+    val clustersM = s"clusters-$night"
+    require(sfs.exists(clustersM),
+      s"$clustersM was vacuumed from the store at $dir — snapshotAt is " +
+        "bounded by the last vacuum()")
+    snapshotFrom(upTo("stats"), upTo("strips"), clustersM)
   }
 
   /** Fold every table's member list into one member per table, and
@@ -199,25 +273,48 @@ final class CurateStore private (spark: SparkSession, dir: String) {
   def compact(): Unit = sfs.withWriterLease() {
     val lines = manifestLines
     val tables = Seq("stats", "strips", "windows", "pairs")
-    if (tables.forall(t => tableMembers(t).size <= 1)) ()
+    if (tables.forall(t => tableMembers(t).size <= 1) &&
+        tableMembers("deadids").isEmpty) ()
     else {
       val seen = sfs.names()
       val n = seen.collect {
         case s if s.matches("[a-z]+-compact-[0-9]+") =>
           s.split("-").last.toInt
       }.foldLeft(-1)(math.max) + 1
+      // the fold is where [[rollbackNight]]'s removals become PHYSICAL:
+      // stats resolves its `_deleted` tombstones away (history is
+      // complete here, so the marker column retires with the fold), and
+      // the append-only windows/pairs tables — which rollback leaves in
+      // place because their dead rows are inert under the keeper/stats
+      // restrictions every read applies — subtract the retained dead
+      // rosters (`deadids:` members), reclaiming the bytes. Anti-join
+      // build side = the rolled-back rosters, small by nature, so AQE
+      // broadcasts it and the heavy (w, whs) array rows never cross an
+      // exchange even here.
+      val deadMs = tableMembers("deadids")
+      def minusDead(df: DataFrame, key: String): DataFrame =
+        if (deadMs.isEmpty) df
+        else df.join(readTableOf(deadMs).select(col("doc_id").as(key)),
+          Seq(key), "left_anti")
       val folded = tables.map { t =>
         val name = f"$t-compact-$n%03d"
         val df = readTable(t)
-        val out =
-          if (t == "stats" || t == "strips") latestWins(df, "doc_id")
-          else df.drop("_gen")
+        val out = t match {
+          case "stats" => alive(latestWins(df, "doc_id"))
+          case "strips" => latestWins(df, "doc_id")
+          case "windows" => minusDead(df.drop("_gen"), "doc_id")
+          case "pairs" => minusDead(minusDead(df.drop("_gen"), "a"), "b")
+          case _ => df.drop("_gen")
+        }
         writeMember(name, out)
         s"$t:$name"
       }
       // the clusters table is already single-member (replaced per
-      // commit) — carried through the fold verbatim
-      val carried = lines.filter(_.startsWith("clusters:"))
+      // commit) — carried through the fold verbatim, as are the
+      // per-night id lists (rollback's durable record; tiny, never
+      // read by snapshot/probe, one manifest line per night)
+      val carried = lines.filter(l =>
+        l.startsWith("clusters:") || l.startsWith("ids:"))
       val meta = lines.filter(_.startsWith("#"))
       sfs.atomicWrite(ManifestName,
         (folded ++ carried ++ meta).mkString("\n").getBytes)
@@ -268,7 +365,13 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       return Seq.empty[(String, String, Long, Long, Long, Long)]
         .toDF("night", "lang", "n_docs", "n_shingles", "p50_tokens",
           "p95_tokens")
+    // restrict to the LIVE ledger: a rolled-back night's rows stay in
+    // the health sub-store (PointStore keys cannot be deleted) but its
+    // tag left the manifest, so the series must not report it — the
+    // filter is a broadcast of the tag set, O(nights)
+    val liveNights = (consumedTags + "base").toSeq
     healthStore.snapshot
+      .filter(col("night").isin(liveNights: _*))
       .select(col("night"), col("lang"), col("n_docs"),
         graft.functions.SketchOps.sketchEst(col("vocab")).as("n_shingles"),
         graft.functions.SketchOps.quantileAt(col("lens"), 0.5).as("p50_tokens"),
@@ -283,8 +386,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * "old df / old bench" correctly after a partial commit. */
   private def minusTag(store: PointStore, tag: String,
       deltaPart: DataFrame, valueCol: String): DataFrame = {
+    // the > 0 filter applies on BOTH branches: a rollback leaves
+    // fully-subtracted keys behind as zero-value rows, which must read
+    // as absent (a shingle with df 0 is not in the corpus)
     val snap = store.snapshot
-    if (!store.consumedTags.contains(tag)) snap
+    if (!store.consumedTags.contains(tag)) snap.filter(col(valueCol) > 0)
     else snap
       .join(deltaPart.select(col("shingle"), col(valueCol).as("_dsub")),
         Seq("shingle"), "left")
@@ -312,7 +418,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     val minDocs = Curation.boilerplateMinDocs(docCount)
     val common = dfStore.snapshot.filter(col("df") >= minDocs)
       .select(col("shingle"))
-    val bench = benchStore.snapshot.select(col("shingle"))
+    // n_docs > 0: a rollback subtracts a night's bench contribution by
+    // appending negatives, so a fully-removed shingle survives as a
+    // zero-count row — it must not contaminate
+    val bench = benchStore.snapshot.filter(col("n_docs") > 0)
+      .select(col("shingle"))
     val q = TextOps.textStatsOf(docs, col("lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
     val rep = Curation.docRepetitionOf(docs)
@@ -374,6 +484,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     // stay a redelivery no-op, even one that predates the namespace
     // contract below
     if (consumedTags.contains(tag)) return false
+    require(!rolledBackTags.contains(tag),
+      s"night tag '$tag' was rolled back and is RETIRED — the nested " +
+        "sub-store ledgers cannot forget a consumed tag, so re-ingesting " +
+        "under it would silently no-op; ingest the corrected batch " +
+        "under a fresh tag")
     require(tag.matches("[A-Za-z0-9._-]+") && tag != "base" &&
       !tag.matches("compact-[0-9]+") && !tag.forall(_.isDigit),
       s"night tag '$tag' must be filesystem-safe ([A-Za-z0-9._-]+), " +
@@ -402,7 +517,7 @@ final class CurateStore private (spark: SparkSession, dir: String) {
 
     // pre-state snapshot: the plan pins the CURRENT member lists (member
     // dirs are immutable, so it stays valid after the appends below)
-    val statsPre = pin(latestWins(readTable("stats"), "doc_id"))
+    val statsPre = pin(alive(latestWins(readTable("stats"), "doc_id")))
 
     try {
       // ---- the night's ONE text ingestion: signature-index append
@@ -538,6 +653,11 @@ final class CurateStore private (spark: SparkSession, dir: String) {
         sigindex.pairsInvolvingRows(deltaRows, NearDupThreshold)
           .select(col("a"), col("b")))
       writeMember(s"windows-$tag", Curation.windowsOf(delta))
+      // the night's doc-id roster — [[rollbackNight]]'s durable record
+      // of WHICH docs this tag brought (per-night stats/windows members
+      // encode it only until a compaction folds them): 8 bytes per delta
+      // doc, never read by snapshot/probe, never folded
+      writeMember(s"ids-$tag", delta.select(col("doc_id")))
 
       // ---- strips for tonight's NEW/CHANGED keepers, from stored
       // windows — never a text re-read. Keeper set: the committed stats
@@ -600,10 +720,236 @@ final class CurateStore private (spark: SparkSession, dir: String) {
         .filterNot(_.startsWith("clusters:")) ++ Seq(
         s"stats:stats-$tag", s"pairs:pairs-$tag",
         s"windows:windows-$tag", s"strips:strips-$tag",
-        s"clusters:clusters-$tag")
+        s"ids:ids-$tag", s"clusters:clusters-$tag")
       sfs.atomicWrite(ManifestName,
         (memberLines ++ Seq(s"#count:${nOld + nDelta}") ++ meta ++
           Seq(s"#tag:$tag")).mkString("\n").getBytes)
+      true
+    } finally {
+      pinned.foreach(_.unpersist(false))
+    }
+  }
+
+  /** Remove a committed night — the "bad crawl drop" undo (mislabeled
+    * batch, poisoned source): after `rollbackNight(tag)` the store's
+    * every read face (snapshot, health, probe) equals a store that
+    * NEVER ingested that night, without rebuilding from the other
+    * nights. Works across compaction: the night's doc roster rides its
+    * `ids-<tag>` member (written by every night, never folded), so
+    * nothing here depends on per-night member boundaries surviving.
+    *
+    * Mechanics, per state class (reference analog: the failed-batch
+    * routing half of worker.js:119-165 — a production nightly needs the
+    * undo, not just the fold):
+    *
+    *  - **additive sub-stores** (df, bench): the night's contributions
+    *    are re-derived from the STORED shingle sets (persisted as
+    *    `rbdf-`/`rbbench-` scratch members first, so a crash-retry
+    *    converges even after the signature rows are gone) and
+    *    subtracted by appending their negation under the idempotent
+    *    `rollback-<tag>` tag — [[minusTag]]'s trick, committed instead
+    *    of read-side;
+    *  - **signature index**: [[DedupIndex.delete]] (doc-grain takedown,
+    *    exactly-once under the same rollback tag);
+    *  - **latest-wins tables** (stats, strips): the night's docs are
+    *    out-generationed by `_deleted` tombstone rows — the only undo
+    *    that still works after a compaction folded the night's member —
+    *    and surviving docs whose cross-document verdicts depended on
+    *    the night (common-set flips from the df removal, bench shingles
+    *    that vanished with it) get recomputed override rows, O(affected)
+    *    exactly like [[curateNight]]'s forward maintenance;
+    *  - **clusters**: re-materialized over the post-rollback keepers;
+    *  - **ledger**: `#tag:<tag>` leaves the manifest (health() keys off
+    *    it) and `#rolledback:<tag>` RETIRES the name — the sub-store
+    *    ledgers cannot forget a consumed tag, so re-ingesting under it
+    *    is refused; a fixed batch ships under a fresh tag.
+    *
+    * The night's DOC IDS are retired with it ([[DedupIndex.delete]]'s
+    * contract: tombstones would silently filter a re-append before the
+    * next compaction and resurface it after): the corrected batch
+    * re-ingests under fresh crawl ids, which the nightly pipeline mints
+    * per drop anyway. The roster member flips to a `deadids:` line so
+    * the next [[compact]] can physically subtract the dead rows from
+    * the append-only windows/pairs tables before retiring it.
+    *
+    * One manifest flip commits all of it; member writes land before and
+    * are invisible until then; every sub-store mutation is tag-
+    * idempotent, so a crashed rollback retried converges (the
+    * [[curateNight]] durability argument). Returns whether THIS call
+    * rolled back — `false` = the tag is not in the ledger (already
+    * rolled back, or never committed): the redelivery no-op. */
+  def rollbackNight(tag: String): Boolean = sfs.withWriterLease() {
+    require(tag != "base",
+      "night-0 cannot be rolled back — it is the store's foundation; " +
+        "rebuild from a corrected corpus instead")
+    val lines = manifestLines
+    if (!consumedTags.contains(tag)) return false
+    require(tableMembers("ids").contains(s"ids-$tag"),
+      s"night '$tag' predates rollback support (no ids-$tag roster " +
+        "member) — rebuild from the surviving nights instead")
+    val rbTag = s"rollback-$tag"
+    val idsT = spark.read.parquet(sfs.pathOf(s"ids-$tag"))
+    val nT = idsT.count()
+    val nOld = docCount
+    val minOld = Curation.boilerplateMinDocs(nOld)
+    val minNew = Curation.boilerplateMinDocs(nOld - nT)
+    val keepCond = col("quality_score") >= Pipeline.QualityThreshold &&
+      !col("repetitive") && !col("contaminated") && !col("boilerplate") &&
+      col("doc_id") % Curation.BenchMod =!= 0
+
+    // the night's df/bench contributions, from the stored sets — made
+    // DURABLE before any mutation: once sigindex.delete commits, the
+    // signatures are gone and a crash-retry could no longer re-derive
+    // them (the guard is the delete's own ledger)
+    if (!sigindex.consumedTags.contains(rbTag)) {
+      val nightSh = sigindex.index
+        .join(idsT.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      writeMember(s"rbdf-$tag",
+        nightSh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+      writeMember(s"rbbench-$tag",
+        nightSh.filter(col("doc_id") % Curation.BenchMod === 0)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs")))
+    }
+    val dfT = spark.read.parquet(sfs.pathOf(s"rbdf-$tag"))
+    val benchT = spark.read.parquet(sfs.pathOf(s"rbbench-$tag"))
+
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pinned += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+    try {
+      // ---- subtract the additive stores; forget the signatures ----
+      dfStore.appendTagged(rbTag,
+        dfT.select(col("shingle"), (-col("df")).as("df")))
+      benchStore.appendTagged(rbTag,
+        benchT.select(col("shingle"), (-col("n_docs")).as("n_docs")))
+      sigindex.delete(rbTag, idsT)
+
+      // ---- common-set flips, both directions (df only shrinks, but
+      // the threshold moves with the count, so shingles can ENTER) ----
+      val dfNow = dfStore.snapshot
+      val oldDf = dfNow.select(col("shingle"), col("df").as("_dn"))
+        .join(dfT.select(col("shingle"), col("df").as("_dt")),
+          Seq("shingle"), "full")
+        .select(col("shingle"),
+          (coalesce(col("_dn"), lit(0L)) + coalesce(col("_dt"), lit(0L)))
+            .as("df"))
+      val oldCommon = oldDf.filter(col("df") >= minOld).select(col("shingle"))
+      val newCommon = pin(
+        dfNow.filter(col("df") >= minNew).select(col("shingle")))
+      val flipped = oldCommon.except(newCommon)
+        .union(newCommon.except(oldCommon))
+      val benchNow = pin(benchStore.snapshot.filter(col("n_docs") > 0)
+        .select(col("shingle")))
+      val removedBench = benchT.select(col("shingle"))
+        .join(benchNow, Seq("shingle"), "left_anti")
+
+      // ---- O(affected) verdict maintenance over the SURVIVORS,
+      // probing their stored shingle sets by both change sets (the
+      // curateNight probe shape, unhinted so AQE broadcasts the
+      // delta-derived build sides and stored arrays never shuffle) ----
+      val statsAll = pin(alive(latestWins(readTable("stats"), "doc_id")))
+      val statsPre = statsAll
+        .join(idsT.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      val corpusRows = sigindex.index.select(col("doc_id"), col("sh"))
+      val probeSh = flipped
+        .select(col("shingle"), lit(true).as("bp_probe"),
+          lit(false).as("ct_probe"))
+        .unionByName(removedBench
+          .select(col("shingle"), lit(false).as("bp_probe"),
+            lit(true).as("ct_probe")))
+      val hits = corpusRows
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(probeSh, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("bp_probe")).as("bp_hit"), max(col("ct_probe")).as("ct_hit"))
+      val affected = pin(statsPre.join(hits.hint("shuffle_hash"), Seq("doc_id")))
+      val bpIds = pin(affected.filter(col("bp_hit")).select(col("doc_id")))
+      val nbp = corpusRows
+        .join(bpIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(newCommon.hint("shuffle_hash"), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+      // un-contamination: a doc contaminated ONLY via bench shingles
+      // that left with the night re-probes the remaining bench set
+      val ctIds = affected.filter(col("ct_hit") && col("contaminated"))
+        .select(col("doc_id"))
+      val ctStill = corpusRows
+        .join(ctIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(benchNow.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("_cts", lit(true))
+      val overrides = affected
+        .join(nbp.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(ctStill.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality_score"), col("repetitive"),
+          when(col("ct_hit"), coalesce(col("_cts"), lit(false)) &&
+              col("doc_id") % Curation.BenchMod =!= 0)
+            .otherwise(col("contaminated")).as("contaminated"),
+          when(col("bp_hit"),
+            when(col("n_sh") === 0, lit(false))
+              .otherwise(coalesce(col("n_bp"), lit(0L)).cast("double")
+                / col("n_sh") > Curation.BoilerplateMaxFrac))
+            .otherwise(col("boilerplate")).as("boilerplate"),
+          col("content_hash"), col("n_sh"), lit(false).as("_deleted"))
+
+      // ---- member writes (invisible until the flip): overrides +
+      // tombstones for the night's docs in one stats member ----
+      writeMember(s"stats-rb-$tag", overrides.unionByName(
+        idsT.select(col("doc_id"), lit(true).as("_deleted")),
+        allowMissingColumns = true))
+
+      // ---- strips for keepers whose text changed (common-set flips)
+      // or who were JUST elected (their exact-dup keeper left with the
+      // night and had the only cleaned row) — storage-fed like the
+      // night's forward path ----
+      val statsRb = spark.read.parquet(sfs.pathOf(s"stats-rb-$tag"))
+      val statsNew = statsPre
+        .join(statsRb.select(col("doc_id")).hint("shuffle_hash"),
+          Seq("doc_id"), "left_anti")
+        .unionByName(statsRb
+          .filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted"))
+      val keepersAfter = pin(statsNew.filter(keepCond)
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")))
+      val keepersBefore = statsAll.filter(keepCond)
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val newlyElected = keepersAfter
+        .join(keepersBefore.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      val stripIds = keepersAfter.join(
+        bpIds.union(newlyElected).distinct().hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+      val winAll = readTable("windows")
+        .select(col("doc_id"), col("w"), col("whs"))
+      writeMember(s"strips-rb-$tag", Curation.stripFromWindows(
+          winAll.join(stripIds, Seq("doc_id"), "left_semi"), newCommon)
+        .select(col("doc_id"), col("cleaned")))
+
+      // ---- clusters re-materialized over the post-rollback keepers
+      // (pairs with a rolled-back endpoint are inert under the keeper
+      // restriction; the rows themselves retire at the next compact) ----
+      writeMember(s"clusters-rb-$tag",
+        clusterLabels(keepersAfter, readTable("pairs").select(col("a"), col("b"))))
+
+      // ---- the ONE commit point ----
+      // the night's roster flips from `ids:` (a live night's rollback
+      // record) to `deadids:` (the retained dead set the next compact()
+      // subtracts from windows/pairs before retiring it)
+      val memberLines = lines.filterNot(_.startsWith("#"))
+        .filterNot(_.startsWith("clusters:"))
+        .map(l => if (l == s"ids:ids-$tag") s"deadids:ids-$tag" else l) ++ Seq(
+        s"stats:stats-rb-$tag", s"strips:strips-rb-$tag",
+        s"clusters:clusters-rb-$tag")
+      val meta = lines.filter(_.startsWith("#"))
+        .filterNot(_.startsWith("#count:"))
+        .filterNot(_ == s"#tag:$tag")
+      sfs.atomicWrite(ManifestName,
+        (memberLines ++ Seq(s"#count:${nOld - nT}") ++ meta ++
+          Seq(s"#rolledback:$tag")).mkString("\n").getBytes)
       true
     } finally {
       pinned.foreach(_.unpersist(false))

@@ -35,6 +35,86 @@ class CurateStoreSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("rollbackNight ≡ a store that never ingested the night (snapshot, " +
+    "health, probe), across compaction; redelivery no-op; tag retired") {
+    val dirA = freshDir("graft_test_curate_rb")
+    val dirB = freshDir("graft_test_curate_rb_ref")
+    val corpus = docs.filter(col("doc_id") <= 299)
+    val bad = docs.filter(col("doc_id") > 299 && col("doc_id") <= 399)
+    val good = docs.filter(col("doc_id") > 399)
+    val store = CurateStore.build(corpus, dirA.getPath)
+    store.curateNight("badnight", bad)
+    store.curateNight("goodnight", good)
+    // fold the per-night member history away FIRST — the rollback must
+    // not depend on member boundaries surviving
+    store.compact()
+    assert(store.rollbackNight("badnight"), "first rollback must commit")
+    assert(!store.rollbackNight("badnight"), "redelivered rollback must no-op")
+    assert(!store.rollbackNight("never-was"), "unknown tag must no-op")
+
+    val ref = CurateStore.build(corpus, dirB.getPath)
+    ref.curateNight("goodnight", good)
+    assert(store.docCount == ref.docCount)
+    assert(resultMap(store.snapshot()) == resultMap(ref.snapshot()),
+      "post-rollback snapshot must equal the never-ingested store")
+    def hm(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(hm(store.health()) == hm(ref.health()),
+      "the rolled-back night must vanish from the health series")
+    val batch = docs.filter(col("doc_id") > 299 && col("doc_id") <= 330)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"), col("lang"))
+    def pm(df: DataFrame) = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("keep"),
+        r.getAs[Long]("n_near_dup"), r.getAs[Boolean]("contaminated"),
+        r.getAs[Boolean]("boilerplate")))).toMap
+    assert(pm(store.probe(batch)) == pm(ref.probe(batch)),
+      "probe must price a batch as if the night never happened")
+
+    // the tag name is burned — a fixed batch ships under a fresh tag
+    // AND fresh crawl ids (the rolled-back ids are retired with it,
+    // per the DedupIndex.delete contract)
+    val e = intercept[IllegalArgumentException] {
+      store.curateNight("badnight", bad)
+    }
+    assert(e.getMessage.contains("RETIRED"), e.getMessage)
+    val fixed = bad.select((col("doc_id") + 500000L).as("doc_id"),
+      col("text"), col("lang"))
+    store.curateNight("badnight-fixed", fixed)
+    ref.curateNight("badnight-fixed", fixed)
+    assert(resultMap(store.snapshot()) == resultMap(ref.snapshot()),
+      "a post-rollback night must fold identically on both stores")
+
+    // compaction + vacuum after the rollback: tombstones become
+    // physical, results stable
+    store.compact(); store.vacuum()
+    assert(resultMap(store.snapshot()) == resultMap(ref.snapshot()))
+  }
+
+  test("snapshotAt reads the curated corpus as of an earlier night; " +
+    "loud past the compaction horizon and on unknown nights") {
+    val dir = freshDir("graft_test_curate_tt")
+    val dirRef = freshDir("graft_test_curate_tt_ref")
+    val corpus = docs.filter(col("doc_id") <= 399)
+    val d1 = docs.filter(col("doc_id") > 399 && col("doc_id") <= 449)
+    val d2 = docs.filter(col("doc_id") > 449)
+    val store = CurateStore.build(corpus, dir.getPath)
+    store.curateNight("n1", d1)
+    store.curateNight("n2", d2)
+    assert(store.nightsInOrder == Seq("base", "n1", "n2"))
+    val ref = CurateStore.build(corpus, dirRef.getPath)
+    ref.curateNight("n1", d1)
+    assert(resultMap(store.snapshotAt("n1")) == resultMap(ref.snapshot()),
+      "snapshotAt(n1) must equal a store that stopped at n1")
+    assert(resultMap(store.snapshotAt("base")) ==
+      resultMap(Pipeline.pipelineCurateOf(corpus)))
+    assert(resultMap(store.snapshotAt("n2")) == resultMap(store.snapshot()))
+    intercept[IllegalArgumentException] { store.snapshotAt("nope") }
+    store.compact()
+    val e = intercept[IllegalArgumentException] { store.snapshotAt("n1") }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+  }
+
   test("night-0 build reproduces the one-shot funnel over the corpus") {
     val dir = freshDir("graft_test_curate_n0")
     val corpus = docs.filter(col("doc_id") <= 399)
