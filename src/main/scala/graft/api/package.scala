@@ -197,10 +197,12 @@ package object api {
 
     /** Quality-ranked token-budget fill per stratum ("the best docs until
       * N tokens per language"): adds `sel_rank` and `start_offset`, keeps
-      * every row starting inside the budget (the straddling row whole). */
+      * every row starting inside the budget (the straddling row whole).
+      * Runs the score-bucket-sharded path — no stratum-wide window at
+      * any scale (identical output to the serial reference). */
     def tokenBudget(idCol: String, strataCol: String, tokensCol: String,
                     scoreCol: String, budget: Long): DataFrame =
-      graft.operators.Mix.budgetOf(df, idCol, strataCol, tokensCol,
+      graft.operators.Mix.budgetOfSharded(df, idCol, strataCol, tokensCol,
         scoreCol, budget)
 
     /** Seeded deterministic global shuffle: adds `shuffle_key`

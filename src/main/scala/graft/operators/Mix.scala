@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   *    plus one more for the id-hash fraction that lands under frac(w).
   *    Generalizes stratified sampling to weights ≥ 1; scan-speed
   *    (broadcast weight dim + one explode, no shuffle).
-  *  - [[budgetOf]] — quality-ranked token-budget fill per stratum ("the
-  *    best docs until N tokens per language"): rank by (score desc, id),
-  *    running token sum, keep every doc that STARTS inside the budget.
-  *    One window per stratum — [[Sampling.packOfSharded]]'s hierarchical
-  *    trick applies unchanged if a stratum outgrows a partition.
+  *  - [[budgetOf]] / [[budgetOfSharded]] — quality-ranked token-budget
+  *    fill per stratum ("the best docs until N tokens per language"):
+  *    rank by (score desc, id), running token sum, keep every doc that
+  *    STARTS inside the budget. The sharded twin stitches both running
+  *    quantities over score-bucket shards ([[Sampling.packOfSharded]]'s
+  *    trick adapted to a score-ordered prefix) so no stratum-wide
+  *    window exists at any scale; the registered query runs it against
+  *    the single-window oracle.
   *  - [[shuffleOf]] — seeded global permutation: order by
   *    (md5(seed:id), id). The md5 family keeps the order engine-portable
   *    (the DuckDB oracle replays it verbatim). The RANK is computed
@@ -121,7 +124,9 @@ object Mix {
     * within each stratum, run the token prefix sum, and keep every doc
     * whose START offset is inside `budget` (so the budget-straddling doc
     * is kept whole — "take docs until the budget is reached"). Appends
-    * `sel_rank` (0-based quality rank) and `start_offset`. */
+    * `sel_rank` (0-based quality rank) and `start_offset`. ONE window
+    * per stratum — the semantic reference; [[budgetOfSharded]] is the
+    * scale path (identical output, no stratum-wide window). */
   def budgetOf(df: DataFrame, idCol: String, strataCol: String,
                tokensCol: String, scoreCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
@@ -135,17 +140,94 @@ object Mix {
       .filter(col("start_offset") < budget)
   }
 
+  /** [[budgetOf]]'s scale path — the SAME selection without a
+    * stratum-wide window: at 100 TB the dominant language is most of
+    * the corpus, and one (score desc, id) window per stratum would
+    * serialize it through a single partition. The
+    * [[Sampling.packOfSharded]] trick, adapted to a SCORE-ordered
+    * prefix: the shard is the score's bucket under `floor((1−score) ·
+    * buckets)` — monotone in the descending order, so shard order ≡
+    * score order and concatenated shard-local orders ARE the stratum
+    * order (nulls take the one-past-the-end bucket, matching
+    * `desc_nulls_last`; out-of-[0,1] scores clamp to the edge buckets,
+    * preserving monotonicity). Both running quantities stitch
+    * hierarchically: intra-shard row_number/prefix-sum windows, plus
+    * per-shard count/token-total bases from ONE tiny aggregate —
+    * (strata × ≤buckets+1) rows, a metadata frame. Ties in score land
+    * in one shard (the bucket is a function of the score), so the
+    * (score, id) tie-break never splits across the stitch. Score
+    * buckets are value-ranges, not hashes, so a pathological
+    * all-one-score stratum degenerates to one shard — the documented
+    * trade for keeping the stitch deterministic and oracle-replayable;
+    * real quality scores spread over [0,1] and `buckets` (default
+    * 1024) bounds the worst window partition at ~1/buckets of the
+    * stratum. Shares [[budgetOf]]'s semantics exactly — the registered
+    * query carries the same single-window oracle, and MixSpec equates
+    * the two across bucket counts. */
+  def budgetOfSharded(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, scoreCol: String, budget: Long,
+      buckets: Int = 1024): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    require(buckets > 0, s"bucket count must be positive: $buckets")
+    // the sharded frame feeds TWO consumers (the base aggregate and the
+    // local windows) — staged once, the shuffleOf discipline
+    Dedup.stagedScope { scratch =>
+      val toks = col(tokensCol).cast("long")
+      val sc = col(scoreCol).cast("double")
+      val shard = when(sc.isNull, lit(buckets.toLong))
+        .otherwise(least(greatest(
+          floor((lit(1.0) - sc) * buckets).cast("long"), lit(0L)),
+          lit(buckets - 1L)))
+      val withShard = scratch.pin(df.withColumn("_shard", shard)
+        .repartition(col(strataCol), col("_shard")))
+      val wLocal = Window.partitionBy(col(strataCol), col("_shard"))
+        .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+      val wBase = Window.partitionBy(col(strataCol)).orderBy(col("_shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = withShard.groupBy(col(strataCol), col("_shard"))
+        .agg(count(lit(1)).as("_cnt"), sum(toks).as("_tok"))
+        .withColumn("_rank_base", coalesce(sum(col("_cnt")).over(wBase), lit(0L)))
+        .withColumn("_off_base", coalesce(sum(col("_tok")).over(wBase), lit(0L)))
+        .select(col(strataCol).as("_b_stratum"), col("_shard").as("_b_shard"),
+          col("_rank_base"), col("_off_base"))
+      // null-safe equi-join: a null stratum is its own window partition
+      // on the serial path, so the base must match it too (packOfSharded).
+      // bases is EXPLICITLY broadcast — it is bounded by strata ×
+      // (buckets+1) rows whatever the corpus size (unlike packOfSharded's
+      // id-range bases, which grow with the corpus), and without the hint
+      // a tiny-SF AQE may invert the choice and broadcast the doc-grain
+      // side instead
+      withShard
+        .withColumn("_lrank", row_number().over(wLocal).cast("long"))
+        .withColumn("_loff",
+          sum(toks).over(wLocal.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) - toks)
+        .join(broadcast(bases), col(strataCol) <=> col("_b_stratum") &&
+          col("_shard") <=> col("_b_shard"))
+        .withColumn("sel_rank", col("_rank_base") + col("_lrank") - 1)
+        .withColumn("start_offset", col("_off_base") + col("_loff"))
+        .filter(col("start_offset") < budget)
+        .drop("_shard", "_b_stratum", "_b_shard", "_rank_base", "_off_base",
+          "_lrank", "_loff")
+    }
+  }
+
   /** `token_budget_select`: the highest-quality [[TokenBudget]] tokens
     * per language — [[graft.operators.TextOps.textStatsOf]]'s
     * quality_score ranks (the score the text_stats oracle already
     * proves engine-identical, which is what lets a double-ordered
-    * selection hash-match), whitespace token counts fill the budget. */
+    * selection hash-match), whitespace token counts fill the budget.
+    * Runs the SHARDED path with deliberately few buckets so the driver
+    * SFs exercise real multi-shard stitches (the packSequencesSharded
+    * shardSize=128 rationale); the oracle is still ONE window per
+    * stratum, so the hash match proves the stitch exact. */
   def tokenBudgetSelect(s: SparkSession, d: String): DataFrame =
-    budgetOf(
+    budgetOfSharded(
       TextOps.textStatsOf(documents(s, d), col("lang"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("quality_score")),
-      "doc_id", "lang", "n_tokens", "quality_score", TokenBudget)
+      "doc_id", "lang", "n_tokens", "quality_score", TokenBudget,
+      buckets = 8)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("sel_rank"), col("start_offset"))
 
@@ -268,8 +350,15 @@ object Mix {
     val mixed = mixOf(withToks, "doc_id", "lang", Epochs, DefaultEpochs)
       .withColumn("_mix_id", col("doc_id") * 128L + col("copy"))
     val shuffled = shuffleOf(mixed, "_mix_id", ShuffleSeed)
-    Sampling.packOf(shuffled, "shuffle_rank", "lang", "n_tokens",
-        Sampling.Budget)
+    // packing runs the SHARDED path: shuffle_rank is a dense global
+    // sequence, so rank-range shards are uniform by construction and
+    // the dominant language never serializes through one window
+    // partition (packOf's scale caveat). shardSize is small so the
+    // driver SFs exercise real multi-shard stitches; the oracle's
+    // single window per stratum proves the stitch exact. At 100 TB use
+    // the default 2^20.
+    Sampling.packOfSharded(shuffled, "shuffle_rank", "lang", "n_tokens",
+        Sampling.Budget, shardSize = 512L)
       .select(col("doc_id"), col("copy"), col("lang"), col("n_tokens"),
         col("shuffle_rank"), col("start_offset"), col("bin"),
         col("bin_offset"))

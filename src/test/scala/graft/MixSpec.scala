@@ -98,4 +98,59 @@ class MixSpec extends SparkSpec {
     // though it ends at 110), c2 (start 110 ≥ 100: dropped), d4 kept
     assert(got == Set((3L, 0L, 0L), (1L, 1L, 50L), (4L, 0L, 0L)), got)
   }
+
+  test("budgetOfSharded equals the serial reference across bucket counts " +
+    "— null scores, a null stratum, score ties, clamped outliers") {
+    import spark.implicits._
+    // adversarial frame: duplicate scores (tie-break by id must not
+    // split across the stitch), null scores (one-past-the-end bucket),
+    // a null stratum (null-safe base join), scores outside [0,1]
+    // (edge-bucket clamp), and enough rows that small bucket counts
+    // genuinely multi-shard
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map { i =>
+      val lang = if (i % 11 == 0) null else s"l${i % 3}"
+      val score: java.lang.Double =
+        if (i % 13 == 0) null
+        else if (i % 17 == 0) 1.7 - (i % 5)  // outliers both sides
+        else math.rint(rnd.nextDouble() * 20) / 20.0 // many exact ties
+      (i, lang, 1L + i % 7, score)
+    }
+    val docs = rows.toDF("doc_id", "lang", "n_tokens", "q")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "sel_rank", "start_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val serial = key(Mix.budgetOf(docs, "doc_id", "lang", "n_tokens", "q", 300L))
+    for (buckets <- Seq(1, 2, 8, 1024))
+      assert(key(Mix.budgetOfSharded(docs, "doc_id", "lang", "n_tokens",
+        "q", 300L, buckets)) == serial, s"buckets=$buckets diverged")
+  }
+
+  test("no stratum-wide window over doc-grain data in the sharded " +
+    "assembly plans (the 100 TB dominant-language guard)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // every window partitioned by FEWER than two expressions must sit
+    // over an aggregate (the per-shard count/total base frames —
+    // metadata-sized by construction); a doc-grain frame reaching a
+    // stratum-only window is exactly the serialization the sharded
+    // paths exist to rule out
+    def hasAgg(p: SparkPlan): Boolean = p.collectFirst {
+      case _: BaseAggregateExec => true }.nonEmpty
+    def offenders(p: SparkPlan): Seq[WindowExec] = (p.collect {
+      case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
+      case w: WindowExec if w.partitionSpec.size < 2 && !hasAgg(w.child) =>
+        Seq(w)
+    }).flatten
+    for (q <- Seq("token_budget_select", "assemble_epochs")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // AQE finalizes the plan on execution
+      val bad = offenders(df.queryExecution.executedPlan)
+      assert(bad.isEmpty,
+        s"$q has ${bad.size} stratum-wide doc-grain window(s):\n" +
+          bad.mkString("\n"))
+    }
+  }
 }
