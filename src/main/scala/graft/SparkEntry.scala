@@ -27,7 +27,8 @@ object SparkEntry {
     "point_store_roundtrip", "point_store_changes", "point_store_follower",
     "dedup_clusters", "pipeline_curate", "dedup_incremental",
     "dedup_embedding_delta", "pipeline_curate_delta", "jsonl_roundtrip",
-    "point_store_sketch", "source_reputation_incremental")
+    "point_store_sketch", "source_reputation_incremental",
+    "curate_takedown")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -115,6 +116,7 @@ object SparkEntry {
     "pipeline_curate" -> (Pipeline.pipelineCurate _),
     // #50: the nightly funnel folded incrementally against persisted state
     "pipeline_curate_delta" -> (CurateStore.pipelineCurateDelta _),
+    "curate_takedown" -> (CurateStore.curateTakedown _),
     "cluster_zorder"  -> (Layout.clusterZorderQuery _),
     // sinks (#38): LSM point-table store — append/compact/merge-on-read
     "point_store_roundtrip" -> (graft.sources.PointStore.roundtrip _),
@@ -211,6 +213,7 @@ object SparkEntry {
     "pipeline_curate" -> Pipeline.pipelineCurateOracle,
     // build + night-fold + merge-on-read must land on the one-shot funnel
     "pipeline_curate_delta" -> CurateStore.pipelineCurateDeltaOracle,
+    "curate_takedown" -> CurateStore.curateTakedownOracle,
     "cluster_zorder"  -> Layout.clusterZorderOracle,
     "point_store_roundtrip" -> graft.sources.PointStore.roundtripOracle,
     "point_store_changes"   -> graft.sources.PointStore.changefeedOracle,

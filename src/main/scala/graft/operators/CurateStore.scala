@@ -787,32 +787,89 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     require(tableMembers("ids").contains(s"ids-$tag"),
       s"night '$tag' predates rollback support (no ids-$tag roster " +
         "member) — rebuild from the surviving nights instead")
-    val rbTag = s"rollback-$tag"
-    val idsT = spark.read.parquet(sfs.pathOf(s"ids-$tag"))
-    val nT = idsT.count()
     val nOld = docCount
-    val minOld = Curation.boilerplateMinDocs(nOld)
-    val minNew = Curation.boilerplateMinDocs(nOld - nT)
+    val idsT = spark.read.parquet(sfs.pathOf(s"ids-$tag"))
+    val nRemoved = removeDocsCore(s"rollback-$tag", s"rb-$tag", idsT, nOld)
+    // ---- the ONE commit point ----
+    // the night's roster flips from `ids:` (a live night's rollback
+    // record) to `deadids:` (the retained dead set the next compact()
+    // subtracts from windows/pairs before retiring it)
+    val memberLines = lines.filterNot(_.startsWith("#"))
+      .filterNot(_.startsWith("clusters:"))
+      .map(l => if (l == s"ids:ids-$tag") s"deadids:ids-$tag" else l) ++ Seq(
+      s"stats:stats-rb-$tag", s"strips:strips-rb-$tag",
+      s"clusters:clusters-rb-$tag")
+    val meta = lines.filter(_.startsWith("#"))
+      .filterNot(_.startsWith("#count:"))
+      .filterNot(_ == s"#tag:$tag")
+    sfs.atomicWrite(ManifestName,
+      (memberLines ++ Seq(s"#count:${nOld - nRemoved}") ++ meta ++
+        Seq(s"#rolledback:$tag")).mkString("\n").getBytes)
+    true
+  }
+
+  /** Takedown requests already committed ([[deleteDocs]]' ledger). */
+  def deleteTags: Set[String] =
+    manifestLines.collect { case l if l.startsWith("#deltag:") =>
+      l.stripPrefix("#deltag:") }.toSet
+
+  /** Doc-grain takedown — remove individual documents (copyright
+    * removal, user opt-out, PII discovery) from every read face, night
+    * membership notwithstanding: [[rollbackNight]]'s machinery pointed
+    * at an arbitrary id set instead of a night's roster. Ids not in the
+    * living corpus are ignored (the effective set is intersected with
+    * the live stats table, so re-deleting or deleting never-ingested
+    * ids is harmless); affected survivors' cross-document verdicts and
+    * strips are recomputed O(affected); the request roster lands as a
+    * `deadids:` member the next [[compact]] subtracts from windows /
+    * pairs before retiring it. Exactly-once per `tag` (the `#deltag:`
+    * ledger — separate from the night ledger, so a request id can never
+    * collide with a night or appear on the [[snapshotAt]] time axis).
+    * Deleted ids are RETIRED ([[DedupIndex.delete]]'s contract).
+    * health() keeps the nights' INGEST history unchanged — the series
+    * records what each drop brought, not the living corpus. Returns
+    * whether THIS call committed. */
+  def deleteDocs(tag: String, docIds: DataFrame): Boolean =
+      sfs.withWriterLease() {
+    val lines = manifestLines
+    if (deleteTags.contains(tag)) return false
+    require(tag.matches("[A-Za-z0-9._-]+"),
+      s"takedown tag '$tag' must be filesystem-safe ([A-Za-z0-9._-]+)")
+    val nOld = docCount
+    // the request roster, made durable first (the deadids member the
+    // compact-time reclaim reads; Overwrite — a crashed attempt's
+    // half-written dir is invisible until the flip)
+    writeMember(s"ids-del-$tag", docIds.select(col("doc_id")).distinct())
+    val idsT = spark.read.parquet(sfs.pathOf(s"ids-del-$tag"))
+    val nRemoved = removeDocsCore(s"delete-$tag", s"del-$tag", idsT, nOld)
+    val memberLines = lines.filterNot(_.startsWith("#"))
+      .filterNot(_.startsWith("clusters:")) ++ Seq(
+      s"deadids:ids-del-$tag",
+      s"stats:stats-del-$tag", s"strips:strips-del-$tag",
+      s"clusters:clusters-del-$tag")
+    val meta = lines.filter(_.startsWith("#"))
+      .filterNot(_.startsWith("#count:"))
+    sfs.atomicWrite(ManifestName,
+      (memberLines ++ Seq(s"#count:${nOld - nRemoved}") ++ meta ++
+        Seq(s"#deltag:$tag")).mkString("\n").getBytes)
+    true
+  }
+
+  /** The shared removal core of [[rollbackNight]] and [[deleteDocs]]:
+    * subtract the doc set's df/bench contributions, forget its
+    * signatures, tombstone its stats rows, recompute affected
+    * survivors' verdicts/strips/clusters — everything EXCEPT the
+    * manifest flip, which each caller owns (their ledger lines differ).
+    * `opTag` keys the idempotent sub-store mutations (a crashed
+    * operation retried converges); `suffix` namespaces the member
+    * writes (`stats-<suffix>` etc). Returns the number of LIVING docs
+    * removed (the #count delta) — the requested set is intersected with
+    * the live stats table, so dead/absent ids never double-decrement. */
+  private def removeDocsCore(opTag: String, suffix: String,
+      idsReq: DataFrame, nOld: Long): Long = {
     val keepCond = col("quality_score") >= Pipeline.QualityThreshold &&
       !col("repetitive") && !col("contaminated") && !col("boilerplate") &&
       col("doc_id") % Curation.BenchMod =!= 0
-
-    // the night's df/bench contributions, from the stored sets — made
-    // DURABLE before any mutation: once sigindex.delete commits, the
-    // signatures are gone and a crash-retry could no longer re-derive
-    // them (the guard is the delete's own ledger)
-    if (!sigindex.consumedTags.contains(rbTag)) {
-      val nightSh = sigindex.index
-        .join(idsT.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      writeMember(s"rbdf-$tag",
-        nightSh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
-      writeMember(s"rbbench-$tag",
-        nightSh.filter(col("doc_id") % Curation.BenchMod === 0)
-          .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs")))
-    }
-    val dfT = spark.read.parquet(sfs.pathOf(s"rbdf-$tag"))
-    val benchT = spark.read.parquet(sfs.pathOf(s"rbbench-$tag"))
 
     val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = {
@@ -820,12 +877,39 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       df
     }
     try {
+      val statsAll = pin(alive(latestWins(readTable("stats"), "doc_id")))
+      // the EFFECTIVE set: living docs only — deterministic across a
+      // crash-retry because the stats members only change at the flip
+      val idsT = pin(statsAll
+        .join(idsReq.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id")))
+      val nRemoved = idsT.count()
+      val minOld = Curation.boilerplateMinDocs(nOld)
+      val minNew = Curation.boilerplateMinDocs(nOld - nRemoved)
+
+      // the doc set's df/bench contributions, from the stored sets —
+      // made DURABLE before any mutation: once sigindex.delete commits,
+      // the signatures are gone and a crash-retry could no longer
+      // re-derive them (the guard is the delete's own ledger)
+      if (!sigindex.consumedTags.contains(opTag)) {
+        val setSh = sigindex.index
+          .join(idsT.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        writeMember(s"rbdf-$suffix",
+          setSh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+        writeMember(s"rbbench-$suffix",
+          setSh.filter(col("doc_id") % Curation.BenchMod === 0)
+            .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs")))
+      }
+      val dfT = spark.read.parquet(sfs.pathOf(s"rbdf-$suffix"))
+      val benchT = spark.read.parquet(sfs.pathOf(s"rbbench-$suffix"))
+
       // ---- subtract the additive stores; forget the signatures ----
-      dfStore.appendTagged(rbTag,
+      dfStore.appendTagged(opTag,
         dfT.select(col("shingle"), (-col("df")).as("df")))
-      benchStore.appendTagged(rbTag,
+      benchStore.appendTagged(opTag,
         benchT.select(col("shingle"), (-col("n_docs")).as("n_docs")))
-      sigindex.delete(rbTag, idsT)
+      sigindex.delete(opTag, idsT)
 
       // ---- common-set flips, both directions (df only shrinks, but
       // the threshold moves with the count, so shingles can ENTER) ----
@@ -850,7 +934,6 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       // probing their stored shingle sets by both change sets (the
       // curateNight probe shape, unhinted so AQE broadcasts the
       // delta-derived build sides and stored arrays never shuffle) ----
-      val statsAll = pin(alive(latestWins(readTable("stats"), "doc_id")))
       val statsPre = statsAll
         .join(idsT.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       val corpusRows = sigindex.index.select(col("doc_id"), col("sh"))
@@ -897,16 +980,16 @@ final class CurateStore private (spark: SparkSession, dir: String) {
           col("content_hash"), col("n_sh"), lit(false).as("_deleted"))
 
       // ---- member writes (invisible until the flip): overrides +
-      // tombstones for the night's docs in one stats member ----
-      writeMember(s"stats-rb-$tag", overrides.unionByName(
+      // tombstones for the removed docs in one stats member ----
+      writeMember(s"stats-$suffix", overrides.unionByName(
         idsT.select(col("doc_id"), lit(true).as("_deleted")),
         allowMissingColumns = true))
 
       // ---- strips for keepers whose text changed (common-set flips)
       // or who were JUST elected (their exact-dup keeper left with the
-      // night and had the only cleaned row) — storage-fed like the
-      // night's forward path ----
-      val statsRb = spark.read.parquet(sfs.pathOf(s"stats-rb-$tag"))
+      // removed set and had the only cleaned row) — storage-fed like
+      // the night's forward path ----
+      val statsRb = spark.read.parquet(sfs.pathOf(s"stats-$suffix"))
       val statsNew = statsPre
         .join(statsRb.select(col("doc_id")).hint("shuffle_hash"),
           Seq("doc_id"), "left_anti")
@@ -925,32 +1008,17 @@ final class CurateStore private (spark: SparkSession, dir: String) {
         Seq("doc_id"), "left_semi")
       val winAll = readTable("windows")
         .select(col("doc_id"), col("w"), col("whs"))
-      writeMember(s"strips-rb-$tag", Curation.stripFromWindows(
+      writeMember(s"strips-$suffix", Curation.stripFromWindows(
           winAll.join(stripIds, Seq("doc_id"), "left_semi"), newCommon)
         .select(col("doc_id"), col("cleaned")))
 
-      // ---- clusters re-materialized over the post-rollback keepers
-      // (pairs with a rolled-back endpoint are inert under the keeper
+      // ---- clusters re-materialized over the post-removal keepers
+      // (pairs with a removed endpoint are inert under the keeper
       // restriction; the rows themselves retire at the next compact) ----
-      writeMember(s"clusters-rb-$tag",
+      writeMember(s"clusters-$suffix",
         clusterLabels(keepersAfter, readTable("pairs").select(col("a"), col("b"))))
 
-      // ---- the ONE commit point ----
-      // the night's roster flips from `ids:` (a live night's rollback
-      // record) to `deadids:` (the retained dead set the next compact()
-      // subtracts from windows/pairs before retiring it)
-      val memberLines = lines.filterNot(_.startsWith("#"))
-        .filterNot(_.startsWith("clusters:"))
-        .map(l => if (l == s"ids:ids-$tag") s"deadids:ids-$tag" else l) ++ Seq(
-        s"stats:stats-rb-$tag", s"strips:strips-rb-$tag",
-        s"clusters:clusters-rb-$tag")
-      val meta = lines.filter(_.startsWith("#"))
-        .filterNot(_.startsWith("#count:"))
-        .filterNot(_ == s"#tag:$tag")
-      sfs.atomicWrite(ManifestName,
-        (memberLines ++ Seq(s"#count:${nOld - nT}") ++ meta ++
-          Seq(s"#rolledback:$tag")).mkString("\n").getBytes)
-      true
+      nRemoved
     } finally {
       pinned.foreach(_.unpersist(false))
     }
@@ -1177,4 +1245,38 @@ object CurateStore {
 
   /** Same result as the one-shot funnel — the whole point. */
   def pipelineCurateDeltaOracle: String = Pipeline.pipelineCurateOracle
+
+  /** `curate_takedown`: the doc-grain deletion lifecycle against a store
+    * on disk — build + one night (over HALF the table, keeping the
+    * bench entry half the weight of `pipeline_curate_delta`'s full
+    * lifecycle), then [[CurateStore.deleteDocs]] a takedown set spanning
+    * both nights with one redelivery (must commit nothing), and read the
+    * assembled result. The oracle is the one-shot funnel over the
+    * SURVIVING docs, so a hash match proves deletion re-derives every
+    * corpus-relative verdict (df threshold at the shrunken count,
+    * un-contamination, re-elections, re-strips) exactly as a pipeline
+    * that never ingested them. */
+  def curateTakedown(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId * 4 / 5
+    val dir = DedupIndex.freshRunDir("graft_curatetd_", d)
+    val store = build(docs.filter(col("doc_id") <= cut), dir.getPath)
+    store.curateNight("nightly", docs.filter(col("doc_id") > cut))
+    val gone = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    store.deleteDocs("takedown-1", gone)
+    store.deleteDocs("takedown-1", gone) // redelivered request: no-op
+    store.snapshot()
+  }
+
+  def curateTakedownOracle: String = {
+    val sub = "(SELECT * FROM documents " +
+      "WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3)"
+    // the funnel oracle references the table both bare and as `d` —
+    // rewrite the aliased site first so the bare rewrite cannot
+    // double-alias it
+    Pipeline.pipelineCurateOracle
+      .replace("FROM documents d", s"FROM $sub d")
+      .replace("FROM documents", s"FROM $sub documents")
+  }
 }

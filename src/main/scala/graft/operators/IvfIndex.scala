@@ -85,6 +85,10 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     lines.collect { case l if l.startsWith("#tag:") =>
       l.stripPrefix("#tag:") }.toSet
 
+  private def tombsOf(lines: Seq[String]): Seq[String] =
+    lines.collect { case l if l.startsWith("#tomb:") =>
+      l.stripPrefix("#tomb:") }
+
   /** Member data directories of the index (relative to `dir`): the
     * initial build plus one per tagged append. An index written before
     * the manifest existed is just its build dir. Snapshot-consistent
@@ -102,8 +106,52 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * EACH member's scan as a PartitionFilter, so pruning after appends
     * is identical to the single-root case (StreamingIndexSpec pins
     * it). */
-  def index: DataFrame =
-    members.map(m => spark.read.parquet(sfs.pathOf(m))).reduce(_ unionByName _)
+  def index: DataFrame = {
+    val rows =
+      members.map(m => spark.read.parquet(sfs.pathOf(m))).reduce(_ unionByName _)
+    applyTombs(rows, tombsOf(manifest))
+  }
+
+  /** Subtract tombstoned vectors ([[delete]]) — one anti-join whose
+    * build side is the takedown list, small by nature, so AQE
+    * broadcasts it under the cell-pruned scan and the (nv, codes)
+    * payload streams untouched. */
+  private def applyTombs(rows: DataFrame, ts: Seq[String]): DataFrame =
+    if (ts.isEmpty) rows
+    else rows.join(
+      ts.map(t => spark.read.parquet(sfs.pathOf(t))).reduce(_ unionByName _)
+        .select(col("neighbor_id")),
+      Seq("neighbor_id"), "left_anti")
+
+  /** Doc-grain deletion — the takedown verb ([[DedupIndex.delete]]'s
+    * pattern on the vector index): the id list lands in a tombstone dir
+    * published by a `#tomb:` manifest line; every read face (`index`,
+    * and with it search / searchPq(/Refine) / nearDupPairs / cellStats
+    * / occupancy) subtracts it as if the vectors were never indexed.
+    * [[rebalance]] applies the deletion PHYSICALLY — the retrained
+    * member excludes the rows and the `#tomb:` lines retire with its
+    * flip, the moment the bytes stop being scanned. Exactly-once per
+    * `tag` via the shared consumed-tag ledger; deleted ids are RETIRED
+    * (re-appending one is a contract violation — before the rebalance
+    * the tombstone would silently filter it, after it would resurface).
+    * Input: a `vec_id` column. Returns whether THIS call committed. */
+  def delete(tag: String, vecIds: DataFrame): Boolean = sfs.withWriterLease() {
+    val lines = readManifest()
+    if (tagsOf(lines)(tag)) return false
+    val seen = sfs.names() ++ tombsOf(lines)
+    val k = seen.collect {
+      case s if s.startsWith("tombs-") => s.stripPrefix("tombs-").toInt
+    }.foldLeft(-1)(math.max) + 1
+    val name = f"tombs-$k%03d"
+    vecIds.select(col("vec_id").as("neighbor_id")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf(name))
+    val meta = lines.filter(l => l.startsWith("#") && !l.startsWith("#tag:"))
+    val newLines = (membersOf(lines) ++ meta ++ Seq(s"#tomb:$name") ++
+      (tagsOf(lines) + tag).toSeq.sorted.map("#tag:" + _))
+    sfs.atomicWrite("_MEMBERS", newLines.mkString("\n").getBytes)
+    manifest = newLines
+    true
+  }
 
   /** Incremental maintenance: assign NEW vectors with the EXISTING
     * quantizer (cells AND PQ codebooks) and append their rows to the
@@ -206,7 +254,12 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     requireFreshQuantizers(lines) // same single-writer contract as the appends
     val mem = membersOf(lines)
     val tags = tagsOf(lines)
-    val all = mem.map(m => spark.read.parquet(sfs.pathOf(m))).reduce(_ unionByName _)
+    // tombstones applied through the rebuild read: the retrained member
+    // physically excludes deleted rows, and the flip below retires the
+    // #tomb lines with them
+    val all = applyTombs(
+        mem.map(m => spark.read.parquet(sfs.pathOf(m))).reduce(_ unionByName _),
+        tombsOf(lines))
       .select(col("neighbor_id").as("vec_id"), col("nv").as("embedding"))
     val cents = Ann.trainCentroids(all)
     val cb = Pq.trainCodebooks(all)

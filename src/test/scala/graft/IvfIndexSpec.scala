@@ -322,4 +322,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 != 0),
       s"appended half missing from PQ search: $ids")
   }
+
+  test("delete(vecIds): every search face equals an index never holding " +
+    "them; redelivery no-op; rebalance reclaims physically") {
+    val d = Files.createTempDirectory("graft_ivf_del").toString
+    val dRef = Files.createTempDirectory("graft_ivf_del_ref").toString
+    val emb = Tables.embeddings(spark, sf)
+    val gone = emb.filter(col("vec_id") % 9 === 1)
+    val kept = emb.filter(col("vec_id") % 9 =!= 1)
+    val idx = IvfIndex.buildFrom(emb, d)
+    // the reference shares the SAME quantizers (deletion must not change
+    // them — only a rebalance retrains), so exact search results compare
+    val ref = IvfIndex.buildFrom(kept, dRef, idx.centroids, idx.codebooks)
+
+    assert(idx.delete("takedown-1", gone.select(col("vec_id"))))
+    assert(!idx.delete("takedown-1", gone.select(col("vec_id"))),
+      "redelivered takedown must no-op")
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rs(idx.search(queries, Ann.K, nprobe = Ann.Cells)) ==
+      rs(ref.search(queries, Ann.K, nprobe = Ann.Cells)),
+      "exact search after delete must equal the never-indexed reference")
+    assert(rs(idx.searchPq(queries, Ann.K, nprobe = Ann.Cells)) ==
+      rs(ref.searchPq(queries, Ann.K, nprobe = Ann.Cells)))
+    assert(idx.index.join(gone.select(col("vec_id").as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi").count() == 0)
+    assert(idx.occupancy.total == kept.count())
+
+    // rebalance applies the deletion physically and retires the tombs
+    val reb = idx.rebalance()
+    val rebased = spark.read.parquet(
+      new java.io.File(d, new java.io.File(d).list()
+        .filter(_.startsWith("rebase-")).head).getPath)
+    assert(rebased.join(gone.select(col("vec_id").as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi").count() == 0,
+      "rebalanced member must physically exclude deleted rows")
+    assert(reb.index.count() == kept.count())
+    // the ledger survived the rebalance: the takedown stays consumed
+    assert(!reb.delete("takedown-1", gone.select(col("vec_id"))))
+  }
 }

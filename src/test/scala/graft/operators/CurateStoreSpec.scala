@@ -91,6 +91,53 @@ class CurateStoreSpec extends SparkSpec {
     assert(resultMap(store.snapshot()) == resultMap(ref.snapshot()))
   }
 
+  test("deleteDocs: takedowns spanning nights ≡ a store never holding " +
+    "those docs; absent ids harmless; redelivery no-op; bytes reclaimed") {
+    import spark.implicits._
+    val dirA = freshDir("graft_test_curate_del")
+    val dirB = freshDir("graft_test_curate_del_ref")
+    val corpus = docs.filter(col("doc_id") <= 399)
+    val delta = docs.filter(col("doc_id") > 399)
+    // the takedown set spans night-0 AND night-1 docs, includes bench-
+    // slice docs, plus ids never ingested (must be ignored, not crash
+    // or double-decrement)
+    val goneCond = col("doc_id") % 7 === 3
+    val gone = docs.filter(goneCond).select(col("doc_id"))
+      .unionByName(Seq(999991L, 999992L).toDF("doc_id"))
+    val store = CurateStore.build(corpus, dirA.getPath)
+    store.curateNight("n1", delta)
+    assert(store.deleteDocs("req-77", gone), "first delivery must commit")
+    assert(!store.deleteDocs("req-77", gone), "redelivery must no-op")
+
+    val ref = CurateStore.build(corpus.filter(!goneCond), dirB.getPath)
+    ref.curateNight("n1", delta.filter(!goneCond))
+    assert(store.docCount == ref.docCount)
+    assert(resultMap(store.snapshot()) == resultMap(ref.snapshot()),
+      "post-takedown snapshot must equal the never-ingested store")
+    // probe prices identically: the deleted docs' signatures, df and
+    // bench contributions are all gone
+    val batch = docs.filter(col("doc_id") % 7 === 3).limit(30)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"), col("lang"))
+    def pm(df: DataFrame) = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("keep"),
+        r.getAs[Long]("n_near_dup"), r.getAs[Boolean]("contaminated"),
+        r.getAs[Boolean]("boilerplate")))).toMap
+    assert(pm(store.probe(batch)) == pm(ref.probe(batch)))
+    // health keeps the ingest HISTORY (what each drop brought) — the
+    // series is unchanged by a takedown, unlike a rollback
+    assert(store.health().count() > 0)
+
+    // compaction makes the removal physical; results stable
+    store.compact(); store.vacuum()
+    assert(resultMap(store.snapshot()) == resultMap(ref.snapshot()))
+    val goneIds = docs.filter(goneCond).select(col("doc_id"))
+    val winFolded = spark.read.parquet(
+      new java.io.File(dirA, new java.io.File(dirA, "").list()
+        .filter(_.startsWith("windows-compact-")).head).getPath)
+    assert(winFolded.join(goneIds, Seq("doc_id"), "left_semi").count() == 0,
+      "folded windows must physically exclude taken-down docs")
+  }
+
   test("snapshotAt reads the curated corpus as of an earlier night; " +
     "loud past the compaction horizon and on unknown nights") {
     val dir = freshDir("graft_test_curate_tt")
