@@ -543,34 +543,51 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       val deltaSh = deltaRows
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
-      // ---- document-frequency fold: old/new common sets, their diff ----
-      val deltaDf = deltaSh.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
+      // ---- document-frequency fold: old/new common sets, their diff.
+      // ONE shuffle computes the night's df AND its benchmark-slice df
+      // (a conditional count beside the total — two grouped scans of
+      // the delta postings, pre-r13); the bench slice splits off as a
+      // filter over the pinned frame ----
+      val deltaDfBoth = pin(deltaSh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"),
+          count(when(col("doc_id") % Curation.BenchMod === 0, 1))
+            .as("n_docs")))
+      val deltaDf = deltaDfBoth.select(col("shingle"), col("df"))
       val oldDf = minusTag(dfStore, tag, deltaDf, "df")
-      val newDf = oldDf.select(col("shingle"), col("df").as("_do"))
+      // ONE full-join frame carries both nights' df per shingle, so the
+      // new common set AND the membership flips — from df growth AND
+      // the threshold move alike — are single-pass filters over it: the
+      // old/new sets are unique by shingle, so the flip set is exactly
+      // the rows whose two membership flags disagree (two except jobs +
+      // a union/distinct, pre-r13, shuffled the vocabulary three times
+      // for the same answer)
+      val dfBoth = pin(oldDf.select(col("shingle"), col("df").as("_do"))
         .join(deltaDf.select(col("shingle"), col("df").as("_dn")),
           Seq("shingle"), "full")
-        .select(col("shingle"),
+        .select(col("shingle"), coalesce(col("_do"), lit(0L)).as("_do"),
           (coalesce(col("_do"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
-            .as("df"))
-      val oldCommon = oldDf.filter(col("df") >= minDocsOld).select(col("shingle"))
+            .as("df")))
       val newCommon = pin(
-        newDf.filter(col("df") >= minDocsNew).select(col("shingle")))
-      // membership flips — from df growth AND the threshold move alike;
-      // only docs holding one of these can change boilerplate verdict
-      // or stripped text
-      val flipped = pin(oldCommon.except(newCommon)
-        .union(newCommon.except(oldCommon)))
+        dfBoth.filter(col("df") >= minDocsNew).select(col("shingle")))
+      // only docs holding a flipped shingle can change boilerplate
+      // verdict or stripped text
+      val flipped = pin(dfBoth
+        .filter((col("_do") >= minDocsOld) =!= (col("df") >= minDocsNew))
+        .select(col("shingle")))
 
       // ---- benchmark-set fold: contamination is monotone, so only
       // NEWLY-benchmark shingles need to probe the corpus ----
-      val deltaBenchDf = deltaSh
-        .filter(col("doc_id") % Curation.BenchMod === 0)
-        .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      val deltaBenchDf = deltaDfBoth.filter(col("n_docs") > 0)
+        .select(col("shingle"), col("n_docs"))
       val oldBench = minusTag(benchStore, tag, deltaBenchDf, "n_docs")
         .select(col("shingle"))
-      val newBenchSh = deltaBenchDf.select(col("shingle")).except(oldBench)
-      val fullBench = oldBench.union(deltaBenchDf.select(col("shingle"))).distinct()
+      // anti-join, not except: both sides are already unique by shingle,
+      // so the set difference needs no re-distinct. fullBench feeds only
+      // semi-joins, where build-side duplicates (a shingle benchmark in
+      // both nights) are harmless — no distinct pass either.
+      val newBenchSh = deltaBenchDf.select(col("shingle"))
+        .join(oldBench, Seq("shingle"), "left_anti")
+      val fullBench = oldBench.union(deltaBenchDf.select(col("shingle")))
 
       // ---- ONE probe of the stored corpus shingle sets by both
       // delta-derived sets. "Stored corpus" = the index minus tonight's
@@ -912,19 +929,20 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       sigindex.delete(opTag, idsT)
 
       // ---- common-set flips, both directions (df only shrinks, but
-      // the threshold moves with the count, so shingles can ENTER) ----
+      // the threshold moves with the count, so shingles can ENTER) —
+      // single-pass over one full-join frame, the curateNight shape ----
       val dfNow = dfStore.snapshot
-      val oldDf = dfNow.select(col("shingle"), col("df").as("_dn"))
+      val dfBoth = pin(dfNow.select(col("shingle"), col("df").as("_dn"))
         .join(dfT.select(col("shingle"), col("df").as("_dt")),
           Seq("shingle"), "full")
-        .select(col("shingle"),
+        .select(col("shingle"), coalesce(col("_dn"), lit(0L)).as("_dn"),
           (coalesce(col("_dn"), lit(0L)) + coalesce(col("_dt"), lit(0L)))
-            .as("df"))
-      val oldCommon = oldDf.filter(col("df") >= minOld).select(col("shingle"))
+            .as("_dold")))
       val newCommon = pin(
-        dfNow.filter(col("df") >= minNew).select(col("shingle")))
-      val flipped = oldCommon.except(newCommon)
-        .union(newCommon.except(oldCommon))
+        dfBoth.filter(col("_dn") >= minNew).select(col("shingle")))
+      val flipped = dfBoth
+        .filter((col("_dold") >= minOld) =!= (col("_dn") >= minNew))
+        .select(col("shingle"))
       val benchNow = pin(benchStore.snapshot.filter(col("n_docs") > 0)
         .select(col("shingle")))
       val removedBench = benchT.select(col("shingle"))
@@ -1247,10 +1265,11 @@ object CurateStore {
   def pipelineCurateDeltaOracle: String = Pipeline.pipelineCurateOracle
 
   /** `curate_takedown`: the doc-grain deletion lifecycle against a store
-    * on disk — build + one night (over HALF the table, keeping the
-    * bench entry half the weight of `pipeline_curate_delta`'s full
-    * lifecycle), then [[CurateStore.deleteDocs]] a takedown set spanning
-    * both nights with one redelivery (must commit nothing), and read the
+    * on disk — build over HALF the table (the lifecycle's cost at bench
+    * SF is per-job constants, so the entry is kept one build + one
+    * takedown; deletion ACROSS nights is CurateStoreSpec's
+    * reference-store pin), then [[CurateStore.deleteDocs]] a takedown
+    * set with one redelivery (must commit nothing), and read the
     * assembled result. The oracle is the one-shot funnel over the
     * SURVIVING docs, so a hash match proves deletion re-derives every
     * corpus-relative verdict (df threshold at the shrunken count,
@@ -1258,11 +1277,8 @@ object CurateStore {
     * that never ingested them. */
   def curateTakedown(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val cut = maxId * 4 / 5
     val dir = DedupIndex.freshRunDir("graft_curatetd_", d)
-    val store = build(docs.filter(col("doc_id") <= cut), dir.getPath)
-    store.curateNight("nightly", docs.filter(col("doc_id") > cut))
+    val store = build(docs, dir.getPath)
     val gone = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
     store.deleteDocs("takedown-1", gone)
     store.deleteDocs("takedown-1", gone) // redelivered request: no-op

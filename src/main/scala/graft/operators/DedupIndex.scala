@@ -45,6 +45,20 @@ import org.apache.spark.sql.functions._
   * index first; the tag ledger already covers the redelivery case).
   * Writes are single-writer-at-a-time, as for PointStore/IvfIndex.
   *
+  * SCHEMA EVOLUTION is a deliberate NON-GOAL for the shingle width:
+  * `#n:` is pinned at build time and every append derives it from the
+  * manifest, because the width is baked into every stored artifact —
+  * the shingle hashes, the MinHash signatures computed over them, and
+  * every Jaccard the index ever verified. A "migrated" width would
+  * need every document's TEXT re-kernelled, and the index does not
+  * retain text; there is no in-place path that isn't silently wrong.
+  * To change the width, re-run [[DedupIndex.build]] over the corpus
+  * into a FRESH directory and cut readers over — the same rebuild
+  * [[build]]'s in-place refusal already points at. (Contrast
+  * [[graft.sources.PointStore]], whose measure columns evolve
+  * additively: those are independent columns, not parameters of the
+  * stored values.)
+  *
   * Signature/band/shingle values are bit-identical to the one-shot path
   * (same kernel, same seed family), and candidate generation and verify
   * REUSE [[Dedup.minhashCandidates]]/[[Dedup.verifyJaccardOf]] on

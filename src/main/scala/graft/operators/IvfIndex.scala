@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   * ([[graft.functions.PqAdcAll]]). IvfIndexSpec pins both prunings in
   * the physical plan and equates the full-probe PQ search with the
   * global PQ ranking.
+  *
+  * SCHEMA EVOLUTION: the embedding DIMENSION is pinned by the build's
+  * quantizers — centroids and PQ codebooks are `dim`-length vectors,
+  * and every stored `nv`/`codes` row was normalized, assigned, and
+  * encoded against them, so a dimension change has no in-place
+  * migration that isn't silently wrong (appending a drifted-dim vector
+  * fails loudly in cell scoring — AdviceFixSpec pins it). Changing the
+  * embedding model (dim OR distribution) means re-embedding upstream
+  * and [[IvfIndex.buildFrom]] into a fresh directory. QUANTIZER
+  * evolution at a fixed dim, by contrast, is first-class:
+  * [[rebalance]] retrains centroids + codebooks on the current
+  * contents and re-encodes in place behind one atomic flip — drift in
+  * cell balance or codebook fit is an [[occupancy]]-alarmed rebalance,
+  * never a rebuild.
   */
 final class IvfIndex private (spark: SparkSession, dir: String) {
 
