@@ -343,22 +343,34 @@ object Mix {
     * exists to prevent); packing then runs per language in shuffle
     * order. The DuckDB oracle replays the identical three stages, so
     * the hash match proves the composed layout end-to-end. */
-  def assembleEpochs(s: SparkSession, d: String): DataFrame = {
-    val withToks = documents(s, d)
+  def assembleEpochs(s: SparkSession, d: String): DataFrame =
+    assembleWith(documents(s, d), Epochs, DefaultEpochs, ShuffleSeed,
+      Sampling.Budget, packShardSize = 512L)
+
+  /** The assembly RECIPE, parameterized — the face a training-infra
+    * caller holds (and the server's GET /assemble serves): any curated
+    * corpus frame with (doc_id, lang, text), any epoch-weight table,
+    * seed, and context budget. [[assembleEpochs]] is this under the
+    * registered constants; the oracle there proves the composition, so
+    * callers vary the recipe against a proven DAG. `packShardSize`
+    * defaults to [[Sampling.packOfSharded]]'s 2^20 scale default; the
+    * registered query passes 512 so driver SFs exercise real
+    * multi-shard stitches. */
+  def assembleWith(corpus: DataFrame, epochs: Seq[(String, Double)],
+                   defaultEpochs: Double, seed: String, budget: Long,
+                   packShardSize: Long = 1L << 20): DataFrame = {
+    val withToks = corpus
       .select(col("doc_id"), col("lang"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
-    val mixed = mixOf(withToks, "doc_id", "lang", Epochs, DefaultEpochs)
+    val mixed = mixOf(withToks, "doc_id", "lang", epochs, defaultEpochs)
       .withColumn("_mix_id", col("doc_id") * 128L + col("copy"))
-    val shuffled = shuffleOf(mixed, "_mix_id", ShuffleSeed)
+    val shuffled = shuffleOf(mixed, "_mix_id", seed)
     // packing runs the SHARDED path: shuffle_rank is a dense global
     // sequence, so rank-range shards are uniform by construction and
     // the dominant language never serializes through one window
-    // partition (packOf's scale caveat). shardSize is small so the
-    // driver SFs exercise real multi-shard stitches; the oracle's
-    // single window per stratum proves the stitch exact. At 100 TB use
-    // the default 2^20.
+    // partition (packOf's scale caveat).
     Sampling.packOfSharded(shuffled, "shuffle_rank", "lang", "n_tokens",
-        Sampling.Budget, shardSize = 512L)
+        budget, shardSize = packShardSize)
       .select(col("doc_id"), col("copy"), col("lang"), col("n_tokens"),
         col("shuffle_rank"), col("start_offset"), col("bin"),
         col("bin_offset"))

@@ -82,6 +82,21 @@ import java.nio.charset.StandardCharsets
   *                                      committed tag reports
   *                                      committed=false and changes
   *                                      nothing.
+  *   GET /assemble[?sf=DIR&seed=S&budget=N&epochs=en:2.3,de:1.5
+  *                 &default=W&limit=N]
+  *                                   → the training-mix assembly
+  *                                      RECIPE, parameterized: mix the
+  *                                      documents table under the given
+  *                                      epoch weights, shuffle under
+  *                                      the seed, pack to budget-token
+  *                                      contexts ([[graft.operators.Mix
+  *                                      .assembleWith]]); every omitted
+  *                                      param falls back to the
+  *                                      oracle-proven assemble_epochs
+  *                                      constants. Rows ordered by
+  *                                      batch layout (lang, bin,
+  *                                      bin_offset), bounded like
+  *                                      /query.
   *
   * The server holds ONE SparkSession; queries are declarative DataFrames,
   * so concurrent requests are just concurrent Spark jobs under the
@@ -464,6 +479,76 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           } catch { case e: Throwable =>
             respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
+      }
+    })
+    // the recipe face of the training-mix assembly: the parameterized
+    // mix → shuffle → pack DAG ([[graft.operators.Mix.assembleWith]])
+    // over a scale dir's documents table — the thing a training-infra
+    // caller actually asks for ("2.3 epochs of en under seed S, packed
+    // to 2048-token contexts"), served without registering a query per
+    // recipe. The registered assemble_epochs query carries the DuckDB
+    // oracle for the same composed DAG, so every recipe served here
+    // runs through a hash-proven composition; rows are bounded like
+    // /query and ordered by batch layout (lang, bin, bin_offset).
+    server.createContext("/assemble", (ex: HttpExchange) => {
+      try {
+        import org.apache.spark.sql.functions.col
+        val seed = param(ex, "seed").getOrElse(graft.operators.Mix.ShuffleSeed)
+        val budget = param(ex, "budget")
+          .map(p => scala.util.Try(p.toLong).toOption)
+        val dflt = param(ex, "default")
+          .map(p => scala.util.Try(p.toDouble).toOption)
+        val lim = param(ex, "limit")
+          .map(p => scala.util.Try(p.toInt).toOption)
+        // "en:2.3,de:1.5" — langs clamped to the id charset, weights
+        // numeric here; the RANGE contract ([0,64], no duplicate
+        // stratum) is mixOf's own require, surfaced below as a 400
+        val epochs = param(ex, "epochs").map { s =>
+          val parts = s.split(",", -1).toSeq.map(_.split(":", 2))
+          if (parts.exists(a => a.length != 2 ||
+              !a(0).matches("[A-Za-z0-9_-]+") ||
+              scala.util.Try(a(1).toDouble).isFailure)) None
+          else Some(parts.map(a => (a(0), a(1).toDouble)))
+        }
+        if (budget.contains(None) || budget.exists(_.exists(_ <= 0)))
+          respond(ex, 400, """{"error":"budget must be a positive integer"}""")
+        else if (dflt.contains(None))
+          respond(ex, 400, """{"error":"default must be a number"}""")
+        else if (lim.contains(None))
+          respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else if (epochs.contains(None))
+          respond(ex, 400,
+            """{"error":"epochs must be lang:weight[,lang:weight...]"}""")
+        else if (!seed.matches("[A-Za-z0-9._:-]{1,64}"))
+          respond(ex, 400, """{"error":"seed must be short and filesystem-safe"}""")
+        else resolveSf(param(ex, "sf")) match {
+          case None =>
+            respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
+          case Some(sf) =>
+            try {
+              val frame = graft.operators.Mix.assembleWith(
+                graft.Tables.documents(spark, sf),
+                epochs.flatten.getOrElse(graft.operators.Mix.Epochs),
+                dflt.flatten.getOrElse(graft.operators.Mix.DefaultEpochs),
+                seed,
+                budget.flatten.getOrElse(graft.operators.Sampling.Budget))
+              val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+              val rows = frame
+                .orderBy(col("lang"), col("bin"), col("bin_offset"),
+                  col("shuffle_rank"))
+                .limit(limit).toJSON.collect()
+              respond(ex, 200, rows.mkString("[", ",", "]"))
+            } catch {
+              // mixOf's weight-range / duplicate-stratum requires are
+              // caller errors, not server faults
+              case e: IllegalArgumentException =>
+                respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+                  .getOrElse("bad recipe").takeWhile(_ != '\n')
+                  .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            }
+        }
+      } catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
     })
     // plan visibility without execution cost: the FORMATTED physical

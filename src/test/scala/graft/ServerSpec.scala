@@ -284,4 +284,38 @@ class ServerSpec extends SparkSpec {
       assert(stc == 403)
     } finally srv.stop()
   }
+
+  test("GET /assemble serves the parameterized training-mix recipe") {
+    import org.apache.spark.sql.functions.col
+    val srv = new QueryServer(spark, sf)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // the default recipe IS the oracle-proven assemble_epochs layout
+      // (same constants, same composed DAG) — byte-identical rows under
+      // the route's total order
+      val (c, body) = get(port, "/assemble?limit=8")
+      assert(c == 200 && body.startsWith("[{") && body.contains("\"bin\""),
+        body.take(200))
+      val expect = graft.operators.Mix.assembleEpochs(spark, sf)
+        .orderBy(col("lang"), col("bin"), col("bin_offset"),
+          col("shuffle_rank"))
+        .limit(8).toJSON.collect().mkString("[", ",", "]")
+      assert(body == expect)
+      // a custom recipe is served: only en survives default=0, and the
+      // smaller budget re-bins the layout
+      val (cc, custom) = get(port,
+        "/assemble?epochs=en:1.0&default=0&budget=512&seed=alt&limit=8")
+      assert(cc == 200 && custom.startsWith("[{") && custom != body)
+      assert(!custom.contains("\"lang\":\"de\""), custom.take(200))
+      // recipe errors are caller errors (400), never 500s
+      assert(get(port, "/assemble?budget=0")._1 == 400)
+      assert(get(port, "/assemble?budget=abc")._1 == 400)
+      assert(get(port, "/assemble?epochs=en")._1 == 400)
+      // weight past mixOf's [0,64] contract surfaces its require as 400
+      assert(get(port, "/assemble?epochs=en:99")._1 == 400)
+      assert(get(port, "/assemble?seed=" + ("x" * 80))._1 == 400)
+      assert(get(port, "/assemble?sf=/etc")._1 == 403)
+    } finally srv.stop()
+  }
 }
