@@ -665,16 +665,35 @@ final class CurateStore private (spark: SparkSession, dir: String) {
           coalesce(col("n_sh"), lit(0L)).as("n_sh"))
 
       // ---- member writes (invisible until the manifest flip) ----
-      writeMember(s"stats-$tag", overrides.unionByName(deltaStats))
-      writeMember(s"pairs-$tag",
-        sigindex.pairsInvolvingRows(deltaRows, NearDupThreshold)
-          .select(col("a"), col("b")))
-      writeMember(s"windows-$tag", Curation.windowsOf(delta))
-      // the night's doc-id roster — [[rollbackNight]]'s durable record
-      // of WHICH docs this tag brought (per-night stats/windows members
-      // encode it only until a compaction folds them): 8 bytes per delta
-      // doc, never read by snapshot/probe, never folded
-      writeMember(s"ids-$tag", delta.select(col("doc_id")))
+      // The night's eager writes are ~20 SMALL jobs whose per-job
+      // constants (driver planning + scheduling) dominate at bench SF
+      // (PERF.md's decomposition) — so independent writes are SUBMITTED
+      // CONCURRENTLY and the wall clock pays max(), not sum(). Two
+      // parallel stages, split exactly at the data dependency: stage 1
+      // is everything derivable without the committed stats member
+      // (stats itself, pairs, windows, ids, and the df/bench sub-store
+      // folds — six jobs), stage 2 is the stats-dependent trio (strips,
+      // clusters, health). Concurrent actions on one SparkSession are
+      // the engine's native multi-tenancy; shared pinned frames
+      // materialize once (the cache manager's per-partition locks), and
+      // a failure in any job aborts the night BEFORE the manifest flip —
+      // the crash/retry contract is unchanged.
+      CurateStore.awaitAll(
+        () => writeMember(s"stats-$tag", overrides.unionByName(deltaStats)),
+        () => writeMember(s"pairs-$tag",
+          sigindex.pairsInvolvingRows(deltaRows, NearDupThreshold)
+            .select(col("a"), col("b"))),
+        () => writeMember(s"windows-$tag", Curation.windowsOf(delta)),
+        // the night's doc-id roster — [[rollbackNight]]'s durable record
+        // of WHICH docs this tag brought (per-night stats/windows members
+        // encode it only until a compaction folds them): 8 bytes per delta
+        // doc, never read by snapshot/probe, never folded
+        () => writeMember(s"ids-$tag", delta.select(col("doc_id"))),
+        // sub-store folds (idempotent under the tag; O(delta) writes;
+        // each store's writer lease is its OWN root — no contention
+        // with the night's lease on this store)
+        () => dfStore.appendTagged(tag, deltaDf),
+        () => benchStore.appendTagged(tag, deltaBenchDf))
 
       // ---- strips for tonight's NEW/CHANGED keepers, from stored
       // windows — never a text re-read. Keeper set: the committed stats
@@ -708,7 +727,6 @@ final class CurateStore private (spark: SparkSession, dir: String) {
           winAll.join(stripIds, Seq("doc_id"), "left_semi"),
           newCommon)
         .select(col("doc_id"), col("cleaned"))
-      writeMember(s"strips-$tag", strips)
 
       // ---- cluster labels MATERIALIZED at write time (tonight's
       // keepers over all stored pairs) — the one iterative computation
@@ -717,18 +735,20 @@ final class CurateStore private (spark: SparkSession, dir: String) {
       // rewritten per commit (it is O(pair-touched docs), not corpus). ----
       val pairsAll = readTable("pairs").select(col("a"), col("b"))
         .unionByName(spark.read.parquet(sfs.pathOf(s"pairs-$tag")))
-      writeMember(s"clusters-$tag", clusterLabels(keep, pairsAll))
 
-      // ---- sub-store folds (idempotent under the tag; O(delta) writes) ----
-      dfStore.appendTagged(tag, deltaDf)
-      benchStore.appendTagged(tag, deltaBenchDf)
-      // health metrics for THE DELTA alone: the stats member holds
-      // override rows for flip-affected corpus docs too, so restrict to
-      // tonight's ids (O(delta), AQE broadcasts it); shingles come from
-      // the committed signature member — zero extra text passes
-      healthStore.appendTagged(tag, CurateStore.healthPartial(lit(tag),
-        statsMember.join(delta.select(col("doc_id")), Seq("doc_id"), "left_semi"),
-        deltaSh))
+      // stage 2 of the concurrent submission: the stats-dependent trio
+      // (clusterLabels runs its loop inside its thunk — iterative, but
+      // driver-coordinated per round like the other two's single jobs)
+      CurateStore.awaitAll(
+        () => writeMember(s"strips-$tag", strips),
+        () => writeMember(s"clusters-$tag", clusterLabels(keep, pairsAll)),
+        // health metrics for THE DELTA alone: the stats member holds
+        // override rows for flip-affected corpus docs too, so restrict to
+        // tonight's ids (O(delta), AQE broadcasts it); shingles come from
+        // the committed signature member — zero extra text passes
+        () => healthStore.appendTagged(tag, CurateStore.healthPartial(lit(tag),
+          statsMember.join(delta.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+          deltaSh)))
 
       // ---- the ONE commit point ----
       val meta = lines.filter(_.startsWith("#"))
@@ -1047,6 +1067,29 @@ object CurateStore {
 
   private val ManifestName = "_CURATE"
 
+  /** Run independent eager actions as CONCURRENTLY SUBMITTED Spark jobs
+    * and wait for all of them — the night's fixed-overhead batching
+    * (driver planning and scheduling overlap; the cluster interleaves
+    * tasks under the session's scheduler). Fails with the FIRST
+    * failure after every thunk has settled, so a partial stage never
+    * leaves threads racing a thrown caller: nothing commits unless all
+    * succeed, preserving the eager-writes-then-one-manifest-flip
+    * contract. */
+  private def awaitAll(thunks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      val futs = thunks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = t()
+      }))
+      val errs = futs.flatMap { f =>
+        try { f.get(); None }
+        catch { case e: java.util.concurrent.ExecutionException =>
+          Some(e.getCause) }
+      }
+      errs.headOption.foreach(throw _)
+    } finally pool.shutdown()
+  }
+
   /** Directories that belong to the nested sub-stores, never to the
     * member namespace — [[CurateStore.vacuum]] must not touch them. */
   private val SubStoreDirs = Set("sigindex", "df", "bench", "health")
@@ -1141,13 +1184,22 @@ object CurateStore {
 
     val dfStore = new PointStore(spark, sfs.pathOf("df"),
       Seq("shingle"), Seq("df"), Nil)
-    dfStore.appendTagged("base",
-      post.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
     val benchStore = new PointStore(spark, sfs.pathOf("bench"),
       Seq("shingle"), Seq("n_docs"), Nil)
-    benchStore.appendTagged("base",
-      post.filter(col("doc_id") % Curation.BenchMod === 0)
-        .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs")))
+    // independent corpus-scale writes submitted concurrently (the
+    // curateNight fixed-overhead batching, applied to night 0): the two
+    // df-grain folds and the two text-independent members share the
+    // wall clock
+    awaitAll(
+      () => dfStore.appendTagged("base",
+        post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))),
+      () => benchStore.appendTagged("base",
+        post.filter(col("doc_id") % Curation.BenchMod === 0)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))),
+      () => idx.allPairs(NearDupThreshold).select(col("a"), col("b"))
+        .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("pairs-base")),
+      () => Curation.windowsOf(corpus)
+        .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("windows-base")))
     val common0 = dfStore.snapshot.filter(col("df") >= minDocs0)
       .select(col("shingle"))
     val bench0 = benchStore.snapshot.select(col("shingle"))
@@ -1181,11 +1233,6 @@ object CurateStore {
         coalesce(col("n_sh"), lit(0L)).as("n_sh"))
     stats0.write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("stats-base"))
 
-    idx.allPairs(NearDupThreshold).select(col("a"), col("b"))
-      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("pairs-base"))
-    Curation.windowsOf(corpus)
-      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("windows-base"))
-
     // strips for the night-0 keepers, storage-fed (stats + windows read
     // back from the members just written)
     val statsR = spark.read.parquet(sfs.pathOf("stats-base"))
@@ -1193,23 +1240,12 @@ object CurateStore {
       col("quality_score") >= Pipeline.QualityThreshold &&
         !col("repetitive") && !col("contaminated") && !col("boilerplate") &&
         col("doc_id") % Curation.BenchMod =!= 0)
+    // keep feeds TWO concurrent consumers below (strips + clusters) —
+    // pinned so the stats scan + election agg runs once
     val keep = surv.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winR = spark.read.parquet(sfs.pathOf("windows-base"))
-    Curation.stripFromWindows(
-        winR.join(keep.hint("shuffle_hash"), Seq("doc_id"), "left_semi"),
-        common0)
-      .select(col("doc_id"), col("cleaned"))
-      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("strips-base"))
-
-    // night-0 health row per lang, storage-fed like the strips (stats +
-    // signature rows read back from what was just written)
-    healthStoreAt(spark, sfs).appendTagged("base",
-      healthPartial(lit("base"), statsR, post))
-
-    // cluster labels materialized like every later commit does (the
-    // handle's clusterLabels needs a loaded store, so inline the same
-    // two-semi-join + components shape over the written pairs member)
     val pairsR = spark.read.parquet(sfs.pathOf("pairs-base"))
       .select(col("a"), col("b"))
     val kp = pairsR
@@ -1217,8 +1253,23 @@ object CurateStore {
         Seq("a"), "left_semi")
       .join(keep.withColumnRenamed("doc_id", "b").hint("shuffle_hash"),
         Seq("b"), "left_semi")
-    Dedup.connectedComponents(kp).withColumnRenamed("node", "doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("clusters-base"))
+    // the stats-dependent trio, concurrently like curateNight's stage 2
+    try awaitAll(
+      () => Curation.stripFromWindows(
+          winR.join(keep.hint("shuffle_hash"), Seq("doc_id"), "left_semi"),
+          common0)
+        .select(col("doc_id"), col("cleaned"))
+        .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("strips-base")),
+      // night-0 health row per lang, storage-fed like the strips (stats +
+      // signature rows read back from what was just written)
+      () => healthStoreAt(spark, sfs).appendTagged("base",
+        healthPartial(lit("base"), statsR, post)),
+      // cluster labels materialized like every later commit does (the
+      // handle's clusterLabels needs a loaded store, so inline the same
+      // two-semi-join + components shape over the written pairs member)
+      () => Dedup.connectedComponents(kp).withColumnRenamed("node", "doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(sfs.pathOf("clusters-base")))
+    finally keep.unpersist(false)
 
     sfs.atomicWrite(ManifestName, Seq(
       "stats:stats-base", "pairs:pairs-base",
