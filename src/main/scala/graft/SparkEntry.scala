@@ -68,6 +68,8 @@ object SparkEntry {
     // #49b: incremental embedding-delta dedup against the persisted IVF index
     "dedup_embedding_delta" -> (Ann.dedupEmbeddingDelta _),
     "ann_topk"        -> (Ann.annTopk _),
+    // attribute-filtered exact search (neighbors within the query's label)
+    "ann_filtered"    -> (Ann.annFiltered _),
     "ann_ivf"         -> (Ann.annIvf _),
     "ann_pq"          -> (Pq.annPq _),
     "ann_pq_refine"   -> (Pq.annPqRefine _),
@@ -165,6 +167,7 @@ object SparkEntry {
     // incremental build/append/probe must land on the one-shot pairs
     "dedup_embedding_delta" -> Ann.dedupEmbeddingOracle,
     "ann_topk"        -> Ann.annTopkOracle,
+    "ann_filtered"    -> Ann.annFilteredOracle,
     // PQ candidates + exact re-rank restore the brute-force answer
     // (KRefine carries a measured 2.3-3× margin over the deepest true
     // top-10 position in the ADC ranking — the exact-regime pattern)

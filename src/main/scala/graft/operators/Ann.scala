@@ -108,6 +108,54 @@ object Ann {
     SELECT qid AS query_id, rank, neighbor_id
     FROM ranked WHERE rank <= $K"""
 
+  // ------------------------------------------------------- filtered search
+
+  /** `ann_filtered`: attribute-FILTERED exact top-k — each query's
+    * neighbors are drawn only from corpus vectors sharing its `label`
+    * (the production vector-search shape: "nearest within my category /
+    * tenant / license class"). The label constraint is an EQUI-join key,
+    * so the plan is a broadcast HASH join on label (not the all-pairs
+    * scan `ann_topk` needs) — the filter prunes candidate pairs before a
+    * single dot product runs; at 100 TB with L labels the scan cost
+    * drops by ~L×. The scale path over a persisted index is
+    * [[IvfIndex.search]]/[[IvfIndex.searchPqRefine]] with an
+    * `allowedIds` frame — any predicate over any metadata table reduces
+    * to an id set, so the index needs no attribute columns (and a
+    * full-probe filtered search is spec-pinned equal to this exact
+    * ranking in AnnSpec). */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val nemb = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("nv"))
+    val q = nemb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("nv").as("qv"))
+    rankTopk(
+      broadcast(q)
+        .join(nemb.select(col("vec_id").as("neighbor_id"), col("label"),
+            col("nv")),
+          col("label") === col("qlabel") && col("qid") =!= col("neighbor_id"))
+        .withColumn("c", dot(col("qv"), col("nv"))))
+  }
+
+  def annFilteredOracle: String = s"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS c
+      FROM q JOIN embeddings e
+        ON e.label = q.qlabel AND e.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, neighbor_id,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT qid AS query_id, rank, neighbor_id
+    FROM ranked WHERE rank <= $K"""
+
   // ------------------------------------------------------------------ IVF
 
   val Cells = 32

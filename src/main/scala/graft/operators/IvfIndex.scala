@@ -289,12 +289,39 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     IvfIndex.load(spark, dir)
   }
 
+  /** Candidate restriction for filtered search: semi-join the pruned
+    * index scan against the caller's allowed-id frame (its single
+    * column is taken as the id). Runs BEFORE any distance computation;
+    * broadcast-vs-shuffle is left to the planner/AQE — the allowed set
+    * may be ten ids (a tenant) or most of the corpus (a license
+    * class). */
+  private def allow(pruned: DataFrame, allowedIds: Option[DataFrame]): DataFrame =
+    allowedIds match {
+      case None => pruned
+      case Some(ids) =>
+        val idCol = ids.columns.head
+        pruned.join(ids.select(col(idCol).as("neighbor_id")).distinct(),
+          Seq("neighbor_id"), "left_semi")
+    }
+
   /** Top-k neighbors for (qid, qv double-array) queries over the probed
-    * cells only, scored EXACTLY on the stored vectors. */
-  def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    * cells only, scored EXACTLY on the stored vectors.
+    *
+    * `allowedIds` (one `neighbor_id`-compatible id column) restricts
+    * candidates to that set — ATTRIBUTE-FILTERED search. Any predicate
+    * over any metadata table reduces to an id frame, so the index never
+    * stores attributes; the semi-join lands on the cell-pruned codes
+    * scan, before a single distance is computed. At full probe the
+    * filtered ranking is EXACT over the allowed set (AnnSpec pins it
+    * against `ann_filtered`'s oracle ranking); at partial probe the
+    * usual IVF recall trade applies per allowed-set density — when the
+    * filter is highly selective, raise nprobe (the standard filtered-
+    * IVF discipline). */
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+             allowedIds: Option[DataFrame] = None): DataFrame = {
     val probed = probedOf(queries, nprobe)
     val cells = probedCells(probed)
-    val pruned = index.filter(col("cell").isin(cells: _*))
+    val pruned = allow(index.filter(col("cell").isin(cells: _*)), allowedIds)
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("neighbor_id"))
     broadcast(probed)
       .join(pruned, Seq("cell"))
@@ -314,8 +341,9 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * whole query batch come from one [[graft.functions.PqAdcAll]] kernel
     * pass; the probed (qid, cell) pairs then keep each candidate only
     * for the queries that actually probe its cell. */
-  def searchPq(queries: DataFrame, k: Int, nprobe: Int): DataFrame =
-    adcRanked(queries, k, nprobe) match {
+  def searchPq(queries: DataFrame, k: Int, nprobe: Int,
+               allowedIds: Option[DataFrame] = None): DataFrame =
+    adcRanked(queries, k, nprobe, allowedIds) match {
       case None => IvfIndex.emptyTopk(spark)
       case Some((ranked, _)) =>
         ranked.select(col("qid").as("query_id"),
@@ -326,7 +354,8 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * c) plus the probed cell list — or None for an empty workload.
     * Shared by [[searchPq]] (rename and done) and [[searchPqRefine]]
     * (candidate stage). */
-  private def adcRanked(queries: DataFrame, k: Int, nprobe: Int)
+  private def adcRanked(queries: DataFrame, k: Int, nprobe: Int,
+                        allowedIds: Option[DataFrame] = None)
       : Option[(DataFrame, Seq[Int])] = {
     val cb = codebooks
     val probed = probedOf(queries, nprobe)
@@ -337,7 +366,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
       .sortBy(_._1)
     if (qluts.isEmpty) return None
     val qids = qluts.map(_._1)
-    val pruned = index.filter(col("cell").isin(cells: _*))
+    val pruned = allow(index.filter(col("cell").isin(cells: _*)), allowedIds)
       .select(col("neighbor_id"), col("codes"), col("cell"))
     val scored = pruned
       .select(col("neighbor_id"), col("cell"),
@@ -366,10 +395,11 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * recall@10 lift and pins the codes-only candidate scan). Ties rank
     * like [[search]] (cosine desc, neighbor_id asc). */
   def searchPqRefine(queries: DataFrame, k: Int, nprobe: Int,
-                     kRefine: Int): DataFrame = {
+                     kRefine: Int,
+                     allowedIds: Option[DataFrame] = None): DataFrame = {
     require(kRefine >= k,
       s"searchPqRefine: kRefine ($kRefine) must be >= k ($k)")
-    adcRanked(queries, kRefine, nprobe) match {
+    adcRanked(queries, kRefine, nprobe, allowedIds) match {
       case None => IvfIndex.emptyTopk(spark)
       case Some((cand, cells)) =>
         val candIds = cand.select(col("qid"), col("neighbor_id"))

@@ -29,6 +29,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("attribute-filtered search: full-probe allowed-set search equals " +
+      "the exact filtered ranking; PQ+refine agrees; partial probe never " +
+      "leaks a disallowed id") {
+    val idx = IvfIndex.load(spark, indexDir)
+    val emb = Tables.embeddings(spark, sf)
+    // the predicate: neighbors within each query's OWN label. A filtered-
+    // search caller holds one predicate per request, so the per-label id
+    // frame + that label's queries is the request shape; the union over
+    // labels must equal ann_filtered's exact oracle ranking.
+    val labels = emb.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    def reqOf(l: Int) = (
+      emb.filter(col("vec_id") % 100 === 0 && col("label") === l)
+        .select(col("vec_id").as("qid"),
+          normalize(toDouble(col("embedding"))).as("qv")),
+      emb.filter(col("label") === l).select(col("vec_id")))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Ann.annFiltered(spark, sf))
+    val got = labels.flatMap { l =>
+      val (qs, allowed) = reqOf(l)
+      rows(idx.search(qs, Ann.K, nprobe = Ann.Cells,
+        allowedIds = Some(allowed)))
+    }.toSet
+    assert(got == exact)
+    // PQ + exact refine at full probe/full refine lands on the same
+    // filtered ranking (refine re-ranks by true cosine)
+    val l0 = labels.head
+    val (qs0, allowed0) = reqOf(l0)
+    val q0ids = qs0.collect().map(_.getLong(0)).toSet
+    val refined = rows(idx.searchPqRefine(qs0, Ann.K, nprobe = Ann.Cells,
+      kRefine = 1000000, allowedIds = Some(allowed0)))
+    assert(refined == exact.filter(t => q0ids.contains(t._1)))
+    // a partial probe may lose recall but must NEVER leak outside the
+    // allowed set
+    val partial = rows(idx.search(qs0, Ann.K, nprobe = 2,
+      allowedIds = Some(allowed0)))
+    val allowedSet = allowed0.collect().map(_.getLong(0)).toSet
+    assert(partial.forall(t => allowedSet.contains(t._3)))
+  }
+
   test("incremental append: build on half the corpus, append the rest, search sees all") {
     val d = Files.createTempDirectory("graft_ivf_inc").toString
     val emb = Tables.embeddings(spark, sf)

@@ -153,4 +153,29 @@ class MixSpec extends SparkSpec {
           bad.mkString("\n"))
     }
   }
+
+  test("assembleWith composes over the CURATED corpus: the funnel's kept " +
+      "docs flow into a deterministic, complete batch layout") {
+    import graft.operators.Dedup
+    // the two pipeline halves end-to-end: curation's stripped keepers
+    // become the assembly's corpus (cleaned text is what trains)
+    val curated = graft.operators.Pipeline.pipelineCurate(spark, sf)
+      .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Mix.assembleWith(c, Seq("en" -> 1.5), 1.0, "seed-x", 256L,
+        packShardSize = 64L)
+    val a = run(curated).collect()
+    assert(a.nonEmpty)
+    // reproducible from the recipe on ANY partitioning (the resumed-run
+    // property), and every scheduled (doc, copy) appearance lands in
+    // exactly one batch slot
+    assert(run(curated.repartition(7)).collect().toSet == a.toSet)
+    val apps = a.map(r => (r.getLong(0), r.getLong(1)))
+    assert(apps.distinct.length == apps.length)
+    // token counts are measured on the CURATED text, not the raw corpus
+    val toks = curated.select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.forall(r => toks(r.getLong(0)) == r.getAs[Long]("n_tokens")))
+  }
 }
