@@ -82,6 +82,37 @@ import java.nio.charset.StandardCharsets
   *                                      committed tag reports
   *                                      committed=false and changes
   *                                      nothing.
+  *   POST /probe/ann?index=<name>[&k=&nprobe=&mode=exact|pq|refine
+  *                  &kRefine=&allowed=1,2,3]
+  *                                   → top-k neighbors for the posted
+  *                                      query batch (JSON rows of
+  *                                      {"qid","qv":[...]}) from a
+  *                                      persisted [[graft.operators
+  *                                      .IvfIndex]] under `indexRoot`:
+  *                                      the vector-search service face.
+  *                                      mode picks the read path
+  *                                      (exact cosine over probed
+  *                                      cells / ADC over PQ codes /
+  *                                      ADC + exact re-rank); `allowed`
+  *                                      restricts neighbors to an id
+  *                                      set (attribute-filtered
+  *                                      search — any metadata predicate
+  *                                      reduces to one).
+  *   POST /takedown/curate?store=<name>&tag=<reqid>
+  *   POST /takedown/ann?index=<name>&tag=<reqid>
+  *                                   → doc-grain deletion over the wire
+  *                                      (the compliance write: takedown
+  *                                      / opt-out / PII removal arrives
+  *                                      as an API call in production).
+  *                                      Body = JSON rows of {doc_id} /
+  *                                      {vec_id}; the store's own
+  *                                      takedown verb runs under its
+  *                                      writer lease, committed derives
+  *                                      from the verb's return, and a
+  *                                      redelivered request tag answers
+  *                                      committed=false — exactly-once
+  *                                      on the store's ledger, zero
+  *                                      server state.
   *   GET /assemble[?sf=DIR&seed=S&budget=N&epochs=en:2.3,de:1.5
   *                 &default=W&limit=N]
   *                                   → the training-mix assembly
@@ -339,6 +370,93 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           }
       }
     })
+    // the vector-search face: POST query vectors, get top-k neighbors
+    // from a persisted IvfIndex under the index root — exact, PQ, or
+    // PQ+refine read path, with optional attribute filtering via an
+    // allowed-id list (any metadata predicate reduces to an id set; the
+    // service caller ships the set, the library caller ships a frame).
+    // Same transport discipline as /probe/dedup.
+    server.createContext("/probe/ann", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405, """{"error":"POST a JSON batch of {qid, qv}"}""")
+      else (indexRoot, param(ex, "index")) match {
+        case (None, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None) =>
+          respond(ex, 400, """{"error":"index param required"}""")
+        case (Some(root), Some(name)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val k = param(ex, "k").map(p => scala.util.Try(p.toInt).toOption)
+          val nprobe = param(ex, "nprobe")
+            .map(p => scala.util.Try(p.toInt).toOption)
+          val kRefine = param(ex, "kRefine")
+            .map(p => scala.util.Try(p.toInt).toOption)
+          val mode = param(ex, "mode").getOrElse("exact")
+          val allowed = param(ex, "allowed").map { s =>
+            val ids = s.split(",").toSeq.map(v => scala.util.Try(v.trim.toLong).toOption)
+            if (ids.isEmpty || ids.contains(None)) None else Some(ids.flatten)
+          }
+          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"index not under the index root"}""")
+          else if (Seq(k, nprobe, kRefine).exists(_.contains(None)) ||
+              Seq(k, nprobe, kRefine).exists(_.exists(_.exists(_ <= 0))))
+            respond(ex, 400,
+              """{"error":"k, nprobe, kRefine must be positive integers"}""")
+          else if (!Seq("exact", "pq", "refine").contains(mode))
+            respond(ex, 400, """{"error":"mode must be exact|pq|refine"}""")
+          else if (allowed.contains(None))
+            respond(ex, 400,
+              """{"error":"allowed must be a comma-separated id list"}""")
+          // a freshly BUILT index has no _MEMBERS yet (the manifest is
+          // born at the first tagged append/rebalance) — the build-time
+          // `index` member dir is the presence marker either way
+          else if (!new java.io.File(dir, "_MEMBERS").exists() &&
+              !new java.io.File(dir, "index").isDirectory)
+            respond(ex, 404, s"""{"error":"no ivf index named '$name'"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            import graft.functions.VectorOps
+            val idx = graft.operators.IvfIndex.load(spark, dir.getPath)
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            import spark.implicits._
+            val qs = spark.read.schema("qid LONG, qv ARRAY<DOUBLE>")
+              .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+              .cache()
+            try {
+              val bad = qs.filter(col("qid").isNull || col("qv").isNull).count()
+              if (qs.count() == 0 || bad > 0)
+                respond(ex, 400,
+                  """{"error":"body must be JSON rows of {qid, qv:[...]}"}""")
+              else {
+                val queries = qs.select(col("qid"),
+                  VectorOps.normalize(col("qv")).as("qv"))
+                val kk = k.flatten.getOrElse(graft.operators.Ann.K)
+                val np = nprobe.flatten.getOrElse(graft.operators.Ann.NProbe)
+                val allowedDf = allowed.flatten
+                  .map(ids => ids.toDF("vec_id"))
+                val res = mode match {
+                  case "exact" => idx.search(queries, kk, np, allowedDf)
+                  case "pq"    => idx.searchPq(queries, kk, np, allowedDf)
+                  case "refine" => idx.searchPqRefine(queries, kk, np,
+                    kRefine.flatten.getOrElse(kk * 8), allowedDf)
+                }
+                val rows = res.orderBy(col("query_id"), col("rank"))
+                  .limit(MaxLimit).toJSON.collect()
+                respond(ex, 200, rows.mkString("[", ",", "]"))
+              }
+            } finally qs.unpersist(false)
+          } catch {
+            case e: IllegalArgumentException =>
+              respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("bad request").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
     // the pre-ingest face of the curation surface: POST a batch, learn
     // whether curation would keep it — same transport discipline as
     // /probe/dedup (schema-enforced body, canonicalize-under-root store
@@ -476,6 +594,121 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   }
                 } finally docs.unpersist(false)
             }
+          } catch { case e: Throwable =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the COMPLIANCE face of the persisted family: doc-grain deletion
+    // (copyright takedown, opt-out, PII discovery) is the write that in
+    // production arrives over an API, not a notebook — POST the id
+    // roster with a request tag and the store's own takedown verb runs
+    // under its writer lease. Exactly-once like /ingest/curate: the tag
+    // rides the store's #deltag: / consumed-tag ledger, so a redelivered
+    // request answers committed=false and changes nothing; committed
+    // derives from the verb's OWN return (no pre-check TOCTOU).
+    server.createContext("/takedown/curate", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405,
+          """{"error":"POST JSON rows of {doc_id} with ?store=&tag="}""")
+      else (indexRoot, param(ex, "store"), param(ex, "tag")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None, _) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (_, _, None) =>
+          respond(ex, 400, """{"error":"tag param required (the request id redeliveries are judged by)"}""")
+        case (Some(root), Some(name), Some(tag)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the index root"}""")
+          else if (!tag.matches("[A-Za-z0-9._-]+"))
+            respond(ex, 400,
+              """{"error":"tag must be filesystem-safe ([A-Za-z0-9._-]+)"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val loaded =
+              try Some(graft.operators.CurateStore.load(spark, dir.getPath))
+              catch { case e: RuntimeException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("no curate store") =>
+                None
+              }
+            loaded match {
+              case None =>
+                respond(ex, 404, s"""{"error":"no curate store named '$name'"}""")
+              case Some(store) =>
+                val body = new String(ex.getRequestBody.readAllBytes(),
+                  StandardCharsets.UTF_8)
+                import spark.implicits._
+                val ids = spark.read.schema("doc_id LONG")
+                  .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+                  .cache()
+                try {
+                  val n = ids.count()
+                  val bad = ids.filter(col("doc_id").isNull).count()
+                  if (n == 0 || bad > 0)
+                    respond(ex, 400,
+                      """{"error":"body must be JSON rows of {doc_id}"}""")
+                  else {
+                    val committed = store.deleteDocs(tag, ids)
+                    respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+                      s""""committed":$committed,"doc_count":${store.docCount}}""")
+                  }
+                } finally ids.unpersist(false)
+            }
+          } catch { case e: Throwable =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the vector twin: tombstone a vec_id roster out of a persisted
+    // IvfIndex — every read face subtracts immediately, the next
+    // rebalance reclaims physically. Same ledger idempotence.
+    server.createContext("/takedown/ann", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405,
+          """{"error":"POST JSON rows of {vec_id} with ?index=&tag="}""")
+      else (indexRoot, param(ex, "index"), param(ex, "tag")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None, _) =>
+          respond(ex, 400, """{"error":"index param required"}""")
+        case (_, _, None) =>
+          respond(ex, 400, """{"error":"tag param required (the request id redeliveries are judged by)"}""")
+        case (Some(root), Some(name), Some(tag)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"index not under the index root"}""")
+          else if (!tag.matches("[A-Za-z0-9._-]+"))
+            respond(ex, 400,
+              """{"error":"tag must be filesystem-safe ([A-Za-z0-9._-]+)"}""")
+          else if (!new java.io.File(dir, "_MEMBERS").exists() &&
+              !new java.io.File(dir, "index").isDirectory)
+            respond(ex, 404, s"""{"error":"no ivf index named '$name'"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val idx = graft.operators.IvfIndex.load(spark, dir.getPath)
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            import spark.implicits._
+            val ids = spark.read.schema("vec_id LONG")
+              .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+              .cache()
+            try {
+              val n = ids.count()
+              val bad = ids.filter(col("vec_id").isNull).count()
+              if (n == 0 || bad > 0)
+                respond(ex, 400,
+                  """{"error":"body must be JSON rows of {vec_id}"}""")
+              else {
+                val committed = idx.delete(tag, ids)
+                respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
+                  s""""committed":$committed}""")
+              }
+            } finally ids.unpersist(false)
           } catch { case e: Throwable =>
             respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }

@@ -109,6 +109,124 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /probe/ann serves vector search from a persisted index " +
+      "over a real socket") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorOps._
+    import graft.operators.{Ann, IvfIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft_annroot").toString
+    IvfIndex.build(spark, sf, s"$root/vecs")
+    val idx = IvfIndex.load(spark, s"$root/vecs")
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        normalize(toDouble(col("embedding"))).as("qv"))
+
+    val srv = new QueryServer(spark, sf, indexRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val body = queries.toJSON.collect().mkString("\n")
+      def rows(s: String): Set[(Long, Long, Long)] =
+        """"query_id":(\d+),"rank":(\d+),"neighbor_id":(\d+)""".r
+          .findAllMatchIn(s)
+          .map(m => (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong))
+          .toSet
+      // exact full-probe over the socket ≡ the library's exact search
+      val (ec, eBody) = post(port,
+        s"/probe/ann?index=vecs&mode=exact&nprobe=${Ann.Cells}", body)
+      assert(ec == 200, eBody)
+      val want = idx.search(queries, Ann.K, Ann.Cells)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(eBody) == want && want.nonEmpty)
+      // refine path answers (approximate at partial probe — just shape
+      // plus boundedness here; equivalences are IvfIndexSpec's)
+      val (rc, rBody) = post(port, "/probe/ann?index=vecs&mode=refine&k=5", body)
+      assert(rc == 200 && rows(rBody).nonEmpty &&
+        rows(rBody).forall(_._2 <= 5))
+      // attribute filter: all results inside the allowed list
+      val allowedIds = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+        .collect().map(_.getLong(0))
+      val (fc, fBody) = post(port,
+        s"/probe/ann?index=vecs&mode=exact&nprobe=${Ann.Cells}" +
+          s"&allowed=${allowedIds.mkString(",")}", body)
+      assert(fc == 200 && rows(fBody).nonEmpty &&
+        rows(fBody).forall(t => allowedIds.contains(t._3)), fBody.take(200))
+
+      // guardrails
+      assert(get(port, "/probe/ann?index=vecs")._1 == 405)
+      assert(post(port, "/probe/ann?index=nope", body)._1 == 404)
+      assert(post(port, "/probe/ann?index=..%2Fvecs", body)._1 == 403)
+      assert(post(port, "/probe/ann?index=vecs&k=0", body)._1 == 400)
+      assert(post(port, "/probe/ann?index=vecs&mode=warp", body)._1 == 400)
+      assert(post(port, "/probe/ann?index=vecs&allowed=a,b", body)._1 == 400)
+      assert(post(port, "/probe/ann?index=vecs", """{"junk":1}""")._1 == 400)
+    } finally srv.stop()
+  }
+
+  test("POST /takedown/curate and /takedown/ann delete doc rosters over " +
+      "a real socket; redelivered request tags are committed=false no-ops") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorOps._
+    import graft.operators.{Ann, CurateStore, IvfIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft_tdroot").toString
+    val docs = Tables.documents(spark, sf)
+    CurateStore.build(docs, s"$root/docs")
+    IvfIndex.build(spark, sf, s"$root/vecs")
+
+    val srv = new QueryServer(spark, sf, indexRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // a takedown roster: every 17th doc (some kept, some already dead
+      // to the funnel — absent/dead ids must be harmless)
+      val gone = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val body = gone.toSeq.sorted.map(i => s"""{"doc_id":$i}""").mkString("\n")
+
+      val (tc, tBody) = post(port, "/takedown/curate?store=docs&tag=req-9", body)
+      assert(tc == 200 && tBody.contains("\"committed\":true"), tBody)
+      // redelivery: no-op, the ledger answers
+      val (rc2, rBody) = post(port, "/takedown/curate?store=docs&tag=req-9", body)
+      assert(rc2 == 200 && rBody.contains("\"committed\":false"), rBody)
+      // the served deletion ≡ a store that never held those docs
+      val store = CurateStore.load(spark, s"$root/docs")
+      def keyOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "cluster_id", "cleaned").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = keyOf(graft.operators.Pipeline.pipelineCurateOf(
+        docs.filter(!col("doc_id").isin(gone.toSeq: _*))))
+      assert(keyOf(store.snapshot()) == want,
+        "server takedown diverged from the never-ingested funnel")
+
+      // the vector twin: tombstone the same ids out of the index
+      val vbody = gone.toSeq.sorted.map(i => s"""{"vec_id":$i}""").mkString("\n")
+      val (vc, vBody) = post(port, "/takedown/ann?index=vecs&tag=req-9", vbody)
+      assert(vc == 200 && vBody.contains("\"committed\":true"), vBody)
+      val (vr, vrBody) = post(port, "/takedown/ann?index=vecs&tag=req-9", vbody)
+      assert(vr == 200 && vrBody.contains("\"committed\":false"), vrBody)
+      val queries = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"),
+          normalize(toDouble(col("embedding"))).as("qv"))
+      val idx = IvfIndex.load(spark, s"$root/vecs")
+      val res = idx.search(queries, Ann.K, Ann.Cells).collect()
+      assert(res.nonEmpty && res.forall(r => !gone.contains(r.getLong(2))),
+        "a tombstoned vec_id surfaced in post-takedown search")
+
+      // guardrails
+      assert(get(port, "/takedown/curate?store=docs&tag=x")._1 == 405)
+      assert(post(port, "/takedown/curate?store=docs", body)._1 == 400)
+      assert(post(port, "/takedown/curate?store=docs&tag=no/slash", body)._1 == 400)
+      assert(post(port, "/takedown/curate?store=nope&tag=x", body)._1 == 404)
+      assert(post(port, "/takedown/curate?store=..%2Fdocs&tag=x", body)._1 == 403)
+      assert(post(port, "/takedown/curate?store=docs&tag=x2", """{"junk":1}""")._1 == 400)
+      assert(post(port, "/takedown/ann?index=nope&tag=x", vbody)._1 == 404)
+      assert(post(port, "/takedown/ann?index=vecs&tag=x3", """{"junk":1}""")._1 == 400)
+    } finally srv.stop()
+  }
+
   test("POST /probe/curate screens a batch against a persisted curate " +
     "store over a real socket") {
     import org.apache.spark.sql.functions.col
