@@ -74,6 +74,8 @@ object SparkEntry {
     "ann_pq"          -> (Pq.annPq _),
     "ann_pq_refine"   -> (Pq.annPqRefine _),
     "text_stats"      -> (TextOps.textStats _),
+    // one-pass generic column profiling (exact-distinct oracle regime)
+    "profile_documents" -> (Profile.profileDocuments _),
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -112,6 +114,8 @@ object SparkEntry {
     "token_budget_select" -> (Mix.tokenBudgetSelect _),
     "shuffle_deterministic" -> (Mix.shuffleDeterministic _),
     "assemble_epochs"     -> (Mix.assembleEpochs _),
+    // batch lineage: per-(lang, bin) source distribution of the layout
+    "batch_provenance"    -> (Mix.batchProvenance _),
     // scale patterns + composition (#36-37, #39)
     "skew_salted_agg" -> (Skew.skewSaltedAgg _),
     "pipeline_clean"  -> (Pipeline.pipelineClean _),
@@ -173,6 +177,7 @@ object SparkEntry {
     // top-10 position in the ADC ranking — the exact-regime pattern)
     "ann_pq_refine"   -> Pq.annPqRefineOracle,
     "text_stats"      -> TextOps.textStatsOracle,
+    "profile_documents" -> Profile.profileDocumentsOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
@@ -211,6 +216,7 @@ object SparkEntry {
     "token_budget_select" -> Mix.tokenBudgetSelectOracle,
     "shuffle_deterministic" -> Mix.shuffleDeterministicOracle,
     "assemble_epochs"     -> Mix.assembleEpochsOracle,
+    "batch_provenance"    -> Mix.batchProvenanceOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,
     "pipeline_curate" -> Pipeline.pipelineCurateOracle,

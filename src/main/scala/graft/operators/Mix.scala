@@ -376,6 +376,37 @@ object Mix {
         col("bin_offset"))
   }
 
+  /** `batch_provenance`: training-batch AUDITABILITY — for every packed
+    * context (lang, bin) of [[assembleEpochs]], the distribution of
+    * corpus `source`s feeding it (doc appearances and token mass per
+    * source). The question a data auditor actually asks ("what fed
+    * batch 17 of the en stream?"), answered by a doc_id join back to
+    * the metadata table AFTER assembly — lineage never requires
+    * threading every metadata column through the mix/shuffle/pack DAG,
+    * because the batch layout keeps the doc_id grain end-to-end. Plan:
+    * the assembled frame joins `documents` on doc_id (two corpus-grain
+    * sides — a plain shuffled equi-join, 8-byte keys + a small source
+    * string; the text column is never read, pinned by the scan's
+    * ReadSchema) and folds to the (lang, bin, source) grain with
+    * partial aggregation. The oracle replays assembly + join + fold,
+    * so the hash match proves the lineage attribution exactly. */
+  def batchProvenance(s: SparkSession, d: String): DataFrame =
+    assembleEpochs(s, d)
+      // corpus-grain × corpus-grain: pin the shuffle join — a broadcast
+      // of the metadata scan would win at bench SF and OOM at 100 TB
+      .join(documents(s, d).select(col("doc_id"), col("source"))
+          .hint("shuffle_hash"),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("bin"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  def batchProvenanceOracle: String = s"""
+    WITH asm AS (${assembleEpochsOracle})
+    SELECT a.lang, a.bin, d.source,
+           count(*) AS n_docs, CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens
+    FROM asm a JOIN documents d USING (doc_id)
+    GROUP BY 1, 2, 3"""
+
   def assembleEpochsOracle: String = {
     val wSql = Epochs.map { case (l, w) =>
       s"('$l', ${math.floor(w).toLong}, ${thr(w - math.floor(w))})" }

@@ -69,7 +69,9 @@ class PlanAuditSpec extends SparkSpec {
       // workload; brute-force/IVF scoring broadcasts queries BY DESIGN
       // (ann_pq_refine additionally broadcasts its Q × KRefine
       // candidate list — workload-sized by construction)
-      "ann_topk", "ann_ivf", "ann_pq", "ann_pq_refine")
+      // ann_filtered's broadcast side is the same query batch, label-
+      // joined instead of all-pairs
+      "ann_topk", "ann_filtered", "ann_ivf", "ann_pq", "ann_pq_refine")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val lines = plan.linesIterator.toVector

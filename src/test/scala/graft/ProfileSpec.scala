@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+
+/** The profiler's two regimes: the exact path carries the DuckDB oracle
+  * (check.py / Verify), so this spec owns what the oracle cannot see —
+  * the approximate path's accuracy bound and its SCALE-defining plan
+  * shape (no Expand: the multi-distinct rewrite's row amplification is
+  * exactly what `exact = false` exists to avoid at 100 TB). */
+class ProfileSpec extends SparkSpec {
+
+  test("approx profile: cardinalities within HLL tolerance of exact; " +
+      "every non-distinct measure identical; no Expand in the plan") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Profile.profileOf(docs, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approxDf = Profile.profileOf(docs, exact = false, rsd = 0.02)
+    val approx = approxDf.collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+
+    exact.keys.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      // HLL++ rsd=0.02: allow 5 sigma-ish slack, never off for small n
+      val (ed, ad) = (e.getLong(3), a.getLong(3))
+      assert(math.abs(ad - ed) <= math.max(2, 0.10 * ed),
+        s"$c: approx distinct $ad vs exact $ed")
+      // everything that is not the distinct sketch must be BIT-equal
+      Seq(1, 2, 4, 5, 6, 7, 8).foreach { i =>
+        assert(e.get(i) == a.get(i), s"$c column $i diverged")
+      }
+    }
+
+    // the plan contract: approx mode must NOT pay the multi-distinct
+    // Expand (that row amplification is the exact regime's price)
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "approx profile plan contains Expand — the single-pass contract broke")
+    val exactPlan = Profile.profileOf(docs, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact profile lost its multi-distinct rewrite — check assumptions")
+  }
+
+  test("column subset and unknown-column refusal") {
+    val docs = Tables.documents(spark, sf)
+    val sub = Profile.profileOf(docs, cols = Seq("lang", "n_chars")).collect()
+    assert(sub.map(_.getString(0)).toSet == Set("lang", "n_chars"))
+    val err = intercept[IllegalArgumentException] {
+      Profile.profileOf(docs, cols = Seq("nope"))
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+}
