@@ -76,6 +76,8 @@ object SparkEntry {
     "text_stats"      -> (TextOps.textStats _),
     // one-pass generic column profiling (exact-distinct oracle regime)
     "profile_documents" -> (Profile.profileDocuments _),
+    // declarative data-contract gate (PK, required fields, whitelist)
+    "quality_gate"    -> (Profile.qualityGate _),
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -178,6 +180,7 @@ object SparkEntry {
     "ann_pq_refine"   -> Pq.annPqRefineOracle,
     "text_stats"      -> TextOps.textStatsOracle,
     "profile_documents" -> Profile.profileDocumentsOracle,
+    "quality_gate"    -> Profile.qualityGateOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,

@@ -88,6 +88,99 @@ object Profile {
     one.select(inline(array(rows: _*)))
   }
 
+  // ------------------------------------------------------- expectations
+
+  /** A declarative data contract over one table — the gate a 100 TB
+    * ingest runs before anything downstream trusts the drop. */
+  sealed trait Rule { def name: String }
+  /** Passes when NO row satisfies `violation`; `observed` reports the
+    * violating-row count (sum of a 0/1 flag — partial-foldable). */
+  final case class NoViolation(name: String, violation: Column) extends Rule
+  /** Passes when `cols` form a key: distinct(cols) == rows. Exact
+    * count-distinct (the multi-distinct Expand price — a key check that
+    * is only probably true is not a key check). */
+  final case class Unique(name: String, cols: Seq[String]) extends Rule
+
+  /** Evaluate a rule set in ONE aggregation over ONE scan — same fold
+    * discipline as [[profileOf]]: the exchange carries one counter per
+    * rule. Output long-format `(rule, observed, passed)`: `observed` is
+    * the violation count (NoViolation) or the distinct-vs-rows gap
+    * (Unique), `passed` ⇔ observed == 0 — so a green gate is exactly
+    * "every rule row reads (r, 0, true)" and a red one names its rule
+    * and its magnitude. Rows stream nowhere; a failing gate re-queries
+    * the violating rows with the rule's own predicate when a human
+    * wants examples. */
+  def checkRules(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "checkRules: empty rule set")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "checkRules: duplicate rule names")
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: rules.map {
+      case NoViolation(n, v) =>
+        coalesce(sum(when(v, lit(1L)).otherwise(lit(0L))), lit(0L)).as(s"r_$n")
+      case Unique(n, cs) =>
+        count_distinct(struct(cs.map(col): _*)).as(s"r_$n")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { r =>
+      val observed = r match {
+        case _: NoViolation => col(s"r_${r.name}")
+        case _: Unique      => col("n_rows") - col(s"r_${r.name}")
+      }
+      struct(lit(r.name).as("rule"), observed.as("observed"),
+        (observed === 0L).as("passed"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
+  /** `quality_gate`: the registered contract over `documents` — the
+    * checks an LLM-corpus ingest actually runs: primary key, required
+    * fields, language whitelist, length sanity, text/metadata
+    * consistency. Oracle replays each rule as plain SQL. */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    checkRules(docs, Seq(
+      Unique("doc_id_is_key", Seq("doc_id")),
+      NoViolation("doc_id_present", col("doc_id").isNull),
+      NoViolation("text_present", col("text").isNull || length(col("text")) === 0),
+      NoViolation("lang_known",
+        !col("lang").isin(KnownLangs: _*) || col("lang").isNull),
+      NoViolation("n_chars_consistent",
+        col("n_chars").isNull || col("n_chars") =!= length(col("text"))),
+      NoViolation("source_present", col("source").isNull)))
+  }
+
+  /** The language whitelist the gate enforces — the testdata generator's
+    * own lang universe. */
+  val KnownLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh", "ja")
+
+  def qualityGateOracle: String = {
+    val langs = KnownLangs.map(l => s"'$l'").mkString(", ")
+    s"""
+    SELECT 'doc_id_is_key' AS rule,
+           count(*) - count(DISTINCT doc_id) AS observed,
+           count(*) - count(DISTINCT doc_id) = 0 AS passed FROM documents
+    UNION ALL
+    SELECT 'doc_id_present',
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0 FROM documents
+    UNION ALL
+    SELECT 'text_present',
+           CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) = 0 FROM documents
+    UNION ALL
+    SELECT 'lang_known',
+           CAST(sum(CASE WHEN lang NOT IN ($langs) OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN lang NOT IN ($langs) OR lang IS NULL THEN 1 ELSE 0 END) = 0 FROM documents
+    UNION ALL
+    SELECT 'n_chars_consistent',
+           CAST(sum(CASE WHEN n_chars IS NULL OR n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN n_chars IS NULL OR n_chars <> length(text) THEN 1 ELSE 0 END) = 0 FROM documents
+    UNION ALL
+    SELECT 'source_present',
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) = 0 FROM documents"""
+  }
+
   /** `profile_documents`: the registered face — exact-regime profile of
     * every `documents` column, hash-checked against DuckDB's
     * per-column `count/count(DISTINCT)/min/max/avg(length)`. */

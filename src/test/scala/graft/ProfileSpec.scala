@@ -42,6 +42,36 @@ class ProfileSpec extends SparkSpec {
       "exact profile lost its multi-distinct rewrite — check assumptions")
   }
 
+  test("checkRules: a red gate names its rule and magnitude (the oracle " +
+      "only ever sees the all-green testdata)") {
+    import spark.implicits._
+    import graft.operators.Profile.{NoViolation, Unique}
+    val bad = Seq(
+      (1L, "ok", "en"), (1L, "ok", "en"),      // duplicate key
+      (2L, "", "en"),                          // empty text
+      (3L, "ok", "xx"), (4L, "ok", "de")       // unknown lang
+    ).toDF("doc_id", "text", "lang")
+    val got = Profile.checkRules(bad, Seq(
+        Unique("pk", Seq("doc_id")),
+        NoViolation("text_nonempty", length(col("text")) === 0),
+        NoViolation("lang_known",
+          !col("lang").isin("en", "de") || col("lang").isNull)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got("pk") == ((1L, false)))
+    assert(got("text_nonempty") == ((1L, false)))
+    assert(got("lang_known") == ((1L, false)))
+    // an empty frame gates green (no rows = no violations), not null
+    val empty = Profile.checkRules(
+      spark.emptyDataset[(Long, String, String)]
+        .toDF("doc_id", "text", "lang"),
+      Seq(Unique("pk", Seq("doc_id")),
+        NoViolation("text_nonempty", length(col("text")) === 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(empty.values.forall(_ == ((0L, true))))
+  }
+
   test("column subset and unknown-column refusal") {
     val docs = Tables.documents(spark, sf)
     val sub = Profile.profileOf(docs, cols = Seq("lang", "n_chars")).collect()
