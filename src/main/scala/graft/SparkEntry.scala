@@ -28,7 +28,7 @@ object SparkEntry {
     "dedup_clusters", "pipeline_curate", "dedup_incremental",
     "dedup_embedding_delta", "pipeline_curate_delta", "jsonl_roundtrip",
     "point_store_sketch", "source_reputation_incremental",
-    "curate_takedown")
+    "curate_takedown", "profile_incremental")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -78,6 +78,8 @@ object SparkEntry {
     "profile_documents" -> (Profile.profileDocuments _),
     // declarative data-contract gate (PK, required fields, whitelist)
     "quality_gate"    -> (Profile.qualityGate _),
+    // the profile as a persisted nightly fold (4 measure classes)
+    "profile_incremental" -> (Profile.profileIncremental _),
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -181,6 +183,7 @@ object SparkEntry {
     "text_stats"      -> TextOps.textStatsOracle,
     "profile_documents" -> Profile.profileDocumentsOracle,
     "quality_gate"    -> Profile.qualityGateOracle,
+    "profile_incremental" -> Profile.profileIncrementalOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,

@@ -88,6 +88,88 @@ object Profile {
     one.select(inline(array(rows: _*)))
   }
 
+  // ------------------------------------------------- incremental profile
+
+  /** One night's profile PARTIAL in long format — every measure a
+    * member of a [[graft.sources.PointStore]] fold class: counts and
+    * length mass are SUMs, numeric/string extremes are MINs/MAXes, and
+    * distinct cardinality rides the mergeable
+    * [[graft.functions.DistinctSketch]] (union-exact in the sparse
+    * regime). Same one-aggregation/one-scan shape as [[profileOf]]. */
+  def profilePartial(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    import graft.functions.SketchOps
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: names.flatMap { n =>
+      val c = col(n)
+      val (minN, maxN) = types(n) match {
+        case _: NumericType =>
+          (min(c).cast(DoubleType), max(c).cast(DoubleType))
+        case _ => (lit(null).cast(DoubleType), lit(null).cast(DoubleType))
+      }
+      val (minS, maxS, sumL) = types(n) match {
+        case StringType =>
+          (min(c), max(c), sum(length(c)).cast(LongType))
+        case _ => (lit(null).cast(StringType), lit(null).cast(StringType),
+          lit(null).cast(LongType))
+      }
+      Seq(
+        count(c).as(s"nn_$n"),
+        SketchOps.distinctSketch(c, TextOps.DistinctP,
+          TextOps.DistinctSparseCap).as(s"nd_$n"),
+        minN.as(s"mn_$n"), maxN.as(s"mx_$n"),
+        minS.as(s"ms_$n"), maxS.as(s"xs_$n"), sumL.as(s"sl_$n"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = names.map { n =>
+      struct(
+        lit(n).as("column"),
+        col("n_rows"),
+        (col("n_rows") - col(s"nn_$n")).as("n_null"),
+        col(s"nd_$n").as("dsk"),
+        col(s"mn_$n").as("min_num"), col(s"mx_$n").as("max_num"),
+        col(s"ms_$n").as("min_str"), col(s"xs_$n").as("max_str"),
+        col(s"sl_$n").as("sum_len"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
+  /** `profile_incremental`: the profiler as a PERSISTED nightly fold —
+    * per-batch [[profilePartial]]s land in a PointStore keyed by column
+    * name, exercising FOUR measure classes at once (sums for
+    * counts/length mass, mins + maxes for the typed extremes, a
+    * distinct sketch for cardinality), through real parquet
+    * round-trips: batch boundaries, a compaction point, and an
+    * at-least-once redelivery all invisible. Carries
+    * [[profileDocumentsOracle]] — the hash match proves "profile night
+    * A, profile night B, merge" ≡ "profile A∪B" for every measure
+    * class, so a 100 TB table's profile is maintainable at O(delta)
+    * nightly cost instead of a corpus re-scan. */
+  def profileIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchOps
+    val dir = DedupIndex.freshRunDir("graft_profile_inc_", d)
+    val store = new graft.sources.PointStore(s, dir.getPath,
+      keys = Seq("column"),
+      sums = Seq("n_rows", "n_null", "sum_len"),
+      maxes = Seq("max_num", "max_str"),
+      sketches = Seq("dsk"),
+      mins = Seq("min_num", "min_str"))
+    val docs = graft.Tables.documents(s, d)
+    def batch(m: Int) = profilePartial(docs.filter(col("doc_id") % 3 === m))
+    store.appendTagged("b0", batch(0))
+    store.appendTagged("b1", batch(1))
+    store.compact()
+    store.appendTagged("b2", batch(2))
+    store.appendTagged("b2", batch(2)) // at-least-once redelivery: no-op
+    store.snapshot
+      .select(col("column"), col("n_rows"), col("n_null"),
+        SketchOps.sketchEst(col("dsk")).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+        (col("sum_len") / (col("n_rows") - col("n_null"))).as("avg_len"))
+  }
+
+  def profileIncrementalOracle: String = profileDocumentsOracle
+
   // ------------------------------------------------------- expectations
 
   /** A declarative data contract over one table — the gate a 100 TB
