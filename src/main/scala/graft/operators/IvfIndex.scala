@@ -220,12 +220,15 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * never read — only the manifest makes it visible), and one atomic
     * manifest flip publishes the member and consumes the tag. A retry
     * of a consumed tag is a no-op, so foreachBatch's at-least-once
-    * redeliveries index each batch exactly once. */
-  def appendTagged(tag: String, newEmb: DataFrame): Unit = sfs.withWriterLease() {
+    * redeliveries index each batch exactly once. Returns whether THIS
+    * call committed (false = the tag was already consumed) — the
+    * committed-status source a server face reports from, like
+    * [[CurateStore.curateNight]]. */
+  def appendTagged(tag: String, newEmb: DataFrame): Boolean = sfs.withWriterLease() {
     // one LIVE manifest read for the whole commit (see append's note)
     val lines = readManifest()
     val tags = tagsOf(lines)
-    if (tags(tag)) return
+    if (tags(tag)) return false
     requireFreshQuantizers(lines)
     val name = s"append-$tag"
     IvfIndex.writeAssignments(newEmb, centroids, codebooks, sfs.pathOf(name),
@@ -243,6 +246,7 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     // it keeps the one-handle-one-generation invariant while letting the
     // writer search its own appended rows
     manifest = newLines
+    true
   }
 
   /** Rebuild-in-place — the LSM-compaction analog for the index. Appends

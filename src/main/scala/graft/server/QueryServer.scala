@@ -98,6 +98,15 @@ import java.nio.charset.StandardCharsets
   *                                      set (attribute-filtered
   *                                      search — any metadata predicate
   *                                      reduces to one).
+  *   POST /ingest/ann?index=<name>&tag=<batchid>
+  *                                   → append a posted embedding batch
+  *                                      (JSON rows of {vec_id,
+  *                                      embedding:[...]}) to a
+  *                                      persisted IvfIndex under its
+  *                                      writer lease — the streaming
+  *                                      foreachBatch write path over
+  *                                      the wire, ledger-idempotent
+  *                                      like /ingest/curate.
   *   POST /takedown/curate?store=<name>&tag=<reqid>
   *   POST /takedown/ann?index=<name>&tag=<reqid>
   *                                   → doc-grain deletion over the wire
@@ -596,6 +605,65 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             }
           } catch { case e: Throwable =>
             respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the vector-ingest face: POST an embedding batch with a tag and
+    // the index appends it under its writer lease — the streaming
+    // foreachBatch write path, exposed over the wire with the same
+    // ledger idempotence as /ingest/curate (a redelivered tag answers
+    // committed=false, zero server state).
+    server.createContext("/ingest/ann", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405,
+          """{"error":"POST JSON rows of {vec_id, embedding:[...]} with ?index=&tag="}""")
+      else (indexRoot, param(ex, "index"), param(ex, "tag")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None, _) =>
+          respond(ex, 400, """{"error":"index param required"}""")
+        case (_, _, None) =>
+          respond(ex, 400, """{"error":"tag param required (the batch id redeliveries are judged by)"}""")
+        case (Some(root), Some(name), Some(tag)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"index not under the index root"}""")
+          else if (!tag.matches("[A-Za-z0-9._-]+"))
+            respond(ex, 400,
+              """{"error":"tag must be filesystem-safe ([A-Za-z0-9._-]+)"}""")
+          else if (!new java.io.File(dir, "_MEMBERS").exists() &&
+              !new java.io.File(dir, "index").isDirectory)
+            respond(ex, 404, s"""{"error":"no ivf index named '$name'"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val idx = graft.operators.IvfIndex.load(spark, dir.getPath)
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            import spark.implicits._
+            val emb = spark.read.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+              .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+              .cache()
+            try {
+              val n = emb.count()
+              val bad = emb
+                .filter(col("vec_id").isNull || col("embedding").isNull).count()
+              if (n == 0 || bad > 0)
+                respond(ex, 400,
+                  """{"error":"body must be JSON rows of {vec_id, embedding:[...]}"}""")
+              else {
+                val committed = idx.appendTagged(tag, emb)
+                respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
+                  s""""committed":$committed}""")
+              }
+            } finally emb.unpersist(false)
+          } catch {
+            case e: IllegalArgumentException =>
+              respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("bad request").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })

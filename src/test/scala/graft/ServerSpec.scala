@@ -165,6 +165,52 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /ingest/ann appends an embedding batch over a real socket; " +
+      "a redelivered tag is a committed=false no-op") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorOps._
+    import graft.operators.{Ann, IvfIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft_ingann").toString
+    val emb = Tables.embeddings(spark, sf)
+    // build on 80% of the corpus; the served append delivers the rest
+    val cut = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+      .head().getLong(0) * 4 / 5
+    IvfIndex.buildFrom(emb.filter(col("vec_id") <= cut), s"$root/vecs")
+    val delta = emb.filter(col("vec_id") > cut)
+      .select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+
+    val srv = new QueryServer(spark, sf, indexRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val body = delta.toJSON.collect().mkString("\n")
+      val (ic, iBody) = post(port, "/ingest/ann?index=vecs&tag=nightly-1", body)
+      assert(ic == 200 && iBody.contains("\"committed\":true"), iBody)
+      val (rc, rBody) = post(port, "/ingest/ann?index=vecs&tag=nightly-1", body)
+      assert(rc == 200 && rBody.contains("\"committed\":false"), rBody)
+
+      // the served append is searchable: full-probe exact search over
+      // the reloaded index sees old ∪ new — including delta ids as
+      // neighbors of themselves excluded, queries drawn from both halves
+      val idx = IvfIndex.load(spark, s"$root/vecs")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"),
+          normalize(toDouble(col("embedding"))).as("qv"))
+      val got = idx.search(queries, Ann.K, Ann.Cells).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Ann.annTopk(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want,
+        "served append + full-probe search diverged from brute force")
+
+      // guardrails
+      assert(get(port, "/ingest/ann?index=vecs&tag=x")._1 == 405)
+      assert(post(port, "/ingest/ann?index=vecs", body)._1 == 400)
+      assert(post(port, "/ingest/ann?index=nope&tag=x", body)._1 == 404)
+      assert(post(port, "/ingest/ann?index=vecs&tag=x2", """{"junk":1}""")._1 == 400)
+    } finally srv.stop()
+  }
+
   test("POST /takedown/curate and /takedown/ann delete doc rosters over " +
       "a real socket; redelivered request tags are committed=false no-ops") {
     import org.apache.spark.sql.functions.col
