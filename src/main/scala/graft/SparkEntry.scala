@@ -78,6 +78,8 @@ object SparkEntry {
     "profile_documents" -> (Profile.profileDocuments _),
     // declarative data-contract gate (PK, required fields, whitelist)
     "quality_gate"    -> (Profile.qualityGate _),
+    // cross-table referential-integrity contract (FK spine)
+    "fk_gate"         -> (Profile.fkGate _),
     // the profile as a persisted nightly fold (4 measure classes)
     "profile_incremental" -> (Profile.profileIncremental _),
     "token_count"     -> (TextOps.tokenCount _),
@@ -183,6 +185,7 @@ object SparkEntry {
     "text_stats"      -> TextOps.textStatsOracle,
     "profile_documents" -> Profile.profileDocumentsOracle,
     "quality_gate"    -> Profile.qualityGateOracle,
+    "fk_gate"         -> Profile.fkGateOracle,
     "profile_incremental" -> Profile.profileIncrementalOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,

@@ -214,6 +214,77 @@ object Profile {
     one.select(inline(array(rows: _*)))
   }
 
+  /** Cross-table contract: every `childKeys` tuple in `child` must
+    * exist in `parent`'s `parentKeys` — referential integrity, the
+    * constraint a lake cannot declare and therefore must CHECK (no
+    * engine enforces FKs over parquet). Long-format like [[checkRules]]
+    * (`observed` = orphaned child rows), so the two gates union into
+    * one report. Plan: a LEFT ANTI join on the key tuple feeding a
+    * count — null-safe on the child side (a NULL key is not an orphan,
+    * it is `NoViolation(key present)`'s job, the SQL FK convention).
+    * Join policy is the caller's scale statement: `broadcastParent =
+    * false` (default — the parent GROWS with the corpus, orders/part/
+    * customer) pins a shuffled anti join moving 8-byte key tuples only
+    * (columns pruned at the scan — neither payload moves), then
+    * partial-aggregates to ONE row; `true` (fixed-size dims like
+    * nation/region) broadcasts the parent key set instead. */
+  def checkRef(name: String, child: DataFrame, childKeys: Seq[String],
+               parent: DataFrame, parentKeys: Seq[String],
+               broadcastParent: Boolean = false): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.size == parentKeys.size,
+      s"checkRef($name): key lists must be non-empty and equal-length")
+    val c = child.select(childKeys.map(col): _*)
+      .filter(childKeys.map(k => col(k).isNotNull).reduce(_ && _))
+    val p0 = parent.select(parentKeys.zip(childKeys).map {
+      case (pk, ck) => col(pk).as(ck) }: _*)
+    val p = if (broadcastParent) broadcast(p0) else p0.hint("shuffle_hash")
+    val orphans = c.join(p, childKeys, "left_anti")
+      .agg(count(lit(1)).as("observed"))
+    orphans.select(lit(name).as("rule"), col("observed"),
+      (col("observed") === 0L).as("passed"))
+  }
+
+  /** `fk_gate`: the registered cross-table contract over the TPC-H-ish
+    * tables — the FK spine a warehouse load verifies every drop:
+    * lineitem→orders→customer→nation→region, plus lineitem→part/
+    * supplier. Each edge one anti-join counter; the report unions with
+    * [[checkRules]]' shape. */
+  def fkGate(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val li = Tables.lineitem(s, d); val ord = Tables.orders(s, d)
+    Seq(
+      checkRef("lineitem_orders", li, Seq("l_orderkey"),
+        ord, Seq("o_orderkey")),
+      checkRef("lineitem_part", li, Seq("l_partkey"),
+        Tables.part(s, d), Seq("p_partkey")),
+      checkRef("lineitem_supplier", li, Seq("l_suppkey"),
+        Tables.supplier(s, d), Seq("s_suppkey")),
+      checkRef("orders_customer", ord, Seq("o_custkey"),
+        Tables.customer(s, d), Seq("c_custkey")),
+      checkRef("customer_nation", Tables.customer(s, d), Seq("c_nationkey"),
+        Tables.nation(s, d), Seq("n_nationkey"), broadcastParent = true),
+      checkRef("nation_region", Tables.nation(s, d), Seq("n_regionkey"),
+        Tables.region(s, d), Seq("r_regionkey"), broadcastParent = true)
+    ).reduce(_ unionByName _)
+  }
+
+  def fkGateOracle: String = {
+    def edge(n: String, c: String, ck: String, p: String, pk: String) = s"""
+      SELECT '$n' AS rule,
+             CAST(count(*) AS BIGINT) AS observed,
+             count(*) = 0 AS passed
+      FROM $c WHERE $ck IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM $p WHERE $pk = $ck)"""
+    Seq(
+      edge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("nation_region", "nation", "n_regionkey", "region", "r_regionkey")
+    ).mkString("\nUNION ALL\n")
+  }
+
   /** `quality_gate`: the registered contract over `documents` — the
     * checks an LLM-corpus ingest actually runs: primary key, required
     * fields, language whitelist, length sanity, text/metadata

@@ -72,6 +72,29 @@ class ProfileSpec extends SparkSpec {
     assert(empty.values.forall(_ == ((0L, true))))
   }
 
+  test("checkRef: orphans counted, NULL child keys are not orphans, " +
+      "both join policies agree") {
+    import spark.implicits._
+    val child = Seq(
+      (1L, Some(10L)), (2L, Some(10L)), (3L, Some(99L)),  // 99 orphaned
+      (4L, None)                                          // NULL: not an orphan
+    ).toDF("id", "fk")
+    val parent = Seq((10L, "a"), (20L, "b")).toDF("pk", "v")
+    Seq(false, true).foreach { bc =>
+      val r = Profile.checkRef("edge", child, Seq("fk"),
+          parent, Seq("pk"), broadcastParent = bc)
+        .collect().head
+      assert((r.getString(0), r.getLong(1), r.getBoolean(2))
+        == (("edge", 1L, false)), s"broadcastParent=$bc")
+    }
+    // compound keys: both columns must match
+    val c2 = Seq((1L, "x"), (1L, "y")).toDF("a", "b")
+    val p2 = Seq((1L, "x")).toDF("a", "b")
+    val r2 = Profile.checkRef("pair", c2, Seq("a", "b"), p2, Seq("a", "b"))
+      .collect().head
+    assert(r2.getLong(1) == 1L && !r2.getBoolean(2))
+  }
+
   test("column subset and unknown-column refusal") {
     val docs = Tables.documents(spark, sf)
     val sub = Profile.profileOf(docs, cols = Seq("lang", "n_chars")).collect()
