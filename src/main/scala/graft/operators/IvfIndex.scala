@@ -503,6 +503,45 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
   def cellStats: DataFrame =
     index.groupBy(col("cell")).agg(count(lit(1)).as("n"))
 
+  /** Recall self-audit — [[occupancy]]'s companion alarm, measuring
+    * the OTHER way an index degrades. Occupancy sees cell imbalance;
+    * what it cannot see is codebook misfit: appended vectors are
+    * ADC-scored against build-time codebooks, so as the distribution
+    * shifts, PQ candidate ranking quality decays even while cells stay
+    * balanced. This probe measures it from storage alone, no external
+    * ground truth: a deterministic sample of STORED vectors
+    * (`neighbor_id % sampleMod == 0`) queries the index both ways —
+    * full-probe exact [[search]] over stored vectors is the truth set,
+    * [[searchPq]] at the OPERATING (k, nprobe) is the observed — and
+    * recall@k is their per-query overlap. Output: one row
+    * `(n_queries, k, nprobe, recall_avg, recall_min)`. Cost: one
+    * workload-sized probe pass (the sample is the workload), so it
+    * prices like a batch of user queries, not a rebuild — run it on
+    * the ops cadence, [[rebalance]] when recall_avg sinks below the
+    * build-time spec bound. IvfIndexSpec pins: refine-mode recall 1.0
+    * at full probe/full refine, searchPq recall within its spec band,
+    * and the probe's determinism. */
+  def recallProbe(k: Int, nprobe: Int, sampleMod: Long = 100L): DataFrame = {
+    val queries = index
+      .filter(col("neighbor_id") % sampleMod === 0)
+      .select(col("neighbor_id").as("qid"), col("nv").as("qv"))
+    val truth = search(queries, k, centroids.length)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = searchPq(queries, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(got.hint("shuffle_hash"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) / col("n_true")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+        lit(k).as("k"), lit(nprobe).as("nprobe"),
+        avg(col("recall")).as("recall_avg"),
+        min(col("recall")).as("recall_min"))
+  }
+
   /** Occupancy summary — the probe-side DRIFT signal. Appends assign
     * new vectors with the BUILD-time centroids (correct but
     * drift-prone): as the ingested distribution shifts, mass
