@@ -72,6 +72,43 @@ class ProfileSpec extends SparkSpec {
     assert(empty.values.forall(_ == ((0L, true))))
   }
 
+  test("streaming profiler: profilePartial batches folded through " +
+      "StreamingPointStore equal the one-shot profile — the profiler's " +
+      "streaming twin is pure composition") {
+    import spark.implicits._
+    import graft.sources.PointStore
+    import graft.streaming.StreamingPointStore
+    import graft.functions.SketchOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamprof").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_streamprof_ck").toString
+    def build() = new PointStore(spark, dir, keys = Seq("column"),
+      sums = Seq("n_rows", "n_null", "sum_len"),
+      maxes = Seq("max_num", "max_str"), sketches = Seq("dsk"),
+      mins = Seq("min_num", "min_str"))
+
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val rows = docs.as[(Long, String, String, String, Long)].collect()
+    val src = MemoryStream[(Long, String, String, String, Long)]
+    rows.grouped(math.max(1, rows.length / 3)).foreach(g => src.addData(g.toSeq))
+    StreamingPointStore.run(build(),
+      src.toDF.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      Profile.profilePartial(_), ckpt).awaitTermination()
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val got = key(build().snapshot
+      .select(col("column"), col("n_rows"), col("n_null"),
+        SketchOps.sketchEst(col("dsk")).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+        (col("sum_len") / (col("n_rows") - col("n_null"))).as("avg_len")))
+    val want = key(Profile.profileOf(docs, exact = true))
+    assert(got == want,
+      "streamed profile diverged from the one-shot profile")
+  }
+
   test("checkRef: orphans counted, NULL child keys are not orphans, " +
       "both join policies agree") {
     import spark.implicits._
