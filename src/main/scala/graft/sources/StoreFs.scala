@@ -307,6 +307,63 @@ object StoreFs {
     new StoreFs(new Path(root).getFileSystem(conf), conf, root)
   }
 
+  /** Consistent point-in-time BACKUP of a persisted store — the
+    * lifecycle verb the family still lacked after rollback/takedown/
+    * time-travel: copy the WHOLE store root (manifests, members,
+    * quantizer dirs, nested sub-stores, tag ledgers) while holding the
+    * SOURCE's writer lease, so no mutator can commit mid-copy and the
+    * clone is exactly one committed generation on every read face.
+    * Readers of the source are never blocked (the lease excludes
+    * writers only); a live writer elsewhere makes cloneTo FAIL FAST
+    * naming the holder — the standard lease contract, because a copy
+    * taken under a mutating store could tear across the manifest flip.
+    * The lock file itself is skipped: a clone must not appear
+    * lease-held by a writer that never existed. The clone is fully
+    * independent — same grammar, so `open()`/`load()` reads it
+    * directly, and it takes its own writer lease from then on.
+    * Works store-agnostically (PointStore/DedupIndex/IvfIndex/
+    * CurateStore share the StoreFs layout) and on any Hadoop backend;
+    * `dest` must not already exist (a backup never overwrites). */
+  def cloneTo(spark: SparkSession, srcRoot: String, destRoot: String): Unit = {
+    val src = apply(spark, srcRoot)
+    val dst = apply(spark, destRoot)
+    require(!dst.fs.exists(dst.root),
+      s"cloneTo: destination $destRoot already exists — a backup never " +
+        "overwrites; vacuum or choose a fresh path")
+    src.withWriterLease() {
+      dst.fs.mkdirs(dst.root)
+      val conf = spark.sparkContext.hadoopConfiguration
+      // copy through the RAW filesystem on both sides, skipping any
+      // checksum sidecar: the stores' manifest flips rename via
+      // nio/FileContext, which BYPASSES ChecksumFileSystem — so control
+      // files legitimately live without (or with stale) `.crc` sidecars
+      // on a local backend, and a clone must reproduce exactly that
+      // state. A checksummed copy would mint a fresh `._MANIFEST.crc`
+      // that goes stale at the clone's first own manifest flip,
+      // poisoning every read after it (measured, not theoretical).
+      // HDFS/S3 have no client-side sidecars — raw ≡ plain there.
+      def raw(f: org.apache.hadoop.fs.FileSystem) = f match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case other => other
+      }
+      val (srcRaw, dstRaw) = (raw(src.fs), raw(dst.fs))
+      def copyRec(from: Path, to: Path): Unit = {
+        val st = srcRaw.getFileStatus(from)
+        if (st.isDirectory) {
+          dstRaw.mkdirs(to)
+          srcRaw.listStatus(from).foreach(c =>
+            copyRec(c.getPath, new Path(to, c.getPath.getName)))
+        } else if (!from.getName.endsWith(".crc"))
+          org.apache.hadoop.fs.FileUtil.copy(
+            srcRaw, from, dstRaw, to, false /* deleteSource */, conf)
+      }
+      srcRaw.listStatus(src.root).foreach { st =>
+        if (st.getPath.getName != LeaseName)
+          copyRec(st.getPath, new Path(dst.root, st.getPath.getName))
+      }
+    }
+  }
+
   /** Session-less resolution (default Hadoop configuration) for contexts
     * that hold only a path string — [[PointStore.versionOf]] serving the
     * QueryServer `/version` route. A schemed path (`hdfs://…`) still

@@ -100,6 +100,63 @@ class StoreFsSpec extends SparkSpec {
     assert(idx.search(queries, 5, nprobe = graft.operators.Ann.Cells).count() > 0)
   }
 
+  test("cloneTo: a consistent point-in-time backup — clone ≡ source, " +
+      "independent both ways, live-writer refusal, no inherited lease") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.PointStore
+    import graft.functions.SketchOps
+    val srcUri = freshUri("graft_test_clone_src")
+    val dstUri = freshUri("graft_test_clone_dst")
+    def build(uri: String) = new PointStore(spark, uri,
+      keys = Seq("k"), sums = Seq("n"), maxes = Nil, sketches = Seq("sk"))
+    def batch(lo: Int, hi: Int) = {
+      import spark.implicits._
+      (lo until hi).map(i => (s"g${i % 3}", i.toLong)).toDF("k", "v")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"),
+          SketchOps.distinctSketch(col("v"), 12, 4096).as("sk"))
+    }
+    def readOut(s: PointStore) = s.snapshot
+      .select(col("k"), col("n"), SketchOps.sketchEst(col("sk")).as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val src = build(srcUri)
+    src.appendTagged("b1", batch(0, 300))
+    src.compact()
+    src.appendTagged("b2", batch(300, 500))
+    val atBackup = readOut(src)
+
+    StoreFs.cloneTo(spark, srcUri, dstUri)
+    // the clone answers identically, via zero-config open too
+    assert(readOut(build(dstUri)) == atBackup)
+    assert(readOut(PointStore.open(spark, dstUri)) == atBackup)
+    // no inherited lease: the clone takes its own writer lease freely
+    assert(!StoreFs(spark, dstUri).exists(StoreFs.LeaseName))
+
+    // independence both ways: source mutates, clone frozen; clone
+    // mutates, source untouched
+    src.appendTagged("b3", batch(500, 600))
+    assert(readOut(build(dstUri)) == atBackup, "clone must be frozen")
+    build(dstUri).appendTagged("c1", batch(900, 950))
+    assert(readOut(build(srcUri)) != readOut(build(dstUri)))
+    assert(readOut(build(srcUri)) == readOut(src))
+
+    // a live foreign writer on the source refuses the backup loudly
+    val dst2 = freshUri("graft_test_clone_dst2")
+    val sfs = StoreFs(spark, srcUri)
+    sfs.atomicWrite(StoreFs.LeaseName,
+      s"otherhost:999:live-writer\n${System.currentTimeMillis()}".getBytes)
+    val e = intercept[IllegalStateException] {
+      StoreFs.cloneTo(spark, srcUri, dst2)
+    }
+    assert(e.getMessage.contains("otherhost:999:live-writer"), e.getMessage)
+    sfs.breakWriterLease()
+    // destination-exists refusal: a backup never overwrites
+    val e2 = intercept[IllegalArgumentException] {
+      StoreFs.cloneTo(spark, srcUri, dstUri)
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+  }
+
   test("writer lease: a second live writer refuses loudly; stale and " +
     "explicit takeover; re-entrancy; exception-safe release") {
     val uri = freshUri("graft_test_storefs_lease")
