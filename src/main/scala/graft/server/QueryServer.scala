@@ -98,6 +98,13 @@ import java.nio.charset.StandardCharsets
   *                                      set (attribute-filtered
   *                                      search — any metadata predicate
   *                                      reduces to one).
+  *   GET /stores                     → discovery: every persisted store
+  *                                      under both roots, classified by
+  *                                      its own on-disk markers (kind =
+  *                                      point|curate|dedup|ivf; point
+  *                                      stores carry their current
+  *                                      content version) — operators
+  *                                      and clients never guess names.
   *   POST /ingest/ann?index=<name>&tag=<batchid>
   *                                   → append a posted embedding batch
   *                                      (JSON rows of {vec_id,
@@ -606,6 +613,41 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           } catch { case e: Throwable =>
             respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
+      }
+    })
+    // discovery: what persisted stores does this server actually front?
+    // One GET enumerates both roots with each child classified by its
+    // own on-disk markers (the stores are self-describing — the same
+    // property zero-config open() rides), so an operator or a client
+    // never guesses names: point stores report their current content
+    // version (the changefeed cursor), index-root entries their kind.
+    server.createContext("/stores", (ex: HttpExchange) => {
+      try {
+        def classify(d: java.io.File): Option[String] =
+          if (new java.io.File(d, "_CURATE").exists()) Some("curate")
+          else if (new java.io.File(d, "centroids").isDirectory ||
+            new java.io.File(d, "index").isDirectory) Some("ivf")
+          else if (new java.io.File(d, "_MEMBERS").exists()) Some("dedup")
+          else if (new java.io.File(d, "_MANIFEST").exists()) Some("point")
+          else None
+        def entries(root: Option[String], role: String): Seq[String] =
+          root.toSeq.flatMap { r =>
+            val dirs = Option(new java.io.File(r).listFiles()).getOrElse(Array())
+            dirs.filter(_.isDirectory).sortBy(_.getName).flatMap { d =>
+              classify(d).map { kind =>
+                val ver =
+                  if (kind == "point")
+                    graft.sources.PointStore.versionOf(d.getPath)
+                      .map(v => s""","version":$v""").getOrElse("")
+                  else ""
+                s"""{"name":"${d.getName}","kind":"$kind","root":"$role"$ver}"""
+              }
+            }.toSeq
+          }
+        val all = entries(storeRoot, "store") ++ entries(indexRoot, "index")
+        respond(ex, 200, all.mkString("[", ",", "]"))
+      } catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
     })
     // the vector-ingest face: POST an embedding batch with a tag and

@@ -261,6 +261,12 @@ class ServerSpec extends SparkSpec {
       assert(res.nonEmpty && res.forall(r => !gone.contains(r.getLong(2))),
         "a tombstoned vec_id surfaced in post-takedown search")
 
+      // discovery sees both index-root stores with their kinds
+      val (dc, dBody) = get(port, "/stores")
+      assert(dc == 200 &&
+        dBody.contains(""""name":"docs","kind":"curate","root":"index"""") &&
+        dBody.contains(""""name":"vecs","kind":"ivf","root":"index""""), dBody)
+
       // guardrails
       assert(get(port, "/takedown/curate?store=docs&tag=x")._1 == 405)
       assert(post(port, "/takedown/curate?store=docs", body)._1 == 400)
@@ -446,6 +452,12 @@ class ServerSpec extends SparkSpec {
       assert(nsc == 404)
       val (stc, _) = get(port, "/store/..%2Fpoints")
       assert(stc == 403)
+
+      // discovery: /stores enumerates the root with kind + version
+      val (lc, lBody) = get(port, "/stores")
+      assert(lc == 200, lBody)
+      assert(lBody.contains(""""name":"points","kind":"point","root":"store","version":2"""),
+        lBody)
     } finally srv.stop()
   }
 
