@@ -330,6 +330,14 @@ object StoreFs {
     require(!dst.fs.exists(dst.root),
       s"cloneTo: destination $destRoot already exists — a backup never " +
         "overwrites; vacuum or choose a fresh path")
+    // a destination nested INSIDE the source turns the recursive copy
+    // into an unbounded self-feeding loop (the copy keeps discovering
+    // the files it just wrote) — refuse it outright on the qualified
+    // absolute roots, before any lease or mkdir side effect
+    require(!(dst.root.toString + "/").startsWith(src.root.toString + "/") &&
+        !(src.root.toString + "/").startsWith(dst.root.toString + "/"),
+      s"cloneTo: $destRoot and $srcRoot are nested within each other — " +
+        "a clone must land outside its source tree")
     src.withWriterLease() {
       dst.fs.mkdirs(dst.root)
       val conf = spark.sparkContext.hadoopConfiguration

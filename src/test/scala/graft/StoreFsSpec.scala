@@ -155,6 +155,18 @@ class StoreFsSpec extends SparkSpec {
       StoreFs.cloneTo(spark, srcUri, dstUri)
     }
     assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // nested-destination refusal: a clone INTO its own source tree
+    // would self-feed unboundedly (the copy keeps discovering files it
+    // just wrote) — refused before any lease or mkdir side effect
+    val e3 = intercept[IllegalArgumentException] {
+      StoreFs.cloneTo(spark, srcUri, srcUri + "/inner-backup")
+    }
+    assert(e3.getMessage.contains("nested"), e3.getMessage)
+    assert(!StoreFs(spark, srcUri).exists("inner-backup"))
+    // …while a sibling whose NAME extends the source's is fine
+    val sibUri = freshUri("graft_test_clone_src-sib") // == srcUri + "-sib"
+    StoreFs.cloneTo(spark, srcUri, sibUri)
+    assert(readOut(build(sibUri)) == readOut(build(srcUri)))
   }
 
   test("writer lease: a second live writer refuses loudly; stale and " +
