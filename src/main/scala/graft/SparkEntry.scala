@@ -28,7 +28,8 @@ object SparkEntry {
     "dedup_clusters", "pipeline_curate", "dedup_incremental",
     "dedup_embedding_delta", "pipeline_curate_delta", "jsonl_roundtrip",
     "point_store_sketch", "source_reputation_incremental",
-    "curate_takedown", "profile_incremental")
+    "curate_takedown", "profile_incremental", "profile_drift",
+    "assemble_from_recipe")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -82,6 +83,8 @@ object SparkEntry {
     "fk_gate"         -> (Profile.fkGate _),
     // the profile as a persisted nightly fold (4 measure classes)
     "profile_incremental" -> (Profile.profileIncremental _),
+    // night-over-night drift from the store's own version axis
+    "profile_drift"   -> (Profile.profileDrift _),
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -120,6 +123,8 @@ object SparkEntry {
     "token_budget_select" -> (Mix.tokenBudgetSelect _),
     "shuffle_deterministic" -> (Mix.shuffleDeterministic _),
     "assemble_epochs"     -> (Mix.assembleEpochs _),
+    // the assembly replayed from a persisted, versioned recipe store
+    "assemble_from_recipe" -> (Mix.assembleFromRecipe _),
     // batch lineage: per-(lang, bin) source distribution of the layout
     "batch_provenance"    -> (Mix.batchProvenance _),
     // scale patterns + composition (#36-37, #39)
@@ -187,6 +192,7 @@ object SparkEntry {
     "quality_gate"    -> Profile.qualityGateOracle,
     "fk_gate"         -> Profile.fkGateOracle,
     "profile_incremental" -> Profile.profileIncrementalOracle,
+    "profile_drift"   -> Profile.profileDriftOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
@@ -225,6 +231,7 @@ object SparkEntry {
     "token_budget_select" -> Mix.tokenBudgetSelectOracle,
     "shuffle_deterministic" -> Mix.shuffleDeterministicOracle,
     "assemble_epochs"     -> Mix.assembleEpochsOracle,
+    "assemble_from_recipe" -> Mix.assembleFromRecipeOracle,
     "batch_provenance"    -> Mix.batchProvenanceOracle,
     "skew_salted_agg" -> Skew.skewSaltedAggOracle,
     "pipeline_clean"  -> Pipeline.pipelineCleanOracle,

@@ -376,6 +376,37 @@ object Mix {
         col("bin_offset"))
   }
 
+  /** `assemble_from_recipe`: the assembly driven by a PERSISTED,
+    * versioned recipe — the config half of training-run provenance
+    * ([[graft.sources.RecipeStore]]). `batch_provenance` answers "what
+    * fed batch 17"; this answers the prior question, "what exactly WAS
+    * run N's recipe", by replaying the layout from the store's own
+    * version axis. The lifecycle the query drives: commit a draft
+    * recipe (v1), commit the registered recipe (v2) under a batch tag,
+    * redeliver that tag (at-least-once: no-op — the version axis never
+    * double-counts a double-fired scheduler), then `assembleAt(corpus,
+    * v2)` through a real FS round-trip. Sharing [[assembleEpochs]]'
+    * oracle is the proof that matters: hash-green means the recipe
+    * survived serialization EXACTLY (weights are doubles feeding a
+    * 2^32 hash threshold — one ulp of drift moves the keep set) and
+    * that version addressing reads the version asked for, not the
+    * latest. */
+  def assembleFromRecipe(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{Recipe, RecipeStore}
+    val dir = DedupIndex.freshRunDir("graft_recipe_", d)
+    val store = RecipeStore(s, dir.getPath)
+    val run = Recipe(Epochs, DefaultEpochs, ShuffleSeed,
+      Sampling.Budget, packShardSize = 512L)
+    store.commit("draft",
+      Recipe(Seq("en" -> 1.0), 0.5, "draft-seed", 1024L, 256L))
+    store.commit("run-a", run)
+    store.commit("run-a", run) // at-least-once redelivery: no-op
+    store.assembleAt(documents(s, d), 2L)
+  }
+
+  /** The stored v2 recipe IS the registered recipe — same oracle. */
+  def assembleFromRecipeOracle: String = assembleEpochsOracle
+
   /** `batch_provenance`: training-batch AUDITABILITY — for every packed
     * context (lang, bin) of [[assembleEpochs]], the distribution of
     * corpus `source`s feeding it (doc appearances and token mass per

@@ -161,14 +161,92 @@ object Profile {
     store.compact()
     store.appendTagged("b2", batch(2))
     store.appendTagged("b2", batch(2)) // at-least-once redelivery: no-op
-    store.snapshot
-      .select(col("column"), col("n_rows"), col("n_null"),
-        SketchOps.sketchEst(col("dsk")).as("n_distinct"),
-        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
-        (col("sum_len") / (col("n_rows") - col("n_null"))).as("avg_len"))
+    deriveProfile(store.snapshot)
   }
 
   def profileIncrementalOracle: String = profileDocumentsOracle
+
+  /** Derive the human-facing profile from a stored partial frame — the
+    * read side shared by [[profileIncremental]] and [[profileDrift]]. */
+  private def deriveProfile(stored: DataFrame): DataFrame = {
+    import graft.functions.SketchOps
+    stored.select(col("column"), col("n_rows"), col("n_null"),
+      SketchOps.sketchEst(col("dsk")).as("n_distinct"),
+      col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+      (col("sum_len") / (col("n_rows") - col("n_null"))).as("avg_len"))
+  }
+
+  /** `profile_drift`: the ALERTING face of the maintained profile —
+    * "what changed when tonight folded in", answered from the store's
+    * own version axis (no corpus re-scan, no second profile run): the
+    * pre-night snapshot comes from [[graft.sources.PointStore
+    * .snapshotAt]] time travel, the post-night from the live snapshot,
+    * and the drift frame joins them per column. The monitoring
+    * questions this feeds — a null-rate jump, cardinality growth
+    * stalling (dedup upstream broke), document length collapsing
+    * (extraction regressed) — are per-column deltas a threshold rule
+    * reads directly. Exact longs subtract exactly; the avg columns
+    * carry both endpoints rather than a lossy delta. Oracle replays
+    * both profiles in DuckDB (the night-boundary WHERE reproduces the
+    * store's fold points) and joins — hash-green proves time travel +
+    * sketch merges land on the real drift, not an approximation of
+    * it. */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchOps
+    val dir = DedupIndex.freshRunDir("graft_profile_drift_", d)
+    val store = new graft.sources.PointStore(s, dir.getPath,
+      keys = Seq("column"),
+      sums = Seq("n_rows", "n_null", "sum_len"),
+      maxes = Seq("max_num", "max_str"),
+      sketches = Seq("dsk"),
+      mins = Seq("min_num", "min_str"))
+    val docs = graft.Tables.documents(s, d)
+    store.appendTagged("n1", profilePartial(docs.filter(col("doc_id") % 3 =!= 2)))
+    val preNight = store.version
+    store.appendTagged("n2", profilePartial(docs.filter(col("doc_id") % 3 === 2)))
+    val from = deriveProfile(store.snapshotAt(preNight))
+      .select(col("column"), col("n_rows").as("f_rows"),
+        col("n_null").as("f_null"), col("n_distinct").as("f_distinct"),
+        col("avg_len").as("avg_len_from"))
+    val to = deriveProfile(store.snapshot)
+      .select(col("column"), col("n_rows").as("t_rows"),
+        col("n_null").as("t_null"), col("n_distinct").as("t_distinct"),
+        col("avg_len").as("avg_len_to"))
+    from.join(to, Seq("column"))
+      .select(col("column"),
+        (col("t_rows") - col("f_rows")).as("n_rows_delta"),
+        (col("t_null") - col("f_null")).as("n_null_delta"),
+        (col("t_distinct") - col("f_distinct")).as("n_distinct_delta"),
+        col("avg_len_from"), col("avg_len_to"))
+  }
+
+  def profileDriftOracle: String = {
+    def side(where: String, p: String) = {
+      def block(n: String, isStr: Boolean) = {
+        val sumL =
+          if (isStr) s"CAST(sum(length($n)) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        s"""SELECT '$n' AS "column", count(*) AS n_rows,
+               count(*) - count($n) AS n_null,
+               count(DISTINCT $n) AS n_distinct,
+               $sumL AS sum_len
+             FROM documents $where"""
+      }
+      s"""$p AS (
+        ${Seq(block("doc_id", false), block("text", true), block("lang", true),
+              block("source", true), block("n_chars", false))
+          .mkString("\nUNION ALL\n")})"""
+    }
+    s"""
+    WITH ${side("WHERE doc_id % 3 <> 2", "f")},
+         ${side("", "t")}
+    SELECT f."column",
+           t.n_rows - f.n_rows AS n_rows_delta,
+           t.n_null - f.n_null AS n_null_delta,
+           t.n_distinct - f.n_distinct AS n_distinct_delta,
+           CAST(f.sum_len AS DOUBLE) / (f.n_rows - f.n_null) AS avg_len_from,
+           CAST(t.sum_len AS DOUBLE) / (t.n_rows - t.n_null) AS avg_len_to
+    FROM f JOIN t USING ("column")"""
+  }
 
   // ------------------------------------------------------- expectations
 

@@ -98,13 +98,24 @@ import java.nio.charset.StandardCharsets
   *                                      set (attribute-filtered
   *                                      search — any metadata predicate
   *                                      reduces to one).
+  *   POST /backup?store=<name>&dest=<name>
+  *                                   → StoreFs.cloneTo over the wire:
+  *                                      a consistent point-in-time
+  *                                      backup under the source's
+  *                                      writer lease (one committed
+  *                                      generation, independent
+  *                                      thereafter). Plain names under
+  *                                      the owning root only; existing
+  *                                      dest → 400, live writer on the
+  *                                      source → 409 naming the holder.
   *   GET /stores                     → discovery: every persisted store
   *                                      under both roots, classified by
   *                                      its own on-disk markers (kind =
-  *                                      point|curate|dedup|ivf; point
-  *                                      stores carry their current
-  *                                      content version) — operators
-  *                                      and clients never guess names.
+  *                                      point|curate|dedup|ivf|recipe;
+  *                                      point and recipe stores carry
+  *                                      their current version) —
+  *                                      operators and clients never
+  *                                      guess names.
   *   POST /ingest/ann?index=<name>&tag=<batchid>
   *                                   → append a posted embedding batch
   *                                      (JSON rows of {vec_id,
@@ -143,7 +154,28 @@ import java.nio.charset.StandardCharsets
   *                                      constants. Rows ordered by
   *                                      batch layout (lang, bin,
   *                                      bin_offset), bounded like
-  *                                      /query.
+  *                                      /query. With recipe=<store>
+  *                                      [&version=V] the layout replays
+  *                                      a STORED recipe version instead
+  *                                      (the provenance read: "exactly
+  *                                      what run N trained on");
+  *                                      stored-vs-inline mixing is
+  *                                      refused.
+  *   POST /recipe?store=<name>&tag=<t>[&epochs=..&seed=..&budget=..
+  *                &default=..&shard=..]
+  *   GET  /recipe?store=<name>[&version=V]
+  *                                   → the assembly-recipe CONFIG store
+  *                                      ([[graft.sources.RecipeStore]])
+  *                                      over the wire: POST commits a
+  *                                      new immutable version under an
+  *                                      exactly-once tag (redelivery →
+  *                                      committed=false; store created
+  *                                      on first commit; omitted params
+  *                                      = registered constants), GET
+  *                                      reads any version with its
+  *                                      version→tag provenance link.
+  *                                      /stores lists it as
+  *                                      kind=recipe with its version.
   *
   * The server holds ONE SparkSession; queries are declarative DataFrames,
   * so concurrent requests are just concurrent Spark jobs under the
@@ -186,6 +218,15 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
     ex.close()
   }
 
+  /** A plain single-segment child name under a store root. The charset
+    * already forbids separators, but "." and ".." PASS it and traverse:
+    * `new File(root, "..")` reaches the root's parent — and its
+    * `getParentFile` is textually the root again, so the parent-dir
+    * check alone does not catch them (a /backup of ".." once recursed
+    * /tmp into itself unboundedly before this guard existed). */
+  private def plainName(n: String): Boolean =
+    n.matches("[A-Za-z0-9._-]+") && n != "." && n != ".."
+
   private def param(ex: HttpExchange, key: String): Option[String] =
     Option(ex.getRequestURI.getQuery).toSeq
       .flatMap(_.split("&"))
@@ -210,7 +251,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           // echoed into JSON, so the charset is clamped too)
           val rootDir = new java.io.File(root).getCanonicalFile
           val dir = new java.io.File(rootDir, name).getCanonicalFile
-          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"store not under the store root"}""")
           else graft.sources.PointStore.versionOf(dir.getPath) match {
             case None =>
@@ -237,7 +278,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             .map(p => scala.util.Try(p.toLong).toOption)
           val lim = param(ex, "limit")
             .map(p => scala.util.Try(p.toInt).toOption)
-          if (!n.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(n) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"store not under the store root"}""")
           else if (ver.contains(None))
             respond(ex, 400, """{"error":"version must be an integer"}""")
@@ -297,7 +338,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             .map(p => scala.util.Try(p.toDouble).toOption)
           val lim = param(ex, "limit")
             .map(p => scala.util.Try(p.toInt).toOption)
-          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"index not under the index root"}""")
           else if (thr.contains(None))
             respond(ex, 400, """{"error":"threshold must be a number"}""")
@@ -358,7 +399,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           val dir = new java.io.File(rootDir, name).getCanonicalFile
           val lim = param(ex, "limit")
             .map(p => scala.util.Try(p.toInt).toOption)
-          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"store not under the index root"}""")
           else if (lim.contains(None))
             respond(ex, 400, """{"error":"limit must be an integer"}""")
@@ -413,7 +454,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             val ids = s.split(",").toSeq.map(v => scala.util.Try(v.trim.toLong).toOption)
             if (ids.isEmpty || ids.contains(None)) None else Some(ids.flatten)
           }
-          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"index not under the index root"}""")
           else if (Seq(k, nprobe, kRefine).exists(_.contains(None)) ||
               Seq(k, nprobe, kRefine).exists(_.exists(_.exists(_ <= 0))))
@@ -490,7 +531,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           val dir = new java.io.File(rootDir, name).getCanonicalFile
           val lim = param(ex, "limit")
             .map(p => scala.util.Try(p.toInt).toOption)
-          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"store not under the index root"}""")
           else if (lim.contains(None))
             respond(ex, 400, """{"error":"limit must be an integer"}""")
@@ -564,7 +605,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         case (Some(root), Some(name), Some(tag)) =>
           val rootDir = new java.io.File(root).getCanonicalFile
           val dir = new java.io.File(rootDir, name).getCanonicalFile
-          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"store not under the index root"}""")
           else if (!tag.matches("[A-Za-z0-9._-]+") || tag.forall(_.isDigit) ||
               tag == "base" || tag.matches("compact-[0-9]+"))
@@ -615,6 +656,181 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           }
       }
     })
+    // backup over the wire: POST /backup?store=<name>&dest=<name> runs
+    // StoreFs.cloneTo for a store under either root — the
+    // before-a-risky-operation verb (OPERATIONS.md), served. Both names
+    // stay under the owning root (no caller-supplied paths), the dest
+    // must not exist, and a live writer on the source refuses with the
+    // holder named — the clone's own contract, surfaced as a 409.
+    server.createContext("/backup", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405, """{"error":"POST with ?store=&dest="}""")
+      else (param(ex, "store"), param(ex, "dest")) match {
+        case (None, _) => respond(ex, 400, """{"error":"store param required"}""")
+        case (_, None) => respond(ex, 400, """{"error":"dest param required"}""")
+        case (Some(name), Some(dest)) =>
+          if (!plainName(name) || !plainName(dest))
+            respond(ex, 400,
+              """{"error":"store and dest must be plain names under the root"}""")
+          else {
+            // the source may live under either root; first match wins
+            val src = Seq(indexRoot, storeRoot).flatten
+              .map(r => (r, new java.io.File(r, name)))
+              .find(_._2.isDirectory)
+            src match {
+              case None =>
+                respond(ex, 404, s"""{"error":"no store named '$name'"}""")
+              case Some((root, srcDir)) =>
+                val dstDir = new java.io.File(root, dest)
+                try {
+                  graft.sources.StoreFs.cloneTo(spark,
+                    srcDir.getPath, dstDir.getPath)
+                  respond(ex, 200,
+                    s"""{"store":"$name","dest":"$dest","cloned":true}""")
+                } catch {
+                  case e: IllegalArgumentException =>
+                    respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+                      .getOrElse("bad request").takeWhile(_ != '\n')
+                      .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+                  case e: IllegalStateException =>
+                    // a live writer holds the source: caller retries later
+                    respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+                      .getOrElse("source is write-locked").takeWhile(_ != '\n')
+                      .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+                  case e: Throwable =>
+                    respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+                }
+            }
+          }
+      }
+    })
+    // the assembly-recipe CONFIG store over the wire: POST commits a
+    // new version under an exactly-once tag (creating the store on
+    // first commit), GET reads any version — the config half of
+    // training-run provenance served beside /assemble (which replays a
+    // stored version's layout via recipe=<name>&version=). Omitted
+    // recipe params default to the registered constants, the same
+    // convention /assemble's inline face uses.
+    server.createContext("/recipe", (ex: HttpExchange) => {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      def recipeJson(name: String, v: Long, tag: Option[String],
+                     r: graft.sources.Recipe): String = {
+        val eps = r.epochs.map { case (l, w) => s""""$l":$w""" }
+          .mkString("{", ",", "}")
+        s"""{"store":"$name","version":$v""" +
+          tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("") +
+          s""","seed":"${r.seed}","budget":${r.budget}""" +
+          s""","default":${r.defaultEpochs}""" +
+          s""","pack_shard_size":${r.packShardSize},"epochs":$eps}"""
+      }
+      try (param(ex, "store"), ex.getRequestMethod.toUpperCase) match {
+        case (None, _) => respond(ex, 400, """{"error":"store param required"}""")
+        case (Some(name), _) if !plainName(name) =>
+          respond(ex, 400,
+            """{"error":"store must be a plain name under the root"}""")
+        case (Some(name), "GET") =>
+          Seq(storeRoot, indexRoot).flatten
+            .map(r => new java.io.File(r, name)).find(d =>
+              new java.io.File(d,
+                graft.sources.RecipeStore.ManifestName).exists()) match {
+            case None =>
+              respond(ex, 404, s"""{"error":"no recipe store named '$name'"}""")
+            case Some(dir) =>
+              val store = graft.sources.RecipeStore(spark, dir.getPath)
+              val ver = param(ex, "version")
+                .map(p => scala.util.Try(p.toLong).toOption)
+              if (ver.contains(None))
+                respond(ex, 400, """{"error":"version must be an integer"}""")
+              else {
+                val v = ver.flatten.getOrElse(store.version)
+                try respond(ex, 200,
+                  recipeJson(name, v, store.tagOf(v), store.recipeAt(v)))
+                catch { case e: IllegalArgumentException =>
+                  respond(ex, 400,
+                    s"""{"error":"${esc(Option(e.getMessage)
+                      .getOrElse("bad version").takeWhile(_ != '\n'))}"}""")
+                }
+              }
+          }
+        case (Some(name), "POST") => param(ex, "tag") match {
+          case None => respond(ex, 400, """{"error":"tag param required"}""")
+          case Some(tag) =>
+            // same inline-recipe grammar as /assemble; omitted params
+            // mean the registered constants
+            val budget = param(ex, "budget")
+              .map(p => scala.util.Try(p.toLong).toOption)
+            val dflt = param(ex, "default")
+              .map(p => scala.util.Try(p.toDouble).toOption)
+            val shard = param(ex, "shard")
+              .map(p => scala.util.Try(p.toLong).toOption)
+            val epochs = param(ex, "epochs").map { s =>
+              val parts = s.split(",", -1).toSeq.map(_.split(":", 2))
+              if (parts.exists(a => a.length != 2 ||
+                  !a(0).matches("[A-Za-z0-9_-]+") ||
+                  scala.util.Try(a(1).toDouble).isFailure)) None
+              else Some(parts.map(a => (a(0), a(1).toDouble)))
+            }
+            if (budget.contains(None))
+              respond(ex, 400, """{"error":"budget must be an integer"}""")
+            else if (dflt.contains(None))
+              respond(ex, 400, """{"error":"default must be a number"}""")
+            else if (shard.contains(None))
+              respond(ex, 400, """{"error":"shard must be an integer"}""")
+            else if (epochs.contains(None))
+              respond(ex, 400,
+                """{"error":"epochs must be lang:weight[,lang:weight...]"}""")
+            else {
+              // commit into the EXISTING store wherever it lives (GET
+              // and /assemble?recipe= search both roots — a POST that
+              // only looked at the first root would silently fork a
+              // second same-named store under it); only a genuinely new
+              // store is created under the first configured root
+              val existing = Seq(storeRoot, indexRoot).flatten
+                .map(r => new java.io.File(r, name)).find(d =>
+                  new java.io.File(d,
+                    graft.sources.RecipeStore.ManifestName).exists())
+              val root = existing.map(_.getParent)
+                .orElse(Seq(storeRoot, indexRoot).flatten.headOption)
+              root match {
+                case None => respond(ex, 403,
+                  """{"error":"server started without a store root"}""")
+                case Some(r) =>
+                  try {
+                    val recipe = graft.sources.Recipe(
+                      epochs.flatten.getOrElse(graft.operators.Mix.Epochs),
+                      dflt.flatten
+                        .getOrElse(graft.operators.Mix.DefaultEpochs),
+                      param(ex, "seed")
+                        .getOrElse(graft.operators.Mix.ShuffleSeed),
+                      budget.flatten
+                        .getOrElse(graft.operators.Sampling.Budget),
+                      shard.flatten.getOrElse(1L << 20))
+                    val store = graft.sources.RecipeStore(spark,
+                      new java.io.File(r, name).getPath)
+                    val committed = store.commit(tag, recipe)
+                    respond(ex, 200,
+                      s"""{"store":"$name","committed":$committed,""" +
+                        s""""version":${store.version}}""")
+                  } catch {
+                    case e: IllegalArgumentException =>
+                      respond(ex, 400, s"""{"error":"${esc(
+                        Option(e.getMessage).getOrElse("bad recipe")
+                          .takeWhile(_ != '\n'))}"}""")
+                    case e: IllegalStateException =>
+                      // a live writer holds the store: retry later
+                      respond(ex, 409, s"""{"error":"${esc(
+                        Option(e.getMessage).getOrElse("write-locked")
+                          .takeWhile(_ != '\n'))}"}""")
+                  }
+              }
+            }
+        }
+        case _ =>
+          respond(ex, 405, """{"error":"GET or POST with ?store="}""")
+      } catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    })
     // discovery: what persisted stores does this server actually front?
     // One GET enumerates both roots with each child classified by its
     // own on-disk markers (the stores are self-describing — the same
@@ -629,6 +845,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             new java.io.File(d, "index").isDirectory) Some("ivf")
           else if (new java.io.File(d, "_MEMBERS").exists()) Some("dedup")
           else if (new java.io.File(d, "_MANIFEST").exists()) Some("point")
+          else if (new java.io.File(d,
+            graft.sources.RecipeStore.ManifestName).exists()) Some("recipe")
           else None
         def entries(root: Option[String], role: String): Seq[String] =
           root.toSeq.flatMap { r =>
@@ -639,6 +857,16 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   if (kind == "point")
                     graft.sources.PointStore.versionOf(d.getPath)
                       .map(v => s""","version":$v""").getOrElse("")
+                  else if (kind == "recipe")
+                    // recipe version = committed member count (one
+                    // manifest line per version, ledger lines start #)
+                    scala.util.Try {
+                      val src = scala.io.Source.fromFile(new java.io.File(
+                        d, graft.sources.RecipeStore.ManifestName))
+                      try src.getLines()
+                        .count(l => l.nonEmpty && !l.startsWith("#"))
+                      finally src.close()
+                    }.toOption.map(v => s""","version":$v""").getOrElse("")
                   else ""
                 s"""{"name":"${d.getName}","kind":"$kind","root":"$role"$ver}"""
               }
@@ -669,7 +897,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         case (Some(root), Some(name), Some(tag)) =>
           val rootDir = new java.io.File(root).getCanonicalFile
           val dir = new java.io.File(rootDir, name).getCanonicalFile
-          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"index not under the index root"}""")
           else if (!tag.matches("[A-Za-z0-9._-]+"))
             respond(ex, 400,
@@ -731,7 +959,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         case (Some(root), Some(name), Some(tag)) =>
           val rootDir = new java.io.File(root).getCanonicalFile
           val dir = new java.io.File(rootDir, name).getCanonicalFile
-          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"store not under the index root"}""")
           else if (!tag.matches("[A-Za-z0-9._-]+"))
             respond(ex, 400,
@@ -790,7 +1018,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         case (Some(root), Some(name), Some(tag)) =>
           val rootDir = new java.io.File(root).getCanonicalFile
           val dir = new java.io.File(rootDir, name).getCanonicalFile
-          if (!name.matches("[A-Za-z0-9._-]+") || dir.getParentFile != rootDir)
+          if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"index not under the index root"}""")
           else if (!tag.matches("[A-Za-z0-9._-]+"))
             respond(ex, 400,
@@ -853,6 +1081,14 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               scala.util.Try(a(1).toDouble).isFailure)) None
           else Some(parts.map(a => (a(0), a(1).toDouble)))
         }
+        // recipe=<store>[&version=V]: replay a STORED recipe version's
+        // layout instead of an inline recipe — the provenance read
+        // ("serve me exactly what run N trained on"); mixing the two
+        // faces is refused, because a half-overridden stored recipe is
+        // no longer the recipe of record
+        val recipeStore = param(ex, "recipe")
+        val recipeVer = param(ex, "version")
+          .map(p => scala.util.Try(p.toLong).toOption)
         if (budget.contains(None) || budget.exists(_.exists(_ <= 0)))
           respond(ex, 400, """{"error":"budget must be a positive integer"}""")
         else if (dflt.contains(None))
@@ -864,17 +1100,44 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             """{"error":"epochs must be lang:weight[,lang:weight...]"}""")
         else if (!seed.matches("[A-Za-z0-9._:-]{1,64}"))
           respond(ex, 400, """{"error":"seed must be short and filesystem-safe"}""")
+        else if (recipeVer.contains(None))
+          respond(ex, 400, """{"error":"version must be an integer"}""")
+        else if (recipeVer.isDefined && recipeStore.isEmpty)
+          respond(ex, 400,
+            """{"error":"version only applies with recipe=<store>"}""")
+        else if (recipeStore.isDefined && (param(ex, "seed").isDefined ||
+            budget.isDefined || dflt.isDefined || epochs.isDefined))
+          respond(ex, 400, """{"error":"recipe=<store> and inline recipe """ +
+            """params are mutually exclusive"}""")
+        else if (recipeStore.exists(n => !plainName(n)))
+          respond(ex, 400,
+            """{"error":"recipe must be a plain name under the root"}""")
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
           case Some(sf) =>
             try {
-              val frame = graft.operators.Mix.assembleWith(
-                graft.Tables.documents(spark, sf),
-                epochs.flatten.getOrElse(graft.operators.Mix.Epochs),
-                dflt.flatten.getOrElse(graft.operators.Mix.DefaultEpochs),
-                seed,
-                budget.flatten.getOrElse(graft.operators.Sampling.Budget))
+              val frame = recipeStore match {
+                case Some(rs) =>
+                  Seq(storeRoot, indexRoot).flatten
+                    .map(r => new java.io.File(r, rs)).find(d =>
+                      new java.io.File(d, graft.sources.RecipeStore
+                        .ManifestName).exists()) match {
+                    case None => throw new IllegalArgumentException(
+                      s"no recipe store named '$rs'")
+                    case Some(dir) =>
+                      val store =
+                        graft.sources.RecipeStore(spark, dir.getPath)
+                      store.assembleAt(graft.Tables.documents(spark, sf),
+                        recipeVer.flatten.getOrElse(store.version))
+                  }
+                case None => graft.operators.Mix.assembleWith(
+                  graft.Tables.documents(spark, sf),
+                  epochs.flatten.getOrElse(graft.operators.Mix.Epochs),
+                  dflt.flatten.getOrElse(graft.operators.Mix.DefaultEpochs),
+                  seed,
+                  budget.flatten.getOrElse(graft.operators.Sampling.Budget))
+              }
               val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
               val rows = frame
                 .orderBy(col("lang"), col("bin"), col("bin_offset"),

@@ -279,6 +279,51 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /backup clones a store over the wire — pinned on a " +
+      "CURATE root (nested sub-stores), with live-writer 409") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.CurateStore
+    import graft.sources.StoreFs
+    val root = java.nio.file.Files.createTempDirectory("graft_bkroot").toString
+    val docs = Tables.documents(spark, sf)
+    CurateStore.build(docs, s"$root/docs")
+
+    val srv = new QueryServer(spark, sf, indexRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val (bc, bBody) = post(port, "/backup?store=docs&dest=docs-bk", "")
+      assert(bc == 200 && bBody.contains("\"cloned\":true"), bBody)
+      // the clone answers identically on the curate read faces — the
+      // store-agnostic claim pinned on the NESTED-sub-store layout
+      def keyOf(st: CurateStore) = st.snapshot()
+        .select("doc_id", "cluster_id", "cleaned").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val src = CurateStore.load(spark, s"$root/docs")
+      val clone = CurateStore.load(spark, s"$root/docs-bk")
+      assert(keyOf(clone) == keyOf(src) && clone.docCount == src.docCount)
+      // independence: a night into the source leaves the clone frozen
+      val extra = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      src.curateNight("post-backup", extra)
+      assert(CurateStore.load(spark, s"$root/docs-bk").docCount == clone.docCount)
+
+      // guardrails: dest exists / unknown store / path-shaped names /
+      // live writer on the source
+      assert(post(port, "/backup?store=docs&dest=docs-bk", "")._1 == 400)
+      assert(post(port, "/backup?store=nope&dest=x", "")._1 == 404)
+      assert(post(port, "/backup?store=..&dest=x", "")._1 == 400)
+      assert(post(port, "/backup?store=docs", "")._1 == 400)
+      assert(get(port, "/backup?store=docs&dest=y")._1 == 405)
+      val sfs = StoreFs(spark, s"$root/docs")
+      sfs.atomicWrite(StoreFs.LeaseName,
+        s"otherhost:1:live\n${System.currentTimeMillis()}".getBytes)
+      val (lc, lBody) = post(port, "/backup?store=docs&dest=docs-bk2", "")
+      assert(lc == 409 && lBody.contains("otherhost:1:live"), lBody)
+      sfs.breakWriterLease()
+    } finally srv.stop()
+  }
+
   test("POST /probe/curate screens a batch against a persisted curate " +
     "store over a real socket") {
     import org.apache.spark.sql.functions.col
@@ -492,6 +537,93 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/assemble?epochs=en:99")._1 == 400)
       assert(get(port, "/assemble?seed=" + ("x" * 80))._1 == 400)
       assert(get(port, "/assemble?sf=/etc")._1 == 403)
+    } finally srv.stop()
+  }
+
+  test("the recipe store over the wire: POST /recipe versions, GET " +
+      "/recipe reads, /assemble?recipe= replays — run provenance served") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rcproot").toString
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // v1 = an explicit draft recipe; v2 = the registered constants
+      // (every omitted param defaults, same convention as /assemble)
+      val (c1, b1) = post(port, "/recipe?store=mix&tag=n1&epochs=en:1.0" +
+        "&default=0&budget=512&seed=alt&shard=256", "")
+      assert(c1 == 200 && b1.contains("\"committed\":true") &&
+        b1.contains("\"version\":1"), b1)
+      assert(post(port, "/recipe?store=mix&tag=n2", "")._2
+        .contains("\"version\":2"))
+      // at-least-once redelivery: committed=false, version axis unmoved
+      val (c3, b3) = post(port, "/recipe?store=mix&tag=n2", "")
+      assert(c3 == 200 && b3.contains("\"committed\":false") &&
+        b3.contains("\"version\":2"), b3)
+      // GET reads any version (latest by default), with the version→tag
+      // provenance link
+      val (g1, r1) = get(port, "/recipe?store=mix&version=1")
+      assert(g1 == 200 && r1.contains("\"seed\":\"alt\"") &&
+        r1.contains("\"budget\":512") && r1.contains("\"tag\":\"n1\"") &&
+        r1.contains("\"epochs\":{\"en\":1.0}"), r1)
+      val (g2, r2) = get(port, "/recipe?store=mix")
+      assert(g2 == 200 && r2.contains("\"version\":2") &&
+        r2.contains(s""""seed":"${graft.operators.Mix.ShuffleSeed}""""), r2)
+
+      // replaying stored v2 ≡ the default inline face (same constants;
+      // pack shard size is a plan knob, not semantics), and stored v1 ≡
+      // the same recipe passed inline — version addressing reads the
+      // version asked for, through the store
+      val default8 = get(port, "/assemble?limit=8")._2
+      assert(get(port, "/assemble?recipe=mix&limit=8")._2 == default8)
+      assert(get(port, "/assemble?recipe=mix&version=2&limit=8")._2
+        == default8)
+      val inlineV1 = get(port,
+        "/assemble?epochs=en:1.0&default=0&budget=512&seed=alt&limit=8")._2
+      val (av, storedV1) =
+        get(port, "/assemble?recipe=mix&version=1&limit=8")
+      assert(av == 200 && storedV1 == inlineV1 && storedV1 != default8)
+
+      // discovery: the store self-describes as kind=recipe at version 2
+      val (dc, dirs) = get(port, "/stores")
+      assert(dc == 200 && dirs.contains(
+        """{"name":"mix","kind":"recipe","root":"store","version":2}"""), dirs)
+
+      // guardrails: half-overridden stored recipes refused, versions
+      // range-checked, names stay plain, tags required
+      assert(get(port, "/assemble?recipe=mix&seed=alt")._1 == 400)
+      assert(get(port, "/assemble?version=2")._1 == 400)
+      assert(get(port, "/assemble?recipe=nope")._1 == 400)
+      assert(get(port, "/assemble?recipe=mix&version=9")._1 == 400)
+      assert(get(port, "/recipe?store=nope")._1 == 404)
+      assert(get(port, "/recipe?store=mix&version=9")._1 == 400)
+      assert(get(port, "/recipe?store=mix&version=abc")._1 == 400)
+      assert(get(port, "/recipe?store=..")._1 == 400)
+      assert(post(port, "/recipe?store=mix", "")._1 == 400)
+      assert(post(port, "/recipe?store=mix&tag=x&epochs=en", "")._1 == 400)
+      assert(post(port, "/recipe?store=mix&tag=a:b", "")._1 == 400)
+    } finally srv.stop()
+  }
+
+  test("POST /recipe commits into an EXISTING store under EITHER root — " +
+      "never forks a same-named twin under the first one") {
+    val sRoot = java.nio.file.Files.createTempDirectory("graft_rcp_s").toString
+    val iRoot = java.nio.file.Files.createTempDirectory("graft_rcp_i").toString
+    // the store pre-exists under the INDEX root (the second configured)
+    graft.sources.RecipeStore(spark, s"$iRoot/mix")
+      .commit("n1", graft.sources.Recipe(Seq("en" -> 1.0), 0.5, "s", 64L, 32L))
+    val srv = new QueryServer(spark, sf,
+      storeRoot = Some(sRoot), indexRoot = Some(iRoot))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val (c, b) = post(port, "/recipe?store=mix&tag=n2", "")
+      assert(c == 200 && b.contains("\"version\":2"), b)
+      // the existing store advanced; no twin materialized under sRoot
+      assert(graft.sources.RecipeStore(spark, s"$iRoot/mix").version == 2L)
+      assert(!new java.io.File(sRoot, "mix").exists())
+      // a genuinely new name lands under the FIRST configured root
+      assert(post(port, "/recipe?store=fresh&tag=n1", "")._1 == 200)
+      assert(new java.io.File(sRoot, "fresh").isDirectory)
     } finally srv.stop()
   }
 }
