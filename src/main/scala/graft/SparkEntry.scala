@@ -29,7 +29,7 @@ object SparkEntry {
     "dedup_embedding_delta", "pipeline_curate_delta", "jsonl_roundtrip",
     "point_store_sketch", "source_reputation_incremental",
     "curate_takedown", "profile_incremental", "profile_drift",
-    "assemble_from_recipe")
+    "drift_gate", "assemble_from_recipe")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -85,6 +85,8 @@ object SparkEntry {
     "profile_incremental" -> (Profile.profileIncremental _),
     // night-over-night drift from the store's own version axis
     "profile_drift"   -> (Profile.profileDrift _),
+    // the drift thresholded into the gates' go/no-go report
+    "drift_gate"      -> (Profile.driftGate _),
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -193,6 +195,7 @@ object SparkEntry {
     "fk_gate"         -> Profile.fkGateOracle,
     "profile_incremental" -> Profile.profileIncrementalOracle,
     "profile_drift"   -> Profile.profileDriftOracle,
+    "drift_gate"      -> Profile.driftGateOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,

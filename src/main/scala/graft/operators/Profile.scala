@@ -220,7 +220,10 @@ object Profile {
         col("avg_len_from"), col("avg_len_to"))
   }
 
-  def profileDriftOracle: String = {
+  /** The f/t/drift CTE block shared by [[profileDriftOracle]] and
+    * [[driftGateOracle]] — both replay the two profiles at the night
+    * boundary; the gate adds rule rows over the drift. */
+  private def driftCtes: String = {
     def side(where: String, p: String) = {
       def block(n: String, isStr: Boolean) = {
         val sumL =
@@ -236,16 +239,63 @@ object Profile {
               block("source", true), block("n_chars", false))
           .mkString("\nUNION ALL\n")})"""
     }
-    s"""
-    WITH ${side("WHERE doc_id % 3 <> 2", "f")},
-         ${side("", "t")}
+    s"""WITH ${side("WHERE doc_id % 3 <> 2", "f")},
+         ${side("", "t")},
+         drift AS (
     SELECT f."column",
            t.n_rows - f.n_rows AS n_rows_delta,
            t.n_null - f.n_null AS n_null_delta,
            t.n_distinct - f.n_distinct AS n_distinct_delta,
            CAST(f.sum_len AS DOUBLE) / (f.n_rows - f.n_null) AS avg_len_from,
            CAST(t.sum_len AS DOUBLE) / (t.n_rows - t.n_null) AS avg_len_to
-    FROM f JOIN t USING ("column")"""
+    FROM f JOIN t USING ("column"))"""
+  }
+
+  def profileDriftOracle: String =
+    s"$driftCtes SELECT * FROM drift"
+
+  /** The registered drift CONTRACT — one `NoViolation` per monitoring
+    * question the drift frame exists to answer. Shared by the Spark
+    * query and (as SQL predicates) the oracle; a NULL predicate (the
+    * avg columns on numeric rows) counts as no violation on both
+    * engines. */
+  private def driftRules: Seq[(String, Column, String)] = Seq(
+    // a nightly fold that ingested docs must grow every column's count
+    ("rows_grew", col("n_rows_delta") <= 0, "n_rows_delta <= 0"),
+    // nulls growing faster than rows = the extractor started dropping
+    // a field
+    ("null_surge", col("n_null_delta") > col("n_rows_delta"),
+      "n_null_delta > n_rows_delta"),
+    // the PK's cardinality must track ingest — stalling means upstream
+    // dedup (or the id mint) broke
+    ("cardinality_stalled",
+      col("column") === "doc_id" && col("n_distinct_delta") <= 0,
+      "\"column\" = 'doc_id' AND n_distinct_delta <= 0"),
+    // mean document length halving overnight = extraction regressed
+    ("len_collapse", col("avg_len_to") < col("avg_len_from") * 0.5,
+      "avg_len_to < avg_len_from * 0.5"))
+
+  /** `drift_gate`: the drift frame THRESHOLDED — [[profileDrift]]
+    * composed into [[checkRules]], so the alerting face ends in the
+    * same long-format `(rule, observed, passed)` report the ingest
+    * gates emit and the three union into one nightly go/no-go. The
+    * rules are drift-shaped ([[driftRules]]): counts that shrank, null
+    * surges, PK cardinality stalling, mean-length collapse. One
+    * column-grain agg over the O(columns) drift frame — the gate costs
+    * nothing beyond the drift it reads. */
+  def checkDrift(drift: DataFrame): DataFrame =
+    checkRules(drift, driftRules.map { case (n, v, _) => NoViolation(n, v) })
+
+  def driftGate(s: SparkSession, d: String): DataFrame =
+    checkDrift(profileDrift(s, d))
+
+  def driftGateOracle: String = {
+    val ruleRows = driftRules.map { case (n, _, sql) =>
+      s"""SELECT '$n' AS rule,
+             CAST(count(*) FILTER (WHERE $sql) AS BIGINT) AS observed,
+             count(*) FILTER (WHERE $sql) = 0 AS passed
+           FROM drift""" }
+    s"$driftCtes ${ruleRows.mkString("\nUNION ALL\n")}"
   }
 
   // ------------------------------------------------------- expectations

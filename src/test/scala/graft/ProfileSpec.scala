@@ -72,6 +72,37 @@ class ProfileSpec extends SparkSpec {
     assert(empty.values.forall(_ == ((0L, true))))
   }
 
+  test("checkDrift: each drift rule fires on its own failure mode and " +
+      "NULL avg endpoints (numeric columns) never false-trigger") {
+    import spark.implicits._
+    // one drift row per column, three failure modes injected: text's
+    // mean length halved (extraction regressed), doc_id's cardinality
+    // stalled, lang's nulls outgrew its rows
+    val drift = Seq(
+      ("doc_id", 50L, 0L, 0L, Option.empty[Double], Option.empty[Double]),
+      ("text", 50L, 0L, 50L, Some(600.0), Some(250.0)),
+      ("lang", 50L, 60L, 1L, Some(2.0), Some(2.0)),
+      ("n_chars", 50L, 0L, 3L, Option.empty[Double], Option.empty[Double])
+    ).toDF("column", "n_rows_delta", "n_null_delta", "n_distinct_delta",
+      "avg_len_from", "avg_len_to")
+    val got = Profile.checkDrift(drift)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got("rows_grew") == ((0L, true)))          // all deltas positive
+    assert(got("null_surge") == ((1L, false)))        // lang only
+    assert(got("cardinality_stalled") == ((1L, false))) // doc_id only
+    assert(got("len_collapse") == ((1L, false)))      // text only — the
+    // NULL avgs on doc_id/n_chars compared NULL, which is no violation
+    // a healthy night reads all-green with the magnitudes at zero
+    val healthy = drift
+      .withColumn("n_null_delta", lit(0L))
+      .withColumn("n_distinct_delta",
+        when(col("column") === "doc_id", 50L).otherwise(col("n_distinct_delta")))
+      .withColumn("avg_len_to", col("avg_len_from"))
+    assert(Profile.checkDrift(healthy).collect()
+      .forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
+  }
+
   test("streaming profiler: profilePartial batches folded through " +
       "StreamingPointStore equal the one-shot profile — the profiler's " +
       "streaming twin is pure composition") {
