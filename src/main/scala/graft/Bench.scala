@@ -95,6 +95,10 @@ object Bench {
     // fold/delete + merge-on-read (the O(delta) work the rows claim)
     try graft.operators.CurateStore.warmLifecycleFixture(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.operators.DedupIndex.warmLifecycleFixture(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.operators.Ann.warmLifecycleFixture(spark, sfDir)
+    catch { case _: Throwable => () }
     // untimed probe warmup: the first run compiles the probe's codegen
     // and the next two settle JIT/scheduler state — without them the
     // first RECORDED probe reads 2-3× the session median and spuriously

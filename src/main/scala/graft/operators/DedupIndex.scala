@@ -531,12 +531,33 @@ object DedupIndex {
     dir
   }
 
+  /** The lifecycle query's shared night-0 FIXTURE: the historical
+    * signature index (doc_id % 5 ≠ 0) built ONCE per (JVM, sf dir) and
+    * CLONED — never mutated — by [[dedupIncremental]], the same
+    * rationale as `CurateStore.historicalBase`: in production the
+    * index the nightly delta appends into EXISTS, so a per-run rebuild
+    * measures kernel work `dedup_minhash` already prices instead of
+    * the O(delta) verb the row claims. */
+  private val baseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def historicalIndex(s: SparkSession, d: String): String =
+    baseCache.computeIfAbsent(d, _ => {
+      val corpus = graft.Tables.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 0)
+      val dir = freshRunDir("graft_dedupbase_", d)
+      build(corpus, dir.getPath, 3)
+      dir.getPath
+    })
+
+  /** Warm the shared fixture outside a timed region (Bench). */
+  def warmLifecycleFixture(s: SparkSession, d: String): Unit =
+    historicalIndex(s, d)
+
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Tables.documents(s, d)
-    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val delta = graft.Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
     val dir = freshRunDir("graft_dedupindex_", d)
-    val idx = build(corpus, dir.getPath, 3)
+    graft.sources.StoreFs.cloneTo(s, historicalIndex(s, d), dir.getPath)
+    val idx = load(s, dir.getPath)
     val historical = idx.allPairs(0.5) // reads only the base member
     idx.appendTagged("nightly", delta)
     idx.appendTagged("nightly", delta) // at-least-once redelivery: no-op
