@@ -204,11 +204,28 @@ object Profile {
     store.appendTagged("n1", profilePartial(docs.filter(col("doc_id") % 3 =!= 2)))
     val preNight = store.version
     store.appendTagged("n2", profilePartial(docs.filter(col("doc_id") % 3 === 2)))
-    val from = deriveProfile(store.snapshotAt(preNight))
+    driftBetween(store.snapshotAt(preNight), store.snapshot)
+  }
+
+  /** Drift between two STORED profile frames (any two versions of a
+    * [[profilePartial]]-shaped PointStore) — the reusable core of
+    * [[profileDrift]], also served over the wire (`GET /drift`).
+    * Refuses frames that are not profile-shaped by naming the missing
+    * columns instead of failing downstream in the join. */
+  def driftBetween(storedFrom: DataFrame, storedTo: DataFrame): DataFrame = {
+    val needed = Seq("column", "n_rows", "n_null", "dsk", "sum_len",
+      "min_num", "max_num", "min_str", "max_str")
+    Seq(storedFrom -> "from", storedTo -> "to").foreach { case (f, side) =>
+      val missing = needed.filterNot(f.columns.contains)
+      require(missing.isEmpty,
+        s"driftBetween: the '$side' frame is not a stored profile — " +
+          s"missing column(s) ${missing.mkString(", ")}")
+    }
+    val from = deriveProfile(storedFrom)
       .select(col("column"), col("n_rows").as("f_rows"),
         col("n_null").as("f_null"), col("n_distinct").as("f_distinct"),
         col("avg_len").as("avg_len_from"))
-    val to = deriveProfile(store.snapshot)
+    val to = deriveProfile(storedTo)
       .select(col("column"), col("n_rows").as("t_rows"),
         col("n_null").as("t_null"), col("n_distinct").as("t_distinct"),
         col("avg_len").as("avg_len_to"))

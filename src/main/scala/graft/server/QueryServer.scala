@@ -33,6 +33,17 @@ import java.nio.charset.StandardCharsets
   *                                      configuration, the layout comes
   *                                      from the store's self-describing
   *                                      manifest
+  *   GET /drift?store=<name>&from=V[&to=V][&gate]
+  *                                   → per-column drift between two
+  *                                      versions of a persisted PROFILE
+  *                                      store (profilePartial-shaped
+  *                                      PointStore; `to` defaults to
+  *                                      the live snapshot) — the
+  *                                      alerting read served without a
+  *                                      corpus re-scan; &gate returns
+  *                                      Profile.checkDrift's (rule,
+  *                                      observed, passed) report
+  *                                      instead of the raw deltas
   *   POST /probe/dedup?index=<name>[&threshold=T&limit=N]
   *                                   → probe a persisted [[graft.operators
   *                                      .DedupIndex]] under `indexRoot`
@@ -313,6 +324,63 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               respond(ex, 400, s"""{"error":"${Option(e.getMessage)
                 .getOrElse("bad request").takeWhile(_ != '\n')
                 .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the drift face over the wire: GET /drift?store=<profile store>
+    // &from=V[&to=V][&gate] opens a persisted profilePartial-shaped
+    // PointStore (zero-config, self-describing) and serves the
+    // per-column drift between any two of its versions — `to` defaults
+    // to the live snapshot; &gate returns Profile.checkDrift's
+    // long-format (rule, observed, passed) report instead of the raw
+    // deltas. The read the nightly alerting loop actually makes:
+    // "what changed between the version I last saw and now" without a
+    // corpus re-scan, consistent with a prior /version poll.
+    server.createContext("/drift", (ex: HttpExchange) => {
+      try (storeRoot, param(ex, "store"), param(ex, "from")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"server started without a store root"}""")
+        case (_, None, _) | (_, _, None) =>
+          respond(ex, 400,
+            """{"error":"store and from params required (GET /drift?store=<name>&from=V[&to=V][&gate])"}""")
+        case (Some(root), Some(n), Some(fromS)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, n).getCanonicalFile
+          val from = scala.util.Try(fromS.toLong).toOption
+          val to = param(ex, "to").map(p => scala.util.Try(p.toLong).toOption)
+          if (!plainName(n) || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else if (from.isEmpty || to.contains(None))
+            respond(ex, 400,
+              """{"error":"from and to must be integer versions"}""")
+          else try {
+            val store = graft.sources.PointStore.open(spark, dir.getPath)
+            val drift = graft.operators.Profile.driftBetween(
+              store.snapshotAt(from.get),
+              to.flatten.map(store.snapshotAt).getOrElse(store.snapshot))
+            // a bare &gate flag (no value) is accepted alongside gate=1
+            val gateOn = Option(ex.getRequestURI.getQuery)
+              .exists(_.split("&")
+                .exists(kv => kv == "gate" || kv.startsWith("gate=")))
+            val frame =
+              if (gateOn)
+                graft.operators.Profile.checkDrift(drift)
+                  .orderBy(org.apache.spark.sql.functions.col("rule"))
+              else drift
+                .orderBy(org.apache.spark.sql.functions.col("column"))
+            // O(columns) and O(rules) frames — MaxLimit clamps anyway
+            respond(ex, 200,
+              frame.limit(MaxLimit).toJSON.collect().mkString("[", ",", "]"))
+          } catch {
+            case e: IllegalArgumentException =>
+              // unknown store, non-profile store, version out of range
+              // or past the vacuum horizon — caller errors, named
+              val msg = Option(e.getMessage).getOrElse("bad request")
+              respond(ex, if (msg.contains("no point store")) 404 else 400,
+                s"""{"error":"${msg.takeWhile(_ != '\n')
+                  .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
             case e: Throwable =>
               respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }

@@ -604,6 +604,56 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /drift serves per-column profile drift between store " +
+      "versions; &gate returns the thresholded report") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Profile
+    val root = java.nio.file.Files.createTempDirectory("graft_driftroot").toString
+    val docs = Tables.documents(spark, sf)
+    val store = new graft.sources.PointStore(spark, s"$root/profile",
+      keys = Seq("column"), sums = Seq("n_rows", "n_null", "sum_len"),
+      maxes = Seq("max_num", "max_str"), sketches = Seq("dsk"),
+      mins = Seq("min_num", "min_str"))
+    store.appendTagged("n1",
+      Profile.profilePartial(docs.filter(col("doc_id") % 3 =!= 2)))
+    val v1 = store.version
+    store.appendTagged("n2",
+      Profile.profilePartial(docs.filter(col("doc_id") % 3 === 2)))
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val (c, body) = get(port, s"/drift?store=profile&from=$v1")
+      assert(c == 200 && body.contains("\"column\":\"doc_id\""), body)
+      // served ≡ the library's own driftBetween at the same versions
+      val lib = Profile.driftBetween(store.snapshotAt(v1), store.snapshot)
+        .orderBy(col("column")).toJSON.collect().mkString("[", ",", "]")
+      assert(body == lib)
+      // an explicit to= equals the default live read
+      assert(get(port,
+        s"/drift?store=profile&from=$v1&to=${store.version}")._2 == body)
+      // the gate face: the long-format report, all green on a healthy
+      // night (same chain the drift_gate oracle proves at sf0.01)
+      val (gc, gbody) = get(port, s"/drift?store=profile&from=$v1&gate")
+      assert(gc == 200 && gbody.contains("\"rule\":\"rows_grew\"") &&
+        !gbody.contains("\"passed\":false"), gbody)
+      // guardrails: params required and integer, versions range-checked,
+      // unknown stores 404, names stay under the root, non-profile
+      // stores refused with the missing columns named
+      assert(get(port, "/drift?store=profile")._1 == 400)
+      assert(get(port, "/drift?store=profile&from=abc")._1 == 400)
+      assert(get(port, "/drift?store=profile&from=99")._1 == 400)
+      assert(get(port, "/drift?store=nope&from=1")._1 == 404)
+      assert(get(port, "/drift?store=..&from=1")._1 == 403)
+      val other = new graft.sources.PointStore(spark, s"$root/notprofile",
+        keys = Seq("k"), sums = Seq("v"), maxes = Nil)
+      import spark.implicits._
+      other.appendTagged("t", Seq(("a", 1L)).toDF("k", "v"))
+      val (nc, nbody) = get(port, s"/drift?store=notprofile&from=1")
+      assert(nc == 400 && nbody.contains("missing column"), nbody)
+    } finally srv.stop()
+  }
+
   test("POST /recipe commits into an EXISTING store under EITHER root — " +
       "never forks a same-named twin under the first one") {
     val sRoot = java.nio.file.Files.createTempDirectory("graft_rcp_s").toString
