@@ -56,6 +56,8 @@ object SparkEntry {
     "events_window"      -> (Windows.eventsWindow _),
     "events_sessionize"  -> (Windows.eventsSessionize _),
     "window_topn"        -> (Windows.windowTopN _),
+    // ordered conversion funnel (the windowFunnel shape)
+    "events_funnel"      -> (Windows.eventsFunnel _),
     "asof_join"          -> (Joins.asofJoin _),
     "asof_join_native"   -> (Joins.asofJoinNative _),
     // LLM-data-pipeline surface (#19-30); ann_ivf is the one
@@ -174,6 +176,7 @@ object SparkEntry {
     "events_window"      -> Windows.eventsWindowOracle,
     "events_sessionize"  -> Windows.eventsSessionizeOracle,
     "window_topn"        -> Windows.windowTopNOracle,
+    "events_funnel"      -> Windows.eventsFunnelOracle,
     "asof_join"          -> Joins.asofJoinOracle,
     "asof_join_native"   -> Joins.asofJoinNativeOracle,
     "dedup_exact"     -> Dedup.dedupExactOracle,

@@ -101,4 +101,71 @@ object Windows {
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
       FROM orders)
     WHERE rn <= 3"""
+
+  /** The registered funnel: the product-analytics signup path. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered funnel over an events frame (the windowFunnel shape every
+    * product-analytics engine carries): a user reaches step k when
+    * their FIRST step-k event STRICTLY AFTER their step-(k-1) reach
+    * time exists — order matters, a purchase before the first view
+    * does not convert. Returns one user-grain row per reached step
+    * with the reach time.
+    *
+    * Scale shape: step k is "min ts after a per-user bound" — a
+    * filter-join-agg CHAIN, not a per-user event collection. Every
+    * stage shuffles on `user_id` alone, so the join and the
+    * re-aggregation after it reuse one hash partitioning end to end,
+    * and no operator ever holds a user's whole event list (the
+    * collect_list fold the small-data version of this operator uses
+    * would make the hottest user the tallest task at 100 TB — a
+    * thousand-executor funnel wants per-stage partial mins, which skew
+    * only as much as the raw key histogram). The event_type filter is
+    * pushed to the scan per stage, so each pass reads only its step's
+    * row groups. */
+  def funnelOf(ev: DataFrame, steps: Seq[String]): Seq[DataFrame] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnelOf: steps must be non-empty and distinct, got $steps")
+    val slim = ev.select(col("user_id"), col("ts"), col("event_type"))
+    val first = slim.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    steps.tail.scanLeft(first) { (prev, step) =>
+      slim.filter(col("event_type") === step)
+        .join(prev.hint("shuffle_hash"), "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+  }
+
+  /** `events_funnel`: per-step conversion counts for the registered
+    * view → click → purchase path — the funnel report itself (step
+    * index, step name, users reaching it; counts are non-increasing by
+    * construction). */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelOf(events(s, d), FunnelSteps)
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The staged-min SQL is the same semantics: min-after-bound per
+    * stage ≡ the first qualifying event in time order. */
+  def eventsFunnelOracle: String = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           count(*) AS users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""
 }

@@ -38,6 +38,33 @@ class EngineSpec extends SparkSpec {
     assert(df.filter(col("rn") < 1 || col("rn") > 3).count() == 0)
   }
 
+  test("events_funnel: order matters — a step before the previous " +
+      "step's reach time never converts, ties are strict") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1 converts the whole path in order
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      // user 2's purchase PRECEDES the view: reaches view+click only
+      (2L, t(1), "purchase"), (2L, t(2), "view"), (2L, t(3), "click"),
+      // user 3 never views: reaches nothing
+      (3L, t(1), "click"), (3L, t(2), "purchase"),
+      // user 4's click ties the first view exactly: strict > rejects it
+      (4L, t(5), "view"), (4L, t(5), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = operators.Windows.funnelOf(ev, operators.Windows.FunnelSteps)
+      .map(_.select("user_id").as[Long].collect().toSet)
+    assert(got == Seq(Set(1L, 2L, 4L), Set(1L, 2L), Set(1L)))
+    // and the registered report is non-increasing with named steps
+    val report = operators.Windows.eventsFunnel(spark, sf)
+      .orderBy("step").collect()
+    assert(report.map(_.getString(1)).toSeq ==
+      operators.Windows.FunnelSteps)
+    val users = report.map(_.getLong(2))
+    assert(users.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("hero_vs_hero has no self-pairs and a symmetric match count") {
     val df = operators.Joins.heroVsHero(spark, sf).cache()
     // pairing is over distinct line numbers; the aggregate keyed both ways
