@@ -1075,7 +1075,7 @@ object CurateStore {
     * leaves threads racing a thrown caller: nothing commits unless all
     * succeed, preserving the eager-writes-then-one-manifest-flip
     * contract. */
-  private def awaitAll(thunks: (() => Unit)*): Unit = {
+  private[operators] def awaitAll(thunks: (() => Unit)*): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
     try {
       val futs = thunks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {

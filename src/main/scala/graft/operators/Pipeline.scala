@@ -112,8 +112,6 @@ object Pipeline {
       // groupBy (the typed kernel erased sh's doc_id partitioning, so
       // both re-shuffle every posting) where the kernel passes shuffle
       // nothing, and it measured ~25% slower warm at sf0.1
-      val clusters = scratch.track(Dedup
-        .dedupClustersDirect(kdocs.select(col("doc_id"), col("text")), 3, 0.5))
       // the strip rides the SAME pinned posting pass: its common set is
       // the screen's document-frequency threshold over `sh`, so folding
       // the remediation in costs one windows pass over the KEPT docs'
@@ -122,7 +120,21 @@ object Pipeline {
           kdocs.select(col("doc_id"), col("text")),
           Curation.commonShingles(sh, minDocs))
         .select(col("doc_id"), col("cleaned")))
-      stripped.count() // materialize: the last consumer of `sh`
+      // clusters (an eager iterative CC drive whose between-round gaps
+      // leave the cluster idle) and the strip (one windows pass) are
+      // independent consumers of the two pinned frames — submit them
+      // CONCURRENTLY, the night-fold's awaitAll treatment applied to
+      // the one-shot funnel. kdocs materializes FIRST so the two
+      // threads read one cache instead of racing to compute the whole
+      // upstream funnel per consumer; scratch bookkeeping stays on
+      // this thread (Scratch is not thread-safe by design)
+      kdocs.count()
+      var clustersV: DataFrame = null
+      CurateStore.awaitAll(
+        () => { clustersV = Dedup.dedupClustersDirect(
+          kdocs.select(col("doc_id"), col("text")), 3, 0.5) },
+        () => stripped.count()) // materialize: the last consumer of `sh`
+      val clusters = scratch.track(clustersV)
       // footprint handoff: clusters' staging materialized kdocs (and
       // through it both screens) and the strip is pinned above, so the
       // corpus-scale posting cache can drop before the final doc-grain
