@@ -65,4 +65,51 @@ class StreamingSpec extends SparkSpec {
       s"1|${ts(50)}|${ts(50)}|1",
       s"2|${ts(5)}|${ts(25)}|2"))
   }
+
+  test("StreamingFunnel on a bounded stream equals the batch funnel, " +
+      "out-of-order chunks included; reaches finalize via timeout") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val chunk1 = Seq(
+      // user 1 converts in order across the two chunks
+      Ev(1, ts(1), "view"), Ev(1, ts(2), "click"),
+      // user 2's purchase precedes its view: view+click only
+      Ev(2, ts(1), "purchase"), Ev(2, ts(2), "view"),
+      // user 5's click+purchase arrive BEFORE its view (next chunk,
+      // earlier event time): the held fold must still convert all three
+      Ev(5, ts(2), "click"), Ev(5, ts(3), "purchase"),
+      // user 3 never views
+      Ev(3, ts(1), "click"))
+    val chunk2 = Seq(
+      Ev(1, ts(3), "purchase"), Ev(2, ts(3), "click"),
+      Ev(5, ts(1), "view"),
+      // user 4: click ties the view exactly — strict > rejects it
+      Ev(4, ts(5), "view"), Ev(4, ts(5), "click"))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1)
+    stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000), "sentinel")))
+    val q = StreamingFunnel.funnel(spark, stream.toDS)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("funnel_out").filter(col("user_id") =!= 99)
+      .select("user_id", "step", "ts")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+    val batch = graft.operators.Windows
+      .funnelOf((chunk1 ++ chunk2).toDF("user_id", "ts", "event_type"),
+        StreamingFunnel.Steps)
+      .zipWithIndex.flatMap { case (df, i) =>
+        df.collect().map(r => (r.getLong(0), i + 1, r.getTimestamp(1)))
+      }.toSet
+    assert(got == batch)
+    // the crafted frame exercises every semantic branch — make sure the
+    // interesting conversions actually happened
+    assert(got.count(_._2 == 3) == 2)                 // users 1 and 5
+    assert(!got.exists(t => t._1 == 4L && t._2 == 2)) // the strict tie
+  }
 }
