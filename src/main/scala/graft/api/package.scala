@@ -100,6 +100,25 @@ package object api {
       df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
 
+    /** Ordered conversion funnel over (`userCol`, `timeCol`, `typeCol`):
+      * one row per (step, user) reached, with the reach time. Order
+      * matters and ties are strict — a step event at or before the
+      * previous step's reach time never converts
+      * ([[graft.operators.Windows.funnelOf]]'s chained first-occurrence
+      * law; the same filter→join→agg chain shuffling on the user key
+      * alone). */
+    def funnelBy(userCol: String, timeCol: String, typeCol: String,
+                 steps: Seq[String]): DataFrame = {
+      val ev = df.select(col(userCol).as("user_id"),
+        col(timeCol).as("ts"), col(typeCol).as("event_type"))
+      operators.Windows.funnelOf(ev, steps).zip(steps).zipWithIndex
+        .map { case ((st, name), i) =>
+          st.select(lit(i + 1).cast("int").as("step"),
+            lit(name).as("step_name"), col("user_id").as(userCol),
+            col("t").as("reached_at")) }
+        .reduce(_ unionByName _)
+    }
+
     /** Gap-based sessionization over (`key`, `time`): adds session_id.
       * `tieBreak` columns make ordering deterministic under duplicate
       * timestamps (same reason the registered operator orders by

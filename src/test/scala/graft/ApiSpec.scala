@@ -92,6 +92,20 @@ class ApiSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("funnelBy matches the registered funnel operator under renamed " +
+      "columns") {
+    val got = Tables.events(spark, sf)
+      .select(col("user_id").as("who"), col("ts").as("at"),
+        col("event_type").as("kind"))
+      .funnelBy("who", "at", "kind", graft.operators.Windows.FunnelSteps)
+      .groupBy("step", "step_name").count()
+      .collect().map(_.mkString("|")).toSet
+    val reference = graft.operators.Windows.eventsFunnel(spark, sf)
+      .collect().map(r => s"${r.getInt(0)}|${r.getString(1)}|${r.getLong(2)}")
+      .toSet
+    assert(got == reference)
+  }
+
   test("distinctCountBy is exact in the sparse regime on any schema") {
     import spark.implicits._
     val rows = (0 until 500).map(i => (s"g${i % 3}", (i % 97).toLong))
