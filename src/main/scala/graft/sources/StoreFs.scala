@@ -355,20 +355,48 @@ object StoreFs {
         case other => other
       }
       val (srcRaw, dstRaw) = (raw(src.fs), raw(dst.fs))
-      def copyRec(from: Path, to: Path): Unit = {
+      // enumerate first (directory creation is cheap metadata, done
+      // inline during the walk), then copy the FILES through a bounded
+      // thread pool: a store is many parquet members, and a sequential
+      // driver-side byte copy leaves the backend's copy bandwidth
+      // (local SSD queue depth, HDFS datanode streams, S3 ranged GETs)
+      // unused — the reason distcp fans out. FileSystem instances are
+      // shared and thread-safe; the pool is bounded because a single
+      // local disk stops scaling past a few streams.
+      val files = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+      def walk(from: Path, to: Path): Unit = {
         val st = srcRaw.getFileStatus(from)
         if (st.isDirectory) {
           dstRaw.mkdirs(to)
           srcRaw.listStatus(from).foreach(c =>
-            copyRec(c.getPath, new Path(to, c.getPath.getName)))
-        } else if (!from.getName.endsWith(".crc"))
-          org.apache.hadoop.fs.FileUtil.copy(
-            srcRaw, from, dstRaw, to, false /* deleteSource */, conf)
+            walk(c.getPath, new Path(to, c.getPath.getName)))
+        } else if (!from.getName.endsWith(".crc")) files += ((from, to))
       }
       srcRaw.listStatus(src.root).foreach { st =>
         if (st.getPath.getName != LeaseName)
-          copyRec(st.getPath, new Path(dst.root, st.getPath.getName))
+          walk(st.getPath, new Path(dst.root, st.getPath.getName))
       }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, files.size)))
+      try {
+        val futs = files.toList.map { case (f, t) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              org.apache.hadoop.fs.FileUtil.copy(
+                srcRaw, f, dstRaw, t, false /* deleteSource */, conf)
+              ()
+            }
+          })
+        }
+        // settle every copy before failing, so a thrown caller never
+        // races live copy threads still writing into the dest tree
+        val errs = futs.flatMap { fu =>
+          try { fu.get(); None }
+          catch { case e: java.util.concurrent.ExecutionException =>
+            Some(e.getCause) }
+        }
+        errs.headOption.foreach(throw _)
+      } finally pool.shutdown()
     }
   }
 
