@@ -65,6 +65,28 @@ class EngineSpec extends SparkSpec {
     assert(users.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("events_funnel's executed plan: per-step scans pruned by pushed " +
+      "type filters; repeated stage subtrees dedupe via exchange reuse") {
+    val df = operators.Windows.eventsFunnel(spark, sf)
+    df.collect() // reuse only materializes in the FINAL adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // every events scan reads one step's rows (EqualTo pushed to parquet)
+    val scans = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    assert(scans.nonEmpty &&
+      scans.forall(_.contains("EqualTo(event_type,")), plan.take(2000))
+    // the report's three branches re-state earlier stages; AQE must
+    // reuse those exchanges, not recompute the chain per branch
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage"), plan.take(2000))
+    // "shuffles on user_id alone": every hash exchange in the plan keys
+    // on the user — the joins and the re-aggregations after them all
+    // ride one partitioning (the only other exchanges are the 3-row
+    // report's SinglePartition counts)
+    val hashEx = "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("user_id")),
+      hashEx.mkString("\n"))
+  }
+
   test("hero_vs_hero has no self-pairs and a symmetric match count") {
     val df = operators.Joins.heroVsHero(spark, sf).cache()
     // pairing is over distinct line numbers; the aggregate keyed both ways
