@@ -65,6 +65,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel reaches agree with the in-memory chained fold on random " +
+      "event streams (duplicate timestamps and all orderings included)") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    // small time domain on purpose: duplicate timestamps and same-step
+    // repeats must be common, they are the edge the strict-> law lives on
+    val evGen = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 12L),
+      Gen.oneOf(steps ++ Seq("noise")))
+    for (seed <- 1L to 6L) {
+      val evs = sample(Gen.listOfN(60, evGen), seed)
+      val df = evs.map { case (u, t, s) =>
+        (u, new java.sql.Timestamp(t * 1000L), s) }
+        .toDF("user_id", "ts", "event_type")
+      // reference: per user, the chained first-occurrence law applied
+      // to the sorted stream — t_k = min step-k time strictly after
+      // t_(k-1)
+      val expected = steps.indices.map { k =>
+        evs.groupBy(_._1).flatMap { case (u, es) =>
+          steps.take(k + 1).foldLeft(Option(Long.MinValue)) { (bound, s) =>
+            bound.flatMap(b => es.filter(e => e._3 == s && e._2 > b)
+              .map(_._2).minOption)
+          }.map(t => (u, t))
+        }.toSet
+      }
+      val got = graft.operators.Windows.funnelOf(df, steps).map(
+        _.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L))
+          .toSet)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("changefeed chain converges under random append/compact/poll interleavings") {
     import graft.sources.{ChangefeedFollower, PointStore}
     val li = Tables.lineitem(spark, sf)
