@@ -112,4 +112,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._2 == 3) == 2)                 // users 1 and 5
     assert(!got.exists(t => t._1 == 4L && t._2 == 2)) // the strict tie
   }
+
+  test("composed chain: StreamingFunnel reaches fold into a persisted " +
+      "PointStore — the funnel report maintained as an LSM table") {
+    import spark.implicits._
+    import graft.streaming.{StreamingFunnel, StreamingPointStore}
+    import graft.streaming.StreamingFunnel.Ev
+    import graft.sources.PointStore
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, ts(1), "view"), Ev(1, ts(2), "click"), Ev(1, ts(3), "purchase"),
+      Ev(2, ts(1), "purchase"), Ev(2, ts(2), "view"), Ev(2, ts(3), "click"),
+      Ev(3, ts(1), "click"), Ev(4, ts(5), "view"), Ev(4, ts(6), "click"))
+    val root = java.nio.file.Files.createTempDirectory("graft_funnelchain")
+    val store = new PointStore(spark, s"$root/funnel",
+      keys = Seq("step", "step_name"), sums = Seq("users"), maxes = Nil)
+    // reaches are emitted exactly once per (user, step) in append mode,
+    // so a plain additive count partial folds them; batch-id redelivery
+    // rides the store's tag ledger as everywhere else in the family
+    def partialOf(b: org.apache.spark.sql.DataFrame) =
+      b.filter(col("user_id") =!= 99)
+        .groupBy("step", "step_name").agg(count(lit(1)).as("users"))
+    val stream = MemoryStream[Ev]
+    val q = StreamingFunnel.funnel(spark, stream.toDS)
+      .writeStream
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[StreamingFunnel.Reach], id: Long) =>
+          StreamingPointStore.foldBatch(store, partialOf, b.toDF, id))
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").start()
+    stream.addData(evs.take(5)); q.processAllAvailable()
+    stream.addData(evs.drop(5))
+    stream.addData(Seq(Ev(99, ts(100000), "sentinel"))) // finalize all
+    q.processAllAvailable(); q.stop()
+
+    val snap = store.snapshot
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the maintained table IS the batch report (absent row = 0 reached)
+    val reference = graft.operators.Windows
+      .funnelOf(evs.toDF("user_id", "ts", "event_type"),
+        StreamingFunnel.Steps)
+      .zip(StreamingFunnel.Steps).zipWithIndex
+      .map { case ((df, name), i) => (i + 1, name) -> df.count() }
+      .filter(_._2 > 0).toMap
+    assert(snap == reference, s"snap=$snap reference=$reference")
+  }
 }
