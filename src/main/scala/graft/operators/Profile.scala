@@ -212,14 +212,26 @@ object Profile {
     * [[profileDrift]], also served over the wire (`GET /drift`).
     * Refuses frames that are not profile-shaped by naming the missing
     * columns instead of failing downstream in the join. */
-  def driftBetween(storedFrom: DataFrame, storedTo: DataFrame): DataFrame = {
+  private def requireProfileShaped(f: DataFrame, side: String): Unit = {
     val needed = Seq("column", "n_rows", "n_null", "dsk", "sum_len",
       "min_num", "max_num", "min_str", "max_str")
+    val missing = needed.filterNot(f.columns.contains)
+    require(missing.isEmpty,
+      s"the '$side' frame is not a stored profile — " +
+        s"missing column(s) ${missing.mkString(", ")}")
+  }
+
+  /** The human-facing profile derived from ONE stored frame (any version
+    * of a [[profilePartial]]-shaped PointStore) — the absolute read
+    * `GET /profile` serves beside `/drift`'s deltas. */
+  def profileFromStored(stored: DataFrame): DataFrame = {
+    requireProfileShaped(stored, "stored")
+    deriveProfile(stored)
+  }
+
+  def driftBetween(storedFrom: DataFrame, storedTo: DataFrame): DataFrame = {
     Seq(storedFrom -> "from", storedTo -> "to").foreach { case (f, side) =>
-      val missing = needed.filterNot(f.columns.contains)
-      require(missing.isEmpty,
-        s"driftBetween: the '$side' frame is not a stored profile — " +
-          s"missing column(s) ${missing.mkString(", ")}")
+      requireProfileShaped(f, side)
     }
     val from = deriveProfile(storedFrom)
       .select(col("column"), col("n_rows").as("f_rows"),

@@ -33,6 +33,13 @@ import java.nio.charset.StandardCharsets
   *                                      configuration, the layout comes
   *                                      from the store's self-describing
   *                                      manifest
+  *   GET /profile?store=<name>[&version=V]
+  *                                   → the derived profile (nulls,
+  *                                      distinct estimates, typed
+  *                                      extremes, mean lengths) of any
+  *                                      version of a persisted profile
+  *                                      store — /drift's companion
+  *                                      absolute read
   *   GET /drift?store=<name>&from=V[&to=V][&gate]
   *                                   → per-column drift between two
   *                                      versions of a persisted PROFILE
@@ -324,6 +331,46 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               respond(ex, 400, s"""{"error":"${Option(e.getMessage)
                 .getOrElse("bad request").takeWhile(_ != '\n')
                 .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the absolute-profile read: GET /profile?store=<profile store>
+    // [&version=V] derives the human-facing profile (null counts,
+    // distinct estimates, typed extremes, mean lengths) from any
+    // version of a persisted profilePartial-shaped PointStore — the
+    // companion of /drift (which serves the deltas between two such
+    // reads); same zero-config open, same non-profile refusal
+    server.createContext("/profile", (ex: HttpExchange) => {
+      try (storeRoot, param(ex, "store")) match {
+        case (None, _) =>
+          respond(ex, 404, """{"error":"server started without a store root"}""")
+        case (_, None) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (Some(root), Some(n)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, n).getCanonicalFile
+          val ver = param(ex, "version")
+            .map(p => scala.util.Try(p.toLong).toOption)
+          if (!plainName(n) || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else if (ver.contains(None))
+            respond(ex, 400, """{"error":"version must be an integer"}""")
+          else try {
+            val store = graft.sources.PointStore.open(spark, dir.getPath)
+            val stored = ver.flatten
+              .map(store.snapshotAt).getOrElse(store.snapshot)
+            val frame = graft.operators.Profile.profileFromStored(stored)
+              .orderBy(org.apache.spark.sql.functions.col("column"))
+            respond(ex, 200,
+              frame.limit(MaxLimit).toJSON.collect().mkString("[", ",", "]"))
+          } catch {
+            case e: IllegalArgumentException =>
+              val msg = Option(e.getMessage).getOrElse("bad request")
+              respond(ex, if (msg.contains("no point store")) 404 else 400,
+                s"""{"error":"${msg.takeWhile(_ != '\n')
+                  .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
             case e: Throwable =>
               respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }

@@ -651,6 +651,20 @@ class ServerSpec extends SparkSpec {
       other.appendTagged("t", Seq(("a", 1L)).toDF("k", "v"))
       val (nc, nbody) = get(port, s"/drift?store=notprofile&from=1")
       assert(nc == 400 && nbody.contains("missing column"), nbody)
+
+      // the absolute read beside the deltas: /profile serves the derived
+      // profile at any version, ≡ the library read at that version
+      val (pc, pbody) = get(port, s"/profile?store=profile&version=$v1")
+      assert(pc == 200, pbody)
+      val plib = Profile.profileFromStored(store.snapshotAt(v1))
+        .orderBy(col("column")).toJSON.collect().mkString("[", ",", "]")
+      assert(pbody == plib)
+      assert(get(port, "/profile?store=profile")._2 ==
+        Profile.profileFromStored(store.snapshot)
+          .orderBy(col("column")).toJSON.collect().mkString("[", ",", "]"))
+      assert(get(port, "/profile?store=nope")._1 == 404)
+      assert(get(port, "/profile?store=profile&version=99")._1 == 400)
+      assert(get(port, "/profile?store=notprofile")._1 == 400)
     } finally srv.stop()
   }
 
