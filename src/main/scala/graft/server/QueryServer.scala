@@ -33,6 +33,12 @@ import java.nio.charset.StandardCharsets
   *                                      configuration, the layout comes
   *                                      from the store's self-describing
   *                                      manifest
+  *   GET /funnel?steps=a,b,c[&sf=DIR&limit=N]
+  *                                   → ordered conversion funnel over
+  *                                      the events table for ANY step
+  *                                      path (default = the registered
+  *                                      view→click→purchase); per-step
+  *                                      (step, step_name, users) report
   *   GET /profile?store=<name>[&version=V]
   *                                   → the derived profile (nulls,
   *                                      distinct estimates, typed
@@ -334,6 +340,50 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             case e: Throwable =>
               respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
+      }
+    })
+    // the parameterized funnel: GET /funnel?steps=a,b,c[&sf=..&limit=N]
+    // serves Windows.funnelOf over the events table for ANY ordered
+    // step path (the registered events_funnel runs the fixed
+    // view→click→purchase path; an analyst's ad-hoc path is a
+    // parameter, not a redeploy — the /assemble convention applied to
+    // the funnel). Response = the per-step report rows.
+    server.createContext("/funnel", (ex: HttpExchange) => {
+      try {
+        val steps = param(ex, "steps").map { s =>
+          val parts = s.split(",", -1).toSeq
+          if (parts.isEmpty || parts.exists(!_.matches("[A-Za-z0-9_-]+")) ||
+              parts.distinct.size != parts.size) None
+          else Some(parts)
+        }
+        val lim = param(ex, "limit")
+          .map(p => scala.util.Try(p.toInt).toOption)
+        if (steps.contains(None))
+          respond(ex, 400, """{"error":"steps must be distinct plain """ +
+            """names (steps=view,click,purchase)"}""")
+        else if (lim.contains(None))
+          respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else resolveSf(param(ex, "sf")) match {
+          case None =>
+            respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
+          case Some(sf) =>
+            import org.apache.spark.sql.functions.{col, count, lit}
+            val names = steps.flatten
+              .getOrElse(graft.operators.Windows.FunnelSteps)
+            val stages = graft.operators.Windows
+              .funnelOf(graft.Tables.events(spark, sf), names)
+            val report = stages.zip(names).zipWithIndex.map {
+              case ((df, name), i) =>
+                df.agg(count(lit(1)).as("users"))
+                  .select(lit(i + 1).cast("int").as("step"),
+                    lit(name).as("step_name"), col("users"))
+            }.reduce(_ unionByName _)
+            val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+            respond(ex, 200, report.orderBy(col("step")).limit(limit)
+              .toJSON.collect().mkString("[", ",", "]"))
+        }
+      } catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
     })
     // the absolute-profile read: GET /profile?store=<profile store>

@@ -668,6 +668,32 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /funnel serves the parameterized ordered funnel: default " +
+      "path ≡ the registered query, custom paths and guardrails work") {
+    import org.apache.spark.sql.functions.col
+    val srv = new QueryServer(spark, sf)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val (c, body) = get(port, "/funnel")
+      assert(c == 200, body)
+      val registered = graft.operators.Windows.eventsFunnel(spark, sf)
+        .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      assert(body == registered)
+      // a custom path: reordering the steps changes the counts (order
+      // matters — that is the operator's defining property)
+      val (rc, rbody) = get(port, "/funnel?steps=purchase,click,view")
+      assert(rc == 200 && rbody != body, rbody)
+      assert(rbody.contains("\"step_name\":\"purchase\""))
+      // guardrails: malformed/duplicate steps, bad limit, foreign sf
+      assert(get(port, "/funnel?steps=view,view")._1 == 400)
+      assert(get(port, "/funnel?steps=a;b")._1 == 400)
+      assert(get(port, "/funnel?steps=")._1 == 400)
+      assert(get(port, "/funnel?limit=abc")._1 == 400)
+      assert(get(port, "/funnel?sf=/etc")._1 == 403)
+    } finally srv.stop()
+  }
+
   test("POST /recipe commits into an EXISTING store under EITHER root — " +
       "never forks a same-named twin under the first one") {
     val sRoot = java.nio.file.Files.createTempDirectory("graft_rcp_s").toString
