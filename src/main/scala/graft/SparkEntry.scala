@@ -29,7 +29,7 @@ object SparkEntry {
     "dedup_embedding_delta", "pipeline_curate_delta", "jsonl_roundtrip",
     "point_store_sketch", "source_reputation_incremental",
     "curate_takedown", "profile_incremental", "profile_drift",
-    "drift_gate", "assemble_from_recipe")
+    "drift_gate", "drift_follower", "assemble_from_recipe")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -58,6 +58,8 @@ object SparkEntry {
     "window_topn"        -> (Windows.windowTopN _),
     // ordered conversion funnel (the windowFunnel shape)
     "events_funnel"      -> (Windows.eventsFunnel _),
+    "events_funnel_windowed" -> (Windows.eventsFunnelWindowed _),
+    "events_retention"   -> (Windows.eventsRetention _),
     "asof_join"          -> (Joins.asofJoin _),
     "asof_join_native"   -> (Joins.asofJoinNative _),
     // LLM-data-pipeline surface (#19-30); ann_ivf is the one
@@ -89,6 +91,7 @@ object SparkEntry {
     "profile_drift"   -> (Profile.profileDrift _),
     // the drift thresholded into the gates' go/no-go report
     "drift_gate"      -> (Profile.driftGate _),
+    "drift_follower"  -> (Profile.driftFollowerQuery _),
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -177,6 +180,8 @@ object SparkEntry {
     "events_sessionize"  -> Windows.eventsSessionizeOracle,
     "window_topn"        -> Windows.windowTopNOracle,
     "events_funnel"      -> Windows.eventsFunnelOracle,
+    "events_funnel_windowed" -> Windows.eventsFunnelWindowedOracle,
+    "events_retention"   -> Windows.eventsRetentionOracle,
     "asof_join"          -> Joins.asofJoinOracle,
     "asof_join_native"   -> Joins.asofJoinNativeOracle,
     "dedup_exact"     -> Dedup.dedupExactOracle,
@@ -199,6 +204,7 @@ object SparkEntry {
     "profile_incremental" -> Profile.profileIncrementalOracle,
     "profile_drift"   -> Profile.profileDriftOracle,
     "drift_gate"      -> Profile.driftGateOracle,
+    "drift_follower"  -> Profile.profileDriftOracle,
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,

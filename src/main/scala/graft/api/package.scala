@@ -106,18 +106,34 @@ package object api {
       * previous step's reach time never converts
       * ([[graft.operators.Windows.funnelOf]]'s chained first-occurrence
       * law; the same filter→join→agg chain shuffling on the user key
-      * alone). */
+      * alone). `horizon` bounds each hop to within a compact duration
+      * (`"30m"`, `"1d"` — [[graft.operators.Windows.parseHorizon]]) of
+      * the previous reach, boundary inclusive. */
     def funnelBy(userCol: String, timeCol: String, typeCol: String,
-                 steps: Seq[String]): DataFrame = {
+                 steps: Seq[String], horizon: Option[String] = None): DataFrame = {
       val ev = df.select(col(userCol).as("user_id"),
         col(timeCol).as("ts"), col(typeCol).as("event_type"))
-      operators.Windows.funnelOf(ev, steps).zip(steps).zipWithIndex
+      operators.Windows.funnelOf(ev, steps,
+          horizon.map(operators.Windows.parseHorizon)).zip(steps).zipWithIndex
         .map { case ((st, name), i) =>
           st.select(lit(i + 1).cast("int").as("step"),
             lit(name).as("step_name"), col("user_id").as(userCol),
             col("t").as("reached_at")) }
         .reduce(_ unionByName _)
     }
+
+    /** Cohort retention matrix over (`userCol`, `timeCol`): users
+      * cohorted by the calendar `period` (day|week|month) of their
+      * first event; cell (cohort, offset) = distinct users active
+      * `offset` periods after their cohort
+      * ([[graft.operators.Windows.retentionOf]] — one user-grain agg
+      * whose state is the user's bounded period SET, then one matrix
+      * agg). */
+    def retentionBy(userCol: String, timeCol: String,
+                    period: String = "week"): DataFrame =
+      operators.Windows.retentionOf(
+        df.select(col(userCol).as("user_id"), col(timeCol).as("ts")),
+        period)
 
     /** Gap-based sessionization over (`key`, `time`): adds session_id.
       * `tieBreak` columns make ordering deterministic under duplicate

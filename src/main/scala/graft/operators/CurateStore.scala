@@ -332,7 +332,23 @@ final class CurateStore private (spark: SparkSession, dir: String) {
   def vacuum(): Unit = sfs.withWriterLease() {
     val live = manifestLines.filterNot(_.startsWith("#"))
       .map(_.split(":", 2)(1)).toSet ++ SubStoreDirs
-    sfs.dirNames().filterNot(live).foreach(sfs.deleteChild)
+    // The rbdf-/rbbench-/ids-del- scratch members of an IN-FLIGHT
+    // rollback/takedown are written BEFORE the sub-store mutations and
+    // the manifest flip. Once sigindex.delete has committed, they are
+    // the ONLY record a crash-retry can re-derive the subtraction from
+    // (the signatures are gone) — so a vacuum running inside the crash
+    // window must not reclaim them. Once the operation's ledger line
+    // lands they are ordinary garbage: ids-del- flips to a manifest
+    // deadids: line (in `live` above), rbdf-/rbbench- are never read
+    // again and reclaim here.
+    def inFlightScratch(d: String): Boolean = Seq(
+      "rbdf-del-", "rbbench-del-", "ids-del-").collectFirst {
+        case p if d.startsWith(p) => !deleteTags(d.stripPrefix(p))
+      }.orElse(Seq("rbdf-rb-", "rbbench-rb-").collectFirst {
+        case p if d.startsWith(p) => !rolledBackTags(d.stripPrefix(p))
+      }).getOrElse(false)
+    sfs.dirNames().filterNot(live).filterNot(inFlightScratch)
+      .foreach(sfs.deleteChild)
     sigindex.vacuum()
     dfStore.vacuum()
     benchStore.vacuum()

@@ -555,10 +555,15 @@ object DedupIndex {
 
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val delta = graft.Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    // the historical probe is READ-ONLY — it runs against the shared
+    // fixture directly, so the entry's timed region prices it as the
+    // read it is; only the mutating append pair needs a private clone
+    // (the fixture must stay pristine across runs and bench reps)
+    val basePath = historicalIndex(s, d)
+    val historical = load(s, basePath).allPairs(0.5) // base member only
     val dir = freshRunDir("graft_dedupindex_", d)
-    graft.sources.StoreFs.cloneTo(s, historicalIndex(s, d), dir.getPath)
+    graft.sources.StoreFs.cloneTo(s, basePath, dir.getPath)
     val idx = load(s, dir.getPath)
-    val historical = idx.allPairs(0.5) // reads only the base member
     idx.appendTagged("nightly", delta)
     idx.appendTagged("nightly", delta) // at-least-once redelivery: no-op
     historical.unionByName(idx.pairsInvolving("append-nightly", 0.5))

@@ -207,6 +207,35 @@ object Profile {
     driftBetween(store.snapshotAt(preNight), store.snapshot)
   }
 
+  /** `drift_follower`: the same night-boundary drift as
+    * [[profileDrift]], but maintained PUSH-shaped by a
+    * [[graft.sources.DriftFollower]] — the upstream profile store takes
+    * its two nightly folds, the follower polls after each (the first
+    * poll establishes the baseline mirror, the second folds night-2's
+    * changes and returns that window's drift), with the wrapper
+    * REBUILT between polls so the registered path itself proves the
+    * checkpoint lives in the tag ledger, not in memory. Carries
+    * [[profileDriftOracle]]: hash-green means the O(changes) mirror
+    * fold + the captured poll-boundary endpoints land on the exact
+    * drift the on-demand two-snapshot read computes. */
+  def driftFollowerQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchOps
+    val dir = DedupIndex.freshRunDir("graft_drift_follow_", d)
+    val store = new graft.sources.PointStore(s, s"${dir.getPath}/up",
+      keys = Seq("column"),
+      sums = Seq("n_rows", "n_null", "sum_len"),
+      maxes = Seq("max_num", "max_str"),
+      sketches = Seq("dsk"),
+      mins = Seq("min_num", "min_str"))
+    val docs = graft.Tables.documents(s, d)
+    store.appendTagged("n1", profilePartial(docs.filter(col("doc_id") % 3 =!= 2)))
+    val f1 = new graft.sources.DriftFollower(s, store, s"${dir.getPath}/down")
+    require(f1.poll().isEmpty, "baseline fold must not report drift")
+    store.appendTagged("n2", profilePartial(docs.filter(col("doc_id") % 3 === 2)))
+    val f2 = new graft.sources.DriftFollower(s, store, s"${dir.getPath}/down")
+    f2.poll().getOrElse(sys.error("night-2 poll must report the window"))
+  }
+
   /** Drift between two STORED profile frames (any two versions of a
     * [[profilePartial]]-shaped PointStore) — the reusable core of
     * [[profileDrift]], also served over the wire (`GET /drift`).
@@ -335,7 +364,13 @@ object Profile {
   /** Passes when NO row satisfies `violation`; `observed` reports the
     * violating-row count (sum of a 0/1 flag — partial-foldable). */
   final case class NoViolation(name: String, violation: Column) extends Rule
-  /** Passes when `cols` form a key: distinct(cols) == rows. Exact
+  /** Passes when `cols` form a key: distinct(cols) == rows holding a
+    * fully non-null key tuple. NULL-keyed rows are EXCLUDED from both
+    * sides — a missing key is [[NoViolation]](key IS NULL)'s finding,
+    * not a duplicate (the same convention [[checkRef]] uses for
+    * orphans); counting them here would also diverge from the SQL
+    * convention (`count(DISTINCT col)` ignores NULLs while Spark's
+    * `count_distinct(struct(col))` counts the null tuple once). Exact
     * count-distinct (the multi-distinct Expand price — a key check that
     * is only probably true is not a key check). */
   final case class Unique(name: String, cols: Seq[String]) extends Rule
@@ -343,8 +378,8 @@ object Profile {
   /** Evaluate a rule set in ONE aggregation over ONE scan — same fold
     * discipline as [[profileOf]]: the exchange carries one counter per
     * rule. Output long-format `(rule, observed, passed)`: `observed` is
-    * the violation count (NoViolation) or the distinct-vs-rows gap
-    * (Unique), `passed` ⇔ observed == 0 — so a green gate is exactly
+    * the violation count (NoViolation) or the duplicate count over
+    * non-null key tuples (Unique), `passed` ⇔ observed == 0 — so a green gate is exactly
     * "every rule row reads (r, 0, true)" and a red one names its rule
     * and its magnitude. Rows stream nowhere; a failing gate re-queries
     * the violating rows with the rule's own predicate when a human
@@ -353,17 +388,21 @@ object Profile {
     require(rules.nonEmpty, "checkRules: empty rule set")
     require(rules.map(_.name).distinct.size == rules.size,
       "checkRules: duplicate rule names")
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: rules.map {
-      case NoViolation(n, v) =>
-        coalesce(sum(when(v, lit(1L)).otherwise(lit(0L))), lit(0L)).as(s"r_$n")
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: rules.flatMap {
+      case NoViolation(n, v) => Seq(
+        coalesce(sum(when(v, lit(1L)).otherwise(lit(0L))), lit(0L)).as(s"r_$n"))
       case Unique(n, cs) =>
-        count_distinct(struct(cs.map(col): _*)).as(s"r_$n")
+        // null-keyed rows leave BOTH counters: the when() yields a NULL
+        // struct (not a struct of nulls), which count/count_distinct skip
+        val allSet = cs.map(col(_).isNotNull).reduce(_ && _)
+        Seq(count_distinct(when(allSet, struct(cs.map(col): _*))).as(s"r_$n"),
+          count(when(allSet, lit(1L))).as(s"rn_$n"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = rules.map { r =>
       val observed = r match {
         case _: NoViolation => col(s"r_${r.name}")
-        case _: Unique      => col("n_rows") - col(s"r_${r.name}")
+        case _: Unique      => col(s"rn_${r.name}") - col(s"r_${r.name}")
       }
       struct(lit(r.name).as("rule"), observed.as("observed"),
         (observed === 0L).as("passed"))
@@ -467,8 +506,8 @@ object Profile {
     val langs = KnownLangs.map(l => s"'$l'").mkString(", ")
     s"""
     SELECT 'doc_id_is_key' AS rule,
-           count(*) - count(DISTINCT doc_id) AS observed,
-           count(*) - count(DISTINCT doc_id) = 0 AS passed FROM documents
+           count(doc_id) - count(DISTINCT doc_id) AS observed,
+           count(doc_id) - count(DISTINCT doc_id) = 0 AS passed FROM documents
     UNION ALL
     SELECT 'doc_id_present',
            CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),

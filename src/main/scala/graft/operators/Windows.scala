@@ -105,12 +105,48 @@ object Windows {
   /** The registered funnel: the product-analytics signup path. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
+  /** Parse a compact duration (`"90s"`, `"30m"`, `"12h"`, `"1d"`,
+    * `"500ms"`) to milliseconds — the funnel-horizon format shared by
+    * the fluent API and GET /funnel&window= (URL-safe, no spaces,
+    * unit required so a bare number can't silently mean the wrong
+    * scale). Loud on anything else. */
+  def parseHorizon(s: String): Long = s match {
+    case HorizonRe(n, unit) =>
+      n.toLong * (unit match {
+        case "ms" => 1L
+        case "s" => 1000L
+        case "m" => 60000L
+        case "h" => 3600000L
+        case "d" => 86400000L
+      })
+    case _ => throw new IllegalArgumentException(
+      s"horizon '$s' must be <n><ms|s|m|h|d>, e.g. 30m")
+  }
+  private val HorizonRe = "([0-9]{1,15})(ms|s|m|h|d)".r
+
   /** Ordered funnel over an events frame (the windowFunnel shape every
     * product-analytics engine carries): a user reaches step k when
     * their FIRST step-k event STRICTLY AFTER their step-(k-1) reach
     * time exists — order matters, a purchase before the first view
     * does not convert. Returns one user-grain row per reached step
     * with the reach time.
+    *
+    * `horizonMs` bounds each hop: step k's event must ALSO land within
+    * the horizon of the step-(k-1) reach (`ts <= t_prev + horizon`,
+    * INCLUSIVE — an event at exactly the boundary converts, matching
+    * the SQL form `e.ts <= prev.t + INTERVAL`). These are
+    * CHAINED-MIN-WITHIN-HORIZON semantics: the funnel still folds
+    * first-occurrence greedily, so a user whose FIRST in-order step-k
+    * event misses the horizon does NOT convert even if a later
+    * (view, click) pair of theirs would fit — deliberately NOT
+    * ClickHouse windowFunnel's deepest-chain-within-window search,
+    * which must consider every step-1 event as a candidate anchor.
+    * Greedy first-occurrence keeps the operator a filter→join→agg
+    * chain (per-stage partial mins, no per-user event lists), stays a
+    * pure conjunct extension of the staged-min SQL the oracle checks,
+    * and gives the streaming twin bounded state with an eviction
+    * point; the deepest-chain variant is a different operator with a
+    * per-user search, not a parameter of this one.
     *
     * Scale shape: step k is "min ts after a per-user bound" — a
     * filter-join-agg CHAIN, not a per-user event collection. Every
@@ -123,16 +159,25 @@ object Windows {
     * only as much as the raw key histogram). The event_type filter is
     * pushed to the scan per stage, so each pass reads only its step's
     * row groups. */
-  def funnelOf(ev: DataFrame, steps: Seq[String]): Seq[DataFrame] = {
+  def funnelOf(ev: DataFrame, steps: Seq[String],
+               horizonMs: Option[Long] = None): Seq[DataFrame] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnelOf: steps must be non-empty and distinct, got $steps")
+    require(horizonMs.forall(_ > 0),
+      s"funnelOf: horizon must be positive, got $horizonMs")
     val slim = ev.select(col("user_id"), col("ts"), col("event_type"))
     val first = slim.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
     steps.tail.scanLeft(first) { (prev, step) =>
+      val inOrder = col("ts") > col("t")
+      // exact day-time interval: millis as a scale-3 decimal of seconds
+      // (a double literal would round large horizons at the µs grain)
+      val within = horizonMs.map(h => col("ts") <= col("t") +
+        make_dt_interval(lit(0), lit(0), lit(0),
+          lit(java.math.BigDecimal.valueOf(h, 3))))
       slim.filter(col("event_type") === step)
         .join(prev.hint("shuffle_hash"), "user_id")
-        .filter(col("ts") > col("t"))
+        .filter(within.map(inOrder && _).getOrElse(inOrder))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
     }
   }
@@ -164,6 +209,101 @@ object Windows {
       SELECT e.user_id, min(e.ts) AS t FROM events e
       JOIN s2 USING (user_id)
       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           count(*) AS users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""
+
+  /** Cohort retention matrix — the product-analytics companion of the
+    * funnel: users cohorted by the period of their FIRST event, the
+    * cell (cohort, offset) counting how many of them were active
+    * `offset` periods later. `period` ∈ day | week | month (calendar
+    * truncation on both engines — weeks start Monday).
+    *
+    * Scale shape: ONE user-grain aggregation (min period = the cohort,
+    * collect_set of the user's distinct ACTIVITY PERIODS — bounded by
+    * the calendar, ≤ 52 cells for a year of weeks, never by the user's
+    * event count: `date_trunc` runs before the aggregate, so map-side
+    * partials dedupe a hot user's millions of events down to their
+    * period set inside the scan stage), then explode + ONE matrix
+    * aggregation. Shuffles on `user_id`, then on the (cohort, offset)
+    * matrix key whose cardinality is periods² — nothing user-grain
+    * crosses the second exchange. */
+  def retentionOf(ev: DataFrame, period: String = "week"): DataFrame = {
+    require(Set("day", "week", "month")(period),
+      s"retentionOf: period must be day|week|month, got '$period'")
+    val perUser = ev
+      .select(col("user_id"), date_trunc(period, col("ts")).as("p"))
+      .groupBy(col("user_id"))
+      .agg(min(col("p")).as("cohort"), collect_set(col("p")).as("ps"))
+    val cell = perUser.select(col("cohort"), explode(col("ps")).as("p"))
+    val offset = period match {
+      case "month" => months_between(col("p"), col("cohort")).cast("int")
+      case "week"  => (datediff(col("p"), col("cohort")) / 7).cast("int")
+      case "day"   => datediff(col("p"), col("cohort"))
+    }
+    cell
+      .groupBy(tstr(col("cohort")).as("cohort"), offset.as("offset"))
+      .agg(count(lit(1)).as("users")) // (user, p) distinct by collect_set
+  }
+
+  /** `events_retention`: weekly cohorts over the events table. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame =
+    retentionOf(events(s, d), "week")
+
+  /** Same matrix in plain SQL: distinct activity periods, per-user min
+    * as the cohort, day-diff/7 as the offset (both engines truncate
+    * weeks to Monday, so the division is exact). */
+  def eventsRetentionOracle: String = """
+    WITH acts AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),
+    coh AS (
+      SELECT user_id, min(p) AS cohort FROM acts GROUP BY 1)
+    SELECT strftime(cohort, '%Y-%m-%d %H:%M:%S') AS cohort,
+           CAST(date_diff('day', cohort, p) / 7 AS INT) AS "offset",
+           count(*) AS users
+    FROM acts JOIN coh USING (user_id)
+    GROUP BY 1, 2"""
+
+  /** The registered windowed funnel's horizon: each hop must land
+    * within one day of the previous reach (the testdata's inter-event
+    * cadence makes this bind hard — at sf0.01 it cuts 150/150/150 to
+    * 150/60/25, so the oracle actually exercises the bound). */
+  val FunnelHorizon: String = "1d"
+
+  /** `events_funnel_windowed`: the same signup path with the
+    * conversion bounded per hop ([[funnelOf]]'s `horizonMs` —
+    * unbounded funnels overcount on long-lived users: ANY click after
+    * the first view converts, even months later). */
+  def eventsFunnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelOf(events(s, d), FunnelSteps,
+      Some(parseHorizon(FunnelHorizon)))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The unbounded oracle's staged SQL, each stage extended with the
+    * horizon conjunct — the chained-min-within-horizon law is a pure
+    * conjunction, which is exactly why these semantics were chosen
+    * over the deepest-chain search. Boundary INCLUSIVE on both
+    * engines. */
+  def eventsFunnelWindowedOracle: String = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL 1 DAY GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL 1 DAY GROUP BY 1)
     SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
            count(*) AS users FROM s1
     UNION ALL SELECT 2, 'click', count(*) FROM s2

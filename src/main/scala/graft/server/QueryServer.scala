@@ -33,7 +33,7 @@ import java.nio.charset.StandardCharsets
   *                                      configuration, the layout comes
   *                                      from the store's self-describing
   *                                      manifest
-  *   GET /funnel?steps=a,b,c[&sf=DIR&limit=N]
+  *   GET /funnel?steps=a,b,c[&window=30m&sf=DIR&limit=N]
   *                                   → ordered conversion funnel over
   *                                      the events table for ANY step
   *                                      path (default = the registered
@@ -149,6 +149,17 @@ import java.nio.charset.StandardCharsets
   *                                      foreachBatch write path over
   *                                      the wire, ledger-idempotent
   *                                      like /ingest/curate.
+  *   POST /ingest/point?store=<name>&tag=<batchid>
+  *                                   → append a posted partial batch
+  *                                      (JSON rows in the store's own
+  *                                      self-described schema) to a
+  *                                      persisted PointStore — the
+  *                                      plain point table's write face
+  *                                      (the reference's upsert worker
+  *                                      shape), completing the family:
+  *                                      every persisted store now has
+  *                                      a served write. Ledger-
+  *                                      idempotent like its siblings.
   *   POST /takedown/curate?store=<name>&tag=<reqid>
   *   POST /takedown/ann?index=<name>&tag=<reqid>
   *                                   → doc-grain deletion over the wire
@@ -342,12 +353,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           }
       }
     })
-    // the parameterized funnel: GET /funnel?steps=a,b,c[&sf=..&limit=N]
-    // serves Windows.funnelOf over the events table for ANY ordered
-    // step path (the registered events_funnel runs the fixed
-    // view→click→purchase path; an analyst's ad-hoc path is a
+    // the parameterized funnel: GET /funnel?steps=a,b,c[&window=30m&
+    // sf=..&limit=N] serves Windows.funnelOf over the events table for
+    // ANY ordered step path (the registered events_funnel runs the
+    // fixed view→click→purchase path; an analyst's ad-hoc path is a
     // parameter, not a redeploy — the /assemble convention applied to
-    // the funnel). Response = the per-step report rows.
+    // the funnel). &window bounds each hop to the conversion horizon.
+    // Response = the per-step report rows.
     server.createContext("/funnel", (ex: HttpExchange) => {
       try {
         val steps = param(ex, "steps").map { s =>
@@ -358,11 +370,18 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         }
         val lim = param(ex, "limit")
           .map(p => scala.util.Try(p.toInt).toOption)
+        // &window=30m bounds each hop (funnelOf's horizon) — compact
+        // duration only, parsed by the operator's own parser
+        val win = param(ex, "window").map(p =>
+          scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
         if (steps.contains(None))
           respond(ex, 400, """{"error":"steps must be distinct plain """ +
             """names (steps=view,click,purchase)"}""")
         else if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else if (win.contains(None))
+          respond(ex, 400,
+            """{"error":"window must be <n><ms|s|m|h|d>, e.g. 30m"}""")
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
@@ -371,7 +390,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             val names = steps.flatten
               .getOrElse(graft.operators.Windows.FunnelSteps)
             val stages = graft.operators.Windows
-              .funnelOf(graft.Tables.events(spark, sf), names)
+              .funnelOf(graft.Tables.events(spark, sf), names, win.flatten)
             val report = stages.zip(names).zipWithIndex.map {
               case ((df, name), i) =>
                 df.agg(count(lit(1)).as("users"))
@@ -452,17 +471,33 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           else if (from.isEmpty || to.contains(None))
             respond(ex, 400,
               """{"error":"from and to must be integer versions"}""")
-          else try {
+          else {
+            // The gate flag is VALUED, not presence-only: a caller
+            // templating `gate=${enabled}` must get OFF for gate=0 /
+            // gate=false, and a typo (gate=yess) must be a 400, not a
+            // silent enable. Bare `gate` (no value) still means on.
+            val gateOn: Option[Boolean] =
+              Option(ex.getRequestURI.getQuery).toSeq
+                .flatMap(_.split("&"))
+                .collectFirst {
+                  case "gate"                          => Some(true)
+                  case kv if kv.startsWith("gate=") =>
+                    kv.drop(5).toLowerCase match {
+                      case "1" | "true"  => Some(true)
+                      case "0" | "false" => Some(false)
+                      case _             => None // unparseable -> 400
+                    }
+                }.getOrElse(Some(false))
+            if (gateOn.isEmpty)
+              respond(ex, 400,
+                """{"error":"gate must be 1/true/0/false (or bare gate)"}""")
+            else try {
             val store = graft.sources.PointStore.open(spark, dir.getPath)
             val drift = graft.operators.Profile.driftBetween(
               store.snapshotAt(from.get),
               to.flatten.map(store.snapshotAt).getOrElse(store.snapshot))
-            // a bare &gate flag (no value) is accepted alongside gate=1
-            val gateOn = Option(ex.getRequestURI.getQuery)
-              .exists(_.split("&")
-                .exists(kv => kv == "gate" || kv.startsWith("gate=")))
             val frame =
-              if (gateOn)
+              if (gateOn.contains(true))
                 graft.operators.Profile.checkDrift(drift)
                   .orderBy(org.apache.spark.sql.functions.col("rule"))
               else drift
@@ -480,6 +515,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
             case e: Throwable =>
               respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
           }
       }
     })
@@ -879,11 +915,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
     server.createContext("/recipe", (ex: HttpExchange) => {
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       def recipeJson(name: String, v: Long, tag: Option[String],
-                     r: graft.sources.Recipe): String = {
+                     r: graft.sources.Recipe,
+                     deprecated: Option[String] = None): String = {
         val eps = r.epochs.map { case (l, w) => s""""$l":$w""" }
           .mkString("{", ",", "}")
         s"""{"store":"$name","version":$v""" +
           tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("") +
+          deprecated.map(w => s""","deprecated":"${esc(w)}"""").getOrElse("") +
           s""","seed":"${r.seed}","budget":${r.budget}""" +
           s""","default":${r.defaultEpochs}""" +
           s""","pack_shard_size":${r.packShardSize},"epochs":$eps}"""
@@ -909,7 +947,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               else {
                 val v = ver.flatten.getOrElse(store.version)
                 try respond(ex, 200,
-                  recipeJson(name, v, store.tagOf(v), store.recipeAt(v)))
+                  recipeJson(name, v, store.tagOf(v), store.recipeAt(v),
+                    store.deprecationOf(v)))
                 catch { case e: IllegalArgumentException =>
                   respond(ex, 400,
                     s"""{"error":"${esc(Option(e.getMessage)
@@ -1097,6 +1136,70 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               respond(ex, 400, s"""{"error":"${Option(e.getMessage)
                 .getOrElse("bad request").takeWhile(_ != '\n')
                 .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the plain point table's write face: POST a partial batch and the
+    // store folds it under its writer lease — the reference's upsert
+    // worker (worker.js:119-165's batch ack loop) as one route. The
+    // body parses against the store's SELF-DESCRIBED schema (snapshot
+    // types — binary sketch measures ride as base64, Spark's own JSON
+    // encoding for them), so the server needs zero per-store config;
+    // ledger idempotence via appendTagged's Boolean, committed derived
+    // from the verb's own return (the curateNight pattern, no TOCTOU).
+    server.createContext("/ingest/point", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405,
+          """{"error":"POST JSON rows in the store's schema with ?store=&tag="}""")
+      else (storeRoot, param(ex, "store"), param(ex, "tag")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"server started without a store root"}""")
+        case (_, None, _) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (_, _, None) =>
+          respond(ex, 400,
+            """{"error":"tag param required (the batch id redeliveries are judged by)"}""")
+        case (Some(root), Some(name), Some(tag)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          if (!plainName(name) || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else if (!tag.matches("[A-Za-z0-9._-]+"))
+            respond(ex, 400,
+              """{"error":"tag must be filesystem-safe ([A-Za-z0-9._-]+)"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val store = graft.sources.PointStore.open(spark, dir.getPath)
+            val keyCols = store.keys
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            import spark.implicits._
+            val rows = spark.read.schema(store.snapshot.schema)
+              .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+              .cache()
+            try {
+              val n = rows.count()
+              val badKey = keyCols.map(k => col(k).isNull)
+                .reduceOption(_ || _).map(rows.filter(_).count())
+                .getOrElse(0L)
+              if (n == 0 || badKey > 0)
+                respond(ex, 400,
+                  s"""{"error":"body must be JSON rows with non-null """ +
+                    s"""key(s) ${keyCols.mkString(", ")}"}""")
+              else {
+                val committed = store.appendTagged(tag, rows)
+                respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+                  s""""committed":$committed,"version":${store.version}}""")
+              }
+            } finally rows.unpersist(false)
+          } catch {
+            case e: IllegalArgumentException =>
+              val msg = Option(e.getMessage).getOrElse("bad request")
+              respond(ex, if (msg.contains("no point store")) 404 else 400,
+                s"""{"error":"${msg.takeWhile(_ != '\n')
+                  .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
             case e: Throwable =>
               respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }

@@ -76,7 +76,7 @@ import org.apache.spark.sql.functions._
   *   folded ranking is bit-identical to a one-shot GROUP BY.
   */
 final class PointStore(spark: SparkSession, path: String,
-                       keys: Seq[String], sums: Seq[String],
+                       val keys: Seq[String], sums: Seq[String],
                        maxes: Seq[String], sketches: Seq[String] = Nil,
                        quantiles: Seq[String] = Nil,
                        mins: Seq[String] = Nil,

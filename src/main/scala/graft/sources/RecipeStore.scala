@@ -16,9 +16,17 @@ final case class Recipe(
     seed: String,
     budget: Long,
     packShardSize: Long) {
-  epochs.foreach { case (lang, _) =>
+  epochs.foreach { case (lang, w) =>
     require(lang.matches("[A-Za-z0-9_-]+"),
-      s"recipe: stratum '$lang' is not a plain identifier") }
+      s"recipe: stratum '$lang' is not a plain identifier")
+    // refuse unusable configs at COMMIT, not at replay: NaN/Infinity
+    // parse via toDouble (POST /recipe?epochs=en:NaN would commit a
+    // version that serializes as invalid JSON and that mixOf's [0,64]
+    // guard rejects at every future /assemble). Same band as mixOf.
+    require(w >= 0.0 && w <= 64.0, // NaN fails both comparisons
+      s"recipe: epoch weight $w for '$lang' must be finite in [0, 64]") }
+  require(defaultEpochs >= 0.0 && defaultEpochs <= 64.0,
+    s"recipe: defaultEpochs $defaultEpochs must be finite in [0, 64]")
   require(seed.matches("[A-Za-z0-9._:-]{1,64}"),
     s"recipe: seed '$seed' must be short and filesystem-safe")
   require(budget > 0, s"recipe: budget $budget must be positive")
@@ -96,7 +104,8 @@ final class RecipeStore private (spark: SparkSession, val root: String) {
         sfs.atomicWrite(RecipeStore.ManifestName,
           ((members :+ name) ++
             (consumedTags + tag).toSeq.sorted.map("#tag:" + _) ++
-            manifestLines.filter(_.startsWith("#log:")) :+
+            manifestLines.filter(l => l.startsWith("#log:") ||
+              l.startsWith("#deprecated:")) :+
             s"#log:$v:$tag")
             .mkString("\n").getBytes("UTF-8"))
         true
@@ -117,10 +126,62 @@ final class RecipeStore private (spark: SparkSession, val root: String) {
   /** The live recipe (latest version). */
   def current: Recipe = recipeAt(version)
 
+  /** Versions recalled by [[deprecate]] — still readable provenance
+    * (what run N trained on is history, not an opinion), but refused
+    * by [[assembleAt]] unless forced. */
+  def deprecatedVersions: Set[Long] =
+    manifestLines.collect {
+      case l if l.startsWith("#deprecated:") =>
+        l.stripPrefix("#deprecated:").takeWhile(_ != ':').toLong }.toSet
+
+  /** The reason a version was deprecated (None for live versions). */
+  def deprecationOf(v: Long): Option[String] =
+    manifestLines.collectFirst {
+      case l if l.startsWith(s"#deprecated:$v:") =>
+        l.stripPrefix(s"#deprecated:$v:") }
+
+  /** RECALL version `v` without rewriting history: the one lifecycle
+    * verb the immutable version axis was missing. A bad recipe (wrong
+    * mixture shipped, seed collision discovered, budget typo) cannot
+    * be deleted — run N's provenance must stay readable forever — but
+    * it must stop being REPLAYABLE by accident: after `deprecate(v,
+    * why)`, [[assembleAt]] refuses `v` loudly (quoting `why`) unless
+    * the caller passes `force = true`, and reads surface the marker
+    * ([[deprecatedVersions]] / [[deprecationOf]]). Append-only like
+    * every ledger line (idempotent re-deprecation keeps the FIRST
+    * reason; there is deliberately no un-deprecate — recall of a
+    * recall is a fresh commit of the corrected recipe). Returns
+    * whether THIS call marked it. */
+  def deprecate(v: Long, why: String): Boolean = {
+    require(!why.contains("\n"),
+      "deprecation reason must be a single line")
+    sfs.withWriterLease() {
+      require(v >= 1 && v <= version,
+        s"deprecate($v): store $root has versions 1..$version")
+      if (deprecatedVersions(v)) false
+      else {
+        sfs.atomicWrite(RecipeStore.ManifestName,
+          (manifestLines :+ s"#deprecated:$v:$why")
+            .mkString("\n").getBytes("UTF-8"))
+        true
+      }
+    }
+  }
+
   /** Replay run `v`'s assembly over `corpus` — deterministic in
-    * (corpus, recipe), so this IS the layout run `v` trained on. */
-  def assembleAt(corpus: DataFrame, v: Long): DataFrame =
+    * (corpus, recipe), so this IS the layout run `v` trained on.
+    * Deprecated versions refuse unless `force = true` (reproducing a
+    * recalled run on purpose — e.g. to debug what it trained on — is
+    * legitimate; doing it by default is how a recalled mixture ships
+    * twice). */
+  def assembleAt(corpus: DataFrame, v: Long, force: Boolean = false): DataFrame = {
+    deprecationOf(v).filterNot(_ => force).foreach { why =>
+      throw new IllegalArgumentException(
+        s"recipe version $v is deprecated ($why) — assembleAt(corpus, " +
+          s"$v, force = true) replays it anyway")
+    }
     recipeAt(v).assemble(corpus)
+  }
 }
 
 object RecipeStore {

@@ -8,27 +8,41 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * reach the moment the watermark makes it FINAL.
   *
   * The batch law (a user reaches step k via their first step-k event
-  * STRICTLY AFTER the step-(k-1) reach time) depends on global event-time
-  * order, so an eagerly-folded reach could be wrong — a step-1 event
-  * arriving later with an earlier timestamp would retroactively qualify
-  * step-2 events the eager fold already rejected. The watermark is the
-  * finality contract that makes folding safe: once `wm` passes, no
-  * admissible event below it remains unseen, so folding the buffered
-  * events with `ts < wm` in ascending time order assigns exactly the
-  * chained-min reach times the batch operator computes ([[graft.operators
-  * .Windows.funnelOf]]'s "min ts after a per-user bound" staging).
+  * STRICTLY AFTER the step-(k-1) reach time, and — when a conversion
+  * `horizon` is set — within the horizon of it, boundary inclusive)
+  * depends on global event-time order, so an eagerly-folded reach could
+  * be wrong — a step-1 event arriving later with an earlier timestamp
+  * would retroactively qualify step-2 events the eager fold already
+  * rejected. The watermark is the finality contract that makes folding
+  * safe: once `wm` passes, no admissible event below it remains unseen,
+  * so folding the buffered events with `ts < wm` in ascending time
+  * order assigns exactly the chained-min reach times the batch operator
+  * computes ([[graft.operators.Windows.funnelOf]]'s "min ts after a
+  * per-user bound" staging).
   *
-  * State per user is bounded: the finalized reach-time vector (K longs)
-  * plus only the buffered events that can still matter — an event for an
-  * already-reached step can never fold (reach times are first-only), so
-  * it drops immediately, and everything below the watermark drops after
-  * its fold pass. What remains is events within the watermark slack for
-  * not-yet-reached steps, the same O(users × slack) envelope the
-  * Sessionizer carries. An event-time timeout re-fires the group when
-  * the watermark passes its earliest buffered event, so reaches finalize
-  * without waiting for the user's next event. StreamingSpec equates the
-  * emitted reaches with the batch operator per stage, out-of-order
-  * chunks included.
+  * State per user: the finalized reach-time vector (K longs, ~8·K bytes
+  * plus row overhead — at a billion users and K=3 that is ~24 GB of
+  * state-store payload across the cluster, the inherent floor of
+  * first-only semantics because a reached user's vector must survive to
+  * suppress a duplicate "first" reach forever) plus only the buffered
+  * events that can still matter. An event is held ONLY while it could
+  * still fold: events for an already-reached step drop immediately
+  * (reach times are first-only), events provably outside the chained
+  * law drop too — at or before a finalized previous reach, or (with a
+  * horizon) past that reach's conversion deadline. The horizon is what
+  * makes long-lived users CHEAP: once the watermark passes
+  * `reach(deepest) + horizon`, every future event for the next step
+  * misses its deadline by finality, so the hold-buffer empties and
+  * stays empty — an expired user carries exactly the K-long vector and
+  * never re-fires a timeout. Users who never reached step 1 and hold
+  * nothing are EVICTED outright (`state.remove()`): their state is
+  * indistinguishable from the default a later event would recreate, so
+  * eviction cannot change emitted reaches (pinned in StreamingSpec).
+  * An event-time timeout re-fires the group when the watermark passes
+  * its earliest buffered event, so reaches finalize without waiting for
+  * the user's next event. StreamingSpec equates the emitted reaches
+  * with the batch operator per stage, out-of-order chunks included,
+  * with and without the horizon.
   */
 object StreamingFunnel {
 
@@ -42,7 +56,7 @@ object StreamingFunnel {
     * (tsMs, stepIdx) events still admissible and still able to fold. */
   final case class FunnelState(fin: Seq[Long], buf: Seq[(Long, Int)])
 
-  def step(userId: Long, events: Iterator[Ev],
+  def step(horizonMs: Option[Long])(userId: Long, events: Iterator[Ev],
            state: GroupState[FunnelState]): Iterator[Reach] = {
     // batch execution has no watermark node: every event is final
     val wm = try state.getCurrentWatermarkMs() catch {
@@ -52,37 +66,64 @@ object StreamingFunnel {
     val prior = state.getOption
       .getOrElse(FunnelState(Seq.fill(Steps.size)(-1L), Nil))
     val fin = prior.fin.toArray
+    // the chained law for step i at time t, against CURRENT reaches:
+    // step 1 is unbounded below; step i+1 needs t strictly after — and
+    // within horizon of, inclusive — the step-i reach
+    def folds(t: Long, i: Int): Boolean =
+      fin(i) < 0 && (i == 0 || (fin(i - 1) >= 0 && t > fin(i - 1) &&
+        horizonMs.forall(h => t <= fin(i - 1) + h)))
+    // an event can never fold once its step is reached, or once the
+    // previous reach is FINAL and the event sits outside the law
+    // (at/before the reach, or past its conversion deadline) — first-
+    // only reach times never change, so these are permanent verdicts
+    def deadVsFinal(t: Long, i: Int): Boolean =
+      fin(i) >= 0 || (i > 0 && fin(i - 1) >= 0 && (t <= fin(i - 1) ||
+        horizonMs.exists(h => t > fin(i - 1) + h)))
     val incoming = events
       .flatMap(e => stepIdx.get(e.event_type).map(i => (e.ts.getTime, i)))
-      .filterNot { case (_, i) => fin(i) >= 0 }
+      .filterNot { case (t, i) => deadVsFinal(t, i) }
     val (ready, hold) = (prior.buf ++ incoming).partition(_._1 < wm)
     val emitted = Vector.newBuilder[Reach]
     ready.sorted.foreach { case (t, i) =>
-      if (fin(i) < 0 && (i == 0 || (fin(i - 1) >= 0 && t > fin(i - 1)))) {
+      if (folds(t, i)) {
         fin(i) = t
         emitted += Reach(userId, i + 1, Steps(i), new java.sql.Timestamp(t))
       }
     }
     // re-screen the held events against the reaches this fold assigned.
-    // The state is NEVER removed: reaches are first-only, so a fully
-    // converted user's fin vector must survive — dropping it would let
-    // a later event of the same type re-emit a second "first" reach.
-    // K longs per user ever seen is the funnel's inherent state floor.
-    val pending = hold.filterNot { case (_, i) => fin(i) >= 0 }
-    state.update(FunnelState(fin.toSeq, pending))
-    if (pending.nonEmpty)
-      // fire again once the watermark passes the earliest held event
-      state.setTimeoutTimestamp(math.max(pending.map(_._1).min + 1, wm + 1))
+    // With a horizon, an expired user's holds all die here (every held
+    // t >= wm > reach + horizon), so the state shrinks to the vector.
+    val pending = hold.filterNot { case (t, i) => deadVsFinal(t, i) }
+    if (fin.forall(_ < 0) && pending.isEmpty)
+      // nothing reached, nothing held: the default state a future
+      // event recreates — evict instead of storing K longs of -1
+      state.remove()
+    else {
+      // Reached-state is NEVER removed: reaches are first-only, so a
+      // fully converted (or horizon-expired) user's fin vector must
+      // survive — dropping it would let a later event of the same type
+      // re-emit a second "first" reach. K longs per reached user is
+      // the funnel's inherent state floor.
+      state.update(FunnelState(fin.toSeq, pending))
+      if (pending.nonEmpty)
+        // fire again once the watermark passes the earliest held event
+        state.setTimeoutTimestamp(math.max(pending.map(_._1).min + 1, wm + 1))
+    }
     emitted.result().iterator
   }
 
-  /** Wire the stateful fold over a (streaming or batch) event Dataset. */
-  def funnel(s: SparkSession, events: Dataset[Ev]): Dataset[Reach] = {
+  /** Wire the stateful fold over a (streaming or batch) event Dataset.
+    * `horizon` is the compact-duration conversion window shared with
+    * the batch operator (`"30m"`, `"1d"` —
+    * [[graft.operators.Windows.parseHorizon]]); None = unbounded. */
+  def funnel(s: SparkSession, events: Dataset[Ev],
+             horizon: Option[String] = None): Dataset[Reach] = {
     import s.implicits._
+    val h = horizon.map(graft.operators.Windows.parseHorizon)
     events
       .withWatermark("ts", "1 minute")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(h))
   }
 }

@@ -104,6 +104,44 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => s"${r.getInt(0)}|${r.getString(1)}|${r.getLong(2)}")
       .toSet
     assert(got == reference)
+    // with the compact-duration horizon → the registered windowed twin
+    val gotW = Tables.events(spark, sf)
+      .select(col("user_id").as("who"), col("ts").as("at"),
+        col("event_type").as("kind"))
+      .funnelBy("who", "at", "kind", graft.operators.Windows.FunnelSteps,
+        horizon = Some(graft.operators.Windows.FunnelHorizon))
+      .groupBy("step", "step_name").count()
+      .collect().map(_.mkString("|")).toSet
+    val refW = graft.operators.Windows.eventsFunnelWindowed(spark, sf)
+      .collect().map(r => s"${r.getInt(0)}|${r.getString(1)}|${r.getLong(2)}")
+      .toSet
+    assert(gotW == refW && gotW != reference)
+  }
+
+  test("retentionBy matches a hand-rolled cohort matrix on renamed " +
+      "columns (weekly cohorts, distinct active users per cell)") {
+    val ev = Tables.events(spark, sf)
+    val got = ev.select(col("user_id").as("who"), col("ts").as("at"))
+      .retentionBy("who", "at", "week")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // reference: per-user distinct week set in memory (sf-bounded)
+    val weeks = ev.select(col("user_id"),
+        graft.Tables.tstr(date_trunc("week", col("ts"))).as("w"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val exp = weeks.groupBy(_._1).toSeq.flatMap { case (_, ws) =>
+      val sorted = ws.map(_._2).sorted
+      val cohort = sorted.head
+      def days(s: String) = java.time.LocalDateTime
+        .parse(s.replace(" ", "T")).toLocalDate.toEpochDay
+      sorted.map(w => (cohort, ((days(w) - days(cohort)) / 7).toInt))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == exp)
+    // the matrix diagonal: every cohort retains 100% of itself at 0
+    val users = weeks.map(_._1).distinct.size.toLong
+    assert(got.filter(_._1._2 == 0).values.sum == users)
+    intercept[IllegalArgumentException] {
+      ev.retentionBy("user_id", "ts", "fortnight") }
   }
 
   test("distinctCountBy is exact in the sparse regime on any schema") {

@@ -65,6 +65,49 @@ class EngineSpec extends SparkSpec {
     assert(users.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("events_funnel_windowed: each hop bounded by the horizon, the " +
+      "boundary event INCLUSIVE, and greedy first-occurrence (no " +
+      "deepest-chain rescue by a later in-window pair)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val h = Some(operators.Windows.parseHorizon("10m"))
+    val ev = Seq(
+      // user 1: click at exactly view+10m — the boundary converts
+      (1L, t(1), "view"), (1L, t(11), "click"), (1L, t(12), "purchase"),
+      // user 2: click one past the deadline — no conversion
+      (2L, t(1), "view"), (2L, t(12), "click"),
+      // user 3: FIRST in-order click misses the deadline; a later
+      // (view, click) pair would fit in a window, but chained-min is
+      // greedy on the FIRST view — deliberately not ClickHouse's
+      // deepest-chain search (scaladoc'd on funnelOf)
+      (3L, t(1), "view"), (3L, t(40), "view"), (3L, t(45), "click"),
+      // user 4: in-window hop chain, purchase deadline runs off the
+      // CLICK's reach, not the view's
+      (4L, t(1), "view"), (4L, t(9), "click"), (4L, t(18), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = operators.Windows
+      .funnelOf(ev, operators.Windows.FunnelSteps, h)
+      .map(_.select("user_id").as[Long].collect().toSet)
+    assert(got == Seq(Set(1L, 2L, 3L, 4L), Set(1L, 4L), Set(1L, 4L)))
+    // horizon must be positive and well-formed
+    intercept[IllegalArgumentException] {
+      operators.Windows.funnelOf(ev, Seq("view"), Some(0L)) }
+    intercept[IllegalArgumentException] {
+      operators.Windows.parseHorizon("10 minutes") }
+    assert(operators.Windows.parseHorizon("90s") == 90000L &&
+      operators.Windows.parseHorizon("1d") == 86400000L &&
+      operators.Windows.parseHorizon("500ms") == 500L)
+    // the registered windowed report binds strictly tighter than the
+    // unbounded one past step 1
+    val unb = operators.Windows.eventsFunnel(spark, sf)
+      .orderBy("step").collect().map(_.getLong(2))
+    val win = operators.Windows.eventsFunnelWindowed(spark, sf)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(win(0) == unb(0) && win(1) < unb(1) && win(2) < unb(2),
+      s"win=${win.toSeq} unb=${unb.toSeq}")
+  }
+
   test("events_funnel's executed plan: per-step scans pruned by pushed " +
       "type filters; repeated stage subtrees dedupe via exchange reuse") {
     val df = operators.Windows.eventsFunnel(spark, sf)

@@ -61,6 +61,22 @@ class ProfileSpec extends SparkSpec {
     assert(got("pk") == ((1L, false)))
     assert(got("text_nonempty") == ((1L, false)))
     assert(got("lang_known") == ((1L, false)))
+    // NULL-keyed rows are NOT duplicates: they leave both sides of the
+    // Unique count (a missing key is the null rule's finding, and SQL's
+    // count(DISTINCT) would ignore them anyway — the r13 ADVICE cross-
+    // engine divergence). Three null-keyed rows + one real dup = 1.
+    val withNulls = Seq(
+      (Option(1L), "a"), (Option(1L), "a"),
+      (Option.empty[Long], "b"), (Option.empty[Long], "c"),
+      (Option.empty[Long], "d")).toDF("doc_id", "text")
+    val nu = Profile.checkRules(withNulls, Seq(
+        Unique("pk", Seq("doc_id")),
+        NoViolation("key_present", col("doc_id").isNull)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(nu("pk") == ((1L, false)),
+      "null keys must not count as duplicates")
+    assert(nu("key_present") == ((3L, false)))
     // an empty frame gates green (no rows = no violations), not null
     val empty = Profile.checkRules(
       spark.emptyDataset[(Long, String, String)]

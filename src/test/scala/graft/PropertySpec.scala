@@ -73,26 +73,31 @@ class PropertySpec extends SparkSpec {
     // repeats must be common, they are the edge the strict-> law lives on
     val evGen = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 12L),
       Gen.oneOf(steps ++ Seq("noise")))
-    for (seed <- 1L to 6L) {
+    // horizonSec = None is the unbounded law; 3 s binds hard on a
+    // 12-second domain (chained deadlines reject most later steps)
+    for (seed <- 1L to 6L; horizonSec <- Seq(None, Some(3L))) {
       val evs = sample(Gen.listOfN(60, evGen), seed)
       val df = evs.map { case (u, t, s) =>
         (u, new java.sql.Timestamp(t * 1000L), s) }
         .toDF("user_id", "ts", "event_type")
       // reference: per user, the chained first-occurrence law applied
       // to the sorted stream — t_k = min step-k time strictly after
-      // t_(k-1)
+      // (and within horizon of, inclusive) t_(k-1); step 1 unbounded
       val expected = steps.indices.map { k =>
         evs.groupBy(_._1).flatMap { case (u, es) =>
-          steps.take(k + 1).foldLeft(Option(Long.MinValue)) { (bound, s) =>
-            bound.flatMap(b => es.filter(e => e._3 == s && e._2 > b)
-              .map(_._2).minOption)
-          }.map(t => (u, t))
+          steps.take(k + 1).zipWithIndex
+            .foldLeft(Option(Long.MinValue)) { case (bound, (s, j)) =>
+              bound.flatMap(b => es.filter(e => e._3 == s && e._2 > b &&
+                  (j == 0 || horizonSec.forall(h => e._2 <= b + h)))
+                .map(_._2).minOption)
+            }.map(t => (u, t))
         }.toSet
       }
-      val got = graft.operators.Windows.funnelOf(df, steps).map(
+      val got = graft.operators.Windows
+        .funnelOf(df, steps, horizonSec.map(_ * 1000L)).map(
         _.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L))
           .toSet)
-      assert(got == expected, s"seed $seed")
+      assert(got == expected, s"seed $seed horizon $horizonSec")
     }
   }
 

@@ -38,6 +38,39 @@ class RecipeStoreSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](store.recipeAt(0L))
   }
 
+  test("deprecate recalls a version without rewriting history: reads " +
+      "surface it, assembleAt refuses unless forced, commits preserve it") {
+    val store = RecipeStore(spark, tmpRoot("graft_rcp_dep"))
+    store.commit("n1", r1)
+    store.commit("n2", r2)
+    val corpus = Tables.documents(spark, sf)
+
+    assert(store.deprecate(1L, "seed collision with run 7"))
+    assert(!store.deprecate(1L, "second reason"), "re-deprecation no-ops")
+    assert(store.deprecatedVersions == Set(1L))
+    // the FIRST reason wins; provenance reads stay intact
+    assert(store.deprecationOf(1L).contains("seed collision with run 7"))
+    assert(store.recipeAt(1L) == r1, "history must stay readable")
+    assert(store.tagOf(1L).contains("n1"))
+
+    // replay refuses loudly, quoting the reason — unless forced
+    val e = intercept[IllegalArgumentException](store.assembleAt(corpus, 1L))
+    assert(e.getMessage.contains("deprecated") &&
+      e.getMessage.contains("seed collision"), e.getMessage)
+    assert(store.assembleAt(corpus, 1L, force = true).columns.nonEmpty)
+    assert(store.assembleAt(corpus, 2L).columns.nonEmpty,
+      "live versions replay unaffected")
+
+    // the marker survives later commits (the manifest rebuild) and a
+    // reopen; unknown versions and multi-line reasons refuse
+    store.commit("n3", r1)
+    val reopened = RecipeStore(spark, store.root)
+    assert(reopened.deprecatedVersions == Set(1L))
+    assert(reopened.deprecationOf(1L).contains("seed collision with run 7"))
+    assertThrows[IllegalArgumentException](store.deprecate(9L, "x"))
+    assertThrows[IllegalArgumentException](store.deprecate(2L, "a\nb"))
+  }
+
   test("recipes round-trip EXACTLY, including doubles that do not print " +
       "prettily — one ulp of weight drift would move the mix keep set") {
     val ugly = Recipe(
@@ -71,6 +104,19 @@ class RecipeStoreSpec extends SparkSpec {
       Recipe(Nil, 0.5, "bad seed!", 10L, 10L))
     assertThrows[IllegalArgumentException](
       Recipe(Nil, 0.5, "s", 0L, 10L))
+    // weights validate at COMMIT, not at replay: NaN/Infinity/out-of-
+    // band values parse via toDouble but can never assemble (mixOf's
+    // [0,64] guard) and NaN doesn't even serialize as JSON
+    assertThrows[IllegalArgumentException](
+      Recipe(Seq("en" -> Double.NaN), 0.5, "s", 10L, 10L))
+    assertThrows[IllegalArgumentException](
+      Recipe(Seq("en" -> Double.PositiveInfinity), 0.5, "s", 10L, 10L))
+    assertThrows[IllegalArgumentException](
+      Recipe(Seq("en" -> -0.25), 0.5, "s", 10L, 10L))
+    assertThrows[IllegalArgumentException](
+      Recipe(Seq("en" -> 65.0), 0.5, "s", 10L, 10L))
+    assertThrows[IllegalArgumentException](
+      Recipe(Nil, Double.NaN, "s", 10L, 10L))
     assertThrows[IllegalArgumentException](store.commit("a:b", r1))
     assertThrows[IllegalArgumentException](store.commit("", r1))
     val sfs = StoreFs(spark, store.root)

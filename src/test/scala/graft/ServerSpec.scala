@@ -211,6 +211,57 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /ingest/point folds a partial batch into a persisted point " +
+      "store over a real socket; redelivered tag no-op; snapshot ≡ one-shot") {
+    import org.apache.spark.sql.functions.{col, max, sum, count, lit}
+    import graft.operators.Merge
+    val root = java.nio.file.Files.createTempDirectory("graft_ingpoint").toString
+    val li = Tables.lineitem(spark, sf)
+    def batch(m: Int) = Merge.pointAgg(li.filter(col("l_orderkey") % 3 === m))
+    // the store pre-exists with one committed batch (the open() contract:
+    // the self-describing schema record rides the first commit)
+    val store = new graft.sources.PointStore(spark, s"$root/points",
+      keys = Seq("game_mode", "role"),
+      sums = Seq("played", "wins", "time_spent_d", "gold_d"),
+      maxes = Seq("last_match"))
+    store.appendTagged("b0", batch(0))
+
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val body1 = batch(1).toJSON.collect().mkString("\n")
+      val (c1, b1) = post(port, "/ingest/point?store=points&tag=b1", body1)
+      assert(c1 == 200 && b1.contains("\"committed\":true"), b1)
+      val (cr, br) = post(port, "/ingest/point?store=points&tag=b1", body1)
+      assert(cr == 200 && br.contains("\"committed\":false"), br)
+      val (c2, _) = post(port, "/ingest/point?store=points&tag=b2",
+        batch(2).toJSON.collect().mkString("\n"))
+      assert(c2 == 200)
+
+      // served appends fold exactly like the library write path: the
+      // snapshot equals the one-shot aggregate of the whole fact table
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1)) ->
+          (2 until 7).map(i => String.valueOf(r.get(i)))).toMap
+      assert(m(store.snapshot.select("game_mode", "role", "played", "wins",
+          "time_spent_d", "gold_d", "last_match")) ==
+        m(Merge.pointAgg(li).select("game_mode", "role", "played", "wins",
+          "time_spent_d", "gold_d", "last_match")))
+
+      // guardrails: methods, params, unknown store, null keys, traversal
+      assert(get(port, "/ingest/point?store=points&tag=x")._1 == 405)
+      assert(post(port, "/ingest/point?store=points", body1)._1 == 400)
+      assert(post(port, "/ingest/point?tag=x", body1)._1 == 400)
+      assert(post(port, "/ingest/point?store=nope&tag=x", body1)._1 == 404)
+      assert(post(port, "/ingest/point?store=..&tag=x", body1)._1 == 403)
+      assert(post(port, "/ingest/point?store=points&tag=bad:tag", body1)._1 == 400)
+      assert(post(port, "/ingest/point?store=points&tag=x3",
+        """{"junk":1}""")._1 == 400)
+      assert(post(port, "/ingest/point?store=points&tag=x4", "")._1 == 400)
+    } finally srv.stop()
+  }
+
   test("POST /takedown/curate and /takedown/ann delete doc rosters over " +
       "a real socket; redelivered request tags are committed=false no-ops") {
     import org.apache.spark.sql.functions.col
@@ -588,6 +639,21 @@ class ServerSpec extends SparkSpec {
       assert(dc == 200 && dirs.contains(
         """{"name":"mix","kind":"recipe","root":"store","version":2}"""), dirs)
 
+      // a deprecated version: GET /recipe surfaces the marker; replay
+      // over the wire answers 400 quoting the reason; live versions
+      // and history reads are untouched
+      val rs = graft.sources.RecipeStore(spark, s"$root/mix")
+      assert(rs.deprecate(1L, "bad mixture shipped"))
+      val (dg, dr) = get(port, "/recipe?store=mix&version=1")
+      assert(dg == 200 &&
+        dr.contains("\"deprecated\":\"bad mixture shipped\""), dr)
+      val (dac, dab) = get(port, "/assemble?recipe=mix&version=1&limit=8")
+      assert(dac == 400 && dab.contains("deprecated"), dab)
+      assert(get(port, "/assemble?recipe=mix&version=2&limit=8")._2
+        == default8)
+      assert(!get(port, "/recipe?store=mix&version=2")._2
+        .contains("deprecated"))
+
       // guardrails: half-overridden stored recipes refused, versions
       // range-checked, names stay plain, tags required
       assert(get(port, "/assemble?recipe=mix&seed=alt")._1 == 400)
@@ -637,6 +703,14 @@ class ServerSpec extends SparkSpec {
       val (gc, gbody) = get(port, s"/drift?store=profile&from=$v1&gate")
       assert(gc == 200 && gbody.contains("\"rule\":\"rows_grew\"") &&
         !gbody.contains("\"passed\":false"), gbody)
+      // the gate flag is VALUED: templated gate=${enabled} must honor
+      // falsy values (gate=0/false ≡ absent) and 400 a typo, never
+      // silently enable (the r13 ADVICE finding)
+      assert(get(port, s"/drift?store=profile&from=$v1&gate=1")._2 == gbody)
+      assert(get(port, s"/drift?store=profile&from=$v1&gate=true")._2 == gbody)
+      assert(get(port, s"/drift?store=profile&from=$v1&gate=0")._2 == body)
+      assert(get(port, s"/drift?store=profile&from=$v1&gate=false")._2 == body)
+      assert(get(port, s"/drift?store=profile&from=$v1&gate=yess")._1 == 400)
       // guardrails: params required and integer, versions range-checked,
       // unknown stores 404, names stay under the root, non-profile
       // stores refused with the missing columns named
@@ -685,11 +759,21 @@ class ServerSpec extends SparkSpec {
       val (rc, rbody) = get(port, "/funnel?steps=purchase,click,view")
       assert(rc == 200 && rbody != body, rbody)
       assert(rbody.contains("\"step_name\":\"purchase\""))
-      // guardrails: malformed/duplicate steps, bad limit, foreign sf
+      // &window= bounds each hop: the served report equals the
+      // registered windowed query at the same horizon
+      val (wc, wbody) = get(port,
+        s"/funnel?window=${graft.operators.Windows.FunnelHorizon}")
+      assert(wc == 200, wbody)
+      val windowed = graft.operators.Windows.eventsFunnelWindowed(spark, sf)
+        .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      assert(wbody == windowed && wbody != body)
+      // guardrails: malformed/duplicate steps, bad limit/window, foreign sf
       assert(get(port, "/funnel?steps=view,view")._1 == 400)
       assert(get(port, "/funnel?steps=a;b")._1 == 400)
       assert(get(port, "/funnel?steps=")._1 == 400)
       assert(get(port, "/funnel?limit=abc")._1 == 400)
+      assert(get(port, "/funnel?window=10x")._1 == 400)
+      assert(get(port, "/funnel?window=-5m")._1 == 400)
       assert(get(port, "/funnel?sf=/etc")._1 == 403)
     } finally srv.stop()
   }

@@ -113,6 +113,89 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(t => t._1 == 4L && t._2 == 2)) // the strict tie
   }
 
+  test("StreamingFunnel with a conversion horizon equals the windowed " +
+      "batch funnel; never-reached users evict without changing reaches") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{Ev, FunnelState}
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = "10m"
+    val chunk1 = Seq(
+      // user 1: click inside, purchase past the CLICK's deadline
+      Ev(1, ts(1), "view"), Ev(1, ts(5), "click"), Ev(1, ts(30), "purchase"),
+      // user 2: click at exactly view+10m (boundary inclusive), then
+      // purchase inside the click's window — full conversion
+      Ev(2, ts(1), "view"), Ev(2, ts(11), "click"), Ev(2, ts(12), "purchase"),
+      // user 3: first view now; its click arrives chunks later, far
+      // past the deadline — the expiry path (state shrinks to the
+      // reach vector once the watermark passes ts(1)+10m)
+      Ev(3, ts(1), "view"),
+      // user 6: clicks only — never reaches step 1, state evicts
+      Ev(6, ts(2), "click"), Ev(6, ts(3), "click"))
+    val chunk2 = Seq(Ev(98, ts(25), "noise")) // advance the watermark
+    val chunk3 = Seq(
+      // arrive AFTER user 3 expired and user 6 evicted: the click must
+      // not convert (deadline long gone), the view must emit exactly
+      // one (first) reach for the recreated user-6 state
+      Ev(3, ts(45), "click"), Ev(6, ts(50), "view"))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1)
+    stream.addData(chunk2)
+    stream.addData(chunk3)
+    stream.addData(Seq(Ev(99, ts(100000), "sentinel")))
+    val q = StreamingFunnel.funnel(spark, stream.toDS, Some(horizon))
+      .writeStream.format("memory").queryName("funnel_win_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("funnel_win_out")
+      .filter(!col("user_id").isin(98L, 99L))
+      .select("user_id", "step", "ts")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+    val batch = graft.operators.Windows
+      .funnelOf((chunk1 ++ chunk2 ++ chunk3).toDF("user_id", "ts", "event_type"),
+        StreamingFunnel.Steps,
+        Some(graft.operators.Windows.parseHorizon(horizon)))
+      .zipWithIndex.flatMap { case (df, i) =>
+        df.collect().filter(r => r.getLong(0) != 98L)
+          .map(r => (r.getLong(0), i + 1, r.getTimestamp(1)))
+      }.toSet
+    assert(got == batch)
+    assert(got.count(_._2 == 3) == 1)                  // only user 2
+    assert(got.contains((2L, 2, ts(11))))              // the boundary hop
+    assert(!got.exists(t => t._1 == 1L && t._2 == 3))  // past deadline
+    assert(got.count(t => t._1 == 6L && t._2 == 1) == 1) // one first reach
+    assert(!got.exists(t => t._1 == 3L && t._2 == 2))
+
+    // the state-machine claims, driven directly: a user folding to
+    // nothing REMOVES state; an expired user's hold-buffer dies
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val h = Some(graft.operators.Windows.parseHorizon(horizon))
+    def st(prior: Option[FunnelState], wmMin: Long) =
+      TestGroupState.create[FunnelState](
+        prior.map(Optional.of[FunnelState]).getOrElse(Optional.empty()),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of((1440 + wmMin) * 60000L), false)
+    // clicks below the watermark with no view ever: nothing emits and
+    // the state slot is removed, not stored as K longs of -1
+    val s1 = st(None, 10)
+    assert(StreamingFunnel.step(h)(6L,
+      Iterator(Ev(6, ts(2), "click"), Ev(6, ts(3), "click")), s1).isEmpty)
+    assert(s1.isRemoved, "never-reached user must evict")
+    // a reached user past its conversion deadline drops every held
+    // event (each must land past reach+horizon by finality) and keeps
+    // only the reach vector, with no re-fire timeout
+    val s2 = st(Some(FunnelState(Seq(ts(1).getTime, -1L, -1L), Nil)), 20)
+    assert(StreamingFunnel.step(h)(3L,
+      Iterator(Ev(3, ts(21), "click")), s2).isEmpty)
+    assert(!s2.isRemoved && s2.get.buf.isEmpty,
+      "expired user must shrink to the reach vector")
+    assert(!s2.getTimeoutTimestampMs.isPresent,
+      "an expired user must not re-fire")
+  }
+
   test("composed chain: StreamingFunnel reaches fold into a persisted " +
       "PointStore — the funnel report maintained as an LSM table") {
     import spark.implicits._

@@ -488,4 +488,40 @@ class CurateStoreSpec extends SparkSpec {
     // carriers' strips were rebuilt too: nothing is covered any more
     assert(night1(11L)._7.contains("ph0"))
   }
+
+  test("vacuum preserves the scratch members of an IN-FLIGHT rollback/" +
+    "takedown and reclaims them once the operation commits") {
+    val dir = freshDir("graft_test_curate_vac")
+    val corpus = docs.filter(col("doc_id") <= 199)
+    val store = CurateStore.build(corpus, dir.getPath)
+    // simulate the crash window of a takedown/rollback that stopped
+    // AFTER its scratch members landed but BEFORE the manifest flip —
+    // once sigindex.delete has committed, these dirs are the only
+    // record the retry can re-derive the subtraction from
+    val pending = Seq("rbdf-del-pend", "rbbench-del-pend", "ids-del-pend",
+      "rbdf-rb-pend", "rbbench-rb-pend")
+    (pending :+ "stray-zzz").foreach { n =>
+      val d = new java.io.File(dir, n)
+      assert(d.mkdirs())
+      java.nio.file.Files.write(d.toPath.resolve("part-0"), "x".getBytes)
+    }
+    store.vacuum()
+    pending.foreach(n => assert(new java.io.File(dir, n).exists(),
+      s"vacuum must not reclaim in-flight scratch member $n"))
+    assert(!new java.io.File(dir, "stray-zzz").exists(),
+      "unrelated unmanifested dirs still reclaim")
+
+    // a COMMITTED takedown's rbdf-/rbbench- scratch is ordinary garbage
+    import spark.implicits._
+    assert(store.deleteDocs("tk1", Seq(5L, 6L).toDF("doc_id")))
+    assert(new java.io.File(dir, "rbdf-del-tk1").exists())
+    store.vacuum()
+    assert(!new java.io.File(dir, "rbdf-del-tk1").exists() &&
+      !new java.io.File(dir, "rbbench-del-tk1").exists(),
+      "committed-operation scratch must reclaim")
+    // its roster member is manifested (deadids:) — still live
+    assert(new java.io.File(dir, "ids-del-tk1").exists())
+    // and the still-pending fakes survive a second vacuum unchanged
+    pending.foreach(n => assert(new java.io.File(dir, n).exists()))
+  }
 }
