@@ -33,6 +33,12 @@ import java.nio.charset.StandardCharsets
   *                                      configuration, the layout comes
   *                                      from the store's self-describing
   *                                      manifest
+  *   GET /retention?period=week[&sf=DIR&limit=N]
+  *                                   → cohort retention matrix over the
+  *                                      events table (day|week|month
+  *                                      calendar cohorts) — the /funnel
+  *                                      convention applied to the
+  *                                      second product-analytics shape.
   *   GET /funnel?steps=a,b,c[&window=30m&sf=DIR&limit=N]
   *                                   → ordered conversion funnel over
   *                                      the events table for ANY step
@@ -400,6 +406,35 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
             respond(ex, 200, report.orderBy(col("step")).limit(limit)
               .toJSON.collect().mkString("[", ",", "]"))
+        }
+      } catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    })
+    // the parameterized retention matrix: GET /retention?period=week
+    // [&sf=..&limit=N] serves Windows.retentionOf over the events
+    // table — the /funnel convention applied to the cohort matrix
+    // (the analyst's period choice is a parameter, not a redeploy)
+    server.createContext("/retention", (ex: HttpExchange) => {
+      try {
+        val period = param(ex, "period").getOrElse("week")
+        val lim = param(ex, "limit")
+          .map(p => scala.util.Try(p.toInt).toOption)
+        if (!Set("day", "week", "month")(period))
+          respond(ex, 400, """{"error":"period must be day|week|month"}""")
+        else if (lim.contains(None))
+          respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else resolveSf(param(ex, "sf")) match {
+          case None =>
+            respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
+          case Some(sf) =>
+            import org.apache.spark.sql.functions.col
+            val matrix = graft.operators.Windows
+              .retentionOf(graft.Tables.events(spark, sf), period)
+            val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+            respond(ex, 200,
+              matrix.orderBy(col("cohort"), col("offset")).limit(limit)
+                .toJSON.collect().mkString("[", ",", "]"))
         }
       } catch { case e: Throwable =>
         respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")

@@ -130,6 +130,31 @@ class EngineSpec extends SparkSpec {
       hashEx.mkString("\n"))
   }
 
+  test("events_retention's executed plan: two-column scan, partial " +
+      "set-dedup before the user shuffle, nothing user-grain past the " +
+      "matrix exchange") {
+    val df = operators.Windows.eventsRetention(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan reads only the two columns the matrix needs
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall { rs =>
+      rs.contains("user_id") && rs.contains("ts") && !rs.contains("value")
+    }, readSchemas.mkString("\n"))
+    // collect_set is an ObjectHashAggregate with a partial pass below
+    // the exchange — a hot user's events dedupe to its period set
+    // map-side, inside the scan stage
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    // exactly two hash partitionings: the user shuffle and the matrix
+    // key (the computed (cohort, offset) pair prints as two grouping
+    // expressions)
+    val hashEx = "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    assert(hashEx.exists(_.contains("user_id")) &&
+      hashEx.forall(e => e.contains("user_id") ||
+        e.count(_ == ',') == 2), // two grouping keys + partition count
+      hashEx.mkString("\n"))
+  }
+
   test("hero_vs_hero has no self-pairs and a symmetric match count") {
     val df = operators.Joins.heroVsHero(spark, sf).cache()
     // pairing is over distinct line numbers; the aggregate keyed both ways

@@ -775,6 +775,20 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/funnel?window=10x")._1 == 400)
       assert(get(port, "/funnel?window=-5m")._1 == 400)
       assert(get(port, "/funnel?sf=/etc")._1 == 403)
+
+      // the retention matrix beside it: served ≡ the registered query,
+      // period validated, same sf guard
+      val (tc, tbody) = get(port, "/retention")
+      assert(tc == 200, tbody)
+      val regRet = graft.operators.Windows.eventsRetention(spark, sf)
+        .orderBy(col("cohort"), col("offset"))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(tbody == regRet)
+      val (tdc, tdbody) = get(port, "/retention?period=day&limit=5000")
+      assert(tdc == 200 && tdbody != tbody, tdbody)
+      assert(get(port, "/retention?period=fortnight")._1 == 400)
+      assert(get(port, "/retention?limit=abc")._1 == 400)
+      assert(get(port, "/retention?sf=/etc")._1 == 403)
     } finally srv.stop()
   }
 

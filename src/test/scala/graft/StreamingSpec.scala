@@ -196,6 +196,55 @@ class StreamingSpec extends SparkSpec {
       "an expired user must not re-fire")
   }
 
+  test("StreamingRetention emits each (user, cohort, offset) cell exactly " +
+      "once; the aggregated cells equal the batch retention matrix, " +
+      "out-of-order cohort shifts included") {
+    import spark.implicits._
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.Ev
+    implicit val sqlCtx = spark.sqlContext
+    // minutes offset from a DAY grain: use day-period retention with
+    // events spread over several days (1440 min = 1 day)
+    val chunk1 = Seq(
+      // user 1: active on days 1, 1 (dup period), 3
+      Ev(1, ts(1500)), Ev(1, ts(1600)), Ev(1, ts(1440 * 3 + 10)),
+      // user 2: FIRST event arrives in chunk 2 with an earlier time —
+      // the cohort must pin to the earlier day, not the first-seen one
+      Ev(2, ts(1440 * 2 + 5)))
+    val chunk2 = Seq(
+      Ev(2, ts(200)), // earlier than chunk1's day-2 event: shifts cohort
+      Ev(3, ts(1440 * 4 + 1)))
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1)
+    stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000))))
+    val q = StreamingRetention.cells(spark, stream.toDS, "day")
+      .writeStream.format("memory").queryName("ret_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val cells = spark.table("ret_out").filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2)))
+    assert(cells.distinct.length == cells.length, "cells must be unique")
+    // aggregate the cells → the batch matrix on the same events (render
+    // cohorts in UTC explicitly — the session tz, not the JVM default)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val gotMatrix = cells
+      .map(c => (java.time.Instant.ofEpochMilli(c._2.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt), c._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batch = graft.operators.Windows.retentionOf(
+        (chunk1 ++ chunk2).map(e => (e.user_id, e.ts))
+          .toDF("user_id", "ts"), "day")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(gotMatrix == batch, s"got=$gotMatrix batch=$batch")
+    // the out-of-order cohort shift really happened: user 2's cohort is
+    // day 0's date, with activity at offset 2
+    assert(cells.exists(c => c._1 == 2L && c._3 == 2))
+  }
+
   test("composed chain: StreamingFunnel reaches fold into a persisted " +
       "PointStore — the funnel report maintained as an LSM table") {
     import spark.implicits._
