@@ -120,6 +120,18 @@ object Bench {
       // funnel) run ONCE: each rep would redo real I/O work and widen
       // the host-drift window without re-measuring a plan
       val qreps = if (SparkEntry.lifecycleQueries(name)) 1 else reps
+      // one UNTIMED warmup per repeated query: whole-stage codegen
+      // compiles once per generated-class identity and is cached across
+      // reps, so rep 1 alone paid ~1-1.5 s of compiler time on the
+      // codegen-heavy staged queries (shuffle_deterministic,
+      // token_budget_select) — a >3× rep spread that contamination-
+      // flagged the SAME two entries in r13 and r14 run 1 while reps
+      // 2..N measured flat. The warmup moves that one-time compile out
+      // of the timed region (the min-of-N doctrine already intends to
+      // charge steady-state execution, with JIT/JVM warmth assumed);
+      // lifecycle entries stay cold — they mutate real store state, a
+      // warmup would double-run the verb
+      if (qreps > 1) timedRun(fn)
       val runs = (1 to qreps).map(_ => timedRun(fn))
       probes += probeSlot(spark, nCpus)
       // min over SUCCESSFUL reps: a transiently-failed rep must not
