@@ -59,6 +59,7 @@ object SparkEntry {
     // ordered conversion funnel (the windowFunnel shape)
     "events_funnel"      -> (Windows.eventsFunnel _),
     "events_funnel_windowed" -> (Windows.eventsFunnelWindowed _),
+    "events_funnel_deepest" -> (Windows.eventsFunnelDeepest _),
     "events_retention"   -> (Windows.eventsRetention _),
     "asof_join"          -> (Joins.asofJoin _),
     "asof_join_native"   -> (Joins.asofJoinNative _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "window_topn"        -> Windows.windowTopNOracle,
     "events_funnel"      -> Windows.eventsFunnelOracle,
     "events_funnel_windowed" -> Windows.eventsFunnelWindowedOracle,
+    "events_funnel_deepest" -> Windows.eventsFunnelDeepestOracle,
     "events_retention"   -> Windows.eventsRetentionOracle,
     "asof_join"          -> Joins.asofJoinOracle,
     "asof_join_native"   -> Joins.asofJoinNativeOracle,

@@ -122,6 +122,26 @@ package object api {
         .reduce(_ unionByName _)
     }
 
+    /** The deepest-chain windowed funnel over the same columns
+      * ([[graft.operators.Windows.funnelDeepestOf]] — ClickHouse
+      * windowFunnel semantics: depth maximized over every step-1
+      * anchor, all steps within the anchor's horizon): one row per
+      * (step, user) reachable at that depth. `funnelBy` answers "did
+      * the first journey convert"; this answers "is the user
+      * convertible at all". */
+    def funnelDeepestBy(userCol: String, timeCol: String, typeCol: String,
+                        steps: Seq[String], horizon: String): DataFrame = {
+      val ev = df.select(col(userCol).as("user_id"),
+        col(timeCol).as("ts"), col(typeCol).as("event_type"))
+      operators.Windows.funnelDeepestOf(ev, steps,
+          operators.Windows.parseHorizon(horizon)).zip(steps).zipWithIndex
+        .map { case ((st, name), i) =>
+          st.select(col("user_id")).distinct()
+            .select(lit(i + 1).cast("int").as("step"),
+              lit(name).as("step_name"), col("user_id").as(userCol)) }
+        .reduce(_ unionByName _)
+    }
+
     /** Cohort retention matrix over (`userCol`, `timeCol`): users
       * cohorted by the calendar `period` (day|week|month) of their
       * first event; cell (cohort, offset) = distinct users active

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -213,6 +213,108 @@ object Windows {
            count(*) AS users FROM s1
     UNION ALL SELECT 2, 'click', count(*) FROM s2
     UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""
+
+  /** DEEPEST-CHAIN windowed funnel — the OTHER windowFunnel semantics
+    * (ClickHouse's): the window is anchored at a step-1 event, and a
+    * user's depth is the longest in-order chain e1 < e2 < ... < ek
+    * (strict time order, one event per step) that fits entirely within
+    * `[t1, t1 + horizon]`, maximized over EVERY step-1 anchor — so a
+    * user whose first in-order hop missed its deadline still converts
+    * if a LATER (view, click, ...) chain fits a window. This is a
+    * different operator from [[funnelOf]]'s chained-min (greedy
+    * first-occurrence, per-hop deadline), not a parameter of it:
+    * chained-min answers "did the user's actual first journey
+    * convert", deepest-chain answers "is the user convertible at all"
+    * — both ship, each with its own oracle, and EngineSpec pins a
+    * frame where they disagree.
+    *
+    * Semantics detail: for a FIXED anchor the greedy earliest-next
+    * choice is optimal (exchange argument — replacing any chain's
+    * step-k event with the earliest valid one preserves validity and
+    * can only widen what follows), so stage k is again "min ts after a
+    * bound", just at (user, anchor) grain with every stage bounded by
+    * the ANCHOR's deadline `t1 + horizon`, boundary inclusive.
+    *
+    * Scale shape: the naive anchor⋈events join fans out as
+    * |step-1 events| × |step-k events| per user — quadratic on a bot
+    * user at 100 TB. Bounded here by a TIME-BUCKET equi-join: with
+    * buckets of width `horizon`, every chain event lies in the
+    * anchor's bucket or the next one, so the anchor side explodes to
+    * exactly two (user, bucket) keys and the join pairs an anchor only
+    * with events inside a ≤2·horizon window — fan-out bounded by the
+    * user's activity RATE × horizon, never their lifetime event count.
+    * The range predicate rides the equi-join as a post-join filter
+    * (never a nested loop); every stage shuffles on (user, bucket) and
+    * re-aggregates to anchor grain. */
+  def funnelDeepestOf(ev: DataFrame, steps: Seq[String],
+                      horizonMs: Long): Seq[DataFrame] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnelDeepestOf: steps must be non-empty and distinct, got $steps")
+    require(horizonMs > 0, s"horizon must be positive, got $horizonMs")
+    val slim = ev.select(col("user_id"), col("ts"), col("event_type"))
+    // µs arithmetic under the UTC session convention (NTZ-safe cast)
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    val hUs = horizonMs * 1000L
+    def bucketOf(c: Column) = floor(us(c) / hUs).cast("long")
+    val anchors = slim.filter(col("event_type") === steps.head)
+      .select(col("user_id"), col("ts").as("t1")).distinct()
+      .withColumn("t", col("t1"))
+    val deadline = col("t1") + make_dt_interval(lit(0), lit(0), lit(0),
+      lit(java.math.BigDecimal.valueOf(horizonMs, 3)))
+    steps.tail.scanLeft(anchors) { (prev, step) =>
+      // anchor exploded to its two reachable buckets; events carry one
+      val prevB = prev.withColumn("_bucket",
+        explode(array(bucketOf(col("t1")), bucketOf(col("t1")) + 1)))
+      slim.filter(col("event_type") === step)
+        .withColumn("_bucket", bucketOf(col("ts")))
+        .join(prevB.hint("shuffle_hash"), Seq("user_id", "_bucket"))
+        .filter(col("ts") > col("t") && col("ts") <= deadline)
+        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t"))
+    }
+  }
+
+  /** `events_funnel_deepest`: the registered deepest-chain report —
+    * per-step DISTINCT-user counts over the same path and horizon as
+    * `events_funnel_windowed`, so the two rows quantify exactly what
+    * the semantics choice costs. Deepest ≥ chained is a THEOREM only
+    * through step 2 (a chained convert's first-view window contains
+    * its click); from step 3 the two are incomparable — the anchored
+    * window is stricter per chain (every step within `t1 + horizon`,
+    * vs per-hop deadlines that let a chain crawl forward) while the
+    * anchor search is broader. On the testdata deepest reads
+    * 150/147/86 vs chained 150/60/25 at sf0.01. */
+  def eventsFunnelDeepest(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelDeepestOf(events(s, d), FunnelSteps,
+      parseHorizon(FunnelHorizon))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(countDistinct(col("user_id")).as("users"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Anchor-grain staged SQL (the bucket join is a plan detail the
+    * oracle doesn't need): stage k = min step-k time per (user,
+    * anchor) strictly after the previous stage and within the
+    * ANCHOR's deadline. */
+  def eventsFunnelDeepestOracle: String = """
+    WITH s1 AS (
+      SELECT DISTINCT user_id, ts AS t1 FROM events
+      WHERE event_type = 'view'),
+    s2 AS (
+      SELECT e.user_id, s1.t1, min(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1, 2),
+    s3 AS (
+      SELECT e.user_id, s2.t1, min(e.ts) AS t FROM events e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t1 + INTERVAL 1 DAY GROUP BY 1, 2)
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           count(DISTINCT user_id) AS users FROM s1
+    UNION ALL SELECT 2, 'click', count(DISTINCT user_id) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id) FROM s3"""
 
   /** Cohort retention matrix — the product-analytics companion of the
     * funnel: users cohorted by the period of their FIRST event, the

@@ -118,6 +118,22 @@ class ApiSpec extends SparkSpec {
     assert(gotW == refW && gotW != reference)
   }
 
+  test("funnelDeepestBy matches the registered deepest-chain report " +
+      "under renamed columns") {
+    val got = Tables.events(spark, sf)
+      .select(col("user_id").as("who"), col("ts").as("at"),
+        col("event_type").as("kind"))
+      .funnelDeepestBy("who", "at", "kind",
+        graft.operators.Windows.FunnelSteps,
+        graft.operators.Windows.FunnelHorizon)
+      .groupBy("step", "step_name").count()
+      .collect().map(_.mkString("|")).toSet
+    val reference = graft.operators.Windows.eventsFunnelDeepest(spark, sf)
+      .collect().map(r => s"${r.getInt(0)}|${r.getString(1)}|${r.getLong(2)}")
+      .toSet
+    assert(got == reference)
+  }
+
   test("retentionBy matches a hand-rolled cohort matrix on renamed " +
       "columns (weekly cohorts, distinct active users per cell)") {
     val ev = Tables.events(spark, sf)
