@@ -61,6 +61,7 @@ object SparkEntry {
     "events_funnel_windowed" -> (Windows.eventsFunnelWindowed _),
     "events_funnel_deepest" -> (Windows.eventsFunnelDeepest _),
     "events_retention"   -> (Windows.eventsRetention _),
+    "events_retention_rolling" -> (Windows.eventsRetentionRolling _),
     "asof_join"          -> (Joins.asofJoin _),
     "asof_join_native"   -> (Joins.asofJoinNative _),
     // LLM-data-pipeline surface (#19-30); ann_ivf is the one
@@ -184,6 +185,7 @@ object SparkEntry {
     "events_funnel_windowed" -> Windows.eventsFunnelWindowedOracle,
     "events_funnel_deepest" -> Windows.eventsFunnelDeepestOracle,
     "events_retention"   -> Windows.eventsRetentionOracle,
+    "events_retention_rolling" -> Windows.eventsRetentionRollingOracle,
     "asof_join"          -> Joins.asofJoinOracle,
     "asof_join_native"   -> Joins.asofJoinNativeOracle,
     "dedup_exact"     -> Dedup.dedupExactOracle,

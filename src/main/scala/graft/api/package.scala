@@ -148,12 +148,16 @@ package object api {
       * `offset` periods after their cohort
       * ([[graft.operators.Windows.retentionOf]] — one user-grain agg
       * whose state is the user's bounded period SET, then one matrix
-      * agg). */
+      * agg). `rolling = true` swaps in the unbounded reading (active
+      * at offset k OR LATER —
+      * [[graft.operators.Windows.retentionRollingOf]]). */
     def retentionBy(userCol: String, timeCol: String,
-                    period: String = "week"): DataFrame =
-      operators.Windows.retentionOf(
-        df.select(col(userCol).as("user_id"), col(timeCol).as("ts")),
-        period)
+                    period: String = "week",
+                    rolling: Boolean = false): DataFrame = {
+      val ev = df.select(col(userCol).as("user_id"), col(timeCol).as("ts"))
+      if (rolling) operators.Windows.retentionRollingOf(ev, period)
+      else operators.Windows.retentionOf(ev, period)
+    }
 
     /** Gap-based sessionization over (`key`, `time`): adds session_id.
       * `tieBreak` columns make ordering deterministic under duplicate

@@ -349,9 +349,54 @@ object Windows {
       .agg(count(lit(1)).as("users")) // (user, p) distinct by collect_set
   }
 
+  /** ROLLING (unbounded) retention — the matrix's other standard
+    * reading: cell (cohort, k) counts users active at offset k OR
+    * LATER ("came back eventually"), where [[retentionOf]]'s classic
+    * cells count activity in exactly period k. Monotone non-increasing
+    * along each cohort row by construction — the shape analysts
+    * eyeball for churn. Same two-shuffle plan with one change: the
+    * user grain reduces to a single MAX offset (even smaller state
+    * than the period set), and the calendar-bounded
+    * `sequence(0, max)` explode runs between the aggregations. */
+  def retentionRollingOf(ev: DataFrame, period: String = "week"): DataFrame = {
+    require(Set("day", "week", "month")(period),
+      s"retentionRollingOf: period must be day|week|month, got '$period'")
+    val perUser = ev
+      .select(col("user_id"), date_trunc(period, col("ts")).as("p"))
+      .groupBy(col("user_id"))
+      .agg(min(col("p")).as("cohort"), max(col("p")).as("last"))
+    val maxOff = (period match {
+      case "month" => months_between(col("last"), col("cohort"))
+      case "week"  => datediff(col("last"), col("cohort")) / 7
+      case "day"   => datediff(col("last"), col("cohort"))
+    }).cast("int")
+    perUser
+      .select(col("cohort"), explode(sequence(lit(0), maxOff)).as("offset"))
+      .groupBy(tstr(col("cohort")).as("cohort"), col("offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** `events_retention`: weekly cohorts over the events table. */
   def eventsRetention(s: SparkSession, d: String): DataFrame =
     retentionOf(events(s, d), "week")
+
+  /** `events_retention_rolling`: the unbounded reading, same cohorts. */
+  def eventsRetentionRolling(s: SparkSession, d: String): DataFrame =
+    retentionRollingOf(events(s, d), "week")
+
+  def eventsRetentionRollingOracle: String = """
+    WITH acts AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),
+    coh AS (
+      SELECT user_id, min(p) AS cohort FROM acts GROUP BY 1),
+    mo AS (
+      SELECT a.user_id, c.cohort,
+             max(CAST(date_diff('day', c.cohort, a.p) / 7 AS INT)) AS max_off
+      FROM acts a JOIN coh c USING (user_id) GROUP BY 1, 2),
+    e AS (SELECT cohort, unnest(range(0, max_off + 1)) AS o FROM mo)
+    SELECT strftime(cohort, '%Y-%m-%d %H:%M:%S') AS cohort,
+           CAST(o AS INT) AS "offset", count(*) AS users
+    FROM e GROUP BY 1, 2"""
 
   /** Same matrix in plain SQL: distinct activity periods, per-user min
     * as the cohort, day-diff/7 as the offset (both engines truncate

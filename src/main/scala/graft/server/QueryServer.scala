@@ -33,13 +33,13 @@ import java.nio.charset.StandardCharsets
   *                                      configuration, the layout comes
   *                                      from the store's self-describing
   *                                      manifest
-  *   GET /retention?period=week[&sf=DIR&limit=N]
+  *   GET /retention?period=week[&mode=classic|rolling&sf=DIR&limit=N]
   *                                   → cohort retention matrix over the
   *                                      events table (day|week|month
   *                                      calendar cohorts) — the /funnel
   *                                      convention applied to the
   *                                      second product-analytics shape.
-  *   GET /funnel?steps=a,b,c[&window=30m&sf=DIR&limit=N]
+  *   GET /funnel?steps=a,b,c[&window=30m&mode=chained|deepest&sf=DIR&limit=N]
   *                                   → ordered conversion funnel over
   *                                      the events table for ANY step
   *                                      path (default = the registered
@@ -364,7 +364,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
     // ANY ordered step path (the registered events_funnel runs the
     // fixed view→click→purchase path; an analyst's ad-hoc path is a
     // parameter, not a redeploy — the /assemble convention applied to
-    // the funnel). &window bounds each hop to the conversion horizon.
+    // the funnel). &window bounds each hop to the conversion horizon;
+    // &mode=deepest swaps in the anchored deepest-chain semantics.
     // Response = the per-step report rows.
     server.createContext("/funnel", (ex: HttpExchange) => {
       try {
@@ -380,6 +381,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         // duration only, parsed by the operator's own parser
         val win = param(ex, "window").map(p =>
           scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
+        // &mode=chained (default) | deepest — the two windowFunnel
+        // semantics; deepest requires a window (it IS anchored)
+        val mode = param(ex, "mode").getOrElse("chained")
         if (steps.contains(None))
           respond(ex, 400, """{"error":"steps must be distinct plain """ +
             """names (steps=view,click,purchase)"}""")
@@ -388,20 +392,31 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else if (win.contains(None))
           respond(ex, 400,
             """{"error":"window must be <n><ms|s|m|h|d>, e.g. 30m"}""")
+        else if (!Set("chained", "deepest")(mode))
+          respond(ex, 400, """{"error":"mode must be chained|deepest"}""")
+        else if (mode == "deepest" && win.flatten.isEmpty)
+          respond(ex, 400,
+            """{"error":"mode=deepest requires a window (the search is anchored)"}""")
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
           case Some(sf) =>
-            import org.apache.spark.sql.functions.{col, count, lit}
+            import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
             val names = steps.flatten
               .getOrElse(graft.operators.Windows.FunnelSteps)
-            val stages = graft.operators.Windows
-              .funnelOf(graft.Tables.events(spark, sf), names, win.flatten)
+            val ev = graft.Tables.events(spark, sf)
+            val stages =
+              if (mode == "deepest") graft.operators.Windows
+                .funnelDeepestOf(ev, names, win.flatten.get)
+              else graft.operators.Windows.funnelOf(ev, names, win.flatten)
             val report = stages.zip(names).zipWithIndex.map {
               case ((df, name), i) =>
-                df.agg(count(lit(1)).as("users"))
-                  .select(lit(i + 1).cast("int").as("step"),
-                    lit(name).as("step_name"), col("users"))
+                val users =
+                  if (mode == "deepest")
+                    df.agg(countDistinct(col("user_id")).as("users"))
+                  else df.agg(count(lit(1)).as("users"))
+                users.select(lit(i + 1).cast("int").as("step"),
+                  lit(name).as("step_name"), col("users"))
             }.reduce(_ unionByName _)
             val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
             respond(ex, 200, report.orderBy(col("step")).limit(limit)
@@ -418,10 +433,15 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
     server.createContext("/retention", (ex: HttpExchange) => {
       try {
         val period = param(ex, "period").getOrElse("week")
+        // &mode=classic (active in exactly period k) | rolling (active
+        // at k or later — the churn-curve reading)
+        val mode = param(ex, "mode").getOrElse("classic")
         val lim = param(ex, "limit")
           .map(p => scala.util.Try(p.toInt).toOption)
         if (!Set("day", "week", "month")(period))
           respond(ex, 400, """{"error":"period must be day|week|month"}""")
+        else if (!Set("classic", "rolling")(mode))
+          respond(ex, 400, """{"error":"mode must be classic|rolling"}""")
         else if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
         else resolveSf(param(ex, "sf")) match {
@@ -429,8 +449,11 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
           case Some(sf) =>
             import org.apache.spark.sql.functions.col
-            val matrix = graft.operators.Windows
-              .retentionOf(graft.Tables.events(spark, sf), period)
+            val ev = graft.Tables.events(spark, sf)
+            val matrix =
+              if (mode == "rolling")
+                graft.operators.Windows.retentionRollingOf(ev, period)
+              else graft.operators.Windows.retentionOf(ev, period)
             val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
             respond(ex, 200,
               matrix.orderBy(col("cohort"), col("offset")).limit(limit)

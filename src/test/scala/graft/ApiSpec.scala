@@ -158,6 +158,23 @@ class ApiSpec extends SparkSpec {
     assert(got.filter(_._1._2 == 0).values.sum == users)
     intercept[IllegalArgumentException] {
       ev.retentionBy("user_id", "ts", "fortnight") }
+
+    // rolling vs classic on a SPARSE crafted frame (the testdata is
+    // too dense to tell them apart): a user active in weeks 0 and 3
+    // fills the gap under rolling (came back at 3 ⇒ retained at 1, 2)
+    // but leaves holes under classic
+    import spark.implicits._
+    def w(week: Int) = new java.sql.Timestamp(
+      (4 + week * 7) * 86400000L) // 1970-01-05 = the first Monday
+    val sparse = Seq((1L, w(0)), (1L, w(3)), (2L, w(0)))
+      .toDF("user_id", "ts")
+    def cellsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(cellsOf(sparse.retentionBy("user_id", "ts", "week")) ==
+      Map(0 -> 2L, 3 -> 1L))
+    assert(cellsOf(sparse.retentionBy("user_id", "ts", "week",
+        rolling = true)) ==
+      Map(0 -> 2L, 1 -> 1L, 2 -> 1L, 3 -> 1L))
   }
 
   test("distinctCountBy is exact in the sparse regime on any schema") {

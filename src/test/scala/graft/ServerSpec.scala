@@ -767,6 +767,17 @@ class ServerSpec extends SparkSpec {
       val windowed = graft.operators.Windows.eventsFunnelWindowed(spark, sf)
         .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
       assert(wbody == windowed && wbody != body)
+      // &mode=deepest serves the anchored-window semantics ≡ the
+      // registered deepest report; it refuses to run unanchored
+      val (mc, mbody) = get(port,
+        s"/funnel?mode=deepest&window=${graft.operators.Windows.FunnelHorizon}")
+      assert(mc == 200, mbody)
+      val deepReg = graft.operators.Windows.eventsFunnelDeepest(spark, sf)
+        .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      assert(mbody == deepReg && mbody != wbody)
+      assert(get(port, "/funnel?mode=deepest")._1 == 400)
+      assert(get(port, "/funnel?mode=widest&window=1d")._1 == 400)
+
       // guardrails: malformed/duplicate steps, bad limit/window, foreign sf
       assert(get(port, "/funnel?steps=view,view")._1 == 400)
       assert(get(port, "/funnel?steps=a;b")._1 == 400)
@@ -786,6 +797,15 @@ class ServerSpec extends SparkSpec {
       assert(tbody == regRet)
       val (tdc, tdbody) = get(port, "/retention?period=day&limit=5000")
       assert(tdc == 200 && tdbody != tbody, tdbody)
+      // the rolling reading ≡ its registered query (the testdata is
+      // dense enough that classic == rolling here; the crafted-frame
+      // difference is pinned in ApiSpec)
+      val (trc, trbody) = get(port, "/retention?mode=rolling")
+      assert(trc == 200 && trbody == graft.operators.Windows
+        .eventsRetentionRolling(spark, sf)
+        .orderBy(col("cohort"), col("offset"))
+        .toJSON.collect().mkString("[", ",", "]"), trbody)
+      assert(get(port, "/retention?mode=sticky")._1 == 400)
       assert(get(port, "/retention?period=fortnight")._1 == 400)
       assert(get(port, "/retention?limit=abc")._1 == 400)
       assert(get(port, "/retention?sf=/etc")._1 == 403)
