@@ -60,6 +60,8 @@ object SparkEntry {
     "events_funnel"      -> (Windows.eventsFunnel _),
     "events_funnel_windowed" -> (Windows.eventsFunnelWindowed _),
     "events_funnel_deepest" -> (Windows.eventsFunnelDeepest _),
+    "events_paths"       -> (Windows.eventsPaths _),
+    "funnel_latency"     -> (Windows.funnelLatency _),
     "events_retention"   -> (Windows.eventsRetention _),
     "events_retention_rolling" -> (Windows.eventsRetentionRolling _),
     "asof_join"          -> (Joins.asofJoin _),
@@ -184,6 +186,8 @@ object SparkEntry {
     "events_funnel"      -> Windows.eventsFunnelOracle,
     "events_funnel_windowed" -> Windows.eventsFunnelWindowedOracle,
     "events_funnel_deepest" -> Windows.eventsFunnelDeepestOracle,
+    "events_paths"       -> Windows.eventsPathsOracle,
+    "funnel_latency"     -> Windows.funnelLatencyOracle,
     "events_retention"   -> Windows.eventsRetentionOracle,
     "events_retention_rolling" -> Windows.eventsRetentionRollingOracle,
     "asof_join"          -> Joins.asofJoinOracle,

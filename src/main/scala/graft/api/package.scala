@@ -142,6 +142,17 @@ package object api {
         .reduce(_ unionByName _)
     }
 
+    /** Path-transition matrix over (`userCol`, `timeCol`, `typeCol`):
+      * counts of adjacent event pairs per user in time order (the
+      * sankey input — [[graft.operators.Windows.pathTransitionsOf]]).
+      * `tieBreak` makes ordering deterministic under duplicate
+      * timestamps, the sessionizer convention. */
+    def pathsBy(userCol: String, timeCol: String, typeCol: String,
+                tieBreak: String): DataFrame =
+      operators.Windows.pathTransitionsOf(
+        df.select(col(userCol).as("user_id"), col(timeCol).as("ts"),
+          col(tieBreak).as("event_id"), col(typeCol).as("event_type")))
+
     /** Cohort retention matrix over (`userCol`, `timeCol`): users
       * cohorted by the calendar `period` (day|week|month) of their
       * first event; cell (cohort, offset) = distinct users active

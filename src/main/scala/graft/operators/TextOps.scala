@@ -493,10 +493,10 @@ object TextOps {
     * QuantileSketchSpec-bound. */
   val QuantileK = 4096
 
-  private val QuantilePoints =
+  private[operators] val QuantilePoints =
     Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
 
-  private def quantileCols(sk: Column): Seq[Column] =
+  private[operators] def quantileCols(sk: Column): Seq[Column] =
     QuantilePoints.map { case (q, n) =>
       graft.functions.SketchOps.quantileAt(sk, q).as(n) }
 

@@ -412,6 +412,91 @@ object Windows {
     FROM acts JOIN coh USING (user_id)
     GROUP BY 1, 2"""
 
+  /** Path-transition matrix — the third classic product-analytics
+    * shape beside the funnel and the retention matrix (the sankey /
+    * "where do users go next" input): count of ADJACENT event pairs
+    * per user in time order. One shuffle on `user_id`, one `lead`
+    * window over (ts, event_id) — the same deterministic tie-break
+    * the sessionizer uses, so duplicate timestamps order stably —
+    * then a types² matrix aggregation; nothing user-grain crosses the
+    * second exchange. */
+  def pathTransitionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_step", lead(col("event_type"), 1).over(w))
+      .filter(col("to_step").isNotNull)
+      .groupBy(col("event_type").as("from_step"), col("to_step"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** `events_paths`: the transition matrix over the events table. */
+  def eventsPaths(s: SparkSession, d: String): DataFrame =
+    pathTransitionsOf(events(s, d))
+
+  def eventsPathsOracle: String = """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_step
+      FROM events)
+    SELECT event_type AS from_step, to_step, count(*) AS n
+    FROM t WHERE to_step IS NOT NULL GROUP BY 1, 2"""
+
+  /** `funnel_latency`: time-to-convert distributions per funnel hop —
+    * the funnel stages composed with the mergeable
+    * [[graft.functions.QuantileSketch]] family: stage k and k+1 reach
+    * frames join on `user_id` (the partitioning every stage already
+    * carries), the hop latency is exact µs arithmetic, and the
+    * per-hop p25/p50/p75/p95 ride sketch buffers across the exchange
+    * — an exact percentile would sort per hop. Exact-regime oracle
+    * (`quantile_disc` over the staged SQL's latencies), the
+    * quantiles_by_lang convention. */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchOps
+    val stages = funnelOf(events(s, d), FunnelSteps)
+    stages.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
+      val hop = s"${FunnelSteps(i)}->${FunnelSteps(i + 1)}"
+      a.select(col("user_id"), col("t").as("t_from"))
+        .join(b.select(col("user_id"), col("t").as("t_to")),
+          Seq("user_id"))
+        .select((unix_micros(col("t_to").cast("timestamp")) -
+          unix_micros(col("t_from").cast("timestamp"))).as("lat_us"))
+        .agg(count(lit(1)).as("n_users"),
+          SketchOps.quantileSketch(col("lat_us"), TextOps.QuantileK).as("sk"))
+        .select(lit(hop).as("hop") +: col("n_users") +:
+          TextOps.quantileCols(col("sk")): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  def funnelLatencyOracle: String = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+    h1 AS (
+      SELECT CAST(date_diff('microsecond', s1.t, s2.t) AS BIGINT) AS lat_us
+      FROM s1 JOIN s2 USING (user_id)),
+    h2 AS (
+      SELECT CAST(date_diff('microsecond', s2.t, s3.t) AS BIGINT) AS lat_us
+      FROM s2 JOIN s3 USING (user_id))
+    SELECT 'view->click' AS hop, count(*) AS n_users,
+           quantile_disc(lat_us, 0.25) AS p25, quantile_disc(lat_us, 0.5) AS p50,
+           quantile_disc(lat_us, 0.75) AS p75, quantile_disc(lat_us, 0.95) AS p95
+    FROM h1
+    UNION ALL
+    SELECT 'click->purchase', count(*),
+           quantile_disc(lat_us, 0.25), quantile_disc(lat_us, 0.5),
+           quantile_disc(lat_us, 0.75), quantile_disc(lat_us, 0.95)
+    FROM h2"""
+
   /** The registered windowed funnel's horizon: each hop must land
     * within one day of the previous reach (the testdata's inter-event
     * cadence makes this bind hard — at sf0.01 it cuts 150/150/150 to

@@ -118,6 +118,23 @@ class ApiSpec extends SparkSpec {
     assert(gotW == refW && gotW != reference)
   }
 
+  test("pathsBy matches the registered transition matrix under renamed " +
+      "columns, and the matrix total is rows minus users") {
+    val ev = Tables.events(spark, sf)
+    val got = ev.select(col("user_id").as("who"), col("ts").as("at"),
+        col("event_id").as("seq"), col("event_type").as("kind"))
+      .pathsBy("who", "at", "kind", "seq")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val reg = graft.operators.Windows.eventsPaths(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == reg)
+    // each user contributes (events - 1) adjacent pairs
+    val n = ev.count(); val users = ev.select("user_id").distinct().count()
+    assert(got.values.sum == n - users)
+  }
+
   test("funnelDeepestBy matches the registered deepest-chain report " +
       "under renamed columns") {
     val got = Tables.events(spark, sf)
