@@ -245,6 +245,96 @@ class StreamingSpec extends SparkSpec {
     assert(cells.exists(c => c._1 == 2L && c._3 == 2))
   }
 
+  test("StreamingPaths emits each adjacency exactly once; aggregated " +
+      "pairs equal the batch transition matrix — including an " +
+      "out-of-order event SPLICING between already-seen neighbors") {
+    import spark.implicits._
+    import graft.streaming.StreamingPaths
+    import graft.streaming.StreamingPaths.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val chunk1 = Seq(
+      // user 1's a and c arrive first; b (between them in TIME) lands
+      // in the next chunk — the final pairs must be a→b, b→c, never
+      // the a→c an eager fold would have emitted
+      Ev(1, ts(1), 1, "a"), Ev(1, ts(9), 3, "c"),
+      // user 2: duplicate timestamps order by seq (the tie-break)
+      Ev(2, ts(5), 10, "x"), Ev(2, ts(5), 11, "y"), Ev(2, ts(6), 12, "z"),
+      // user 3: a single event pairs with nothing
+      Ev(3, ts(2), 1, "solo"))
+    val chunk2 = Seq(Ev(1, ts(5), 2, "b"), Ev(99, ts(30), 0, "wm"))
+    val chunk3 = Seq(
+      // user 1 continues AFTER the earlier events finalized: the held
+      // last event links the next pair across batches
+      Ev(1, ts(40), 4, "d"))
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1); stream.addData(chunk2); stream.addData(chunk3)
+    stream.addData(Seq(Ev(99, ts(100000), 0, "sentinel")))
+    val q = StreamingPaths.pairs(spark, stream.toDS)
+      .writeStream.format("memory").queryName("paths_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("paths_out").filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == got.distinct.length)
+    val batch = graft.operators.Windows.pathTransitionsOf(
+        (chunk1 ++ chunk2 ++ chunk3).filter(_.user_id != 99)
+          .map(e => (e.user_id, e.ts, e.seq, e.event_type))
+          .toDF("user_id", "ts", "event_id", "event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val gotMatrix = got.map(p => (p._2, p._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(gotMatrix == batch, s"got=$gotMatrix batch=$batch")
+    // the splice really happened, and the tie-break held
+    assert(got.contains((1L, "a", "b")) && got.contains((1L, "b", "c")) &&
+      !got.contains((1L, "a", "c")))
+    assert(got.contains((2L, "x", "y")))
+    assert(got.contains((1L, "c", "d")), "pairs must link across batches")
+  }
+
+  test("composed chain: StreamingRetention cells fold into a persisted " +
+      "PointStore — the cohort matrix maintained as an LSM table") {
+    import spark.implicits._
+    import graft.streaming.{StreamingRetention, StreamingPointStore}
+    import graft.streaming.StreamingRetention.Ev
+    import graft.sources.PointStore
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, ts(100)), Ev(1, ts(1440 * 2)), Ev(2, ts(200)),
+      Ev(2, ts(1440 * 5)), Ev(3, ts(1440 * 3 + 7)))
+    val root = java.nio.file.Files.createTempDirectory("graft_retchain")
+    val store = new PointStore(spark, s"$root/ret",
+      keys = Seq("cohort", "offset"), sums = Seq("users"), maxes = Nil)
+    def partialOf(b: org.apache.spark.sql.DataFrame) =
+      b.filter(col("user_id") =!= 99)
+        .groupBy("cohort", "offset").agg(count(lit(1)).as("users"))
+    val stream = MemoryStream[Ev]
+    val q = StreamingRetention.cells(spark, stream.toDS, "day")
+      .writeStream
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[StreamingRetention.Cell], id: Long) =>
+          StreamingPointStore.foldBatch(store, partialOf, b.toDF, id))
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").start()
+    stream.addData(evs.take(3)); q.processAllAvailable()
+    stream.addData(evs.drop(3))
+    stream.addData(Seq(Ev(99, ts(100000))))
+    q.processAllAvailable(); q.stop()
+
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val snap = store.snapshot.collect().map(r =>
+      (java.time.Instant.ofEpochMilli(r.getTimestamp(0).getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt),
+        r.getInt(1)) -> r.getLong(2)).toMap
+    val reference = graft.operators.Windows.retentionOf(
+        evs.map(e => (e.user_id, e.ts)).toDF("user_id", "ts"), "day")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(snap == reference, s"snap=$snap reference=$reference")
+  }
+
   test("composed chain: StreamingFunnel reaches fold into a persisted " +
       "PointStore — the funnel report maintained as an LSM table") {
     import spark.implicits._
