@@ -61,6 +61,7 @@ object SparkEntry {
     "events_funnel_windowed" -> (Windows.eventsFunnelWindowed _),
     "events_funnel_deepest" -> (Windows.eventsFunnelDeepest _),
     "events_paths"       -> (Windows.eventsPaths _),
+    "events_paths_sessionized" -> (Windows.eventsPathsSessionized _),
     "funnel_latency"     -> (Windows.funnelLatency _),
     "events_retention"   -> (Windows.eventsRetention _),
     "events_retention_rolling" -> (Windows.eventsRetentionRolling _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "events_funnel_windowed" -> Windows.eventsFunnelWindowedOracle,
     "events_funnel_deepest" -> Windows.eventsFunnelDeepestOracle,
     "events_paths"       -> Windows.eventsPathsOracle,
+    "events_paths_sessionized" -> Windows.eventsPathsSessionizedOracle,
     "funnel_latency"     -> Windows.funnelLatencyOracle,
     "events_retention"   -> Windows.eventsRetentionOracle,
     "events_retention_rolling" -> Windows.eventsRetentionRollingOracle,

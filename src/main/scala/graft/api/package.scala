@@ -146,12 +146,16 @@ package object api {
       * counts of adjacent event pairs per user in time order (the
       * sankey input — [[graft.operators.Windows.pathTransitionsOf]]).
       * `tieBreak` makes ordering deterministic under duplicate
-      * timestamps, the sessionizer convention. */
+      * timestamps, the sessionizer convention. `withinGap` (compact
+      * duration, e.g. `"30m"`) bounds adjacency to the gap-session
+      * grain — a pair spanning a longer silence is two visits. */
     def pathsBy(userCol: String, timeCol: String, typeCol: String,
-                tieBreak: String): DataFrame =
+                tieBreak: String,
+                withinGap: Option[String] = None): DataFrame =
       operators.Windows.pathTransitionsOf(
         df.select(col(userCol).as("user_id"), col(timeCol).as("ts"),
-          col(tieBreak).as("event_id"), col(typeCol).as("event_type")))
+          col(tieBreak).as("event_id"), col(typeCol).as("event_type")),
+        withinGap.map(operators.Windows.parseHorizon))
 
     /** Cohort retention matrix over (`userCol`, `timeCol`): users
       * cohorted by the calendar `period` (day|week|month) of their

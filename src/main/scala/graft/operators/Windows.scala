@@ -420,12 +420,26 @@ object Windows {
     * the sessionizer uses, so duplicate timestamps order stably —
     * then a types² matrix aggregation; nothing user-grain crosses the
     * second exchange. */
-  def pathTransitionsOf(ev: DataFrame): DataFrame = {
+  def pathTransitionsOf(ev: DataFrame,
+                        withinGapMs: Option[Long] = None): DataFrame = {
+    require(withinGapMs.forall(_ > 0),
+      s"pathTransitionsOf: gap must be positive, got $withinGapMs")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val slim = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
       .withColumn("to_step", lead(col("event_type"), 1).over(w))
-      .filter(col("to_step").isNotNull)
+    // withinGapMs bounds adjacency to the SESSION grain: a pair whose
+    // gap exceeds it spans two gap-sessions (the sessionizer's law —
+    // "next event is a gap start" ⟺ "different session_id", without
+    // materializing the running session index at all). Both windows
+    // share the one user_id partitioning and (ts, event_id) sort.
+    val withGap = withinGapMs.fold(slim.withColumn("_gap_ok", lit(true))) {
+      g => slim.withColumn("_gap_ok",
+        unix_micros(lead(col("ts"), 1).over(w).cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp")) <= g * 1000L)
+    }
+    withGap.filter(col("to_step").isNotNull && col("_gap_ok"))
       .groupBy(col("event_type").as("from_step"), col("to_step"))
       .agg(count(lit(1)).as("n"))
   }
@@ -433,6 +447,23 @@ object Windows {
   /** `events_paths`: the transition matrix over the events table. */
   def eventsPaths(s: SparkSession, d: String): DataFrame =
     pathTransitionsOf(events(s, d))
+
+  /** `events_paths_sessionized`: adjacency bounded to the registered
+    * 30-minute gap-session (the sessionizer's grain) — a pair spanning
+    * a session boundary is two visits, not one journey. */
+  def eventsPathsSessionized(s: SparkSession, d: String): DataFrame =
+    pathTransitionsOf(events(s, d), Some(1800000L))
+
+  def eventsPathsSessionizedOracle: String = """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER w AS to_step,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type AS from_step, to_step, count(*) AS n
+    FROM t WHERE to_step IS NOT NULL AND gap_us <= 1800 * 1000000
+    GROUP BY 1, 2"""
 
   def eventsPathsOracle: String = """
     WITH t AS (

@@ -33,6 +33,10 @@ import java.nio.charset.StandardCharsets
   *                                      configuration, the layout comes
   *                                      from the store's self-describing
   *                                      manifest
+  *   GET /paths[?gap=30m&sf=DIR&limit=N]
+  *                                   → path-transition matrix (the
+  *                                      sankey input); &gap bounds
+  *                                      adjacency to the session grain.
   *   GET /retention?period=week[&mode=classic|rolling&sf=DIR&limit=N]
   *                                   → cohort retention matrix over the
   *                                      events table (day|week|month
@@ -421,6 +425,36 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
             respond(ex, 200, report.orderBy(col("step")).limit(limit)
               .toJSON.collect().mkString("[", ",", "]"))
+        }
+      } catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    })
+    // the transition matrix served: GET /paths[?gap=30m&sf=..&limit=N]
+    // — adjacency per user in time order (the sankey input); &gap
+    // bounds pairs to the session grain via the operator's own parser
+    server.createContext("/paths", (ex: HttpExchange) => {
+      try {
+        val lim = param(ex, "limit")
+          .map(p => scala.util.Try(p.toInt).toOption)
+        val gap = param(ex, "gap").map(p =>
+          scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
+        if (lim.contains(None))
+          respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else if (gap.contains(None))
+          respond(ex, 400,
+            """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
+        else resolveSf(param(ex, "sf")) match {
+          case None =>
+            respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
+          case Some(sf) =>
+            import org.apache.spark.sql.functions.col
+            val matrix = graft.operators.Windows
+              .pathTransitionsOf(graft.Tables.events(spark, sf), gap.flatten)
+            val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+            respond(ex, 200,
+              matrix.orderBy(col("from_step"), col("to_step")).limit(limit)
+                .toJSON.collect().mkString("[", ",", "]"))
         }
       } catch { case e: Throwable =>
         respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")

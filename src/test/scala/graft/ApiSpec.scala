@@ -133,6 +133,19 @@ class ApiSpec extends SparkSpec {
     // each user contributes (events - 1) adjacent pairs
     val n = ev.count(); val users = ev.select("user_id").distinct().count()
     assert(got.values.sum == n - users)
+    // the session-bounded reading ≡ the registered sessionized query,
+    // and drops exactly the pairs spanning a >30 min silence
+    val gotSess = ev.select(col("user_id").as("who"), col("ts").as("at"),
+        col("event_id").as("seq"), col("event_type").as("kind"))
+      .pathsBy("who", "at", "kind", "seq", withinGap = Some("30m"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val regSess = graft.operators.Windows.eventsPathsSessionized(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(gotSess == regSess)
+    assert(gotSess.values.sum < got.values.sum,
+      "the session bound must actually drop cross-session pairs")
   }
 
   test("funnelDeepestBy matches the registered deepest-chain report " +

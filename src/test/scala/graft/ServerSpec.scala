@@ -787,6 +787,22 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/funnel?window=-5m")._1 == 400)
       assert(get(port, "/funnel?sf=/etc")._1 == 403)
 
+      // the transition matrix beside it: served ≡ the registered
+      // queries (raw and session-bounded), gap validated
+      val (pc, pbody) = get(port, "/paths")
+      assert(pc == 200 && pbody == graft.operators.Windows
+        .eventsPaths(spark, sf)
+        .orderBy(col("from_step"), col("to_step"))
+        .toJSON.collect().mkString("[", ",", "]"), pbody)
+      val (psc, psbody) = get(port, "/paths?gap=30m")
+      assert(psc == 200 && psbody == graft.operators.Windows
+        .eventsPathsSessionized(spark, sf)
+        .orderBy(col("from_step"), col("to_step"))
+        .toJSON.collect().mkString("[", ",", "]") && psbody != pbody, psbody)
+      assert(get(port, "/paths?gap=30x")._1 == 400)
+      assert(get(port, "/paths?limit=abc")._1 == 400)
+      assert(get(port, "/paths?sf=/etc")._1 == 403)
+
       // the retention matrix beside it: served ≡ the registered query,
       // period validated, same sf guard
       val (tc, tbody) = get(port, "/retention")
