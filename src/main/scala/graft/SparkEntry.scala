@@ -60,6 +60,7 @@ object SparkEntry {
     "events_funnel"      -> (Windows.eventsFunnel _),
     "events_funnel_windowed" -> (Windows.eventsFunnelWindowed _),
     "events_funnel_deepest" -> (Windows.eventsFunnelDeepest _),
+    "events_funnel_sessions" -> (Windows.eventsFunnelSessions _),
     "events_paths"       -> (Windows.eventsPaths _),
     "events_paths_sessionized" -> (Windows.eventsPathsSessionized _),
     "funnel_latency"     -> (Windows.funnelLatency _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "events_funnel"      -> Windows.eventsFunnelOracle,
     "events_funnel_windowed" -> Windows.eventsFunnelWindowedOracle,
     "events_funnel_deepest" -> Windows.eventsFunnelDeepestOracle,
+    "events_funnel_sessions" -> Windows.eventsFunnelSessionsOracle,
     "events_paths"       -> Windows.eventsPathsOracle,
     "events_paths_sessionized" -> Windows.eventsPathsSessionizedOracle,
     "funnel_latency"     -> Windows.funnelLatencyOracle,

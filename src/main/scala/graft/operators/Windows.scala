@@ -273,6 +273,88 @@ object Windows {
     }
   }
 
+  /** Session-bounded funnel — conversion within a SINGLE VISIT: the
+    * chained first-occurrence law applied per (user, gap-session), a
+    * user converting when ANY of their sessions contains the in-order
+    * chain. The third windowFunnel flavor beside the per-hop horizon
+    * (#funnelOf) and the anchored window ([[funnelDeepestOf]]):
+    * product teams usually mean THIS one when they say "the signup
+    * funnel" — a purchase in tomorrow's visit is a new journey, not a
+    * conversion of today's view.
+    *
+    * Pure composition: the session index is the sessionizer's running
+    * gap-start sum (one `user_id` window), and the funnel then runs
+    * [[funnelOf]] UNCHANGED over a composite `(user, session)` key —
+    * a struct column, which groups and joins like any other key, so
+    * the session funnel inherits the chained operator's whole plan
+    * shape (per-stage partial mins, one hash partitioning, pushed
+    * step filters) without a line of new join logic. Returns per-stage
+    * frames at (user, session) grain with the reach time. */
+  def funnelSessionsOf(ev: DataFrame, steps: Seq[String],
+                       gapMs: Long = 1800000L): Seq[DataFrame] = {
+    require(gapMs > 0, s"session gap must be positive, got $gapMs")
+    val byUser = Window.partitionBy(col("_uid"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessioned = ev
+      .select(col("user_id").as("_uid"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("_gap_start",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(byUser).cast("timestamp")) >
+            gapMs * 1000L, 1L).otherwise(0L))
+      .withColumn("_session", sum(col("_gap_start")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(struct(col("_uid").as("u"), col("_session").as("s"))
+        .as("user_id"), col("ts"), col("event_type"))
+    funnelOf(sessioned, steps)
+  }
+
+  /** `events_funnel_sessions`: per-step counts of DISTINCT USERS with
+    * a within-session conversion (30-min gap, the registered session
+    * grain), plus the visit count — sessions being the funnel unit,
+    * `visits >= users` by construction. */
+  def eventsFunnelSessions(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelSessionsOf(events(s, d), FunnelSteps)
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(countDistinct(col("user_id.u")).as("users"),
+          count(lit(1)).as("visits"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name"), col("users"), col("visits"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The sessionize oracle's session index feeding the staged-min
+    * funnel SQL at (user, session) grain. */
+  def eventsFunnelSessionsOracle: String = """
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS gap_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             CAST(sum(gap_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM g),
+    s1 AS (
+      SELECT user_id, sid, min(ts) AS t FROM sess
+      WHERE event_type = 'view' GROUP BY 1, 2),
+    s2 AS (
+      SELECT e.user_id, e.sid, min(e.ts) AS t FROM sess e
+      JOIN s1 USING (user_id, sid)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1, 2),
+    s3 AS (
+      SELECT e.user_id, e.sid, min(e.ts) AS t FROM sess e
+      JOIN s2 USING (user_id, sid)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1, 2)
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           count(DISTINCT user_id) AS users, count(*) AS visits FROM s1
+    UNION ALL SELECT 2, 'click', count(DISTINCT user_id), count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id), count(*) FROM s3"""
+
   /** `events_funnel_deepest`: the registered deepest-chain report —
     * per-step DISTINCT-user counts over the same path and horizon as
     * `events_funnel_windowed`, so the two rows quantify exactly what

@@ -186,6 +186,40 @@ class EngineSpec extends SparkSpec {
     assert(deepCounts.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("events_funnel_sessions: conversion counts only within one " +
+      "gap-session; a user with two converting visits is one user, " +
+      "two visits") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val ev = Seq(
+      // user 1: view then click 40 min later — SAME journey under the
+      // plain funnel, but the 30-min gap splits the visit: no session
+      // conversion
+      (1L, t(1), 1L, "view"), (1L, t(41), 2L, "click"),
+      // user 2: converts twice, in two separate visits
+      (2L, t(1), 3L, "view"), (2L, t(2), 4L, "click"),
+      (2L, t(100), 5L, "view"), (2L, t(101), 6L, "click"),
+      // user 3: in-session view→click, and a NEW session's purchase
+      // does not complete yesterday's chain
+      (3L, t(1), 7L, "view"), (3L, t(5), 8L, "click"), (3L, t(90), 9L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val stages = operators.Windows
+      .funnelSessionsOf(ev, operators.Windows.FunnelSteps)
+    val users = stages.map(_.select("user_id.u").distinct()
+      .as[Long].collect().toSet)
+    assert(users == Seq(Set(1L, 2L, 3L), Set(2L, 3L), Set.empty[Long]),
+      users.toString)
+    // visit grain: user 2's two converting sessions are two rows
+    assert(stages(1).filter(col("user_id.u") === 2L).count() == 2)
+    // the plain funnel would have converted user 1 — the session bound
+    // is what rejects it
+    val plain = operators.Windows
+      .funnelOf(ev, operators.Windows.FunnelSteps)
+      .map(_.select("user_id").as[Long].collect().toSet)
+    assert(plain(1).contains(1L))
+  }
+
   test("events_retention's executed plan: two-column scan, partial " +
       "set-dedup before the user shuffle, nothing user-grain past the " +
       "matrix exchange") {
