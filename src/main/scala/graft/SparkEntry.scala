@@ -101,6 +101,7 @@ object SparkEntry {
     "token_count"     -> (TextOps.tokenCount _),
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "doc_perplexity"  -> (TextOps.docPerplexity _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
     // heavy hitters as a persisted PointStore `topks` measure (#43c)
@@ -220,6 +221,7 @@ object SparkEntry {
     "token_count"     -> TextOps.tokenCountOracle,
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
+    "doc_perplexity"  -> TextOps.docPerplexityOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,
     "trending_incremental" -> TextOps.trendingIncrementalOracle,

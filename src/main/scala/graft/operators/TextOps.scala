@@ -262,6 +262,84 @@ object TextOps {
       FROM h)
     SELECT doc_id, unnest(fps) AS fingerprint FROM f"""
 
+  // --------------------------------------------------------- doc_perplexity
+
+  /** Self-scored bigram language-model surprisal — the
+    * perplexity-proxy quality signal pretraining pipelines filter on
+    * (gibberish, boilerplate soup, and wrong-language text all score
+    * low-probability against the corpus's OWN n-gram statistics,
+    * without shipping an external model): per document, the mean
+    * add-one-smoothed bigram log-probability
+    * `avg ln((c(w1,w2)+1) / (c(w1·)+V))` over the corpus-wide counts;
+    * perplexity = `exp(-avg_logprob)` (left to the caller — one more
+    * libm call would cost the oracle's bit-exactness for zero
+    * information). Tokens are the engine-wide whitespace convention
+    * ([[Dedup.tokens]]); `c(w1·)` counts bigram FIRSTS (so unigram
+    * and bigram totals share a denominator universe) and V is the
+    * first-position vocabulary.
+    *
+    * Scale shape — the LM-count join ordered to dodge the hub-word
+    * skew (the dedup_ngram distinct-grain trick): the skewed
+    * `w1`-keyed join (every bigram starting with "the") runs at
+    * DISTINCT-BIGRAM grain, where a hub costs its distinct
+    * continuations, not its token instances; the instance-grain join
+    * then keys on the much-flatter `(w1, w2)` pair against the
+    * scored-bigram table. Three token-grain shuffles total (bigram
+    * counts, first counts, per-doc re-agg) — inherent to counting an
+    * LM. Per-bigram log-probs round to DECIMAL(18,6) BEFORE the
+    * per-doc sum: the decimal sum is exact and order-independent (the
+    * dsum doctrine), and the rounding absorbs the ≤1-ulp libm
+    * disagreement between engines that would otherwise make an
+    * averaged double non-reproducible. V rides as a driver-collected
+    * scalar (one long — the plan-time-discovery precedent). */
+  def docPerplexity(s: SparkSession, d: String): DataFrame =
+    perplexityOf(documents(s, d))
+
+  /** The reusable core over any (doc_id, text) frame. */
+  def perplexityOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+    val n1 = greatest(size(col("w")) - 1, lit(0))
+    val bi = toks
+      .withColumn("w1s", slice(col("w"), lit(1), n1))
+      .withColumn("w2s", slice(col("w"), lit(2), n1))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
+      .select(col("doc_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = bi.select(col("w1")).distinct().count()
+    val scoredBigram = big
+      .join(uni.hint("shuffle_hash"), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        log((col("c2") + 1).cast("double") /
+            (col("c1") + lit(v)).cast("double"))
+          .cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 6)).as("lp"))
+    bi.join(scoredBigram.hint("shuffle_hash"), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  def docPerplexityOracle: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+        string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w
+      FROM documents),
+    i AS (SELECT doc_id, w, unnest(range(1, len(w))) AS k FROM t),
+    b AS (SELECT doc_id, w[CAST(k AS INT)] AS w1,
+                 w[CAST(k AS INT) + 1] AS w2 FROM i),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+    uni AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+    vv AS (SELECT count(DISTINCT w1) AS v FROM b)
+    SELECT b.doc_id,
+      CAST(sum(CAST(ln((c2 + 1.0) / (c1 + v)) AS DECIMAL(18,6))) AS DOUBLE)
+        / count(*) AS avg_logprob,
+      count(*) AS n_bigrams
+    FROM b JOIN big USING (w1, w2) JOIN uni USING (w1), vv
+    GROUP BY 1"""
+
   // ------------------------------------------------------------ freq_tokens
 
   /** Sketch capacity for the registered query — far above the corpus's

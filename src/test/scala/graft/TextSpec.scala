@@ -39,6 +39,26 @@ class TextSpec extends SparkSpec {
     assert(fp("a").subsetOf(fp("b") ++ fp("a"))) // shift only adds/keeps prints
   }
 
+  test("doc_perplexity: common phrasing outscores gibberish against the " +
+      "corpus's own bigram counts; sub-bigram docs are absent") {
+    import spark.implicits._
+    val common = "the cat sat on the mat"
+    val docs = ((1L to 8L).map(i => (i, common)) ++ Seq(
+      (9L, "zq xv qj wk vz jx"), // bigrams seen nowhere else
+      (10L, "solo"), (11L, ""))).toDF("doc_id", "text")
+    val scores = TextOps.perplexityOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!scores.contains(10L) && !scores.contains(11L),
+      "docs with no bigram must be absent, not zero-scored")
+    assert((1L to 8L).forall(i => scores(i) > scores(9L)),
+      s"gibberish must score strictly lower: $scores")
+    // deterministic: a permuted re-run lands on identical doubles
+    val again = TextOps.perplexityOf(docs.orderBy(org.apache.spark.sql
+        .functions.rand(7)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == scores)
+  }
+
   test("token counts on a known string") {
     import spark.implicits._
     val df = Seq("Hello, world! abc123 def 42").toDF("text").select(
