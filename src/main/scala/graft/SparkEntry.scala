@@ -29,7 +29,8 @@ object SparkEntry {
     "dedup_embedding_delta", "pipeline_curate_delta", "jsonl_roundtrip",
     "point_store_sketch", "source_reputation_incremental",
     "curate_takedown", "profile_incremental", "profile_drift",
-    "drift_gate", "drift_follower", "assemble_from_recipe")
+    "drift_gate", "drift_follower", "assemble_from_recipe",
+    "perplexity_incremental")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -102,6 +103,7 @@ object SparkEntry {
     "lang_id"         -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "doc_perplexity"  -> (TextOps.docPerplexity _),
+    "perplexity_incremental" -> (TextOps.perplexityIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
     // heavy hitters as a persisted PointStore `topks` measure (#43c)
@@ -222,6 +224,7 @@ object SparkEntry {
     "lang_id"         -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
     "doc_perplexity"  -> TextOps.docPerplexityOracle,
+    "perplexity_incremental" -> TextOps.perplexityIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,
     "trending_incremental" -> TextOps.trendingIncrementalOracle,

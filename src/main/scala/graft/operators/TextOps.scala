@@ -295,17 +295,31 @@ object TextOps {
   def docPerplexity(s: SparkSession, d: String): DataFrame =
     perplexityOf(documents(s, d))
 
-  /** The reusable core over any (doc_id, text) frame. */
-  def perplexityOf(docs: DataFrame): DataFrame = {
+  /** Instance-grain bigrams of a (doc_id, text) frame — the shared
+    * kernel of the one-shot scorer and the persisted-count faces. */
+  private def bigramsOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
     val n1 = greatest(size(col("w")) - 1, lit(0))
-    val bi = toks
+    toks
       .withColumn("w1s", slice(col("w"), lit(1), n1))
       .withColumn("w2s", slice(col("w"), lit(2), n1))
       .select(col("doc_id"),
         explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
       .select(col("doc_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+  }
+
+  /** Corpus bigram counts at (w1, w2) grain — the additive partial a
+    * [[graft.sources.PointStore]] keyed (w1, w2) with one `c2` sum
+    * folds nightly (counts re-sum; the unigram table and the
+    * vocabulary both DERIVE from this one store, so the LM state is a
+    * single point table maintained at O(delta) per night). */
+  def bigramCountsOf(docs: DataFrame): DataFrame =
+    bigramsOf(docs).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+
+  /** The reusable core over any (doc_id, text) frame. */
+  def perplexityOf(docs: DataFrame): DataFrame = {
+    val bi = bigramsOf(docs)
     val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val uni = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = bi.select(col("w1")).distinct().count()
@@ -321,6 +335,73 @@ object TextOps {
       .agg((sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"),
         count(lit(1)).as("n_bigrams"))
   }
+
+  /** Score a BATCH against stored corpus counts — the probe face of
+    * the LM state ([[bigramCountsOf]]'s store): unseen bigrams smooth
+    * to `ln(1/(c1+V))`, unseen first-words to `ln(1/V)` (c2 and c1
+    * coalesce to 0 — the add-one estimator is total, so a delta batch
+    * scores without ever touching corpus text). LEFT joins keep every
+    * batch bigram; the count tables shuffle on their own keys; same
+    * decimal-before-sum reproducibility discipline as the one-shot. */
+  def perplexityProbeAgainst(counts: DataFrame, batch: DataFrame): DataFrame = {
+    val uni = counts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = counts.select(col("w1")).distinct().count()
+    require(v > 0, "perplexity probe against an EMPTY count store — " +
+      "fold at least one night of bigramCountsOf first")
+    bigramsOf(batch)
+      .join(counts.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(uni.hint("shuffle_hash"), Seq("w1"), "left")
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double"))
+          .cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 6)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** `perplexity_incremental`: the LM counts as a persisted nightly
+    * fold — two tagged count drops land in a (w1, w2)-keyed
+    * PointStore (sums re-sum, so night boundaries are invisible), and
+    * the held-out batch scores against the MERGED store state via
+    * [[perplexityProbeAgainst]]. The oracle recomputes the counts
+    * one-shot from the same historical slice, so a hash match proves
+    * the fold + probe land on the exact same smoothed scores. */
+  def perplexityIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = graft.operators.DedupIndex.freshRunDir("graft_ppl_", d)
+    val store = new graft.sources.PointStore(s, dir.getPath,
+      keys = Seq("w1", "w2"), sums = Seq("c2"), maxes = Nil)
+    store.appendTagged("n1", bigramCountsOf(hist.filter(col("doc_id") % 2 === 1)))
+    store.appendTagged("n2", bigramCountsOf(hist.filter(col("doc_id") % 2 =!= 1)))
+    store.appendTagged("n2", bigramCountsOf(hist.filter(col("doc_id") % 2 =!= 1)))
+    perplexityProbeAgainst(store.snapshot,
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  def perplexityIncrementalOracle: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+        string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w
+      FROM documents),
+    i AS (SELECT doc_id, w, unnest(range(1, len(w))) AS k FROM t),
+    b AS (SELECT doc_id, w[CAST(k AS INT)] AS w1,
+                 w[CAST(k AS INT) + 1] AS w2 FROM i),
+    hist AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM hist GROUP BY 1, 2),
+    uni AS (SELECT w1, count(*) AS c1 FROM hist GROUP BY 1),
+    vv AS (SELECT count(DISTINCT w1) AS v FROM hist),
+    batch AS (SELECT * FROM b WHERE doc_id % 5 = 0)
+    SELECT batch.doc_id,
+      CAST(sum(CAST(ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + v))
+        AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob,
+      count(*) AS n_bigrams
+    FROM batch
+    LEFT JOIN big USING (w1, w2)
+    LEFT JOIN uni USING (w1), vv
+    GROUP BY 1"""
 
   def docPerplexityOracle: String = s"""
     WITH t AS (

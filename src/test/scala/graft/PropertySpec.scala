@@ -101,6 +101,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("retention matrices (classic and rolling) agree with the in-memory " +
+      "fold on random event streams (sparse users, duplicate periods)") {
+    import spark.implicits._
+    // small day domain: users with gappy activity, so classic and
+    // rolling genuinely diverge
+    val evGen = Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 20L))
+    for (seed <- 1L to 5L) {
+      val evs = sample(Gen.listOfN(50, evGen), seed)
+      val df = evs.map { case (u, d) =>
+        (u, new java.sql.Timestamp(d * 86400000L + 3600000L)) }
+        .toDF("user_id", "ts")
+      val byUser = evs.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+      def cohort(u: Long) = byUser(u).min
+      val expClassic = byUser.toSeq.flatMap { case (u, ds) =>
+        ds.map(d => (cohort(u), (d - cohort(u)).toInt)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expRolling = byUser.toSeq.flatMap { case (u, ds) =>
+        (0 to (ds.max - cohort(u)).toInt).map(k => (cohort(u), k)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def dayOf(s: String) =
+        java.time.LocalDateTime.parse(s.replace(" ", "T"))
+          .toLocalDate.toEpochDay - java.time.LocalDate
+          .parse("1970-01-01").toEpochDay
+      def got(rolling: Boolean) = (if (rolling)
+          graft.operators.Windows.retentionRollingOf(df, "day")
+        else graft.operators.Windows.retentionOf(df, "day"))
+        .collect().map(r => (dayOf(r.getString(0)), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      assert(got(false) == expClassic, s"classic seed $seed")
+      assert(got(true) == expRolling, s"rolling seed $seed")
+    }
+  }
+
+  test("path transitions (raw and gap-bounded) agree with the in-memory " +
+      "fold on random streams with duplicate timestamps") {
+    import spark.implicits._
+    val evGen = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 30L),
+      Gen.oneOf("a", "b", "c"))
+    for (seed <- 1L to 5L) {
+      val evs = sample(Gen.listOfN(40, evGen), seed).zipWithIndex
+        .map { case ((u, t, s), i) => (u, t, i.toLong, s) }
+      val df = evs.map { case (u, t, id, s) =>
+        (u, new java.sql.Timestamp(t * 60000L), id, s) }
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val gapMin = 5L
+      def exp(bounded: Boolean) = evs.groupBy(_._1).toSeq.flatMap {
+        case (_, es) =>
+          es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+            case Seq(x, y) if !bounded || (y._2 - x._2) * 60000L <=
+              gapMin * 60000L => (x._4, y._4)
+          }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def got(gap: Option[Long]) = graft.operators.Windows
+        .pathTransitionsOf(df, gap)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got(None) == exp(false), s"raw seed $seed")
+      assert(got(Some(gapMin * 60000L)) == exp(true), s"bounded seed $seed")
+    }
+  }
+
   test("changefeed chain converges under random append/compact/poll interleavings") {
     import graft.sources.{ChangefeedFollower, PointStore}
     val li = Tables.lineitem(spark, sf)
