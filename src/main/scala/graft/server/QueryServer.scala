@@ -33,6 +33,14 @@ import java.nio.charset.StandardCharsets
   *                                      configuration, the layout comes
   *                                      from the store's self-describing
   *                                      manifest
+  *   POST /probe/perplexity?store=<name>[&limit=N]
+  *                                   → score a posted {doc_id, text}
+  *                                      batch against a persisted
+  *                                      bigram count store (the LM
+  *                                      quality filter served without
+  *                                      the corpus; total add-one
+  *                                      smoothing covers unseen
+  *                                      bigrams).
   *   GET /paths[?gap=30m&sf=DIR&limit=N]
   *                                   → path-transition matrix (the
   *                                      sankey input); &gap bounds
@@ -616,6 +624,70 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
     // through Spark's own JSON reader (schema-enforced), the index
     // resolves under the canonicalize-under-root discipline of
     // /version, and the response is bounded like /query.
+    // the LM probe face: POST a {doc_id, text} batch, get each doc's
+    // add-one-smoothed bigram log-prob against a PERSISTED count store
+    // (TextOps.bigramCountsOf's (w1, w2)/c2 PointStore under the store
+    // root) — the quality filter served without the corpus, the
+    // /probe/dedup convention applied to the perplexity signal
+    server.createContext("/probe/perplexity", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405, """{"error":"POST a JSON batch of {doc_id, text}"}""")
+      else (storeRoot, param(ex, "store")) match {
+        case (None, _) =>
+          respond(ex, 404, """{"error":"server started without a store root"}""")
+        case (_, None) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (Some(root), Some(name)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val lim = param(ex, "limit")
+            .map(p => scala.util.Try(p.toInt).toOption)
+          if (!plainName(name) || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else if (lim.contains(None))
+            respond(ex, 400, """{"error":"limit must be an integer"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val store = graft.sources.PointStore.open(spark, dir.getPath)
+            val counts = store.snapshot
+            val needed = Seq("w1", "w2", "c2").filterNot(counts.columns.contains)
+            if (needed.nonEmpty)
+              respond(ex, 400, s"""{"error":"store '$name' is not a """ +
+                s"""bigram count store — missing column(s) ${needed.mkString(", ")}"}""")
+            else {
+              val body = new String(ex.getRequestBody.readAllBytes(),
+                StandardCharsets.UTF_8)
+              import spark.implicits._
+              val batch = spark.read.schema("doc_id LONG, text STRING")
+                .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+                .cache()
+              try {
+                val n = batch.count()
+                val bad = batch
+                  .filter(col("doc_id").isNull || col("text").isNull).count()
+                if (n == 0 || bad > 0)
+                  respond(ex, 400,
+                    """{"error":"body must be JSON rows of {doc_id, text}"}""")
+                else {
+                  val scored = graft.operators.TextOps
+                    .perplexityProbeAgainst(counts, batch)
+                  val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                  respond(ex, 200, scored.orderBy(col("doc_id")).limit(limit)
+                    .toJSON.collect().mkString("[", ",", "]"))
+                }
+              } finally batch.unpersist(false)
+            }
+          } catch {
+            case e: IllegalArgumentException =>
+              val msg = Option(e.getMessage).getOrElse("bad request")
+              respond(ex, if (msg.contains("no point store")) 404 else 400,
+                s"""{"error":"${msg.takeWhile(_ != '\n')
+                  .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
     server.createContext("/probe/dedup", (ex: HttpExchange) => {
       if (ex.getRequestMethod.toUpperCase != "POST")
         respond(ex, 405, """{"error":"POST a JSON batch of {doc_id, text}"}""")

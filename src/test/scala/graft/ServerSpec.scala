@@ -262,6 +262,44 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /probe/perplexity scores a batch against a persisted bigram " +
+      "count store over a real socket ≡ the library probe") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    val root = java.nio.file.Files.createTempDirectory("graft_pplsrv").toString
+    val docs = Tables.documents(spark, sf)
+    val store = new graft.sources.PointStore(spark, s"$root/lm",
+      keys = Seq("w1", "w2"), sums = Seq("c2"), maxes = Nil)
+    store.appendTagged("n1",
+      TextOps.bigramCountsOf(docs.filter(col("doc_id") % 5 =!= 0)))
+    val batch = docs.filter(col("doc_id") % 5 === 0).limit(20)
+      .select(col("doc_id"), col("text"))
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val body = batch.toJSON.collect().mkString("\n")
+      val (c, got) = post(port, "/probe/perplexity?store=lm&limit=5000", body)
+      assert(c == 200, got)
+      val lib = TextOps.perplexityProbeAgainst(store.snapshot, batch)
+        .orderBy(col("doc_id")).toJSON.collect().mkString("[", ",", "]")
+      assert(got == lib)
+      // guardrails: method, params, unknown/non-LM stores, bad bodies
+      assert(get(port, "/probe/perplexity?store=lm")._1 == 405)
+      assert(post(port, "/probe/perplexity", body)._1 == 400)
+      assert(post(port, "/probe/perplexity?store=nope&tag=x", body)._1 == 404)
+      assert(post(port, "/probe/perplexity?store=..", body)._1 == 403)
+      assert(post(port, "/probe/perplexity?store=lm", """{"junk":1}""")._1 == 400)
+      assert(post(port, "/probe/perplexity?store=lm", "")._1 == 400)
+      val other = new graft.sources.PointStore(spark, s"$root/notlm",
+        keys = Seq("k"), sums = Seq("v"), maxes = Nil)
+      import spark.implicits._
+      other.appendTagged("t", Seq(("a", 1L)).toDF("k", "v"))
+      val (nc, nb) = post(port, "/probe/perplexity?store=notlm", body)
+      assert(nc == 400 && nb.contains("missing column"), nb)
+    } finally srv.stop()
+  }
+
   test("POST /takedown/curate and /takedown/ann delete doc rosters over " +
       "a real socket; redelivered request tags are committed=false no-ops") {
     import org.apache.spark.sql.functions.col
