@@ -317,12 +317,25 @@ object TextOps {
   def bigramCountsOf(docs: DataFrame): DataFrame =
     bigramsOf(docs).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
 
-  /** The reusable core over any (doc_id, text) frame. */
+  /** The reusable core over any (doc_id, text) frame.
+    *
+    * The unigram table and the vocabulary both DERIVE from the
+    * aggregated bigram frame (`c1 = Σ c2 group by w1`; `V` = its
+    * distinct-w1 count) — the same derivation [[perplexityProbeAgainst]]
+    * uses against a stored count table — so the corpus tokenizes
+    * exactly twice (once into `big`, once into the instance-grain
+    * scoring join) and the only w1-keyed shuffle runs at
+    * DISTINCT-BIGRAM grain where hub words cost their continuations,
+    * not their instances. `big` is pinned behind its exchange
+    * (localCheckpoint, the materialize-behind-exchange doctrine of
+    * SURVEY §4): the driver-side V count evaluates it once and the
+    * uni/scored joins replay the checkpoint, never the token scan. */
   def perplexityOf(docs: DataFrame): DataFrame = {
     val bi = bigramsOf(docs)
     val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val uni = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val v = bi.select(col("w1")).distinct().count()
+      .localCheckpoint()
+    val uni = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = big.select(col("w1")).distinct().count()
     val scoredBigram = big
       .join(uni.hint("shuffle_hash"), Seq("w1"))
       .select(col("w1"), col("w2"),

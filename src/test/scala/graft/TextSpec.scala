@@ -59,6 +59,30 @@ class TextSpec extends SparkSpec {
     assert(again == scores)
   }
 
+  test("doc_perplexity plan: the corpus tokenizes exactly twice and the " +
+      "instance-grain uni/V passes are gone (both derive from the pinned " +
+      "aggregated bigram frame)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"the cat $i sat on the mat"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.perplexityOf(docs).queryExecution.executedPlan.toString
+    // tokenization = the arrays_zip explode; once feeding the instance
+    // join — big's build ran eagerly at the localCheckpoint and shows
+    // up as a Scan ExistingRDD, never a second token scan
+    val explodes = "(?i)generate explode".r.findAllIn(plan).length
+    assert(explodes == 1, s"want 1 instance-grain tokenization, got $explodes:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"aggregated bigram frame must be pinned behind its exchange:\n$plan")
+    // no instance-grain w1 count-aggregation survives: any aggregate
+    // keyed on w1 alone consumes the checkpoint (sums of c2), never a
+    // count(1) over raw bigram instances
+    val uniCountLines = plan.linesIterator.filter(l =>
+      l.contains("HashAggregate") && "keys=\\[w1#\\d+\\]".r.findFirstIn(l).isDefined &&
+        l.contains("count(1)")).toSeq
+    assert(uniCountLines.isEmpty,
+      s"instance-grain uni pass must be gone: $uniCountLines")
+  }
+
   test("token counts on a known string") {
     import spark.implicits._
     val df = Seq("Hello, world! abc123 def 42").toDF("text").select(
