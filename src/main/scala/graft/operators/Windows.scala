@@ -112,13 +112,21 @@ object Windows {
     * scale). Loud on anything else. */
   def parseHorizon(s: String): Long = s match {
     case HorizonRe(n, unit) =>
-      n.toLong * (unit match {
+      // 15 digits × the day multiplier overflows Long — surface the
+      // same 400-shaped IllegalArgumentException, never a wrapped
+      // negative (which funnelOf's require would turn into a 500) or,
+      // worse, a double-wrapped wrong positive horizon.
+      try Math.multiplyExact(n.toLong, unit match {
         case "ms" => 1L
         case "s" => 1000L
         case "m" => 60000L
         case "h" => 3600000L
         case "d" => 86400000L
       })
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"horizon '$s' overflows the millisecond scale")
+      }
     case _ => throw new IllegalArgumentException(
       s"horizon '$s' must be <n><ms|s|m|h|d>, e.g. 30m")
   }

@@ -1340,24 +1340,52 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             val body = new String(ex.getRequestBody.readAllBytes(),
               StandardCharsets.UTF_8)
             import spark.implicits._
-            val rows = spark.read.schema(store.snapshot.schema)
-              .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
-              .cache()
-            try {
-              val n = rows.count()
-              val badKey = keyCols.map(k => col(k).isNull)
-                .reduceOption(_ || _).map(rows.filter(_).count())
-                .getOrElse(0L)
-              if (n == 0 || badKey > 0)
-                respond(ex, 400,
-                  s"""{"error":"body must be JSON rows with non-null """ +
-                    s"""key(s) ${keyCols.mkString(", ")}"}""")
-              else {
-                val committed = store.appendTagged(tag, rows)
-                respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
-                  s""""committed":$committed,"version":${store.version}}""")
-              }
-            } finally rows.unpersist(false)
+            val lines = body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS()
+            // a write face must be strict, not PERMISSIVE: a mistyped
+            // measure value or a misspelled measure field would parse
+            // to null and fold SILENTLY (sums skip nulls) — so first a
+            // schema-free pass rejects field names the store doesn't
+            // carry (misspellings; `_corrupt_record` here means a
+            // malformed line), then the typed parse runs FAILFAST so a
+            // value that fails coercion is a 400, never a silent null.
+            val known = store.snapshot.schema.fieldNames.toSet
+            val inferred = spark.read.json(lines).schema.fieldNames.toSet
+            val unknown = (inferred - "_corrupt_record").diff(known)
+            if (unknown.nonEmpty)
+              respond(ex, 400,
+                s"""{"error":"unknown field(s) ${unknown.toSeq.sorted
+                  .mkString(", ")} — store carries ${known.toSeq.sorted
+                  .mkString(", ")}"}""")
+            else {
+              val rows = spark.read.schema(store.snapshot.schema)
+                .option("mode", "FAILFAST")
+                .json(lines)
+                .cache()
+              try {
+                val parsed = try Right(rows.count()) catch {
+                  case e: org.apache.spark.SparkException => Left(e)
+                }
+                parsed match {
+                  case Left(_) =>
+                    respond(ex, 400,
+                      """{"error":"row(s) failed schema coercion — """ +
+                        """measure values must match the store's types"}""")
+                  case Right(n) =>
+                    val badKey = keyCols.map(k => col(k).isNull)
+                      .reduceOption(_ || _).map(rows.filter(_).count())
+                      .getOrElse(0L)
+                    if (n == 0 || badKey > 0)
+                      respond(ex, 400,
+                        s"""{"error":"body must be JSON rows with non-null """ +
+                          s"""key(s) ${keyCols.mkString(", ")}"}""")
+                    else {
+                      val committed = store.appendTagged(tag, rows)
+                      respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+                        s""""committed":$committed,"version":${store.version}}""")
+                    }
+                }
+              } finally rows.unpersist(false)
+            }
           } catch {
             case e: IllegalArgumentException =>
               val msg = Option(e.getMessage).getOrElse("bad request")

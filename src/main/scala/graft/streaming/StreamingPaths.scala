@@ -35,7 +35,14 @@ object StreamingPaths {
   final case class PathState(
     last: Option[(Long, Long, String)], buf: Seq[(Long, Long, String)])
 
-  def step(userId: Long, events: Iterator[Ev],
+  /** `gapMs` bounds adjacency to the gap-session grain exactly as the
+    * batch twin's `withinGapMs` does: a finalized pair whose gap
+    * exceeds it spans two sessions and is suppressed — the chain
+    * still advances (`last` becomes the new event; the next session
+    * starts there), so suppression changes which pairs EMIT, never
+    * the fold order. Millisecond grain, matching the state the twin
+    * already holds. */
+  def step(gapMs: Option[Long])(userId: Long, events: Iterator[Ev],
            state: GroupState[PathState]): Iterator[Pair] = {
     val wm = try state.getCurrentWatermarkMs() catch {
       case _: UnsupportedOperationException => Long.MaxValue
@@ -47,7 +54,8 @@ object StreamingPaths {
     val emitted = Vector.newBuilder[Pair]
     var last = prior.last
     ready.sortBy(e => (e._1, e._2)).foreach { e =>
-      last.foreach(p => emitted += Pair(userId, p._3, e._3))
+      last.filter(p => gapMs.forall(e._1 - p._1 <= _))
+        .foreach(p => emitted += Pair(userId, p._3, e._3))
       last = Some(e)
     }
     if (last.isEmpty && hold.isEmpty) state.remove() // ≡ default
@@ -60,12 +68,14 @@ object StreamingPaths {
   }
 
   /** Wire the stateful fold over a (streaming or batch) event Dataset. */
-  def pairs(s: SparkSession, events: Dataset[Ev]): Dataset[Pair] = {
+  def pairs(s: SparkSession, events: Dataset[Ev],
+            gapMs: Option[Long] = None): Dataset[Pair] = {
     import s.implicits._
+    require(gapMs.forall(_ > 0), s"gap must be positive, got $gapMs")
     events
       .withWatermark("ts", "1 minute")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(gapMs))
   }
 }

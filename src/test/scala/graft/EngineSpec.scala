@@ -98,6 +98,15 @@ class EngineSpec extends SparkSpec {
     assert(operators.Windows.parseHorizon("90s") == 90000L &&
       operators.Windows.parseHorizon("1d") == 86400000L &&
       operators.Windows.parseHorizon("500ms") == 500L)
+    // a 15-digit day count would wrap Long millis — must be the same
+    // 400-shaped IllegalArgumentException, never a negative (500) or a
+    // double-wrapped wrong positive
+    intercept[IllegalArgumentException] {
+      operators.Windows.parseHorizon("999999999999999d") }
+    intercept[IllegalArgumentException] {
+      operators.Windows.parseHorizon("999999999999999h") }
+    assert(operators.Windows.parseHorizon("999999999999999ms") ==
+      999999999999999L) // in-range stays exact
     // the registered windowed report binds strictly tighter than the
     // unbounded one past step 1
     val unb = operators.Windows.eventsFunnel(spark, sf)

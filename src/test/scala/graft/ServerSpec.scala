@@ -259,6 +259,19 @@ class ServerSpec extends SparkSpec {
       assert(post(port, "/ingest/point?store=points&tag=x3",
         """{"junk":1}""")._1 == 400)
       assert(post(port, "/ingest/point?store=points&tag=x4", "")._1 == 400)
+      // the write face is STRICT, never PERMISSIVE: a misspelled
+      // measure field or a mistyped value must 400, not parse to null
+      // and fold silently (sums skip nulls)
+      val (cm, bm) = post(port, "/ingest/point?store=points&tag=x5",
+        """{"game_mode":"m","role":"r","playedd":3}""")
+      assert(cm == 400 && bm.contains("unknown field"), s"$cm $bm")
+      assert(post(port, "/ingest/point?store=points&tag=x6",
+        """{"game_mode":"m","role":"r","played":"not-a-number"}""")._1 == 400)
+      // and none of the rejected batches committed anything
+      assert(m(store.snapshot.select("game_mode", "role", "played", "wins",
+          "time_spent_d", "gold_d", "last_match")) ==
+        m(Merge.pointAgg(li).select("game_mode", "role", "played", "wins",
+          "time_spent_d", "gold_d", "last_match")))
     } finally srv.stop()
   }
 

@@ -293,6 +293,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, "c", "d")), "pairs must link across batches")
   }
 
+  test("StreamingPaths gap-bounded mode ≡ pathTransitionsOf(withinGapMs): " +
+      "a boundary-exact pair emits, an over-gap pair is suppressed but " +
+      "still advances the chain") {
+    import spark.implicits._
+    import graft.streaming.StreamingPaths
+    import graft.streaming.StreamingPaths.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30L * 60000L
+    val chunk1 = Seq(
+      // a→b exactly AT the 30-min boundary (inclusive: emits); b→c 40
+      // min (suppressed — but c still chains); c→d 5 min (emits)
+      Ev(1, ts(0), 1, "a"), Ev(1, ts(70), 3, "c"),
+      Ev(2, ts(5), 10, "x"), Ev(2, ts(5), 11, "y"))
+    val chunk2 = Seq(
+      Ev(1, ts(30), 2, "b"), Ev(1, ts(75), 4, "d"),
+      Ev(99, ts(200), 0, "wm"))
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1); stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000), 0, "sentinel")))
+    val q = StreamingPaths.pairs(spark, stream.toDS, Some(gapMs))
+      .writeStream.format("memory").queryName("paths_gap_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("paths_gap_out").filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == got.distinct.length)
+    val gotMatrix = got.map(p => (p._2, p._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batch = graft.operators.Windows.pathTransitionsOf(
+        (chunk1 ++ chunk2).filter(_.user_id != 99)
+          .map(e => (e.user_id, e.ts, e.seq, e.event_type))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        Some(gapMs))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(gotMatrix == batch, s"got=$gotMatrix batch=$batch")
+    assert(got.contains((1L, "a", "b")), "boundary-exact pair must emit")
+    assert(!got.contains((1L, "b", "c")), "over-gap pair must be suppressed")
+    assert(got.contains((1L, "c", "d")), "chain must advance past a suppression")
+  }
+
   test("composed chain: StreamingRetention cells fold into a persisted " +
       "PointStore — the cohort matrix maintained as an LSM table") {
     import spark.implicits._
