@@ -30,7 +30,7 @@ object SparkEntry {
     "point_store_sketch", "source_reputation_incremental",
     "curate_takedown", "profile_incremental", "profile_drift",
     "drift_gate", "drift_follower", "assemble_from_recipe",
-    "perplexity_incremental")
+    "perplexity_incremental", "perplexity_trigram_incremental")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -104,6 +104,8 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "doc_perplexity"  -> (TextOps.docPerplexity _),
     "perplexity_incremental" -> (TextOps.perplexityIncremental _),
+    "doc_perplexity_trigram" -> (TextOps.docPerplexityTrigram _),
+    "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
     // heavy hitters as a persisted PointStore `topks` measure (#43c)
@@ -225,6 +227,8 @@ object SparkEntry {
     "doc_fingerprint" -> TextOps.docFingerprintOracle,
     "doc_perplexity"  -> TextOps.docPerplexityOracle,
     "perplexity_incremental" -> TextOps.perplexityIncrementalOracle,
+    "doc_perplexity_trigram" -> TextOps.docPerplexityTrigramOracle,
+    "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,
     "trending_incremental" -> TextOps.trendingIncrementalOracle,

@@ -434,6 +434,219 @@ object TextOps {
     FROM b JOIN big USING (w1, w2) JOIN uni USING (w1), vv
     GROUP BY 1"""
 
+  // ------------------------------------------------------------ trigram LM
+
+  /** The stupid-backoff context penalty (Brants et al. 2007, "Large
+    * Language Models in Machine Translation": S(w|context) backs off
+    * to 0.4·S(w|shorter context) when the longer context was never
+    * seen). 0.4² is written as the literal 0.16 on BOTH engines — the
+    * runtime product 0.4*0.4 is not the double closest to 0.16, and
+    * the two engines must compute bit-identical ratios before the
+    * decimal round. */
+  val BackoffAlpha = 0.4
+  private val BackoffAlpha2 = 0.16
+
+  /** Instance-grain trigrams of a (doc_id, text) frame — the order-3
+    * twin of [[bigramsOf]]. */
+  private def trigramsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+    val n2 = greatest(size(col("w")) - 2, lit(0))
+    toks
+      .withColumn("w1s", slice(col("w"), lit(1), n2))
+      .withColumn("w2s", slice(col("w"), lit(2), n2))
+      .withColumn("w3s", slice(col("w"), lit(3), n2))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("w1s"), col("w2s"), col("w3s"))).as("p"))
+      .select(col("doc_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"),
+        col("p.w3s").as("w3"))
+  }
+
+  /** Corpus trigram counts at (w1, w2, w3) grain — the SINGLE additive
+    * partial the trigram LM persists (a (w1,w2,w3)-keyed
+    * [[graft.sources.PointStore]] with one `c3` sum). Every lower
+    * order DERIVES from it by marginalizing: prefix counts
+    * `c12 = Σ c3 by (w1,w2)`, the backoff bigram `c23 = Σ c3 by
+    * (w2,w3)` over its context `c2 = Σ c3 by w2`, the unigram floor
+    * `cu = Σ c3 by w3` over `N = Σ c3`, and the vocabulary
+    * `V = |distinct w3|` — so the whole backoff chain is maintained at
+    * O(delta) per night by one count fold, the bigram store's design
+    * one order up. (Marginals are interior-position counts — a
+    * document's first two and last two tokens weight differently than
+    * raw n-gram counts would — uniformly on both engines and both
+    * faces, so the estimator is self-consistent.) */
+  def trigramCountsOf(docs: DataFrame): DataFrame =
+    trigramsOf(docs).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+
+  /** Per-doc mean log-score of `tri` instances against the scored
+    * distinct-trigram table — the flat (w1,w2,w3) equi-join + decimal
+    * sum every trigram face ends with. */
+  private def trigramDocMean(tri: DataFrame, scored: DataFrame): DataFrame =
+    tri.join(scored.hint("shuffle_hash"), Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"),
+        count(lit(1)).as("n_trigrams"))
+
+  /** One-shot self-scored trigram LM surprisal — [[perplexityOf]] one
+    * order up: per doc, the mean add-one log-score
+    * `ln((c3+1)/(c12+V))` of its trigrams against the corpus's OWN
+    * counts. Self-scoring never meets an unseen context (every
+    * instance trigram's prefix is in the table by construction), so
+    * the backoff chain compiles to nothing here — the one-shot plan
+    * derives ONLY the prefix marginal and skips the three backoff
+    * marginals the probe face needs (the 100 TB reason the two faces
+    * don't share one scorer). Why not pure stupid backoff for the
+    * self-scored face: MLE c3/c12 scores every singleton trigram with
+    * a singleton prefix at ln(1) = 0 — gibberish would outscore
+    * common text. Add-one within the seen context keeps the
+    * gibberish-scores-lower contract; the 0.4 penalty only ever
+    * applies where a context is genuinely absent (the probe face).
+    * Same discipline as the bigram family: the aggregated count frame
+    * is pinned behind its exchange, V rides as one driver-collected
+    * long, and per-trigram log-probs round to DECIMAL(18,6) BEFORE
+    * the per-doc sum. */
+  def perplexityTrigramOf(docs: DataFrame): DataFrame = {
+    val tri = trigramsOf(docs)
+    val trig = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint()
+    val v = trig.select(col("w3")).distinct().count()
+    val c12 = trig.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
+    val scored = trig
+      .join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        log((col("c3") + 1).cast("double") /
+            (col("c12") + lit(v)).cast("double"))
+          .cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 6)).as("lp"))
+    trigramDocMean(tri, scored)
+  }
+
+  /** `doc_perplexity_trigram` over the documents table. */
+  def docPerplexityTrigram(s: SparkSession, d: String): DataFrame =
+    perplexityTrigramOf(documents(s, d))
+
+  /** Score a BATCH against stored trigram counts with the FULL
+    * backoff chain — the total estimator:
+    *
+    *   - context (w1,w2) seen:  `ln((c3+1) / (c12+V))`   (add-one)
+    *   - else w2 seen:          `ln(0.4·(c23+1) / (c2+V))`
+    *   - else:                  `ln(0.16·(cu+1) / (N+V))`
+    *
+    * Backoff triggers on an unseen CONTEXT (the stupid-backoff rule);
+    * an unseen continuation within a seen context takes the add-one
+    * mass instead, which keeps every level a proper total estimator
+    * (pure stupid backoff assigns score 0 there and the chain would
+    * need renormalizing). All marginals derive from the one count
+    * store at distinct grain — hub middle-words cost their distinct
+    * continuations, never their instances — and the scored table
+    * joins instances on the flat (w1,w2,w3) key. */
+  def perplexityTrigramProbeAgainst(counts: DataFrame,
+                                    batch: DataFrame): DataFrame = {
+    val r = counts.agg(sum(col("c3")).as("n"),
+      count_distinct(col("w3")).as("v")).head
+    require(!r.isNullAt(0) && r.getLong(1) > 0,
+      "trigram probe against an EMPTY count store — " +
+        "fold at least one night of trigramCountsOf first")
+    val (n, v) = (r.getLong(0), r.getLong(1))
+    val c12 = counts.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
+    val c23 = counts.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("c23"))
+    val c2 = counts.groupBy(col("w2")).agg(sum(col("c3")).as("c2"))
+    val cu = counts.groupBy(col("w3")).agg(sum(col("c3")).as("cu"))
+    val tri = trigramsOf(batch)
+    val scored = tri.select(col("w1"), col("w2"), col("w3")).distinct()
+      .join(counts.hint("shuffle_hash"), Seq("w1", "w2", "w3"), "left")
+      .join(c12.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(c23.hint("shuffle_hash"), Seq("w2", "w3"), "left")
+      .join(c2.hint("shuffle_hash"), Seq("w2"), "left")
+      .join(cu.hint("shuffle_hash"), Seq("w3"), "left")
+      .select(col("w1"), col("w2"), col("w3"),
+        when(col("c12").isNotNull,
+          log((coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+              (col("c12") + lit(v)).cast("double")))
+        .when(col("c2").isNotNull,
+          log(lit(BackoffAlpha) *
+              (coalesce(col("c23"), lit(0L)) + 1).cast("double") /
+              (col("c2") + lit(v)).cast("double")))
+        .otherwise(
+          log(lit(BackoffAlpha2) *
+              (coalesce(col("cu"), lit(0L)) + 1).cast("double") /
+              lit((n + v).toDouble)))
+          .cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 6)).as("lp"))
+    trigramDocMean(tri, scored)
+  }
+
+  /** `perplexity_trigram_incremental`: the trigram LM state as a
+    * persisted nightly fold — [[perplexityIncremental]] one order up:
+    * two tagged count drops (plus a redelivered no-op) land in the
+    * (w1,w2,w3)-keyed PointStore and the held-out batch scores
+    * against the merged state through the full backoff chain. The
+    * oracle recomputes the counts one-shot from the same historical
+    * slice with the same CASE chain, so a hash match proves fold +
+    * derivation + backoff land on the exact smoothed scores. */
+  def perplexityTrigramIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = graft.operators.DedupIndex.freshRunDir("graft_ppl3_", d)
+    val store = new graft.sources.PointStore(s, dir.getPath,
+      keys = Seq("w1", "w2", "w3"), sums = Seq("c3"), maxes = Nil)
+    store.appendTagged("n1", trigramCountsOf(hist.filter(col("doc_id") % 2 === 1)))
+    store.appendTagged("n2", trigramCountsOf(hist.filter(col("doc_id") % 2 =!= 1)))
+    store.appendTagged("n2", trigramCountsOf(hist.filter(col("doc_id") % 2 =!= 1)))
+    perplexityTrigramProbeAgainst(store.snapshot,
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  private def trigramSqlFrames: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+        string_split_regex(lower(trim(text)), '[${Dedup.WsChars}]+') AS w
+      FROM documents),
+    i AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS k FROM t),
+    tr AS (SELECT doc_id, w[CAST(k AS INT)] AS w1,
+                  w[CAST(k AS INT) + 1] AS w2,
+                  w[CAST(k AS INT) + 2] AS w3 FROM i)"""
+
+  def docPerplexityTrigramOracle: String = s"""$trigramSqlFrames,
+    trig AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+    p12 AS (SELECT w1, w2, sum(c3) AS c12 FROM trig GROUP BY 1, 2),
+    vv AS (SELECT count(DISTINCT w3) AS v FROM trig)
+    SELECT tr.doc_id,
+      CAST(sum(CAST(ln((c3 + 1.0) / (c12 + v)) AS DECIMAL(18,6))) AS DOUBLE)
+        / count(*) AS avg_logprob,
+      count(*) AS n_trigrams
+    FROM tr JOIN trig USING (w1, w2, w3) JOIN p12 USING (w1, w2), vv
+    GROUP BY 1"""
+
+  def perplexityTrigramIncrementalOracle: String = s"""$trigramSqlFrames,
+    hist AS (SELECT * FROM tr WHERE doc_id % 5 <> 0),
+    trig AS (SELECT w1, w2, w3, count(*) AS c3 FROM hist GROUP BY 1, 2, 3),
+    p12 AS (SELECT w1, w2, sum(c3) AS c12 FROM trig GROUP BY 1, 2),
+    p23 AS (SELECT w2, w3, sum(c3) AS c23 FROM trig GROUP BY 1, 2),
+    p2 AS (SELECT w2, sum(c3) AS c2 FROM trig GROUP BY 1),
+    pu AS (SELECT w3, sum(c3) AS cu FROM trig GROUP BY 1),
+    nv AS (SELECT CAST(sum(c3) + count(DISTINCT w3) AS DOUBLE) AS nv,
+                  count(DISTINCT w3) AS v FROM trig),
+    batch AS (SELECT * FROM tr WHERE doc_id % 5 = 0)
+    SELECT batch.doc_id,
+      CAST(sum(CAST(CASE
+        WHEN c12 IS NOT NULL
+          THEN ln((coalesce(c3, 0) + 1.0) / (c12 + v))
+        WHEN c2 IS NOT NULL
+          THEN ln(${BackoffAlpha} * (coalesce(c23, 0) + 1.0) / (c2 + v))
+        ELSE ln(${BackoffAlpha2} * (coalesce(cu, 0) + 1.0) / nv)
+      END AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob,
+      count(*) AS n_trigrams
+    FROM batch
+    LEFT JOIN trig USING (w1, w2, w3)
+    LEFT JOIN p12 USING (w1, w2)
+    LEFT JOIN p23 USING (w2, w3)
+    LEFT JOIN p2 USING (w2)
+    LEFT JOIN pu USING (w3), nv
+    GROUP BY 1"""
+
   // ------------------------------------------------------------ freq_tokens
 
   /** Sketch capacity for the registered query — far above the corpus's

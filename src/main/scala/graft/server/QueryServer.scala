@@ -650,10 +650,17 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             import org.apache.spark.sql.functions.col
             val store = graft.sources.PointStore.open(spark, dir.getPath)
             val counts = store.snapshot
+            // dispatch on the store's self-described shape: a
+            // (w1,w2,w3)/c3 store scores through the full trigram
+            // backoff chain, a (w1,w2)/c2 store through the add-one
+            // bigram estimator — one route, the order the store holds
+            val isTrigram = Seq("w1", "w2", "w3", "c3")
+              .forall(counts.columns.contains)
             val needed = Seq("w1", "w2", "c2").filterNot(counts.columns.contains)
-            if (needed.nonEmpty)
-              respond(ex, 400, s"""{"error":"store '$name' is not a """ +
-                s"""bigram count store — missing column(s) ${needed.mkString(", ")}"}""")
+            if (!isTrigram && needed.nonEmpty)
+              respond(ex, 400, s"""{"error":"store '$name' is neither a """ +
+                s"""trigram (w1,w2,w3/c3) nor a bigram count store — """ +
+                s"""missing column(s) ${needed.mkString(", ")}"}""")
             else {
               val body = new String(ex.getRequestBody.readAllBytes(),
                 StandardCharsets.UTF_8)
@@ -669,8 +676,11 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   respond(ex, 400,
                     """{"error":"body must be JSON rows of {doc_id, text}"}""")
                 else {
-                  val scored = graft.operators.TextOps
-                    .perplexityProbeAgainst(counts, batch)
+                  val scored =
+                    if (isTrigram) graft.operators.TextOps
+                      .perplexityTrigramProbeAgainst(counts, batch)
+                    else graft.operators.TextOps
+                      .perplexityProbeAgainst(counts, batch)
                   val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
                   respond(ex, 200, scored.orderBy(col("doc_id")).limit(limit)
                     .toJSON.collect().mkString("[", ",", "]"))

@@ -310,6 +310,20 @@ class ServerSpec extends SparkSpec {
       other.appendTagged("t", Seq(("a", 1L)).toDF("k", "v"))
       val (nc, nb) = post(port, "/probe/perplexity?store=notlm", body)
       assert(nc == 400 && nb.contains("missing column"), nb)
+
+      // the same route dispatches on shape: a (w1,w2,w3)/c3 store
+      // scores through the trigram backoff chain
+      val tstore = new graft.sources.PointStore(spark, s"$root/lm3",
+        keys = Seq("w1", "w2", "w3"), sums = Seq("c3"), maxes = Nil)
+      tstore.appendTagged("n1",
+        TextOps.trigramCountsOf(docs.filter(col("doc_id") % 5 =!= 0)))
+      val (tc, tgot) = post(port, "/probe/perplexity?store=lm3&limit=5000", body)
+      assert(tc == 200, tgot)
+      val tlib = TextOps.perplexityTrigramProbeAgainst(tstore.snapshot, batch)
+        .orderBy(col("doc_id")).toJSON.collect().mkString("[", ",", "]")
+      assert(tgot == tlib)
+      assert(tgot.contains("n_trigrams") && got.contains("n_bigrams"),
+        "the two orders must be distinguishable in the response shape")
     } finally srv.stop()
   }
 

@@ -59,6 +59,56 @@ class TextSpec extends SparkSpec {
     assert(again == scores)
   }
 
+  test("doc_perplexity_trigram: common phrasing outscores gibberish " +
+      "self-scored; sub-trigram docs are absent; permutation-deterministic") {
+    import spark.implicits._
+    val common = "the cat sat on the mat"
+    val docs = ((1L to 8L).map(i => (i, common)) ++ Seq(
+      (9L, "zq xv qj wk vz jx"),
+      (10L, "two words"), (11L, "solo"), (12L, ""))).toDF("doc_id", "text")
+    val scores = TextOps.perplexityTrigramOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!scores.contains(10L) && !scores.contains(11L) &&
+      !scores.contains(12L), "docs with no trigram must be absent")
+    assert((1L to 8L).forall(i => scores(i) > scores(9L)),
+      s"gibberish must score strictly lower: $scores")
+    val again = TextOps.perplexityTrigramOf(docs.orderBy(rand(11)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == scores)
+  }
+
+  test("trigram probe walks the full backoff chain: add-one within a seen " +
+      "context, 0.4 at an unseen trigram context, 0.16 at the unigram " +
+      "floor — each level's exact closed form") {
+    import spark.implicits._
+    val hist = (1L to 3L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val counts = TextOps.trigramCountsOf(hist)
+    // counts: 4 trigrams × 3; c12 = 3 per prefix; c2(w2) = 3 each of
+    // cat/sat/on/the; c23 = 3 each; cu = 3 each of sat/on/the/mat;
+    // N = 12, V = 4 (distinct w3)
+    val batch = Seq(
+      (1L, "the cat sat"),   // seen:            ln((3+1)/(3+4))
+      (2L, "the cat jumped"),// unseen cont.:    ln((0+1)/(3+4))
+      (3L, "big cat sat"),   // unseen context:  ln(0.4·(3+1)/(3+4))
+      (4L, "big dog runs")   // unseen w2:       ln(0.16·(0+1)/(12+4))
+    ).toDF("doc_id", "text")
+    val got = TextOps.perplexityTrigramProbeAgainst(counts, batch)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def dec6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L, 3L, 4L) && got.values.forall(_._2 == 1))
+    assert(got(1L)._1 == dec6(math.log(4.0 / 7)), s"seen level: $got")
+    assert(got(2L)._1 == dec6(math.log(1.0 / 7)), s"add-one level: $got")
+    assert(got(3L)._1 == dec6(math.log(0.4 * 4 / 7)), s"0.4 level: $got")
+    assert(got(4L)._1 == dec6(math.log(0.16 * 1 / 16)), s"floor: $got")
+    // an empty store refuses loudly instead of scoring garbage
+    intercept[IllegalArgumentException] {
+      TextOps.perplexityTrigramProbeAgainst(counts.filter(lit(false)), batch)
+    }
+  }
+
   test("doc_perplexity plan: the corpus tokenizes exactly twice and the " +
       "instance-grain uni/V passes are gone (both derive from the pinned " +
       "aggregated bigram frame)") {
