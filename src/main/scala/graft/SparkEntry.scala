@@ -30,7 +30,8 @@ object SparkEntry {
     "point_store_sketch", "source_reputation_incremental",
     "curate_takedown", "profile_incremental", "profile_drift",
     "drift_gate", "drift_follower", "assemble_from_recipe",
-    "perplexity_incremental", "perplexity_trigram_incremental")
+    "perplexity_incremental", "perplexity_trigram_incremental",
+    "funnel_maintained")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -105,6 +106,7 @@ object SparkEntry {
     "doc_perplexity"  -> (TextOps.docPerplexity _),
     "perplexity_incremental" -> (TextOps.perplexityIncremental _),
     "doc_perplexity_trigram" -> (TextOps.docPerplexityTrigram _),
+    "funnel_maintained" -> (graft.streaming.Maintained.funnelMaintained _),
     "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
@@ -228,6 +230,7 @@ object SparkEntry {
     "doc_perplexity"  -> TextOps.docPerplexityOracle,
     "perplexity_incremental" -> TextOps.perplexityIncrementalOracle,
     "doc_perplexity_trigram" -> TextOps.docPerplexityTrigramOracle,
+    "funnel_maintained" -> Windows.eventsFunnelOracle,
     "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,

@@ -280,6 +280,33 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
   private def plainName(n: String): Boolean =
     n.matches("[A-Za-z0-9._-]+") && n != "." && n != ".."
 
+  /** Canonicalize-under-root open of a MAINTAINED report store (the
+    * analytics family's `?store=` reads): resolves under the store
+    * root, opens the self-described PointStore, and refuses a store
+    * that doesn't carry the report's columns — the shape check every
+    * store-reading route performs, factored once. */
+  private def openReportStore(root: String, name: String, needed: Seq[String])
+      : Either[(Int, String), graft.sources.PointStore] = {
+    val rootDir = new java.io.File(root).getCanonicalFile
+    val dir = new java.io.File(rootDir, name).getCanonicalFile
+    if (!plainName(name) || dir.getParentFile != rootDir)
+      Left(403 -> """{"error":"store not under the store root"}""")
+    else try {
+      val store = graft.sources.PointStore.open(spark, dir.getPath)
+      val missing = needed.filterNot(store.snapshot.columns.contains)
+      if (missing.nonEmpty)
+        Left(400 -> (s"""{"error":"store '$name' is not a maintained """ +
+          s"""report — missing column(s) ${missing.mkString(", ")}"}"""))
+      else Right(store)
+    } catch {
+      case e: IllegalArgumentException =>
+        val msg = Option(e.getMessage).getOrElse("bad request")
+        Left((if (msg.contains("no point store")) 404 else 400) ->
+          s"""{"error":"${msg.takeWhile(_ != '\n')
+            .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+    }
+  }
+
   private def param(ex: HttpExchange, key: String): Option[String] =
     Option(ex.getRequestURI.getQuery).toSeq
       .flatMap(_.split("&"))
@@ -393,9 +420,20 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         // duration only, parsed by the operator's own parser
         val win = param(ex, "window").map(p =>
           scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
-        // &mode=chained (default) | deepest — the two windowFunnel
-        // semantics; deepest requires a window (it IS anchored)
+        // &mode=chained (default) | deepest | sessions — the three
+        // windowFunnel semantics; deepest requires a window (it IS
+        // anchored); sessions takes &gap (the visit bound), never
+        // &window — a session already bounds the whole visit, so the
+        // combination is refused explicitly instead of silently
+        // picking one
         val mode = param(ex, "mode").getOrElse("chained")
+        val gap = param(ex, "gap").map(p =>
+          scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
+        // &store=NAME serves the MAINTAINED funnel report (the
+        // StreamingFunnel→PointStore chain) instead of re-scanning
+        // events — O(store) per read; the store IS one materialized
+        // configuration, so the compute parameters are refused with it
+        val storeName = param(ex, "store")
         if (steps.contains(None))
           respond(ex, 400, """{"error":"steps must be distinct plain """ +
             """names (steps=view,click,purchase)"}""")
@@ -404,11 +442,42 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else if (win.contains(None))
           respond(ex, 400,
             """{"error":"window must be <n><ms|s|m|h|d>, e.g. 30m"}""")
-        else if (!Set("chained", "deepest")(mode))
-          respond(ex, 400, """{"error":"mode must be chained|deepest"}""")
+        else if (gap.contains(None))
+          respond(ex, 400,
+            """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
+        else if (storeName.isDefined &&
+            (steps.isDefined || win.isDefined || gap.isDefined ||
+              param(ex, "mode").isDefined || param(ex, "sf").isDefined))
+          respond(ex, 400, """{"error":"store= serves one maintained """ +
+            """materialization — steps/window/gap/mode/sf don't apply"}""")
+        else if (storeName.isDefined) (storeRoot, storeName) match {
+          case (None, _) =>
+            respond(ex, 404, """{"error":"server started without a store root"}""")
+          case (Some(root), Some(name)) =>
+            openReportStore(root, name, Seq("step", "step_name", "users")) match {
+              case Left((code, body)) => respond(ex, code, body)
+              case Right(store) =>
+                import org.apache.spark.sql.functions.col
+                val report = graft.streaming.Maintained
+                  .funnelReportFrom(spark, store)
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                respond(ex, 200, report.orderBy(col("step")).limit(limit)
+                  .toJSON.collect().mkString("[", ",", "]"))
+            }
+          case _ => () // unreachable: storeName.isDefined
+        }
+        else if (!Set("chained", "deepest", "sessions")(mode))
+          respond(ex, 400,
+            """{"error":"mode must be chained|deepest|sessions"}""")
         else if (mode == "deepest" && win.flatten.isEmpty)
           respond(ex, 400,
             """{"error":"mode=deepest requires a window (the search is anchored)"}""")
+        else if (mode == "sessions" && win.isDefined)
+          respond(ex, 400, """{"error":"mode=sessions takes &gap (the """ +
+            """visit bound), not &window — a session already bounds the visit"}""")
+        else if (mode != "sessions" && gap.isDefined)
+          respond(ex, 400,
+            """{"error":"&gap only applies to mode=sessions (use &window)"}""")
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
@@ -417,18 +486,30 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             val names = steps.flatten
               .getOrElse(graft.operators.Windows.FunnelSteps)
             val ev = graft.Tables.events(spark, sf)
-            val stages =
-              if (mode == "deepest") graft.operators.Windows
+            val stages = mode match {
+              case "deepest" => graft.operators.Windows
                 .funnelDeepestOf(ev, names, win.flatten.get)
-              else graft.operators.Windows.funnelOf(ev, names, win.flatten)
+              case "sessions" => graft.operators.Windows
+                .funnelSessionsOf(ev, names,
+                  gap.flatten.getOrElse(1800000L))
+              case _ =>
+                graft.operators.Windows.funnelOf(ev, names, win.flatten)
+            }
             val report = stages.zip(names).zipWithIndex.map {
               case ((df, name), i) =>
-                val users =
-                  if (mode == "deepest")
+                val users = mode match {
+                  case "deepest" =>
                     df.agg(countDistinct(col("user_id")).as("users"))
-                  else df.agg(count(lit(1)).as("users"))
-                users.select(lit(i + 1).cast("int").as("step"),
-                  lit(name).as("step_name"), col("users"))
+                  case "sessions" =>
+                    // sessions are the funnel unit: distinct users with
+                    // a within-session conversion, plus the visit count
+                    df.agg(countDistinct(col("user_id.u")).as("users"),
+                      count(lit(1)).as("visits"))
+                  case _ => df.agg(count(lit(1)).as("users"))
+                }
+                users.select(lit(i + 1).cast("int").as("step") +:
+                  lit(name).as("step_name") +: col("users") +:
+                  (if (mode == "sessions") Seq(col("visits")) else Nil): _*)
             }.reduce(_ unionByName _)
             val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
             respond(ex, 200, report.orderBy(col("step")).limit(limit)
@@ -447,11 +528,35 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           .map(p => scala.util.Try(p.toInt).toOption)
         val gap = param(ex, "gap").map(p =>
           scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
+        val storeName = param(ex, "store")
         if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
         else if (gap.contains(None))
           respond(ex, 400,
             """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
+        else if (storeName.isDefined &&
+            (gap.isDefined || param(ex, "sf").isDefined))
+          respond(ex, 400, """{"error":"store= serves one maintained """ +
+            """materialization — gap/sf don't apply"}""")
+        else if (storeName.isDefined) (storeRoot, storeName) match {
+          // the maintained matrix: StreamingPaths pairs folded into a
+          // (from_step, to_step)/n PointStore — the read is O(types²)
+          case (None, _) =>
+            respond(ex, 404, """{"error":"server started without a store root"}""")
+          case (Some(root), Some(name)) =>
+            openReportStore(root, name,
+                Seq("from_step", "to_step", "n")) match {
+              case Left((code, body)) => respond(ex, code, body)
+              case Right(store) =>
+                import org.apache.spark.sql.functions.col
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                respond(ex, 200, store.snapshot
+                  .select(col("from_step"), col("to_step"), col("n"))
+                  .orderBy(col("from_step"), col("to_step")).limit(limit)
+                  .toJSON.collect().mkString("[", ",", "]"))
+            }
+          case _ => () // unreachable: storeName.isDefined
+        }
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
@@ -480,12 +585,39 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val mode = param(ex, "mode").getOrElse("classic")
         val lim = param(ex, "limit")
           .map(p => scala.util.Try(p.toInt).toOption)
+        val storeName = param(ex, "store")
         if (!Set("day", "week", "month")(period))
           respond(ex, 400, """{"error":"period must be day|week|month"}""")
         else if (!Set("classic", "rolling")(mode))
           respond(ex, 400, """{"error":"mode must be classic|rolling"}""")
         else if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else if (storeName.isDefined &&
+            (param(ex, "period").isDefined || param(ex, "mode").isDefined ||
+              param(ex, "sf").isDefined))
+          respond(ex, 400, """{"error":"store= serves one maintained """ +
+            """materialization — period/mode/sf don't apply"}""")
+        else if (storeName.isDefined) (storeRoot, storeName) match {
+          // the maintained cohort matrix: StreamingRetention cells
+          // folded into a (cohort, offset)/users PointStore — the read
+          // is O(cohorts × offsets), never an events re-scan
+          case (None, _) =>
+            respond(ex, 404, """{"error":"server started without a store root"}""")
+          case (Some(root), Some(name)) =>
+            openReportStore(root, name,
+                Seq("cohort", "offset", "users")) match {
+              case Left((code, body)) => respond(ex, code, body)
+              case Right(store) =>
+                import org.apache.spark.sql.functions.col
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                respond(ex, 200, store.snapshot
+                  .select(graft.Tables.tstr(col("cohort")).as("cohort"),
+                    col("offset"), col("users"))
+                  .orderBy(col("cohort"), col("offset")).limit(limit)
+                  .toJSON.collect().mkString("[", ",", "]"))
+            }
+          case _ => () // unreachable: storeName.isDefined
+        }
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")

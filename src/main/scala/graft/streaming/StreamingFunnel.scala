@@ -53,7 +53,11 @@ object StreamingFunnel {
   final case class Reach(
     user_id: Long, step: Int, step_name: String, ts: java.sql.Timestamp)
   /** fin(i) = finalized reach time of step i+1 (-1 = unreached); buf =
-    * (tsMs, stepIdx) events still admissible and still able to fold. */
+    * (tsUs, stepIdx) events still admissible and still able to fold.
+    * Times are epoch MICROSECONDS ([[EventTime]]): the batch law
+    * resolves strict order and horizon deadlines at the events table's
+    * full µs grain, and a ms-truncated state would miss a hop landing
+    * inside the reach's millisecond. */
   final case class FunnelState(fin: Seq[Long], buf: Seq[(Long, Int)])
 
   def step(horizonMs: Option[Long])(userId: Long, events: Iterator[Ev],
@@ -62,32 +66,36 @@ object StreamingFunnel {
     val wm = try state.getCurrentWatermarkMs() catch {
       case _: UnsupportedOperationException => Long.MaxValue
     }
+    val wmUs = EventTime.msToUsSat(wm)
+    val hUs = horizonMs.map(EventTime.msToUsSat)
     val stepIdx = Steps.zipWithIndex.toMap
     val prior = state.getOption
       .getOrElse(FunnelState(Seq.fill(Steps.size)(-1L), Nil))
     val fin = prior.fin.toArray
     // the chained law for step i at time t, against CURRENT reaches:
     // step 1 is unbounded below; step i+1 needs t strictly after — and
-    // within horizon of, inclusive — the step-i reach
+    // within horizon of, inclusive — the step-i reach (subtraction
+    // form: t > fin guarantees t - fin > 0, so the deadline compare
+    // can't overflow a saturated horizon)
     def folds(t: Long, i: Int): Boolean =
       fin(i) < 0 && (i == 0 || (fin(i - 1) >= 0 && t > fin(i - 1) &&
-        horizonMs.forall(h => t <= fin(i - 1) + h)))
+        hUs.forall(h => t - fin(i - 1) <= h)))
     // an event can never fold once its step is reached, or once the
     // previous reach is FINAL and the event sits outside the law
     // (at/before the reach, or past its conversion deadline) — first-
     // only reach times never change, so these are permanent verdicts
     def deadVsFinal(t: Long, i: Int): Boolean =
       fin(i) >= 0 || (i > 0 && fin(i - 1) >= 0 && (t <= fin(i - 1) ||
-        horizonMs.exists(h => t > fin(i - 1) + h)))
+        hUs.exists(h => t - fin(i - 1) > h)))
     val incoming = events
-      .flatMap(e => stepIdx.get(e.event_type).map(i => (e.ts.getTime, i)))
+      .flatMap(e => stepIdx.get(e.event_type).map(i => (EventTime.usOf(e.ts), i)))
       .filterNot { case (t, i) => deadVsFinal(t, i) }
-    val (ready, hold) = (prior.buf ++ incoming).partition(_._1 < wm)
+    val (ready, hold) = (prior.buf ++ incoming).partition(_._1 < wmUs)
     val emitted = Vector.newBuilder[Reach]
     ready.sorted.foreach { case (t, i) =>
       if (folds(t, i)) {
         fin(i) = t
-        emitted += Reach(userId, i + 1, Steps(i), new java.sql.Timestamp(t))
+        emitted += Reach(userId, i + 1, Steps(i), EventTime.tsOfUs(t))
       }
     }
     // re-screen the held events against the reaches this fold assigned.
@@ -106,8 +114,10 @@ object StreamingFunnel {
       // the funnel's inherent state floor.
       state.update(FunnelState(fin.toSeq, pending))
       if (pending.nonEmpty)
-        // fire again once the watermark passes the earliest held event
-        state.setTimeoutTimestamp(math.max(pending.map(_._1).min + 1, wm + 1))
+        // fire again once the (ms) watermark passes the earliest held
+        // µs event: the first finalizing watermark is tUs/1000 + 1
+        state.setTimeoutTimestamp(
+          math.max(pending.map(_._1).min / 1000 + 1, wm + 1))
     }
     emitted.result().iterator
   }

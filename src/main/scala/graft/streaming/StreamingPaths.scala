@@ -31,7 +31,11 @@ object StreamingPaths {
   final case class Ev(
     user_id: Long, ts: java.sql.Timestamp, seq: Long, event_type: String)
   final case class Pair(user_id: Long, from_step: String, to_step: String)
-  /** last = (tsMs, seq, type) of the last finalized event; buf = held. */
+  /** last = (tsUs, seq, type) of the last finalized event; buf = held.
+    * Times are epoch MICROSECONDS ([[EventTime]]): the batch twin
+    * orders adjacency by the events table's full µs grain, and a
+    * ms-truncated state would misorder two events inside one
+    * millisecond (and misjudge a µs-fine session gap). */
   final case class PathState(
     last: Option[(Long, Long, String)], buf: Seq[(Long, Long, String)])
 
@@ -40,21 +44,23 @@ object StreamingPaths {
     * exceeds it spans two sessions and is suppressed — the chain
     * still advances (`last` becomes the new event; the next session
     * starts there), so suppression changes which pairs EMIT, never
-    * the fold order. Millisecond grain, matching the state the twin
-    * already holds. */
+    * the fold order. The gap compares at the state's µs grain
+    * (boundary inclusive, the batch twin's rule). */
   def step(gapMs: Option[Long])(userId: Long, events: Iterator[Ev],
            state: GroupState[PathState]): Iterator[Pair] = {
     val wm = try state.getCurrentWatermarkMs() catch {
       case _: UnsupportedOperationException => Long.MaxValue
     }
+    val wmUs = EventTime.msToUsSat(wm)
+    val gapUs = gapMs.map(EventTime.msToUsSat)
     val prior = state.getOption.getOrElse(PathState(None, Nil))
     val (ready, hold) = (prior.buf ++
-        events.map(e => (e.ts.getTime, e.seq, e.event_type)))
-      .partition(_._1 < wm)
+        events.map(e => (EventTime.usOf(e.ts), e.seq, e.event_type)))
+      .partition(_._1 < wmUs)
     val emitted = Vector.newBuilder[Pair]
     var last = prior.last
     ready.sortBy(e => (e._1, e._2)).foreach { e =>
-      last.filter(p => gapMs.forall(e._1 - p._1 <= _))
+      last.filter(p => gapUs.forall(e._1 - p._1 <= _))
         .foreach(p => emitted += Pair(userId, p._3, e._3))
       last = Some(e)
     }
@@ -62,7 +68,8 @@ object StreamingPaths {
     else {
       state.update(PathState(last, hold))
       if (hold.nonEmpty)
-        state.setTimeoutTimestamp(math.max(hold.map(_._1).min + 1, wm + 1))
+        state.setTimeoutTimestamp(
+          math.max(hold.map(_._1).min / 1000 + 1, wm + 1))
     }
     emitted.result().iterator
   }

@@ -842,6 +842,20 @@ class ServerSpec extends SparkSpec {
       assert(mbody == deepReg && mbody != wbody)
       assert(get(port, "/funnel?mode=deepest")._1 == 400)
       assert(get(port, "/funnel?mode=widest&window=1d")._1 == 400)
+      // &mode=sessions serves the per-visit semantics ≡ the registered
+      // session-funnel report (the visit count rides along); the
+      // window+sessions combination is refused explicitly, as is a
+      // gap outside sessions mode
+      val (sc2, sbody) = get(port, "/funnel?mode=sessions")
+      assert(sc2 == 200, sbody)
+      val sessReg = graft.operators.Windows.eventsFunnelSessions(spark, sf)
+        .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      assert(sbody == sessReg && sbody.contains("\"visits\""), sbody)
+      val (sgc, sgBody) = get(port, "/funnel?mode=sessions&gap=1m")
+      assert(sgc == 200 && sgBody != sbody, sgBody)
+      assert(get(port, "/funnel?mode=sessions&window=30m")._1 == 400)
+      assert(get(port, "/funnel?gap=30m")._1 == 400)
+      assert(get(port, "/funnel?mode=sessions&gap=10x")._1 == 400)
 
       // guardrails: malformed/duplicate steps, bad limit/window, foreign sf
       assert(get(port, "/funnel?steps=view,view")._1 == 400)
@@ -890,6 +904,77 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/retention?period=fortnight")._1 == 400)
       assert(get(port, "/retention?limit=abc")._1 == 400)
       assert(get(port, "/retention?sf=/etc")._1 == 403)
+
+      // a rootless server refuses ?store= with 404, never a re-scan
+      assert(get(port, "/funnel?store=x")._1 == 404)
+      assert(get(port, "/retention?store=x")._1 == 404)
+      assert(get(port, "/paths?store=x")._1 == 404)
+    } finally srv.stop()
+  }
+
+  test("GET /funnel|/retention|/paths?store= serve the MAINTAINED report " +
+      "stores (O(store) reads, no events re-scan); compute params refused " +
+      "with store=") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.PointStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    // the funnel store as the StreamingFunnel→PointStore chain leaves
+    // it (only reached steps present — the read face restores zeros)
+    val fs = new PointStore(spark, s"$root/funrep",
+      keys = Seq("step", "step_name"), sums = Seq("users"), maxes = Nil)
+    fs.appendTagged("b0",
+      Seq((1, "view", 4L), (2, "click", 2L)).toDF("step", "step_name", "users"))
+    val rs = new PointStore(spark, s"$root/retrep",
+      keys = Seq("cohort", "offset"), sums = Seq("users"), maxes = Nil)
+    rs.appendTagged("b0", Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0, 3L),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1, 2L),
+        (java.sql.Timestamp.valueOf("2024-01-08 00:00:00"), 0, 5L))
+      .toDF("cohort", "offset", "users"))
+    val ps = new PointStore(spark, s"$root/pathrep",
+      keys = Seq("from_step", "to_step"), sums = Seq("n"), maxes = Nil)
+    ps.appendTagged("b0",
+      Seq(("view", "click", 7L), ("click", "purchase", 3L))
+        .toDF("from_step", "to_step", "n"))
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // served ≡ the library read of the same store
+      val (fc, fbody) = get(port, "/funnel?store=funrep")
+      assert(fc == 200, fbody)
+      val flib = graft.streaming.Maintained.funnelReportFrom(spark, fs)
+        .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      assert(fbody == flib, fbody)
+      assert(fbody.contains("\"step\":3") && fbody.contains("\"users\":0"),
+        "an unreached step must serve as zero, not vanish: " + fbody)
+      val (rc2, rbody2) = get(port, "/retention?store=retrep")
+      assert(rc2 == 200 && rbody2.contains("\"cohort\":\"2024-01-08 00:00:00\"")
+        && rbody2.contains("\"users\":5"), rbody2)
+      assert(rbody2.startsWith("""[{"cohort":"2024-01-01 00:00:00","offset":0"""))
+      val (pc2, pbody2) = get(port, "/paths?store=pathrep")
+      assert(pc2 == 200 &&
+        pbody2 == """[{"from_step":"click","to_step":"purchase","n":3},""" +
+          """{"from_step":"view","to_step":"click","n":7}]""", pbody2)
+
+      // a store is ONE materialization: compute params are refused
+      assert(get(port, "/funnel?store=funrep&mode=deepest&window=1d")._1 == 400)
+      assert(get(port, "/funnel?store=funrep&steps=view,click")._1 == 400)
+      assert(get(port, s"/funnel?store=funrep&sf=$sf")._1 == 400)
+      assert(get(port, "/retention?store=retrep&period=day")._1 == 400)
+      assert(get(port, "/retention?store=retrep&mode=rolling")._1 == 400)
+      assert(get(port, "/paths?store=pathrep&gap=30m")._1 == 400)
+      // unknown store, traversal, wrong-shape store
+      assert(get(port, "/funnel?store=nope")._1 == 404)
+      assert(get(port, "/funnel?store=..")._1 == 403)
+      val (wc2, wb2) = get(port, "/funnel?store=retrep")
+      assert(wc2 == 400 && wb2.contains("missing column"), wb2)
+      assert(get(port, "/retention?store=pathrep")._1 == 400)
+      assert(get(port, "/paths?store=funrep")._1 == 400)
+      // &limit still applies to store reads
+      val (lc2, lb2) = get(port, "/retention?store=retrep&limit=1")
+      assert(lc2 == 200 && lb2.count(_ == '{') == 1, lb2)
     } finally srv.stop()
   }
 

@@ -187,7 +187,7 @@ class StreamingSpec extends SparkSpec {
     // a reached user past its conversion deadline drops every held
     // event (each must land past reach+horizon by finality) and keeps
     // only the reach vector, with no re-fire timeout
-    val s2 = st(Some(FunnelState(Seq(ts(1).getTime, -1L, -1L), Nil)), 20)
+    val s2 = st(Some(FunnelState(Seq(ts(1).getTime * 1000, -1L, -1L), Nil)), 20)
     assert(StreamingFunnel.step(h)(3L,
       Iterator(Ev(3, ts(21), "click")), s2).isEmpty)
     assert(!s2.isRemoved && s2.get.buf.isEmpty,
@@ -373,6 +373,51 @@ class StreamingSpec extends SparkSpec {
     val reference = graft.operators.Windows.retentionOf(
         evs.map(e => (e.user_id, e.ts)).toDF("user_id", "ts"), "day")
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(snap == reference, s"snap=$snap reference=$reference")
+  }
+
+  test("composed chain: StreamingPaths pairs fold into a persisted " +
+      "PointStore — the transition matrix maintained as an LSM table") {
+    import spark.implicits._
+    import graft.streaming.{StreamingPaths, StreamingPointStore}
+    import graft.streaming.StreamingPaths.Ev
+    import graft.sources.PointStore
+    implicit val sqlCtx = spark.sqlContext
+    // both chunks stay ADMISSIBLE (at/above the watermark when they
+    // arrive — chunk 1 tops out at ts(5), so wm = ts(4) when chunk 2's
+    // ts(6)/ts(9) land); the inadmissible-splice case is the dedicated
+    // StreamingPaths test's job, this one pins cells→store ≡ batch
+    // with cross-batch chain linking
+    val evs = Seq(
+      Ev(1, ts(1), 1, "a"), Ev(1, ts(5), 2, "b"), Ev(2, ts(5), 10, "a"),
+      Ev(1, ts(9), 3, "c"), Ev(2, ts(6), 11, "b"))
+    val root = java.nio.file.Files.createTempDirectory("graft_pathchain")
+    val store = new PointStore(spark, s"$root/paths",
+      keys = Seq("from_step", "to_step"), sums = Seq("n"), maxes = Nil)
+    def partialOf(b: org.apache.spark.sql.DataFrame) =
+      b.filter(col("user_id") =!= 99)
+        .groupBy("from_step", "to_step").agg(count(lit(1)).as("n"))
+    val stream = MemoryStream[Ev]
+    val q = StreamingPaths.pairs(spark, stream.toDS)
+      .writeStream
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[StreamingPaths.Pair], id: Long) =>
+          StreamingPointStore.foldBatch(store, partialOf, b.toDF, id))
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").start()
+    stream.addData(evs.take(3)); q.processAllAvailable()
+    stream.addData(evs.drop(3))
+    stream.addData(Seq(Ev(99, ts(100000), 0, "wm")))
+    q.processAllAvailable(); q.stop()
+
+    val snap = store.snapshot
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val reference = graft.operators.Windows.pathTransitionsOf(
+        evs.map(e => (e.user_id, e.ts, e.seq, e.event_type))
+          .toDF("user_id", "ts", "event_id", "event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     assert(snap == reference, s"snap=$snap reference=$reference")
   }
