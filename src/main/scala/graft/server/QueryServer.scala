@@ -307,6 +307,23 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
     }
   }
 
+  /** A VALUED boolean flag, never presence-only: a caller templating
+    * `key=${enabled}` must get OFF for `key=0` / `key=false`, and a
+    * typo (`key=yess`) must be a 400 (None), not a silent enable. Bare
+    * `key` (no value) still means on; absent means off. */
+  private def flagParam(ex: HttpExchange, key: String): Option[Boolean] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&"))
+      .collectFirst {
+        case `key` => Some(true)
+        case kv if kv.startsWith(key + "=") =>
+          kv.drop(key.length + 1).toLowerCase match {
+            case "1" | "true"  => Some(true)
+            case "0" | "false" => Some(false)
+            case _             => None // unparseable -> 400
+          }
+      }.getOrElse(Some(false))
+
   private def param(ex: HttpExchange, key: String): Option[String] =
     Option(ex.getRequestURI.getQuery).toSeq
       .flatMap(_.split("&"))
@@ -704,22 +721,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             respond(ex, 400,
               """{"error":"from and to must be integer versions"}""")
           else {
-            // The gate flag is VALUED, not presence-only: a caller
-            // templating `gate=${enabled}` must get OFF for gate=0 /
-            // gate=false, and a typo (gate=yess) must be a 400, not a
-            // silent enable. Bare `gate` (no value) still means on.
-            val gateOn: Option[Boolean] =
-              Option(ex.getRequestURI.getQuery).toSeq
-                .flatMap(_.split("&"))
-                .collectFirst {
-                  case "gate"                          => Some(true)
-                  case kv if kv.startsWith("gate=") =>
-                    kv.drop(5).toLowerCase match {
-                      case "1" | "true"  => Some(true)
-                      case "0" | "false" => Some(false)
-                      case _             => None // unparseable -> 400
-                    }
-                }.getOrElse(Some(false))
+            val gateOn: Option[Boolean] = flagParam(ex, "gate")
             if (gateOn.isEmpty)
               respond(ex, 400,
                 """{"error":"gate must be 1/true/0/false (or bare gate)"}""")
@@ -748,6 +750,111 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             case e: Throwable =>
               respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
+          }
+      }
+    })
+    // push-shaped drift alerting over the wire: POST /poll/drift
+    // ?store=<upstream profile store>&mirror=<name>[&gate][&resync]
+    // drives a DriftFollower poll — fold the upstream changes since the
+    // mirror's checkpoint, return that window's drift frame (or
+    // checkDrift verdicts with &gate). The mirror is OWNED through its
+    // writer lease for the whole poll (capture + fold + drift read):
+    // a second poller on another host 409s with the holder named (the
+    // /backup pattern), and a scheduler double-fire is a caught-up
+    // no-op (the checkpoint rides the mirror's own tag ledger, so the
+    // redelivered poll folds nothing). Falling behind the upstream's
+    // vacuumed changefeed is a 409 naming the fix; &resync rebuilds
+    // the mirror from the upstream snapshot and the next window's
+    // baseline is the resync point.
+    server.createContext("/poll/drift", (ex: HttpExchange) => {
+      def esc(s: String) = Option(s).getOrElse("").takeWhile(_ != '\n')
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405, """{"error":"POST with ?store=&mirror=[&gate][&resync]"}""")
+      else (storeRoot, param(ex, "store"), param(ex, "mirror")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"server started without a store root"}""")
+        case (_, None, _) | (_, _, None) =>
+          respond(ex, 400, """{"error":"store and mirror params required"}""")
+        case (Some(root), Some(up), Some(mir)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val upDir = new java.io.File(rootDir, up).getCanonicalFile
+          val mirDir = new java.io.File(rootDir, mir).getCanonicalFile
+          val gateOn = flagParam(ex, "gate")
+          val resyncOn = flagParam(ex, "resync")
+          val lim = param(ex, "limit")
+            .map(p => scala.util.Try(p.toInt).toOption)
+          if (!plainName(up) || upDir.getParentFile != rootDir ||
+              !plainName(mir) || mirDir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else if (up == mir)
+            respond(ex, 400,
+              """{"error":"the mirror must not be the upstream itself"}""")
+          else if (gateOn.isEmpty || resyncOn.isEmpty)
+            respond(ex, 400,
+              """{"error":"gate/resync must be 1/true/0/false (or bare)"}""")
+          else if (lim.contains(None))
+            respond(ex, 400, """{"error":"limit must be an integer"}""")
+          else try {
+            val upstream = graft.sources.PointStore.open(spark, upDir.getPath)
+            val needed = Seq("column", "n_rows", "n_null", "sum_len",
+              "max_num", "max_str", "dsk", "min_num", "min_str")
+              .filterNot(upstream.snapshot.columns.contains)
+            if (needed.nonEmpty)
+              respond(ex, 400, s"""{"error":"store '$up' is not a profile """ +
+                s"""store — missing column(s) ${needed.mkString(", ")}"}""")
+            else {
+              val follower = new graft.sources.DriftFollower(
+                spark, upstream, mirDir.getPath)
+              // the single-poller contract: hold the mirror's writer
+              // lease across the whole poll, not just the inner fold
+              graft.sources.StoreFs(spark, mirDir.getPath).withWriterLease() {
+                import org.apache.spark.sql.functions.col
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                if (resyncOn.contains(true)) {
+                  val ckpt = follower.resync()
+                  respond(ex, 200, s"""{"store":"$up","mirror":"$mir",""" +
+                    s""""resynced":true,"checkpoint":$ckpt}""")
+                } else {
+                  val before = follower.checkpoint
+                  val drift = if (gateOn.contains(true)) follower.pollGate()
+                              else follower.poll()
+                  val after = follower.checkpoint
+                  val head = s"""{"store":"$up","mirror":"$mir",""" +
+                    s""""from":$before,"checkpoint":$after,""" +
+                    s""""folded":${after != before}"""
+                  drift match {
+                    case Some(frame) =>
+                      val ord =
+                        if (gateOn.contains(true)) col("rule") else col("column")
+                      respond(ex, 200, head + s""","drift":""" +
+                        frame.orderBy(ord).limit(limit)
+                          .toJSON.collect().mkString("[", ",", "]") + "}")
+                    case None =>
+                      // folded-but-no-frame = the baseline fold; not
+                      // folded = the redelivered/caught-up no-op
+                      respond(ex, 200, head +
+                        (if (after != before) ""","baseline":true}""" else "}"))
+                  }
+                }
+              }
+            }
+          } catch {
+            case e: IllegalStateException =>
+              // a live poller holds the mirror — named, retry later
+              respond(ex, 409, s"""{"error":"${esc(e.getMessage)}"}""")
+            case e: IllegalArgumentException
+                if Option(e.getMessage).exists(_.contains("vacuumed through")) =>
+              // fell behind the upstream's changefeed retention: the
+              // mirror can't fold the gap — resync is the fix
+              respond(ex, 409, s"""{"error":"${esc(e.getMessage)}",""" +
+                """"resync":"POST again with &resync=1 to rebuild the mirror"}""")
+            case e: IllegalArgumentException =>
+              val msg = Option(e.getMessage).getOrElse("bad request")
+              respond(ex, if (msg.contains("no point store")) 404 else 400,
+                s"""{"error":"${esc(msg)}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })

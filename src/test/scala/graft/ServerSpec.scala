@@ -978,6 +978,98 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /poll/drift drives the push-shaped alerter over a real " +
+      "socket: baseline, window drift ≡ library, redelivered no-op, " +
+      "lease 409 naming the holder, fell-behind 409 + resync") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Profile
+    import graft.sources.{PointStore, StoreFs}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_polldrift").toString
+    val up = new PointStore(spark, s"$root/up",
+      keys = Seq("column"),
+      sums = Seq("n_rows", "n_null", "sum_len"),
+      maxes = Seq("max_num", "max_str"),
+      sketches = Seq("dsk"),
+      mins = Seq("min_num", "min_str"))
+    val docs = Tables.documents(spark, sf)
+    def night(n: Int) = Profile.profilePartial(
+      docs.filter(col("doc_id") % 4 === n))
+    up.appendTagged("n0", night(0))
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // the first poll creates the mirror and establishes the baseline
+      val (c0, b0) = post(port, "/poll/drift?store=up&mirror=mir", "")
+      assert(c0 == 200 && b0.contains("\"folded\":true") &&
+        b0.contains("\"baseline\":true"), b0)
+      // a scheduler double-fire: caught-up no-op, mirror unchanged
+      val v = PointStore.open(spark, s"$root/mir").version
+      val (c1, b1) = post(port, "/poll/drift?store=up&mirror=mir", "")
+      assert(c1 == 200 && b1.contains("\"folded\":false") &&
+        !b1.contains("baseline"), b1)
+      assert(PointStore.open(spark, s"$root/mir").version == v)
+      // night 1: the served window drift ≡ the two-snapshot library
+      // drift of exactly that upstream window
+      val pre = up.snapshot
+      up.appendTagged("n1", night(1))
+      val expected = Profile.driftBetween(pre, up.snapshot)
+        .orderBy(col("column")).toJSON.collect().mkString("[", ",", "]")
+      val (c2, b2) = post(port, "/poll/drift?store=up&mirror=mir", "")
+      assert(c2 == 200 && b2.contains(s""""drift":$expected"""), b2)
+      // the gate face rides the same poll
+      up.appendTagged("n2", night(2))
+      val (c3, b3) = post(port, "/poll/drift?store=up&mirror=mir&gate=1", "")
+      assert(c3 == 200 && b3.contains("\"rule\":") &&
+        b3.contains("\"passed\":"), b3)
+      // a live foreign poller holds the mirror → 409 naming it
+      val sfs = StoreFs(spark, s"$root/mir")
+      sfs.atomicWrite(StoreFs.LeaseName,
+        s"otherhost:7:live\n${System.currentTimeMillis()}".getBytes)
+      val (lc, lb) = post(port, "/poll/drift?store=up&mirror=mir", "")
+      assert(lc == 409 && lb.contains("otherhost:7:live"), lb)
+      sfs.breakWriterLease()
+      // fell behind: vacuum the upstream past the mirror's checkpoint
+      up.appendTagged("n3", night(3))
+      up.compact(); up.vacuum()
+      up.appendTagged("n5",
+        Profile.profilePartial(docs.filter(col("doc_id") % 11 === 0)))
+      val (fc, fb) = post(port, "/poll/drift?store=up&mirror=mir", "")
+      assert(fc == 409 && fb.contains("vacuumed") && fb.contains("resync"), fb)
+      // &resync rebuilds the mirror; the next poll is caught up and a
+      // fresh night drifts from the resync baseline
+      val (rc, rb) = post(port, "/poll/drift?store=up&mirror=mir&resync=1", "")
+      assert(rc == 200 && rb.contains("\"resynced\":true"), rb)
+      val (cc, cb) = post(port, "/poll/drift?store=up&mirror=mir", "")
+      assert(cc == 200 && cb.contains("\"folded\":false"), cb)
+      val pre2 = up.snapshot
+      up.appendTagged("n6",
+        Profile.profilePartial(docs.filter(col("doc_id") % 11 === 1)))
+      val expected2 = Profile.driftBetween(pre2, up.snapshot)
+        .orderBy(col("column")).toJSON.collect().mkString("[", ",", "]")
+      val (c4, b4) = post(port, "/poll/drift?store=up&mirror=mir", "")
+      assert(c4 == 200 && b4.contains(s""""drift":$expected2"""), b4)
+
+      // guardrails: method, params, identity, traversal, unknown
+      // store, valued flags, non-profile upstream
+      assert(get(port, "/poll/drift?store=up&mirror=mir")._1 == 405)
+      assert(post(port, "/poll/drift?store=up", "")._1 == 400)
+      assert(post(port, "/poll/drift?mirror=mir", "")._1 == 400)
+      assert(post(port, "/poll/drift?store=up&mirror=up", "")._1 == 400)
+      assert(post(port, "/poll/drift?store=nope&mirror=m2", "")._1 == 404)
+      assert(post(port, "/poll/drift?store=..&mirror=m2", "")._1 == 403)
+      assert(post(port, "/poll/drift?store=up&mirror=..", "")._1 == 403)
+      assert(post(port, "/poll/drift?store=up&mirror=mir&gate=yess", "")._1 == 400)
+      assert(post(port, "/poll/drift?store=up&mirror=mir&resync=maybe", "")._1 == 400)
+      val plain = new PointStore(spark, s"$root/plain",
+        keys = Seq("k"), sums = Seq("v"), maxes = Nil)
+      plain.appendTagged("t", Seq(("a", 1L)).toDF("k", "v"))
+      val (nc, nb) = post(port, "/poll/drift?store=plain&mirror=m3", "")
+      assert(nc == 400 && nb.contains("not a profile store"), nb)
+    } finally srv.stop()
+  }
+
   test("POST /recipe commits into an EXISTING store under EITHER root — " +
       "never forks a same-named twin under the first one") {
     val sRoot = java.nio.file.Files.createTempDirectory("graft_rcp_s").toString
