@@ -101,6 +101,103 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("deepest-chain funnel: the batch operator AND the streaming twin's " +
+      "state machine agree with in-memory brute force on random streams " +
+      "under random arrival chunking and watermark progression") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnelDeepest
+    import graft.streaming.StreamingFunnelDeepest.{DeepState, Ev}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val steps = Seq("view", "click", "purchase")
+    val evGen = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 12L),
+      Gen.oneOf(steps ++ Seq("noise")))
+    for (seed <- 1L to 5L; hSec <- Seq(3L, 6L)) {
+      val evs = sample(Gen.listOfN(60, evGen), seed)
+      // brute force: depth = max over step-1 anchors of the greedy
+      // in-order chain inside [a, a+h] (greedy is optimal per anchor —
+      // the operator's exchange argument)
+      def userDepth(es: Seq[(Long, String)]): Int = {
+        val anchors = es.collect { case (t, s) if s == steps.head => t }.distinct
+        val depths = anchors.map { a =>
+          var t = a; var d = 1; var stuck = false
+          steps.drop(1).foreach { s =>
+            if (!stuck)
+              es.collect { case (et, e) if e == s && et > t && et <= a + hSec => et }
+                .minOption match {
+                case Some(n) => t = n; d += 1
+                case None => stuck = true
+              }
+          }
+          d
+        }
+        (depths :+ 0).max
+      }
+      val expected: Map[Long, Int] = evs.groupBy(_._1).view
+        .mapValues(es => userDepth(es.map(e => (e._2, e._3)))).toMap
+      def usersAtLeast(k: Int) = expected.filter(_._2 >= k).keySet
+
+      // the batch operator
+      val df = evs.map { case (u, t, s) =>
+        (u, new java.sql.Timestamp(t * 1000L), s) }
+        .toDF("user_id", "ts", "event_type")
+      val got = graft.operators.Windows
+        .funnelDeepestOf(df, steps, hSec * 1000L)
+        .zipWithIndex.map { case (d, i) =>
+          (i + 1) -> d.select("user_id").as[Long].collect().toSet }.toMap
+      (1 to 3).foreach(k => assert(got(k) == usersAtLeast(k),
+        s"batch seed $seed h=$hSec step $k"))
+
+      // the streaming state machine, driven directly: random 3-way
+      // arrival chunks, the engine's late-drop + watermark contract
+      // simulated per batch, a final saturating-watermark drain
+      val states = scala.collection.mutable.Map.empty[Long, DeepState]
+      val reaches = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      // random chunking makes some events genuinely LATE (below the
+      // watermark at arrival) — the engine drops those, so the stream's
+      // reference is brute force over the ADMITTED subset
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      def runBatch(batch: Seq[(Long, Long, String)], wmMs: Long): Unit = {
+        val admissible = batch.filter(_._2 * 1000L >= wmMs) // engine late-drop
+        admitted ++= admissible
+        val byUser = admissible.groupBy(_._1)
+        (byUser.keySet ++ states.keySet).foreach { u => // timeout superset
+          val s = TestGroupState.create[DeepState](
+            states.get(u).map(Optional.of[DeepState]).getOrElse(Optional.empty()),
+            GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(wmMs), false)
+          val it = byUser.getOrElse(u, Nil)
+            .map { case (_, t, ty) => Ev(u, new java.sql.Timestamp(t * 1000L), ty) }
+            .iterator
+          StreamingFunnelDeepest.step(steps, hSec * 1000L)(u, it, s)
+            .foreach(r => reaches += ((r.user_id, r.step)))
+          if (s.isRemoved) states.remove(u)
+          else if (s.isUpdated) states(u) = s.get
+        }
+      }
+      val chunks = (0 until 3).map(c =>
+        evs.zipWithIndex.filter(t => (t._2 + seed) % 3 == c).map(_._1))
+      var maxMs = 0L; var wm = 0L
+      chunks.foreach { chunk =>
+        runBatch(chunk, wm)
+        if (chunk.nonEmpty)
+          maxMs = math.max(maxMs, chunk.map(_._2).max * 1000L)
+        wm = math.max(0L, maxMs - 2000L) // a 2 s delay on the 12 s domain
+      }
+      runBatch(Nil, Long.MaxValue)
+      assert(reaches.size == reaches.distinct.size,
+        s"duplicate stream reaches seed $seed h=$hSec: $reaches")
+      val expectedAdm: Map[Long, Int] = admitted.toSeq.groupBy(_._1).view
+        .mapValues(es => userDepth(es.map(e => (e._2, e._3)))).toMap
+      val byStep = reaches.groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet).toMap.withDefaultValue(Set.empty[Long])
+      (1 to 3).foreach { k =>
+        val want = expectedAdm.filter(_._2 >= k).keySet
+        assert(byStep(k) == want,
+          s"stream seed $seed h=$hSec step $k: got ${byStep(k)} want $want")
+      }
+    }
+  }
+
   test("retention matrices (classic and rolling) agree with the in-memory " +
       "fold on random event streams (sparse users, duplicate periods)") {
     import spark.implicits._

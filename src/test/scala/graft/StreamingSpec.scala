@@ -196,6 +196,84 @@ class StreamingSpec extends SparkSpec {
       "an expired user must not re-fire")
   }
 
+  test("StreamingFunnelDeepest ≡ the batch anchored deepest-chain funnel " +
+      "per stage, including the chained-disagreement frame; bounded-anchor " +
+      "state shrinks to one int; re-attained depths never re-emit") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnelDeepest
+    import graft.streaming.StreamingFunnelDeepest.{DeepState, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = "10m"
+    val chunk1 = Seq(
+      // user 1's FIRST hop misses its deadline (click@15 > view@1+10m)
+      // but the view@12 anchor fits the whole chain — deepest converts
+      // where chained stalls at step 1 (the EngineSpec disagreement)
+      Ev(1, ts(1), "view"),
+      // user 2: plain in-window conversion
+      Ev(2, ts(2), "view"), Ev(2, ts(3), "click"), Ev(2, ts(4), "purchase"),
+      // user 3: anchor only; user 4: never anchored (no view) — evicts
+      Ev(3, ts(5), "view"), Ev(4, ts(2), "click"), Ev(4, ts(3), "purchase"))
+    val chunk2 = Seq( // user 1's late anchor and its chain, cross-batch
+      Ev(1, ts(12), "view"), Ev(1, ts(15), "click"), Ev(1, ts(16), "purchase"))
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1); stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000), "sentinel")))
+    val q = StreamingFunnelDeepest.funnel(spark, stream.toDS, horizon)
+      .writeStream.format("memory").queryName("deep_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("deep_out").filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.length == got.distinct.length, s"duplicate reaches: ${got.toSeq}")
+    val gotBySet = got.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap.withDefaultValue(Set.empty[Long])
+    val h = graft.operators.Windows.parseHorizon(horizon)
+    val all = (chunk1 ++ chunk2).toDF("user_id", "ts", "event_type")
+    val batch = graft.operators.Windows
+      .funnelDeepestOf(all, StreamingFunnelDeepest.Steps, h)
+      .zipWithIndex.map { case (df, i) =>
+        (i + 1) -> df.select("user_id").as[Long].collect().toSet }.toMap
+    assert((1 to 3).forall(k => gotBySet(k) == batch(k)),
+      s"got=$gotBySet batch=$batch")
+    // the disagreement really happened: chained stalls user 1 at step 1
+    val chained = graft.operators.Windows
+      .funnelOf(all, StreamingFunnelDeepest.Steps, Some(h))
+      .map(_.select("user_id").as[Long].collect().toSet)
+    assert(gotBySet(3).contains(1L) && !chained(1).contains(1L))
+    assert(!gotBySet.contains(0) && !gotBySet.values.exists(_.contains(4L)))
+
+    // state-machine claims, driven directly
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def st(prior: Option[DeepState], wmMin: Long) =
+      TestGroupState.create[DeepState](
+        prior.map(Optional.of[DeepState]).getOrElse(Optional.empty()),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of((1440 + wmMin) * 60000L), false)
+    val steps = StreamingFunnelDeepest.Steps
+    // never-anchored user: no emission, state removed
+    val s1 = st(None, 10)
+    assert(StreamingFunnelDeepest.step(steps, h)(4L,
+      Iterator(Ev(4, ts(2), "click"), Ev(4, ts(3), "purchase")), s1).isEmpty)
+    assert(s1.isRemoved, "never-anchored user must evict")
+    // an expired anchor vanishes: the state shrinks to the one
+    // emitted-depth int, with no re-fire timeout
+    val s2 = st(Some(DeepState(2,
+      Seq((ts(1).getTime * 1000, 2, ts(3).getTime * 1000)), Nil)), 30)
+    assert(StreamingFunnelDeepest.step(steps, h)(5L, Iterator.empty, s2).isEmpty)
+    assert(!s2.isRemoved && s2.get == DeepState(2, Nil, Nil),
+      s"expired anchor must shrink to the int: ${s2.get}")
+    assert(!s2.getTimeoutTimestampMs.isPresent, "no anchors, no holds — no wake")
+    // a re-attained depth never re-emits: a fresh full chain against
+    // emitted=3 folds anchors but outputs nothing
+    val s3 = st(Some(DeepState(3, Nil, Nil)), 60)
+    assert(StreamingFunnelDeepest.step(steps, h)(6L,
+      Iterator(Ev(6, ts(40), "view"), Ev(6, ts(41), "click"),
+        Ev(6, ts(42), "purchase")), s3).isEmpty)
+    assert(s3.get.emitted == 3)
+  }
+
   test("StreamingRetention emits each (user, cohort, offset) cell exactly " +
       "once; the aggregated cells equal the batch retention matrix, " +
       "out-of-order cohort shifts included") {
