@@ -31,7 +31,7 @@ object SparkEntry {
     "curate_takedown", "profile_incremental", "profile_drift",
     "drift_gate", "drift_follower", "assemble_from_recipe",
     "perplexity_incremental", "perplexity_trigram_incremental",
-    "funnel_maintained")
+    "funnel_maintained", "retention_maintained", "paths_maintained")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -107,6 +107,8 @@ object SparkEntry {
     "perplexity_incremental" -> (TextOps.perplexityIncremental _),
     "doc_perplexity_trigram" -> (TextOps.docPerplexityTrigram _),
     "funnel_maintained" -> (graft.streaming.Maintained.funnelMaintained _),
+    "retention_maintained" -> (graft.streaming.Maintained.retentionMaintained _),
+    "paths_maintained" -> (graft.streaming.Maintained.pathsMaintained _),
     "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
@@ -231,6 +233,8 @@ object SparkEntry {
     "perplexity_incremental" -> TextOps.perplexityIncrementalOracle,
     "doc_perplexity_trigram" -> TextOps.docPerplexityTrigramOracle,
     "funnel_maintained" -> Windows.eventsFunnelOracle,
+    "retention_maintained" -> Windows.eventsRetentionOracle,
+    "paths_maintained" -> Windows.eventsPathsOracle,
     "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,

@@ -174,6 +174,26 @@ package object api {
       else operators.Windows.retentionOf(ev, period)
     }
 
+    /** Self-scored bigram-LM quality signal over (`idCol`, `textCol`):
+      * per doc, the mean add-one-smoothed bigram log-prob against the
+      * frame's OWN corpus counts ([[graft.operators.TextOps
+      * .perplexityOf]] — gibberish, boilerplate soup and wrong-language
+      * text score low; perplexity = exp(−avg_logprob) if wanted).
+      * Docs with fewer than 2 tokens are absent. */
+    def perplexityBy(idCol: String, textCol: String): DataFrame =
+      TextOps.perplexityOf(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        .withColumnRenamed("doc_id", idCol)
+
+    /** The trigram/stupid-backoff upgrade of [[perplexityBy]]
+      * ([[graft.operators.TextOps.perplexityTrigramOf]]): sharper on
+      * short-range scrambles a bigram model scores as fluent. Docs
+      * with fewer than 3 tokens are absent. */
+    def perplexityTrigramBy(idCol: String, textCol: String): DataFrame =
+      TextOps.perplexityTrigramOf(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        .withColumnRenamed("doc_id", idCol)
+
     /** Gap-based sessionization over (`key`, `time`): adds session_id.
       * `tieBreak` columns make ordering deterministic under duplicate
       * timestamps (same reason the registered operator orders by

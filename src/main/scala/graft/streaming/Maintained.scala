@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.sources.PointStore
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -23,20 +23,32 @@ import org.apache.spark.sql.streaming.Trigger
   * redelivery is a no-op and the snapshot is always a prefix-exact
   * report.
   *
-  * The registered lifecycle (`funnel_maintained`) drives the loop the
-  * way production would: the events table lands as three parquet
-  * "nightly drops" sliced by a content hash (a user's journey spans
-  * all three — the out-of-order worst case), the maintenance job runs
-  * with `Trigger.AvailableNow` and RESTARTS between drops (watermark
-  * and file ledger ride the on-disk checkpoint), two far-future
-  * watermark-advance sentinels finalize the tail, and the query
-  * returns the maintained report — oracled against the one-shot batch
-  * funnel SQL over the same events. */
+  * The registered lifecycles (`funnel_maintained`,
+  * `retention_maintained`, `paths_maintained`) drive the loop the way
+  * production would: the events table lands as three parquet "nightly
+  * drops" sliced by TIME tertiles — a night's file holds that night's
+  * events, the shape a watermark is a contract about. (A content-hash
+  * slice was tried first and is exactly what the watermark promises
+  * NOT to survive: whole files of data arrive below the watermark the
+  * previous file advanced, and the engine rightly drops them as late —
+  * at this SF the funnel's saturated counts masked it, the
+  * paths/retention matrices did not. Cross-batch DISORDER coverage
+  * belongs to the twins' own specs, which drive admissible disorder;
+  * the lifecycle models the drop cadence.) Each night runs its own
+  * maintenance pass with `Trigger.AvailableNow` and the engine
+  * RESTARTS between nights — the watermark and file ledger ride the
+  * on-disk checkpoint, so the per-night runs also guarantee file order
+  * (a consumed night is in the ledger before the next lands). Two
+  * far-future watermark-advance sentinels finalize the tail, and each
+  * query returns its maintained report — oracled against the one-shot
+  * batch SQL over the same events. */
 object Maintained {
 
-  /** Sentinel rows advance the watermark without entering any twin's
-    * state: not a funnel step, filtered nowhere, folded nowhere. */
+  /** Sentinel rows advance the watermark; the funnel twin never folds
+    * them (not a step), and the retention/paths partials filter the
+    * sentinel user before the store commit. */
   val SentinelType = "_watermark"
+  val SentinelUser = -1L
 
   /** Land a frame as ONE parquet file in the watched drop directory —
     * the "nightly file lands in the bucket" shape a streaming file
@@ -64,55 +76,107 @@ object Maintained {
         coalesce(col("users"), lit(0L)).as("users"))
   }
 
-  /** One maintenance run: consume every not-yet-seen drop file, fold
-    * each micro-batch's reaches into the store, stop. Restartable —
-    * the checkpoint carries the watermark and the file ledger. */
-  private def runFunnelOnce(s: SparkSession, watched: java.io.File,
-                            store: PointStore, ckpt: String): Unit = {
-    val stream = s.readStream
-      .schema("user_id LONG, ts TIMESTAMP, event_type STRING")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(watched.getPath)
+  /** Drive one report's whole maintenance lifecycle against the events
+    * table: stage the hash-sliced drops, run the maintenance job three
+    * times (restart between nights — the checkpoint carries the
+    * watermark and file ledger), finalize with two sentinels, return
+    * the maintained store. `wire` maps the streaming event frame
+    * (user_id, ts, event_id, event_type) to the twin's emitted cells;
+    * `partialOf` maps a cell micro-batch to the store's key grain. */
+  private def driveMaintained(s: SparkSession, d: String, prefix: String,
+                              keys: Seq[String], sums: Seq[String],
+                              wire: DataFrame => DataFrame,
+                              partialOf: DataFrame => DataFrame): PointStore = {
     import s.implicits._
-    val q = StreamingFunnel.funnel(s, stream.as[StreamingFunnel.Ev])
-      .writeStream
-      .foreachBatch((b: Dataset[StreamingFunnel.Reach], id: Long) =>
-        StreamingPointStore.foldBatch(store,
-          _.groupBy("step", "step_name").agg(count(lit(1)).as("users")),
-          b.toDF, id))
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
-
-  /** `funnel_maintained`: the registered lifecycle — three hash-sliced
-    * nightly drops, a maintenance restart between nights, two
-    * watermark sentinels, then the O(store) report read. Oracle = the
-    * one-shot staged-min funnel SQL over the same events. */
-  def funnelMaintained(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val root = graft.operators.DedupIndex.freshRunDir("graft_funmaint_", d)
+    val root = graft.operators.DedupIndex.freshRunDir(prefix, d)
     val watched = new java.io.File(root, "drops"); watched.mkdirs()
     val ev = graft.Tables.events(s, d)
       .select(col("user_id").cast("long").as("user_id"),
-        col("ts").cast("timestamp").as("ts"), col("event_type"))
-    val slice = pmod(xxhash64(col("user_id"), col("ts")), lit(3))
-    (0 to 2).foreach(i => dropFile(ev.filter(slice === i), watched, s"n$i"))
-    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0) // two-value bound
-    val store = new PointStore(s, new java.io.File(root, "funnel").getPath,
-      keys = Seq("step", "step_name"), sums = Seq("users"), maxes = Nil)
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"), col("event_type"))
+    // time-tertile nights off the two-value bound (driver scalars)
+    val b = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts"))), max(col("ts"))).head
+    val (mnUs, spanUs) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val maxTs = b.getTimestamp(2)
+    val night = least(
+      floor((unix_micros(col("ts")) - mnUs) * 3.0 / spanUs), lit(2L))
+    val store = new PointStore(s, new java.io.File(root, "report").getPath,
+      keys = keys, sums = sums, maxes = Nil)
     val ckpt = new java.io.File(root, "ckpt").getPath
+    def runOnce(): Unit = {
+      val stream = s.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+        .parquet(watched.getPath)
+      val q = wire(stream).writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          StreamingPointStore.foldBatch(store, partialOf, b, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     def sentinel(name: String, plusDays: Int): Unit =
-      dropFile(Seq((-1L,
+      dropFile(Seq((SentinelUser,
           new java.sql.Timestamp(maxTs.getTime + plusDays * 86400000L),
-          SentinelType)).toDF("user_id", "ts", "event_type"),
+          0L, SentinelType)).toDF("user_id", "ts", "event_id", "event_type"),
         watched, name)
-    runFunnelOnce(s, watched, store, ckpt) // the three drops, one per batch
+    (0 to 2).foreach { i => // one maintenance pass per night, restarts between
+      dropFile(ev.filter(night === i), watched, s"n$i")
+      runOnce()
+    }
     sentinel("s1", 2)
-    runFunnelOnce(s, watched, store, ckpt) // restart: state off the checkpoint
+    runOnce() // finalizes every real event below max - the wm delay
     sentinel("s2", 4)
-    runFunnelOnce(s, watched, store, ckpt) // wm now past every real event
+    runOnce() // the last-delay tail finalizes too
+    store
+  }
+
+  /** `funnel_maintained`: the chained funnel report as a maintained
+    * table. Oracle = the one-shot staged-min funnel SQL. */
+  def funnelMaintained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = driveMaintained(s, d, "graft_funmaint_",
+      keys = Seq("step", "step_name"), sums = Seq("users"),
+      wire = df => StreamingFunnel.funnel(s,
+        df.select(col("user_id"), col("ts"), col("event_type"))
+          .as[StreamingFunnel.Ev]).toDF,
+      partialOf =
+        _.groupBy("step", "step_name").agg(count(lit(1)).as("users")))
     funnelReportFrom(s, store)
+  }
+
+  /** `retention_maintained`: the weekly cohort matrix as a maintained
+    * table. Oracle = the one-shot retention SQL (the cells are emitted
+    * exactly once per (user, offset), so the additive fold IS the
+    * matrix). */
+  def retentionMaintained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = driveMaintained(s, d, "graft_retmaint_",
+      keys = Seq("cohort", "offset"), sums = Seq("users"),
+      wire = df => StreamingRetention.cells(s,
+        df.select(col("user_id"), col("ts")).as[StreamingRetention.Ev],
+        "week").toDF,
+      partialOf = _.filter(col("user_id") =!= SentinelUser)
+        .groupBy("cohort", "offset").agg(count(lit(1)).as("users")))
+    store.snapshot.select(graft.Tables.tstr(col("cohort")).as("cohort"),
+      col("offset"), col("users"))
+  }
+
+  /** `paths_maintained`: the transition matrix as a maintained table.
+    * Oracle = the one-shot lead-window SQL (pairs are emitted exactly
+    * once per adjacency; the µs state grain makes the stream's
+    * (ts, event_id) ordering identical to the batch window's). */
+  def pathsMaintained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = driveMaintained(s, d, "graft_pathmaint_",
+      keys = Seq("from_step", "to_step"), sums = Seq("n"),
+      wire = df => StreamingPaths.pairs(s,
+        df.select(col("user_id"), col("ts"),
+          col("event_id").as("seq"), col("event_type"))
+          .as[StreamingPaths.Ev]).toDF,
+      partialOf = _.filter(col("user_id") =!= SentinelUser)
+        .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")))
+    store.snapshot.select(col("from_step"), col("to_step"), col("n"))
   }
 }

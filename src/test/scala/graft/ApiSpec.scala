@@ -118,6 +118,21 @@ class ApiSpec extends SparkSpec {
     assert(gotW == refW && gotW != reference)
   }
 
+  test("perplexityBy and perplexityTrigramBy match the registered LM " +
+      "scorers under renamed columns") {
+    val docs = Tables.documents(spark, sf).limit(120)
+      .select(col("doc_id").as("which"), col("text").as("body"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val ref = Tables.documents(spark, sf).limit(120)
+      .select(col("doc_id"), col("text"))
+    assert(m(docs.perplexityBy("which", "body")) ==
+      m(graft.operators.TextOps.perplexityOf(ref)))
+    assert(m(docs.perplexityTrigramBy("which", "body")) ==
+      m(graft.operators.TextOps.perplexityTrigramOf(ref)))
+    assert(docs.perplexityBy("which", "body").columns.head == "which")
+  }
+
   test("pathsBy matches the registered transition matrix under renamed " +
       "columns, and the matrix total is rows minus users") {
     val ev = Tables.events(spark, sf)
