@@ -50,18 +50,53 @@ object Maintained {
   val SentinelType = "_watermark"
   val SentinelUser = -1L
 
-  /** Land a frame as ONE parquet file in the watched drop directory —
-    * the "nightly file lands in the bucket" shape a streaming file
-    * source consumes. */
-  private def dropFile(df: DataFrame, watched: java.io.File,
-                       name: String): Unit = {
-    val stage = new java.io.File(watched.getParentFile, s"stage_$name")
+  /** Land a frame as ONE parquet file — the "nightly file lands in the
+    * bucket" shape a streaming file source consumes. */
+  private def dropFile(df: DataFrame, dir: java.io.File, name: String): Unit = {
+    val stage = new java.io.File(dir.getParentFile,
+      s"stage_${dir.getName}_$name")
     df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
     val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
     java.nio.file.Files.move(part.toPath,
-      new java.io.File(watched, s"$name.parquet").toPath)
+      new java.io.File(dir, s"$name.parquet").toPath)
     PointStore.deleteRec(stage)
   }
+
+  /** The staged drop files, built ONCE per (JVM, sf dir) and shared by
+    * the three lifecycles — the `historicalBase` fixture doctrine: the
+    * drops are immutable INPUTS (hardlinked, never mutated, into each
+    * query's own watched dir), so in production terms each entry times
+    * the maintenance loop, not the upstream export that produced the
+    * night files. Five files: the three time-tertile nights plus the
+    * two watermark sentinels (max+2d, max+4d). */
+  private val stagedDrops =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  private def nightsFixture(s: SparkSession, d: String): java.io.File =
+    stagedDrops.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val dir = graft.operators.DedupIndex.freshRunDir("graft_nights_", d)
+      dir.mkdirs()
+      val ev = graft.Tables.events(s, d)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_id").cast("long").as("event_id"), col("event_type"))
+      // time-tertile nights off the two-value bound (driver scalars)
+      val b = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts"))), max(col("ts"))).head
+      val (mnUs, spanUs) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+      val maxTs = b.getTimestamp(2)
+      val night = least(
+        floor((unix_micros(col("ts")) - mnUs) * 3.0 / spanUs), lit(2L))
+      (0 to 2).foreach(i => dropFile(ev.filter(night === i), dir, s"n$i"))
+      Seq(("s1", 2), ("s2", 4)).foreach { case (n, plusDays) =>
+        dropFile(Seq((SentinelUser,
+            new java.sql.Timestamp(maxTs.getTime + plusDays * 86400000L),
+            0L, SentinelType)).toDF("user_id", "ts", "event_id", "event_type"),
+          dir, n)
+      }
+      dir
+    })
 
   /** The funnel report read from a maintained (step, step_name)/users
     * store: absent step = zero users — the batch report's exact shape
@@ -77,34 +112,32 @@ object Maintained {
   }
 
   /** Drive one report's whole maintenance lifecycle against the events
-    * table: stage the hash-sliced drops, run the maintenance job three
-    * times (restart between nights — the checkpoint carries the
-    * watermark and file ledger), finalize with two sentinels, return
-    * the maintained store. `wire` maps the streaming event frame
-    * (user_id, ts, event_id, event_type) to the twin's emitted cells;
-    * `partialOf` maps a cell micro-batch to the store's key grain. */
+    * table: hardlink the staged drops into this query's watched dir
+    * cycle by cycle, run the maintenance job once per cycle (a full
+    * engine RESTART between — the checkpoint carries the watermark and
+    * file ledger, so consumed files are in the ledger before the next
+    * lands), return the maintained store. `wire` maps the streaming
+    * event frame (user_id, ts, event_id, event_type) to the twin's
+    * emitted cells; `partialOf` maps a cell micro-batch to the store's
+    * key grain; `cycles` is the drop schedule — files landing in one
+    * cycle share a batch (a set; within-batch order can't matter),
+    * files in later cycles see the watermark the earlier ones
+    * advanced. */
   private def driveMaintained(s: SparkSession, d: String, prefix: String,
                               keys: Seq[String], sums: Seq[String],
                               wire: DataFrame => DataFrame,
-                              partialOf: DataFrame => DataFrame): PointStore = {
-    import s.implicits._
+                              partialOf: DataFrame => DataFrame,
+                              cycles: Seq[Seq[String]]): PointStore = {
+    val fixture = nightsFixture(s, d)
     val root = graft.operators.DedupIndex.freshRunDir(prefix, d)
     val watched = new java.io.File(root, "drops"); watched.mkdirs()
-    val ev = graft.Tables.events(s, d)
-      .select(col("user_id").cast("long").as("user_id"),
-        col("ts").cast("timestamp").as("ts"),
-        col("event_id").cast("long").as("event_id"), col("event_type"))
-    // time-tertile nights off the two-value bound (driver scalars)
-    val b = ev.agg(min(unix_micros(col("ts"))),
-      max(unix_micros(col("ts"))), max(col("ts"))).head
-    val (mnUs, spanUs) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
-    val maxTs = b.getTimestamp(2)
-    val night = least(
-      floor((unix_micros(col("ts")) - mnUs) * 3.0 / spanUs), lit(2L))
     val store = new PointStore(s, new java.io.File(root, "report").getPath,
       keys = keys, sums = sums, maxes = Nil)
     val ckpt = new java.io.File(root, "ckpt").getPath
-    def runOnce(): Unit = {
+    cycles.foreach { names =>
+      names.foreach(n => java.nio.file.Files.createLink(
+        new java.io.File(watched, s"$n.parquet").toPath,
+        new java.io.File(fixture, s"$n.parquet").toPath))
       val stream = s.readStream
         .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
         .parquet(watched.getPath)
@@ -116,21 +149,20 @@ object Maintained {
         .start()
       q.awaitTermination()
     }
-    def sentinel(name: String, plusDays: Int): Unit =
-      dropFile(Seq((SentinelUser,
-          new java.sql.Timestamp(maxTs.getTime + plusDays * 86400000L),
-          0L, SentinelType)).toDF("user_id", "ts", "event_id", "event_type"),
-        watched, name)
-    (0 to 2).foreach { i => // one maintenance pass per night, restarts between
-      dropFile(ev.filter(night === i), watched, s"n$i")
-      runOnce()
-    }
-    sentinel("s1", 2)
-    runOnce() // finalizes every real event below max - the wm delay
-    sentinel("s2", 4)
-    runOnce() // the last-delay tail finalizes too
     store
   }
+
+  /** The flagship per-night choreography: one cycle per night, then
+    * each sentinel alone — five engine restarts, the full nightly
+    * cadence. */
+  private val PerNight =
+    Seq(Seq("n0"), Seq("n1"), Seq("n2"), Seq("s1"), Seq("s2"))
+  /** The condensed choreography retention/paths use: same proof
+    * obligations (fold across restarts, watermark finality, sentinel
+    * tail flush) in three cycles — the per-night cadence is the funnel
+    * flagship's job, and a cycle's files share one batch (a set), so
+    * grouping loses nothing the twins' own specs don't cover. */
+  private val Condensed = Seq(Seq("n0", "n1"), Seq("n2", "s1"), Seq("s2"))
 
   /** `funnel_maintained`: the chained funnel report as a maintained
     * table. Oracle = the one-shot staged-min funnel SQL. */
@@ -142,7 +174,8 @@ object Maintained {
         df.select(col("user_id"), col("ts"), col("event_type"))
           .as[StreamingFunnel.Ev]).toDF,
       partialOf =
-        _.groupBy("step", "step_name").agg(count(lit(1)).as("users")))
+        _.groupBy("step", "step_name").agg(count(lit(1)).as("users")),
+      cycles = PerNight)
     funnelReportFrom(s, store)
   }
 
@@ -158,7 +191,8 @@ object Maintained {
         df.select(col("user_id"), col("ts")).as[StreamingRetention.Ev],
         "week").toDF,
       partialOf = _.filter(col("user_id") =!= SentinelUser)
-        .groupBy("cohort", "offset").agg(count(lit(1)).as("users")))
+        .groupBy("cohort", "offset").agg(count(lit(1)).as("users")),
+      cycles = Condensed)
     store.snapshot.select(graft.Tables.tstr(col("cohort")).as("cohort"),
       col("offset"), col("users"))
   }
@@ -176,7 +210,8 @@ object Maintained {
           col("event_id").as("seq"), col("event_type"))
           .as[StreamingPaths.Ev]).toDF,
       partialOf = _.filter(col("user_id") =!= SentinelUser)
-        .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")))
+        .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")),
+      cycles = Condensed)
     store.snapshot.select(col("from_step"), col("to_step"), col("n"))
   }
 }
