@@ -31,7 +31,8 @@ object SparkEntry {
     "curate_takedown", "profile_incremental", "profile_drift",
     "drift_gate", "drift_follower", "assemble_from_recipe",
     "perplexity_incremental", "perplexity_trigram_incremental",
-    "funnel_maintained", "retention_maintained", "paths_maintained")
+    "funnel_maintained", "retention_maintained", "paths_maintained",
+    "latency_maintained")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -109,6 +110,7 @@ object SparkEntry {
     "funnel_maintained" -> (graft.streaming.Maintained.funnelMaintained _),
     "retention_maintained" -> (graft.streaming.Maintained.retentionMaintained _),
     "paths_maintained" -> (graft.streaming.Maintained.pathsMaintained _),
+    "latency_maintained" -> (graft.streaming.Maintained.latencyMaintained _),
     "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
@@ -235,6 +237,7 @@ object SparkEntry {
     "funnel_maintained" -> Windows.eventsFunnelOracle,
     "retention_maintained" -> Windows.eventsRetentionOracle,
     "paths_maintained" -> Windows.eventsPathsOracle,
+    "latency_maintained" -> Windows.funnelLatencyOracle,
     "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,

@@ -878,7 +878,7 @@ object TextOps {
     * QuantileSketchSpec-bound. */
   val QuantileK = 4096
 
-  private[operators] val QuantilePoints =
+  private[graft] val QuantilePoints =
     Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
 
   private[operators] def quantileCols(sk: Column): Seq[Column] =

@@ -127,12 +127,13 @@ object Maintained {
                               keys: Seq[String], sums: Seq[String],
                               wire: DataFrame => DataFrame,
                               partialOf: DataFrame => DataFrame,
-                              cycles: Seq[Seq[String]]): PointStore = {
+                              cycles: Seq[Seq[String]],
+                              quantiles: Seq[String] = Nil): PointStore = {
     val fixture = nightsFixture(s, d)
     val root = graft.operators.DedupIndex.freshRunDir(prefix, d)
     val watched = new java.io.File(root, "drops"); watched.mkdirs()
     val store = new PointStore(s, new java.io.File(root, "report").getPath,
-      keys = keys, sums = sums, maxes = Nil)
+      keys = keys, sums = sums, maxes = Nil, quantiles = quantiles)
     val ckpt = new java.io.File(root, "ckpt").getPath
     cycles.foreach { names =>
       names.foreach(n => java.nio.file.Files.createLink(
@@ -213,5 +214,36 @@ object Maintained {
         .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")),
       cycles = Condensed)
     store.snapshot.select(col("from_step"), col("to_step"), col("n"))
+  }
+
+  /** `latency_maintained`: the funnel hop-latency distributions as a
+    * maintained table. Every reach the funnel twin emits carries its
+    * hop latency (`Reach.lat_us` — the previous reach time was in the
+    * fin vector, so it rides for free), so the per-hop p25/p50/p75/p95
+    * is ONE more additive fold: a (hop)-keyed store with a count sum
+    * and a mergeable QuantileSketch measure, no second stateful
+    * pairing, no user-grain join. Exact-regime at the oracle SF (per-
+    * hop counts ≪ the sketch's k=4096), so the quantile_disc oracle
+    * hash-matches — the quantiles_by_lang convention applied to the
+    * funnel's time-to-convert. */
+  def latencyMaintained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SketchOps
+    val steps = StreamingFunnel.Steps
+    val hops = array(steps.sliding(2).map { case Seq(a, b) =>
+      lit(s"$a->$b") }.toSeq: _*)
+    val store = driveMaintained(s, d, "graft_latmaint_",
+      keys = Seq("hop"), sums = Seq("n_users"),
+      wire = df => StreamingFunnel.funnel(s,
+        df.select(col("user_id"), col("ts"), col("event_type"))
+          .as[StreamingFunnel.Ev]).toDF.filter(col("step") > 1),
+      partialOf = _.withColumn("hop", element_at(hops, col("step") - 1))
+        .groupBy("hop").agg(count(lit(1)).as("n_users"),
+          SketchOps.quantileSketch(col("lat_us"),
+            graft.operators.TextOps.QuantileK).as("sk")),
+      cycles = Condensed, quantiles = Seq("sk"))
+    store.snapshot.select(col("hop") +: col("n_users") +:
+      graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
+        SketchOps.quantileAt(col("sk"), q).as(n) }: _*)
   }
 }

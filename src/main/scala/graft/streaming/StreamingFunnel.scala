@@ -50,8 +50,15 @@ object StreamingFunnel {
   val Steps: Seq[String] = graft.operators.Windows.FunnelSteps
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  /** `lat_us` = µs since the previous step's reach (-1 at step 1) —
+    * the hop latency is known the moment a reach folds (the previous
+    * reach time is sitting in the fin vector), so the funnel twin
+    * emits it for free and the hop-latency distributions become one
+    * more additive fold downstream (`latency_maintained`), never a
+    * second stateful pairing. */
   final case class Reach(
-    user_id: Long, step: Int, step_name: String, ts: java.sql.Timestamp)
+    user_id: Long, step: Int, step_name: String, ts: java.sql.Timestamp,
+    lat_us: Long)
   /** fin(i) = finalized reach time of step i+1 (-1 = unreached); buf =
     * (tsUs, stepIdx) events still admissible and still able to fold.
     * Times are epoch MICROSECONDS ([[EventTime]]): the batch law
@@ -95,7 +102,8 @@ object StreamingFunnel {
     ready.sorted.foreach { case (t, i) =>
       if (folds(t, i)) {
         fin(i) = t
-        emitted += Reach(userId, i + 1, Steps(i), EventTime.tsOfUs(t))
+        emitted += Reach(userId, i + 1, Steps(i), EventTime.tsOfUs(t),
+          if (i == 0) -1L else t - fin(i - 1))
       }
     }
     // re-screen the held events against the reaches this fold assigned.

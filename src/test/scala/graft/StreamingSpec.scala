@@ -111,6 +111,19 @@ class StreamingSpec extends SparkSpec {
     // interesting conversions actually happened
     assert(got.count(_._2 == 3) == 2)                 // users 1 and 5
     assert(!got.exists(t => t._1 == 4L && t._2 == 2)) // the strict tie
+    // the hop-latency law: every reach carries µs-since-previous-reach
+    // (-1 at step 1) — derivable from the reaches themselves
+    val withLat = spark.table("funnel_out").filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getTimestamp(3), r.getLong(4))).toMap
+    withLat.foreach { case ((u, step), (t, lat)) =>
+      if (step == 1) assert(lat == -1L, s"step 1 must carry -1: $u")
+      else {
+        val (pt, _) = withLat((u, step - 1))
+        assert(lat == (t.getTime - pt.getTime) * 1000L,
+          s"lat_us must be the µs hop gap: user $u step $step")
+      }
+    }
   }
 
   test("StreamingFunnel with a conversion horizon equals the windowed " +
