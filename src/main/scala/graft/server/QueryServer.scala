@@ -753,6 +753,53 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           }
       }
     })
+    // the funnel's time-to-convert served: GET /latency returns the
+    // per-hop latency distributions (p25/p50/p75/p95 µs + user count)
+    // — computed from events by default, or ?store= reads a MAINTAINED
+    // (hop, n_users, sk)-shaped store (latency_maintained's shape)
+    server.createContext("/latency", (ex: HttpExchange) => {
+      try {
+        val lim = param(ex, "limit")
+          .map(p => scala.util.Try(p.toInt).toOption)
+        val storeName = param(ex, "store")
+        if (lim.contains(None))
+          respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else if (storeName.isDefined && param(ex, "sf").isDefined)
+          respond(ex, 400, """{"error":"store= serves one maintained """ +
+            """materialization — sf doesn't apply"}""")
+        else if (storeName.isDefined) (storeRoot, storeName) match {
+          case (None, _) =>
+            respond(ex, 404, """{"error":"server started without a store root"}""")
+          case (Some(root), Some(name)) =>
+            openReportStore(root, name, Seq("hop", "n_users", "sk")) match {
+              case Left((code, body)) => respond(ex, code, body)
+              case Right(store) =>
+                import org.apache.spark.sql.functions.col
+                import graft.functions.SketchOps
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                respond(ex, 200, store.snapshot
+                  .select(col("hop") +: col("n_users") +:
+                    graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
+                      SketchOps.quantileAt(col("sk"), q).as(n) }: _*)
+                  .orderBy(col("hop")).limit(limit)
+                  .toJSON.collect().mkString("[", ",", "]"))
+            }
+          case _ => () // unreachable: storeName.isDefined
+        }
+        else resolveSf(param(ex, "sf")) match {
+          case None =>
+            respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
+          case Some(sf) =>
+            import org.apache.spark.sql.functions.col
+            val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+            respond(ex, 200, graft.operators.Windows.funnelLatency(spark, sf)
+              .orderBy(col("hop")).limit(limit)
+              .toJSON.collect().mkString("[", ",", "]"))
+        }
+      } catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    })
     // push-shaped drift alerting over the wire: POST /poll/drift
     // ?store=<upstream profile store>&mirror=<name>[&gate][&resync]
     // drives a DriftFollower poll — fold the upstream changes since the

@@ -101,6 +101,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("session funnel agrees with the in-memory per-visit fold on random " +
+      "event streams (gap boundaries, duplicate timestamps, empty visits)") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    val evGen = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 30L),
+      Gen.oneOf(steps ++ Seq("noise")))
+    val gapSec = 5L
+    for (seed <- 1L to 5L) {
+      val evs = sample(Gen.listOfN(50, evGen), seed).zipWithIndex
+        .map { case ((u, t, s), i) => (u, t, i.toLong, s) }
+      // in-memory reference: the sessionizer's law (new visit when the
+      // gap strictly exceeds gapSec), then the chained first-occurrence
+      // law per (user, session)
+      val expected: Seq[Set[(Long, Long, Long)]] = {
+        val cells = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+          val sorted = es.sortBy(e => (e._2, e._3))
+          var sid = 0L; var prev = Long.MinValue
+          sorted.map { e =>
+            if (prev == Long.MinValue || e._2 - prev > gapSec) sid += 1
+            prev = e._2
+            (u, sid, e._2, e._4)
+          }
+        }
+        steps.indices.map { k =>
+          cells.groupBy(c => (c._1, c._2)).flatMap { case ((u, sid), cs) =>
+            steps.take(k + 1).foldLeft(Option(Long.MinValue)) { (bound, s) =>
+              bound.flatMap(b => cs.filter(c => c._4 == s && c._3 > b)
+                .map(_._3).minOption)
+            }.map(t => (u, sid, t))
+          }.toSet
+        }
+      }
+      val df = evs.map { case (u, t, i, s) =>
+        (u, new java.sql.Timestamp(t * 1000L), i, s) }
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val got = graft.operators.Windows
+        .funnelSessionsOf(df, steps, gapSec * 1000L)
+        .map(_.collect().map(r => (r.getStruct(0).getLong(0),
+          r.getStruct(0).getLong(1), r.getTimestamp(1).getTime / 1000L))
+          .toSet)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("deepest-chain funnel: the batch operator AND the streaming twin's " +
       "state machine agree with in-memory brute force on random streams " +
       "under random arrival chunking and watermark progression") {

@@ -905,17 +905,27 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/retention?limit=abc")._1 == 400)
       assert(get(port, "/retention?sf=/etc")._1 == 403)
 
+      // the hop-latency report beside them: served ≡ the registered
+      // funnel_latency query
+      val (hc, hbody) = get(port, "/latency")
+      assert(hc == 200 && hbody == graft.operators.Windows
+        .funnelLatency(spark, sf).orderBy(col("hop"))
+        .toJSON.collect().mkString("[", ",", "]"), hbody)
+      assert(get(port, "/latency?limit=abc")._1 == 400)
+      assert(get(port, "/latency?sf=/etc")._1 == 403)
+
       // a rootless server refuses ?store= with 404, never a re-scan
       assert(get(port, "/funnel?store=x")._1 == 404)
       assert(get(port, "/retention?store=x")._1 == 404)
       assert(get(port, "/paths?store=x")._1 == 404)
+      assert(get(port, "/latency?store=x")._1 == 404)
     } finally srv.stop()
   }
 
   test("GET /funnel|/retention|/paths?store= serve the MAINTAINED report " +
       "stores (O(store) reads, no events re-scan); compute params refused " +
       "with store=") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
     import graft.sources.PointStore
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
@@ -975,6 +985,28 @@ class ServerSpec extends SparkSpec {
       // &limit still applies to store reads
       val (lc2, lb2) = get(port, "/retention?store=retrep&limit=1")
       assert(lc2 == 200 && lb2.count(_ == '{') == 1, lb2)
+
+      // the latency report store: served ≡ the library read of the
+      // same (hop, n_users, sk) store
+      import graft.functions.SketchOps
+      val ls = new PointStore(spark, s"$root/latrep",
+        keys = Seq("hop"), sums = Seq("n_users"), maxes = Nil,
+        quantiles = Seq("sk"))
+      ls.appendTagged("b0", Seq(
+          ("view->click", 100L), ("view->click", 200L),
+          ("view->click", 300L), ("click->purchase", 50L))
+        .toDF("hop", "lat_us")
+        .groupBy("hop").agg(count(lit(1)).as("n_users"),
+          SketchOps.quantileSketch(col("lat_us"), 4096).as("sk")))
+      val (hc2, hb2) = get(port, "/latency?store=latrep")
+      assert(hc2 == 200, hb2)
+      val hlib = ls.snapshot.select(col("hop") +: col("n_users") +:
+          graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
+            SketchOps.quantileAt(col("sk"), q).as(n) }: _*)
+        .orderBy(col("hop")).toJSON.collect().mkString("[", ",", "]")
+      assert(hb2 == hlib && hb2.contains("\"p50\":200"), hb2)
+      assert(get(port, "/latency?store=funrep")._1 == 400)
+      assert(get(port, s"/latency?store=latrep&sf=$sf")._1 == 400)
     } finally srv.stop()
   }
 

@@ -109,6 +109,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("doc_perplexity_trigram plan: one instance-grain tokenization, the " +
+      "count frame pinned, prefix counts derived — never a second " +
+      "instance-grain aggregation") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"the cat $i sat on the mat"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.perplexityTrigramOf(docs)
+      .queryExecution.executedPlan.toString
+    val explodes = "(?i)generate explode".r.findAllIn(plan).length
+    assert(explodes == 1, s"want 1 instance-grain tokenization, got $explodes")
+    assert(plan.contains("Scan ExistingRDD"),
+      "aggregated trigram frame must be pinned behind its exchange")
+    val prefixCountLines = plan.linesIterator.filter(l =>
+      l.contains("HashAggregate") &&
+        "keys=\\[w1#\\d+, w2#\\d+\\]".r.findFirstIn(l).isDefined &&
+        l.contains("count(1)")).toSeq
+    assert(prefixCountLines.isEmpty,
+      s"prefix counts must derive from the pinned frame: $prefixCountLines")
+  }
+
   test("doc_perplexity plan: the corpus tokenizes exactly twice and the " +
       "instance-grain uni/V passes are gone (both derive from the pinned " +
       "aggregated bigram frame)") {
