@@ -99,6 +99,8 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.operators.Ann.warmLifecycleFixture(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.streaming.Maintained.warmLifecycleFixture(spark, sfDir)
+    catch { case _: Throwable => () }
     // untimed probe warmup: the first run compiles the probe's codegen
     // and the next two settle JIT/scheduler state — without them the
     // first RECORDED probe reads 2-3× the session median and spuriously

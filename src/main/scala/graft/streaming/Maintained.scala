@@ -72,6 +72,13 @@ object Maintained {
   private val stagedDrops =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
+  /** Bench hook (the CurateStore/DedupIndex convention): the staged
+    * drops are the upstream exporter's output, not the maintenance
+    * loop any entry measures — warm them untimed so the first
+    * maintained entry doesn't pay the one-time export. */
+  def warmLifecycleFixture(s: SparkSession, d: String): Unit =
+    nightsFixture(s, d)
+
   private def nightsFixture(s: SparkSession, d: String): java.io.File =
     stagedDrops.computeIfAbsent(d, _ => {
       import s.implicits._
