@@ -32,7 +32,7 @@ object SparkEntry {
     "drift_gate", "drift_follower", "assemble_from_recipe",
     "perplexity_incremental", "perplexity_trigram_incremental",
     "funnel_maintained", "retention_maintained", "paths_maintained",
-    "latency_maintained")
+    "latency_maintained", "funnel_deepest_maintained")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -111,6 +111,7 @@ object SparkEntry {
     "retention_maintained" -> (graft.streaming.Maintained.retentionMaintained _),
     "paths_maintained" -> (graft.streaming.Maintained.pathsMaintained _),
     "latency_maintained" -> (graft.streaming.Maintained.latencyMaintained _),
+    "funnel_deepest_maintained" -> (graft.streaming.Maintained.funnelDeepestMaintained _),
     "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
@@ -238,6 +239,7 @@ object SparkEntry {
     "retention_maintained" -> Windows.eventsRetentionOracle,
     "paths_maintained" -> Windows.eventsPathsOracle,
     "latency_maintained" -> Windows.funnelLatencyOracle,
+    "funnel_deepest_maintained" -> Windows.eventsFunnelDeepestOracle,
     "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,

@@ -187,6 +187,27 @@ object Maintained {
     funnelReportFrom(s, store)
   }
 
+  /** `funnel_deepest_maintained`: the anchored deepest-chain funnel as
+    * a maintained table — the [[StreamingFunnelDeepest]] twin driven
+    * against real events. Its reaches are exactly-once per (user,
+    * step), so the additive count fold IS the distinct-user depth
+    * report, and the read face is the same (step, step_name, users)
+    * shape GET /funnel?store= already serves. Oracle = the anchor-
+    * grain staged SQL at the registered 1-day horizon. */
+  def funnelDeepestMaintained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = driveMaintained(s, d, "graft_deepmaint_",
+      keys = Seq("step", "step_name"), sums = Seq("users"),
+      wire = df => StreamingFunnelDeepest.funnel(s,
+        df.select(col("user_id"), col("ts"), col("event_type"))
+          .as[StreamingFunnelDeepest.Ev],
+        graft.operators.Windows.FunnelHorizon).toDF,
+      partialOf =
+        _.groupBy("step", "step_name").agg(count(lit(1)).as("users")),
+      cycles = Condensed)
+    funnelReportFrom(s, store)
+  }
+
   /** `retention_maintained`: the weekly cohort matrix as a maintained
     * table. Oracle = the one-shot retention SQL (the cells are emitted
     * exactly once per (user, offset), so the additive fold IS the
