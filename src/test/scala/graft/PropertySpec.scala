@@ -101,6 +101,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("trigram backoff probe agrees with the in-memory estimator on " +
+      "random corpora (unseen contexts at every order, short docs absent, " +
+      "identical decimal-before-sum rounding)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // tiny vocabulary so all three backoff levels fire: common words
+    // dominate the history, rares appear only in the probe batch
+    val word = Gen.frequency(8 -> Gen.oneOf("a", "b", "c", "d"),
+      2 -> Gen.oneOf("x", "y", "zz"))
+    val docGen = Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, word))
+    def dec6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    for (seed <- 1L to 4L) {
+      val docs = sample(Gen.listOfN(30, docGen), seed).zipWithIndex
+        .map { case (ws, i) => (i.toLong + 1, ws) }
+      val hist = docs.filter(_._1 % 3 != 0)
+      val batch = docs.filter(_._1 % 3 == 0)
+      def tris(ws: Seq[String]) = ws.sliding(3).filter(_.size == 3)
+        .map { case Seq(a, b, c) => (a, b, c) }.toSeq
+      val c3 = hist.flatMap(d => tris(d._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c12 = c3.groupBy(t => (t._1._1, t._1._2)).view
+        .mapValues(_.values.sum).toMap
+      val c23 = c3.groupBy(t => (t._1._2, t._1._3)).view
+        .mapValues(_.values.sum).toMap
+      val c2 = c3.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val cu = c3.groupBy(_._1._3).view.mapValues(_.values.sum).toMap
+      val n = c3.values.sum
+      val v = c3.keySet.map(_._3).size
+      def score(t: (String, String, String)): Double = {
+        val (w1, w2, w3) = t
+        if (c12.contains((w1, w2)))
+          math.log((c3.getOrElse(t, 0L) + 1).toDouble / (c12((w1, w2)) + v))
+        else if (c2.contains(w2))
+          math.log(0.4 * (c23.getOrElse((w2, w3), 0L) + 1).toDouble /
+            (c2(w2) + v))
+        else math.log(0.16 * (cu.getOrElse(w3, 0L) + 1).toDouble / (n + v))
+      }
+      val expected = batch.flatMap { case (id, ws) =>
+        val ts = tris(ws)
+        if (ts.isEmpty) None
+        else Some(id -> ((ts.map(t => dec6(score(t))).sum.toDouble / ts.size,
+          ts.size.toLong)))
+      }.toMap
+      val counts = TextOps.trigramCountsOf(
+        hist.map(d => (d._1, d._2.mkString(" "))).toDF("doc_id", "text"))
+      val got = TextOps.perplexityTrigramProbeAgainst(counts,
+          batch.map(d => (d._1, d._2.mkString(" "))).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+        .toMap
+      assert(got == expected, s"seed $seed")
+      // the sweep must actually exercise the backoff: some batch
+      // trigram context is unseen
+      assert(batch.flatMap(d => tris(d._2))
+        .exists(t => !c12.contains((t._1, t._2))), s"seed $seed too tame")
+    }
+  }
+
   test("session funnel agrees with the in-memory per-visit fold on random " +
       "event streams (gap boundaries, duplicate timestamps, empty visits)") {
     import spark.implicits._
