@@ -106,14 +106,17 @@ object Maintained {
     })
 
   /** The funnel report read from a maintained (step, step_name)/users
-    * store: absent step = zero users — the batch report's exact shape
-    * (non-increasing counts, every step present). */
+    * store: a registered step absent from the store = zero users (the
+    * batch report's exact shape, every step present), and — full outer,
+    * not left — a store maintained over a CUSTOM path keeps its rows
+    * instead of having them silently dropped by the default step
+    * list. */
   def funnelReportFrom(s: SparkSession, store: PointStore): DataFrame = {
     import s.implicits._
     val steps = StreamingFunnel.Steps.zipWithIndex
       .map { case (n, i) => (i + 1, n) }.toDF("step", "step_name")
       .select(col("step").cast("int").as("step"), col("step_name"))
-    steps.join(store.snapshot, Seq("step", "step_name"), "left")
+    steps.join(store.snapshot, Seq("step", "step_name"), "full_outer")
       .select(col("step"), col("step_name"),
         coalesce(col("users"), lit(0L)).as("users"))
   }

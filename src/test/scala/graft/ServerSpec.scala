@@ -959,6 +959,13 @@ class ServerSpec extends SparkSpec {
       assert(fbody == flib, fbody)
       assert(fbody.contains("\"step\":3") && fbody.contains("\"users\":0"),
         "an unreached step must serve as zero, not vanish: " + fbody)
+      // a store maintained over a CUSTOM path keeps its rows — the
+      // default step list zero-fills, it must never drop
+      fs.appendTagged("b1",
+        Seq((4, "refer", 1L)).toDF("step", "step_name", "users"))
+      val (fc2, fbody2) = get(port, "/funnel?store=funrep")
+      assert(fc2 == 200 && fbody2.contains("\"step_name\":\"refer\""),
+        "custom-step rows must survive the report read: " + fbody2)
       val (rc2, rbody2) = get(port, "/retention?store=retrep")
       assert(rc2 == 200 && rbody2.contains("\"cohort\":\"2024-01-08 00:00:00\"")
         && rbody2.contains("\"users\":5"), rbody2)
