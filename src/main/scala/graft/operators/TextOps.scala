@@ -357,12 +357,18 @@ object TextOps {
     * batch bigram; the count tables shuffle on their own keys; same
     * decimal-before-sum reproducibility discipline as the one-shot. */
   def perplexityProbeAgainst(counts: DataFrame, batch: DataFrame): DataFrame = {
-    val uni = counts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val v = counts.select(col("w1")).distinct().count()
+    // pin the count frame ONCE (localCheckpoint, the one-shot faces'
+    // materialize-behind-exchange doctrine): `counts` is typically a
+    // store snapshot — a merge-on-read member scan + fold that would
+    // otherwise re-execute for each of its three consumers here (the
+    // uni marginal, the driver-side V count, and the scoring join)
+    val cnt = counts.localCheckpoint()
+    val uni = cnt.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = cnt.select(col("w1")).distinct().count()
     require(v > 0, "perplexity probe against an EMPTY count store — " +
       "fold at least one night of bigramCountsOf first")
     bigramsOf(batch)
-      .join(counts.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(cnt.hint("shuffle_hash"), Seq("w1", "w2"), "left")
       .join(uni.hint("shuffle_hash"), Seq("w1"), "left")
       .select(col("doc_id"),
         log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
@@ -544,19 +550,25 @@ object TextOps {
     * joins instances on the flat (w1,w2,w3) key. */
   def perplexityTrigramProbeAgainst(counts: DataFrame,
                                     batch: DataFrame): DataFrame = {
-    val r = counts.agg(sum(col("c3")).as("n"),
+    // pin the count frame ONCE (localCheckpoint): the store snapshot
+    // behind `counts` is a merge-on-read member scan + fold that SIX
+    // consumers would otherwise each re-execute (the N/V driver agg,
+    // the four marginals, and the base scoring join) — at a
+    // corpus-scale trigram store that is 5× avoidable scan+fold
+    val cnt = counts.localCheckpoint()
+    val r = cnt.agg(sum(col("c3")).as("n"),
       count_distinct(col("w3")).as("v")).head
     require(!r.isNullAt(0) && r.getLong(1) > 0,
       "trigram probe against an EMPTY count store — " +
         "fold at least one night of trigramCountsOf first")
     val (n, v) = (r.getLong(0), r.getLong(1))
-    val c12 = counts.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
-    val c23 = counts.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("c23"))
-    val c2 = counts.groupBy(col("w2")).agg(sum(col("c3")).as("c2"))
-    val cu = counts.groupBy(col("w3")).agg(sum(col("c3")).as("cu"))
+    val c12 = cnt.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
+    val c23 = cnt.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("c23"))
+    val c2 = cnt.groupBy(col("w2")).agg(sum(col("c3")).as("c2"))
+    val cu = cnt.groupBy(col("w3")).agg(sum(col("c3")).as("cu"))
     val tri = trigramsOf(batch)
     val scored = tri.select(col("w1"), col("w2"), col("w3")).distinct()
-      .join(counts.hint("shuffle_hash"), Seq("w1", "w2", "w3"), "left")
+      .join(cnt.hint("shuffle_hash"), Seq("w1", "w2", "w3"), "left")
       .join(c12.hint("shuffle_hash"), Seq("w1", "w2"), "left")
       .join(c23.hint("shuffle_hash"), Seq("w2", "w3"), "left")
       .join(c2.hint("shuffle_hash"), Seq("w2"), "left")

@@ -840,6 +840,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           else if (gateOn.isEmpty || resyncOn.isEmpty)
             respond(ex, 400,
               """{"error":"gate/resync must be 1/true/0/false (or bare)"}""")
+          // a resync rebuilds the mirror and folds no window, so there
+          // is no drift frame to gate — refuse the combination loudly
+          // (the route family's conflicting-parameter discipline)
+          // instead of silently ignoring the gate flag
+          else if (resyncOn.contains(true) && gateOn.contains(true))
+            respond(ex, 400, """{"error":"resync rebuilds the mirror """ +
+              """and folds no window — &gate does not apply"}""")
           else if (lim.contains(None))
             respond(ex, 400, """{"error":"limit must be an integer"}""")
           else try {

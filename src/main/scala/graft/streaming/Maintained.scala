@@ -106,19 +106,33 @@ object Maintained {
     })
 
   /** The funnel report read from a maintained (step, step_name)/users
-    * store: a registered step absent from the store = zero users (the
-    * batch report's exact shape, every step present), and — full outer,
-    * not left — a store maintained over a CUSTOM path keeps its rows
-    * instead of having them silently dropped by the default step
-    * list. */
+    * store. A store maintained over the DEFAULT path zero-fills its
+    * absent steps (the batch report's exact shape, every step present
+    * — an unreached step is zero users, it never vanishes). A store
+    * maintained over a CUSTOM path serves ITS rows alone: interleaving
+    * default-step zeros into a custom path's rows would read as a
+    * funnel nobody maintained (e.g. (1,'land',n) beside (1,'view',0)),
+    * so the zero-fill applies only when every store step is on the
+    * default list. The step set is key-grain store metadata (a
+    * handful of rows), so the custom check is an O(store) read like
+    * the report itself. */
   def funnelReportFrom(s: SparkSession, store: PointStore): DataFrame = {
     import s.implicits._
-    val steps = StreamingFunnel.Steps.zipWithIndex
-      .map { case (n, i) => (i + 1, n) }.toDF("step", "step_name")
-      .select(col("step").cast("int").as("step"), col("step_name"))
-    steps.join(store.snapshot, Seq("step", "step_name"), "full_outer")
-      .select(col("step"), col("step_name"),
-        coalesce(col("users"), lit(0L)).as("users"))
+    val defaults = StreamingFunnel.Steps.zipWithIndex
+      .map { case (n, i) => (i + 1, n) }
+    val snap = store.snapshot
+      .select(col("step").cast("int").as("step"), col("step_name"),
+        col("users"))
+    val custom = snap.select(col("step"), col("step_name"))
+      .as[(Int, String)].collect().exists(!defaults.contains(_))
+    if (custom) snap
+    else {
+      val steps = defaults.toDF("step", "step_name")
+        .select(col("step").cast("int").as("step"), col("step_name"))
+      steps.join(snap, Seq("step", "step_name"), "left")
+        .select(col("step"), col("step_name"),
+          coalesce(col("users"), lit(0L)).as("users"))
+    }
   }
 
   /** Drive one report's whole maintenance lifecycle against the events

@@ -112,7 +112,15 @@ object StreamingFunnelDeepest {
           val exp = if (hUs >= Long.MaxValue - t1) Long.MaxValue - 1000 else t1 + hUs
           exp / 1000 + 1
         }).minOption
-      wake.foreach(w => state.setTimeoutTimestamp(math.max(w, wm + 1)))
+      // batch execution (wm saturated — no watermark node) cannot
+      // register an event-time timeout (setTimeoutTimestamp throws
+      // without a watermark) and needs none: everything below the
+      // saturated watermark already folded, so a wake could never
+      // change observable state. Reachable only with a horizon large
+      // enough to saturate msToUsSat keeping anchors past the expiry
+      // filter — mirror the getCurrentWatermarkMs catch.
+      if (wm != Long.MaxValue)
+        wake.foreach(w => state.setTimeoutTimestamp(math.max(w, wm + 1)))
     }
     out.result().iterator
   }

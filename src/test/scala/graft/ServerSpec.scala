@@ -959,13 +959,16 @@ class ServerSpec extends SparkSpec {
       assert(fbody == flib, fbody)
       assert(fbody.contains("\"step\":3") && fbody.contains("\"users\":0"),
         "an unreached step must serve as zero, not vanish: " + fbody)
-      // a store maintained over a CUSTOM path keeps its rows — the
-      // default step list zero-fills, it must never drop
+      // a store maintained over a CUSTOM path keeps its rows — and the
+      // default zero-fill is suppressed: interleaved default zeros
+      // would read as a funnel nobody maintained
       fs.appendTagged("b1",
         Seq((4, "refer", 1L)).toDF("step", "step_name", "users"))
       val (fc2, fbody2) = get(port, "/funnel?store=funrep")
       assert(fc2 == 200 && fbody2.contains("\"step_name\":\"refer\""),
         "custom-step rows must survive the report read: " + fbody2)
+      assert(!fbody2.contains("\"step_name\":\"purchase\""),
+        "a custom-path store must not interleave default zero rows: " + fbody2)
       val (rc2, rbody2) = get(port, "/retention?store=retrep")
       assert(rc2 == 200 && rbody2.contains("\"cohort\":\"2024-01-08 00:00:00\"")
         && rbody2.contains("\"users\":5"), rbody2)
@@ -1076,6 +1079,10 @@ class ServerSpec extends SparkSpec {
         Profile.profilePartial(docs.filter(col("doc_id") % 11 === 0)))
       val (fc, fb) = post(port, "/poll/drift?store=up&mirror=mir", "")
       assert(fc == 409 && fb.contains("vacuumed") && fb.contains("resync"), fb)
+      // &resync folds no window, so there is nothing to gate — the
+      // combination is refused loudly, never silently ignored
+      assert(post(port,
+        "/poll/drift?store=up&mirror=mir&resync=1&gate=1", "")._1 == 400)
       // &resync rebuilds the mirror; the next poll is caught up and a
       // fresh night drifts from the resync baseline
       val (rc, rb) = post(port, "/poll/drift?store=up&mirror=mir&resync=1", "")

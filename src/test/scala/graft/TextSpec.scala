@@ -109,6 +109,33 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("LM probe plan: the count-store snapshot is pinned ONCE — the " +
+      "marginals and the scoring join replay the checkpoint, never the " +
+      "member-scan fold") {
+    import spark.implicits._
+    val batch = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pplpin3").toString
+    val store = new graft.sources.PointStore(spark, dir,
+      keys = Seq("w1", "w2", "w3"), sums = Seq("c3"), maxes = Nil)
+    store.appendTagged("n1",
+      Seq(("the", "cat", "sat", 3L), ("on", "the", "mat", 2L))
+        .toDF("w1", "w2", "w3", "c3"))
+    val plan = TextOps.perplexityTrigramProbeAgainst(store.snapshot, batch)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"count frame must be pinned behind a checkpoint:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"no consumer may re-run the store's member-scan fold:\n$plan")
+    val bdir = java.nio.file.Files.createTempDirectory("graft_pplpin2").toString
+    val bstore = new graft.sources.PointStore(spark, bdir,
+      keys = Seq("w1", "w2"), sums = Seq("c2"), maxes = Nil)
+    bstore.appendTagged("n1", Seq(("the", "cat", 3L)).toDF("w1", "w2", "c2"))
+    val bplan = TextOps.perplexityProbeAgainst(bstore.snapshot, batch)
+      .queryExecution.executedPlan.toString
+    assert(bplan.contains("Scan ExistingRDD") && !bplan.contains("Scan parquet"),
+      s"bigram probe must pin the count frame too:\n$bplan")
+  }
+
   test("doc_perplexity_trigram plan: one instance-grain tokenization, the " +
       "count frame pinned, prefix counts derived — never a second " +
       "instance-grain aggregation") {
