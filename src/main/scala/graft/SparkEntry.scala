@@ -32,7 +32,8 @@ object SparkEntry {
     "drift_gate", "drift_follower", "assemble_from_recipe",
     "perplexity_incremental", "perplexity_trigram_incremental",
     "funnel_maintained", "retention_maintained", "paths_maintained",
-    "latency_maintained", "funnel_deepest_maintained")
+    "latency_maintained", "funnel_deepest_maintained",
+    "retention_rolling_maintained", "paths_sessionized_maintained")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -112,6 +113,8 @@ object SparkEntry {
     "paths_maintained" -> (graft.streaming.Maintained.pathsMaintained _),
     "latency_maintained" -> (graft.streaming.Maintained.latencyMaintained _),
     "funnel_deepest_maintained" -> (graft.streaming.Maintained.funnelDeepestMaintained _),
+    "retention_rolling_maintained" -> (graft.streaming.Maintained.retentionRollingMaintained _),
+    "paths_sessionized_maintained" -> (graft.streaming.Maintained.pathsSessionizedMaintained _),
     "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
@@ -240,6 +243,8 @@ object SparkEntry {
     "paths_maintained" -> Windows.eventsPathsOracle,
     "latency_maintained" -> Windows.funnelLatencyOracle,
     "funnel_deepest_maintained" -> Windows.eventsFunnelDeepestOracle,
+    "retention_rolling_maintained" -> Windows.eventsRetentionRollingOracle,
+    "paths_sessionized_maintained" -> Windows.eventsPathsSessionizedOracle,
     "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,

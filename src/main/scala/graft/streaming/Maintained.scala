@@ -243,6 +243,30 @@ object Maintained {
       col("offset"), col("users"))
   }
 
+  /** `retention_rolling_maintained`: the churn curve as a maintained
+    * table — the rolling reading ("active at offset k OR LATER")
+    * beside the classic matrix. The rolling twin emits the (cohort, k]
+    * INCREMENTS as each user's max offset advances (exactly once per
+    * (user, offset), eager-safe because the frontier is monotone —
+    * [[StreamingRetention.stepRolling]]'s scaladoc), so the same
+    * additive (cohort, offset)/users store grain serves both readings;
+    * which one a store holds is fixed by the lifecycle that maintains
+    * it (a store is ONE materialization — the read face is identical).
+    * Oracle = the one-shot rolling SQL over the same events. */
+  def retentionRollingMaintained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = driveMaintained(s, d, "graft_rollmaint_",
+      keys = Seq("cohort", "offset"), sums = Seq("users"),
+      wire = df => StreamingRetention.rollingCells(s,
+        df.select(col("user_id"), col("ts")).as[StreamingRetention.Ev],
+        "week").toDF,
+      partialOf = _.filter(col("user_id") =!= SentinelUser)
+        .groupBy("cohort", "offset").agg(count(lit(1)).as("users")),
+      cycles = Condensed)
+    store.snapshot.select(graft.Tables.tstr(col("cohort")).as("cohort"),
+      col("offset"), col("users"))
+  }
+
   /** `paths_maintained`: the transition matrix as a maintained table.
     * Oracle = the one-shot lead-window SQL (pairs are emitted exactly
     * once per adjacency; the µs state grain makes the stream's
@@ -255,6 +279,29 @@ object Maintained {
         df.select(col("user_id"), col("ts"),
           col("event_id").as("seq"), col("event_type"))
           .as[StreamingPaths.Ev]).toDF,
+      partialOf = _.filter(col("user_id") =!= SentinelUser)
+        .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")),
+      cycles = Condensed)
+    store.snapshot.select(col("from_step"), col("to_step"), col("n"))
+  }
+
+  /** `paths_sessionized_maintained`: the transition matrix bounded to
+    * the registered 30-minute gap-session, as a maintained table — the
+    * [[StreamingPaths]] twin's `gapMs` (batch parity with
+    * `events_paths_sessionized`'s `withinGapMs`) driven through the
+    * nightly lifecycle. Same (from_step, to_step)/n store grain as the
+    * unbounded matrix: suppression changes which pairs EMIT, never the
+    * fold, so GET /paths?store= serves either store unchanged (which
+    * one it holds is the lifecycle's configuration). Oracle = the
+    * one-shot sessionized lead-window SQL. */
+  def pathsSessionizedMaintained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = driveMaintained(s, d, "graft_spathmaint_",
+      keys = Seq("from_step", "to_step"), sums = Seq("n"),
+      wire = df => StreamingPaths.pairs(s,
+        df.select(col("user_id"), col("ts"),
+          col("event_id").as("seq"), col("event_type"))
+          .as[StreamingPaths.Ev], gapMs = Some(1800000L)).toDF,
       partialOf = _.filter(col("user_id") =!= SentinelUser)
         .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")),
       cycles = Condensed)

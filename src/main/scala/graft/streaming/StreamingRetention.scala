@@ -104,4 +104,68 @@ object StreamingRetention {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(period))
   }
+
+  /** ROLLING (churn-curve) state: the cohort pin plus the single max
+    * offset already emitted through (-1 = none) — strictly smaller
+    * than the classic twin's offset set, because the rolling law only
+    * needs the FRONTIER. */
+  final case class RollState(cohortDay: Long, maxOff: Int, buf: Seq[Long])
+
+  /** The rolling twin's fold: emit the (cohort, k] INCREMENTS. A
+    * rolling cell (cohort, k) counts users active at offset k OR
+    * LATER — i.e. users whose max offset is ≥ k — so a user
+    * contributes exactly the cells 0..maxOff, and emitting
+    * `(prevMax, newMax]` as their max advances yields each (user, k)
+    * exactly once; the additive count fold downstream IS
+    * [[graft.operators.Windows.retentionRollingOf]]'s matrix. Eager
+    * emission is safe by the deepest-funnel twin's existential
+    * argument ([[StreamingFunnelDeepest]]): the max offset is MONOTONE
+    * under event insertion once the cohort is final, and the cohort
+    * pins at watermark finality exactly as the classic twin's does (a
+    * late earlier event would shift every offset — the one
+    * retroactive hazard, closed the same way). */
+  def stepRolling(period: String)(userId: Long, events: Iterator[Ev],
+                  state: GroupState[RollState]): Iterator[Cell] = {
+    val wm = try state.getCurrentWatermarkMs() catch {
+      case _: UnsupportedOperationException => Long.MaxValue
+    }
+    val prior = state.getOption.getOrElse(RollState(-1L, -1, Nil))
+    val (ready, hold) =
+      (prior.buf ++ events.map(_.ts.getTime)).partition(_ < wm)
+    var cohortDay = prior.cohortDay
+    var maxOff = prior.maxOff
+    val emitted = Vector.newBuilder[Cell]
+    if (ready.nonEmpty) {
+      if (cohortDay < 0) cohortDay = truncDay(ready.min, period)
+      val newMax = ready
+        .map(ms => offsetOf(truncDay(ms, period), cohortDay, period)).max
+      if (newMax > maxOff) {
+        val cohortTs = new java.sql.Timestamp(
+          LocalDate.ofEpochDay(cohortDay).atStartOfDay
+            .toInstant(ZoneOffset.UTC).toEpochMilli)
+        ((maxOff + 1) to newMax).foreach(k => emitted += Cell(userId, cohortTs, k))
+        maxOff = newMax
+      }
+    }
+    if (cohortDay < 0 && hold.isEmpty) state.remove() // ≡ default: evict
+    else {
+      state.update(RollState(cohortDay, maxOff, hold))
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(math.max(hold.min + 1, wm + 1))
+    }
+    emitted.result().iterator
+  }
+
+  /** Wire the rolling fold over a (streaming or batch) event Dataset. */
+  def rollingCells(s: SparkSession, events: Dataset[Ev],
+                   period: String = "week"): Dataset[Cell] = {
+    require(Set("day", "week", "month")(period),
+      s"period must be day|week|month, got '$period'")
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stepRolling(period))
+  }
 }

@@ -336,6 +336,55 @@ class StreamingSpec extends SparkSpec {
     assert(cells.exists(c => c._1 == 2L && c._3 == 2))
   }
 
+  test("StreamingRetention.rollingCells emits each (user, cohort, offset) " +
+      "cell exactly once as the max-offset frontier advances; the " +
+      "aggregated cells equal the batch ROLLING matrix") {
+    import spark.implicits._
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val chunk1 = Seq(
+      // user 1: days 1 and 3 — the first fold emits offsets 0..2 at
+      // once (the frontier jumps; the gaps fill eagerly)
+      Ev(1, ts(1500)), Ev(1, ts(1440 * 3 + 10)),
+      // user 2: day 2 first-seen; chunk 2 shifts the cohort earlier
+      Ev(2, ts(1440 * 2 + 5)))
+    val chunk2 = Seq(
+      Ev(2, ts(200)), // earlier event: cohort pins to day 0
+      Ev(3, ts(1440 * 4 + 1)),
+      Ev(1, ts(1440 * 3 + 99))) // same frontier: must emit NOTHING new
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1)
+    stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000))))
+    val q = StreamingRetention.rollingCells(spark, stream.toDS, "day")
+      .writeStream.format("memory").queryName("roll_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val cells = spark.table("roll_out").filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2)))
+    assert(cells.distinct.length == cells.length, "cells must be unique")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val gotMatrix = cells
+      .map(c => (java.time.Instant.ofEpochMilli(c._2.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt), c._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batch = graft.operators.Windows.retentionRollingOf(
+        (chunk1 ++ chunk2).map(e => (e.user_id, e.ts))
+          .toDF("user_id", "ts"), "day")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(gotMatrix == batch, s"got=$gotMatrix batch=$batch")
+    // the frontier semantics really happened: user 1 has GAP day 2
+    // (no activity) yet carries the rolling cell at offset 2
+    assert(cells.exists(c => c._1 == 1L && c._3 == 2),
+      "rolling cells must fill the inactive gap up to the frontier")
+    // user 2's shifted cohort: offset 2 against the day-0 cohort
+    assert(cells.exists(c => c._1 == 2L && c._3 == 2))
+  }
+
   test("StreamingPaths emits each adjacency exactly once; aggregated " +
       "pairs equal the batch transition matrix — including an " +
       "out-of-order event SPLICING between already-seen neighbors") {
