@@ -178,6 +178,25 @@ import java.nio.charset.StandardCharsets
   *                                      every persisted store now has
   *                                      a served write. Ledger-
   *                                      idempotent like its siblings.
+  *   POST /ingest/report?store=<name>&tag=<night>&type=funnel|
+  *        funnel_deepest|retention|retention_rolling|paths|latency
+  *        [&window=1d][&period=week][&gap=30m]
+  *                                   → fold a posted nightly EVENTS drop
+  *                                      (JSON rows of {user_id, ts,
+  *                                      event_id, event_type}) into a
+  *                                      MAINTAINED analytics report
+  *                                      store through the registered
+  *                                      lifecycles' own streaming-twin
+  *                                      chain — the write face of the
+  *                                      /funnel //retention //paths
+  *                                      //latency ?store= reads. The
+  *                                      fold configuration pins at
+  *                                      first ingest; the maintenance
+  *                                      stream is owned through its
+  *                                      lease for the whole call;
+  *                                      exactly-once on the drop-file
+  *                                      ledger + the checkpoint's
+  *                                      batch ledger.
   *   POST /takedown/curate?store=<name>&tag=<reqid>
   *   POST /takedown/ann?index=<name>&tag=<reqid>
   *                                   → doc-grain deletion over the wire
@@ -1524,6 +1543,21 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             val dirs = Option(new java.io.File(r).listFiles()).getOrElse(Array())
             dirs.filter(_.isDirectory).sortBy(_.getName).flatMap { d =>
               classify(d).map { kind =>
+                // a wire-maintained report store self-describes its
+                // fold (the _stream/CONFIG pinned at first ingest) —
+                // surface it so dashboards discover which maintained
+                // reports exist without probing each store's shape
+                val report = {
+                  val cfg = new java.io.File(d, "_stream/CONFIG")
+                  if (kind == "point" && cfg.exists())
+                    scala.util.Try(new String(java.nio.file.Files
+                        .readAllBytes(cfg.toPath), StandardCharsets.UTF_8))
+                      .toOption
+                      .map(c => s""","maintained":"${c.takeWhile(_ != '\n')
+                        .replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+                      .getOrElse("")
+                  else ""
+                }
                 val ver =
                   if (kind == "point")
                     graft.sources.PointStore.versionOf(d.getPath)
@@ -1539,7 +1573,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                       finally src.close()
                     }.toOption.map(v => s""","version":$v""").getOrElse("")
                   else ""
-                s"""{"name":"${d.getName}","kind":"$kind","root":"$role"$ver}"""
+                s"""{"name":"${d.getName}","kind":"$kind","root":"$role"$ver$report}"""
               }
             }.toSeq
           }
@@ -1695,6 +1729,223 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               respond(ex, if (msg.contains("no point store")) 404 else 400,
                 s"""{"error":"${msg.takeWhile(_ != '\n')
                   .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the maintained-analytics WRITE face: POST /ingest/report folds a
+    // posted nightly events drop into a maintained report store through
+    // the SAME streaming-twin chain the registered lifecycles drive
+    // (Maintained.foldOf → maintainOnce). The drop lands as ONE parquet
+    // file named by its tag in the store's _stream/drops dir; one
+    // Trigger.AvailableNow maintenance pass consumes whatever is new
+    // there, with the watermark and file ledger riding the store's own
+    // _stream/ckpt checkpoint. The contracts, spelled out:
+    //  - NIGHTLY ORDER: drops must land in event-time order — events
+    //    below the watermark a previous night advanced are late data
+    //    the engine rightly drops (the lesson recorded on
+    //    streaming.Maintained); the tail inside the watermark delay
+    //    stays pending until a later drop (or a posted far-future
+    //    sentinel row: user_id -1, event_type "_watermark") advances it.
+    //  - EXACTLY-ONCE at both grains: a redelivered tag finds its drop
+    //    file already landed (landed=false) and already in the
+    //    checkpoint's file ledger, so nothing re-folds; a crash between
+    //    landing and folding heals on redelivery because the pass
+    //    always runs and the ledgers decide (committed = the store
+    //    version advanced in THIS call).
+    //  - ONE MATERIALIZATION: the fold configuration (type + window/
+    //    period/gap, normalized) pins at first ingest in _stream/CONFIG
+    //    — a later POST with a different configuration is refused, the
+    //    read faces' store= discipline applied to the write side. A
+    //    store that exists WITHOUT an ingest config was materialized by
+    //    a library lifecycle whose checkpoint lives with that driver —
+    //    folding a fresh checkpoint over it would double-count, so the
+    //    POST is refused with the reason named.
+    //  - SINGLE WRITER: the maintenance stream (_stream: drops +
+    //    checkpoint + config) is owned through its own writer lease for
+    //    the whole call (the /poll/drift whole-call-ownership pattern —
+    //    two engines on one checkpoint is the corruption no ledger can
+    //    undo); a concurrent ingester 409s with the holder named. The
+    //    store's own lease is taken per batch commit by appendTagged on
+    //    the streaming thread.
+    server.createContext("/ingest/report", (ex: HttpExchange) => {
+      def esc(s: String) = Option(s).getOrElse("").takeWhile(_ != '\n')
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405,
+          """{"error":"POST JSON event rows with ?store=&tag=&type="}""")
+      else (storeRoot, param(ex, "store"), param(ex, "tag")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"server started without a store root"}""")
+        case (_, None, _) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (_, _, None) =>
+          respond(ex, 400,
+            """{"error":"tag param required (the night id redeliveries are judged by)"}""")
+        case (Some(root), Some(name), Some(tag)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val typ = param(ex, "type")
+          val win = param(ex, "window").map(p =>
+            scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
+          val gap = param(ex, "gap").map(p =>
+            scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
+          val per = param(ex, "period")
+          if (!plainName(name) || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else if (!tag.matches("[A-Za-z0-9._-]+"))
+            respond(ex, 400,
+              """{"error":"tag must be filesystem-safe ([A-Za-z0-9._-]+)"}""")
+          else if (typ.isEmpty ||
+              !graft.streaming.Maintained.ReportTypes(typ.get))
+            respond(ex, 400, """{"error":"type must be """ +
+              graft.streaming.Maintained.ReportTypes.toSeq.sorted
+                .mkString("|") + """"}""")
+          else if (win.contains(None))
+            respond(ex, 400,
+              """{"error":"window must be <n><ms|s|m|h|d>, e.g. 1d"}""")
+          else if (gap.contains(None))
+            respond(ex, 400,
+              """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
+          else if (per.exists(p => !Set("day", "week", "month")(p)))
+            respond(ex, 400, """{"error":"period must be day|week|month"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            // inapplicable params / missing deepest window refuse here
+            val fold = graft.streaming.Maintained.foldOf(spark, typ.get,
+              windowMs = win.flatten, period = per, gapMs = gap.flatten)
+            // the canonical configuration: durations normalized to ms,
+            // so "30m" and "1800s" pin the same materialization
+            val config = s"type=${typ.get}" +
+              win.flatten.fold("")(ms => s";window_ms=$ms") +
+              per.fold("")(p => s";period=$p") +
+              gap.flatten.fold("")(ms => s";gap_ms=$ms")
+            val sdir = new java.io.File(dir, "_stream")
+            val cfgFile = new java.io.File(sdir, "CONFIG")
+            val manifest = new java.io.File(dir, "_MANIFEST")
+            lazy val stored = new String(java.nio.file.Files
+              .readAllBytes(cfgFile.toPath), StandardCharsets.UTF_8)
+            if (manifest.exists && !cfgFile.exists)
+              respond(ex, 409, s"""{"error":"store '$name' exists but """ +
+                """carries no ingest config — it is maintained by a """ +
+                """library lifecycle (its checkpoint lives with that """ +
+                """driver; a fresh one here would double-count); fold """ +
+                """through the lifecycle or ingest into a fresh store name"}""")
+            else if (cfgFile.exists && stored != config)
+              respond(ex, 400, s"""{"error":"store '$name' is maintained """ +
+                s"""as '${esc(stored)}' — a maintained store is one """ +
+                s"""materialization; this POST asked for '${esc(config)}'"}""")
+            else {
+              val body = new String(ex.getRequestBody.readAllBytes(),
+                StandardCharsets.UTF_8)
+              import spark.implicits._
+              val lines = body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS()
+              // the /ingest/point write-strictness discipline: reject
+              // unknown field names (misspellings would silently drop
+              // a column to null), then parse FAILFAST
+              val known = Set("user_id", "ts", "event_id", "event_type")
+              val inferred = spark.read.json(lines).schema.fieldNames.toSet
+              val unknown = (inferred - "_corrupt_record").diff(known)
+              if (unknown.nonEmpty)
+                respond(ex, 400,
+                  s"""{"error":"unknown field(s) ${unknown.toSeq.sorted
+                    .mkString(", ")} — event rows carry ${known.toSeq.sorted
+                    .mkString(", ")}"}""")
+              else {
+                // ts reads as a STRING and casts: the JSON reader's
+                // default timestamp formatter is millisecond-grain,
+                // and a wire ingest that silently truncated the events
+                // table's µs timestamps would corrupt every µs-law
+                // report (the hop-latency store caught it) — the CAST
+                // preserves up to 6 fractional digits in any standard
+                // form, and the null-after-cast check below keeps the
+                // write face strict (a malformed ts is a 400, never a
+                // silent null)
+                val rows = spark.read
+                  .schema("user_id LONG, ts STRING, event_id LONG, " +
+                    "event_type STRING")
+                  .option("mode", "FAILFAST")
+                  .json(lines)
+                  // try_cast, not cast: under ANSI a malformed ts would
+                  // throw mid-scan — null + the check below is the 400
+                  .withColumn("ts",
+                    org.apache.spark.sql.functions.expr(
+                      "try_cast(ts AS TIMESTAMP)"))
+                  .cache()
+                try {
+                  val parsed = try Right(rows.count()) catch {
+                    case e: org.apache.spark.SparkException => Left(e)
+                  }
+                  parsed match {
+                    case Left(_) =>
+                      respond(ex, 400,
+                        """{"error":"row(s) failed schema coercion — """ +
+                          """ids must be integral"}""")
+                    case Right(n) =>
+                      val bad = rows.filter(col("user_id").isNull ||
+                        col("ts").isNull).count()
+                      if (n == 0 || bad > 0)
+                        respond(ex, 400,
+                          """{"error":"body must be JSON event rows with """ +
+                            """non-null user_id and an ISO8601/SQL ts """ +
+                            """(fractional seconds preserved to µs)"}""")
+                      else
+                        // own the MAINTENANCE stream (_stream: drops +
+                        // checkpoint + config) for the whole call — two
+                        // engines on one checkpoint is the corruption
+                        // no ledger can undo. The store's own writer
+                        // lease is NOT held here: appendTagged acquires
+                        // it per batch commit on the STREAMING thread,
+                        // and the lease's reentrancy is per-thread — a
+                        // cross-thread hold would deadlock the fold.
+                        graft.sources.StoreFs(spark,
+                            new java.io.File(dir, "_stream").getPath)
+                            .withWriterLease() {
+                          val store =
+                            if (manifest.exists)
+                              graft.sources.PointStore.open(spark, dir.getPath)
+                            else new graft.sources.PointStore(spark,
+                              dir.getPath, keys = fold.keys,
+                              sums = fold.sums, maxes = Nil,
+                              quantiles = fold.quantiles)
+                          val drops = new java.io.File(sdir, "drops")
+                          drops.mkdirs()
+                          if (!cfgFile.exists) {
+                            val tmp = new java.io.File(sdir, "CONFIG.tmp")
+                            java.nio.file.Files.write(tmp.toPath,
+                              config.getBytes(StandardCharsets.UTF_8))
+                            java.nio.file.Files.move(tmp.toPath,
+                              cfgFile.toPath,
+                              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                          }
+                          val landed =
+                            !new java.io.File(drops, s"$tag.parquet").exists
+                          if (landed)
+                            graft.streaming.Maintained.dropFile(rows, drops, tag)
+                          val before = store.version
+                          graft.streaming.Maintained.maintainOnce(spark,
+                            fold, store, drops.getPath,
+                            new java.io.File(sdir, "ckpt").getPath)
+                          val after = store.version
+                          respond(ex, 200, s"""{"store":"$name",""" +
+                            s""""tag":"$tag","type":"${typ.get}",""" +
+                            s""""landed":$landed,""" +
+                            s""""committed":${after != before},""" +
+                            s""""version":$after}""")
+                        }
+                  }
+                } finally rows.unpersist(false)
+              }
+            }
+          } catch {
+            case e: IllegalStateException =>
+              // a live ingester holds the store — named, retry later
+              respond(ex, 409, s"""{"error":"${esc(e.getMessage)}"}""")
+            case e: IllegalArgumentException =>
+              val msg = Option(e.getMessage).getOrElse("bad request")
+              respond(ex, if (msg.contains("no point store")) 404 else 400,
+                s"""{"error":"${esc(msg)}"}""")
             case e: Throwable =>
               respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }

@@ -50,9 +50,93 @@ object Maintained {
   val SentinelType = "_watermark"
   val SentinelUser = -1L
 
+  /** A maintained report's fold recipe: the streaming twin's wiring
+    * plus the store grain it folds into — ONE definition per report
+    * type, shared by the registered lifecycles below and the served
+    * ingest face (QueryServer's POST /ingest/report), so the two
+    * drive the exact same exactly-once chain. */
+  final case class ReportFold(keys: Seq[String], sums: Seq[String],
+                              quantiles: Seq[String],
+                              wire: DataFrame => DataFrame,
+                              partialOf: DataFrame => DataFrame)
+
+  /** Report types a maintained store can hold, with their applicable
+    * configuration: `windowMs` = the funnel conversion horizon
+    * (REQUIRED for funnel_deepest — the search is anchored — optional
+    * for funnel/latency), `period` = the retention calendar grain,
+    * `gapMs` = the paths session bound. Inapplicable parameters are
+    * refused loudly (a maintained store is one materialization; its
+    * configuration must be exact, not silently defaulted). */
+  val ReportTypes: Set[String] = Set("funnel", "funnel_deepest",
+    "retention", "retention_rolling", "paths", "latency")
+
+  def foldOf(s: SparkSession, typ: String, windowMs: Option[Long] = None,
+             period: Option[String] = None,
+             gapMs: Option[Long] = None): ReportFold = {
+    import s.implicits._
+    require(ReportTypes(typ),
+      s"report type must be ${ReportTypes.toSeq.sorted.mkString("|")}, got '$typ'")
+    def no(p: Option[_], name: String): Unit =
+      require(p.isEmpty, s"$name does not apply to report type '$typ'")
+    def funnelEvs(df: DataFrame) =
+      df.select(col("user_id"), col("ts"), col("event_type"))
+        .as[StreamingFunnel.Ev]
+    val notSentinel = (cells: DataFrame) =>
+      cells.filter(col("user_id") =!= SentinelUser)
+    typ match {
+      case "funnel" =>
+        no(period, "period"); no(gapMs, "gap")
+        ReportFold(Seq("step", "step_name"), Seq("users"), Nil,
+          df => StreamingFunnel.funnel(s, funnelEvs(df),
+            windowMs.map(ms => s"${ms}ms")).toDF,
+          _.groupBy("step", "step_name").agg(count(lit(1)).as("users")))
+      case "funnel_deepest" =>
+        no(period, "period"); no(gapMs, "gap")
+        val h = windowMs.getOrElse(throw new IllegalArgumentException(
+          "funnel_deepest requires a window (the search is anchored)"))
+        ReportFold(Seq("step", "step_name"), Seq("users"), Nil,
+          df => StreamingFunnelDeepest.funnel(s,
+            df.select(col("user_id"), col("ts"), col("event_type"))
+              .as[StreamingFunnelDeepest.Ev], s"${h}ms").toDF,
+          _.groupBy("step", "step_name").agg(count(lit(1)).as("users")))
+      case "retention" | "retention_rolling" =>
+        no(windowMs, "window"); no(gapMs, "gap")
+        val evs = (df: DataFrame) =>
+          df.select(col("user_id"), col("ts")).as[StreamingRetention.Ev]
+        val p = period.getOrElse("week")
+        ReportFold(Seq("cohort", "offset"), Seq("users"), Nil,
+          df => (if (typ == "retention") StreamingRetention.cells(s, evs(df), p)
+                 else StreamingRetention.rollingCells(s, evs(df), p)).toDF,
+          cells => notSentinel(cells)
+            .groupBy("cohort", "offset").agg(count(lit(1)).as("users")))
+      case "paths" =>
+        no(windowMs, "window"); no(period, "period")
+        ReportFold(Seq("from_step", "to_step"), Seq("n"), Nil,
+          df => StreamingPaths.pairs(s,
+            df.select(col("user_id"), col("ts"),
+              col("event_id").as("seq"), col("event_type"))
+              .as[StreamingPaths.Ev], gapMs).toDF,
+          cells => notSentinel(cells)
+            .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")))
+      case "latency" =>
+        no(period, "period"); no(gapMs, "gap")
+        import graft.functions.SketchOps
+        val steps = StreamingFunnel.Steps
+        val hops = array(steps.sliding(2).map { case Seq(a, b) =>
+          lit(s"$a->$b") }.toSeq: _*)
+        ReportFold(Seq("hop"), Seq("n_users"), Seq("sk"),
+          df => StreamingFunnel.funnel(s, funnelEvs(df),
+            windowMs.map(ms => s"${ms}ms")).toDF.filter(col("step") > 1),
+          _.withColumn("hop", element_at(hops, col("step") - 1))
+            .groupBy("hop").agg(count(lit(1)).as("n_users"),
+              SketchOps.quantileSketch(col("lat_us"),
+                graft.operators.TextOps.QuantileK).as("sk")))
+    }
+  }
+
   /** Land a frame as ONE parquet file — the "nightly file lands in the
     * bucket" shape a streaming file source consumes. */
-  private def dropFile(df: DataFrame, dir: java.io.File, name: String): Unit = {
+  private[graft] def dropFile(df: DataFrame, dir: java.io.File, name: String): Unit = {
     val stage = new java.io.File(dir.getParentFile,
       s"stage_${dir.getName}_$name")
     df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
@@ -135,44 +219,52 @@ object Maintained {
     }
   }
 
+  /** One maintenance pass: consume whatever NEW files sit in `watched`
+    * (the checkpoint's file ledger decides what is new — a consumed
+    * file is a no-op forever), fold the twin's cells into `store`
+    * exactly-once on the store's batch-tag ledger. The unit the
+    * registered lifecycles run per night and the served ingest
+    * (POST /ingest/report) runs per posted drop. */
+  private[graft] def maintainOnce(s: SparkSession, fold: ReportFold,
+                                  store: PointStore, watched: String,
+                                  ckpt: String): Unit = {
+    val stream = s.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+      .parquet(watched)
+    val q = fold.wire(stream).writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        StreamingPointStore.foldBatch(store, fold.partialOf, b, id))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive one report's whole maintenance lifecycle against the events
     * table: hardlink the staged drops into this query's watched dir
     * cycle by cycle, run the maintenance job once per cycle (a full
     * engine RESTART between — the checkpoint carries the watermark and
     * file ledger, so consumed files are in the ledger before the next
-    * lands), return the maintained store. `wire` maps the streaming
-    * event frame (user_id, ts, event_id, event_type) to the twin's
-    * emitted cells; `partialOf` maps a cell micro-batch to the store's
-    * key grain; `cycles` is the drop schedule — files landing in one
-    * cycle share a batch (a set; within-batch order can't matter),
-    * files in later cycles see the watermark the earlier ones
-    * advanced. */
+    * lands), return the maintained store. `fold` is the report type's
+    * recipe ([[foldOf]]); `cycles` is the drop schedule — files
+    * landing in one cycle share a batch (a set; within-batch order
+    * can't matter), files in later cycles see the watermark the
+    * earlier ones advanced. */
   private def driveMaintained(s: SparkSession, d: String, prefix: String,
-                              keys: Seq[String], sums: Seq[String],
-                              wire: DataFrame => DataFrame,
-                              partialOf: DataFrame => DataFrame,
-                              cycles: Seq[Seq[String]],
-                              quantiles: Seq[String] = Nil): PointStore = {
+                              fold: ReportFold,
+                              cycles: Seq[Seq[String]]): PointStore = {
     val fixture = nightsFixture(s, d)
     val root = graft.operators.DedupIndex.freshRunDir(prefix, d)
     val watched = new java.io.File(root, "drops"); watched.mkdirs()
     val store = new PointStore(s, new java.io.File(root, "report").getPath,
-      keys = keys, sums = sums, maxes = Nil, quantiles = quantiles)
+      keys = fold.keys, sums = fold.sums, maxes = Nil,
+      quantiles = fold.quantiles)
     val ckpt = new java.io.File(root, "ckpt").getPath
     cycles.foreach { names =>
       names.foreach(n => java.nio.file.Files.createLink(
         new java.io.File(watched, s"$n.parquet").toPath,
         new java.io.File(fixture, s"$n.parquet").toPath))
-      val stream = s.readStream
-        .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
-        .parquet(watched.getPath)
-      val q = wire(stream).writeStream
-        .foreachBatch((b: DataFrame, id: Long) =>
-          StreamingPointStore.foldBatch(store, partialOf, b, id))
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      maintainOnce(s, fold, store, watched.getPath, ckpt)
     }
     store
   }
@@ -192,15 +284,8 @@ object Maintained {
   /** `funnel_maintained`: the chained funnel report as a maintained
     * table. Oracle = the one-shot staged-min funnel SQL. */
   def funnelMaintained(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val store = driveMaintained(s, d, "graft_funmaint_",
-      keys = Seq("step", "step_name"), sums = Seq("users"),
-      wire = df => StreamingFunnel.funnel(s,
-        df.select(col("user_id"), col("ts"), col("event_type"))
-          .as[StreamingFunnel.Ev]).toDF,
-      partialOf =
-        _.groupBy("step", "step_name").agg(count(lit(1)).as("users")),
-      cycles = PerNight)
+      foldOf(s, "funnel"), cycles = PerNight)
     funnelReportFrom(s, store)
   }
 
@@ -212,15 +297,9 @@ object Maintained {
     * shape GET /funnel?store= already serves. Oracle = the anchor-
     * grain staged SQL at the registered 1-day horizon. */
   def funnelDeepestMaintained(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val store = driveMaintained(s, d, "graft_deepmaint_",
-      keys = Seq("step", "step_name"), sums = Seq("users"),
-      wire = df => StreamingFunnelDeepest.funnel(s,
-        df.select(col("user_id"), col("ts"), col("event_type"))
-          .as[StreamingFunnelDeepest.Ev],
-        graft.operators.Windows.FunnelHorizon).toDF,
-      partialOf =
-        _.groupBy("step", "step_name").agg(count(lit(1)).as("users")),
+      foldOf(s, "funnel_deepest", windowMs = Some(graft.operators.Windows
+        .parseHorizon(graft.operators.Windows.FunnelHorizon))),
       cycles = Condensed)
     funnelReportFrom(s, store)
   }
@@ -230,15 +309,8 @@ object Maintained {
     * exactly once per (user, offset), so the additive fold IS the
     * matrix). */
   def retentionMaintained(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val store = driveMaintained(s, d, "graft_retmaint_",
-      keys = Seq("cohort", "offset"), sums = Seq("users"),
-      wire = df => StreamingRetention.cells(s,
-        df.select(col("user_id"), col("ts")).as[StreamingRetention.Ev],
-        "week").toDF,
-      partialOf = _.filter(col("user_id") =!= SentinelUser)
-        .groupBy("cohort", "offset").agg(count(lit(1)).as("users")),
-      cycles = Condensed)
+      foldOf(s, "retention", period = Some("week")), cycles = Condensed)
     store.snapshot.select(graft.Tables.tstr(col("cohort")).as("cohort"),
       col("offset"), col("users"))
   }
@@ -254,14 +326,8 @@ object Maintained {
     * it (a store is ONE materialization — the read face is identical).
     * Oracle = the one-shot rolling SQL over the same events. */
   def retentionRollingMaintained(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val store = driveMaintained(s, d, "graft_rollmaint_",
-      keys = Seq("cohort", "offset"), sums = Seq("users"),
-      wire = df => StreamingRetention.rollingCells(s,
-        df.select(col("user_id"), col("ts")).as[StreamingRetention.Ev],
-        "week").toDF,
-      partialOf = _.filter(col("user_id") =!= SentinelUser)
-        .groupBy("cohort", "offset").agg(count(lit(1)).as("users")),
+      foldOf(s, "retention_rolling", period = Some("week")),
       cycles = Condensed)
     store.snapshot.select(graft.Tables.tstr(col("cohort")).as("cohort"),
       col("offset"), col("users"))
@@ -272,16 +338,8 @@ object Maintained {
     * once per adjacency; the µs state grain makes the stream's
     * (ts, event_id) ordering identical to the batch window's). */
   def pathsMaintained(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val store = driveMaintained(s, d, "graft_pathmaint_",
-      keys = Seq("from_step", "to_step"), sums = Seq("n"),
-      wire = df => StreamingPaths.pairs(s,
-        df.select(col("user_id"), col("ts"),
-          col("event_id").as("seq"), col("event_type"))
-          .as[StreamingPaths.Ev]).toDF,
-      partialOf = _.filter(col("user_id") =!= SentinelUser)
-        .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")),
-      cycles = Condensed)
+      foldOf(s, "paths"), cycles = Condensed)
     store.snapshot.select(col("from_step"), col("to_step"), col("n"))
   }
 
@@ -295,16 +353,8 @@ object Maintained {
     * one it holds is the lifecycle's configuration). Oracle = the
     * one-shot sessionized lead-window SQL. */
   def pathsSessionizedMaintained(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val store = driveMaintained(s, d, "graft_spathmaint_",
-      keys = Seq("from_step", "to_step"), sums = Seq("n"),
-      wire = df => StreamingPaths.pairs(s,
-        df.select(col("user_id"), col("ts"),
-          col("event_id").as("seq"), col("event_type"))
-          .as[StreamingPaths.Ev], gapMs = Some(1800000L)).toDF,
-      partialOf = _.filter(col("user_id") =!= SentinelUser)
-        .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")),
-      cycles = Condensed)
+      foldOf(s, "paths", gapMs = Some(1800000L)), cycles = Condensed)
     store.snapshot.select(col("from_step"), col("to_step"), col("n"))
   }
 
@@ -319,21 +369,9 @@ object Maintained {
     * hash-matches — the quantiles_by_lang convention applied to the
     * funnel's time-to-convert. */
   def latencyMaintained(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     import graft.functions.SketchOps
-    val steps = StreamingFunnel.Steps
-    val hops = array(steps.sliding(2).map { case Seq(a, b) =>
-      lit(s"$a->$b") }.toSeq: _*)
     val store = driveMaintained(s, d, "graft_latmaint_",
-      keys = Seq("hop"), sums = Seq("n_users"),
-      wire = df => StreamingFunnel.funnel(s,
-        df.select(col("user_id"), col("ts"), col("event_type"))
-          .as[StreamingFunnel.Ev]).toDF.filter(col("step") > 1),
-      partialOf = _.withColumn("hop", element_at(hops, col("step") - 1))
-        .groupBy("hop").agg(count(lit(1)).as("n_users"),
-          SketchOps.quantileSketch(col("lat_us"),
-            graft.operators.TextOps.QuantileK).as("sk")),
-      cycles = Condensed, quantiles = Seq("sk"))
+      foldOf(s, "latency"), cycles = Condensed)
     store.snapshot.select(col("hop") +: col("n_users") +:
       graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
         SketchOps.quantileAt(col("sk"), q).as(n) }: _*)

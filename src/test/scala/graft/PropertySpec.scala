@@ -333,6 +333,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rolling retention: the streaming frontier twin agrees with " +
+      "in-memory brute force on random streams under random arrival " +
+      "chunking and watermark progression") {
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.{Ev, RollState}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // (user, minute over a 6-day domain): gappy activity so the
+    // frontier genuinely jumps over inactive days
+    val evGen = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 6L * 1440L))
+    for (seed <- 1L to 8L) {
+      val evs = sample(Gen.listOfN(50, evGen), seed)
+      val states = scala.collection.mutable.Map.empty[Long, RollState]
+      val cells = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      // random chunking makes some events genuinely LATE — the engine
+      // drops those, so the reference is brute force over the ADMITTED
+      // subset (the deepest-twin sweep's contract)
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def runBatch(batch: Seq[(Long, Long)], wmMs: Long): Unit = {
+        val admissible = batch.filter(_._2 * 60000L >= wmMs)
+        admitted ++= admissible
+        val byUser = admissible.groupBy(_._1)
+        (byUser.keySet ++ states.keySet).foreach { u =>
+          val s = TestGroupState.create[RollState](
+            states.get(u).map(Optional.of[RollState]).getOrElse(Optional.empty()),
+            GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(wmMs), false)
+          val it = byUser.getOrElse(u, Nil)
+            .map { case (_, m) => Ev(u, new java.sql.Timestamp(m * 60000L)) }
+            .iterator
+          StreamingRetention.stepRolling("day")(u, it, s)
+            .foreach(c => cells += ((c.user_id, c.cohort.getTime, c.offset)))
+          if (s.isRemoved) states.remove(u)
+          else if (s.isUpdated) states(u) = s.get
+        }
+      }
+      val chunks = (0 until 3).map(c =>
+        evs.zipWithIndex.filter(t => (t._2 + seed) % 3 == c).map(_._1))
+      var maxMs = 0L; var wm = 0L
+      chunks.foreach { chunk =>
+        runBatch(chunk, wm)
+        if (chunk.nonEmpty)
+          maxMs = math.max(maxMs, chunk.map(_._2).max * 60000L)
+        wm = math.max(0L, maxMs - 30 * 60000L) // 30 min delay, 6 day domain
+      }
+      runBatch(Nil, Long.MaxValue)
+      assert(cells.size == cells.distinct.size,
+        s"duplicate rolling cells seed $seed")
+      def dayOf(ms: Long) = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC).toEpochDay
+      val expected = admitted.toSeq.groupBy(_._1).view.mapValues { es =>
+        val ms = es.map(_._2 * 60000L)
+        val cd = dayOf(ms.min)
+        (cd, ms.map(m => (dayOf(m) - cd).toInt).max)
+      }.toMap.flatMap { case (u, (cd, mx)) =>
+        (0 to mx).map(k => (u, java.time.LocalDate.ofEpochDay(cd)
+          .atStartOfDay.toInstant(java.time.ZoneOffset.UTC).toEpochMilli, k))
+      }.toSet
+      assert(cells.toSet == expected,
+        s"seed $seed: got ${cells.toSet} want $expected")
+    }
+  }
+
   test("path transitions (raw and gap-bounded) agree with the in-memory " +
       "fold on random streams with duplicate timestamps") {
     import spark.implicits._

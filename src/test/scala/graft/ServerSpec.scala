@@ -1020,6 +1020,179 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /ingest/report folds nightly event drops into maintained " +
+      "report stores over the wire — exactly-once on the tag, config " +
+      "pinned at first ingest, lease-owned, served report ≡ the batch " +
+      "answer") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wingest").toString
+    var srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      def port = srv.boundPort
+      // the nightly drops: the events table in time tertiles (the
+      // registered lifecycles' cadence), posted as JSON event rows
+      val ev = Tables.events(spark, sf)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_id").cast("long").as("event_id"), col("event_type"))
+      val b = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts"))), max(col("ts"))).head
+      val (mnUs, spanUs) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+      val maxTs = b.getTimestamp(2)
+      val night = least(
+        floor((unix_micros(col("ts")) - mnUs) * 3.0 / spanUs), lit(2L))
+      // serialize at µs precision: Spark's default JSON timestamp
+      // format is ms-grain and would silently truncate the events
+      // table's µs grain — the latency store's percentiles prove the
+      // precision survives the wire end to end
+      def jsonOf(df: org.apache.spark.sql.DataFrame): String =
+        df.select(to_json(struct(col("user_id"), col("ts"),
+            col("event_id"), col("event_type")),
+          Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
+          .as[String].collect().mkString("\n")
+      def drop(i: Int): String = jsonOf(ev.filter(night === i))
+      def sentinel(plusDays: Int): String = jsonOf(Seq((-1L,
+          new java.sql.Timestamp(maxTs.getTime + plusDays * 86400000L),
+          0L, "_watermark"))
+        .toDF("user_id", "ts", "event_id", "event_type"))
+
+      // guardrails: type required + validated, inapplicable params and
+      // the deepest twin's missing window refused, strict body
+      assert(post(port, "/ingest/report?store=wfun&tag=n0", drop(0))._1 == 400)
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n0&type=nope", drop(0))._1 == 400)
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n0&type=funnel&period=week",
+        drop(0))._1 == 400)
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n0&type=funnel&gap=30m",
+        drop(0))._1 == 400)
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n0&type=funnel_deepest",
+        drop(0))._1 == 400)
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n0&type=funnel&window=bogus",
+        drop(0))._1 == 400)
+      assert(post(port, "/ingest/report?store=wfun&tag=n0&type=funnel",
+        """{"user_id":1,"nope":2}""")._1 == 400)
+      assert(post(port, "/ingest/report?store=wfun&tag=n0&type=funnel",
+        """{"user_id":1,"ts":"not a time"}""")._1 == 400)
+      assert(post(port, "/ingest/report?store=wfun&tag=n0&type=funnel",
+        "")._1 == 400)
+
+      // the funnel lifecycle over the wire: three nights + the two
+      // watermark sentinels, each post one maintenance pass
+      val (c0, b0) = post(port,
+        "/ingest/report?store=wfun&tag=n0&type=funnel", drop(0))
+      assert(c0 == 200 && b0.contains("\"landed\":true") &&
+        b0.contains("\"committed\":true"), b0)
+      // a redelivered tag is a no-op at both grains
+      val (cr, br) = post(port,
+        "/ingest/report?store=wfun&tag=n0&type=funnel", drop(0))
+      assert(cr == 200 && br.contains("\"landed\":false") &&
+        br.contains("\"committed\":false"), br)
+      // the store is ONE materialization: a different configuration
+      // (or type) for the same store is refused
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n1&type=funnel&window=30m",
+        drop(1))._1 == 400)
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n1&type=retention",
+        drop(1))._1 == 400)
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n1&type=funnel", drop(1))._1 == 200)
+      // the maintenance state is ALL on disk (watermark + file ledger in
+      // _stream/ckpt, tag ledgers in the store manifest, config in
+      // _stream/CONFIG): a brand-new server process continues the same
+      // store exactly where the last one stopped
+      srv.stop()
+      srv = new QueryServer(spark, sf, storeRoot = Some(root))
+      srv.start()
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n2&type=funnel", drop(2))._1 == 200)
+      // the redelivery ledger survives the restart too
+      val (cr2, br2) = post(port,
+        "/ingest/report?store=wfun&tag=n0&type=funnel", drop(0))
+      assert(cr2 == 200 && br2.contains("\"landed\":false") &&
+        br2.contains("\"committed\":false"), br2)
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=s1&type=funnel", sentinel(2))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=s2&type=funnel", sentinel(4))._1 == 200)
+      // the served report ≡ the one-shot batch funnel over the same events
+      val (fc, fbody) = this.get(port, "/funnel?store=wfun")
+      val expected = graft.operators.Windows.eventsFunnel(spark, sf)
+        .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      assert(fc == 200 && fbody == expected,
+        s"served=$fbody\nexpected=$expected")
+
+      // a second store, retention with the period pinned at first ingest
+      assert(post(port,
+        "/ingest/report?store=wret&tag=n0&type=retention&period=week",
+        Seq(drop(0), drop(1), drop(2)).mkString("\n"))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wret&tag=n1&type=retention&period=day",
+        sentinel(2))._1 == 400) // period mismatch vs the pinned config
+      assert(post(port,
+        "/ingest/report?store=wret&tag=n1&type=retention&period=week",
+        sentinel(2))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wret&tag=n2&type=retention&period=week",
+        sentinel(4))._1 == 200)
+      val (rc, rbody) = this.get(port, "/retention?store=wret")
+      val rexpected = graft.operators.Windows
+        .retentionOf(ev, "week").orderBy(col("cohort"), col("offset"))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(rc == 200 && rbody == rexpected,
+        s"served=$rbody\nexpected=$rexpected")
+
+      // /stores surfaces the pinned fold config of wire-maintained
+      // reports (dashboards discover them without probing shapes)
+      val (dc, dbody) = this.get(port, "/stores")
+      assert(dc == 200 && dbody.contains(""""name":"wfun","kind":"point"""")
+        && dbody.contains(""""maintained":"type=funnel""""), dbody)
+
+      // a quantile-sketch store type over the wire: latency creates
+      // its (hop)/n_users+sk store at first ingest and GET
+      // /latency?store= serves the maintained percentiles ≡ the
+      // one-shot batch distributions
+      assert(post(port,
+        "/ingest/report?store=wlat&tag=n0&type=latency",
+        Seq(drop(0), drop(1), drop(2)).mkString("\n"))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wlat&tag=s1&type=latency", sentinel(2))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wlat&tag=s2&type=latency", sentinel(4))._1 == 200)
+      val (qc, qbody) = this.get(port, "/latency?store=wlat")
+      val qexpected = graft.operators.Windows.funnelLatency(spark, sf)
+        .orderBy(col("hop")).toJSON.collect().mkString("[", ",", "]")
+      assert(qc == 200 && qbody == qexpected,
+        s"served=$qbody\nexpected=$qexpected")
+
+      // a store materialized by a LIBRARY lifecycle (manifest, no
+      // ingest config) is refused: a fresh checkpoint over it would
+      // double-count its nights
+      val libStore = new graft.sources.PointStore(spark, s"$root/libfun",
+        keys = Seq("step", "step_name"), sums = Seq("users"), maxes = Nil)
+      libStore.appendTagged("b0",
+        Seq((1, "view", 4L)).toDF("step", "step_name", "users"))
+      val (lc0, lb0) = post(port,
+        "/ingest/report?store=libfun&tag=n0&type=funnel", drop(0))
+      assert(lc0 == 409 && lb0.contains("library lifecycle"), lb0)
+
+      // a live foreign ingester holds the maintenance stream → 409
+      val sfs = graft.sources.StoreFs(spark, s"$root/wfun/_stream")
+      sfs.atomicWrite(graft.sources.StoreFs.LeaseName,
+        s"otherhost:7:live\n${System.currentTimeMillis()}".getBytes)
+      val (hc, hb) = post(port,
+        "/ingest/report?store=wfun&tag=n3&type=funnel", sentinel(6))
+      assert(hc == 409 && hb.contains("otherhost:7:live"), hb)
+      sfs.breakWriterLease()
+    } finally srv.stop()
+  }
+
   test("POST /poll/drift drives the push-shaped alerter over a real " +
       "socket: baseline, window drift ≡ library, redelivered no-op, " +
       "lease 409 naming the holder, fell-behind 409 + resync") {
