@@ -1792,6 +1792,15 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           val gap = param(ex, "gap").map(p =>
             scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
           val per = param(ex, "period")
+          // &steps= maintains a CUSTOM funnel path (the /funnel read
+          // face's validation; the custom-path read discipline already
+          // serves such a store's rows alone)
+          val steps = param(ex, "steps").map { p =>
+            val parts = p.split(",", -1).toSeq
+            if (parts.isEmpty || parts.exists(!_.matches("[A-Za-z0-9_-]+")) ||
+                parts.distinct.size != parts.size) None
+            else Some(parts)
+          }
           if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"store not under the store root"}""")
           else if (!tag.matches("[A-Za-z0-9._-]+"))
@@ -1810,17 +1819,22 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
           else if (per.exists(p => !Set("day", "week", "month")(p)))
             respond(ex, 400, """{"error":"period must be day|week|month"}""")
+          else if (steps.contains(None))
+            respond(ex, 400, """{"error":"steps must be distinct plain """ +
+              """names (steps=view,click,purchase)"}""")
           else try {
             import org.apache.spark.sql.functions.col
             // inapplicable params / missing deepest window refuse here
             val fold = graft.streaming.Maintained.foldOf(spark, typ.get,
-              windowMs = win.flatten, period = per, gapMs = gap.flatten)
+              windowMs = win.flatten, period = per, gapMs = gap.flatten,
+              steps = steps.flatten)
             // the canonical configuration: durations normalized to ms,
             // so "30m" and "1800s" pin the same materialization
             val config = s"type=${typ.get}" +
               win.flatten.fold("")(ms => s";window_ms=$ms") +
               per.fold("")(p => s";period=$p") +
-              gap.flatten.fold("")(ms => s";gap_ms=$ms")
+              gap.flatten.fold("")(ms => s";gap_ms=$ms") +
+              steps.flatten.fold("")(p => s";steps=${p.mkString(",")}")
             val sdir = new java.io.File(dir, "_stream")
             val cfgFile = new java.io.File(sdir, "CONFIG")
             val manifest = new java.io.File(dir, "_MANIFEST")

@@ -72,12 +72,21 @@ object Maintained {
 
   def foldOf(s: SparkSession, typ: String, windowMs: Option[Long] = None,
              period: Option[String] = None,
-             gapMs: Option[Long] = None): ReportFold = {
+             gapMs: Option[Long] = None,
+             steps: Option[Seq[String]] = None): ReportFold = {
     import s.implicits._
     require(ReportTypes(typ),
       s"report type must be ${ReportTypes.toSeq.sorted.mkString("|")}, got '$typ'")
     def no(p: Option[_], name: String): Unit =
       require(p.isEmpty, s"$name does not apply to report type '$typ'")
+    // the funnel family's ordered path is a parameter exactly as on
+    // the batch/read faces (an analyst's custom path is configuration,
+    // not a redeploy) — and the custom-path read discipline
+    // (funnelReportFrom serves a custom store's rows alone) already
+    // matches on the way out
+    val path = steps.getOrElse(StreamingFunnel.Steps)
+    require(path.nonEmpty && path.distinct.size == path.size,
+      s"steps must be non-empty and distinct, got $path")
     def funnelEvs(df: DataFrame) =
       df.select(col("user_id"), col("ts"), col("event_type"))
         .as[StreamingFunnel.Ev]
@@ -88,7 +97,7 @@ object Maintained {
         no(period, "period"); no(gapMs, "gap")
         ReportFold(Seq("step", "step_name"), Seq("users"), Nil,
           df => StreamingFunnel.funnel(s, funnelEvs(df),
-            windowMs.map(ms => s"${ms}ms")).toDF,
+            windowMs.map(ms => s"${ms}ms"), path).toDF,
           _.groupBy("step", "step_name").agg(count(lit(1)).as("users")))
       case "funnel_deepest" =>
         no(period, "period"); no(gapMs, "gap")
@@ -97,10 +106,10 @@ object Maintained {
         ReportFold(Seq("step", "step_name"), Seq("users"), Nil,
           df => StreamingFunnelDeepest.funnel(s,
             df.select(col("user_id"), col("ts"), col("event_type"))
-              .as[StreamingFunnelDeepest.Ev], s"${h}ms").toDF,
+              .as[StreamingFunnelDeepest.Ev], s"${h}ms", path).toDF,
           _.groupBy("step", "step_name").agg(count(lit(1)).as("users")))
       case "retention" | "retention_rolling" =>
-        no(windowMs, "window"); no(gapMs, "gap")
+        no(steps, "steps"); no(windowMs, "window"); no(gapMs, "gap")
         val evs = (df: DataFrame) =>
           df.select(col("user_id"), col("ts")).as[StreamingRetention.Ev]
         val p = period.getOrElse("week")
@@ -110,7 +119,7 @@ object Maintained {
           cells => notSentinel(cells)
             .groupBy("cohort", "offset").agg(count(lit(1)).as("users")))
       case "paths" =>
-        no(windowMs, "window"); no(period, "period")
+        no(steps, "steps"); no(windowMs, "window"); no(period, "period")
         ReportFold(Seq("from_step", "to_step"), Seq("n"), Nil,
           df => StreamingPaths.pairs(s,
             df.select(col("user_id"), col("ts"),
@@ -121,12 +130,13 @@ object Maintained {
       case "latency" =>
         no(period, "period"); no(gapMs, "gap")
         import graft.functions.SketchOps
-        val steps = StreamingFunnel.Steps
-        val hops = array(steps.sliding(2).map { case Seq(a, b) =>
+        require(path.size >= 2,
+          s"latency needs at least two steps (a hop), got $path")
+        val hops = array(path.sliding(2).map { case Seq(a, b) =>
           lit(s"$a->$b") }.toSeq: _*)
         ReportFold(Seq("hop"), Seq("n_users"), Seq("sk"),
           df => StreamingFunnel.funnel(s, funnelEvs(df),
-            windowMs.map(ms => s"${ms}ms")).toDF.filter(col("step") > 1),
+            windowMs.map(ms => s"${ms}ms"), path).toDF.filter(col("step") > 1),
           _.withColumn("hop", element_at(hops, col("step") - 1))
             .groupBy("hop").agg(count(lit(1)).as("n_users"),
               SketchOps.quantileSketch(col("lat_us"),

@@ -67,7 +67,8 @@ object StreamingFunnel {
     * inside the reach's millisecond. */
   final case class FunnelState(fin: Seq[Long], buf: Seq[(Long, Int)])
 
-  def step(horizonMs: Option[Long])(userId: Long, events: Iterator[Ev],
+  def step(horizonMs: Option[Long], steps: Seq[String] = Steps)(
+           userId: Long, events: Iterator[Ev],
            state: GroupState[FunnelState]): Iterator[Reach] = {
     // batch execution has no watermark node: every event is final
     val wm = try state.getCurrentWatermarkMs() catch {
@@ -75,9 +76,9 @@ object StreamingFunnel {
     }
     val wmUs = EventTime.msToUsSat(wm)
     val hUs = horizonMs.map(EventTime.msToUsSat)
-    val stepIdx = Steps.zipWithIndex.toMap
+    val stepIdx = steps.zipWithIndex.toMap
     val prior = state.getOption
-      .getOrElse(FunnelState(Seq.fill(Steps.size)(-1L), Nil))
+      .getOrElse(FunnelState(Seq.fill(steps.size)(-1L), Nil))
     val fin = prior.fin.toArray
     // the chained law for step i at time t, against CURRENT reaches:
     // step 1 is unbounded below; step i+1 needs t strictly after — and
@@ -102,7 +103,7 @@ object StreamingFunnel {
     ready.sorted.foreach { case (t, i) =>
       if (folds(t, i)) {
         fin(i) = t
-        emitted += Reach(userId, i + 1, Steps(i), EventTime.tsOfUs(t),
+        emitted += Reach(userId, i + 1, steps(i), EventTime.tsOfUs(t),
           if (i == 0) -1L else t - fin(i - 1))
       }
     }
@@ -133,15 +134,21 @@ object StreamingFunnel {
   /** Wire the stateful fold over a (streaming or batch) event Dataset.
     * `horizon` is the compact-duration conversion window shared with
     * the batch operator (`"30m"`, `"1d"` —
-    * [[graft.operators.Windows.parseHorizon]]); None = unbounded. */
+    * [[graft.operators.Windows.parseHorizon]]); None = unbounded.
+    * `steps` is the ordered path (default = the registered one — an
+    * analyst's custom path is a parameter here exactly as it is on
+    * the batch faces). */
   def funnel(s: SparkSession, events: Dataset[Ev],
-             horizon: Option[String] = None): Dataset[Reach] = {
+             horizon: Option[String] = None,
+             steps: Seq[String] = Steps): Dataset[Reach] = {
     import s.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct, got $steps")
     val h = horizon.map(graft.operators.Windows.parseHorizon)
     events
       .withWatermark("ts", "1 minute")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(h))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(h, steps))
   }
 }

@@ -1148,6 +1148,35 @@ class ServerSpec extends SparkSpec {
       assert(rc == 200 && rbody == rexpected,
         s"served=$rbody\nexpected=$rexpected")
 
+      // a CUSTOM funnel path maintained over the wire — &steps= pins
+      // into the config, the read face serves the custom rows alone
+      // (no default zero interleave), served ≡ the ad-hoc batch funnel
+      assert(post(port,
+        "/ingest/report?store=wcust&tag=n0&type=funnel&steps=signup,purchase",
+        Seq(drop(0), drop(1), drop(2)).mkString("\n"))._1 == 200)
+      assert(post(port, // the path IS the materialization: reorder → 400
+        "/ingest/report?store=wcust&tag=n1&type=funnel&steps=purchase,signup",
+        sentinel(2))._1 == 400)
+      assert(post(port,
+        "/ingest/report?store=wcust&tag=n1&type=funnel&steps=signup,purchase",
+        sentinel(2))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wcust&tag=n2&type=funnel&steps=signup,purchase",
+        sentinel(4))._1 == 200)
+      val (cc2, cbody) = this.get(port, "/funnel?store=wcust")
+      val cexpected = graft.operators.Windows
+        .funnelOf(ev, Seq("signup", "purchase"), None)
+        .zip(Seq("signup", "purchase")).zipWithIndex.map {
+          case ((df, n), i) => df.agg(count(lit(1)).as("users"))
+            .select(lit(i + 1).cast("int").as("step"),
+              lit(n).as("step_name"), col("users")) }
+        .reduce(_ unionByName _)
+        .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      assert(cc2 == 200 && cbody == cexpected,
+        s"served=$cbody\nexpected=$cexpected")
+      assert(!cbody.contains("view"),
+        "a custom-path store must not interleave default zero rows: " + cbody)
+
       // /stores surfaces the pinned fold config of wire-maintained
       // reports (dashboards discover them without probing shapes)
       val (dc, dbody) = this.get(port, "/stores")
