@@ -33,7 +33,8 @@ object SparkEntry {
     "perplexity_incremental", "perplexity_trigram_incremental",
     "funnel_maintained", "retention_maintained", "paths_maintained",
     "latency_maintained", "funnel_deepest_maintained",
-    "retention_rolling_maintained", "paths_sessionized_maintained")
+    "retention_rolling_maintained", "paths_sessionized_maintained",
+    "report_takedown")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -115,6 +116,7 @@ object SparkEntry {
     "funnel_deepest_maintained" -> (graft.streaming.Maintained.funnelDeepestMaintained _),
     "retention_rolling_maintained" -> (graft.streaming.Maintained.retentionRollingMaintained _),
     "paths_sessionized_maintained" -> (graft.streaming.Maintained.pathsSessionizedMaintained _),
+    "report_takedown" -> (graft.streaming.Maintained.reportTakedown _),
     "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
     "trending_by_lang" -> (TextOps.trendingByLang _),
@@ -245,6 +247,7 @@ object SparkEntry {
     "funnel_deepest_maintained" -> Windows.eventsFunnelDeepestOracle,
     "retention_rolling_maintained" -> Windows.eventsRetentionRollingOracle,
     "paths_sessionized_maintained" -> Windows.eventsPathsSessionizedOracle,
+    "report_takedown" -> graft.streaming.Maintained.reportTakedownOracle,
     "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,
     "trending_by_lang" -> TextOps.trendingByLangOracle,

@@ -212,6 +212,22 @@ import java.nio.charset.StandardCharsets
   *                                      committed=false — exactly-once
   *                                      on the store's ledger, zero
   *                                      server state.
+  *   POST /takedown/report?store=<name>&tag=<reqid>
+  *                                   → user-grain takedown for a WIRE-
+  *                                      maintained analytics store.
+  *                                      Body = JSON rows of {user_id};
+  *                                      the roster's rows purge
+  *                                      PHYSICALLY from the retained
+  *                                      _stream/drops files, the report
+  *                                      re-derives from the purged
+  *                                      drops and commits in one atomic
+  *                                      flip, and every later
+  *                                      /ingest/report filters the
+  *                                      cumulative roster (forward
+  *                                      opt-out). Library-maintained
+  *                                      stores 409 with the remedy
+  *                                      named. Exactly-once on the
+  *                                      _stream/takedowns ledger.
   *   GET /assemble[?sf=DIR&seed=S&budget=N&epochs=en:2.3,de:1.5
   *                 &default=W&limit=N]
   *                                   → the training-mix assembly
@@ -468,13 +484,22 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         // &store=NAME serves the MAINTAINED funnel report (the
         // StreamingFunnel→PointStore chain) instead of re-scanning
         // events — O(store) per read; the store IS one materialized
-        // configuration, so the compute parameters are refused with it
+        // configuration, so the compute parameters are refused with it.
+        // &version=V time-travels the store (snapshotAt — the report
+        // as of an earlier fold); a vacuumed-past ask is a 400, which
+        // is also the compliance posture: a takedown's rebuild advances
+        // the vacuum horizon, so time travel cannot resurrect a purged
+        // user.
         val storeName = param(ex, "store")
+        val ver = param(ex, "version")
+          .map(p => scala.util.Try(p.toLong).toOption)
         if (steps.contains(None))
           respond(ex, 400, """{"error":"steps must be distinct plain """ +
             """names (steps=view,click,purchase)"}""")
         else if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else if (ver.contains(None))
+          respond(ex, 400, """{"error":"version must be an integer"}""")
         else if (win.contains(None))
           respond(ex, 400,
             """{"error":"window must be <n><ms|s|m|h|d>, e.g. 30m"}""")
@@ -486,6 +511,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               param(ex, "mode").isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
             """materialization — steps/window/gap/mode/sf don't apply"}""")
+        else if (ver.isDefined && storeName.isEmpty)
+          respond(ex, 400, """{"error":"version= applies to store= """ +
+            """reads (a maintained store's time travel)"}""")
         else if (storeName.isDefined) (storeRoot, storeName) match {
           case (None, _) =>
             respond(ex, 404, """{"error":"server started without a store root"}""")
@@ -494,8 +522,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               case Left((code, body)) => respond(ex, code, body)
               case Right(store) =>
                 import org.apache.spark.sql.functions.col
-                val report = graft.streaming.Maintained
-                  .funnelReportFrom(spark, store)
+                val report = graft.streaming.Maintained.funnelReportFrom(
+                  spark, ver.flatten.fold(store.snapshot)(store.snapshotAt))
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
                 respond(ex, 200, report.orderBy(col("step")).limit(limit)
                   .toJSON.collect().mkString("[", ",", "]"))
@@ -551,8 +579,14 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             respond(ex, 200, report.orderBy(col("step")).limit(limit)
               .toJSON.collect().mkString("[", ",", "]"))
         }
-      } catch { case e: Throwable =>
-        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      } catch {
+        case e: IllegalArgumentException =>
+          // future / vacuumed-past version asks are caller errors
+          respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+            .getOrElse("bad request").takeWhile(_ != '\n')
+            .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
     })
     // the transition matrix served: GET /paths[?gap=30m&sf=..&limit=N]
@@ -565,8 +599,12 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val gap = param(ex, "gap").map(p =>
           scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
         val storeName = param(ex, "store")
+        val ver = param(ex, "version")
+          .map(p => scala.util.Try(p.toLong).toOption)
         if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else if (ver.contains(None))
+          respond(ex, 400, """{"error":"version must be an integer"}""")
         else if (gap.contains(None))
           respond(ex, 400,
             """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
@@ -574,6 +612,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             (gap.isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
             """materialization — gap/sf don't apply"}""")
+        else if (ver.isDefined && storeName.isEmpty)
+          respond(ex, 400, """{"error":"version= applies to store= """ +
+            """reads (a maintained store's time travel)"}""")
         else if (storeName.isDefined) (storeRoot, storeName) match {
           // the maintained matrix: StreamingPaths pairs folded into a
           // (from_step, to_step)/n PointStore — the read is O(types²)
@@ -586,7 +627,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               case Right(store) =>
                 import org.apache.spark.sql.functions.col
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-                respond(ex, 200, store.snapshot
+                respond(ex, 200,
+                  ver.flatten.fold(store.snapshot)(store.snapshotAt)
                   .select(col("from_step"), col("to_step"), col("n"))
                   .orderBy(col("from_step"), col("to_step")).limit(limit)
                   .toJSON.collect().mkString("[", ",", "]"))
@@ -605,8 +647,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               matrix.orderBy(col("from_step"), col("to_step")).limit(limit)
                 .toJSON.collect().mkString("[", ",", "]"))
         }
-      } catch { case e: Throwable =>
-        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+            .getOrElse("bad request").takeWhile(_ != '\n')
+            .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
     })
     // the parameterized retention matrix: GET /retention?period=week
@@ -622,17 +669,24 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val lim = param(ex, "limit")
           .map(p => scala.util.Try(p.toInt).toOption)
         val storeName = param(ex, "store")
+        val ver = param(ex, "version")
+          .map(p => scala.util.Try(p.toLong).toOption)
         if (!Set("day", "week", "month")(period))
           respond(ex, 400, """{"error":"period must be day|week|month"}""")
         else if (!Set("classic", "rolling")(mode))
           respond(ex, 400, """{"error":"mode must be classic|rolling"}""")
         else if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else if (ver.contains(None))
+          respond(ex, 400, """{"error":"version must be an integer"}""")
         else if (storeName.isDefined &&
             (param(ex, "period").isDefined || param(ex, "mode").isDefined ||
               param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
             """materialization — period/mode/sf don't apply"}""")
+        else if (ver.isDefined && storeName.isEmpty)
+          respond(ex, 400, """{"error":"version= applies to store= """ +
+            """reads (a maintained store's time travel)"}""")
         else if (storeName.isDefined) (storeRoot, storeName) match {
           // the maintained cohort matrix: StreamingRetention cells
           // folded into a (cohort, offset)/users PointStore — the read
@@ -646,7 +700,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               case Right(store) =>
                 import org.apache.spark.sql.functions.col
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-                respond(ex, 200, store.snapshot
+                respond(ex, 200,
+                  ver.flatten.fold(store.snapshot)(store.snapshotAt)
                   .select(graft.Tables.tstr(col("cohort")).as("cohort"),
                     col("offset"), col("users"))
                   .orderBy(col("cohort"), col("offset")).limit(limit)
@@ -669,8 +724,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               matrix.orderBy(col("cohort"), col("offset")).limit(limit)
                 .toJSON.collect().mkString("[", ",", "]"))
         }
-      } catch { case e: Throwable =>
-        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+            .getOrElse("bad request").takeWhile(_ != '\n')
+            .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
     })
     // the absolute-profile read: GET /profile?store=<profile store>
@@ -781,11 +841,18 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val lim = param(ex, "limit")
           .map(p => scala.util.Try(p.toInt).toOption)
         val storeName = param(ex, "store")
+        val ver = param(ex, "version")
+          .map(p => scala.util.Try(p.toLong).toOption)
         if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else if (ver.contains(None))
+          respond(ex, 400, """{"error":"version must be an integer"}""")
         else if (storeName.isDefined && param(ex, "sf").isDefined)
           respond(ex, 400, """{"error":"store= serves one maintained """ +
             """materialization — sf doesn't apply"}""")
+        else if (ver.isDefined && storeName.isEmpty)
+          respond(ex, 400, """{"error":"version= applies to store= """ +
+            """reads (a maintained store's time travel)"}""")
         else if (storeName.isDefined) (storeRoot, storeName) match {
           case (None, _) =>
             respond(ex, 404, """{"error":"server started without a store root"}""")
@@ -796,7 +863,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                 import org.apache.spark.sql.functions.col
                 import graft.functions.SketchOps
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-                respond(ex, 200, store.snapshot
+                respond(ex, 200,
+                  ver.flatten.fold(store.snapshot)(store.snapshotAt)
                   .select(col("hop") +: col("n_users") +:
                     graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
                       SketchOps.quantileAt(col("sk"), q).as(n) }: _*)
@@ -815,8 +883,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               .orderBy(col("hop")).limit(limit)
               .toJSON.collect().mkString("[", ",", "]"))
         }
-      } catch { case e: Throwable =>
-        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+            .getOrElse("bad request").takeWhile(_ != '\n')
+            .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
     })
     // push-shaped drift alerting over the wire: POST /poll/drift
@@ -1825,16 +1898,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           else try {
             import org.apache.spark.sql.functions.col
             // inapplicable params / missing deepest window refuse here
-            val fold = graft.streaming.Maintained.foldOf(spark, typ.get,
+            graft.streaming.Maintained.foldOf(spark, typ.get,
               windowMs = win.flatten, period = per, gapMs = gap.flatten,
               steps = steps.flatten)
             // the canonical configuration: durations normalized to ms,
             // so "30m" and "1800s" pin the same materialization
-            val config = s"type=${typ.get}" +
-              win.flatten.fold("")(ms => s";window_ms=$ms") +
-              per.fold("")(p => s";period=$p") +
-              gap.flatten.fold("")(ms => s";gap_ms=$ms") +
-              steps.flatten.fold("")(p => s";steps=${p.mkString(",")}")
+            val config = graft.streaming.Maintained.configOf(typ.get,
+              win.flatten, per, gap.flatten, steps.flatten)
             val sdir = new java.io.File(dir, "_stream")
             val cfgFile = new java.io.File(sdir, "CONFIG")
             val manifest = new java.io.File(dir, "_MANIFEST")
@@ -1904,50 +1974,21 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                           """{"error":"body must be JSON event rows with """ +
                             """non-null user_id and an ISO8601/SQL ts """ +
                             """(fractional seconds preserved to µs)"}""")
-                      else
-                        // own the MAINTENANCE stream (_stream: drops +
-                        // checkpoint + config) for the whole call — two
-                        // engines on one checkpoint is the corruption
-                        // no ledger can undo. The store's own writer
-                        // lease is NOT held here: appendTagged acquires
-                        // it per batch commit on the STREAMING thread,
-                        // and the lease's reentrancy is per-thread — a
-                        // cross-thread hold would deadlock the fold.
-                        graft.sources.StoreFs(spark,
-                            new java.io.File(dir, "_stream").getPath)
-                            .withWriterLease() {
-                          val store =
-                            if (manifest.exists)
-                              graft.sources.PointStore.open(spark, dir.getPath)
-                            else new graft.sources.PointStore(spark,
-                              dir.getPath, keys = fold.keys,
-                              sums = fold.sums, maxes = Nil,
-                              quantiles = fold.quantiles)
-                          val drops = new java.io.File(sdir, "drops")
-                          drops.mkdirs()
-                          if (!cfgFile.exists) {
-                            val tmp = new java.io.File(sdir, "CONFIG.tmp")
-                            java.nio.file.Files.write(tmp.toPath,
-                              config.getBytes(StandardCharsets.UTF_8))
-                            java.nio.file.Files.move(tmp.toPath,
-                              cfgFile.toPath,
-                              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                          }
-                          val landed =
-                            !new java.io.File(drops, s"$tag.parquet").exists
-                          if (landed)
-                            graft.streaming.Maintained.dropFile(rows, drops, tag)
-                          val before = store.version
-                          graft.streaming.Maintained.maintainOnce(spark,
-                            fold, store, drops.getPath,
-                            new java.io.File(sdir, "ckpt").getPath)
-                          val after = store.version
-                          respond(ex, 200, s"""{"store":"$name",""" +
-                            s""""tag":"$tag","type":"${typ.get}",""" +
-                            s""""landed":$landed,""" +
-                            s""""committed":${after != before},""" +
-                            s""""version":$after}""")
-                        }
+                      else {
+                        // the factored wire-ingest verb: owns the
+                        // MAINTENANCE stream's lease for the whole
+                        // call, pins the config, lands the drop
+                        // (filtered through the cumulative takedown
+                        // roster), runs one pass — the registered
+                        // report_takedown query drives the same chain
+                        val r = graft.streaming.Maintained.ingestDrop(
+                          spark, dir, config, tag, rows)
+                        respond(ex, 200, s"""{"store":"$name",""" +
+                          s""""tag":"$tag","type":"${typ.get}",""" +
+                          s""""landed":${r.landed},""" +
+                          s""""committed":${r.committed},""" +
+                          s""""version":${r.version}}""")
+                      }
                   }
                 } finally rows.unpersist(false)
               }
@@ -2077,6 +2118,76 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             } finally ids.unpersist(false)
           } catch { case e: Throwable =>
             respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the maintained-analytics COMPLIANCE write: a user-grain takedown
+    // for a WIRE-maintained report store. An additive count store can't
+    // subtract a user (its counts are anonymous aggregates), so the
+    // verb is a PURGE + re-derivation: the roster's rows are rewritten
+    // out of the retained `_stream/drops` files (after it the store's
+    // whole on-disk footprint holds none of the user's events), the
+    // report re-folds from the purged drops through the store's pinned
+    // config, and commits in one atomic manifest flip — readers see old
+    // or new, never a partial. Exactly-once on the request tag via the
+    // `_stream/takedowns` ledger, whose committed markers double as the
+    // cumulative exclusion roster every later /ingest/report filters
+    // (an opted-out user never re-enters). A LIBRARY-maintained store
+    // (no ingest config) refuses with the remedy named: its inputs live
+    // with the driving lifecycle, so the purge must happen there.
+    server.createContext("/takedown/report", (ex: HttpExchange) => {
+      def esc(s: String) = Option(s).getOrElse("").takeWhile(_ != '\n')
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405,
+          """{"error":"POST JSON rows of {user_id} with ?store=&tag="}""")
+      else (storeRoot, param(ex, "store"), param(ex, "tag")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"server started without a store root"}""")
+        case (_, None, _) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (_, _, None) =>
+          respond(ex, 400,
+            """{"error":"tag param required (the request id redeliveries are judged by)"}""")
+        case (Some(root), Some(name), Some(tag)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          if (!plainName(name) || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else if (!tag.matches("[A-Za-z0-9._-]+"))
+            respond(ex, 400,
+              """{"error":"tag must be filesystem-safe ([A-Za-z0-9._-]+)"}""")
+          else if (!dir.isDirectory)
+            respond(ex, 404, s"""{"error":"no report store named '$name'"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            import spark.implicits._
+            val ids = spark.read.schema("user_id LONG")
+              .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+              .cache()
+            try {
+              val n = ids.count()
+              val bad = ids.filter(col("user_id").isNull).count()
+              if (n == 0 || bad > 0)
+                respond(ex, 400,
+                  """{"error":"body must be JSON rows of {user_id}"}""")
+              else {
+                val r = graft.streaming.Maintained.takedownUsers(
+                  spark, dir, ids, tag)
+                respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+                  s""""committed":${r.committed},""" +
+                  s""""rows_removed":${r.removed},"version":${r.version}}""")
+              }
+            } finally ids.unpersist(false)
+          } catch {
+            case e: IllegalStateException =>
+              // a live holder of the maintenance stream, or a
+              // library-maintained store — the message names which
+              respond(ex, 409, s"""{"error":"${esc(e.getMessage)}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })

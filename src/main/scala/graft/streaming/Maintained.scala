@@ -41,7 +41,22 @@ import org.apache.spark.sql.streaming.Trigger
   * (a consumed night is in the ledger before the next lands). Two
   * far-future watermark-advance sentinels finalize the tail, and each
   * query returns its maintained report — oracled against the one-shot
-  * batch SQL over the same events. */
+  * batch SQL over the same events.
+  *
+  * ==The compliance contract==
+  * A user-grain takedown cannot SUBTRACT from an additive count store:
+  * the counts are anonymous aggregates, so nothing in the store says
+  * which rows a user contributed. The faithful remedy is re-derivation
+  * from purged inputs, and which face owns it follows from who holds
+  * the inputs: a WIRE-maintained store retains every ingested drop
+  * (`_stream/drops` is its provenance), so [[takedownUsers]] purges the
+  * roster from the retained files and re-folds — served as
+  * POST /takedown/report; a LIBRARY-maintained store's inputs live with
+  * the driving lifecycle, so its remedy is re-running that lifecycle
+  * over the purged upstream events (the verb refuses such a store with
+  * the reason named). Tag-grain rollback — the curate family's other
+  * undo — is deliberately NOT offered here: a user's events span many
+  * drops, so no tag subtraction expresses "this user never existed". */
 object Maintained {
 
   /** Sentinel rows advance the watermark; the funnel twin never folds
@@ -144,6 +159,44 @@ object Maintained {
     }
   }
 
+  /** The canonical configuration string a WIRE-maintained store pins in
+    * `_stream/CONFIG` at first ingest — durations normalized to ms, so
+    * "30m" and "1800s" pin the same materialization. ONE producer for
+    * the string (shared by the served write face and the library
+    * verbs) so [[foldOfConfig]] is its exact inverse. */
+  def configOf(typ: String, windowMs: Option[Long] = None,
+               period: Option[String] = None, gapMs: Option[Long] = None,
+               steps: Option[Seq[String]] = None): String =
+    s"type=$typ" + windowMs.fold("")(ms => s";window_ms=$ms") +
+      period.fold("")(p => s";period=$p") +
+      gapMs.fold("")(ms => s";gap_ms=$ms") +
+      steps.fold("")(p => s";steps=${p.mkString(",")}")
+
+  /** Parse a pinned `_stream/CONFIG` back into its fold recipe — the
+    * store self-describes its materialization, so a takedown rebuild
+    * (or any later maintenance pass) needs no out-of-band knowledge of
+    * how the store was configured. */
+  def foldOfConfig(s: SparkSession, config: String): ReportFold = {
+    val kv = config.split(";").toSeq.map { part =>
+      val i = part.indexOf('=')
+      require(i > 0, s"malformed maintained-store config entry '$part'")
+      part.take(i) -> part.drop(i + 1)
+    }.toMap
+    foldOf(s, kv.getOrElse("type",
+        throw new IllegalArgumentException(s"config '$config' has no type")),
+      windowMs = kv.get("window_ms").map(_.toLong),
+      period = kv.get("period"),
+      gapMs = kv.get("gap_ms").map(_.toLong),
+      steps = kv.get("steps").map(_.split(",", -1).toSeq))
+  }
+
+  private def storedConfig(dir: java.io.File): Option[String] = {
+    val f = new java.io.File(new java.io.File(dir, "_stream"), "CONFIG")
+    if (f.exists) Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+    else None
+  }
+
   /** Land a frame as ONE parquet file — the "nightly file lands in the
     * bucket" shape a streaming file source consumes. */
   private[graft] def dropFile(df: DataFrame, dir: java.io.File, name: String): Unit = {
@@ -210,11 +263,17 @@ object Maintained {
     * default list. The step set is key-grain store metadata (a
     * handful of rows), so the custom check is an O(store) read like
     * the report itself. */
-  def funnelReportFrom(s: SparkSession, store: PointStore): DataFrame = {
+  def funnelReportFrom(s: SparkSession, store: PointStore): DataFrame =
+    funnelReportFrom(s, store.snapshot)
+
+  /** The frame-shaped overload: any (step, step_name, users) snapshot —
+    * current or a [[PointStore.snapshotAt]] time travel — renders the
+    * same way (the served ?version= read). */
+  def funnelReportFrom(s: SparkSession, snapshot: DataFrame): DataFrame = {
     import s.implicits._
     val defaults = StreamingFunnel.Steps.zipWithIndex
       .map { case (n, i) => (i + 1, n) }
-    val snap = store.snapshot
+    val snap = snapshot
       .select(col("step").cast("int").as("step"), col("step_name"),
         col("users"))
     val custom = snap.select(col("step"), col("step_name"))
@@ -248,6 +307,211 @@ object Maintained {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  final case class IngestResult(landed: Boolean, committed: Boolean,
+                                version: Long)
+
+  /** One WIRE-shape ingest — the unit POST /ingest/report serves, and
+    * the library face for a caller who drives the same layout without
+    * HTTP: land `rows` as the tag's drop file in `_stream/drops`
+    * (filtered through the cumulative takedown roster — an opted-out
+    * user never re-enters, see [[takedownUsers]]) and run one
+    * maintenance pass over whatever the checkpoint's file ledger says
+    * is new. Exactly-once at both grains: a redelivered tag finds its
+    * drop file landed and ledgered (landed=false, nothing re-folds); a
+    * crash between landing and folding heals on redelivery because the
+    * pass always runs. The fold configuration pins at first ingest in
+    * `_stream/CONFIG` — a different configuration later throws (one
+    * materialization), and a store that exists WITHOUT a config was
+    * materialized by a library lifecycle whose checkpoint lives with
+    * that driver (folding a fresh one here would double-count), so the
+    * ingest refuses with the reason named. The maintenance stream
+    * (`_stream`: drops + checkpoint + config) is owned through its own
+    * writer lease for the whole call; the store's lease is taken per
+    * batch commit by appendTagged on the STREAMING thread (lease
+    * reentrancy is per-thread — a cross-thread hold would deadlock). */
+  def ingestDrop(s: SparkSession, dir: java.io.File, config: String,
+                 tag: String, rows: DataFrame): IngestResult = {
+    val fold = foldOfConfig(s, config)
+    val sdir = new java.io.File(dir, "_stream")
+    graft.sources.StoreFs(s, sdir.getPath).withWriterLease() {
+      val cfgFile = new java.io.File(sdir, "CONFIG")
+      val manifest = new java.io.File(dir, "_MANIFEST")
+      if (manifest.exists && !cfgFile.exists)
+        throw new IllegalStateException(s"store at '$dir' exists but " +
+          "carries no ingest config — it is maintained by a library " +
+          "lifecycle (its checkpoint lives with that driver; a fresh " +
+          "one here would double-count); fold through the lifecycle " +
+          "or ingest into a fresh store")
+      val stored = storedConfig(dir).getOrElse(config)
+      require(stored == config,
+        s"store is maintained as '$stored' — a maintained store is one " +
+          s"materialization; this ingest asked for '$config'")
+      val store =
+        if (manifest.exists) PointStore.open(s, dir.getPath)
+        else new PointStore(s, dir.getPath, keys = fold.keys,
+          sums = fold.sums, maxes = Nil, quantiles = fold.quantiles)
+      val drops = new java.io.File(sdir, "drops"); drops.mkdirs()
+      if (!cfgFile.exists) {
+        val tmp = new java.io.File(sdir, "CONFIG.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          config.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath, cfgFile.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      val landed = !new java.io.File(drops, s"$tag.parquet").exists
+      if (landed) {
+        val kept = exclusionRoster(s, dir).fold(rows)(r =>
+          rows.join(broadcast(r), Seq("user_id"), "left_anti"))
+        dropFile(kept, drops, tag)
+      }
+      val before = store.version
+      maintainOnce(s, fold, store, drops.getPath,
+        new java.io.File(sdir, "ckpt").getPath)
+      IngestResult(landed, store.version != before, store.version)
+    }
+  }
+
+  /** The cumulative takedown roster of a wire-maintained store — the
+    * union of every committed takedown's id record, read back from the
+    * `_stream/takedowns` ledger. Every [[ingestDrop]] filters it before
+    * landing, so an opted-out user never re-enters the store. */
+  private[graft] def exclusionRoster(s: SparkSession,
+                                     dir: java.io.File): Option[DataFrame] = {
+    val td = new java.io.File(new java.io.File(dir, "_stream"), "takedowns")
+    val files = Option(td.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".jsonl")).map(_.getPath).toSeq
+    if (files.isEmpty) None
+    else Some(s.read.schema("user_id LONG").json(files: _*).distinct())
+  }
+
+  /** Atomically replace a retained drop file with its purged image:
+    * the staged write fully materializes `kept` BEFORE the rename, and
+    * the rename replaces in one filesystem op — a crash leaves the old
+    * file or the new, never neither (the retained drops are the
+    * store's provenance; losing one would break every later rebuild). */
+  private def rewriteDrop(kept: DataFrame, file: java.io.File): Unit = {
+    val stage = new java.io.File(file.getParentFile.getParentFile,
+      s"stage_purge_${file.getName}")
+    kept.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+    val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, file.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    PointStore.deleteRec(stage)
+  }
+
+  final case class TakedownResult(committed: Boolean, removed: Long,
+                                  version: Long)
+
+  /** COMPLIANCE for maintained analytics stores — the user-grain
+    * takedown (opt-out, erasure) an additive count store cannot express
+    * as a subtraction: the counts are anonymous aggregates (nothing in
+    * a (step, users) row says WHICH users contributed), so the faithful
+    * remedies are exactly two.
+    *   (a) Re-derive the store from PURGED inputs — possible exactly
+    *       when the inputs are retained, which is what the wire layout
+    *       does: `_stream/drops` holds every ingested night. This verb
+    *       is (a).
+    *   (b) For a LIBRARY-maintained store, whose inputs live with the
+    *       driving lifecycle, re-run that lifecycle over the purged
+    *       upstream events. This verb refuses such a store with the
+    *       reason named — it cannot see inputs it does not hold.
+    *
+    * It is a PURGE, not a mask: the roster's rows are first rewritten
+    * OUT of the retained drop files (after this the store's entire
+    * on-disk footprint holds none of the user's events — what erasure
+    * means; the drop rewrites are individually atomic), then the report
+    * is re-derived by folding the purged drops through the store's own
+    * pinned fold recipe into a scratch store under a fresh checkpoint,
+    * and committed in ONE atomic manifest flip via
+    * [[PointStore.overwriteTagged]] — readers see the old report or the
+    * new, never a partial, and the vacuum horizon advances so
+    * changefeed followers resync rather than mis-reading a replacement
+    * as an incremental window (the cascading-resync contract).
+    *
+    * Exactly-once on the request tag rides the `_stream/takedowns`
+    * ledger: the committed marker doubles as the roster's durable
+    * record (the forward exclusion [[ingestDrop]] applies), and a
+    * `.pending` marker laid before the first rewrite forces the rebuild
+    * on redelivery even when the re-run finds nothing left to purge —
+    * the crash may have hit between the purge and the flip.
+    * overwriteTagged's own tag ledger makes the flip itself idempotent.
+    *
+    * The drop rewrites preserve the files' relative modification order
+    * (re-assigned strictly increasing afterwards), so any consumer that
+    * ever processes the drops in more than one micro-batch still sees
+    * them in event-time order — the watermark contract the nightly
+    * cadence promises.
+    *
+    * The roster is a posted request (human-scale, like every takedown
+    * face in the family); it broadcasts into the per-file anti-joins
+    * and collects only for the marker record. */
+  def takedownUsers(s: SparkSession, dir: java.io.File, roster: DataFrame,
+                    tag: String): TakedownResult = {
+    val sdir = new java.io.File(dir, "_stream")
+    graft.sources.StoreFs(s, sdir.getPath).withWriterLease() {
+      val cfg = storedConfig(dir).getOrElse(throw new IllegalStateException(
+        s"store at '$dir' carries no ingest config — it is maintained by " +
+          "a library lifecycle whose inputs live upstream; re-run that " +
+          "lifecycle over the purged events instead"))
+      val td = new java.io.File(sdir, "takedowns"); td.mkdirs()
+      val marker = new java.io.File(td, s"$tag.jsonl")
+      def versionNow = PointStore.versionOf(dir.getPath).getOrElse(0L)
+      if (marker.exists) TakedownResult(committed = false, 0L, versionNow)
+      else {
+        val pending = new java.io.File(td, s"$tag.pending")
+        val crashed = pending.exists
+        if (!crashed) java.nio.file.Files.createFile(pending.toPath)
+        val ids = roster.select(col("user_id").cast("long").as("user_id"))
+          .distinct().localCheckpoint(true)
+        val drops = Option(new java.io.File(sdir, "drops").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified).toSeq
+        var removed = 0L
+        drops.foreach { f =>
+          val df = s.read.parquet(f.getPath)
+          val hit = df.join(broadcast(ids), Seq("user_id"), "left_semi").count()
+          if (hit > 0) {
+            rewriteDrop(df.join(broadcast(ids), Seq("user_id"), "left_anti"), f)
+            removed += hit
+          }
+        }
+        if (removed > 0) { // rewrites reset mtimes: restore landing order
+          val base = drops.map(_.lastModified).max + 1000L
+          drops.zipWithIndex.foreach { case (f, i) =>
+            f.setLastModified(base + i * 1000L) }
+        }
+        if (removed > 0 || crashed) {
+          val fold = foldOfConfig(s, cfg)
+          val scratchRoot = new java.io.File(sdir, "rebuild")
+          PointStore.deleteRec(scratchRoot); scratchRoot.mkdirs()
+          val scratch = new PointStore(s,
+            new java.io.File(scratchRoot, "report").getPath,
+            keys = fold.keys, sums = fold.sums, maxes = Nil,
+            quantiles = fold.quantiles)
+          maintainOnce(s, fold, scratch,
+            new java.io.File(sdir, "drops").getPath,
+            new java.io.File(scratchRoot, "ckpt").getPath)
+          val real =
+            if (new java.io.File(dir, "_MANIFEST").exists)
+              PointStore.open(s, dir.getPath)
+            else new PointStore(s, dir.getPath, keys = fold.keys,
+              sums = fold.sums, maxes = Nil, quantiles = fold.quantiles)
+          real.overwriteTagged(s"takedown-$tag", scratch.snapshot)
+          PointStore.deleteRec(scratchRoot)
+        }
+        // the committed marker doubles as the cumulative-roster record
+        val tmp = new java.io.File(td, s"$tag.jsonl.tmp")
+        java.nio.file.Files.write(tmp.toPath, ids.toJSON.collect()
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath, marker.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.deleteIfExists(pending.toPath)
+        TakedownResult(committed = true, removed, versionNow)
+      }
+    }
   }
 
   /** Drive one report's whole maintenance lifecycle against the events
@@ -386,4 +650,77 @@ object Maintained {
       graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
         SketchOps.quantileAt(col("sk"), q).as(n) }: _*)
   }
+
+  /** `report_takedown`: the compliance story for a maintained analytics
+    * store, end to end — drive a WIRE-shape funnel store through
+    * [[ingestDrop]] (the served face's exact chain: tag-named retained
+    * drops, config pinned at first ingest, one maintenance pass per
+    * drop), then [[takedownUsers]] purges every user with
+    * `user_id % 7 == 3` (the "users who filed requests" roster): their
+    * rows rewritten out of the retained drops, the report re-derived
+    * from the purged drops and committed in one atomic flip. A
+    * redelivered takedown tag commits nothing, and a LATER ingest of a
+    * roster user's events (inside the open watermark tail, finalized by
+    * a following sentinel) never enters the store — the forward
+    * exclusion a production opt-out implies; if either guarantee broke,
+    * the report would drift off the oracle. Oracle = the one-shot
+    * staged-min funnel SQL over `events WHERE user_id % 7 <> 3`. */
+  def reportTakedown(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = nightsFixture(s, d)
+    val root = graft.operators.DedupIndex.freshRunDir("graft_tkdrep_", d)
+    val dir = new java.io.File(root, "report")
+    val config = configOf("funnel")
+    def rowsOf(ns: String*) = ns.map(n => s.read.parquet(
+      new java.io.File(fixture, s"$n.parquet").getPath)).reduce(_ unionByName _)
+    // the condensed drop schedule (the Condensed choreography over the
+    // wire-shape verb: a cycle's files share one drop)
+    ingestDrop(s, dir, config, "n01", rowsOf("n0", "n1"))
+    ingestDrop(s, dir, config, "n2s1", rowsOf("n2", "s1"))
+    ingestDrop(s, dir, config, "fin", rowsOf("s2"))
+    val roster = graft.Tables.events(s, d)
+      .select(col("user_id").cast("long").as("user_id")).distinct()
+      .filter(col("user_id") % 7 === 3)
+    val td = takedownUsers(s, dir, roster, "req-1")
+    require(td.committed && td.removed > 0,
+      s"takedown must purge the roster's events, got $td")
+    val re = takedownUsers(s, dir, roster, "req-1")
+    require(!re.committed && re.removed == 0,
+      "a redelivered takedown tag must commit nothing")
+    // forward exclusion: a roster user's event lands in a LATER drop
+    // above the current watermark, finalized by a +7d sentinel — were
+    // it admitted, step 1 would count one extra user and the oracle
+    // would catch it
+    val uid = roster.agg(min(col("user_id"))).head.getLong(0)
+    val maxTs = graft.Tables.events(s, d)
+      .agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+    def at(plusDays: Int) =
+      new java.sql.Timestamp(maxTs.getTime + plusDays * 86400000L)
+    ingestDrop(s, dir, config, "late",
+      Seq((uid, at(5), 0L, "view")).toDF("user_id", "ts", "event_id", "event_type"))
+    ingestDrop(s, dir, config, "fin2",
+      Seq((SentinelUser, at(7), 0L, SentinelType))
+        .toDF("user_id", "ts", "event_id", "event_type"))
+    funnelReportFrom(s, PointStore.open(s, dir.getPath))
+  }
+
+  /** The staged-min funnel SQL over the surviving users — what a store
+    * that never saw the roster's events reports. */
+  def reportTakedownOracle: String = """
+    WITH ev AS (SELECT * FROM events WHERE user_id % 7 <> 3),
+    s1 AS (
+      SELECT user_id, min(ts) AS t FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM ev e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM ev e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           count(*) AS users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""
 }

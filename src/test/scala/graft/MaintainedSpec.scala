@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Maintained
+import graft.sources.PointStore
+
+/** Library-face coverage of the wire-maintained verbs (the served faces
+  * are ServerSpec's; the full lifecycle is the registered
+  * `report_takedown` oracle): the config pin's roundtrip and the
+  * takedown's crash-heal contract, which no happy path reaches. */
+class MaintainedSpec extends SparkSpec {
+
+  test("configOf / foldOfConfig roundtrip every report type's " +
+      "configuration and refuse inapplicable parameters") {
+    for (cfg <- Seq(
+        Maintained.configOf("funnel"),
+        Maintained.configOf("funnel", windowMs = Some(60000L),
+          steps = Some(Seq("a", "b"))),
+        Maintained.configOf("funnel_deepest", windowMs = Some(86400000L)),
+        Maintained.configOf("retention", period = Some("week")),
+        Maintained.configOf("retention_rolling", period = Some("day")),
+        Maintained.configOf("paths", gapMs = Some(1800000L)),
+        Maintained.configOf("latency")))
+      Maintained.foldOfConfig(spark, cfg) // parses and validates
+    intercept[IllegalArgumentException](
+      Maintained.foldOfConfig(spark, "type=nope"))
+    intercept[IllegalArgumentException](
+      Maintained.foldOfConfig(spark, "type=retention;gap_ms=5"))
+    intercept[IllegalArgumentException](
+      Maintained.foldOfConfig(spark, "window_ms=5"))
+  }
+
+  test("takedownUsers heals a crash between purge and flip — the " +
+      ".pending marker forces the rebuild even when nothing is left " +
+      "to purge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdheal")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel")
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    Maintained.ingestDrop(spark, dir, cfg, "n1", Seq(
+      ev(1, "2024-01-01 10:00:00.000001", 1, "view"),
+      ev(2, "2024-01-01 11:00:00.000002", 2, "view")).toDF(cols: _*))
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
+    def step1Users: Long = Maintained
+      .funnelReportFrom(spark, PointStore.open(spark, dir.getPath))
+      .filter(col("step") === 1).head.getLong(2)
+    assert(step1Users == 2L)
+    // simulate the crash: the purge of u2 completed (the drop rewritten
+    // by hand, exactly what the first attempt would have left) and the
+    // .pending marker was laid, but the flip never ran — the store
+    // still reports u2
+    val n1 = new java.io.File(dir, "_stream/drops/n1.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_tkdstage")
+    spark.read.parquet(n1.getPath).filter(col("user_id") =!= 2)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    java.nio.file.Files.move(
+      stage.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .head.toPath,
+      n1.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val td = new java.io.File(dir, "_stream/takedowns"); td.mkdirs()
+    java.nio.file.Files.createFile(new java.io.File(td, "r1.pending").toPath)
+    assert(step1Users == 2L) // the flip never happened
+    // the redelivered request finds nothing left to purge — the pending
+    // marker alone forces the rebuild
+    val r = Maintained.takedownUsers(spark, dir, Seq(2L).toDF("user_id"), "r1")
+    assert(r.committed && r.removed == 0L, r.toString)
+    assert(step1Users == 1L)
+    // the committed marker now closes the tag: a redelivery is a no-op
+    assert(!Maintained.takedownUsers(spark, dir,
+      Seq(2L).toDF("user_id"), "r1").committed)
+  }
+}

@@ -1340,4 +1340,131 @@ class ServerSpec extends SparkSpec {
       assert(new java.io.File(sRoot, "fresh").isDirectory)
     } finally srv.stop()
   }
+
+  test("POST /takedown/report purges a user roster from a wire-maintained " +
+      "store: retained drops rewritten, report rebuilt in one flip, " +
+      "forward exclusion on later ingests, exactly-once on the tag") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wtkd").toString
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // a small NON-SATURATED synthetic funnel (µs-grain timestamps):
+      // u1 converts fully, u2 reaches click across the night boundary,
+      // u3 only views — so every takedown effect is visible per step
+      def ev(u: Long, t: String, id: Long, typ: String) =
+        (u, java.sql.Timestamp.valueOf(t), id, typ)
+      val night1 = Seq(
+        ev(1, "2024-01-01 10:00:00.000001", 1, "view"),
+        ev(1, "2024-01-01 10:01:00.000002", 2, "click"),
+        ev(1, "2024-01-01 10:02:00.000003", 3, "purchase"),
+        ev(2, "2024-01-01 11:00:00.000004", 4, "view"))
+      val night2 = Seq(
+        ev(2, "2024-01-02 09:00:00.000005", 5, "click"),
+        ev(3, "2024-01-02 10:00:00.000006", 6, "view"))
+      val cols = Seq("user_id", "ts", "event_id", "event_type")
+      def jsonOf(rows: Seq[(Long, java.sql.Timestamp, Long, String)]): String =
+        rows.toDF(cols: _*)
+          .select(to_json(struct(col("user_id"), col("ts"),
+              col("event_id"), col("event_type")),
+            Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
+          .as[String].collect().mkString("\n")
+      def sentinel(day: Int) = jsonOf(Seq(
+        ev(-1, f"2024-01-$day%02d 00:00:00.0", 0, "_watermark")))
+      def funnelJson(rows: Seq[(Long, java.sql.Timestamp, Long, String)]): String =
+        graft.operators.Windows
+          .funnelOf(rows.toDF(cols: _*), graft.operators.Windows.FunnelSteps, None)
+          .zip(graft.operators.Windows.FunnelSteps).zipWithIndex.map {
+            case ((df, n), i) => df.agg(count(lit(1)).as("users"))
+              .select(lit(i + 1).cast("int").as("step"),
+                lit(n).as("step_name"), col("users")) }
+          .reduce(_ unionByName _)
+          .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      assert(post(port,
+        "/ingest/report?store=wtd&tag=n1&type=funnel", jsonOf(night1))._1 == 200)
+      val (cn2, bn2) = post(port,
+        "/ingest/report?store=wtd&tag=n2&type=funnel", jsonOf(night2))
+      assert(cn2 == 200, bn2)
+      assert(post(port,
+        "/ingest/report?store=wtd&tag=s1&type=funnel", sentinel(5))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wtd&tag=s2&type=funnel", sentinel(7))._1 == 200)
+      assert(this.get(port, "/funnel?store=wtd")._2 == funnelJson(night1 ++ night2))
+
+      // ?version= time travel: night2's fold's version serves that
+      // fold's report (the night-over-night dashboard diff) — served ≡
+      // the library's snapshotAt render, and it genuinely differs from
+      // live (u3's view was still inside the watermark tail)
+      val vN2 = """"version":(\d+)""".r.findFirstMatchIn(bn2).get.group(1)
+      val libN2 = graft.streaming.Maintained.funnelReportFrom(spark,
+          graft.sources.PointStore.open(spark, s"$root/wtd")
+            .snapshotAt(vN2.toLong))
+        .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      val (vtc, vtb) = this.get(port, s"/funnel?store=wtd&version=$vN2")
+      assert(vtc == 200 && vtb == libN2, vtb)
+      assert(vtb != funnelJson(night1 ++ night2))
+      assert(this.get(port, "/funnel?version=3")._1 == 400)
+      assert(this.get(port, "/paths?version=3")._1 == 400)
+      assert(this.get(port, "/retention?version=3")._1 == 400)
+      assert(this.get(port, "/latency?version=3")._1 == 400)
+      assert(this.get(port, "/funnel?store=wtd&version=abc")._1 == 400)
+      assert(this.get(port, "/funnel?store=wtd&version=999999")._1 == 400)
+
+      // guardrails: method, tag, body, unknown store
+      assert(this.get(port, "/takedown/report?store=wtd&tag=r1")._1 == 405)
+      assert(post(port, "/takedown/report?store=wtd",
+        """{"user_id":2}""")._1 == 400)
+      assert(post(port, "/takedown/report?store=wtd&tag=r1", "")._1 == 400)
+      assert(post(port, "/takedown/report?store=wtd&tag=r1",
+        """{"user_id":null}""")._1 == 400)
+      assert(post(port, "/takedown/report?store=nope&tag=r1",
+        """{"user_id":2}""")._1 == 404)
+
+      // the takedown: u2's two events purge from the retained drops and
+      // the served report re-derives as if u2 never existed
+      val (tc, tb) = post(port, "/takedown/report?store=wtd&tag=r1",
+        """{"user_id":2}""")
+      assert(tc == 200 && tb.contains("\"committed\":true") &&
+        tb.contains("\"rows_removed\":2"), tb)
+      val survivors = (night1 ++ night2).filter(_._1 != 2L)
+      assert(this.get(port, "/funnel?store=wtd")._2 == funnelJson(survivors))
+      // the PURGE is physical: the store's whole on-disk footprint —
+      // the retained drops included — holds none of u2's events
+      assert(spark.read.parquet(s"$root/wtd/_stream/drops")
+        .filter(col("user_id") === 2).count() == 0)
+      // a redelivered request tag commits nothing
+      val (rc, rb) = post(port, "/takedown/report?store=wtd&tag=r1",
+        """{"user_id":2}""")
+      assert(rc == 200 && rb.contains("\"committed\":false") &&
+        rb.contains("\"rows_removed\":0"), rb)
+      // the takedown's atomic flip advanced the vacuum horizon: time
+      // travel cannot resurrect the purged user
+      val (vc, vb) = this.get(port, s"/funnel?store=wtd&version=$vN2")
+      assert(vc == 400 && vb.contains("vacuumed"), vb)
+
+      // forward exclusion: a later drop mixing an opted-out user's event
+      // with a fresh user's folds the fresh one and NEVER the roster's —
+      // the filter is selective, not a dropped batch
+      val late = Seq(
+        ev(2, "2024-01-08 10:00:00.000007", 7, "view"),
+        ev(4, "2024-01-08 11:00:00.000008", 8, "view"))
+      assert(post(port,
+        "/ingest/report?store=wtd&tag=late&type=funnel", jsonOf(late))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wtd&tag=s3&type=funnel", sentinel(12))._1 == 200)
+      assert(this.get(port, "/funnel?store=wtd")._2 ==
+        funnelJson(survivors ++ late.filter(_._1 != 2L)))
+
+      // a LIBRARY-maintained store (no ingest config) refuses: its
+      // inputs live with the driving lifecycle, so the purge must too
+      val lib = new graft.sources.PointStore(spark, s"$root/librep",
+        keys = Seq("step"), sums = Seq("users"), maxes = Nil)
+      lib.appendTagged("b0", Seq((1, 10L)).toDF("step", "users"))
+      val (lc, lb) = post(port, "/takedown/report?store=librep&tag=r2",
+        """{"user_id":2}""")
+      assert(lc == 409 && lb.contains("library lifecycle"), lb)
+    } finally srv.stop()
+  }
 }
