@@ -150,6 +150,23 @@ import java.nio.charset.StandardCharsets
   *                                      the owning root only; existing
   *                                      dest → 400, live writer on the
   *                                      source → 409 naming the holder.
+  *   POST /compact?store=<name>[&cluster=N]
+  *   POST /vacuum?store=<name>[&retain=N]
+  *                                   → the point-store MAINTENANCE
+  *                                      verbs served: compact folds the
+  *                                      delta list into one base
+  *                                      (content/version identical;
+  *                                      &cluster Z-ORDERS it into N
+  *                                      files), vacuum reclaims folded
+  *                                      directories and prunes the
+  *                                      changefeed to the last N
+  *                                      versions — an explicit
+  *                                      retention choice (time travel /
+  *                                      changefeed reads below the
+  *                                      horizon refuse loudly). Lease-
+  *                                      owned; live writer → 409;
+  *                                      non-point kinds → 400 (they
+  *                                      carry their own verbs).
   *   GET /stores                     → discovery: every persisted store
   *                                      under both roots, classified by
   *                                      its own on-disk markers (kind =
@@ -1464,6 +1481,87 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           }
       }
     })
+    // the MAINTENANCE verbs served (the ops half of OPERATIONS.md's
+    // daily loop, completing the write/compliance faces): POST
+    // /compact?store=[&cluster=N] folds a point store's delta list
+    // into one base (content and version identical — pure read
+    // amplification repair after many nightly folds; &cluster=N
+    // Z-ORDERS the new base into N files for keyed-slice pruning), and
+    // POST /vacuum?store=[&retain=N] reclaims folded-away directories
+    // and prunes the changefeed log to the last N versions — vacuum is
+    // the caller's EXPLICIT retention choice, because it advances the
+    // horizon past which time travel and changefeed reads refuse
+    // (consumers that fell behind resync loudly, never silently skip).
+    // Both verbs run under the store's own writer lease on this thread
+    // (a live writer 409s with the holder named — the /backup
+    // contract), and both apply to POINT-kind stores only: the other
+    // kinds carry their own maintenance verbs (curate compaction rides
+    // its night folds, ivf rebalance is POST-worthy only with a
+    // quantizer retrain — refused here with the kind named).
+    def maintenanceVerb(path: String, run: (graft.sources.PointStore,
+        Option[Long]) => String, numParam: String): Unit =
+      server.createContext(path, (ex: HttpExchange) => {
+        if (ex.getRequestMethod.toUpperCase != "POST")
+          respond(ex, 405, s"""{"error":"POST with ?store=[&$numParam=N]"}""")
+        else param(ex, "store") match {
+          case None => respond(ex, 400, """{"error":"store param required"}""")
+          case Some(name) =>
+            val num = param(ex, numParam)
+              .map(p => scala.util.Try(p.toLong).toOption)
+            if (!plainName(name))
+              respond(ex, 400,
+                """{"error":"store must be a plain name under the root"}""")
+            else if (num.contains(None) || num.exists(_.exists(_ < 0)))
+              respond(ex, 400,
+                s"""{"error":"$numParam must be a non-negative integer"}""")
+            else Seq(indexRoot, storeRoot).flatten
+                .map(r => new java.io.File(r, name))
+                .find(_.isDirectory) match {
+              case None =>
+                respond(ex, 404, s"""{"error":"no store named '$name'"}""")
+              case Some(dir) =>
+                try {
+                  // the /stores classifier's order: curate/ivf/dedup
+                  // markers win over a _MANIFEST they may also carry
+                  if (!new java.io.File(dir, "_MANIFEST").exists() ||
+                      new java.io.File(dir, "_CURATE").exists() ||
+                      new java.io.File(dir, "centroids").isDirectory ||
+                      new java.io.File(dir, "index").isDirectory ||
+                      new java.io.File(dir, "_MEMBERS").exists())
+                    respond(ex, 400, s"""{"error":"'$name' is not a """ +
+                      """point store — the other kinds carry their own """ +
+                      """maintenance verbs"}""")
+                  else {
+                    val store = graft.sources.PointStore.open(spark, dir.getPath)
+                    respond(ex, 200, s"""{"store":"$name",""" +
+                      run(store, num.flatten) + "}")
+                  }
+                } catch {
+                  case e: IllegalArgumentException =>
+                    respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+                      .getOrElse("bad request").takeWhile(_ != '\n')
+                      .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+                  case e: IllegalStateException =>
+                    respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+                      .getOrElse("store is write-locked").takeWhile(_ != '\n')
+                      .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+                  case e: Throwable =>
+                    respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+                }
+            }
+        }
+      })
+    maintenanceVerb("/compact", (store, cluster) => {
+      val before = store.deltaCount
+      store.compact(cluster.getOrElse(0L).toInt)
+      s""""compacted":true,"deltas_folded":$before,""" +
+        s""""version":${store.version}"""
+    }, numParam = "cluster")
+    maintenanceVerb("/vacuum", (store, retain) => {
+      store.vacuum(retain.getOrElse(0L))
+      s""""vacuumed":true,"vacuumed_through":${store.vacuumedThrough},""" +
+        s""""version":${store.version}"""
+    }, numParam = "retain")
     // the assembly-recipe CONFIG store over the wire: POST commits a
     // new version under an exactly-once tag (creating the store on
     // first commit), GET reads any version — the config half of

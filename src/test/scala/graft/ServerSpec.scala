@@ -1341,6 +1341,65 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /compact and /vacuum serve the point-store maintenance " +
+      "verbs — content identical across compact, vacuum an explicit " +
+      "retention choice that closes past-version reads") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val store = new graft.sources.PointStore(spark, s"$root/pts",
+        keys = Seq("k"), sums = Seq("v"), maxes = Nil)
+      Seq("n1" -> 1L, "n2" -> 2L, "n3" -> 3L).foreach { case (tag, v) =>
+        store.appendTagged(tag, Seq(("a", v), ("b", v)).toDF("k", "v")) }
+      val before = this.get(port, "/store/pts")._2
+
+      // guardrails first
+      assert(this.get(port, "/compact?store=pts")._1 == 405)
+      assert(post(port, "/compact", "")._1 == 400)
+      assert(post(port, "/compact?store=nope", "")._1 == 404)
+      assert(post(port, "/compact?store=pts&cluster=-1", "")._1 == 400)
+      assert(post(port, "/vacuum?store=pts&retain=x", "")._1 == 400)
+      graft.sources.RecipeStore(spark, s"$root/rcp").commit("t",
+        graft.sources.Recipe(Seq("en" -> 1.0), 0.5, "s", 64L, 32L))
+      val (kc, kb) = post(port, "/compact?store=rcp", "")
+      assert(kc == 400 && kb.contains("not a point store"), kb)
+
+      // compact folds the deltas; content and version identical, and
+      // past versions stay readable (the horizon has not moved)
+      val (cc, cb) = post(port, "/compact?store=pts", "")
+      assert(cc == 200 && cb.contains("\"compacted\":true") &&
+        cb.contains("\"deltas_folded\":3") && cb.contains("\"version\":3"), cb)
+      assert(store.deltaCount == 0)
+      assert(this.get(port, "/store/pts")._2 == before)
+      assert(this.get(port, "/store/pts?version=1")._1 == 200)
+
+      // vacuum reclaims and advances the horizon: the explicit
+      // retention choice — past-version reads now refuse loudly
+      val (vc, vb) = post(port, "/vacuum?store=pts", "")
+      assert(vc == 200 && vb.contains("\"vacuumed\":true") &&
+        vb.contains("\"vacuumed_through\":3"), vb)
+      assert(this.get(port, "/store/pts")._2 == before)
+      val (oc, ob) = this.get(port, "/store/pts?version=1")
+      assert(oc == 400 && ob.contains("vacuumed"), ob)
+
+      // a FOREIGN live writer refuses with the holder named (same-JVM
+      // threads would queue on the reentrant lock instead — the
+      // foreign-holder file is the cross-process case the 409 serves)
+      val sfs = graft.sources.StoreFs(spark, s"$root/pts")
+      sfs.atomicWrite(graft.sources.StoreFs.LeaseName,
+        s"otherhost:1:live\n${System.currentTimeMillis()}".getBytes)
+      val (hc, hb) = post(port, "/compact?store=pts", "")
+      assert(hc == 409 && hb.contains("otherhost:1:live"), hb)
+      assert(post(port, "/vacuum?store=pts", "")._1 == 409)
+      sfs.breakWriterLease()
+      assert(post(port, "/compact?store=pts", "")._1 == 200)
+    } finally srv.stop()
+  }
+
   test("POST /takedown/report purges a user roster from a wire-maintained " +
       "store: retained drops rewritten, report rebuilt in one flip, " +
       "forward exclusion on later ingests, exactly-once on the tag") {
