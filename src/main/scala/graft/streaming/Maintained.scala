@@ -688,18 +688,17 @@ object Maintained {
     require(!re.committed && re.removed == 0,
       "a redelivered takedown tag must commit nothing")
     // forward exclusion: a roster user's event lands in a LATER drop
-    // above the current watermark, finalized by a +7d sentinel — were
-    // it admitted, step 1 would count one extra user and the oracle
-    // would catch it
+    // above the current watermark, with a +7d sentinel in the same
+    // drop to finalize it — were it admitted, step 1 would count one
+    // extra user and the oracle would catch it (the exclusion filter
+    // runs at LANDING, before any batching, so one drop suffices)
     val uid = roster.agg(min(col("user_id"))).head.getLong(0)
     val maxTs = graft.Tables.events(s, d)
       .agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
     def at(plusDays: Int) =
       new java.sql.Timestamp(maxTs.getTime + plusDays * 86400000L)
     ingestDrop(s, dir, config, "late",
-      Seq((uid, at(5), 0L, "view")).toDF("user_id", "ts", "event_id", "event_type"))
-    ingestDrop(s, dir, config, "fin2",
-      Seq((SentinelUser, at(7), 0L, SentinelType))
+      Seq((uid, at(5), 0L, "view"), (SentinelUser, at(7), 0L, SentinelType))
         .toDF("user_id", "ts", "event_id", "event_type"))
     funnelReportFrom(s, PointStore.open(s, dir.getPath))
   }

@@ -73,4 +73,41 @@ class MaintainedSpec extends SparkSpec {
     assert(!Maintained.takedownUsers(spark, dir,
       Seq(2L).toDF("user_id"), "r1").committed)
   }
+
+  test("takedownUsers rebuilds through the store's own pinned config — " +
+      "a retention store's purge re-derives the cohort matrix as if " +
+      "the user never existed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdret")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("retention", period = Some("day"))
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    // u1 cohort day1 active day1+day3; u2 cohort day1 active day1+day2;
+    // u3 cohort day2 active day2 — u2's purge must shrink BOTH its
+    // cells, not just a count somewhere
+    val events = Seq(
+      ev(1, "2024-01-01 08:00:00.0", 1, "view"),
+      ev(2, "2024-01-01 09:00:00.0", 2, "view"),
+      ev(2, "2024-01-02 09:30:00.0", 3, "click"),
+      ev(3, "2024-01-02 10:00:00.0", 4, "view"),
+      ev(1, "2024-01-03 11:00:00.0", 5, "purchase"))
+    Maintained.ingestDrop(spark, dir, cfg, "n1", events.toDF(cols: _*))
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-09 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
+    def served = graft.sources.PointStore.open(spark, dir.getPath)
+      .snapshot.select(graft.Tables.tstr(col("cohort")).as("cohort"),
+        col("offset").cast("int").as("offset"), col("users"))
+      .orderBy("cohort", "offset").toJSON.collect().mkString(",")
+    def batch(rows: Seq[(Long, java.sql.Timestamp, Long, String)]) =
+      graft.operators.Windows.retentionOf(rows.toDF(cols: _*), "day")
+        .select(col("cohort"), col("offset").cast("int").as("offset"),
+          col("users"))
+        .orderBy("cohort", "offset").toJSON.collect().mkString(",")
+    assert(served == batch(events))
+    val r = Maintained.takedownUsers(spark, dir, Seq(2L).toDF("user_id"), "r1")
+    assert(r.committed && r.removed == 2L, r.toString)
+    assert(served == batch(events.filter(_._1 != 2L)))
+  }
 }
