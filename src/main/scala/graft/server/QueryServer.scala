@@ -167,6 +167,18 @@ import java.nio.charset.StandardCharsets
   *                                      owned; live writer → 409;
   *                                      non-point kinds → 400 (they
   *                                      carry their own verbs).
+  *   GET /health/ann?index=<name>
+  *   POST /rebalance?index=<name>    → the vector index's operational
+  *                                      pair: occupancy (cells,
+  *                                      populated, total, fullest,
+  *                                      imbalance — the when-to-
+  *                                      rebalance signal) and the
+  *                                      physical rebalance (quantizer
+  *                                      retrain over live members with
+  *                                      tombstones applied — the
+  *                                      reclaim /takedown/ann points
+  *                                      at), lease-owned, one atomic
+  *                                      manifest flip.
   *   GET /stores                     → discovery: every persisted store
   *                                      under both roots, classified by
   *                                      its own on-disk markers (kind =
@@ -1562,6 +1574,70 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
       s""""vacuumed":true,"vacuumed_through":${store.vacuumedThrough},""" +
         s""""version":${store.version}"""
     }, numParam = "retain")
+    // the vector index's operational pair, completing the maintenance
+    // face across kinds: GET /health/ann?index= reads occupancy (cell
+    // count, populated cells, stored total, fullest cell, imbalance —
+    // the when-to-rebalance signal OPERATIONS.md's loop reads), and
+    // POST /rebalance?index= runs the physical maintenance verb:
+    // retrain the quantizers over the LIVE member set with tombstones
+    // applied — the reclaim /takedown/ann points at — in one atomic
+    // manifest flip, under the index's writer lease (a foreign live
+    // writer 409s with the holder named). An ivf index is recognized
+    // by its quantizer directory, so a dedup store's _MEMBERS manifest
+    // never opens here.
+    def ivfDirOf(ex: HttpExchange): Either[(Int, String), java.io.File] =
+      (indexRoot, param(ex, "index")) match {
+        case (None, _) =>
+          Left(404 -> """{"error":"no index root configured"}""")
+        case (_, None) =>
+          Left(400 -> """{"error":"index param required"}""")
+        case (Some(root), Some(name)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val hasQuant = Option(dir.listFiles()).getOrElse(Array.empty)
+            .exists(f => f.isDirectory && f.getName.startsWith("centroids"))
+          if (!plainName(name) || dir.getParentFile != rootDir)
+            Left(403 -> """{"error":"index not under the index root"}""")
+          else if (!hasQuant)
+            Left(404 -> s"""{"error":"no ivf index named '$name'"}""")
+          else Right(dir)
+      }
+    def occJson(o: graft.operators.IvfIndex.Occupancy): String =
+      s""""cells":${o.cells},"populated":${o.populated},""" +
+        s""""total":${o.total},"max":${o.max},""" +
+        f""""imbalance":${o.imbalance}%.4f"""
+    server.createContext("/health/ann", (ex: HttpExchange) => {
+      try ivfDirOf(ex) match {
+        case Left((c, b)) => respond(ex, c, b)
+        case Right(dir) =>
+          val idx = graft.operators.IvfIndex.load(spark, dir.getPath)
+          respond(ex, 200, s"""{"index":"${param(ex, "index").get}",""" +
+            occJson(idx.occupancy) + "}")
+      } catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    })
+    server.createContext("/rebalance", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405, """{"error":"POST with ?index="}""")
+      else try ivfDirOf(ex) match {
+        case Left((c, b)) => respond(ex, c, b)
+        case Right(dir) =>
+          val after =
+            graft.operators.IvfIndex.load(spark, dir.getPath).rebalance()
+          respond(ex, 200, s"""{"index":"${param(ex, "index").get}",""" +
+            s""""rebalanced":true,""" + occJson(after.occupancy) + "}")
+      } catch {
+        case e: IllegalStateException =>
+          // a live writer holds the index, or its quantizers went
+          // stale under this handle — retry from a fresh load
+          respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+            .getOrElse("index is write-locked").takeWhile(_ != '\n')
+            .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    })
     // the assembly-recipe CONFIG store over the wire: POST commits a
     // new version under an exactly-once tag (creating the store on
     // first commit), GET reads any version — the config half of

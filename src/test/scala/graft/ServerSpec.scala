@@ -162,6 +162,32 @@ class ServerSpec extends SparkSpec {
       assert(post(port, "/probe/ann?index=vecs&mode=warp", body)._1 == 400)
       assert(post(port, "/probe/ann?index=vecs&allowed=a,b", body)._1 == 400)
       assert(post(port, "/probe/ann?index=vecs", """{"junk":1}""")._1 == 400)
+
+      // the operational pair: /health/ann reads occupancy, /rebalance
+      // runs the physical reclaim a takedown's tombstones wait for
+      val n0 = Tables.embeddings(spark, sf).count()
+      val (hc0, hb0) = get(port, "/health/ann?index=vecs")
+      assert(hc0 == 200 && hb0.contains(s""""total":$n0"""), hb0)
+      assert(post(port, "/takedown/ann?index=vecs&tag=tkd",
+        """{"vec_id":1}""" + "\n" + """{"vec_id":2}""" + "\n" +
+          """{"vec_id":3}""")._1 == 200)
+      val (rc2, rb2) = post(port, "/rebalance?index=vecs", "")
+      assert(rc2 == 200 && rb2.contains("\"rebalanced\":true") &&
+        rb2.contains(s""""total":${n0 - 3}"""), rb2)
+      val (hc1, hb1) = get(port, "/health/ann?index=vecs")
+      assert(hc1 == 200 && hb1.contains(s""""total":${n0 - 3}"""), hb1)
+      // guardrails: method, unknown index, missing param, a foreign
+      // live writer on the index
+      assert(get(port, "/rebalance?index=vecs")._1 == 405)
+      assert(post(port, "/rebalance?index=nope", "")._1 == 404)
+      assert(get(port, "/health/ann?index=nope")._1 == 404)
+      assert(get(port, "/health/ann")._1 == 400)
+      val isfs = graft.sources.StoreFs(spark, s"$root/vecs")
+      isfs.atomicWrite(graft.sources.StoreFs.LeaseName,
+        s"otherhost:1:live\n${System.currentTimeMillis()}".getBytes)
+      val (flc, flb) = post(port, "/rebalance?index=vecs", "")
+      assert(flc == 409 && flb.contains("otherhost:1:live"), flb)
+      isfs.breakWriterLease()
     } finally srv.stop()
   }
 
