@@ -299,10 +299,13 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * owner knows when no reader still holds a pre-compaction plan. */
   def appendTagged(tag: String, docs: DataFrame,
                    verifyDisjoint: Boolean = false,
-                   autoCompactAt: Int = DedupIndex.AutoCompactMembers): Unit = sfs.withWriterLease() {
-    // ledger check first: a redelivered tag must not trigger a fold
+                   autoCompactAt: Int = DedupIndex.AutoCompactMembers): Boolean = sfs.withWriterLease() {
+    // ledger check first: a redelivered tag must not trigger a fold.
+    // Returns whether THIS call committed (the curateNight contract —
+    // the served write derives its answer from the verb's own return,
+    // no pre-check TOCTOU)
     val pre = readManifest()
-    if (tagsOf(pre)(tag)) return
+    if (tagsOf(pre)(tag)) return false
     if (membersOf(pre).size >= autoCompactAt) compact()
     // one LIVE manifest read feeds the width, the member list, and the
     // flip (the IvfIndex check-vs-target lesson) — re-read after the
@@ -324,6 +327,7 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
       (tags + tag).toSeq.sorted.map("#tag:" + _)
     sfs.atomicWrite("_MEMBERS", newLines.mkString("\n").getBytes)
     manifest = newLines // writer reads its own append; same width always
+    true
   }
 
   /** Doc-grain deletion — the takedown/opt-out verb (copyright removal,

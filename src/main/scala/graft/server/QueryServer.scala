@@ -196,6 +196,18 @@ import java.nio.charset.StandardCharsets
   *                                      foreachBatch write path over
   *                                      the wire, ledger-idempotent
   *                                      like /ingest/curate.
+  *   POST /ingest/dedup?index=<name>&tag=<night>[&verify=1]
+  *                                   → append a posted {doc_id, text}
+  *                                      night to a persisted DedupIndex
+  *                                      (signatures at the index's own
+  *                                      pinned width, ledger-idempotent,
+  *                                      auto-compacted past the member
+  *                                      bound); &verify=1 refuses
+  *                                      already-indexed doc_ids with
+  *                                      the overlap named. The write
+  *                                      half of /probe/dedup — probe
+  *                                      the night, ingest the
+  *                                      survivors.
   *   POST /ingest/point?store=<name>&tag=<batchid>
   *                                   → append a posted partial batch
   *                                      (JSON rows in the store's own
@@ -228,6 +240,7 @@ import java.nio.charset.StandardCharsets
   *                                      batch ledger.
   *   POST /takedown/curate?store=<name>&tag=<reqid>
   *   POST /takedown/ann?index=<name>&tag=<reqid>
+  *   POST /takedown/dedup?index=<name>&tag=<reqid>
   *                                   → doc-grain deletion over the wire
   *                                      (the compliance write: takedown
   *                                      / opt-out / PII removal arrives
@@ -1889,6 +1902,86 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           }
       }
     })
+    // the dedup index's write face — the last persisted kind without a
+    // served write: POST /ingest/dedup?index&tag[&verify=1] appends a
+    // {doc_id, text} night through DedupIndex.appendTagged (signatures
+    // computed at the index's own pinned shingle width, exactly-once on
+    // the consumed-tag ledger, auto-compaction past the member bound —
+    // fold-before-commit, so tonight's member survives its own fold).
+    // &verify=1 runs the disjointness audit: already-indexed doc_ids
+    // refuse with the count named (double-appending corrupts
+    // intersection counts). The read half is POST /probe/dedup; the
+    // pair serves the production loop — probe the night, ingest the
+    // survivors.
+    server.createContext("/ingest/dedup", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405,
+          """{"error":"POST JSON rows of {doc_id, text} with ?index=&tag="}""")
+      else (indexRoot, param(ex, "index"), param(ex, "tag")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None, _) =>
+          respond(ex, 400, """{"error":"index param required"}""")
+        case (_, _, None) =>
+          respond(ex, 400,
+            """{"error":"tag param required (the night id redeliveries are judged by)"}""")
+        case (Some(root), Some(name), Some(tag)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val verify = flagParam(ex, "verify")
+          // an ivf index also carries a _MEMBERS manifest — the
+          // quantizer directory tells them apart (the /stores order)
+          val isIvf = Option(dir.listFiles()).getOrElse(Array.empty)
+            .exists(f => f.isDirectory && f.getName.startsWith("centroids"))
+          if (!plainName(name) || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"index not under the index root"}""")
+          else if (!tag.matches("[A-Za-z0-9._-]+"))
+            respond(ex, 400,
+              """{"error":"tag must be filesystem-safe ([A-Za-z0-9._-]+)"}""")
+          else if (verify.isEmpty && param(ex, "verify").isDefined)
+            respond(ex, 400,
+              """{"error":"verify must be a boolean flag (verify, verify=1, verify=true)"}""")
+          else if (!new java.io.File(dir, "_MEMBERS").exists() || isIvf)
+            respond(ex, 404, s"""{"error":"no dedup index named '$name'"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val idx = graft.operators.DedupIndex.load(spark, dir.getPath)
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            import spark.implicits._
+            val docs = spark.read.schema("doc_id LONG, text STRING")
+              .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+              .cache()
+            try {
+              val n = docs.count()
+              val bad = docs
+                .filter(col("doc_id").isNull || col("text").isNull).count()
+              if (n == 0 || bad > 0)
+                respond(ex, 400,
+                  """{"error":"body must be JSON rows of {doc_id, text}"}""")
+              else {
+                val committed = idx.appendTagged(tag, docs,
+                  verifyDisjoint = verify.getOrElse(false))
+                respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
+                  s""""committed":$committed}""")
+              }
+            } finally docs.unpersist(false)
+          } catch {
+            case e: IllegalArgumentException =>
+              // the disjointness audit's refusal (already-indexed ids)
+              // or a malformed index — caller errors, named
+              respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("bad request").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: IllegalStateException =>
+              respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("index is write-locked").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
     // the plain point table's write face: POST a partial batch and the
     // store folds it under its writer lease — the reference's upsert
     // worker (worker.js:119-165's batch ack loop) as one route. The
@@ -2292,6 +2385,66 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             } finally ids.unpersist(false)
           } catch { case e: Throwable =>
             respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    // the dedup-index twin: tombstone a doc_id roster out of a
+    // persisted DedupIndex — signatures and postings gone from every
+    // read face immediately (one #tomb manifest line, O(takedown)),
+    // the next compact reclaims physically. Same ledger idempotence;
+    // deleted ids are RETIRED (re-appending is the documented contract
+    // violation — re-ingest corrected content under a fresh id).
+    server.createContext("/takedown/dedup", (ex: HttpExchange) => {
+      if (ex.getRequestMethod.toUpperCase != "POST")
+        respond(ex, 405,
+          """{"error":"POST JSON rows of {doc_id} with ?index=&tag="}""")
+      else (indexRoot, param(ex, "index"), param(ex, "tag")) match {
+        case (None, _, _) =>
+          respond(ex, 404, """{"error":"no index root configured"}""")
+        case (_, None, _) =>
+          respond(ex, 400, """{"error":"index param required"}""")
+        case (_, _, None) =>
+          respond(ex, 400, """{"error":"tag param required (the request id redeliveries are judged by)"}""")
+        case (Some(root), Some(name), Some(tag)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val isIvf = Option(dir.listFiles()).getOrElse(Array.empty)
+            .exists(f => f.isDirectory && f.getName.startsWith("centroids"))
+          if (!plainName(name) || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"index not under the index root"}""")
+          else if (!tag.matches("[A-Za-z0-9._-]+"))
+            respond(ex, 400,
+              """{"error":"tag must be filesystem-safe ([A-Za-z0-9._-]+)"}""")
+          else if (!new java.io.File(dir, "_MEMBERS").exists() || isIvf)
+            respond(ex, 404, s"""{"error":"no dedup index named '$name'"}""")
+          else try {
+            import org.apache.spark.sql.functions.col
+            val idx = graft.operators.DedupIndex.load(spark, dir.getPath)
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            import spark.implicits._
+            val ids = spark.read.schema("doc_id LONG")
+              .json(body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS())
+              .cache()
+            try {
+              val n = ids.count()
+              val bad = ids.filter(col("doc_id").isNull).count()
+              if (n == 0 || bad > 0)
+                respond(ex, 400,
+                  """{"error":"body must be JSON rows of {doc_id}"}""")
+              else {
+                val committed = idx.delete(tag, ids)
+                respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
+                  s""""committed":$committed}""")
+              }
+            } finally ids.unpersist(false)
+          } catch {
+            case e: IllegalStateException =>
+              respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("index is write-locked").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })

@@ -106,6 +106,38 @@ class ServerSpec extends SparkSpec {
       assert(bc == 400)
       val (nc, _) = post(port, "/probe/dedup?index=docs&threshold=x", body)
       assert(nc == 400)
+
+      // the WRITE half — probe the night, ingest the survivors:
+      // POST /ingest/dedup appends the batch exactly-once on the tag
+      val (ic, ib) = post(port, "/ingest/dedup?index=docs&tag=night1", body)
+      assert(ic == 200 && ib.contains("\"committed\":true"), ib)
+      val (ric, rib) = post(port, "/ingest/dedup?index=docs&tag=night1", body)
+      assert(ric == 200 && rib.contains("\"committed\":false"), rib)
+      // the batch is now IN the index: a fresh-tag re-ingest under the
+      // &verify=1 disjointness audit refuses with the overlap named —
+      // which is also the proof the first ingest indexed it
+      val (vc2, vb2) = post(port,
+        "/ingest/dedup?index=docs&tag=night2&verify=1", body)
+      assert(vc2 == 400 && vb2.contains("already indexed"), vb2)
+      assert(post(port,
+        "/ingest/dedup?index=docs&tag=night2&verify=maybe", body)._1 == 400)
+      assert(post(port, "/ingest/dedup?index=docs", body)._1 == 400)
+      assert(get(port, "/ingest/dedup?index=docs&tag=x")._1 == 405)
+      assert(post(port, "/ingest/dedup?index=nope&tag=x", body)._1 == 404)
+
+      // served takedown: tombstone an indexed doc that currently forms
+      // a probe pair — the index answers as if it was never appended
+      val victim = want.head._2
+      val (dc2, db2) = post(port, "/takedown/dedup?index=docs&tag=req1",
+        s"""{"doc_id":$victim}""")
+      assert(dc2 == 200 && db2.contains("\"committed\":true"), db2)
+      val (_, pBody2) = post(port, "/probe/dedup?index=docs&threshold=0.5", body)
+      assert(!pBody2.contains(s""""b":$victim"""), pBody2.take(200))
+      assert(post(port, "/takedown/dedup?index=docs&tag=req1",
+        s"""{"doc_id":$victim}""")._2.contains("\"committed\":false"))
+      assert(post(port, "/takedown/dedup?index=docs&tag=req2", "")._1 == 400)
+      assert(post(port, "/takedown/dedup?index=nope&tag=x",
+        """{"doc_id":1}""")._1 == 404)
     } finally srv.stop()
   }
 
