@@ -110,4 +110,43 @@ class MaintainedSpec extends SparkSpec {
     assert(r.committed && r.removed == 2L, r.toString)
     assert(served == batch(events.filter(_._1 != 2L)))
   }
+
+  test("takedownUsers purges through a SKETCH-measure store — the " +
+      "latency distributions re-derive from the surviving users alone") {
+    import spark.implicits._
+    import graft.functions.SketchOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdlat")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("latency")
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    // u1 converts in 60 s then 120 s; u2 in 30 s then 300 s — after
+    // u2's purge every hop's distribution must be exactly u1's values
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00.0", 1, "view"),
+      ev(1, "2024-01-01 10:01:00.0", 2, "click"),
+      ev(1, "2024-01-01 10:03:00.0", 3, "purchase"),
+      ev(2, "2024-01-01 11:00:00.0", 4, "view"),
+      ev(2, "2024-01-01 11:00:30.0", 5, "click"),
+      ev(2, "2024-01-01 11:05:30.0", 6, "purchase"))
+    Maintained.ingestDrop(spark, dir, cfg, "n1", events.toDF(cols: _*))
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
+    def report: Map[String, (Long, Long)] = graft.sources.PointStore
+      .open(spark, dir.getPath).snapshot
+      .select(org.apache.spark.sql.functions.col("hop"),
+        org.apache.spark.sql.functions.col("n_users"),
+        SketchOps.quantileAt(org.apache.spark.sql.functions.col("sk"), 0.5)
+          .as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(report("view->click") == (2L, 30000000L) ||
+      report("view->click") == (2L, 60000000L)) // exact-regime median pick
+    val r = Maintained.takedownUsers(spark, dir, Seq(2L).toDF("user_id"), "r1")
+    assert(r.committed && r.removed == 3L, r.toString)
+    assert(report == Map(
+      "view->click" -> (1L, 60000000L),
+      "click->purchase" -> (1L, 120000000L)))
+  }
 }

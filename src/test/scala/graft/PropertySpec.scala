@@ -557,4 +557,70 @@ class PropertySpec extends SparkSpec {
       assert(rebuilt.toSeq == (0 until n).map(j => s"t$j"), s"doc $i len $n coverage")
     }
   }
+
+  test("wire takedown ≡ never-ingested under random events, drop splits, " +
+      "and rosters — the purge-rebuild-flip law at arbitrary shapes") {
+    import graft.streaming.Maintained
+    import spark.implicits._
+    val steps = graft.operators.Windows.FunnelSteps
+    val types = steps ++ Seq("browse", "search") // non-step noise rides along
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    for (seed <- 1L to 2L) {
+      // random events over three days, TIME-SLICED into drops (the
+      // nightly-order contract a wire ingest promises)
+      val nUsers = sample(Gen.choose(5, 9), seed)
+      val events = (1L to nUsers).flatMap { u =>
+        val n = sample(Gen.choose(1, 6), seed * 100 + u)
+        (0 until n).map { i =>
+          val day = sample(Gen.choose(1, 3), seed * 1000 + u * 10 + i)
+          val sec = sample(Gen.choose(0, 86399), seed * 9000 + u * 100 + i)
+          val typ = types(sample(Gen.choose(0, types.size - 1),
+            seed * 7000 + u * 100 + i))
+          (u, new java.sql.Timestamp(
+            java.sql.Timestamp.valueOf(s"2024-01-0$day 00:00:00").getTime +
+              sec * 1000L), (u * 100 + i).toLong, typ)
+        }
+      }
+      // the roster: a random 1-3 users, present or not (an absent
+      // user's takedown must commit with removed == 0 and change nothing)
+      val roster = (1L to (nUsers + 2L))
+        .filter(u => sample(Gen.choose(0, 3), seed * 31 + u) == 0) match {
+        case Seq() => Seq(1L)
+        case r => r.take(3)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_tkdprop$seed")
+        .resolve("report").toFile
+      val cfg = Maintained.configOf("funnel")
+      (1 to 3).foreach { day =>
+        val start = java.sql.Timestamp
+          .valueOf(s"2024-01-0$day 00:00:00").getTime
+        val night = events.filter(e =>
+          e._2.getTime >= start && e._2.getTime < start + 86400000L)
+        Maintained.ingestDrop(spark, dir, cfg, s"n$day",
+          night.toDF(cols: _*))
+      }
+      Maintained.ingestDrop(spark, dir, cfg, "s1",
+        Seq((Maintained.SentinelUser,
+          java.sql.Timestamp.valueOf("2024-01-09 00:00:00"), 0L,
+          Maintained.SentinelType)).toDF(cols: _*))
+      val td = Maintained.takedownUsers(spark, dir,
+        roster.toDF("user_id"), "req")
+      val expectRemoved = events.count(e => roster.contains(e._1))
+      assert(td.committed && td.removed == expectRemoved,
+        s"seed $seed: $td, expected removed=$expectRemoved")
+      val got = Maintained
+        .funnelReportFrom(spark, graft.sources.PointStore.open(spark, dir.getPath))
+        .orderBy(col("step")).collect().map(_.mkString("|")).toSeq
+      val survivors = events.filterNot(e => roster.contains(e._1))
+      val want = graft.operators.Windows
+        .funnelOf(survivors.toDF(cols: _*), steps, None)
+        .zip(steps).zipWithIndex.map { case ((df, n), i) =>
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(i + 1).cast("int").as("step"),
+              lit(n).as("step_name"), col("users")) }
+        .reduce(_ unionByName _)
+        .orderBy(col("step")).collect().map(_.mkString("|")).toSeq
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
 }
