@@ -1521,8 +1521,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
     // (a live writer 409s with the holder named — the /backup
     // contract), and both apply to POINT-kind stores only: the other
     // kinds carry their own maintenance verbs (curate compaction rides
-    // its night folds, ivf rebalance is POST-worthy only with a
-    // quantizer retrain — refused here with the kind named).
+    // its night folds; the ivf retrain-and-reclaim is POST /rebalance
+    // below) and are refused here with the reason named.
     def maintenanceVerb(path: String, run: (graft.sources.PointStore,
         Option[Long]) => String, numParam: String): Unit =
       server.createContext(path, (ex: HttpExchange) => {
