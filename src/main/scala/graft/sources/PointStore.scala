@@ -234,6 +234,20 @@ final class PointStore(spark: SparkSession, path: String,
     * their next poll and resync in turn (the cascading-resync
     * contract). */
   def overwriteTagged(tag: String, partial: DataFrame): Unit =
+    overwriteTagged(tag, partial, _ => true, Set.empty)
+
+  /** The ledger-replacing overload: `keep` filters which of THIS
+    * store's consumed tags survive the flip and `adopt` injects tags
+    * consumed elsewhere. Exists for the one caller whose replacement
+    * content comes from a REBUILT sibling store driven by a fresh
+    * streaming checkpoint ([[graft.streaming.Maintained.takedownUsers]]):
+    * the rebuild's checkpoint replaces the maintenance checkpoint, so
+    * batch ids restart at 0 — the old stream's `bN` tags would collide
+    * with (and silently swallow) the new stream's future batches, while
+    * the REBUILD's own `bN` tags are exactly the ones the adopted
+    * checkpoint has already committed and must no-op on redelivery. */
+  def overwriteTagged(tag: String, partial: DataFrame,
+                      keep: String => Boolean, adopt: Set[String]): Unit =
     sfs.withWriterLease() {
       // tag-idempotent like appendTagged: an at-least-once resync retry
       // whose tag already committed must NOT re-replace the base — the
@@ -245,8 +259,8 @@ final class PointStore(spark: SparkSession, path: String,
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(sfs.pathOf(name))
       val v = version + 1
-      writeManifest((name +: (consumedTags + tag).toSeq.sorted.map(TagLine + _)) :+
-        s"$VacLine$v")
+      writeManifest((name +: (consumedTags.filter(keep) ++ adopt + tag)
+        .toSeq.sorted.map(TagLine + _)) :+ s"$VacLine$v")
     }
 
   private def writeManifest(ms: Seq[String]): Unit =

@@ -293,16 +293,38 @@ object Maintained {
     * file is a no-op forever), fold the twin's cells into `store`
     * exactly-once on the store's batch-tag ledger. The unit the
     * registered lifecycles run per night and the served ingest
-    * (POST /ingest/report) runs per posted drop. */
+    * (POST /ingest/report) runs per posted drop.
+    *
+    * `maxFileAge` is pinned effectively-off: the source's default (7d,
+    * relative to the NEWEST file) would silently skip the older nights
+    * of a >7d drop history on any fresh-checkpoint pass — exactly the
+    * takedown rebuild's shape — and would age consumed entries out of
+    * the seen-files map. The cost is that map holding one entry per
+    * drop file forever: drops are nightly-grain, so hundreds of
+    * entries a year, never a scale term.
+    *
+    * `exclude` is the store's cumulative takedown roster, anti-joined
+    * at the CELL grain (every twin's cells carry `user_id`) before the
+    * key-grain aggregation: the landing filter in [[ingestDrop]]
+    * already keeps roster rows out of the drops, and the takedown's
+    * checkpoint swap erases their held state, so this filter is
+    * defense in depth — it makes "an erased user's cells never fold"
+    * a property of the fold itself, not of any one caller's
+    * choreography. Broadcast: the roster is human-scale. */
   private[graft] def maintainOnce(s: SparkSession, fold: ReportFold,
                                   store: PointStore, watched: String,
-                                  ckpt: String): Unit = {
+                                  ckpt: String,
+                                  exclude: Option[DataFrame] = None): Unit = {
     val stream = s.readStream
       .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+      .option("maxFileAge", "36500d")
       .parquet(watched)
     val q = fold.wire(stream).writeStream
-      .foreachBatch((b: DataFrame, id: Long) =>
-        StreamingPointStore.foldBatch(store, fold.partialOf, b, id))
+      .foreachBatch((b: DataFrame, id: Long) => {
+        val cells = exclude.fold(b)(r =>
+          b.join(broadcast(r), Seq("user_id"), "left_anti"))
+        StreamingPointStore.foldBatch(store, fold.partialOf, cells, id)
+      })
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -360,15 +382,28 @@ object Maintained {
         java.nio.file.Files.move(tmp.toPath, cfgFile.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
+      // a .pending takedown without its committed record means a
+      // takedown crashed mid-flight — between its purge and its
+      // checkpoint swap the maintenance checkpoint may be mid-replace,
+      // so folding now could consume through a ledger about to be
+      // discarded; the heal is the takedown's own redelivery
+      val td = new java.io.File(sdir, "takedowns")
+      val pend = Option(td.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".pending"))
+      if (pend.nonEmpty) throw new IllegalStateException(
+        s"a takedown is mid-flight on this store (pending: ${
+          pend.map(_.getName.stripSuffix(".pending")).mkString(",")
+        }) — redeliver POST /takedown/report with that tag first")
+      val roster = exclusionRoster(s, dir)
       val landed = !new java.io.File(drops, s"$tag.parquet").exists
       if (landed) {
-        val kept = exclusionRoster(s, dir).fold(rows)(r =>
+        val kept = roster.fold(rows)(r =>
           rows.join(broadcast(r), Seq("user_id"), "left_anti"))
         dropFile(kept, drops, tag)
       }
       val before = store.version
       maintainOnce(s, fold, store, drops.getPath,
-        new java.io.File(sdir, "ckpt").getPath)
+        new java.io.File(sdir, "ckpt").getPath, exclude = roster)
       IngestResult(landed, store.version != before, store.version)
     }
   }
@@ -431,6 +466,37 @@ object Maintained {
     * changefeed followers resync rather than mis-reading a replacement
     * as an incremental window (the cascading-resync contract).
     *
+    * ==The checkpoint swap==
+    * The rebuild REPLACES the maintenance checkpoint (`_stream/ckpt`)
+    * with the scratch fold's, not just the report — the old checkpoint
+    * is wrong in three ways the report flip alone cannot heal, all
+    * pinned red-then-green in MaintainedSpec:
+    *   - it HOLDS the roster's not-yet-final events (the watermark
+    *     slack at takedown time): the next ingest's watermark advance
+    *     would finalize them and fold the erased user back into the
+    *     rebuilt store;
+    *   - it remembers innocent users' reaches the flip DISCARDED: an
+    *     event final under the old watermark but held under the purged
+    *     drops' lower one is in the old state's fin vector, so it would
+    *     never re-emit — the reach is lost forever;
+    *   - its file ledger disagrees with the rebuild about a
+    *     landed-but-unfolded drop (the ingest crash window): the
+    *     rebuild bakes it in, so a healing redelivery through the old
+    *     ledger would fold it a second time.
+    * The scratch checkpoint is right on all three by construction: it
+    * folded exactly the purged drops, holds exactly their open tail,
+    * and has ledgered every current drop file. Its batch ids restart
+    * at 0, so the flip goes through the ledger-replacing
+    * [[PointStore.overwriteTagged]] overload: the store drops its old
+    * stream's `bN` tags (they would swallow the new stream's future
+    * batches) and adopts the scratch's. The swap itself stages the old
+    * checkpoint aside (`ckpt.old`) before the rename; the only
+    * non-atomic window leaves no checkpoint, which [[ingestDrop]]
+    * refuses to fold through (the `.pending` marker is still laid) and
+    * the takedown's own redelivery heals. After the swap the store's
+    * entire `_stream` footprint — drops, checkpoint state, ledger —
+    * holds none of the roster's data: erasure includes the residue.
+    *
     * Exactly-once on the request tag rides the `_stream/takedowns`
     * ledger: the committed marker doubles as the roster's durable
     * record (the forward exclusion [[ingestDrop]] applies), and a
@@ -439,11 +505,12 @@ object Maintained {
     * the crash may have hit between the purge and the flip.
     * overwriteTagged's own tag ledger makes the flip itself idempotent.
     *
-    * The drop rewrites preserve the files' relative modification order
-    * (re-assigned strictly increasing afterwards), so any consumer that
-    * ever processes the drops in more than one micro-batch still sees
-    * them in event-time order — the watermark contract the nightly
-    * cadence promises.
+    * Each rewritten drop gets its ORIGINAL modification timestamp back
+    * (order AND age, not a fresh re-stamp): the file source's seen-map
+    * ages entries relative to the newest file, so re-stamping a >7d
+    * history to "now" would make aged-out consumed drops look NEW to
+    * the next ingest and double-count the store — the failure
+    * [[maintainOnce]]'s pinned maxFileAge also forecloses.
     *
     * The roster is a posted request (human-scale, like every takedown
     * face in the family); it broadcasts into the per-file anti-joins
@@ -471,17 +538,14 @@ object Maintained {
           .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified).toSeq
         var removed = 0L
         drops.foreach { f =>
+          val mtime = f.lastModified // the rewrite must not re-age the drop
           val df = s.read.parquet(f.getPath)
           val hit = df.join(broadcast(ids), Seq("user_id"), "left_semi").count()
           if (hit > 0) {
             rewriteDrop(df.join(broadcast(ids), Seq("user_id"), "left_anti"), f)
+            f.setLastModified(mtime)
             removed += hit
           }
-        }
-        if (removed > 0) { // rewrites reset mtimes: restore landing order
-          val base = drops.map(_.lastModified).max + 1000L
-          drops.zipWithIndex.foreach { case (f, i) =>
-            f.setLastModified(base + i * 1000L) }
         }
         if (removed > 0 || crashed) {
           val fold = foldOfConfig(s, cfg)
@@ -491,15 +555,35 @@ object Maintained {
             new java.io.File(scratchRoot, "report").getPath,
             keys = fold.keys, sums = fold.sums, maxes = Nil,
             quantiles = fold.quantiles)
+          // the scratch fold also screens cells against the CUMULATIVE
+          // roster (prior takedowns plus this one) — redundant with the
+          // purge, load-bearing only if a drop rewrite is ever undone
+          // out-of-band, but it makes the rebuild's contract local
+          val cumulative = exclusionRoster(s, dir)
+            .fold(ids)(_.unionByName(ids)).distinct()
           maintainOnce(s, fold, scratch,
             new java.io.File(sdir, "drops").getPath,
-            new java.io.File(scratchRoot, "ckpt").getPath)
+            new java.io.File(scratchRoot, "ckpt").getPath,
+            exclude = Some(cumulative))
           val real =
             if (new java.io.File(dir, "_MANIFEST").exists)
               PointStore.open(s, dir.getPath)
             else new PointStore(s, dir.getPath, keys = fold.keys,
               sums = fold.sums, maxes = Nil, quantiles = fold.quantiles)
-          real.overwriteTagged(s"takedown-$tag", scratch.snapshot)
+          real.overwriteTagged(s"takedown-$tag", scratch.snapshot,
+            keep = t => !t.matches("b\\d+"), adopt = scratch.consumedTags)
+          // swap in the scratch checkpoint: the old one holds the
+          // roster's slack-held events, has finalized reaches the flip
+          // just discarded, and disagrees with the rebuild about any
+          // landed-but-unfolded drop (scaladoc above) — all three heal
+          // only by adopting the checkpoint that PRODUCED the new base
+          val ckpt = new java.io.File(sdir, "ckpt")
+          val old = new java.io.File(sdir, "ckpt.old")
+          PointStore.deleteRec(old)
+          if (ckpt.exists) java.nio.file.Files.move(ckpt.toPath, old.toPath)
+          java.nio.file.Files.move(
+            new java.io.File(scratchRoot, "ckpt").toPath, ckpt.toPath)
+          PointStore.deleteRec(old)
           PointStore.deleteRec(scratchRoot)
         }
         // the committed marker doubles as the cumulative-roster record

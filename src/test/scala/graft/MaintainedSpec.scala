@@ -74,6 +74,93 @@ class MaintainedSpec extends SparkSpec {
       Seq(2L).toDF("user_id"), "r1").committed)
   }
 
+  test("takedownUsers erases HELD state — a takedown BETWEEN ingests " +
+      "(roster events inside the watermark slack) leaves the report " +
+      "≡ never-ingested, without losing an innocent user's held reach") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdheld")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel")
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    // u1 far below the drop's max ts (finalized by n1's own watermark);
+    // u3 ninety seconds below the max (finalized too — but HELD by the
+    // purged drops' LOWER max, the reach a naive rebuild loses); u2 (the
+    // roster) holds the max ts with a view+click pair inside the slack
+    // — the held state that must never re-enter
+    Maintained.ingestDrop(spark, dir, cfg, "n1", Seq(
+      ev(1, "2024-01-01 10:00:00.0", 1, "view"),
+      ev(3, "2024-01-01 11:58:00.0", 2, "view"),
+      ev(2, "2024-01-01 12:00:00.0", 3, "view"),
+      ev(2, "2024-01-01 12:00:01.0", 4, "click")).toDF(cols: _*))
+    def users: Map[Int, Long] = Maintained
+      .funnelReportFrom(spark, PointStore.open(spark, dir.getPath))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // n1's watermark (max - 1 min) finalized u1 and u3; u2's pair is held
+    assert(users == Map(1 -> 2L, 2 -> 0L, 3 -> 0L), users.toString)
+    val td = Maintained.takedownUsers(spark, dir,
+      Seq(2L).toDF("user_id"), "r1")
+    assert(td.committed && td.removed == 2L, td.toString)
+    // the sentinel advances the watermark past every hold: were u2's
+    // held pair still able to emit, step 2 would read 1; were u3's
+    // reach lost with the rebuild's checkpoint, step 1 would read 1
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-09 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
+    assert(users == Map(1 -> 2L, 2 -> 0L, 3 -> 0L), users.toString)
+  }
+
+  test("takedownUsers bakes a landed-but-unfolded drop (the ingest " +
+      "crash window) into the rebuild, and the healing redelivery " +
+      "does not double-fold it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdcrash")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel")
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    Maintained.ingestDrop(spark, dir, cfg, "n1", Seq(
+      ev(1, "2024-01-01 10:00:00.0", 1, "view")).toDF(cols: _*))
+    // simulate the crash between landing and folding: the drop file
+    // sits in _stream/drops exactly as ingestDrop would have left it,
+    // but no maintenance pass ever consumed it
+    val xRows = Seq(
+      ev(5, "2024-01-02 10:00:00.0", 2, "view"),
+      ev(-1, "2024-01-09 00:00:00.0", 0, "_watermark")).toDF(cols: _*)
+    Maintained.dropFile(xRows, new java.io.File(dir, "_stream/drops"), "x")
+    val td = Maintained.takedownUsers(spark, dir,
+      Seq(1L).toDF("user_id"), "r1")
+    assert(td.committed && td.removed == 1L, td.toString)
+    def step1Users: Long = Maintained
+      .funnelReportFrom(spark, PointStore.open(spark, dir.getPath))
+      .filter(org.apache.spark.sql.functions.col("step") === 1)
+      .head.getLong(2)
+    assert(step1Users == 1L) // u5 baked in by the rebuild, u1 purged
+    // the healing redelivery finds the drop landed AND consumed
+    val re = Maintained.ingestDrop(spark, dir, cfg, "x", xRows)
+    assert(!re.landed && !re.committed, re.toString)
+    assert(step1Users == 1L) // no double-fold
+  }
+
+  test("ingestDrop refuses while a takedown is mid-flight (a .pending " +
+      "marker without its committed record)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdpend")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel")
+    Maintained.ingestDrop(spark, dir, cfg, "n1", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.0"), 1L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type"))
+    val td = new java.io.File(dir, "_stream/takedowns"); td.mkdirs()
+    java.nio.file.Files.createFile(new java.io.File(td, "r9.pending").toPath)
+    val e = intercept[IllegalStateException](
+      Maintained.ingestDrop(spark, dir, cfg, "n2", Seq(
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00.0"), 2L, "view"))
+        .toDF("user_id", "ts", "event_id", "event_type")))
+    assert(e.getMessage.contains("mid-flight"), e.getMessage)
+  }
+
   test("takedownUsers rebuilds through the store's own pinned config — " +
       "a retention store's purge re-derives the cohort matrix as if " +
       "the user never existed") {
