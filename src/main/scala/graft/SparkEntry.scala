@@ -34,7 +34,7 @@ object SparkEntry {
     "funnel_maintained", "retention_maintained", "paths_maintained",
     "latency_maintained", "funnel_deepest_maintained",
     "retention_rolling_maintained", "paths_sessionized_maintained",
-    "report_takedown")
+    "funnel_sessions_maintained", "report_takedown")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -116,6 +116,7 @@ object SparkEntry {
     "funnel_deepest_maintained" -> (graft.streaming.Maintained.funnelDeepestMaintained _),
     "retention_rolling_maintained" -> (graft.streaming.Maintained.retentionRollingMaintained _),
     "paths_sessionized_maintained" -> (graft.streaming.Maintained.pathsSessionizedMaintained _),
+    "funnel_sessions_maintained" -> (graft.streaming.Maintained.funnelSessionsMaintained _),
     "report_takedown" -> (graft.streaming.Maintained.reportTakedown _),
     "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
@@ -247,6 +248,7 @@ object SparkEntry {
     "funnel_deepest_maintained" -> Windows.eventsFunnelDeepestOracle,
     "retention_rolling_maintained" -> Windows.eventsRetentionRollingOracle,
     "paths_sessionized_maintained" -> Windows.eventsPathsSessionizedOracle,
+    "funnel_sessions_maintained" -> Windows.eventsFunnelSessionsOracle,
     "report_takedown" -> graft.streaming.Maintained.reportTakedownOracle,
     "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,

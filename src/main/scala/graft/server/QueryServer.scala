@@ -220,8 +220,8 @@ import java.nio.charset.StandardCharsets
   *                                      a served write. Ledger-
   *                                      idempotent like its siblings.
   *   POST /ingest/report?store=<name>&tag=<night>&type=funnel|
-  *        funnel_deepest|retention|retention_rolling|paths|latency
-  *        [&window=1d][&period=week][&gap=30m]
+  *        funnel_deepest|funnel_sessions|retention|retention_rolling|
+  *        paths|latency [&window=1d][&period=week][&gap=30m]
   *                                   → fold a posted nightly EVENTS drop
   *                                      (JSON rows of {user_id, ts,
   *                                      event_id, event_type}) into a
@@ -263,13 +263,15 @@ import java.nio.charset.StandardCharsets
   *                                      _stream/drops files, the report
   *                                      re-derives from the purged
   *                                      drops and commits in one atomic
-  *                                      flip, and every later
-  *                                      /ingest/report filters the
-  *                                      cumulative roster (forward
-  *                                      opt-out). Library-maintained
-  *                                      stores 409 with the remedy
-  *                                      named. Exactly-once on the
-  *                                      _stream/takedowns ledger.
+  *                                      flip that also REPLACES the
+  *                                      maintenance checkpoint (held
+  *                                      state erased, not aged out),
+  *                                      and every later /ingest/report
+  *                                      filters the cumulative roster
+  *                                      (forward opt-out). Library-
+  *                                      maintained stores 409 with the
+  *                                      remedy named. Exactly-once on
+  *                                      the _stream/takedowns ledger.
   *   GET /assemble[?sf=DIR&seed=S&budget=N&epochs=en:2.3,de:1.5
   *                 &default=W&limit=N]
   *                                   → the training-mix assembly
@@ -564,8 +566,14 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               case Left((code, body)) => respond(ex, code, body)
               case Right(store) =>
                 import org.apache.spark.sql.functions.col
-                val report = graft.streaming.Maintained.funnelReportFrom(
-                  spark, ver.flatten.fold(store.snapshot)(store.snapshotAt))
+                val snap = ver.flatten.fold(store.snapshot)(store.snapshotAt)
+                // a SESSION-funnel store carries the visits measure
+                // beside users — which report a store holds is its
+                // materialization, and the read serves its full shape
+                val report =
+                  if (snap.columns.contains("visits"))
+                    graft.streaming.Maintained.funnelSessionsReportFrom(spark, snap)
+                  else graft.streaming.Maintained.funnelReportFrom(spark, snap)
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
                 respond(ex, 200, report.orderBy(col("step")).limit(limit)
                   .toJSON.collect().mkString("[", ",", "]"))
@@ -1620,7 +1628,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         s""""total":${o.total},"max":${o.max},""" +
         f""""imbalance":${o.imbalance}%.4f"""
     server.createContext("/health/ann", (ex: HttpExchange) => {
-      try ivfDirOf(ex) match {
+      if (ex.getRequestMethod.toUpperCase != "GET")
+        respond(ex, 405, """{"error":"GET with ?index= (the read half; the write verb is POST /rebalance)"}""")
+      else try ivfDirOf(ex) match {
         case Left((c, b)) => respond(ex, c, b)
         case Right(dir) =>
           val idx = graft.operators.IvfIndex.load(spark, dir.getPath)
@@ -1956,9 +1966,17 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               val n = docs.count()
               val bad = docs
                 .filter(col("doc_id").isNull || col("text").isNull).count()
+              // the audit also screens the body against ITSELF: a
+              // doc_id posted twice in one night double-appends its
+              // signatures exactly like a replayed night would — the
+              // corruption the disjointness audit exists to refuse
+              val dupes = if (verify.getOrElse(false))
+                n - docs.select(col("doc_id")).distinct().count() else 0L
               if (n == 0 || bad > 0)
                 respond(ex, 400,
                   """{"error":"body must be JSON rows of {doc_id, text}"}""")
+              else if (dupes > 0)
+                respond(ex, 400, s"""{"error":"body repeats $dupes doc_id(s) — a doc_id may appear once per ingest (double-appended signatures skew intersection counts)"}""")
               else {
                 val committed = idx.appendTagged(tag, docs,
                   verifyDisjoint = verify.getOrElse(false))

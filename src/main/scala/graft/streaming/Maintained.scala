@@ -83,7 +83,7 @@ object Maintained {
     * refused loudly (a maintained store is one materialization; its
     * configuration must be exact, not silently defaulted). */
   val ReportTypes: Set[String] = Set("funnel", "funnel_deepest",
-    "retention", "retention_rolling", "paths", "latency")
+    "funnel_sessions", "retention", "retention_rolling", "paths", "latency")
 
   def foldOf(s: SparkSession, typ: String, windowMs: Option[Long] = None,
              period: Option[String] = None,
@@ -123,6 +123,19 @@ object Maintained {
             df.select(col("user_id"), col("ts"), col("event_type"))
               .as[StreamingFunnelDeepest.Ev], s"${h}ms", path).toDF,
           _.groupBy("step", "step_name").agg(count(lit(1)).as("users")))
+      case "funnel_sessions" =>
+        no(period, "period"); no(windowMs, "window")
+        val g = gapMs.getOrElse(throw new IllegalArgumentException(
+          "funnel_sessions requires a gap (the session is the funnel's " +
+            "conversion unit — defaulting it would pin a materialization " +
+            "the caller never chose)"))
+        ReportFold(Seq("step", "step_name"), Seq("users", "visits"), Nil,
+          df => StreamingFunnelSessions.reaches(s,
+            df.select(col("user_id"), col("ts"), col("event_type"))
+              .as[StreamingFunnelSessions.Ev], g, path).toDF,
+          _.groupBy("step", "step_name").agg(
+            sum(when(col("first_user"), 1L).otherwise(0L)).as("users"),
+            count(lit(1)).as("visits")))
       case "retention" | "retention_rolling" =>
         no(steps, "steps"); no(windowMs, "window"); no(gapMs, "gap")
         val evs = (df: DataFrame) =>
@@ -286,6 +299,29 @@ object Maintained {
         .select(col("step"), col("step_name"),
           coalesce(col("users"), lit(0L)).as("users"))
     }
+  }
+
+  /** The session-funnel report read from a maintained (step, step_name)
+    * /(users, visits) store — [[funnelReportFrom]]'s discipline with
+    * both measures: default-path stores zero-fill absent steps (an
+    * unreached step is zero users AND zero visits, it never vanishes),
+    * custom-path stores serve their rows alone. */
+  def funnelSessionsReportFrom(s: SparkSession, snapshot: DataFrame): DataFrame = {
+    import s.implicits._
+    val defaults = StreamingFunnel.Steps.zipWithIndex
+      .map { case (n, i) => (i + 1, n) }
+    val snap = snapshot
+      .select(col("step").cast("int").as("step"), col("step_name"),
+        col("users"), col("visits"))
+    val custom = snap.select(col("step"), col("step_name"))
+      .as[(Int, String)].collect().exists(!defaults.contains(_))
+    if (custom) snap
+    else defaults.toDF("step", "step_name")
+      .select(col("step").cast("int").as("step"), col("step_name"))
+      .join(snap, Seq("step", "step_name"), "left")
+      .select(col("step"), col("step_name"),
+        coalesce(col("users"), lit(0L)).as("users"),
+        coalesce(col("visits"), lit(0L)).as("visits"))
   }
 
   /** One maintenance pass: consume whatever NEW files sit in `watched`
@@ -660,6 +696,23 @@ object Maintained {
         .parseHorizon(graft.operators.Windows.FunnelHorizon))),
       cycles = Condensed)
     funnelReportFrom(s, store)
+  }
+
+  /** `funnel_sessions_maintained`: the per-visit funnel — the flavor
+    * product teams usually mean by "the signup funnel" — as a
+    * maintained table, at the registered 30-minute session gap. The
+    * [[StreamingFunnelSessions]] twin emits one cell per (user,
+    * session, step) reach with the first-ever-per-user flag riding
+    * along, so BOTH report measures fold additively: `visits` counts
+    * cells, `users` sums the flag — no distinct aggregation anywhere
+    * downstream of the stream. Oracle = the one-shot sessionized
+    * staged-min funnel SQL at (user, sid) grain
+    * ([[graft.operators.Windows.eventsFunnelSessionsOracle]]). */
+  def funnelSessionsMaintained(s: SparkSession, d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_sfunmaint_",
+      foldOf(s, "funnel_sessions", gapMs = Some(1800000L)),
+      cycles = Condensed)
+    funnelSessionsReportFrom(s, store.snapshot)
   }
 
   /** `retention_maintained`: the weekly cohort matrix as a maintained

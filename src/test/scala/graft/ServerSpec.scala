@@ -121,6 +121,14 @@ class ServerSpec extends SparkSpec {
       assert(vc2 == 400 && vb2.contains("already indexed"), vb2)
       assert(post(port,
         "/ingest/dedup?index=docs&tag=night2&verify=maybe", body)._1 == 400)
+      // the audit also refuses a body that repeats a doc_id WITHIN
+      // itself (in-body double-append skews intersection counts the
+      // same way a replayed night would)
+      val firstLine = body.linesIterator.next()
+      val (dupc, dupb) = post(port,
+        "/ingest/dedup?index=docs&tag=night3&verify=1",
+        firstLine + "\n" + firstLine)
+      assert(dupc == 400 && dupb.contains("repeats 1 doc_id"), dupb)
       assert(post(port, "/ingest/dedup?index=docs", body)._1 == 400)
       assert(get(port, "/ingest/dedup?index=docs&tag=x")._1 == 405)
       assert(post(port, "/ingest/dedup?index=nope&tag=x", body)._1 == 404)
@@ -200,6 +208,9 @@ class ServerSpec extends SparkSpec {
       val n0 = Tables.embeddings(spark, sf).count()
       val (hc0, hb0) = get(port, "/health/ann?index=vecs")
       assert(hc0 == 200 && hb0.contains(s""""total":$n0"""), hb0)
+      // the pair's method contract is symmetric: the read half is
+      // GET-only exactly as the write half is POST-only
+      assert(post(port, "/health/ann?index=vecs", "")._1 == 405)
       assert(post(port, "/takedown/ann?index=vecs&tag=tkd",
         """{"vec_id":1}""" + "\n" + """{"vec_id":2}""" + "\n" +
           """{"vec_id":3}""")._1 == 200)
@@ -1205,6 +1216,31 @@ class ServerSpec extends SparkSpec {
         .toJSON.collect().mkString("[", ",", "]")
       assert(rc == 200 && rbody == rexpected,
         s"served=$rbody\nexpected=$rexpected")
+
+      // the SESSION funnel maintained over the wire — &gap is required
+      // (the visit bound is the materialization) and pins at first
+      // ingest; the store carries BOTH measures and the /funnel read
+      // serves its full (users, visits) shape
+      assert(post(port,
+        "/ingest/report?store=wsess&tag=n0&type=funnel_sessions",
+        drop(0))._1 == 400) // gap required
+      assert(post(port,
+        "/ingest/report?store=wsess&tag=n0&type=funnel_sessions&gap=30m",
+        Seq(drop(0), drop(1), drop(2)).mkString("\n"))._1 == 200)
+      assert(post(port, // one materialization: a different gap refuses
+        "/ingest/report?store=wsess&tag=s1&type=funnel_sessions&gap=10m",
+        sentinel(2))._1 == 400)
+      assert(post(port,
+        "/ingest/report?store=wsess&tag=s1&type=funnel_sessions&gap=30m",
+        sentinel(2))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wsess&tag=s2&type=funnel_sessions&gap=30m",
+        sentinel(4))._1 == 200)
+      val (sc2, sbody) = this.get(port, "/funnel?store=wsess")
+      val sexpected = graft.operators.Windows.eventsFunnelSessions(spark, sf)
+        .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
+      assert(sc2 == 200 && sbody == sexpected,
+        s"served=$sbody\nexpected=$sexpected")
 
       // a CUSTOM funnel path maintained over the wire — &steps= pins
       // into the config, the read face serves the custom rows alone

@@ -126,6 +126,81 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("StreamingFunnelSessions equals the batch session funnel — " +
+      "per-visit reaches, cross-visit conversions refused, non-step " +
+      "events holding sessions open, disorder across chunks") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnelSessions
+    import graft.streaming.StreamingFunnelSessions.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 600000L // 10 min — tighter than registered, sharper splits
+    val chunk1 = Seq(
+      // user 1, visit A: full in-order conversion in one session
+      Ev(1, ts(1), "view"), Ev(1, ts(3), "click"), Ev(1, ts(5), "purchase"),
+      // user 2: view now, click 19 min later — TWO visits, so the
+      // cross-visit conversion must NOT count (the decisive semantic
+      // against the plain chained funnel, which converts it)
+      Ev(2, ts(1), "view"), Ev(2, ts(20), "click"),
+      // user 3's click+purchase arrive a chunk BEFORE its view (earlier
+      // event time): the held fold must still convert all three
+      Ev(3, ts(2), "click"), Ev(3, ts(3), "purchase"),
+      // user 4: a NON-step event bridges view→click across 16 min —
+      // the gap law counts every event, so this is ONE session
+      Ev(4, ts(0), "view"), Ev(4, ts(8), "browse"), Ev(4, ts(16), "click"),
+      // user 5: click ties the view exactly — strict > rejects it
+      Ev(5, ts(5), "view"), Ev(5, ts(5), "click"),
+      // user 6: two single-view visits — two step-1 cells, one first_user
+      Ev(6, ts(1), "view"))
+    val chunk2 = Seq(
+      // user 1, visit B (25 min after visit A's last event): converts
+      // to step 2 only — new cells, but first_user false throughout
+      Ev(1, ts(30), "view"), Ev(1, ts(32), "click"),
+      Ev(3, ts(1), "view"),
+      Ev(6, ts(20), "view"))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1)
+    stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000), "sentinel")))
+    val q = StreamingFunnelSessions.reaches(spark, stream.toDS, gapMs)
+      .writeStream.format("memory").queryName("sfunnel_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val reaches = spark.table("sfunnel_out").filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getTimestamp(4), r.getBoolean(5)))
+    val got = reaches.map(t => (t._1, t._3, t._4)).toSet
+    val batchStages = graft.operators.Windows.funnelSessionsOf(
+      (chunk1 ++ chunk2).zipWithIndex
+        .map { case (e, i) => (e.user_id, e.ts, i.toLong, e.event_type) }
+        .toDF("user_id", "ts", "event_id", "event_type"),
+      graft.streaming.StreamingFunnel.Steps, gapMs)
+    val want = batchStages.zipWithIndex.flatMap { case (df, i) =>
+      df.collect().map(r => (r.getStruct(0).getLong(0), i + 1,
+        r.getTimestamp(1)))
+    }.toSet
+    assert(got == want)
+    // the crafted semantics actually happened
+    assert(got.count(t => t._1 == 1L && t._2 == 2) == 2)   // both visits
+    assert(!got.exists(t => t._1 == 2L && t._2 == 2))      // cross-visit
+    assert(got.exists(t => t._1 == 4L && t._2 == 2))       // bridged
+    assert(!got.exists(t => t._1 == 5L && t._2 == 2))      // strict tie
+    assert(got.count(t => t._1 == 6L && t._2 == 1) == 2)   // two visits
+    // sid is the visit's first event time: distinct per (user, visit),
+    // so the cells are exactly-once at (user, sid, step)
+    assert(reaches.map(t => (t._1, t._2, t._3)).distinct.length ==
+      reaches.length)
+    // first_user sums to the batch DISTINCT-user count per step — the
+    // flag that makes the maintained store's users measure additive
+    val firstBySte = reaches.groupBy(_._3)
+      .map { case (k, v) => k -> v.count(_._5) }
+    val wantUsers = batchStages.zipWithIndex.map { case (df, i) =>
+      (i + 1) -> df.select(col("user_id.u")).distinct().count()
+    }.toMap.filter(_._2 > 0)
+    assert(firstBySte == wantUsers.map { case (k, v) => k -> v.toInt })
+  }
+
   test("StreamingFunnel with a conversion horizon equals the windowed " +
       "batch funnel; never-reached users evict without changing reaches") {
     import spark.implicits._
