@@ -222,6 +222,51 @@ object Maintained {
     PointStore.deleteRec(stage)
   }
 
+  /** Target rows per landed drop file when the landing width is not
+    * pinned by the caller: a nightly drop lands across
+    * ceil(rows / this) write tasks instead of one. */
+  val DropFileRows: Long = 1L << 21
+
+  /** Land a frame as the tag's drop, across one OR MORE parquet files
+    * (`<tag>-pNNNNN.parquet`) — the 100 TB landing shape: a single
+    * `coalesce(1)` write is the one serial stage in the wire path, so
+    * past [[DropFileRows]] the landing spreads over hash-partitioned
+    * write tasks. Exactly-once stays intact at BOTH grains because the
+    * split is DETERMINISTIC and each file move is atomic:
+    *   - rows → files by `repartition(parts, user_id)` with `parts`
+    *     derived from the row count (or pinned by the caller), so a
+    *     redelivery that re-stages after a crash mid-landing produces
+    *     byte-identical partitions and the skip-if-exists move never
+    *     pairs a consumed file with different content;
+    *   - the maintenance stream's file ledger is per FILE, so a
+    *     partially-landed drop that somehow folded early double-counts
+    *     nothing when the remaining files land — they are new files;
+    *   - the TAG grain ("this drop already landed") moves to a marker
+    *     in `_stream/landed/<tag>`, written only after every file move
+    *     (the legacy single-file name still counts as landed, so
+    *     pre-split stores keep their redelivery contract). */
+  private[graft] def dropFiles(df: DataFrame, dir: java.io.File, tag: String,
+                               parts: Int): Unit = {
+    require(parts >= 1, s"landing width must be >= 1, got $parts")
+    if (parts == 1) {
+      if (!new java.io.File(dir, s"$tag.parquet").exists)
+        dropFile(df, dir, tag)
+    } else {
+      val stage = new java.io.File(dir.getParentFile,
+        s"stage_${dir.getName}_$tag")
+      df.repartition(parts, col("user_id"))
+        .write.mode("overwrite").parquet(stage.getPath)
+      val files = stage.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        val target = new java.io.File(dir, f"$tag-p$i%05d.parquet")
+        if (!target.exists)
+          java.nio.file.Files.move(f.toPath, target.toPath)
+      }
+      PointStore.deleteRec(stage)
+    }
+  }
+
   /** The staged drop files, built ONCE per (JVM, sf dir) and shared by
     * the three lifecycles — the `historicalBase` fixture doctrine: the
     * drops are immutable INPUTS (hardlinked, never mutated, into each
@@ -372,9 +417,11 @@ object Maintained {
 
   /** One WIRE-shape ingest — the unit POST /ingest/report serves, and
     * the library face for a caller who drives the same layout without
-    * HTTP: land `rows` as the tag's drop file in `_stream/drops`
+    * HTTP: land `rows` as the tag's drop file(s) in `_stream/drops`
     * (filtered through the cumulative takedown roster — an opted-out
-    * user never re-enters, see [[takedownUsers]]) and run one
+    * user never re-enters, see [[takedownUsers]]; landing width auto
+    * from the row count or pinned via `landParts` — [[dropFiles]]'s
+    * parallel-landing contract) and run one
     * maintenance pass over whatever the checkpoint's file ledger says
     * is new. Exactly-once at both grains: a redelivered tag finds its
     * drop file landed and ledgered (landed=false, nothing re-folds); a
@@ -390,7 +437,8 @@ object Maintained {
     * batch commit by appendTagged on the STREAMING thread (lease
     * reentrancy is per-thread — a cross-thread hold would deadlock). */
   def ingestDrop(s: SparkSession, dir: java.io.File, config: String,
-                 tag: String, rows: DataFrame): IngestResult = {
+                 tag: String, rows: DataFrame,
+                 landParts: Option[Int] = None): IngestResult = {
     val fold = foldOfConfig(s, config)
     val sdir = new java.io.File(dir, "_stream")
     graft.sources.StoreFs(s, sdir.getPath).withWriterLease() {
@@ -431,11 +479,20 @@ object Maintained {
           pend.map(_.getName.stripSuffix(".pending")).mkString(",")
         }) — redeliver POST /takedown/report with that tag first")
       val roster = exclusionRoster(s, dir)
-      val landed = !new java.io.File(drops, s"$tag.parquet").exists
+      // the tag's landed grain: the marker (multi-file landings) or the
+      // legacy single-file name — written AFTER every file move, so a
+      // crash mid-landing re-lands idempotently on redelivery
+      val landedDir = new java.io.File(sdir, "landed"); landedDir.mkdirs()
+      val marker = new java.io.File(landedDir, tag)
+      val landed = !marker.exists &&
+        !new java.io.File(drops, s"$tag.parquet").exists
       if (landed) {
         val kept = roster.fold(rows)(r =>
           rows.join(broadcast(r), Seq("user_id"), "left_anti"))
-        dropFile(kept, drops, tag)
+        val parts = landParts.getOrElse(
+          (1L + (kept.count() - 1).max(0L) / DropFileRows).toInt)
+        dropFiles(kept, drops, tag, parts)
+        java.nio.file.Files.createFile(marker.toPath)
       }
       val before = store.version
       maintainOnce(s, fold, store, drops.getPath,

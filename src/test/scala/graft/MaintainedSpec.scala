@@ -143,6 +143,48 @@ class MaintainedSpec extends SparkSpec {
     assert(step1Users == 1L) // no double-fold
   }
 
+  test("a drop lands as MULTIPLE files (the parallel landing) — " +
+      "exactly-once survives a crash mid-landing, and a takedown " +
+      "purges across the split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdmulti")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel")
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    val rows = (1L to 12L).map(u =>
+      ev(u, f"2024-01-01 10:${u}%02d:00.0", u, "view")) :+
+      ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark")
+    val drops = new java.io.File(dir, "_stream/drops")
+    // crash mid-landing: the files staged and moved, but neither the
+    // landed marker nor any maintenance pass — exactly what a death
+    // between the last move and the marker leaves behind
+    Maintained.dropFiles(rows.toDF(cols: _*), {drops.mkdirs(); drops},
+      "n1", parts = 3)
+    val files = drops.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, s"split landing expected, got ${files.length}")
+    java.nio.file.Files.delete(files.head.toPath) // one move "didn't happen"
+    // the redelivery re-stages deterministically, fills the gap,
+    // markers the tag, folds ONCE
+    val r = Maintained.ingestDrop(spark, dir, cfg, "n1",
+      rows.toDF(cols: _*), landParts = Some(3))
+    assert(r.landed && r.committed, r.toString)
+    def step1Users: Long = Maintained
+      .funnelReportFrom(spark, PointStore.open(spark, dir.getPath))
+      .filter(col("step") === 1).head.getLong(2)
+    assert(step1Users == 12L)
+    val re = Maintained.ingestDrop(spark, dir, cfg, "n1",
+      rows.toDF(cols: _*), landParts = Some(3))
+    assert(!re.landed && !re.committed, re.toString)
+    assert(step1Users == 12L)
+    // the purge walks every file of the split drop
+    val td = Maintained.takedownUsers(spark, dir,
+      (1L to 9L).toDF("user_id"), "r1")
+    assert(td.committed && td.removed == 9L, td.toString)
+    assert(step1Users == 3L)
+  }
+
   test("ingestDrop refuses while a takedown is mid-flight (a .pending " +
       "marker without its committed record)") {
     import spark.implicits._
