@@ -88,8 +88,19 @@ object StreamingFunnelSessions {
     var lastTs = prior.lastTs
     val fin = (if (prior.fin.nonEmpty) prior.fin
                else Seq.fill(steps.size)(-1L)).toArray
+    // LATE incoming events (below the batch's watermark — disorder
+    // beyond the slack, which the nightly-order contract already calls
+    // inadmissible) are dropped here, not processed: the chained funnel
+    // tolerates arbitrary-distance disorder because reach verdicts only
+    // ever depend on fin-vector state, but the gap law does not — an
+    // event below an already-processed one would regress `lastTs` and
+    // mis-split every later gap. Held events are exempt: they were
+    // admissible when buffered and finalize as the watermark passes
+    // them. Batch mode (saturated wm) has no lateness.
+    val lateCutUs = if (wm == Long.MaxValue) 0L else wmUs
     val incoming = events
       .map(e => (EventTime.usOf(e.ts), stepIdx.getOrElse(e.event_type, -1)))
+      .filterNot(_._1 < lateCutUs)
     val (ready, hold) = (prior.buf ++ incoming).partition(_._1 < wmUs)
     val emitted = Vector.newBuilder[Reach]
     ready.sorted.foreach { case (t, i) =>

@@ -203,6 +203,93 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("session funnel STREAMING state machine agrees with the in-memory " +
+      "per-visit fold on random streams under random chunking and " +
+      "watermark progression — cells exactly-once, first_user exact") {
+    import graft.streaming.StreamingFunnelSessions
+    import graft.streaming.StreamingFunnelSessions.{Ev, Reach, SessState}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val steps = Seq("a", "b", "c")
+    val evGen = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 30L),
+      Gen.oneOf(steps ++ Seq("noise")))
+    val gapSec = 5L
+    for (seed <- 1L to 6L) {
+      val evs = sample(Gen.listOfN(60, evGen), seed)
+      val states = scala.collection.mutable.Map.empty[Long, SessState]
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Reach]
+      // random chunking makes some events genuinely LATE (below the
+      // watermark at arrival): the gap law cannot absorb those (they
+      // would regress the session frontier), so the step function
+      // drops them — the reference is the fold over the ADMITTED set
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      def runBatch(batch: Seq[(Long, Long, String)], wmMs: Long): Unit = {
+        val admissible = batch.filter(_._2 * 1000L >= wmMs)
+        admitted ++= admissible
+        val byUser = admissible.groupBy(_._1)
+        (byUser.keySet ++ states.keySet).foreach { u => // timeout superset
+          val s = TestGroupState.create[SessState](
+            states.get(u).map(Optional.of[SessState]).getOrElse(Optional.empty()),
+            GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(wmMs), false)
+          val it = byUser.getOrElse(u, Nil)
+            .map { case (_, t, ty) =>
+              Ev(u, new java.sql.Timestamp(t * 1000L), ty) }.iterator
+          StreamingFunnelSessions.step(gapSec * 1000L, steps)(u, it, s)
+            .foreach(cells += _)
+          if (s.isRemoved) states.remove(u)
+          else if (s.isUpdated) states(u) = s.get
+        }
+      }
+      val chunks = (0 until 3).map(c =>
+        evs.zipWithIndex.filter(t => (t._2 + seed) % 3 == c).map(_._1))
+      var maxMs = 0L; var wm = 0L
+      chunks.foreach { chunk =>
+        runBatch(chunk, wm)
+        if (chunk.nonEmpty)
+          maxMs = math.max(maxMs, chunk.map(_._2).max * 1000L)
+        wm = math.max(0L, maxMs - 2000L) // a 2 s slack on the 30 s domain
+      }
+      runBatch(Nil, Long.MaxValue)
+      // exactly-once at the (user, sid, step) cell grain
+      assert(cells.map(r => (r.user_id, r.sid, r.step)).distinct.size ==
+        cells.size, s"seed $seed")
+      // in-memory reference: gap-sessionize the admitted events in
+      // (t, stepIdx) order — the step function's own sort — then the
+      // chained first-occurrence law per session
+      val expected: Map[(Long, Int), Seq[Long]] = admitted.toSeq
+        .groupBy(_._1).toSeq.flatMap { case (u, es) =>
+          val sorted = es.map(e => (e._2, steps.indexOf(e._3))).sorted
+          var prev = Long.MinValue
+          val sessions = scala.collection.mutable
+            .ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+          sorted.foreach { e =>
+            if (prev == Long.MinValue || e._1 - prev > gapSec)
+              sessions += scala.collection.mutable.ArrayBuffer(e)
+            else sessions.last += e
+            prev = e._1
+          }
+          sessions.flatMap { ses =>
+            val fin = Array.fill(steps.size)(-1L)
+            ses.foreach { case (t, i) =>
+              if (i >= 0 && fin(i) < 0 &&
+                  (i == 0 || (fin(i - 1) >= 0 && t > fin(i - 1)))) fin(i) = t
+            }
+            fin.zipWithIndex.collect { case (t, i) if t >= 0 => (u, i + 1, t) }
+          }
+        }.groupBy(c => (c._1, c._2))
+        .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+      val got = cells.groupBy(r => (r.user_id, r.step))
+        .view.mapValues(_.map(_.ts.getTime / 1000L).sorted.toSeq).toMap
+      assert(got == expected, s"seed $seed")
+      // first_user fires exactly once per reached (user, step), on the
+      // EARLIEST reach — what makes the users measure additive
+      cells.groupBy(r => (r.user_id, r.step)).foreach { case (k, rs) =>
+        assert(rs.count(_.first_user) == 1, s"seed $seed $k")
+        assert(rs.minBy(_.ts.getTime).first_user, s"seed $seed $k")
+      }
+    }
+  }
+
   test("deepest-chain funnel: the batch operator AND the streaming twin's " +
       "state machine agree with in-memory brute force on random streams " +
       "under random arrival chunking and watermark progression") {

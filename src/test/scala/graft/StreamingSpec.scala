@@ -134,6 +134,9 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamingFunnelSessions.Ev
     implicit val sqlCtx = spark.sqlContext
     val gapMs = 600000L // 10 min — tighter than registered, sharper splits
+    // seconds grain for the in-slack disorder case (user 3)
+    def tsS(min: Long, sec: Long): Timestamp =
+      new Timestamp((1440 + min) * 60000L + sec * 1000L)
     val chunk1 = Seq(
       // user 1, visit A: full in-order conversion in one session
       Ev(1, ts(1), "view"), Ev(1, ts(3), "click"), Ev(1, ts(5), "purchase"),
@@ -141,9 +144,11 @@ class StreamingSpec extends SparkSpec {
       // cross-visit conversion must NOT count (the decisive semantic
       // against the plain chained funnel, which converts it)
       Ev(2, ts(1), "view"), Ev(2, ts(20), "click"),
-      // user 3's click+purchase arrive a chunk BEFORE its view (earlier
-      // event time): the held fold must still convert all three
-      Ev(3, ts(2), "click"), Ev(3, ts(3), "purchase"),
+      // user 3's click+purchase arrive a chunk BEFORE its view, whose
+      // earlier event time stays INSIDE the 1-min watermark slack (the
+      // admissible disorder — beyond the slack the gap law's lateness
+      // drop applies): the held fold must still convert all three
+      Ev(3, tsS(21, 30), "click"), Ev(3, tsS(21, 40), "purchase"),
       // user 4: a NON-step event bridges view→click across 16 min —
       // the gap law counts every event, so this is ONE session
       Ev(4, ts(0), "view"), Ev(4, ts(8), "browse"), Ev(4, ts(16), "click"),
@@ -155,8 +160,8 @@ class StreamingSpec extends SparkSpec {
       // user 1, visit B (25 min after visit A's last event): converts
       // to step 2 only — new cells, but first_user false throughout
       Ev(1, ts(30), "view"), Ev(1, ts(32), "click"),
-      Ev(3, ts(1), "view"),
-      Ev(6, ts(20), "view"))
+      Ev(3, tsS(21, 0), "view"),
+      Ev(6, ts(25), "view"))
 
     val stream = MemoryStream[Ev]
     stream.addData(chunk1)
