@@ -51,12 +51,17 @@ import java.nio.charset.StandardCharsets
   *                                      calendar cohorts) — the /funnel
   *                                      convention applied to the
   *                                      second product-analytics shape.
-  *   GET /funnel?steps=a,b,c[&window=30m&mode=chained|deepest&sf=DIR&limit=N]
+  *   GET /funnel?steps=a,b,c[&window=30m&mode=chained|deepest|sessions
+  *                           &gap=30m&sf=DIR&limit=N]
   *                                   → ordered conversion funnel over
   *                                      the events table for ANY step
   *                                      path (default = the registered
   *                                      view→click→purchase); per-step
   *                                      (step, step_name, users) report
+  *                                      — or ?store= to read a
+  *                                      MAINTAINED funnel store (a
+  *                                      session-funnel store serves its
+  *                                      users AND visits measures)
   *   GET /profile?store=<name>[&version=V]
   *                                   → the derived profile (nulls,
   *                                      distinct estimates, typed

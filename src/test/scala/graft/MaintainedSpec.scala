@@ -240,6 +240,40 @@ class MaintainedSpec extends SparkSpec {
     assert(served == batch(events.filter(_._1 != 2L)))
   }
 
+  test("takedownUsers rebuilds a SESSION-funnel store — both measures " +
+      "(distinct users via first_user, visits) re-derive from the " +
+      "surviving users' visits alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdsess")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel_sessions", gapMs = Some(600000L))
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    // u1: two converting visits (visits=2, users=1 at every step);
+    // u2: one converting visit — purging u2 must shrink users AND
+    // visits at each step by exactly one
+    Maintained.ingestDrop(spark, dir, cfg, "n1", Seq(
+      ev(1, "2024-01-01 08:00:00.0", 1, "view"),
+      ev(1, "2024-01-01 08:01:00.0", 2, "click"),
+      ev(1, "2024-01-01 09:00:00.0", 3, "view"),
+      ev(1, "2024-01-01 09:02:00.0", 4, "click"),
+      ev(2, "2024-01-01 10:00:00.0", 5, "view"),
+      ev(2, "2024-01-01 10:01:00.0", 6, "click")).toDF(cols: _*))
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
+    def report: Map[Int, (Long, Long)] = Maintained
+      .funnelSessionsReportFrom(spark,
+        PointStore.open(spark, dir.getPath).snapshot)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(report == Map(1 -> (2L, 3L), 2 -> (2L, 3L), 3 -> (0L, 0L)),
+      report.toString)
+    val td = Maintained.takedownUsers(spark, dir, Seq(2L).toDF("user_id"), "r1")
+    assert(td.committed && td.removed == 2L, td.toString)
+    assert(report == Map(1 -> (1L, 2L), 2 -> (1L, 2L), 3 -> (0L, 0L)),
+      report.toString)
+  }
+
   test("takedownUsers purges through a SKETCH-measure store — the " +
       "latency distributions re-derive from the surviving users alone") {
     import spark.implicits._
