@@ -226,7 +226,7 @@ import java.nio.charset.StandardCharsets
   *                                      idempotent like its siblings.
   *   POST /ingest/report?store=<name>&tag=<night>&type=funnel|
   *        funnel_deepest|funnel_sessions|retention|retention_rolling|
-  *        paths|latency [&window=1d][&period=week][&gap=30m]
+  *        paths|latency [&window=1d][&period=week][&gap=30m][&wait=30s]
   *                                   → fold a posted nightly EVENTS drop
   *                                      (JSON rows of {user_id, ts,
   *                                      event_id, event_type}) into a
@@ -2154,6 +2154,12 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
           val gap = param(ex, "gap").map(p =>
             scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
+          // &wait= bounds a polling wait on the maintenance stream's
+          // lease (the double-firing-scheduler convenience): the second
+          // firing waits out the first and no-ops on the ledgers
+          // instead of eating a 409 it must retry client-side
+          val leaseWait = param(ex, "wait").map(p =>
+            scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
           val per = param(ex, "period")
           // &steps= maintains a CUSTOM funnel path (the /funnel read
           // face's validation; the custom-path read discipline already
@@ -2180,6 +2186,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           else if (gap.contains(None))
             respond(ex, 400,
               """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
+          else if (leaseWait.contains(None))
+            respond(ex, 400,
+              """{"error":"wait must be <n><ms|s|m|h|d>, e.g. 30s"}""")
           else if (per.exists(p => !Set("day", "week", "month")(p)))
             respond(ex, 400, """{"error":"period must be day|week|month"}""")
           else if (steps.contains(None))
@@ -2272,7 +2281,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                         // roster), runs one pass — the registered
                         // report_takedown query drives the same chain
                         val r = graft.streaming.Maintained.ingestDrop(
-                          spark, dir, config, tag, rows)
+                          spark, dir, config, tag, rows,
+                          leaseWaitMs = leaseWait.flatten.getOrElse(0L))
                         respond(ex, 200, s"""{"store":"$name",""" +
                           s""""tag":"$tag","type":"${typ.get}",""" +
                           s""""landed":${r.landed},""" +

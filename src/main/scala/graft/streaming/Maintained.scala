@@ -358,6 +358,8 @@ object Maintained {
     val snap = snapshot
       .select(col("step").cast("int").as("step"), col("step_name"),
         col("users"), col("visits"))
+    // bounded collect: the step set is key-grain store metadata (a
+    // handful of rows — the funnelReportFrom custom-path discipline)
     val custom = snap.select(col("step"), col("step_name"))
       .as[(Int, String)].collect().exists(!defaults.contains(_))
     if (custom) snap
@@ -438,10 +440,16 @@ object Maintained {
     * reentrancy is per-thread — a cross-thread hold would deadlock). */
   def ingestDrop(s: SparkSession, dir: java.io.File, config: String,
                  tag: String, rows: DataFrame,
-                 landParts: Option[Int] = None): IngestResult = {
+                 landParts: Option[Int] = None,
+                 leaseWaitMs: Long = 0L): IngestResult = {
     val fold = foldOfConfig(s, config)
     val sdir = new java.io.File(dir, "_stream")
-    graft.sources.StoreFs(s, sdir.getPath).withWriterLease() {
+    // leaseWaitMs > 0 = the double-firing-scheduler convenience
+    // (StoreFs.withWriterLease's bounded poll): the second firing of a
+    // nightly job waits out the first and then no-ops on the ledgers,
+    // instead of surfacing a 409 the scheduler must retry
+    graft.sources.StoreFs(s, sdir.getPath)
+      .withWriterLease(waitMs = leaseWaitMs) {
       val cfgFile = new java.io.File(sdir, "CONFIG")
       val manifest = new java.io.File(dir, "_MANIFEST")
       if (manifest.exists && !cfgFile.exists)

@@ -1312,6 +1312,19 @@ class ServerSpec extends SparkSpec {
       val (hc, hb) = post(port,
         "/ingest/report?store=wfun&tag=n3&type=funnel", sentinel(6))
       assert(hc == 409 && hb.contains("otherhost:7:live"), hb)
+      // &wait= bounds a polling wait before the refusal (the double-
+      // firing-scheduler convenience) — the foreign holder never
+      // releases here, so the 409 arrives only after the bound
+      val t0 = System.nanoTime()
+      val (wc, wb) = post(port,
+        "/ingest/report?store=wfun&tag=n3&type=funnel&wait=1500ms",
+        sentinel(6))
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      assert(wc == 409 && wb.contains("otherhost:7:live"), wb)
+      assert(waitedMs >= 1400L, s"bounded wait not honored: $waitedMs ms")
+      assert(post(port,
+        "/ingest/report?store=wfun&tag=n3&type=funnel&wait=soon",
+        sentinel(6))._1 == 400)
       sfs.breakWriterLease()
     } finally srv.stop()
   }
