@@ -227,6 +227,7 @@ import java.nio.charset.StandardCharsets
   *   POST /ingest/report?store=<name>&tag=<night>&type=funnel|
   *        funnel_deepest|funnel_sessions|retention|retention_rolling|
   *        paths|latency [&window=1d][&period=week][&gap=30m][&wait=30s]
+  *        [&parts=N]
   *                                   → fold a posted nightly EVENTS drop
   *                                      (JSON rows of {user_id, ts,
   *                                      event_id, event_type}) into a
@@ -2160,6 +2161,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           // instead of eating a 409 it must retry client-side
           val leaseWait = param(ex, "wait").map(p =>
             scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption)
+          // &parts= pins the landing width (dropFiles' parallel-landing
+          // contract); default = auto from the row count
+          val parts = param(ex, "parts").map(p =>
+            scala.util.Try(p.toInt).toOption.filter(_ >= 1))
           val per = param(ex, "period")
           // &steps= maintains a CUSTOM funnel path (the /funnel read
           // face's validation; the custom-path read discipline already
@@ -2189,6 +2194,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           else if (leaseWait.contains(None))
             respond(ex, 400,
               """{"error":"wait must be <n><ms|s|m|h|d>, e.g. 30s"}""")
+          else if (parts.contains(None))
+            respond(ex, 400,
+              """{"error":"parts must be a positive integer (the landing width)"}""")
           else if (per.exists(p => !Set("day", "week", "month")(p)))
             respond(ex, 400, """{"error":"period must be day|week|month"}""")
           else if (steps.contains(None))
@@ -2282,6 +2290,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                         // report_takedown query drives the same chain
                         val r = graft.streaming.Maintained.ingestDrop(
                           spark, dir, config, tag, rows,
+                          landParts = parts.flatten,
                           leaseWaitMs = leaseWait.flatten.getOrElse(0L))
                         respond(ex, 200, s"""{"store":"$name",""" +
                           s""""tag":"$tag","type":"${typ.get}",""" +

@@ -1224,9 +1224,15 @@ class ServerSpec extends SparkSpec {
       assert(post(port,
         "/ingest/report?store=wsess&tag=n0&type=funnel_sessions",
         drop(0))._1 == 400) // gap required
-      assert(post(port,
-        "/ingest/report?store=wsess&tag=n0&type=funnel_sessions&gap=30m",
+      assert(post(port, // landing width must be a positive int
+        "/ingest/report?store=wsess&tag=n0&type=funnel_sessions&gap=30m" +
+          "&parts=0", drop(0))._1 == 400)
+      assert(post(port, // &parts= pins the parallel-landing width
+        "/ingest/report?store=wsess&tag=n0&type=funnel_sessions&gap=30m" +
+          "&parts=2",
         Seq(drop(0), drop(1), drop(2)).mkString("\n"))._1 == 200)
+      assert(new java.io.File(root, "wsess/_stream/drops").listFiles()
+        .count(_.getName.startsWith("n0-p")) == 2)
       assert(post(port, // one materialization: a different gap refuses
         "/ingest/report?store=wsess&tag=s1&type=funnel_sessions&gap=10m",
         sentinel(2))._1 == 400)
