@@ -497,8 +497,27 @@ object Maintained {
       if (landed) {
         val kept = roster.fold(rows)(r =>
           rows.join(broadcast(r), Seq("user_id"), "left_anti"))
-        val parts = landParts.getOrElse(
-          (1L + (kept.count() - 1).max(0L) / DropFileRows).toInt)
+        // the tag's landing WIDTH pins in a .width file BEFORE any
+        // move: a redelivery after a crash mid-landing must complete
+        // the original layout, and neither the caller's &parts nor the
+        // auto width can be trusted to repeat (the auto count shifts
+        // if a takedown landed between attempts) — a different width
+        // would stage a second layout beside the first and double-fold
+        val widthFile = new java.io.File(landedDir, s"$tag.width")
+        val parts =
+          if (widthFile.exists)
+            new String(java.nio.file.Files.readAllBytes(widthFile.toPath),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+          else {
+            val p = landParts.getOrElse(
+              (1L + (kept.count() - 1).max(0L) / DropFileRows).toInt)
+            val tmp = new java.io.File(landedDir, s"$tag.width.tmp")
+            java.nio.file.Files.write(tmp.toPath, p.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.move(tmp.toPath, widthFile.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            p
+          }
         dropFiles(kept, drops, tag, parts)
         java.nio.file.Files.createFile(marker.toPath)
       }

@@ -178,6 +178,20 @@ class MaintainedSpec extends SparkSpec {
       rows.toDF(cols: _*), landParts = Some(3))
     assert(!re.landed && !re.committed, re.toString)
     assert(step1Users == 12L)
+    // the landing WIDTH survives a crash: a redelivery that omits
+    // landParts (auto width would be 1 here) must complete the
+    // original 3-file layout off the pinned .width, not stage a
+    // second layout beside it and double-fold
+    def dropNames = new java.io.File(dir, "_stream/drops").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    val landedNames = dropNames
+    java.nio.file.Files.delete(
+      new java.io.File(dir, "_stream/landed/n1").toPath)
+    val rw = Maintained.ingestDrop(spark, dir, cfg, "n1",
+      rows.toDF(cols: _*)) // no landParts
+    assert(rw.landed && !rw.committed, rw.toString)
+    assert(step1Users == 12L)
+    assert(dropNames == landedNames, s"layout changed: $dropNames")
     // the purge walks every file of the split drop
     val td = Maintained.takedownUsers(spark, dir,
       (1L to 9L).toDF("user_id"), "r1")
