@@ -199,6 +199,53 @@ class MaintainedSpec extends SparkSpec {
     assert(step1Users == 3L)
   }
 
+  test("a takedown rebuild re-folds a >7-day drop history completely — " +
+      "the pinned maxFileAge and the original-mtime restore keep old " +
+      "nights visible and consumed-exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdaged")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel")
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    Maintained.ingestDrop(spark, dir, cfg, "n1", Seq(
+      ev(1, "2024-01-01 10:00:00.0", 1, "view"),
+      ev(2, "2024-01-01 11:00:00.0", 2, "view")).toDF(cols: _*))
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-20 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
+    // age the history: the first night's file is 30 days older than
+    // the sentinel's — the shape a month of nightly drops has. The
+    // file source's DEFAULT maxFileAge (7d, relative to the newest
+    // file) would silently skip n1 on any fresh-checkpoint pass —
+    // exactly the takedown rebuild — which is why maintainOnce pins
+    // it off.
+    val drops = new java.io.File(dir, "_stream/drops")
+    val now = System.currentTimeMillis()
+    val n1 = new java.io.File(drops, "n1.parquet")
+    n1.setLastModified(now - 30L * 86400000L)
+    val preMtimes = drops.listFiles().map(f => f.getName -> f.lastModified).toMap
+    def step1Users: Long = Maintained
+      .funnelReportFrom(spark, PointStore.open(spark, dir.getPath))
+      .filter(col("step") === 1).head.getLong(2)
+    assert(step1Users == 2L)
+    val td = Maintained.takedownUsers(spark, dir, Seq(2L).toDF("user_id"), "r1")
+    assert(td.committed && td.removed == 1L, td.toString)
+    // u1 lives in the 30-day-old drop: the rebuild must still fold it
+    assert(step1Users == 1L)
+    // and the purge preserved every file's ORIGINAL timestamp (order
+    // AND age): a re-stamp to fresh times would make an aged-out
+    // consumed drop look NEW to the next ingest and double-count
+    val postMtimes = drops.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(postMtimes == preMtimes,
+      s"mtimes changed: $preMtimes -> $postMtimes")
+    // the next ingest consumes only its own drop — history stays folded
+    // exactly once through the swapped-in checkpoint
+    Maintained.ingestDrop(spark, dir, cfg, "s2",
+      Seq(ev(-1, "2024-02-20 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
+    assert(step1Users == 1L)
+  }
+
   test("ingestDrop refuses while a takedown is mid-flight (a .pending " +
       "marker without its committed record)") {
     import spark.implicits._
