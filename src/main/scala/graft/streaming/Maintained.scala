@@ -434,7 +434,8 @@ object Maintained {
     * materialized by a library lifecycle whose checkpoint lives with
     * that driver (folding a fresh one here would double-count), so the
     * ingest refuses with the reason named. The maintenance stream
-    * (`_stream`: drops + checkpoint + config) is owned through its own
+    * (`_stream`: drops + checkpoint + config + landed markers/widths +
+    * takedowns ledger) is owned through its own
     * writer lease for the whole call; the store's lease is taken per
     * batch commit by appendTagged on the STREAMING thread (lease
     * reentrancy is per-thread — a cross-thread hold would deadlock). */
