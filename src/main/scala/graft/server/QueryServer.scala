@@ -62,6 +62,15 @@ import java.nio.charset.StandardCharsets
   *                                      MAINTAINED funnel store (a
   *                                      session-funnel store serves its
   *                                      users AND visits measures)
+  *   GET /health/report?store=<name>
+  *                                   → the wire-maintained report
+  *                                      store's health: pinned config,
+  *                                      version, key-grain row count,
+  *                                      retained drop files/bytes,
+  *                                      landed tag count, takedown
+  *                                      ledger (committed + any
+  *                                      mid-flight pending, the state
+  *                                      where ingests refuse)
   *   GET /profile?store=<name>[&version=V]
   *                                   → the derived profile (nulls,
   *                                      distinct estimates, typed
@@ -1644,6 +1653,66 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             occJson(idx.occupancy) + "}")
       } catch { case e: Throwable =>
         respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    })
+    // the WIRE-maintained report store's health face — the operational
+    // read beside /health/curate (docs) and /health/ann (vectors): one
+    // GET answers "is the nightly loop healthy" without touching the
+    // events table — the store's version and key-grain row count
+    // (O(store), the report shape), the retained provenance (drop file
+    // count + bytes — the takedown rebuild's input size), the landed
+    // tag count (drops ≥ tags once a landing splits), the takedown
+    // ledger (committed count + any MID-FLIGHT pending, which is the
+    // one state where ingests refuse), and the pinned config echoed so
+    // a scheduler can assert it is feeding the right materialization.
+    server.createContext("/health/report", (ex: HttpExchange) => {
+      def esc(s: String) = Option(s).getOrElse("").takeWhile(_ != '\n')
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      if (ex.getRequestMethod.toUpperCase != "GET")
+        respond(ex, 405, """{"error":"GET with ?store="}""")
+      else (storeRoot, param(ex, "store")) match {
+        case (None, _) =>
+          respond(ex, 404, """{"error":"server started without a store root"}""")
+        case (_, None) =>
+          respond(ex, 400, """{"error":"store param required"}""")
+        case (Some(root), Some(name)) =>
+          val rootDir = new java.io.File(root).getCanonicalFile
+          val dir = new java.io.File(rootDir, name).getCanonicalFile
+          val cfgFile = new java.io.File(dir, "_stream/CONFIG")
+          if (!plainName(name) || dir.getParentFile != rootDir)
+            respond(ex, 403, """{"error":"store not under the store root"}""")
+          else if (!cfgFile.exists)
+            respond(ex, 404, s"""{"error":"no wire-maintained report """ +
+              s"""store named '$name' (no _stream/CONFIG — a library-""" +
+              """maintained store's health lives with its lifecycle)"}""")
+          else try {
+            val cfg = new String(java.nio.file.Files.readAllBytes(
+              cfgFile.toPath), StandardCharsets.UTF_8)
+            val store = graft.sources.PointStore.open(spark, dir.getPath)
+            val rows = store.snapshot.count() // O(store): report grain
+            def files(sub: String, suffix: String) =
+              Option(new java.io.File(dir, sub).listFiles())
+                .getOrElse(Array.empty[java.io.File])
+                .filter(_.getName.endsWith(suffix))
+            val drops = files("_stream/drops", ".parquet")
+            val landed = files("_stream/landed", "")
+              .filterNot(_.getName.endsWith(".width"))
+            val committed = files("_stream/takedowns", ".jsonl")
+            val pending = files("_stream/takedowns", ".pending")
+              .map(f => "\"" + esc(f.getName.stripSuffix(".pending")) + "\"")
+            respond(ex, 200, s"""{"store":"$name",""" +
+              s""""config":"${esc(cfg)}","version":${store.version},""" +
+              s""""rows":$rows,"drop_files":${drops.length},""" +
+              s""""drop_bytes":${drops.map(_.length).sum},""" +
+              s""""landed_tags":${landed.length},""" +
+              s""""takedowns_committed":${committed.length},""" +
+              s""""takedowns_pending":[${pending.mkString(",")}]}""")
+          } catch {
+            case e: IllegalArgumentException =>
+              respond(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
       }
     })
     server.createContext("/rebalance", (ex: HttpExchange) => {

@@ -1247,6 +1247,19 @@ class ServerSpec extends SparkSpec {
         .orderBy(col("step")).toJSON.collect().mkString("[", ",", "]")
       assert(sc2 == 200 && sbody == sexpected,
         s"served=$sbody\nexpected=$sexpected")
+      // the health face: one GET answers "is the nightly loop healthy"
+      // — config echoed, provenance sized, ledgers counted (n0 landed
+      // SPLIT as 2 files + the two sentinels = 4 files over 3 tags)
+      val (hrc, hrb) = this.get(port, "/health/report?store=wsess")
+      assert(hrc == 200, hrb)
+      assert(hrb.contains("\"config\":\"type=funnel_sessions;gap_ms=1800000\""), hrb)
+      assert(hrb.contains("\"drop_files\":4") &&
+        hrb.contains("\"landed_tags\":3"), hrb)
+      assert(hrb.contains("\"takedowns_committed\":0") &&
+        hrb.contains("\"takedowns_pending\":[]"), hrb)
+      assert(this.get(port, "/health/report")._1 == 400)
+      assert(post(port, "/health/report?store=wsess", "")._1 == 405)
+      assert(this.get(port, "/health/report?store=nope")._1 == 404)
 
       // a CUSTOM funnel path maintained over the wire — &steps= pins
       // into the config, the read face serves the custom rows alone
@@ -1310,6 +1323,8 @@ class ServerSpec extends SparkSpec {
       val (lc0, lb0) = post(port,
         "/ingest/report?store=libfun&tag=n0&type=funnel", drop(0))
       assert(lc0 == 409 && lb0.contains("library lifecycle"), lb0)
+      // ...and its health lives with its lifecycle, not this face
+      assert(this.get(port, "/health/report?store=libfun")._1 == 404)
 
       // a live foreign ingester holds the maintenance stream → 409
       val sfs = graft.sources.StoreFs(spark, s"$root/wfun/_stream")
