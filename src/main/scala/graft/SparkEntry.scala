@@ -66,6 +66,12 @@ object SparkEntry {
     "events_funnel_windowed" -> (Windows.eventsFunnelWindowed _),
     "events_funnel_deepest" -> (Windows.eventsFunnelDeepest _),
     "events_funnel_sessions" -> (Windows.eventsFunnelSessions _),
+    // segmented product analytics: the reports broken down by a user
+    // attribute with "all" rollup members (the reference's
+    // crunch_global dimension expansion applied to the funnel family)
+    "events_funnel_segmented" -> (Windows.eventsFunnelSegmented _),
+    "events_retention_segmented" -> (Windows.eventsRetentionSegmented _),
+    "events_paths_segmented" -> (Windows.eventsPathsSegmented _),
     "events_paths"       -> (Windows.eventsPaths _),
     "events_paths_sessionized" -> (Windows.eventsPathsSessionized _),
     "funnel_latency"     -> (Windows.funnelLatency _),
@@ -207,6 +213,9 @@ object SparkEntry {
     "events_funnel_windowed" -> Windows.eventsFunnelWindowedOracle,
     "events_funnel_deepest" -> Windows.eventsFunnelDeepestOracle,
     "events_funnel_sessions" -> Windows.eventsFunnelSessionsOracle,
+    "events_funnel_segmented" -> Windows.eventsFunnelSegmentedOracle,
+    "events_retention_segmented" -> Windows.eventsRetentionSegmentedOracle,
+    "events_paths_segmented" -> Windows.eventsPathsSegmentedOracle,
     "events_paths"       -> Windows.eventsPathsOracle,
     "events_paths_sessionized" -> Windows.eventsPathsSessionizedOracle,
     "funnel_latency"     -> Windows.funnelLatencyOracle,

@@ -166,16 +166,43 @@ object Windows {
     * thousand-executor funnel wants per-stage partial mins, which skew
     * only as much as the raw key histogram). The event_type filter is
     * pushed to the scan per stage, so each pass reads only its step's
-    * row groups. */
+    * row groups.
+    *
+    * `by` SEGMENTS the funnel — the reference's defining
+    * dimension-expansion move (crunch_global.sql:38-50, the same
+    * measures expanded across dimensions with "all" members) applied
+    * to the funnel family. The segment is sampled at funnel ENTRY (the
+    * value the column carries on the user's first step-1 event; the
+    * per-user min is over (ts, segment) PAIRS, so duplicate-timestamp
+    * entries break ties on the segment value and the sample is
+    * deterministic) and rides the chain as an aggregate PAYLOAD —
+    * every stage still groups and joins on `user_id` alone, so
+    * segmentation adds no shuffle key and costs the chain nothing.
+    * Each returned stage then carries `_seg` beside the reach time;
+    * the report's "all" member is one rollup over the user-grain
+    * stage output (matrix-scale partials, the Dimensions.scala #3
+    * two-phase trick). */
   def funnelOf(ev: DataFrame, steps: Seq[String],
-               horizonMs: Option[Long] = None): Seq[DataFrame] = {
+               horizonMs: Option[Long] = None,
+               by: Option[Column] = None): Seq[DataFrame] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnelOf: steps must be non-empty and distinct, got $steps")
     require(horizonMs.forall(_ > 0),
       s"funnelOf: horizon must be positive, got $horizonMs")
     val slim = ev.select(col("user_id"), col("ts"), col("event_type"))
-    val first = slim.filter(col("event_type") === steps.head)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val first = by match {
+      case None =>
+        slim.filter(col("event_type") === steps.head)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      case Some(seg) =>
+        ev.select(col("user_id"), col("ts"), col("event_type"),
+            seg.as("_seg"))
+          .filter(col("event_type") === steps.head)
+          .groupBy(col("user_id"))
+          .agg(min(struct(col("ts"), col("_seg"))).as("_e"))
+          .select(col("user_id"), col("_e.ts").as("t"),
+            col("_e._seg").as("_seg"))
+    }
     steps.tail.scanLeft(first) { (prev, step) =>
       val inOrder = col("ts") > col("t")
       // exact day-time interval: millis as a scale-3 decimal of seconds
@@ -183,10 +210,15 @@ object Windows {
       val within = horizonMs.map(h => col("ts") <= col("t") +
         make_dt_interval(lit(0), lit(0), lit(0),
           lit(java.math.BigDecimal.valueOf(h, 3))))
-      slim.filter(col("event_type") === step)
+      val joined = slim.filter(col("event_type") === step)
         .join(prev.hint("shuffle_hash"), "user_id")
         .filter(within.map(inOrder && _).getOrElse(inOrder))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      // min re-carries the entry payload (one value per user in `prev`
+      // by construction, so min is that value — and deterministic)
+      if (by.isEmpty)
+        joined.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      else joined.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t"), min(col("_seg")).as("_seg"))
     }
   }
 
@@ -221,6 +253,152 @@ object Windows {
            count(*) AS users FROM s1
     UNION ALL SELECT 2, 'click', count(*) FROM s2
     UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""
+
+  /** The registered SEGMENT dimension: the customer's market segment,
+    * keyed by the user id (the driver's star schema keys events.user_id
+    * into the customer key space). Broadcast — the dim is
+    * customer-count rows of two columns; at 100 TB of events it is
+    * still the small side by six orders of magnitude, so the segment
+    * attach never shuffles the fact table. */
+  def segmentDim(s: SparkSession, d: String): DataFrame =
+    broadcast(customer(s, d).select(col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("seg")))
+
+  /** `events_funnel_segmented`: the funnel report broken down BY
+    * SEGMENT with an "all" rollup member — the first question an
+    * analyst asks after "how many converted" is "converted by what
+    * segment", and the reference answers it for the crunch family by
+    * expanding every measure across its dimensions with "all" members
+    * (crunch_global.sql:38-50); this is that move on the funnel. The
+    * segment attaches as a broadcast dim join BEFORE the chain (no new
+    * shuffle — the chain still keys on user_id alone, [[funnelOf]]'s
+    * `by` payload), and the "all" member is a per-stage `rollup` over
+    * the user-grain reach frame — Expand multiplies converted-user
+    * rows, never raw events. `all` rows equal the unsegmented
+    * `events_funnel` counts by construction. */
+  def eventsFunnelSegmented(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).join(segmentDim(s, d), Seq("user_id"))
+    val stages = funnelOf(ev, FunnelSteps, by = Some(col("seg")))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.rollup(col("_seg")).agg(count(lit(1)).as("users"))
+        .select(coalesce(col("_seg"), lit("all")).as("segment"),
+          lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The staged-min SQL with the segment riding each stage (min over
+    * the user-constant attribute = the attribute), rolled up via
+    * GROUPING SETS — the segmented report and the "all" member from
+    * one grouping pass. */
+  def eventsFunnelSegmentedOracle: String = """
+    WITH ev AS (
+      SELECT e.user_id, e.ts, e.event_type, c.c_mktsegment AS seg
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    s1 AS (
+      SELECT user_id, min(ts) AS t, min(seg) AS seg FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s1.seg) AS seg FROM ev e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s2.seg) AS seg FROM ev e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+    u AS (
+      SELECT 1 AS step, 'view' AS step_name, seg FROM s1
+      UNION ALL SELECT 2, 'click', seg FROM s2
+      UNION ALL SELECT 3, 'purchase', seg FROM s3)
+    SELECT coalesce(seg, 'all') AS segment, CAST(step AS INT) AS step,
+           step_name, count(*) AS users
+    FROM u
+    GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
+
+  /** `events_retention_segmented`: the cohort matrix BY SEGMENT with
+    * "all" members — [[eventsFunnelSegmented]]'s pattern on the
+    * retention matrix. The segment attaches broadcast before the
+    * user-grain aggregation and rides it as a payload (min over the
+    * user-constant attribute; user_id stays the only wide shuffle
+    * key), and the "all" member comes from GROUPING SETS over
+    * FINEST-GRAIN PARTIALS — the matrix×segment partial rows are what
+    * Expand multiplies, never the user-period cells (the
+    * Dimensions.scala two-phase discipline). */
+  def eventsRetentionSegmented(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).join(segmentDim(s, d), Seq("user_id"))
+    val perUser = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("p"),
+        col("seg"))
+      .groupBy(col("user_id"))
+      .agg(min(col("p")).as("cohort"), collect_set(col("p")).as("ps"),
+        min(col("seg")).as("seg"))
+    val fine = perUser
+      .select(col("cohort"), col("seg"), explode(col("ps")).as("p"))
+      .groupBy(tstr(col("cohort")).as("cohort"),
+        (datediff(col("p"), col("cohort")) / 7).cast("int").as("offset"),
+        col("seg"))
+      .agg(count(lit(1)).as("pu"))
+    fine.groupingSets(
+        Seq(Seq(col("cohort"), col("offset"), col("seg")),
+          Seq(col("cohort"), col("offset"))),
+        col("cohort"), col("offset"), col("seg"))
+      .agg(sum(col("pu")).as("users"))
+      .select(coalesce(col("seg"), lit("all")).as("segment"),
+        col("cohort"), col("offset"), col("users"))
+  }
+
+  def eventsRetentionSegmentedOracle: String = """
+    WITH acts AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS p,
+             c.c_mktsegment AS seg
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    coh AS (
+      SELECT user_id, min(p) AS cohort, min(seg) AS seg
+      FROM acts GROUP BY 1),
+    cell AS (
+      SELECT c.cohort, c.seg,
+             CAST(date_diff('day', c.cohort, a.p) / 7 AS INT) AS o
+      FROM acts a JOIN coh c USING (user_id))
+    SELECT coalesce(seg, 'all') AS segment,
+           strftime(cohort, '%Y-%m-%d %H:%M:%S') AS cohort,
+           o AS "offset", count(*) AS users
+    FROM cell GROUP BY GROUPING SETS ((seg, cohort, o), (cohort, o))"""
+
+  /** `events_paths_segmented`: the transition matrix BY SEGMENT with
+    * "all" members — the segment attaches broadcast before the lead
+    * window (whose user_id partitioning it rides for free) and the
+    * rollup runs over matrix×segment partials. */
+  def eventsPathsSegmented(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val fine = events(s, d).join(segmentDim(s, d), Seq("user_id"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("seg"))
+      .withColumn("to_step", lead(col("event_type"), 1).over(w))
+      .filter(col("to_step").isNotNull)
+      .groupBy(col("event_type").as("from_step"), col("to_step"),
+        col("seg"))
+      .agg(count(lit(1)).as("pn"))
+    fine.groupingSets(
+        Seq(Seq(col("from_step"), col("to_step"), col("seg")),
+          Seq(col("from_step"), col("to_step"))),
+        col("from_step"), col("to_step"), col("seg"))
+      .agg(sum(col("pn")).as("n"))
+      .select(coalesce(col("seg"), lit("all")).as("segment"),
+        col("from_step"), col("to_step"), col("n"))
+  }
+
+  def eventsPathsSegmentedOracle: String = """
+    WITH t AS (
+      SELECT e.user_id, e.event_type, c.c_mktsegment AS seg,
+             lead(e.event_type) OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS to_step
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey)
+    SELECT coalesce(seg, 'all') AS segment, event_type AS from_step,
+           to_step, count(*) AS n
+    FROM t WHERE to_step IS NOT NULL
+    GROUP BY GROUPING SETS ((seg, event_type, to_step),
+                            (event_type, to_step))"""
 
   /** DEEPEST-CHAIN windowed funnel — the OTHER windowFunnel semantics
     * (ClickHouse's): the window is anchored at a step-1 event, and a

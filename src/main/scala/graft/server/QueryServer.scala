@@ -1666,8 +1666,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
     // one state where ingests refuse), and the pinned config echoed so
     // a scheduler can assert it is feeding the right materialization.
     server.createContext("/health/report", (ex: HttpExchange) => {
-      def esc(s: String) = Option(s).getOrElse("").takeWhile(_ != '\n')
+      // escape (never truncate) newlines: a multiline pinned config
+      // must echo whole — a health face that silently drops the tail
+      // of the one string a scheduler asserts against is worse than
+      // none
+      def esc(s: String) = Option(s).getOrElse("")
         .replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r")
       if (ex.getRequestMethod.toUpperCase != "GET")
         respond(ex, 405, """{"error":"GET with ?store="}""")
       else (storeRoot, param(ex, "store")) match {
@@ -1688,24 +1693,50 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           else try {
             val cfg = new String(java.nio.file.Files.readAllBytes(
               cfgFile.toPath), StandardCharsets.UTF_8)
-            val store = graft.sources.PointStore.open(spark, dir.getPath)
-            val rows = store.snapshot.count() // O(store): report grain
+            // a store whose CONFIG pinned but whose first fold never
+            // committed (_MANIFEST absent — first-ingest crash) is a
+            // DESCRIBABLE degraded state, not an error: report it as
+            // created-but-unfolded (version 0, zero rows) instead of
+            // erroring — and never leak the server's filesystem path
+            val (version, rows) =
+              if (new java.io.File(dir, "_MANIFEST").exists) {
+                val store = graft.sources.PointStore.open(spark, dir.getPath)
+                (store.version, store.snapshot.count()) // O(store) grain
+              } else (0L, 0L)
             def files(sub: String, suffix: String) =
               Option(new java.io.File(dir, sub).listFiles())
                 .getOrElse(Array.empty[java.io.File])
                 .filter(_.getName.endsWith(suffix))
             val drops = files("_stream/drops", ".parquet")
-            val landed = files("_stream/landed", "")
-              .filterNot(_.getName.endsWith(".width"))
+            // a landed tag is a marker file (never the .width pins or a
+            // crash-leftover .width.tmp) OR a legacy/pre-marker single-
+            // file drop name: ingestDrop's own landed check honors a
+            // bare <tag>.parquet, so it counts here too — that also
+            // covers the parts==1 crash window between the file move
+            // and the marker write
+            val markers = files("_stream/landed", "")
+              .filterNot(_.getName.contains(".width")).map(_.getName)
+            val legacy = drops.map(_.getName.stripSuffix(".parquet"))
+              .filterNot(_.matches(".*-p\\d{5}"))
+            // deferred ≠ committed: a .deferred.jsonl roster is landed
+            // (forward exclusion live) but its ERASURE is pending the
+            // next flush — the retained drops still hold the user, so
+            // the health face names these rosters (the number an
+            // operator reads before promising a completion date)
+            val deferred = files("_stream/takedowns", ".deferred.jsonl")
             val committed = files("_stream/takedowns", ".jsonl")
+              .filterNot(_.getName.endsWith(".deferred.jsonl"))
             val pending = files("_stream/takedowns", ".pending")
               .map(f => "\"" + esc(f.getName.stripSuffix(".pending")) + "\"")
             respond(ex, 200, s"""{"store":"$name",""" +
-              s""""config":"${esc(cfg)}","version":${store.version},""" +
+              s""""config":"${esc(cfg)}","version":$version,""" +
               s""""rows":$rows,"drop_files":${drops.length},""" +
               s""""drop_bytes":${drops.map(_.length).sum},""" +
-              s""""landed_tags":${landed.length},""" +
+              s""""landed_tags":${(markers ++ legacy).distinct.length},""" +
               s""""takedowns_committed":${committed.length},""" +
+              s""""takedowns_deferred":[${deferred.map(f => "\"" +
+                esc(f.getName.stripSuffix(".deferred.jsonl")) + "\"")
+                .mkString(",")}],""" +
               s""""takedowns_pending":[${pending.mkString(",")}]}""")
           } catch {
             case e: IllegalArgumentException =>
@@ -2578,7 +2609,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         .replace("\\", "\\\\").replace("\"", "\\\"")
       if (ex.getRequestMethod.toUpperCase != "POST")
         respond(ex, 405,
-          """{"error":"POST JSON rows of {user_id} with ?store=&tag="}""")
+          """{"error":"POST JSON rows of {user_id} with ?store=&tag= (&defer=1 lands the roster for a later &flush=1)"}""")
       else (storeRoot, param(ex, "store"), param(ex, "tag")) match {
         case (None, _, _) =>
           respond(ex, 404, """{"error":"server started without a store root"}""")
@@ -2590,6 +2621,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         case (Some(root), Some(name), Some(tag)) =>
           val rootDir = new java.io.File(root).getCanonicalFile
           val dir = new java.io.File(rootDir, name).getCanonicalFile
+          // &defer=1: the cost amortization — the roster lands on the
+          // ledger now (forward exclusion immediate), the purge and the
+          // ONE rebuild wait for &flush=1, which settles every deferred
+          // roster in one O(history) pass (Maintained.takedownUsers /
+          // takedownFlush scaladoc)
+          val defer = flagParam(ex, "defer")
+          val flush = flagParam(ex, "flush")
           if (!plainName(name) || dir.getParentFile != rootDir)
             respond(ex, 403, """{"error":"store not under the store root"}""")
           else if (!tag.matches("[A-Za-z0-9._-]+"))
@@ -2597,6 +2635,26 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               """{"error":"tag must be filesystem-safe ([A-Za-z0-9._-]+)"}""")
           else if (!dir.isDirectory)
             respond(ex, 404, s"""{"error":"no report store named '$name'"}""")
+          else if ((defer.isEmpty && param(ex, "defer").isDefined) ||
+              (flush.isEmpty && param(ex, "flush").isDefined))
+            respond(ex, 400,
+              """{"error":"defer/flush must be 1|true|0|false"}""")
+          else if (defer.contains(true) && flush.contains(true))
+            respond(ex, 400,
+              """{"error":"defer and flush are different verbs — land rosters with defer, settle them with flush"}""")
+          else if (flush.contains(true)) try {
+            val r = graft.streaming.Maintained.takedownFlush(spark, dir, tag)
+            respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+              s""""committed":${r.committed},""" +
+              s""""flushed":[${r.flushed.map(t => "\"" + esc(t) + "\"")
+                .mkString(",")}],""" +
+              s""""rows_removed":${r.removed},"version":${r.version}}""")
+          } catch {
+            case e: IllegalStateException =>
+              respond(ex, 409, s"""{"error":"${esc(e.getMessage)}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
           else try {
             import org.apache.spark.sql.functions.col
             val body = new String(ex.getRequestBody.readAllBytes(),
@@ -2613,9 +2671,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   """{"error":"body must be JSON rows of {user_id}"}""")
               else {
                 val r = graft.streaming.Maintained.takedownUsers(
-                  spark, dir, ids, tag)
+                  spark, dir, ids, tag, defer = defer.contains(true))
                 respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
                   s""""committed":${r.committed},""" +
+                  s""""deferred":${defer.contains(true) && r.committed},""" +
                   s""""rows_removed":${r.removed},"version":${r.version}}""")
               }
             } finally ids.unpersist(false)

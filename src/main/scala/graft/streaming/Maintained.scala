@@ -218,7 +218,8 @@ object Maintained {
     df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
     val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
     java.nio.file.Files.move(part.toPath,
-      new java.io.File(dir, s"$name.parquet").toPath)
+      new java.io.File(dir, s"$name.parquet").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     PointStore.deleteRec(stage)
   }
 
@@ -235,9 +236,12 @@ object Maintained {
     * split is DETERMINISTIC and each file move is atomic:
     *   - rows → files by `repartition(parts, user_id)` with `parts`
     *     derived from the row count (or pinned by the caller), so a
-    *     redelivery that re-stages after a crash mid-landing produces
-    *     byte-identical partitions and the skip-if-exists move never
-    *     pairs a consumed file with different content;
+    *     redelivery that re-stages after a crash mid-landing assigns
+    *     every row to the SAME partition number, and each staged file
+    *     lands under its own partition number (`<tag>-p<i>`, parsed
+    *     from the writer's part-NNNNN name — see the move below), so
+    *     the skip-if-exists move never pairs a consumed file with a
+    *     different partition's content;
     *   - the maintenance stream's file ledger is per FILE, so a
     *     partially-landed drop that somehow folded early double-counts
     *     nothing when the remaining files land — they are new files;
@@ -256,12 +260,26 @@ object Maintained {
         s"stage_${dir.getName}_$tag")
       df.repartition(parts, col("user_id"))
         .write.mode("overwrite").parquet(stage.getPath)
-      val files = stage.listFiles().filter(_.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      files.zipWithIndex.foreach { case (f, i) =>
-        val target = new java.io.File(dir, f"$tag-p$i%05d.parquet")
+      // the target suffix derives from the staged file's OWN part-NNNNN
+      // partition number, never a dense re-index: Spark writes no file
+      // for an empty non-first partition, so a dense index is only
+      // stable while the set of NON-EMPTY partitions repeats across
+      // attempts — and the exact interleaving the .width pin exists for
+      // (crash mid-landing, a committed takedown empties a partition,
+      // redelivery) breaks that: re-staged files would shift down an
+      // index, the skip-if-exists move would find the shifted target
+      // already present, and a later partition's rows would silently
+      // never land while the tag still got its marker. Partition i
+      // always lands as <tag>-p<i>; sparse p-numbers are fine (readers
+      // glob the directory, names carry no contiguity contract).
+      stage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val digits = f.getName.stripPrefix("part-").takeWhile(_.isDigit)
+        require(f.getName.startsWith("part-") && digits.nonEmpty,
+          s"staged drop file '${f.getName}' carries no part-NNNNN number")
+        val target = new java.io.File(dir, f"$tag-p${digits.toInt}%05d.parquet")
         if (!target.exists)
-          java.nio.file.Files.move(f.toPath, target.toPath)
+          java.nio.file.Files.move(f.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       PointStore.deleteRec(stage)
     }
@@ -414,6 +432,55 @@ object Maintained {
     q.awaitTermination()
   }
 
+  /** A split-landing file name: `<tag>-pNNNNN.parquet`. */
+  private val SplitName = "(.+)-p\\d{5}\\.parquet".r
+
+  /** MID-FLIGHT drop files: split-landing files of a tag whose landed
+    * marker is not yet written — a crash mid-landing's residue. A
+    * maintenance pass must NEVER consume them: folding part of a night
+    * advances the watermark past that night's event times (the files
+    * of one drop share a time range — that is what a nightly drop IS),
+    * so the completing files' rows on the healing redelivery would
+    * arrive below the watermark and be dropped as late — a permanent,
+    * silent undercount. Every [[maintainOnce]] caller sidelines them
+    * into `_stream/midflight` for the duration of its pass and
+    * restores them after; the restore also runs FIRST on every verb
+    * (heal), so a crash mid-pass cannot strand them. Single-file
+    * landings are never mid-flight — theirs is one atomic move. */
+  private def sidelineMidflight(sdir: java.io.File): Unit = {
+    val drops = new java.io.File(sdir, "drops")
+    val landed = new java.io.File(sdir, "landed")
+    val victims = Option(drops.listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(f => f.getName match {
+        case SplitName(tag) => !new java.io.File(landed, tag).exists
+        case _ => false
+      })
+    if (victims.nonEmpty) {
+      val mid = new java.io.File(sdir, "midflight"); mid.mkdirs()
+      victims.foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(mid, f.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE))
+    }
+  }
+
+  /** Undo [[sidelineMidflight]] — also the heal for a crash that left
+    * files sidelined (every verb restores before it reads the drops).
+    * `Files.move` keeps mtimes, so a sideline round-trip never re-ages
+    * a drop. A restore target can only exist if landing choreography
+    * broke (the restore runs before any landing in every verb), so it
+    * fails loudly rather than guess which copy is real. */
+  private def restoreMidflight(sdir: java.io.File): Unit = {
+    val mid = new java.io.File(sdir, "midflight")
+    Option(mid.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      val target = new java.io.File(new java.io.File(sdir, "drops"), f.getName)
+      require(!target.exists,
+        s"midflight restore collision on '${f.getName}' — a sidelined " +
+          "drop file coexists with a landed one of the same name")
+      java.nio.file.Files.move(f.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   final case class IngestResult(landed: Boolean, committed: Boolean,
                                 version: Long)
 
@@ -451,6 +518,10 @@ object Maintained {
     // instead of surfacing a 409 the scheduler must retry
     graft.sources.StoreFs(s, sdir.getPath)
       .withWriterLease(waitMs = leaseWaitMs) {
+      // heal first: a crashed pass may have left mid-flight files
+      // sidelined — restored, they are this very tag's partial landing
+      // to complete, or another tag's to sideline again below
+      restoreMidflight(sdir)
       val cfgFile = new java.io.File(sdir, "CONFIG")
       val manifest = new java.io.File(dir, "_MANIFEST")
       if (manifest.exists && !cfgFile.exists)
@@ -522,9 +593,14 @@ object Maintained {
         dropFiles(kept, drops, tag, parts)
         java.nio.file.Files.createFile(marker.toPath)
       }
+      // another tag's crashed partial landing must not fold in this
+      // pass (the mid-flight watermark hazard — sidelineMidflight's
+      // scaladoc); it folds whole when its own redelivery completes it
+      sidelineMidflight(sdir)
       val before = store.version
-      maintainOnce(s, fold, store, drops.getPath,
+      try maintainOnce(s, fold, store, drops.getPath,
         new java.io.File(sdir, "ckpt").getPath, exclude = roster)
+      finally restoreMidflight(sdir)
       IngestResult(landed, store.version != before, store.version)
     }
   }
@@ -556,6 +632,89 @@ object Maintained {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     PointStore.deleteRec(stage)
+  }
+
+  /** The per-file purge half of a takedown: rewrite `ids`' rows out of
+    * every retained drop file — broadcast semi-count to leave unhit
+    * files untouched (the common case for a human-scale roster),
+    * broadcast anti-rewrite on hits, each file's ORIGINAL mtime
+    * restored (see [[takedownUsers]]'s aging scaladoc). Returns rows
+    * removed. */
+  private def purgeDrops(s: SparkSession, sdir: java.io.File,
+                         ids: DataFrame): Long = {
+    // heal any crashed pass's sidelined files first — the purge must
+    // walk EVERY retained file, mid-flight ones included (erasure
+    // covers a crashed landing's residue too)
+    restoreMidflight(sdir)
+    val drops = Option(new java.io.File(sdir, "drops").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified).toSeq
+    var removed = 0L
+    drops.foreach { f =>
+      val mtime = f.lastModified // the rewrite must not re-age the drop
+      val df = s.read.parquet(f.getPath)
+      val hit = df.join(broadcast(ids), Seq("user_id"), "left_semi").count()
+      if (hit > 0) {
+        rewriteDrop(df.join(broadcast(ids), Seq("user_id"), "left_anti"), f)
+        f.setLastModified(mtime)
+        removed += hit
+      }
+    }
+    removed
+  }
+
+  /** The re-derivation half of a takedown: fold the (purged) drops
+    * through the store's pinned config into a scratch store under a
+    * fresh checkpoint, flip it in via the ledger-replacing
+    * [[PointStore.overwriteTagged]], and SWAP IN the scratch
+    * checkpoint ([[takedownUsers]]'s three-wrongs scaladoc). The
+    * scratch fold also screens cells against the CUMULATIVE roster
+    * (prior takedowns — deferred included — plus `ids`): redundant
+    * with the purge, load-bearing only if a drop rewrite is ever
+    * undone out-of-band, but it makes the rebuild's contract local. */
+  private def rebuildAndSwap(s: SparkSession, dir: java.io.File,
+                             sdir: java.io.File, cfg: String,
+                             ids: DataFrame, flipTag: String): Unit = {
+    val fold = foldOfConfig(s, cfg)
+    val scratchRoot = new java.io.File(sdir, "rebuild")
+    PointStore.deleteRec(scratchRoot); scratchRoot.mkdirs()
+    val scratch = new PointStore(s,
+      new java.io.File(scratchRoot, "report").getPath,
+      keys = fold.keys, sums = fold.sums, maxes = Nil,
+      quantiles = fold.quantiles)
+    val cumulative = exclusionRoster(s, dir)
+      .fold(ids)(_.unionByName(ids)).distinct()
+    // the rebuild folds exactly the LANDED drops: a crashed partial
+    // landing is sidelined, else its partial fold advances the
+    // watermark past the night and the completing files' rows would
+    // drop as late on the healing redelivery (the mid-flight hazard —
+    // pinned red-then-green in MaintainedSpec's partition-id spec)
+    sidelineMidflight(sdir)
+    try maintainOnce(s, fold, scratch,
+      new java.io.File(sdir, "drops").getPath,
+      new java.io.File(scratchRoot, "ckpt").getPath,
+      exclude = Some(cumulative))
+    finally restoreMidflight(sdir)
+    val real =
+      if (new java.io.File(dir, "_MANIFEST").exists)
+        PointStore.open(s, dir.getPath)
+      else new PointStore(s, dir.getPath, keys = fold.keys,
+        sums = fold.sums, maxes = Nil, quantiles = fold.quantiles)
+    real.overwriteTagged(flipTag, scratch.snapshot,
+      keep = t => !t.matches("b\\d+"), adopt = scratch.consumedTags)
+    // swap in the scratch checkpoint: the old one holds the roster's
+    // slack-held events, has finalized reaches the flip just
+    // discarded, and disagrees with the rebuild about any landed-but-
+    // unfolded drop ([[takedownUsers]] scaladoc) — all three heal only
+    // by adopting the checkpoint that PRODUCED the new base
+    val ckpt = new java.io.File(sdir, "ckpt")
+    val old = new java.io.File(sdir, "ckpt.old")
+    PointStore.deleteRec(old)
+    if (ckpt.exists) java.nio.file.Files.move(ckpt.toPath, old.toPath)
+    java.nio.file.Files.move(
+      new java.io.File(scratchRoot, "ckpt").toPath, ckpt.toPath)
+    PointStore.deleteRec(old)
+    PointStore.deleteRec(scratchRoot)
   }
 
   final case class TakedownResult(committed: Boolean, removed: Long,
@@ -635,9 +794,100 @@ object Maintained {
     *
     * The roster is a posted request (human-scale, like every takedown
     * face in the family); it broadcasts into the per-file anti-joins
-    * and collects only for the marker record. */
+    * and collects only for the marker record.
+    *
+    * ==Deferral (the cost amortization)==
+    * The purge + rebuild is O(retained history) — at 100 TB a full
+    * corpus-scale re-derivation per compliance ticket, and k separate
+    * rosters would cost k rebuilds. `defer = true` splits the remedy
+    * along its cost line: the roster LANDS exactly-once on the
+    * `_stream/takedowns` ledger immediately (as `<tag>.deferred.jsonl`
+    * — [[exclusionRoster]] unions every `*.jsonl` record, so the
+    * FORWARD EXCLUSION is live from this call on: the user's events
+    * never enter another drop or fold), while the expensive half —
+    * purge of the retained drops + the one rebuild — waits for
+    * [[takedownFlush]], which settles ALL deferred rosters in ONE
+    * O(history) pass. Between landing and flush the retained drops
+    * still hold the roster's rows and the report still carries their
+    * past contributions (an additive store cannot subtract — erasure
+    * is PENDING, and GET /health/report names the pending-purge
+    * rosters); `committed = true` on a deferred call means the roster
+    * landed durably, not that erasure completed. A deferred tag
+    * redelivered — eagerly or deferred — is a no-op. */
   def takedownUsers(s: SparkSession, dir: java.io.File, roster: DataFrame,
-                    tag: String): TakedownResult = {
+                    tag: String, defer: Boolean = false): TakedownResult = {
+    val sdir = new java.io.File(dir, "_stream")
+    graft.sources.StoreFs(s, sdir.getPath).withWriterLease() {
+      val cfg = storedConfig(dir).getOrElse(throw new IllegalStateException(
+        s"store at '$dir' carries no ingest config — it is maintained by " +
+          "a library lifecycle whose inputs live upstream; re-run that " +
+          "lifecycle over the purged events instead"))
+      val td = new java.io.File(sdir, "takedowns"); td.mkdirs()
+      val marker = new java.io.File(td, s"$tag.jsonl")
+      val deferredMarker = new java.io.File(td, s"$tag.deferred.jsonl")
+      def versionNow = PointStore.versionOf(dir.getPath).getOrElse(0L)
+      def landRoster(target: java.io.File): DataFrame = {
+        val ids = roster.select(col("user_id").cast("long").as("user_id"))
+          .distinct().localCheckpoint(true)
+        val tmp = new java.io.File(td, s"${target.getName}.tmp")
+        java.nio.file.Files.write(tmp.toPath, ids.toJSON.collect()
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ids
+      }
+      if (marker.exists || deferredMarker.exists)
+        TakedownResult(committed = false, 0L, versionNow)
+      else if (defer) {
+        landRoster(deferredMarker)
+        TakedownResult(committed = true, 0L, versionNow)
+      } else {
+        val pending = new java.io.File(td, s"$tag.pending")
+        val crashed = pending.exists
+        if (!crashed) java.nio.file.Files.createFile(pending.toPath)
+        val ids = roster.select(col("user_id").cast("long").as("user_id"))
+          .distinct().localCheckpoint(true)
+        val removed = purgeDrops(s, sdir, ids)
+        if (removed > 0 || crashed)
+          rebuildAndSwap(s, dir, sdir, cfg, ids, s"takedown-$tag")
+        // the committed marker doubles as the cumulative-roster record
+        val tmp = new java.io.File(td, s"$tag.jsonl.tmp")
+        java.nio.file.Files.write(tmp.toPath, ids.toJSON.collect()
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath, marker.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.deleteIfExists(pending.toPath)
+        TakedownResult(committed = true, removed, versionNow)
+      }
+    }
+  }
+
+  final case class FlushResult(committed: Boolean, flushed: Seq[String],
+                               removed: Long, version: Long)
+
+  /** Settle every DEFERRED takedown roster in ONE purge + rebuild —
+    * the other half of [[takedownUsers]]'s `defer`: k rosters deferred
+    * since the last flush cost one O(history) re-derivation instead of
+    * k, which is what makes per-ticket compliance affordable against a
+    * 100 TB retained history. The union roster purges the retained
+    * drops (per-file atomic rewrites, original mtimes kept), the
+    * report re-folds once through the store's pinned config, the
+    * checkpoint swaps once, and each deferred record GRADUATES to a
+    * committed one under its own request tag — so per-request
+    * redelivery (eager or deferred) stays a no-op forever, and the
+    * cumulative exclusion roster reads identically before and after.
+    *
+    * Exactly-once on the flush's own `tag` rides the same ledger
+    * choreography as the eager verb: a `.pending` marker laid before
+    * the first rewrite forces the rebuild on redelivery even when the
+    * re-run finds nothing left to purge or graduate (the crash may
+    * have hit between the purge and the flip, or mid-graduation), and
+    * [[ingestDrop]] refuses to fold while the flush is mid-flight. A
+    * flush that finds nothing deferred — and is not itself such a
+    * redelivery — is a no-op (`committed = false`, no rebuild). */
+  def takedownFlush(s: SparkSession, dir: java.io.File,
+                    tag: String): FlushResult = {
+    import s.implicits._
     val sdir = new java.io.File(dir, "_stream")
     graft.sources.StoreFs(s, sdir.getPath).withWriterLease() {
       val cfg = storedConfig(dir).getOrElse(throw new IllegalStateException(
@@ -647,74 +897,42 @@ object Maintained {
       val td = new java.io.File(sdir, "takedowns"); td.mkdirs()
       val marker = new java.io.File(td, s"$tag.jsonl")
       def versionNow = PointStore.versionOf(dir.getPath).getOrElse(0L)
-      if (marker.exists) TakedownResult(committed = false, 0L, versionNow)
+      if (marker.exists) FlushResult(committed = false, Nil, 0L, versionNow)
       else {
         val pending = new java.io.File(td, s"$tag.pending")
         val crashed = pending.exists
-        if (!crashed) java.nio.file.Files.createFile(pending.toPath)
-        val ids = roster.select(col("user_id").cast("long").as("user_id"))
-          .distinct().localCheckpoint(true)
-        val drops = Option(new java.io.File(sdir, "drops").listFiles())
+        val deferred = Option(td.listFiles())
           .getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified).toSeq
-        var removed = 0L
-        drops.foreach { f =>
-          val mtime = f.lastModified // the rewrite must not re-age the drop
-          val df = s.read.parquet(f.getPath)
-          val hit = df.join(broadcast(ids), Seq("user_id"), "left_semi").count()
-          if (hit > 0) {
-            rewriteDrop(df.join(broadcast(ids), Seq("user_id"), "left_anti"), f)
-            f.setLastModified(mtime)
-            removed += hit
+          .filter(_.getName.endsWith(".deferred.jsonl"))
+          .sortBy(_.getName).toSeq
+        if (deferred.isEmpty && !crashed)
+          FlushResult(committed = false, Nil, 0L, versionNow)
+        else {
+          if (!crashed) java.nio.file.Files.createFile(pending.toPath)
+          val ids = (if (deferred.isEmpty) Seq.empty[Long].toDF("user_id")
+            else s.read.schema("user_id LONG")
+              .json(deferred.map(_.getPath): _*))
+            .select(col("user_id").cast("long").as("user_id"))
+            .distinct().localCheckpoint(true)
+          val removed = purgeDrops(s, sdir, ids)
+          rebuildAndSwap(s, dir, sdir, cfg, ids, s"takedown-$tag")
+          val flushedTags =
+            deferred.map(_.getName.stripSuffix(".deferred.jsonl"))
+          deferred.foreach { f =>
+            java.nio.file.Files.move(f.toPath, new java.io.File(td,
+              s"${f.getName.stripSuffix(".deferred.jsonl")}.jsonl").toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           }
+          // the flush's own committed marker: an EMPTY roster record —
+          // its durable roster content is the graduated per-request
+          // files, which keep their own tags
+          val tmp = new java.io.File(td, s"$tag.jsonl.tmp")
+          java.nio.file.Files.write(tmp.toPath, Array.empty[Byte])
+          java.nio.file.Files.move(tmp.toPath, marker.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.Files.deleteIfExists(pending.toPath)
+          FlushResult(committed = true, flushedTags, removed, versionNow)
         }
-        if (removed > 0 || crashed) {
-          val fold = foldOfConfig(s, cfg)
-          val scratchRoot = new java.io.File(sdir, "rebuild")
-          PointStore.deleteRec(scratchRoot); scratchRoot.mkdirs()
-          val scratch = new PointStore(s,
-            new java.io.File(scratchRoot, "report").getPath,
-            keys = fold.keys, sums = fold.sums, maxes = Nil,
-            quantiles = fold.quantiles)
-          // the scratch fold also screens cells against the CUMULATIVE
-          // roster (prior takedowns plus this one) — redundant with the
-          // purge, load-bearing only if a drop rewrite is ever undone
-          // out-of-band, but it makes the rebuild's contract local
-          val cumulative = exclusionRoster(s, dir)
-            .fold(ids)(_.unionByName(ids)).distinct()
-          maintainOnce(s, fold, scratch,
-            new java.io.File(sdir, "drops").getPath,
-            new java.io.File(scratchRoot, "ckpt").getPath,
-            exclude = Some(cumulative))
-          val real =
-            if (new java.io.File(dir, "_MANIFEST").exists)
-              PointStore.open(s, dir.getPath)
-            else new PointStore(s, dir.getPath, keys = fold.keys,
-              sums = fold.sums, maxes = Nil, quantiles = fold.quantiles)
-          real.overwriteTagged(s"takedown-$tag", scratch.snapshot,
-            keep = t => !t.matches("b\\d+"), adopt = scratch.consumedTags)
-          // swap in the scratch checkpoint: the old one holds the
-          // roster's slack-held events, has finalized reaches the flip
-          // just discarded, and disagrees with the rebuild about any
-          // landed-but-unfolded drop (scaladoc above) — all three heal
-          // only by adopting the checkpoint that PRODUCED the new base
-          val ckpt = new java.io.File(sdir, "ckpt")
-          val old = new java.io.File(sdir, "ckpt.old")
-          PointStore.deleteRec(old)
-          if (ckpt.exists) java.nio.file.Files.move(ckpt.toPath, old.toPath)
-          java.nio.file.Files.move(
-            new java.io.File(scratchRoot, "ckpt").toPath, ckpt.toPath)
-          PointStore.deleteRec(old)
-          PointStore.deleteRec(scratchRoot)
-        }
-        // the committed marker doubles as the cumulative-roster record
-        val tmp = new java.io.File(td, s"$tag.jsonl.tmp")
-        java.nio.file.Files.write(tmp.toPath, ids.toJSON.collect()
-          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp.toPath, marker.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        java.nio.file.Files.deleteIfExists(pending.toPath)
-        TakedownResult(committed = true, removed, versionNow)
       }
     }
   }

@@ -199,6 +199,66 @@ class MaintainedSpec extends SparkSpec {
     assert(step1Users == 3L)
   }
 
+  test("a split landing keys files by PARTITION ID, not a dense " +
+      "re-index — a takedown that empties a partition between a crash " +
+      "and its redelivery must not shift later partitions onto " +
+      "already-consumed names") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdshift")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel")
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    // discover which landing partition each user hashes to at width 3
+    // (the test must empty exactly one MIDDLE partition)
+    val users = (1L to 24L).toSeq
+    val byPart = users.toDF("user_id").repartition(3, col("user_id"))
+      .select(col("user_id"), spark_partition_id().as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq
+      .groupBy(_._2).map { case (p, xs) => p -> xs.map(_._1) }
+    assert(byPart.keySet == Set(0, 1, 2), s"need all widths hit: $byPart")
+    // pin config with an initial unrelated drop, as production would
+    Maintained.ingestDrop(spark, dir, cfg, "n0",
+      Seq(ev(100, "2024-01-01 09:00:00.0", 0, "view")).toDF(cols: _*))
+    val n1Rows = users.map(u =>
+      ev(u, f"2024-01-01 10:${u % 60}%02d:00.0", u, "view"))
+    val drops = new java.io.File(dir, "_stream/drops")
+    val landedDir = new java.io.File(dir, "_stream/landed"); landedDir.mkdirs()
+    // first attempt: width pinned, files staged, but the LAST
+    // partition's move never happened (crash mid-landing, no marker)
+    java.nio.file.Files.write(
+      new java.io.File(landedDir, "n1.width").toPath, "3".getBytes)
+    Maintained.dropFiles(n1Rows.toDF(cols: _*), drops, "n1", 3)
+    val lastName = drops.listFiles().map(_.getName)
+      .filter(_.startsWith("n1-p")).max
+    java.nio.file.Files.delete(new java.io.File(drops, lastName).toPath)
+    // a takedown commits between the attempts, emptying partition 1
+    // of the tag's rows (its drop file survives as a zero-row purge
+    // image — which is exactly why a dense re-index shifts)
+    val td = Maintained.takedownUsers(spark, dir,
+      byPart(1).toDF("user_id"), "r1")
+    assert(td.committed, td.toString)
+    // the redelivery re-stages the purged frame: partition 1 is now
+    // EMPTY, so the writer emits no part-00001 file — partition 2's
+    // file must still land under p00002 (its own number), never shift
+    // onto the consumed p00001 name and silently vanish
+    val r = Maintained.ingestDrop(spark, dir, cfg, "n1",
+      n1Rows.toDF(cols: _*))
+    assert(r.landed, r.toString)
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
+    val step1 = Maintained
+      .funnelReportFrom(spark, PointStore.open(spark, dir.getPath))
+      .filter(col("step") === 1).head.getLong(2)
+    // every surviving user exactly once: partitions 0 and 2 of n1,
+    // plus the config-pinning drop's user — partition 2 missing here
+    // is the dense-index shift this spec pins against
+    assert(step1 == byPart(0).size + byPart(2).size + 1,
+      s"expected ${byPart(0).size + byPart(2).size + 1} step-1 users, " +
+        s"got $step1 (partition sizes: ${byPart.view.mapValues(_.size).toMap})")
+  }
+
   test("a takedown rebuild re-folds a >7-day drop history completely — " +
       "the pinned maxFileAge and the original-mtime restore keep old " +
       "nights visible and consumed-exactly-once") {
@@ -244,6 +304,89 @@ class MaintainedSpec extends SparkSpec {
     Maintained.ingestDrop(spark, dir, cfg, "s2",
       Seq(ev(-1, "2024-02-20 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
     assert(step1Users == 1L)
+  }
+
+  test("deferred takedowns amortize: k rosters + ONE flush ≡ k eager " +
+      "takedowns, forward exclusion live from the deferral, erasure " +
+      "pending until the flush") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tkddefer")
+    val cfg = Maintained.configOf("funnel")
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    val n1 = Seq(
+      ev(1, "2024-01-01 10:00:00.000001", 1, "view"),
+      ev(1, "2024-01-01 10:01:00.000002", 2, "click"),
+      ev(1, "2024-01-01 10:02:00.000003", 3, "purchase"),
+      ev(2, "2024-01-01 11:00:00.000004", 4, "view"))
+    val n2 = Seq(
+      ev(2, "2024-01-02 09:00:00.000005", 5, "click"),
+      ev(3, "2024-01-02 10:00:00.000006", 6, "view"))
+    val late = Seq(
+      ev(2, "2024-01-08 10:00:00.000007", 7, "view"),
+      ev(4, "2024-01-08 11:00:00.000008", 8, "view"))
+    def sentinel(day: Int) =
+      Seq(ev(-1, f"2024-01-$day%02d 00:00:00.0", 0, "_watermark"))
+    def drive(name: String): java.io.File = {
+      val dir = new java.io.File(base.toFile, name)
+      Maintained.ingestDrop(spark, dir, cfg, "n1", n1.toDF(cols: _*))
+      Maintained.ingestDrop(spark, dir, cfg, "n2", n2.toDF(cols: _*))
+      Maintained.ingestDrop(spark, dir, cfg, "s1",
+        sentinel(5).toDF(cols: _*))
+      dir
+    }
+    def report(dir: java.io.File): Seq[(Int, String, Long)] = Maintained
+      .funnelReportFrom(spark, PointStore.open(spark, dir.getPath))
+      .orderBy(col("step")).as[(Int, String, Long)].collect().toSeq
+    def dropUsers(dir: java.io.File): Set[Long] =
+      spark.read.parquet(s"$dir/_stream/drops").filter(col("user_id") > 0)
+        .select("user_id").distinct().as[Long].collect().toSet
+
+    // store A: two DEFERRED rosters, then one flush
+    val a = drive("a")
+    val d1 = Maintained.takedownUsers(spark, a, Seq(2L).toDF("user_id"),
+      "d1", defer = true)
+    assert(d1.committed && d1.removed == 0L, d1.toString)
+    // erasure is PENDING: the drops still hold u2, the report still
+    // carries u2's past contributions
+    assert(dropUsers(a).contains(2L))
+    assert(report(a).find(_._1 == 1).get._3 == 3L)
+    assert(Maintained.takedownUsers(spark, a, Seq(3L).toDF("user_id"),
+      "d2", defer = true).committed)
+    // but the forward EXCLUSION is live from the deferral: a later
+    // drop mixing u2's event with a fresh user's folds only the fresh
+    Maintained.ingestDrop(spark, a, cfg, "late", late.toDF(cols: _*))
+    Maintained.ingestDrop(spark, a, cfg, "s2", sentinel(12).toDF(cols: _*))
+    assert(dropUsers(a).contains(4L)) // the fresh user's event landed
+    assert(spark.read.parquet(s"$a/_stream/drops")
+      .filter(col("user_id") === 2 && col("event_id") === 7).count() == 0)
+    assert(report(a).find(_._1 == 1).get._3 == 4L) // u1,u2,u3 held + u4
+    // a deferred tag redelivered — eagerly or deferred — is a no-op
+    assert(!Maintained.takedownUsers(spark, a,
+      Seq(2L).toDF("user_id"), "d1").committed)
+    assert(!Maintained.takedownUsers(spark, a,
+      Seq(2L).toDF("user_id"), "d1", defer = true).committed)
+    // ONE flush settles both rosters: one purge walk, one rebuild
+    val f = Maintained.takedownFlush(spark, a, "f1")
+    assert(f.committed && f.flushed == Seq("d1", "d2") && f.removed == 3L,
+      f.toString)
+    assert((dropUsers(a) & Set(2L, 3L)).isEmpty) // erasure now physical
+    // a redelivered flush tag commits nothing; an empty flush no-ops
+    assert(!Maintained.takedownFlush(spark, a, "f1").committed)
+    assert(!Maintained.takedownFlush(spark, a, "f2").committed)
+
+    // store B: the SAME rosters taken down eagerly, k rebuilds — the
+    // flush's report must be indistinguishable
+    val b = drive("b")
+    Maintained.ingestDrop(spark, b, cfg, "late", late.toDF(cols: _*))
+    Maintained.ingestDrop(spark, b, cfg, "s2", sentinel(12).toDF(cols: _*))
+    assert(Maintained.takedownUsers(spark, b,
+      Seq(2L).toDF("user_id"), "d1").committed)
+    assert(Maintained.takedownUsers(spark, b,
+      Seq(3L).toDF("user_id"), "d2").committed)
+    assert(report(a) == report(b),
+      s"flush diverged from eager: ${report(a)} vs ${report(b)}")
   }
 
   test("ingestDrop refuses while a takedown is mid-flight (a .pending " +

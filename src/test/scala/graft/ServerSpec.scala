@@ -1654,4 +1654,79 @@ class ServerSpec extends SparkSpec {
       assert(lc == 409 && lb.contains("library lifecycle"), lb)
     } finally srv.stop()
   }
+
+  test("POST /takedown/report?defer=1 lands rosters for ONE later " +
+      "&flush=1 settle, the health face names them, and a half-built " +
+      "store describes itself instead of erroring") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wdefer").toString
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      def ev(u: Long, t: String, id: Long, typ: String) =
+        (u, java.sql.Timestamp.valueOf(t), id, typ)
+      val cols = Seq("user_id", "ts", "event_id", "event_type")
+      def jsonOf(rows: Seq[(Long, java.sql.Timestamp, Long, String)]): String =
+        rows.toDF(cols: _*)
+          .select(to_json(struct(col("user_id"), col("ts"),
+              col("event_id"), col("event_type")),
+            Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
+          .as[String].collect().mkString("\n")
+      assert(post(port, "/ingest/report?store=wdf&tag=n1&type=funnel",
+        jsonOf(Seq(
+          ev(1, "2024-01-01 10:00:00.000001", 1, "view"),
+          ev(2, "2024-01-01 11:00:00.000002", 2, "view"))))._1 == 200)
+      assert(post(port, "/ingest/report?store=wdf&tag=s1&type=funnel",
+        jsonOf(Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark"))))
+        ._1 == 200)
+      // malformed/conflicting verb flags refuse loudly
+      assert(post(port, "/takedown/report?store=wdf&tag=d1&defer=maybe",
+        """{"user_id":2}""")._1 == 400)
+      assert(post(port, "/takedown/report?store=wdf&tag=d1&defer=1&flush=1",
+        """{"user_id":2}""")._1 == 400)
+      // the deferral: roster lands, nothing purges yet
+      val (dc, db) = post(port, "/takedown/report?store=wdf&tag=d1&defer=1",
+        """{"user_id":2}""")
+      assert(dc == 200 && db.contains("\"committed\":true") &&
+        db.contains("\"deferred\":true") &&
+        db.contains("\"rows_removed\":0"), db)
+      assert(spark.read.parquet(s"$root/wdf/_stream/drops")
+        .filter(col("user_id") === 2).count() == 1) // erasure pending
+      // the health face names the pending-purge roster — and a crash-
+      // leftover .width.tmp must not inflate the landed-tag count
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(
+        root, "wdf", "_stream", "landed", "ghost.width.tmp"))
+      val (hc, hb) = this.get(port, "/health/report?store=wdf")
+      assert(hc == 200 && hb.contains("\"takedowns_deferred\":[\"d1\"]") &&
+        hb.contains("\"takedowns_committed\":0") &&
+        hb.contains("\"landed_tags\":2"), hb)
+      // ONE flush settles it: purge + single rebuild, roster graduates
+      val (fc, fb) = post(port, "/takedown/report?store=wdf&tag=f1&flush=1", "")
+      assert(fc == 200 && fb.contains("\"committed\":true") &&
+        fb.contains("\"flushed\":[\"d1\"]") &&
+        fb.contains("\"rows_removed\":1"), fb)
+      assert(spark.read.parquet(s"$root/wdf/_stream/drops")
+        .filter(col("user_id") === 2).count() == 0)
+      val (h2c, h2b) = this.get(port, "/health/report?store=wdf")
+      assert(h2c == 200 && h2b.contains("\"takedowns_deferred\":[]") &&
+        h2b.contains("\"takedowns_committed\":2"), h2b) // d1 + f1
+      // redelivered flush commits nothing; an empty flush no-ops
+      assert(post(port, "/takedown/report?store=wdf&tag=f1&flush=1", "")
+        ._2.contains("\"committed\":false"))
+      assert(post(port, "/takedown/report?store=wdf&tag=f2&flush=1", "")
+        ._2.contains("\"committed\":false"))
+      // a store whose CONFIG pinned but whose first fold never
+      // committed (first-ingest crash) is a describable degraded
+      // state: 200 with zero rows/version, never a 400 that leaks the
+      // server's filesystem path
+      val half = new java.io.File(root, "half/_stream"); half.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(half, "CONFIG").toPath, "type=funnel".getBytes)
+      val (uc, ub) = this.get(port, "/health/report?store=half")
+      assert(uc == 200 && ub.contains("\"rows\":0") &&
+        ub.contains("\"version\":0") && !ub.contains(root), ub)
+    } finally srv.stop()
+  }
 }
