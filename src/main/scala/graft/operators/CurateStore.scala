@@ -487,8 +487,9 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * (the server's /ingest/curate face) must derive it from this return
     * value, never from their own pre-check (TOCTOU). */
   def curateNight(tag: String, delta: DataFrame,
-                  autoCompactAt: Int = CurateStore.AutoCompactMembers): Boolean =
-      sfs.withWriterLease() {
+                  autoCompactAt: Int = CurateStore.AutoCompactMembers,
+                  leaseWaitMs: Long = 0L): Boolean =
+      sfs.withWriterLease(waitMs = leaseWaitMs) {
     // member names are <table>-<tag>, so the tag must stay out of the
     // build/fold namespaces: tag "base" would Overwrite the LIVE
     // night-0 member dirs BEFORE any commit point, and "compact-N" a
@@ -882,8 +883,9 @@ final class CurateStore private (spark: SparkSession, dir: String) {
     * health() keeps the nights' INGEST history unchanged — the series
     * records what each drop brought, not the living corpus. Returns
     * whether THIS call committed. */
-  def deleteDocs(tag: String, docIds: DataFrame): Boolean =
-      sfs.withWriterLease() {
+  def deleteDocs(tag: String, docIds: DataFrame,
+                 leaseWaitMs: Long = 0L): Boolean =
+      sfs.withWriterLease(waitMs = leaseWaitMs) {
     val lines = manifestLines
     if (deleteTags.contains(tag)) return false
     require(tag.matches("[A-Za-z0-9._-]+"),

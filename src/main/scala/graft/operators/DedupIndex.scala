@@ -299,7 +299,9 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * owner knows when no reader still holds a pre-compaction plan. */
   def appendTagged(tag: String, docs: DataFrame,
                    verifyDisjoint: Boolean = false,
-                   autoCompactAt: Int = DedupIndex.AutoCompactMembers): Boolean = sfs.withWriterLease() {
+                   autoCompactAt: Int = DedupIndex.AutoCompactMembers,
+                   leaseWaitMs: Long = 0L): Boolean =
+      sfs.withWriterLease(waitMs = leaseWaitMs) {
     // ledger check first: a redelivered tag must not trigger a fold.
     // Returns whether THIS call committed (the curateNight contract —
     // the served write derives its answer from the verb's own return,
@@ -350,7 +352,9 @@ final class DedupIndex private (spark: SparkSession, dir: String) {
     * it they would resurface) — takedowns are permanent, re-ingest
     * corrected content under a fresh id. Returns whether THIS call
     * committed. */
-  def delete(tag: String, docIds: DataFrame): Boolean = sfs.withWriterLease() {
+  def delete(tag: String, docIds: DataFrame,
+             leaseWaitMs: Long = 0L): Boolean =
+      sfs.withWriterLease(waitMs = leaseWaitMs) {
     val pre = readManifest()
     if (tagsOf(pre)(tag)) return false
     val seen = sfs.names() ++ tombsOf(pre)

@@ -149,7 +149,9 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * (re-appending one is a contract violation — before the rebalance
     * the tombstone would silently filter it, after it would resurface).
     * Input: a `vec_id` column. Returns whether THIS call committed. */
-  def delete(tag: String, vecIds: DataFrame): Boolean = sfs.withWriterLease() {
+  def delete(tag: String, vecIds: DataFrame,
+             leaseWaitMs: Long = 0L): Boolean =
+      sfs.withWriterLease(waitMs = leaseWaitMs) {
     val lines = readManifest()
     if (tagsOf(lines)(tag)) return false
     val seen = sfs.names() ++ tombsOf(lines)
@@ -224,7 +226,9 @@ final class IvfIndex private (spark: SparkSession, dir: String) {
     * call committed (false = the tag was already consumed) — the
     * committed-status source a server face reports from, like
     * [[CurateStore.curateNight]]. */
-  def appendTagged(tag: String, newEmb: DataFrame): Boolean = sfs.withWriterLease() {
+  def appendTagged(tag: String, newEmb: DataFrame,
+                   leaseWaitMs: Long = 0L): Boolean =
+      sfs.withWriterLease(waitMs = leaseWaitMs) {
     // one LIVE manifest read for the whole commit (see append's note)
     val lines = readManifest()
     val tags = tagsOf(lines)

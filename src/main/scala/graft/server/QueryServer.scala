@@ -424,6 +424,20 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
       .collectFirst { case kv if kv.startsWith(key + "=") =>
         java.net.URLDecoder.decode(kv.drop(key.length + 1), "UTF-8") }
 
+  /** `&wait=` on a served write: a bounded poll on the target's writer
+    * lease — the double-firing-scheduler convenience /ingest/report
+    * introduced, uniform across every write face: the second firing of
+    * a nightly job waits out the first and then no-ops on the tag
+    * ledger, instead of surfacing a 409 the scheduler must retry
+    * client-side. Left = the 400 body for a malformed value. */
+  private def leaseWaitOf(ex: HttpExchange): Either[String, Long] =
+    param(ex, "wait") match {
+      case None => Right(0L)
+      case Some(p) =>
+        scala.util.Try(graft.operators.Windows.parseHorizon(p)).toOption
+          .toRight("""{"error":"wait must be <n><ms|s|m|h|d>, e.g. 30s"}""")
+    }
+
   def start(): Unit = {
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
@@ -1464,20 +1478,31 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   if (n == 0 || bad > 0)
                     respond(ex, 400,
                       """{"error":"body must be JSON rows of {doc_id, text, lang}"}""")
-                  else {
-                    // committed comes from curateNight's OWN return — the
-                    // ledger check runs inside the writer lease there, so
-                    // of two concurrent deliveries of one tag exactly one
-                    // reports true (a pre-check here would TOCTOU: both
-                    // could pass it and both claim the commit)
-                    val committed = store.curateNight(tag, docs)
-                    respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
-                      s""""committed":$committed,"doc_count":${store.docCount}}""")
+                  else leaseWaitOf(ex) match {
+                    case Left(b) => respond(ex, 400, b)
+                    case Right(w) =>
+                      // committed comes from curateNight's OWN return —
+                      // the ledger check runs inside the writer lease
+                      // there, so of two concurrent deliveries of one
+                      // tag exactly one reports true (a pre-check here
+                      // would TOCTOU: both could pass it and both claim
+                      // the commit)
+                      val committed = store.curateNight(tag, docs,
+                        leaseWaitMs = w)
+                      respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+                        s""""committed":$committed,"doc_count":${store.docCount}}""")
                   }
                 } finally docs.unpersist(false)
             }
-          } catch { case e: Throwable =>
-            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          } catch {
+            case e: IllegalStateException =>
+              // a live writer holds the store — the 409 &wait= bounds,
+              // never an anonymous 500
+              respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("store is write-locked").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })
@@ -2002,16 +2027,23 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               if (n == 0 || bad > 0)
                 respond(ex, 400,
                   """{"error":"body must be JSON rows of {vec_id, embedding:[...]}"}""")
-              else {
-                val committed = idx.appendTagged(tag, emb)
-                respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
-                  s""""committed":$committed}""")
+              else leaseWaitOf(ex) match {
+                case Left(b) => respond(ex, 400, b)
+                case Right(w) =>
+                  val committed = idx.appendTagged(tag, emb,
+                    leaseWaitMs = w)
+                  respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
+                    s""""committed":$committed}""")
               }
             } finally emb.unpersist(false)
           } catch {
             case e: IllegalArgumentException =>
               respond(ex, 400, s"""{"error":"${Option(e.getMessage)
                 .getOrElse("bad request").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: IllegalStateException =>
+              respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("index is write-locked").takeWhile(_ != '\n')
                 .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
             case e: Throwable =>
               respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
@@ -2083,11 +2115,14 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   """{"error":"body must be JSON rows of {doc_id, text}"}""")
               else if (dupes > 0)
                 respond(ex, 400, s"""{"error":"body repeats $dupes doc_id(s) — a doc_id may appear once per ingest (double-appended signatures skew intersection counts)"}""")
-              else {
-                val committed = idx.appendTagged(tag, docs,
-                  verifyDisjoint = verify.getOrElse(false))
-                respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
-                  s""""committed":$committed}""")
+              else leaseWaitOf(ex) match {
+                case Left(b) => respond(ex, 400, b)
+                case Right(w) =>
+                  val committed = idx.appendTagged(tag, docs,
+                    verifyDisjoint = verify.getOrElse(false),
+                    leaseWaitMs = w)
+                  respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
+                    s""""committed":$committed}""")
               }
             } finally docs.unpersist(false)
           } catch {
@@ -2179,10 +2214,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                       respond(ex, 400,
                         s"""{"error":"body must be JSON rows with non-null """ +
                           s"""key(s) ${keyCols.mkString(", ")}"}""")
-                    else {
-                      val committed = store.appendTagged(tag, rows)
-                      respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
-                        s""""committed":$committed,"version":${store.version}}""")
+                    else leaseWaitOf(ex) match {
+                      case Left(b) => respond(ex, 400, b)
+                      case Right(w) =>
+                        val committed = store.appendTagged(tag, rows,
+                          leaseWaitMs = w)
+                        respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+                          s""""committed":$committed,"version":${store.version}}""")
                     }
                 }
               } finally rows.unpersist(false)
@@ -2193,6 +2231,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               respond(ex, if (msg.contains("no point store")) 404 else 400,
                 s"""{"error":"${msg.takeWhile(_ != '\n')
                   .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: IllegalStateException =>
+              respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("store is write-locked").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
             case e: Throwable =>
               respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
@@ -2467,15 +2509,23 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   if (n == 0 || bad > 0)
                     respond(ex, 400,
                       """{"error":"body must be JSON rows of {doc_id}"}""")
-                  else {
-                    val committed = store.deleteDocs(tag, ids)
-                    respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
-                      s""""committed":$committed,"doc_count":${store.docCount}}""")
+                  else leaseWaitOf(ex) match {
+                    case Left(b) => respond(ex, 400, b)
+                    case Right(w) =>
+                      val committed = store.deleteDocs(tag, ids,
+                        leaseWaitMs = w)
+                      respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
+                        s""""committed":$committed,"doc_count":${store.docCount}}""")
                   }
                 } finally ids.unpersist(false)
             }
-          } catch { case e: Throwable =>
-            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          } catch {
+            case e: IllegalStateException =>
+              respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("store is write-locked").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })
@@ -2519,14 +2569,21 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               if (n == 0 || bad > 0)
                 respond(ex, 400,
                   """{"error":"body must be JSON rows of {vec_id}"}""")
-              else {
-                val committed = idx.delete(tag, ids)
-                respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
-                  s""""committed":$committed}""")
+              else leaseWaitOf(ex) match {
+                case Left(b) => respond(ex, 400, b)
+                case Right(w) =>
+                  val committed = idx.delete(tag, ids, leaseWaitMs = w)
+                  respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
+                    s""""committed":$committed}""")
               }
             } finally ids.unpersist(false)
-          } catch { case e: Throwable =>
-            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          } catch {
+            case e: IllegalStateException =>
+              respond(ex, 409, s"""{"error":"${Option(e.getMessage)
+                .getOrElse("index is write-locked").takeWhile(_ != '\n')
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
     })
@@ -2574,10 +2631,12 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               if (n == 0 || bad > 0)
                 respond(ex, 400,
                   """{"error":"body must be JSON rows of {doc_id}"}""")
-              else {
-                val committed = idx.delete(tag, ids)
-                respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
-                  s""""committed":$committed}""")
+              else leaseWaitOf(ex) match {
+                case Left(b) => respond(ex, 400, b)
+                case Right(w) =>
+                  val committed = idx.delete(tag, ids, leaseWaitMs = w)
+                  respond(ex, 200, s"""{"index":"$name","tag":"$tag",""" +
+                    s""""committed":$committed}""")
               }
             } finally ids.unpersist(false)
           } catch {
@@ -2642,8 +2701,11 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           else if (defer.contains(true) && flush.contains(true))
             respond(ex, 400,
               """{"error":"defer and flush are different verbs — land rosters with defer, settle them with flush"}""")
+          else if (leaseWaitOf(ex).isLeft)
+            respond(ex, 400, leaseWaitOf(ex).swap.getOrElse(""))
           else if (flush.contains(true)) try {
-            val r = graft.streaming.Maintained.takedownFlush(spark, dir, tag)
+            val r = graft.streaming.Maintained.takedownFlush(spark, dir, tag,
+              leaseWaitMs = leaseWaitOf(ex).getOrElse(0L))
             respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
               s""""committed":${r.committed},""" +
               s""""flushed":[${r.flushed.map(t => "\"" + esc(t) + "\"")
@@ -2671,7 +2733,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                   """{"error":"body must be JSON rows of {user_id}"}""")
               else {
                 val r = graft.streaming.Maintained.takedownUsers(
-                  spark, dir, ids, tag, defer = defer.contains(true))
+                  spark, dir, ids, tag, defer = defer.contains(true),
+                  leaseWaitMs = leaseWaitOf(ex).getOrElse(0L))
                 respond(ex, 200, s"""{"store":"$name","tag":"$tag",""" +
                   s""""committed":${r.committed},""" +
                   s""""deferred":${defer.contains(true) && r.committed},""" +

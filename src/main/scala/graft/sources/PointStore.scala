@@ -322,12 +322,13 @@ final class PointStore(spark: SparkSession, path: String,
     * without the other. Returns whether this call committed the delta.
     * `tag` must be filesystem-safe and non-numeric (numeric names are the
     * sequence-numbered namespace of [[append]]/[[compact]]). */
-  def appendTagged(tag: String, partial: DataFrame): Boolean =
+  def appendTagged(tag: String, partial: DataFrame,
+                   leaseWaitMs: Long = 0L): Boolean =
     // check-and-commit INSIDE the writer lease (re-entrant through
     // writeDelta's own acquire): two writers redelivering the same tag
     // otherwise both pass the check before either commits, and the
     // second manifest append folds the delta twice forever
-    sfs.withWriterLease() {
+    sfs.withWriterLease(waitMs = leaseWaitMs) {
       // ledger check first: a tag recorded as consumed — including a
       // live non-numeric tagged member, which consumedTags reads off
       // the manifest — stays a redelivery no-op even if it predates the

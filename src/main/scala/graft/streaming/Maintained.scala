@@ -815,9 +815,11 @@ object Maintained {
     * landed durably, not that erasure completed. A deferred tag
     * redelivered — eagerly or deferred — is a no-op. */
   def takedownUsers(s: SparkSession, dir: java.io.File, roster: DataFrame,
-                    tag: String, defer: Boolean = false): TakedownResult = {
+                    tag: String, defer: Boolean = false,
+                    leaseWaitMs: Long = 0L): TakedownResult = {
     val sdir = new java.io.File(dir, "_stream")
-    graft.sources.StoreFs(s, sdir.getPath).withWriterLease() {
+    graft.sources.StoreFs(s, sdir.getPath)
+      .withWriterLease(waitMs = leaseWaitMs) {
       val cfg = storedConfig(dir).getOrElse(throw new IllegalStateException(
         s"store at '$dir' carries no ingest config — it is maintained by " +
           "a library lifecycle whose inputs live upstream; re-run that " +
@@ -885,11 +887,12 @@ object Maintained {
     * [[ingestDrop]] refuses to fold while the flush is mid-flight. A
     * flush that finds nothing deferred — and is not itself such a
     * redelivery — is a no-op (`committed = false`, no rebuild). */
-  def takedownFlush(s: SparkSession, dir: java.io.File,
-                    tag: String): FlushResult = {
+  def takedownFlush(s: SparkSession, dir: java.io.File, tag: String,
+                    leaseWaitMs: Long = 0L): FlushResult = {
     import s.implicits._
     val sdir = new java.io.File(dir, "_stream")
-    graft.sources.StoreFs(s, sdir.getPath).withWriterLease() {
+    graft.sources.StoreFs(s, sdir.getPath)
+      .withWriterLease(waitMs = leaseWaitMs) {
       val cfg = storedConfig(dir).getOrElse(throw new IllegalStateException(
         s"store at '$dir' carries no ingest config — it is maintained by " +
           "a library lifecycle whose inputs live upstream; re-run that " +

@@ -1729,4 +1729,44 @@ class ServerSpec extends SparkSpec {
         ub.contains("\"version\":0") && !ub.contains(root), ub)
     } finally srv.stop()
   }
+
+  test("&wait= is uniform across the served writes: a live foreign " +
+      "holder bounds the poll before the 409, malformed values 400, " +
+      "and a lease conflict is never an anonymous 500") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wwait").toString
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val store = new graft.sources.PointStore(spark, s"$root/wp",
+        keys = Seq("k"), sums = Seq("n"), maxes = Nil)
+      store.appendTagged("b0", Seq(("a", 1L)).toDF("k", "n"))
+      // a live foreign writer holds the store (the lease FILE, never a
+      // same-JVM hold — that would deadlock the serving thread)
+      val sfs = graft.sources.StoreFs(spark, s"$root/wp")
+      sfs.atomicWrite(graft.sources.StoreFs.LeaseName,
+        s"otherhost:7:live\n${System.currentTimeMillis()}".getBytes)
+      // without wait: immediate 409 naming the holder (never a 500)
+      val (c0, b0) = post(port, "/ingest/point?store=wp&tag=t1",
+        """{"k":"b","n":2}""")
+      assert(c0 == 409 && b0.contains("otherhost:7:live"), s"$c0 $b0")
+      // with wait: the 409 arrives only after the bound
+      val t0 = System.nanoTime()
+      val (c1, b1) = post(port, "/ingest/point?store=wp&tag=t1&wait=1200ms",
+        """{"k":"b","n":2}""")
+      val waited = (System.nanoTime() - t0) / 1000000L
+      assert(c1 == 409 && b1.contains("otherhost:7:live"), s"$c1 $b1")
+      assert(waited >= 1100L, s"bounded wait not honored: $waited ms")
+      sfs.breakWriterLease()
+      // released: the same call with wait commits
+      assert(post(port, "/ingest/point?store=wp&tag=t1&wait=1200ms",
+        """{"k":"b","n":2}""")._2.contains("\"committed\":true"))
+      // malformed wait refuses on every face that takes it
+      assert(post(port, "/ingest/point?store=wp&tag=t2&wait=soon",
+        """{"k":"c","n":3}""")._1 == 400)
+      assert(post(port, "/takedown/report?store=wp&tag=r1&wait=soon",
+        """{"user_id":1}""")._1 == 400)
+    } finally srv.stop()
+  }
 }
