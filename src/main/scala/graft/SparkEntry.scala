@@ -34,7 +34,8 @@ object SparkEntry {
     "funnel_maintained", "retention_maintained", "paths_maintained",
     "latency_maintained", "funnel_deepest_maintained",
     "retention_rolling_maintained", "paths_sessionized_maintained",
-    "funnel_sessions_maintained", "report_takedown")
+    "funnel_sessions_maintained", "funnel_segmented_maintained",
+    "report_takedown")
 
   def queries: Map[String, Q] = Map(
     // reference surface (SURVEY §2 #1-14)
@@ -123,6 +124,7 @@ object SparkEntry {
     "retention_rolling_maintained" -> (graft.streaming.Maintained.retentionRollingMaintained _),
     "paths_sessionized_maintained" -> (graft.streaming.Maintained.pathsSessionizedMaintained _),
     "funnel_sessions_maintained" -> (graft.streaming.Maintained.funnelSessionsMaintained _),
+    "funnel_segmented_maintained" -> (graft.streaming.Maintained.funnelSegmentedMaintained _),
     "report_takedown" -> (graft.streaming.Maintained.reportTakedown _),
     "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
@@ -258,6 +260,7 @@ object SparkEntry {
     "retention_rolling_maintained" -> Windows.eventsRetentionRollingOracle,
     "paths_sessionized_maintained" -> Windows.eventsPathsSessionizedOracle,
     "funnel_sessions_maintained" -> Windows.eventsFunnelSessionsOracle,
+    "funnel_segmented_maintained" -> Windows.eventsFunnelSegmentedOracle,
     "report_takedown" -> graft.streaming.Maintained.reportTakedownOracle,
     "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,

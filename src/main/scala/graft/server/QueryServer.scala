@@ -596,15 +596,24 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               case Right(store) =>
                 import org.apache.spark.sql.functions.col
                 val snap = ver.flatten.fold(store.snapshot)(store.snapshotAt)
-                // a SESSION-funnel store carries the visits measure
-                // beside users — which report a store holds is its
-                // materialization, and the read serves its full shape
-                val report =
-                  if (snap.columns.contains("visits"))
-                    graft.streaming.Maintained.funnelSessionsReportFrom(spark, snap)
-                  else graft.streaming.Maintained.funnelReportFrom(spark, snap)
+                // which report a store holds is its materialization,
+                // and the read serves its full shape: a SESSION store
+                // carries the visits measure beside users; a SEGMENTED
+                // store keys on seg and serves the per-segment rows
+                // plus the read-time "all" rollup
+                val (report, order) =
+                  if (snap.columns.contains("seg"))
+                    (graft.streaming.Maintained
+                      .funnelSegmentedReportFrom(spark, snap),
+                      Seq(col("step"), col("segment")))
+                  else if (snap.columns.contains("visits"))
+                    (graft.streaming.Maintained
+                      .funnelSessionsReportFrom(spark, snap),
+                      Seq(col("step")))
+                  else (graft.streaming.Maintained
+                    .funnelReportFrom(spark, snap), Seq(col("step")))
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-                respond(ex, 200, report.orderBy(col("step")).limit(limit)
+                respond(ex, 200, report.orderBy(order: _*).limit(limit)
                   .toJSON.collect().mkString("[", ",", "]"))
             }
           case _ => () // unreachable: storeName.isDefined
@@ -2346,8 +2355,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               """names (steps=view,click,purchase)"}""")
           else try {
             import org.apache.spark.sql.functions.col
-            // inapplicable params / missing deepest window refuse here
-            graft.streaming.Maintained.foldOf(spark, typ.get,
+            // inapplicable params / missing deepest window refuse here;
+            // the fold also carries this materialization's WIRE SHAPE
+            // (a segmented store's drops carry a seg column)
+            val fold = graft.streaming.Maintained.foldOf(spark, typ.get,
               windowMs = win.flatten, period = per, gapMs = gap.flatten,
               steps = steps.flatten)
             // the canonical configuration: durations normalized to ms,
@@ -2376,8 +2387,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               val lines = body.linesIterator.toSeq.filter(_.trim.nonEmpty).toDS()
               // the /ingest/point write-strictness discipline: reject
               // unknown field names (misspellings would silently drop
-              // a column to null), then parse FAILFAST
-              val known = Set("user_id", "ts", "event_id", "event_type")
+              // a column to null), then parse FAILFAST. The field set
+              // is the FOLD's wire shape, so a segmented store accepts
+              // (and requires) its seg column
+              val known = fold.wireFields.toSet
               val inferred = spark.read.json(lines).schema.fieldNames.toSet
               val unknown = (inferred - "_corrupt_record").diff(known)
               if (unknown.nonEmpty)
@@ -2396,8 +2409,7 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                 // write face strict (a malformed ts is a 400, never a
                 // silent null)
                 val rows = spark.read
-                  .schema("user_id LONG, ts STRING, event_id LONG, " +
-                    "event_type STRING")
+                  .schema(fold.schema.replace("ts TIMESTAMP", "ts STRING"))
                   .option("mode", "FAILFAST")
                   .json(lines)
                   // try_cast, not cast: under ANSI a malformed ts would
@@ -2416,13 +2428,25 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                         """{"error":"row(s) failed schema coercion — """ +
                           """ids must be integral"}""")
                     case Right(n) =>
+                      // a segmented store's rows must carry their
+                      // segment (a null would fold under a null store
+                      // key); watermark sentinels are exempt — they
+                      // are never folded
+                      val segNull =
+                        if (!fold.wireFields.contains("seg")) org.apache
+                          .spark.sql.functions.lit(false)
+                        else col("seg").isNull && col("event_type") =!=
+                          graft.streaming.Maintained.SentinelType
                       val bad = rows.filter(col("user_id").isNull ||
-                        col("ts").isNull).count()
+                        col("ts").isNull || segNull).count()
                       if (n == 0 || bad > 0)
                         respond(ex, 400,
                           """{"error":"body must be JSON event rows with """ +
                             """non-null user_id and an ISO8601/SQL ts """ +
-                            """(fractional seconds preserved to µs)"}""")
+                            """(fractional seconds preserved to µs)""" +
+                            (if (fold.wireFields.contains("seg"))
+                              """ and a non-null seg on every non-sentinel row"""
+                            else "") + """"}""")
                       else {
                         // the factored wire-ingest verb: owns the
                         // MAINTENANCE stream's lease for the whole

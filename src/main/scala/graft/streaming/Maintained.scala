@@ -65,15 +65,28 @@ object Maintained {
   val SentinelType = "_watermark"
   val SentinelUser = -1L
 
+  /** The wire drop schema every report type reads — the segmented
+    * types extend it with their segment column. */
+  val DefaultWireSchema: String =
+    "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING"
+
   /** A maintained report's fold recipe: the streaming twin's wiring
     * plus the store grain it folds into — ONE definition per report
     * type, shared by the registered lifecycles below and the served
     * ingest face (QueryServer's POST /ingest/report), so the two
-    * drive the exact same exactly-once chain. */
+    * drive the exact same exactly-once chain. `schema` is the drop
+    * files' read schema (the wire shape this materialization consumes
+    * — a segmented store's drops carry one more column, and the served
+    * write derives its JSON field set from it). */
   final case class ReportFold(keys: Seq[String], sums: Seq[String],
                               quantiles: Seq[String],
                               wire: DataFrame => DataFrame,
-                              partialOf: DataFrame => DataFrame)
+                              partialOf: DataFrame => DataFrame,
+                              schema: String = DefaultWireSchema) {
+    /** The wire field names, in schema order. */
+    def wireFields: Seq[String] =
+      schema.split(",").toSeq.map(_.trim.split(" ")(0))
+  }
 
   /** Report types a maintained store can hold, with their applicable
     * configuration: `windowMs` = the funnel conversion horizon
@@ -83,7 +96,8 @@ object Maintained {
     * refused loudly (a maintained store is one materialization; its
     * configuration must be exact, not silently defaulted). */
   val ReportTypes: Set[String] = Set("funnel", "funnel_deepest",
-    "funnel_sessions", "retention", "retention_rolling", "paths", "latency")
+    "funnel_sessions", "funnel_segmented", "retention", "retention_rolling",
+    "paths", "latency")
 
   def foldOf(s: SparkSession, typ: String, windowMs: Option[Long] = None,
              period: Option[String] = None,
@@ -123,6 +137,20 @@ object Maintained {
             df.select(col("user_id"), col("ts"), col("event_type"))
               .as[StreamingFunnelDeepest.Ev], s"${h}ms", path).toDF,
           _.groupBy("step", "step_name").agg(count(lit(1)).as("users")))
+      case "funnel_segmented" =>
+        no(period, "period"); no(gapMs, "gap")
+        // one more STRING on the wire and one more key in the store:
+        // the twin fixes each user's ENTRY segment at their step-1
+        // fold, so the (seg, step) cell counts are additive and the
+        // "all" member is a read-time rollup (funnelSegmentedReportFrom)
+        ReportFold(Seq("seg", "step", "step_name"), Seq("users"), Nil,
+          df => StreamingFunnelSegmented.funnel(s,
+            df.select(col("user_id"), col("ts"), col("event_type"),
+              col("seg")).as[StreamingFunnelSegmented.Ev],
+            windowMs.map(ms => s"${ms}ms"), path).toDF,
+          _.groupBy("seg", "step", "step_name")
+            .agg(count(lit(1)).as("users")),
+          schema = DefaultWireSchema + ", seg STRING")
       case "funnel_sessions" =>
         no(period, "period"); no(windowMs, "window")
         val g = gapMs.getOrElse(throw new IllegalArgumentException(
@@ -303,14 +331,27 @@ object Maintained {
     nightsFixture(s, d)
 
   private def nightsFixture(s: SparkSession, d: String): java.io.File =
-    stagedDrops.computeIfAbsent(d, _ => {
+    nightsFixtureOf(s, d, seg = false)
+
+  /** `seg = true` stages the SEGMENTED variant: the same tertile
+    * nights with the customer's market segment riding each event (the
+    * funnel_segmented wire shape — one broadcast dim join at export
+    * time; sentinels carry an empty segment, they are never folded). */
+  private def nightsFixtureOf(s: SparkSession, d: String,
+                              seg: Boolean): java.io.File =
+    stagedDrops.computeIfAbsent(if (seg) s"$d#seg" else d, _ => {
       import s.implicits._
-      val dir = graft.operators.DedupIndex.freshRunDir("graft_nights_", d)
+      val dir = graft.operators.DedupIndex.freshRunDir(
+        if (seg) "graft_nightseg_" else "graft_nights_", d)
       dir.mkdirs()
-      val ev = graft.Tables.events(s, d)
+      val base = graft.Tables.events(s, d)
         .select(col("user_id").cast("long").as("user_id"),
           col("ts").cast("timestamp").as("ts"),
           col("event_id").cast("long").as("event_id"), col("event_type"))
+      val ev = if (!seg) base
+        else base.join(broadcast(graft.Tables.customer(s, d)
+          .select(col("c_custkey").cast("long").as("user_id"),
+            col("c_mktsegment").as("seg"))), Seq("user_id"))
       // time-tertile nights off the two-value bound (driver scalars)
       val b = ev.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts"))), max(col("ts"))).head
@@ -320,10 +361,10 @@ object Maintained {
         floor((unix_micros(col("ts")) - mnUs) * 3.0 / spanUs), lit(2L))
       (0 to 2).foreach(i => dropFile(ev.filter(night === i), dir, s"n$i"))
       Seq(("s1", 2), ("s2", 4)).foreach { case (n, plusDays) =>
-        dropFile(Seq((SentinelUser,
+        val row = Seq((SentinelUser,
             new java.sql.Timestamp(maxTs.getTime + plusDays * 86400000L),
-            0L, SentinelType)).toDF("user_id", "ts", "event_id", "event_type"),
-          dir, n)
+            0L, SentinelType)).toDF("user_id", "ts", "event_id", "event_type")
+        dropFile(if (seg) row.withColumn("seg", lit("")) else row, dir, n)
       }
       dir
     })
@@ -417,7 +458,7 @@ object Maintained {
                                   ckpt: String,
                                   exclude: Option[DataFrame] = None): Unit = {
     val stream = s.readStream
-      .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+      .schema(fold.schema)
       .option("maxFileAge", "36500d")
       .parquet(watched)
     val q = fold.wire(stream).writeStream
@@ -952,8 +993,9 @@ object Maintained {
     * earlier ones advanced. */
   private def driveMaintained(s: SparkSession, d: String, prefix: String,
                               fold: ReportFold,
-                              cycles: Seq[Seq[String]]): PointStore = {
-    val fixture = nightsFixture(s, d)
+                              cycles: Seq[Seq[String]],
+                              seg: Boolean = false): PointStore = {
+    val fixture = nightsFixtureOf(s, d, seg)
     val root = graft.operators.DedupIndex.freshRunDir(prefix, d)
     val watched = new java.io.File(root, "drops"); watched.mkdirs()
     val store = new PointStore(s, new java.io.File(root, "report").getPath,
@@ -1019,6 +1061,40 @@ object Maintained {
       foldOf(s, "funnel_sessions", gapMs = Some(1800000L)),
       cycles = Condensed)
     funnelSessionsReportFrom(s, store.snapshot)
+  }
+
+  /** The segmented-funnel report read from a maintained
+    * (seg, step, step_name)/users store: the per-segment rows plus the
+    * "all" rollup member, derived at READ time — the twin fixes each
+    * user's ENTRY segment, so a user contributes to exactly one
+    * segment and the all-member is the plain sum over segments; the
+    * GROUPING SETS pass runs over the key-grain store rows (a
+    * handful), never the events. Shape ≡ `events_funnel_segmented`. */
+  def funnelSegmentedReportFrom(s: SparkSession,
+                                snapshot: DataFrame): DataFrame =
+    snapshot
+      .select(col("seg"), col("step").cast("int").as("step"),
+        col("step_name"), col("users"))
+      .groupingSets(
+        Seq(Seq(col("seg"), col("step"), col("step_name")),
+          Seq(col("step"), col("step_name"))),
+        col("seg"), col("step"), col("step_name"))
+      .agg(sum(col("users")).as("users"))
+      .select(coalesce(col("seg"), lit("all")).as("segment"),
+        col("step"), col("step_name"), col("users"))
+
+  /** `funnel_segmented_maintained`: the segmented funnel as a
+    * maintained table — the reference's dimension expansion carried
+    * into the maintenance loop: the [[StreamingFunnelSegmented]] twin
+    * fixes each user's entry segment at their step-1 fold, the store
+    * keys on (seg, step, step_name) with an additive user count, and
+    * the "all" member rolls up at read time. Oracle = the segmented
+    * staged-min SQL with its GROUPING SETS rollup (the batch query's
+    * oracle, unchanged — the two must agree row for row). */
+  def funnelSegmentedMaintained(s: SparkSession, d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_segmaint_",
+      foldOf(s, "funnel_segmented"), cycles = Condensed, seg = true)
+    funnelSegmentedReportFrom(s, store.snapshot)
   }
 
   /** `retention_maintained`: the weekly cohort matrix as a maintained

@@ -478,6 +478,37 @@ class MaintainedSpec extends SparkSpec {
       report.toString)
   }
 
+  test("takedownUsers rebuilds a SEGMENTED-funnel store — the purged " +
+      "user leaves their segment's counts and the read-time all-member " +
+      "follows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdsegf")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel_segmented")
+    def ev(u: Long, t: String, id: Long, typ: String, g: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ, g)
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "seg")
+    Maintained.ingestDrop(spark, dir, cfg, "n1", Seq(
+      ev(1, "2024-01-01 08:00:00.0", 1, "view", "A"),
+      ev(1, "2024-01-01 08:01:00.0", 2, "click", "A"),
+      ev(2, "2024-01-01 10:00:00.0", 3, "view", "B"),
+      ev(3, "2024-01-01 11:00:00.0", 4, "view", "B")).toDF(cols: _*))
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark", ""))
+        .toDF(cols: _*))
+    def report: Map[(String, Int), Long] = Maintained
+      .funnelSegmentedReportFrom(spark,
+        PointStore.open(spark, dir.getPath).snapshot)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3))
+      .toMap
+    assert(report == Map(("A", 1) -> 1L, ("B", 1) -> 2L, ("all", 1) -> 3L,
+      ("A", 2) -> 1L, ("all", 2) -> 1L), report.toString)
+    val td = Maintained.takedownUsers(spark, dir, Seq(3L).toDF("user_id"), "r1")
+    assert(td.committed && td.removed == 1L, td.toString)
+    assert(report == Map(("A", 1) -> 1L, ("B", 1) -> 1L, ("all", 1) -> 2L,
+      ("A", 2) -> 1L, ("all", 2) -> 1L), report.toString)
+  }
+
   test("takedownUsers purges through a SKETCH-measure store — the " +
       "latency distributions re-derive from the surviving users alone") {
     import spark.implicits._

@@ -1730,6 +1730,57 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("the segmented funnel over the wire: type=funnel_segmented " +
+      "ingests seg-carrying rows, /funnel?store= serves the per-segment " +
+      "rows plus the read-time all member, and null/unknown seg refuse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wsegf").toString
+    val srv = new QueryServer(spark, sf, storeRoot = Some(root))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      def ev(u: Long, t: String, id: Long, typ: String, g: String) =
+        (u, java.sql.Timestamp.valueOf(t), id, typ, g)
+      val cols = Seq("user_id", "ts", "event_id", "event_type", "seg")
+      def jsonOf(rows: Seq[(Long, java.sql.Timestamp, Long, String, String)]) =
+        rows.toDF(cols: _*)
+          .select(to_json(struct(col("user_id"), col("ts"),
+              col("event_id"), col("event_type"), col("seg")),
+            Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
+          .as[String].collect().mkString("\n")
+      assert(post(port, "/ingest/report?store=wsg&tag=n1&type=funnel_segmented",
+        jsonOf(Seq(
+          ev(1, "2024-01-01 08:00:00.0", 1, "view", "A"),
+          ev(1, "2024-01-01 08:01:00.0", 2, "click", "A"),
+          ev(2, "2024-01-01 10:00:00.0", 3, "view", "B"),
+          ev(3, "2024-01-01 11:00:00.0", 4, "view", "B"))))._1 == 200)
+      assert(post(port, "/ingest/report?store=wsg&tag=s1&type=funnel_segmented",
+        jsonOf(Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark", ""))))
+        ._1 == 200)
+      val (rc, rb) = this.get(port, "/funnel?store=wsg")
+      assert(rc == 200 && rb ==
+        """[{"segment":"A","step":1,"step_name":"view","users":1},""" +
+        """{"segment":"B","step":1,"step_name":"view","users":2},""" +
+        """{"segment":"all","step":1,"step_name":"view","users":3},""" +
+        """{"segment":"A","step":2,"step_name":"click","users":1},""" +
+        """{"segment":"all","step":2,"step_name":"click","users":1}]""", rb)
+      // a non-sentinel row with a null seg refuses (it would fold
+      // under a null store key)
+      val (nc, nb) = post(port,
+        "/ingest/report?store=wsg&tag=n2&type=funnel_segmented",
+        """{"user_id":9,"ts":"2024-01-06T00:00:00.000000Z","event_id":9,"event_type":"view"}""")
+      assert(nc == 400 && nb.contains("non-null seg"), s"$nc $nb")
+      // ...and a seg field on a PLAIN funnel store is an unknown field
+      assert(post(port, "/ingest/report?store=wplain&tag=n1&type=funnel",
+        """{"user_id":1,"ts":"2024-01-01T08:00:00.000000Z","event_id":1,"event_type":"view","seg":"A"}""")
+        ._1 == 400)
+      // the health face echoes the segmented materialization's config
+      assert(this.get(port, "/health/report?store=wsg")._2
+        .contains("\"config\":\"type=funnel_segmented\""))
+    } finally srv.stop()
+  }
+
   test("&wait= is uniform across the served writes: a live foreign " +
       "holder bounds the poll before the 409, malformed values 400, " +
       "and a lease conflict is never an anonymous 500") {

@@ -126,6 +126,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("StreamingFunnelSegmented ≡ the batch segmented funnel: the " +
+      "entry segment fixes at the step-1 fold with the (ts, seg) tie " +
+      "law, and every later reach carries it") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnelSegmented
+    import graft.streaming.StreamingFunnelSegmented.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val chunk1 = Seq(
+      // user 1 converts in order across the two chunks
+      Ev(1, ts(1), "view", "AUTO"), Ev(1, ts(2), "click", "AUTO"),
+      // user 2's purchase precedes its view: view+click only
+      Ev(2, ts(1), "purchase", "BLDG"), Ev(2, ts(2), "view", "BLDG"),
+      // user 5's click+purchase arrive BEFORE its view (next chunk,
+      // earlier event time): the held fold converts all three under
+      // the view's segment
+      Ev(5, ts(2), "click", "MACH"), Ev(5, ts(3), "purchase", "MACH"),
+      // user 6: the ENTRY TIE — two views at the same instant with
+      // different segments, across chunks; min-(ts, seg) picks "AAA"
+      Ev(6, ts(4), "view", "BBB"),
+      // user 3 never views
+      Ev(3, ts(1), "click", "HSLD"))
+    val chunk2 = Seq(
+      Ev(1, ts(3), "purchase", "AUTO"), Ev(2, ts(3), "click", "BLDG"),
+      Ev(5, ts(1), "view", "MACH"),
+      Ev(6, ts(4), "view", "AAA"), Ev(6, ts(6), "click", "ZZZ"),
+      // user 7's events carry DIFFERENT segments: the entry one rides
+      Ev(7, ts(1), "view", "X"), Ev(7, ts(2), "click", "Y"))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1)
+    stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000), "sentinel", "")))
+    val q = StreamingFunnelSegmented.funnel(spark, stream.toDS)
+      .writeStream.format("memory").queryName("segfun_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("segfun_out").filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getTimestamp(4))).toSet
+    val batch = graft.operators.Windows
+      .funnelOf((chunk1 ++ chunk2).toDF("user_id", "ts", "event_type", "seg"),
+        StreamingFunnelSegmented.Steps, by = Some(col("seg")))
+      .zipWithIndex.flatMap { case (df, i) =>
+        df.collect().map(r => (r.getLong(0), r.getString(2), i + 1,
+          r.getTimestamp(1)))
+      }.toSet
+    assert(got == batch, s"stream=$got\nbatch=$batch")
+    // the crafted branches actually fired
+    assert(got.contains((6L, "AAA", 1, ts(4))))       // the entry tie
+    assert(got.contains((6L, "AAA", 2, ts(6))))       // ...and it rides
+    assert(got.contains((7L, "X", 2, ts(2))))         // entry, not hop seg
+    assert(got.count(_._3 == 3) == 2)                 // users 1 and 5
+  }
+
   test("StreamingFunnelSessions equals the batch session funnel — " +
       "per-visit reaches, cross-visit conversions refused, non-step " +
       "events holding sessions open, disorder across chunks") {
