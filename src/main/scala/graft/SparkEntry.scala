@@ -35,6 +35,7 @@ object SparkEntry {
     "latency_maintained", "funnel_deepest_maintained",
     "retention_rolling_maintained", "paths_sessionized_maintained",
     "funnel_sessions_maintained", "funnel_segmented_maintained",
+    "retention_segmented_maintained", "paths_segmented_maintained",
     "report_takedown")
 
   def queries: Map[String, Q] = Map(
@@ -125,6 +126,8 @@ object SparkEntry {
     "paths_sessionized_maintained" -> (graft.streaming.Maintained.pathsSessionizedMaintained _),
     "funnel_sessions_maintained" -> (graft.streaming.Maintained.funnelSessionsMaintained _),
     "funnel_segmented_maintained" -> (graft.streaming.Maintained.funnelSegmentedMaintained _),
+    "retention_segmented_maintained" -> (graft.streaming.Maintained.retentionSegmentedMaintained _),
+    "paths_segmented_maintained" -> (graft.streaming.Maintained.pathsSegmentedMaintained _),
     "report_takedown" -> (graft.streaming.Maintained.reportTakedown _),
     "perplexity_trigram_incremental" -> (TextOps.perplexityTrigramIncremental _),
     "freq_tokens"     -> (TextOps.freqTokens _),
@@ -261,6 +264,8 @@ object SparkEntry {
     "paths_sessionized_maintained" -> Windows.eventsPathsSessionizedOracle,
     "funnel_sessions_maintained" -> Windows.eventsFunnelSessionsOracle,
     "funnel_segmented_maintained" -> Windows.eventsFunnelSegmentedOracle,
+    "retention_segmented_maintained" -> Windows.eventsRetentionSegmentedOracle,
+    "paths_segmented_maintained" -> Windows.eventsPathsSegmentedOracle,
     "report_takedown" -> graft.streaming.Maintained.reportTakedownOracle,
     "perplexity_trigram_incremental" -> TextOps.perplexityTrigramIncrementalOracle,
     "freq_tokens"     -> TextOps.freqTokensOracle,

@@ -317,25 +317,37 @@ object Windows {
 
   /** `events_retention_segmented`: the cohort matrix BY SEGMENT with
     * "all" members — [[eventsFunnelSegmented]]'s pattern on the
-    * retention matrix. The segment attaches broadcast before the
-    * user-grain aggregation and rides it as a payload (min over the
-    * user-constant attribute; user_id stays the only wide shuffle
+    * retention matrix. The segment is ENTRY-SAMPLED — the attribute
+    * the user's COHORT-DEFINING (first) event carries, via the same
+    * deterministic min-over-(ts, segment)-pairs law the funnel's entry
+    * uses — the uniform rule across the segmented family: the sample
+    * point is the entity's defining moment (funnel: the step-1 reach;
+    * retention: the cohort event; paths: the pair's from-event), which
+    * is also what makes each streaming twin's segment FINAL the moment
+    * its anchor finalizes. The segment rides the user-grain
+    * aggregation as a payload (user_id stays the only wide shuffle
     * key), and the "all" member comes from GROUPING SETS over
     * FINEST-GRAIN PARTIALS — the matrix×segment partial rows are what
     * Expand multiplies, never the user-period cells (the
     * Dimensions.scala two-phase discipline). */
-  def eventsRetentionSegmented(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).join(segmentDim(s, d), Seq("user_id"))
+  def retentionSegmentedOf(ev: DataFrame,
+                           period: String = "week"): DataFrame = {
+    require(Set("day", "week", "month")(period),
+      s"retentionSegmentedOf: period must be day|week|month, got '$period'")
     val perUser = ev
-      .select(col("user_id"), date_trunc("week", col("ts")).as("p"),
-        col("seg"))
+      .select(col("user_id"), col("ts"),
+        date_trunc(period, col("ts")).as("p"), col("seg"))
       .groupBy(col("user_id"))
       .agg(min(col("p")).as("cohort"), collect_set(col("p")).as("ps"),
-        min(col("seg")).as("seg"))
+        min(struct(col("ts"), col("seg"))).getField("seg").as("seg"))
+    val offset = period match {
+      case "month" => months_between(col("p"), col("cohort")).cast("int")
+      case "week"  => (datediff(col("p"), col("cohort")) / 7).cast("int")
+      case "day"   => datediff(col("p"), col("cohort"))
+    }
     val fine = perUser
       .select(col("cohort"), col("seg"), explode(col("ps")).as("p"))
-      .groupBy(tstr(col("cohort")).as("cohort"),
-        (datediff(col("p"), col("cohort")) / 7).cast("int").as("offset"),
+      .groupBy(tstr(col("cohort")).as("cohort"), offset.as("offset"),
         col("seg"))
       .agg(count(lit(1)).as("pu"))
     fine.groupingSets(
@@ -346,6 +358,9 @@ object Windows {
       .select(coalesce(col("seg"), lit("all")).as("segment"),
         col("cohort"), col("offset"), col("users"))
   }
+
+  def eventsRetentionSegmented(s: SparkSession, d: String): DataFrame =
+    retentionSegmentedOf(events(s, d).join(segmentDim(s, d), Seq("user_id")))
 
   def eventsRetentionSegmentedOracle: String = """
     WITH acts AS (
@@ -367,15 +382,26 @@ object Windows {
   /** `events_paths_segmented`: the transition matrix BY SEGMENT with
     * "all" members — the segment attaches broadcast before the lead
     * window (whose user_id partitioning it rides for free) and the
-    * rollup runs over matrix×segment partials. */
-  def eventsPathsSegmented(s: SparkSession, d: String): DataFrame = {
+    * rollup runs over matrix×segment partials. Each pair is attributed
+    * to its FROM event's segment (the family's defining-moment rule —
+    * the transition "belongs" to where it started), which for a
+    * user-constant attribute is also the user's segment. */
+  def pathsSegmentedOf(ev: DataFrame,
+                       withinGapMs: Option[Long] = None): DataFrame = {
+    require(withinGapMs.forall(_ > 0),
+      s"pathsSegmentedOf: gap must be positive, got $withinGapMs")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val fine = events(s, d).join(segmentDim(s, d), Seq("user_id"))
+    val slim = ev
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("seg"))
       .withColumn("to_step", lead(col("event_type"), 1).over(w))
-      .filter(col("to_step").isNotNull)
+    val withGap = withinGapMs.fold(slim.withColumn("_gap_ok", lit(true))) {
+      g => slim.withColumn("_gap_ok",
+        unix_micros(lead(col("ts"), 1).over(w).cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp")) <= g * 1000L)
+    }
+    val fine = withGap.filter(col("to_step").isNotNull && col("_gap_ok"))
       .groupBy(col("event_type").as("from_step"), col("to_step"),
         col("seg"))
       .agg(count(lit(1)).as("pn"))
@@ -387,6 +413,9 @@ object Windows {
       .select(coalesce(col("seg"), lit("all")).as("segment"),
         col("from_step"), col("to_step"), col("n"))
   }
+
+  def eventsPathsSegmented(s: SparkSession, d: String): DataFrame =
+    pathsSegmentedOf(events(s, d).join(segmentDim(s, d), Seq("user_id")))
 
   def eventsPathsSegmentedOracle: String = """
     WITH t AS (

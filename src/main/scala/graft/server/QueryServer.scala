@@ -715,10 +715,17 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               case Right(store) =>
                 import org.apache.spark.sql.functions.col
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-                respond(ex, 200,
-                  ver.flatten.fold(store.snapshot)(store.snapshotAt)
-                  .select(col("from_step"), col("to_step"), col("n"))
-                  .orderBy(col("from_step"), col("to_step")).limit(limit)
+                val snap = ver.flatten.fold(store.snapshot)(store.snapshotAt)
+                // segmented stores serve per-segment rows + the
+                // read-time "all" member (the /funnel?store= dispatch)
+                val (report, order) =
+                  if (snap.columns.contains("seg"))
+                    (graft.streaming.Maintained
+                      .pathsSegmentedReportFrom(spark, snap),
+                      Seq(col("from_step"), col("to_step"), col("segment")))
+                  else (snap.select(col("from_step"), col("to_step"),
+                    col("n")), Seq(col("from_step"), col("to_step")))
+                respond(ex, 200, report.orderBy(order: _*).limit(limit)
                   .toJSON.collect().mkString("[", ",", "]"))
             }
           case _ => () // unreachable: storeName.isDefined
@@ -788,11 +795,20 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               case Right(store) =>
                 import org.apache.spark.sql.functions.col
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-                respond(ex, 200,
-                  ver.flatten.fold(store.snapshot)(store.snapshotAt)
-                  .select(graft.Tables.tstr(col("cohort")).as("cohort"),
-                    col("offset"), col("users"))
-                  .orderBy(col("cohort"), col("offset")).limit(limit)
+                val snap = ver.flatten.fold(store.snapshot)(store.snapshotAt)
+                // a SEGMENTED store serves its per-segment rows plus
+                // the read-time "all" member (dispatch on the store's
+                // own columns — the /funnel?store= discipline)
+                val (report, order) =
+                  if (snap.columns.contains("seg"))
+                    (graft.streaming.Maintained
+                      .retentionSegmentedReportFrom(spark, snap),
+                      Seq(col("cohort"), col("offset"), col("segment")))
+                  else (snap.select(
+                    graft.Tables.tstr(col("cohort")).as("cohort"),
+                    col("offset"), col("users")),
+                    Seq(col("cohort"), col("offset")))
+                respond(ex, 200, report.orderBy(order: _*).limit(limit)
                   .toJSON.collect().mkString("[", ",", "]"))
             }
           case _ => () // unreachable: storeName.isDefined

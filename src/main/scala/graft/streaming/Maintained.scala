@@ -97,7 +97,7 @@ object Maintained {
     * configuration must be exact, not silently defaulted). */
   val ReportTypes: Set[String] = Set("funnel", "funnel_deepest",
     "funnel_sessions", "funnel_segmented", "retention", "retention_rolling",
-    "paths", "latency")
+    "retention_segmented", "paths", "paths_segmented", "latency")
 
   def foldOf(s: SparkSession, typ: String, windowMs: Option[Long] = None,
              period: Option[String] = None,
@@ -174,6 +174,21 @@ object Maintained {
                  else StreamingRetention.rollingCells(s, evs(df), p)).toDF,
           cells => notSentinel(cells)
             .groupBy("cohort", "offset").agg(count(lit(1)).as("users")))
+      case "retention_segmented" =>
+        no(steps, "steps"); no(windowMs, "window"); no(gapMs, "gap")
+        // the entry segment pins WITH the cohort (same finality
+        // argument), so the (seg, cohort, offset) counts stay additive
+        // and the "all" member is retentionSegmentedReportFrom's
+        // read-time rollup
+        val p = period.getOrElse("week")
+        ReportFold(Seq("seg", "cohort", "offset"), Seq("users"), Nil,
+          df => StreamingRetentionSegmented.cells(s,
+            df.select(col("user_id"), col("ts"), col("seg"))
+              .as[StreamingRetentionSegmented.Ev], p).toDF,
+          cells => notSentinel(cells)
+            .groupBy("seg", "cohort", "offset")
+            .agg(count(lit(1)).as("users")),
+          schema = DefaultWireSchema + ", seg STRING")
       case "paths" =>
         no(steps, "steps"); no(windowMs, "window"); no(period, "period")
         ReportFold(Seq("from_step", "to_step"), Seq("n"), Nil,
@@ -183,6 +198,19 @@ object Maintained {
               .as[StreamingPaths.Ev], gapMs).toDF,
           cells => notSentinel(cells)
             .groupBy("from_step", "to_step").agg(count(lit(1)).as("n")))
+      case "paths_segmented" =>
+        no(steps, "steps"); no(windowMs, "window"); no(period, "period")
+        // each pair carries its from-event's segment — no new finality
+        // argument (the from event is final when its pair emits)
+        ReportFold(Seq("seg", "from_step", "to_step"), Seq("n"), Nil,
+          df => StreamingPathsSegmented.pairs(s,
+            df.select(col("user_id"), col("ts"),
+              col("event_id").as("seq"), col("event_type"), col("seg"))
+              .as[StreamingPathsSegmented.Ev], gapMs).toDF,
+          cells => notSentinel(cells)
+            .groupBy("seg", "from_step", "to_step")
+            .agg(count(lit(1)).as("n")),
+          schema = DefaultWireSchema + ", seg STRING")
       case "latency" =>
         no(period, "period"); no(gapMs, "gap")
         import graft.functions.SketchOps
@@ -1095,6 +1123,61 @@ object Maintained {
     val store = driveMaintained(s, d, "graft_segmaint_",
       foldOf(s, "funnel_segmented"), cycles = Condensed, seg = true)
     funnelSegmentedReportFrom(s, store.snapshot)
+  }
+
+  /** The segmented cohort matrix read from a maintained
+    * (seg, cohort, offset)/users store — [[funnelSegmentedReportFrom]]'s
+    * read-time "all" rollup on the retention grain. */
+  def retentionSegmentedReportFrom(s: SparkSession,
+                                   snapshot: DataFrame): DataFrame =
+    snapshot
+      .select(col("seg"), graft.Tables.tstr(col("cohort")).as("cohort"),
+        col("offset"), col("users"))
+      .groupingSets(
+        Seq(Seq(col("seg"), col("cohort"), col("offset")),
+          Seq(col("cohort"), col("offset"))),
+        col("seg"), col("cohort"), col("offset"))
+      .agg(sum(col("users")).as("users"))
+      .select(coalesce(col("seg"), lit("all")).as("segment"),
+        col("cohort"), col("offset"), col("users"))
+
+  /** The segmented transition matrix read from a maintained
+    * (seg, from_step, to_step)/n store — same read-time rollup; the
+    * "all" member sums over segments because every pair carries
+    * exactly one (its from-event's). */
+  def pathsSegmentedReportFrom(s: SparkSession,
+                               snapshot: DataFrame): DataFrame =
+    snapshot
+      .select(col("seg"), col("from_step"), col("to_step"), col("n"))
+      .groupingSets(
+        Seq(Seq(col("seg"), col("from_step"), col("to_step")),
+          Seq(col("from_step"), col("to_step"))),
+        col("seg"), col("from_step"), col("to_step"))
+      .agg(sum(col("n")).as("n"))
+      .select(coalesce(col("seg"), lit("all")).as("segment"),
+        col("from_step"), col("to_step"), col("n"))
+
+  /** `retention_segmented_maintained`: the segmented cohort matrix as
+    * a maintained table — the [[StreamingRetentionSegmented]] twin's
+    * entry-segment cells folded at (seg, cohort, offset) grain.
+    * Oracle = the segmented cohort SQL with its GROUPING SETS rollup
+    * (the batch query's oracle, unchanged). */
+  def retentionSegmentedMaintained(s: SparkSession, d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_segretmaint_",
+      foldOf(s, "retention_segmented", period = Some("week")),
+      cycles = Condensed, seg = true)
+    retentionSegmentedReportFrom(s, store.snapshot)
+  }
+
+  /** `paths_segmented_maintained`: the segmented transition matrix as
+    * a maintained table — the [[StreamingPathsSegmented]] twin's
+    * from-attributed pairs folded at (seg, from, to) grain. Oracle =
+    * the segmented lead-window SQL with its rollup (the batch
+    * query's, unchanged). */
+  def pathsSegmentedMaintained(s: SparkSession, d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_segpathmaint_",
+      foldOf(s, "paths_segmented"), cycles = Condensed, seg = true)
+    pathsSegmentedReportFrom(s, store.snapshot)
   }
 
   /** `retention_maintained`: the weekly cohort matrix as a maintained

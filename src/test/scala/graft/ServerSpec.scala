@@ -1778,6 +1778,44 @@ class ServerSpec extends SparkSpec {
       // the health face echoes the segmented materialization's config
       assert(this.get(port, "/health/report?store=wsg")._2
         .contains("\"config\":\"type=funnel_segmented\""))
+
+      // the segmented RETENTION and PATHS stores serve their shapes
+      // the same way (dispatch on the store's own seg column)
+      assert(post(port,
+        "/ingest/report?store=wsr&tag=n1&type=retention_segmented&period=day",
+        jsonOf(Seq(
+          ev(1, "2024-01-01 08:00:00.0", 1, "view", "A"),
+          ev(1, "2024-01-02 08:00:00.0", 2, "view", "A"),
+          ev(2, "2024-01-01 09:00:00.0", 3, "view", "B"))))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wsr&tag=s1&type=retention_segmented&period=day",
+        jsonOf(Seq(ev(-1, "2024-01-09 00:00:00.0", 0, "_watermark", ""))))
+        ._1 == 200)
+      val (rrc, rrb) = this.get(port, "/retention?store=wsr")
+      assert(rrc == 200 && rrb ==
+        """[{"segment":"A","cohort":"2024-01-01 00:00:00","offset":0,"users":1},""" +
+        """{"segment":"B","cohort":"2024-01-01 00:00:00","offset":0,"users":1},""" +
+        """{"segment":"all","cohort":"2024-01-01 00:00:00","offset":0,"users":2},""" +
+        """{"segment":"A","cohort":"2024-01-01 00:00:00","offset":1,"users":1},""" +
+        """{"segment":"all","cohort":"2024-01-01 00:00:00","offset":1,"users":1}]""",
+        rrb)
+      assert(post(port,
+        "/ingest/report?store=wsp&tag=n1&type=paths_segmented",
+        jsonOf(Seq(
+          ev(1, "2024-01-01 08:00:00.0", 1, "view", "A"),
+          ev(1, "2024-01-01 08:01:00.0", 2, "click", "A"),
+          ev(2, "2024-01-01 09:00:00.0", 3, "view", "B"),
+          ev(2, "2024-01-01 09:01:00.0", 4, "click", "B"))))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wsp&tag=s1&type=paths_segmented",
+        jsonOf(Seq(ev(-1, "2024-01-09 00:00:00.0", 0, "_watermark", ""))))
+        ._1 == 200)
+      val (ppc, ppb) = this.get(port, "/paths?store=wsp")
+      assert(ppc == 200 && ppb ==
+        """[{"segment":"A","from_step":"view","to_step":"click","n":1},""" +
+        """{"segment":"B","from_step":"view","to_step":"click","n":1},""" +
+        """{"segment":"all","from_step":"view","to_step":"click","n":2}]""",
+        ppb)
     } finally srv.stop()
   }
 

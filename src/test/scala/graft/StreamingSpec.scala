@@ -520,6 +520,109 @@ class StreamingSpec extends SparkSpec {
     assert(cells.exists(c => c._1 == 2L && c._3 == 2))
   }
 
+  test("StreamingRetentionSegmented pins the entry segment WITH the " +
+      "cohort — aggregated cells through the read-time rollup equal " +
+      "the batch segmented matrix, cohort shifts and entry ties included") {
+    import spark.implicits._
+    import graft.streaming.StreamingRetentionSegmented
+    import graft.streaming.StreamingRetentionSegmented.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val chunk1 = Seq(
+      // user 1: days 1, 1 (dup period), 3 — one segment throughout
+      Ev(1, ts(1500), "A"), Ev(1, ts(1600), "A"),
+      Ev(1, ts(1440 * 3 + 10), "A"),
+      // user 2: first event arrives in chunk 2 with an EARLIER time
+      // and a different segment — cohort AND segment must re-pin
+      Ev(2, ts(1440 * 2 + 5), "B"),
+      // user 6: the entry tie — same instant, different segments
+      Ev(6, ts(1440 + 30), "BBB"))
+    val chunk2 = Seq(
+      Ev(2, ts(200), "C"), // shifts user 2's cohort to day 0, seg to C
+      Ev(6, ts(1440 + 30), "AAA"), // ties user 6's entry: min seg wins
+      Ev(3, ts(1440 * 4 + 1), "D"))
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1)
+    stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000), "")))
+    val q = StreamingRetentionSegmented.cells(spark, stream.toDS, "day")
+      .writeStream.format("memory").queryName("segret_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val cells = spark.table("segret_out").filter(col("user_id") =!= 99)
+    val raw = cells.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getInt(3)))
+    assert(raw.distinct.length == raw.length, "cells must be unique")
+    // entry pins: user 2 re-pinned to C, user 6's tie broke to AAA
+    assert(raw.filter(_._1 == 2L).map(_._2).distinct.toSeq == Seq("C"))
+    assert(raw.filter(_._1 == 6L).map(_._2).distinct.toSeq == Seq("AAA"))
+    // the aggregated cells through the read-time rollup ≡ the batch
+    // segmented matrix (fine rows AND the "all" members)
+    val fine = cells.groupBy(col("seg"), col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("users"))
+    val got = graft.streaming.Maintained
+      .retentionSegmentedReportFrom(spark, fine)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val batch = graft.operators.Windows.retentionSegmentedOf(
+        (chunk1 ++ chunk2).map(e => (e.user_id, e.ts, e.seg))
+          .toDF("user_id", "ts", "seg"), "day")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got == batch, s"got=$got\nbatch=$batch")
+  }
+
+  test("StreamingPathsSegmented attributes each pair to its FROM " +
+      "event's segment — aggregated pairs through the read-time rollup " +
+      "equal the batch segmented matrix, out-of-order splices included") {
+    import spark.implicits._
+    import graft.streaming.StreamingPathsSegmented
+    import graft.streaming.StreamingPathsSegmented.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val chunk1 = Seq(
+      // user 1: a → b → c with the MIDDLE event arriving late (next
+      // chunk) — the finalized fold must splice it in, and the pairs
+      // must carry the from-events' segments (X then Y)
+      Ev(1, ts(1), 1, "a", "X"), Ev(1, ts(3), 3, "c", "X"),
+      // user 2: one event, no pair
+      Ev(2, ts(1), 4, "a", "Z"))
+    val chunk2 = Seq(
+      Ev(1, ts(2), 2, "b", "Y"),
+      // user 3: a strict (ts, seq) tie-break pair, same segment
+      Ev(3, ts(5), 6, "b", "W"), Ev(3, ts(5), 5, "a", "W"))
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1)
+    stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000), 0, "sentinel", "")))
+    val q = StreamingPathsSegmented.pairs(spark, stream.toDS)
+      .writeStream.format("memory").queryName("segpath_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val pairs = spark.table("segpath_out").filter(col("user_id") =!= 99)
+    val raw = pairs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // the splice carried the from segments: (X, a→b) and (Y, b→c)
+    assert(raw.toSet.contains((1L, "X", "a", "b")) &&
+      raw.toSet.contains((1L, "Y", "b", "c")), raw.toSeq.toString)
+    val fine = pairs.groupBy(col("seg"), col("from_step"), col("to_step"))
+      .agg(count(lit(1)).as("n"))
+    val got = graft.streaming.Maintained
+      .pathsSegmentedReportFrom(spark, fine)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val batch = graft.operators.Windows.pathsSegmentedOf(
+        (chunk1 ++ chunk2).map(e => (e.user_id, e.ts, e.seq, e.event_type, e.seg))
+          .toDF("user_id", "ts", "event_id", "event_type", "seg"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == batch, s"got=$got\nbatch=$batch")
+  }
+
   test("StreamingPaths emits each adjacency exactly once; aggregated " +
       "pairs equal the batch transition matrix — including an " +
       "out-of-order event SPLICING between already-seen neighbors") {
