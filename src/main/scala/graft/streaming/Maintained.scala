@@ -619,10 +619,17 @@ object Maintained {
       // takedown crashed mid-flight — between its purge and its
       // checkpoint swap the maintenance checkpoint may be mid-replace,
       // so folding now could consume through a ledger about to be
-      // discarded; the heal is the takedown's own redelivery
+      // discarded; the heal is the takedown's own redelivery. A pending
+      // WHOSE COMMITTED MARKER EXISTS is stale residue (the one crash
+      // point after the marker write is the pending delete itself, and
+      // the marker is written only after the swap completed) — it must
+      // not block ingests forever, because the client never saw a
+      // response and may not redeliver
       val td = new java.io.File(sdir, "takedowns")
       val pend = Option(td.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".pending"))
+        .filterNot(p => new java.io.File(td,
+          s"${p.getName.stripSuffix(".pending")}.jsonl").exists)
       if (pend.nonEmpty) throw new IllegalStateException(
         s"a takedown is mid-flight on this store (pending: ${
           pend.map(_.getName.stripSuffix(".pending")).mkString(",")
@@ -907,9 +914,14 @@ object Maintained {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         ids
       }
-      if (marker.exists || deferredMarker.exists)
+      if (marker.exists || deferredMarker.exists) {
+        // a crash between the marker write and the pending delete
+        // leaves stale residue that would read as mid-flight forever —
+        // the committed redelivery is the cleanup point
+        java.nio.file.Files.deleteIfExists(
+          new java.io.File(td, s"$tag.pending").toPath)
         TakedownResult(committed = false, 0L, versionNow)
-      else if (defer) {
+      } else if (defer) {
         landRoster(deferredMarker)
         TakedownResult(committed = true, 0L, versionNow)
       } else {
@@ -969,8 +981,12 @@ object Maintained {
       val td = new java.io.File(sdir, "takedowns"); td.mkdirs()
       val marker = new java.io.File(td, s"$tag.jsonl")
       def versionNow = PointStore.versionOf(dir.getPath).getOrElse(0L)
-      if (marker.exists) FlushResult(committed = false, Nil, 0L, versionNow)
-      else {
+      if (marker.exists) {
+        // same stale-pending cleanup as the eager verb's no-op branch
+        java.nio.file.Files.deleteIfExists(
+          new java.io.File(td, s"$tag.pending").toPath)
+        FlushResult(committed = false, Nil, 0L, versionNow)
+      } else {
         val pending = new java.io.File(td, s"$tag.pending")
         val crashed = pending.exists
         val deferred = Option(td.listFiles())

@@ -405,6 +405,21 @@ class MaintainedSpec extends SparkSpec {
         (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00.0"), 2L, "view"))
         .toDF("user_id", "ts", "event_id", "event_type")))
     assert(e.getMessage.contains("mid-flight"), e.getMessage)
+    // ...but a pending WHOSE COMMITTED MARKER EXISTS is stale residue
+    // of the one crash point after the marker write (the pending
+    // delete itself): it must not block ingests forever — the client
+    // never saw a response and may not redeliver — and a redelivered
+    // takedown no-ops AND cleans it
+    java.nio.file.Files.write(new java.io.File(td, "r9.jsonl").toPath,
+      """{"user_id":9}""".getBytes)
+    val r = Maintained.ingestDrop(spark, dir, cfg, "n2", Seq(
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00.0"), 2L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type"))
+    assert(r.landed, r.toString)
+    assert(!Maintained.takedownUsers(spark, dir,
+      Seq(9L).toDF("user_id"), "r9").committed)
+    assert(!new java.io.File(td, "r9.pending").exists,
+      "a committed redelivery must clean the stale pending")
   }
 
   test("takedownUsers rebuilds through the store's own pinned config — " +
