@@ -30,7 +30,12 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_exact", "dedup_minhash", "dedup_ngram", "dedup_simhash",
       "ann_ivf", "ann_pq", "hero_vs_hero",
       "crunch_global", "crunch_player",
-      "filter_semijoin", "asof_join", "upsert_merge", "pipeline_clean")
+      "filter_semijoin", "asof_join", "upsert_merge", "pipeline_clean",
+      // the segmented family: the dim attach and every chain stage are
+      // equi-joins (user_id) — a BNLJ here would be the OR-join shape
+      // the rollup design exists to avoid
+      "events_funnel_segmented", "events_retention_segmented",
+      "events_paths_segmented")
     for (name <- equiOnly) {
       val plan = physical(name)
       assert(!plan.contains("BroadcastNestedLoopJoin"),

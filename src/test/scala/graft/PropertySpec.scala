@@ -101,6 +101,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("segmented funnel payload agrees with the in-memory entry-sample " +
+      "law on random streams — duplicate (ts, seg) entry ties included, " +
+      "and the sample never disturbs the reach times") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val steps = Seq("a", "b", "c")
+    val segs = Seq("s1", "s2", "s3")
+    // small domains on purpose: duplicate timestamps AND duplicate
+    // (ts, seg) pairs must be common — the tie law is the edge
+    val evGen = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 12L),
+      Gen.oneOf(steps ++ Seq("noise")), Gen.oneOf(segs))
+    for (seed <- 1L to 6L; horizonSec <- Seq(None, Some(3L))) {
+      val evs = sample(Gen.listOfN(60, evGen), seed)
+      val df = evs.map { case (u, t, s, g) =>
+        (u, new java.sql.Timestamp(t * 1000L), s, g) }
+        .toDF("user_id", "ts", "event_type", "seg")
+      // reference: the plain chained-law reach times (the segment is a
+      // PAYLOAD — it must never change who converts or when), with the
+      // entry segment = the seg of the user's minimum (ts, seg)
+      // step-1 pair riding every stage
+      val entrySeg = evs.groupBy(_._1).flatMap { case (u, es) =>
+        es.filter(_._3 == steps.head).map(e => (e._2, e._4)).minOption
+          .map(p => u -> p._2) }
+      val expected = steps.indices.map { k =>
+        evs.groupBy(_._1).flatMap { case (u, es) =>
+          steps.take(k + 1).zipWithIndex
+            .foldLeft(Option(Long.MinValue)) { case (bound, (s, j)) =>
+              bound.flatMap(b => es.filter(e => e._3 == s && e._2 > b &&
+                  (j == 0 || horizonSec.forall(h => e._2 <= b + h)))
+                .map(_._2).minOption)
+            }.map(t => (u, entrySeg(u), t))
+        }.toSet
+      }
+      val got = graft.operators.Windows
+        .funnelOf(df, steps, horizonSec.map(_ * 1000L),
+          by = Some(col("seg")))
+        .map(_.collect().map(r => (r.getLong(0), r.getString(2),
+          r.getTimestamp(1).getTime / 1000L)).toSet)
+      assert(got == expected, s"seed $seed horizon $horizonSec")
+    }
+  }
+
   test("trigram backoff probe agrees with the in-memory estimator on " +
       "random corpora (unseen contexts at every order, short docs absent, " +
       "identical decimal-before-sum rounding)") {
