@@ -72,6 +72,8 @@ object SparkEntry {
     // attribute with "all" rollup members (the reference's
     // crunch_global dimension expansion applied to the funnel family)
     "events_funnel_segmented" -> (Windows.eventsFunnelSegmented _),
+    "events_funnel_windowed_segmented" -> (Windows.eventsFunnelWindowedSegmented _),
+    "events_funnel_sessions_segmented" -> (Windows.eventsFunnelSessionsSegmented _),
     "events_retention_segmented" -> (Windows.eventsRetentionSegmented _),
     "events_paths_segmented" -> (Windows.eventsPathsSegmented _),
     "events_paths"       -> (Windows.eventsPaths _),
@@ -219,6 +221,8 @@ object SparkEntry {
     "events_funnel_deepest" -> Windows.eventsFunnelDeepestOracle,
     "events_funnel_sessions" -> Windows.eventsFunnelSessionsOracle,
     "events_funnel_segmented" -> Windows.eventsFunnelSegmentedOracle,
+    "events_funnel_windowed_segmented" -> Windows.eventsFunnelWindowedSegmentedOracle,
+    "events_funnel_sessions_segmented" -> Windows.eventsFunnelSessionsSegmentedOracle,
     "events_retention_segmented" -> Windows.eventsRetentionSegmentedOracle,
     "events_paths_segmented" -> Windows.eventsPathsSegmentedOracle,
     "events_paths"       -> Windows.eventsPathsOracle,

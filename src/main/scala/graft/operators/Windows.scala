@@ -315,6 +315,105 @@ object Windows {
     FROM u
     GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
 
+  /** `events_funnel_windowed_segmented`: the per-hop-bounded funnel BY
+    * SEGMENT — [[funnelOf]]'s `horizonMs` and `by` compose with no new
+    * logic (the horizon bounds WHO converts, the segment labels them;
+    * the entry sample rides the same chain), so every funnel flavor
+    * answers "by what segment". Registered at the 1-day horizon beside
+    * `events_funnel_windowed`. */
+  def eventsFunnelWindowedSegmented(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).join(segmentDim(s, d), Seq("user_id"))
+    val stages = funnelOf(ev, FunnelSteps,
+      Some(parseHorizon(FunnelHorizon)), by = Some(col("seg")))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.rollup(col("_seg")).agg(count(lit(1)).as("users"))
+        .select(coalesce(col("_seg"), lit("all")).as("segment"),
+          lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  def eventsFunnelWindowedSegmentedOracle: String = """
+    WITH ev AS (
+      SELECT e.user_id, e.ts, e.event_type, c.c_mktsegment AS seg
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    s1 AS (
+      SELECT user_id, min(ts) AS t, min(seg) AS seg FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s1.seg) AS seg FROM ev e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL 1 DAY GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s2.seg) AS seg FROM ev e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL 1 DAY GROUP BY 1),
+    u AS (
+      SELECT 1 AS step, 'view' AS step_name, seg FROM s1
+      UNION ALL SELECT 2, 'click', seg FROM s2
+      UNION ALL SELECT 3, 'purchase', seg FROM s3)
+    SELECT coalesce(seg, 'all') AS segment, CAST(step AS INT) AS step,
+           step_name, count(*) AS users
+    FROM u
+    GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
+
+  /** `events_funnel_sessions_segmented`: the per-visit funnel BY
+    * SEGMENT — both measures per segment with "all" members. The
+    * entry sample is per (user, session): each VISIT's own entry
+    * attribute (for a user-constant attribute, the user's segment).
+    * The users measure stays a distinct count inside each grouping
+    * set, so the "all" member is exact even if a user's visits ever
+    * carried different segments — GROUPING SETS recomputes it, never
+    * sums per-segment distincts. */
+  def eventsFunnelSessionsSegmented(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).join(segmentDim(s, d), Seq("user_id"))
+    val stages = funnelSessionsOf(ev, FunnelSteps, by = Some(col("seg")))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.rollup(col("_seg"))
+        .agg(countDistinct(col("user_id.u")).as("users"),
+          count(lit(1)).as("visits"))
+        .select(coalesce(col("_seg"), lit("all")).as("segment"),
+          lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
+          col("users"), col("visits"))
+    }.reduce(_ unionByName _)
+  }
+
+  def eventsFunnelSessionsSegmentedOracle: String = """
+    WITH g AS (
+      SELECT e.user_id, e.event_id, e.ts, e.event_type,
+             c.c_mktsegment AS seg,
+             CASE WHEN lag(e.ts) OVER w IS NULL
+                    OR epoch_us(e.ts) - epoch_us(lag(e.ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS gap_start
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)),
+    sess AS (
+      SELECT user_id, ts, event_type, seg,
+             CAST(sum(gap_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM g),
+    s1 AS (
+      SELECT user_id, sid, min(ts) AS t, min(seg) AS seg FROM sess
+      WHERE event_type = 'view' GROUP BY 1, 2),
+    s2 AS (
+      SELECT e.user_id, e.sid, min(e.ts) AS t, min(s1.seg) AS seg FROM sess e
+      JOIN s1 USING (user_id, sid)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1, 2),
+    s3 AS (
+      SELECT e.user_id, e.sid, min(e.ts) AS t, min(s2.seg) AS seg FROM sess e
+      JOIN s2 USING (user_id, sid)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1, 2),
+    u AS (
+      SELECT 1 AS step, 'view' AS step_name, user_id, seg FROM s1
+      UNION ALL SELECT 2, 'click', user_id, seg FROM s2
+      UNION ALL SELECT 3, 'purchase', user_id, seg FROM s3)
+    SELECT coalesce(seg, 'all') AS segment, CAST(step AS INT) AS step,
+           step_name, count(DISTINCT user_id) AS users, count(*) AS visits
+    FROM u
+    GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
+
   /** `events_retention_segmented`: the cohort matrix BY SEGMENT with
     * "all" members — [[eventsFunnelSegmented]]'s pattern on the
     * retention matrix. The segment is ENTRY-SAMPLED — the attribute
@@ -506,13 +605,14 @@ object Windows {
     * step filters) without a line of new join logic. Returns per-stage
     * frames at (user, session) grain with the reach time. */
   def funnelSessionsOf(ev: DataFrame, steps: Seq[String],
-                       gapMs: Long = 1800000L): Seq[DataFrame] = {
+                       gapMs: Long = 1800000L,
+                       by: Option[Column] = None): Seq[DataFrame] = {
     require(gapMs > 0, s"session gap must be positive, got $gapMs")
     val byUser = Window.partitionBy(col("_uid"))
       .orderBy(col("ts"), col("event_id"))
     val sessioned = ev
-      .select(col("user_id").as("_uid"), col("ts"), col("event_id"),
-        col("event_type"))
+      .select(col("user_id").as("_uid") +: col("ts") +: col("event_id") +:
+        col("event_type") +: by.map(_.as("_byseg")).toSeq: _*)
       .withColumn("_gap_start",
         when(lag(col("ts"), 1).over(byUser).isNull ||
           unix_micros(col("ts").cast("timestamp")) -
@@ -521,8 +621,13 @@ object Windows {
       .withColumn("_session", sum(col("_gap_start")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(struct(col("_uid").as("u"), col("_session").as("s"))
-        .as("user_id"), col("ts"), col("event_type"))
-    funnelOf(sessioned, steps)
+        .as("user_id") +: col("ts") +: col("event_type") +:
+        by.map(_ => col("_byseg")).toSeq: _*)
+    // the segment payload composes UNCHANGED over the composite key:
+    // the entry sample is then per (user, session) — each visit's own
+    // entry attribute, the per-visit reading of the family's
+    // defining-moment rule
+    funnelOf(sessioned, steps, by = by.map(_ => col("_byseg")))
   }
 
   /** `events_funnel_sessions`: per-step counts of DISTINCT USERS with

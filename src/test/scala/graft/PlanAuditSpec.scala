@@ -34,7 +34,8 @@ class PlanAuditSpec extends SparkSpec {
       // the segmented family: the dim attach and every chain stage are
       // equi-joins (user_id) — a BNLJ here would be the OR-join shape
       // the rollup design exists to avoid
-      "events_funnel_segmented", "events_retention_segmented",
+      "events_funnel_segmented", "events_funnel_windowed_segmented",
+      "events_funnel_sessions_segmented", "events_retention_segmented",
       "events_paths_segmented")
     for (name <- equiOnly) {
       val plan = physical(name)
