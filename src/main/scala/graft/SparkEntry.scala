@@ -74,6 +74,12 @@ object SparkEntry {
     "events_funnel_segmented" -> (Windows.eventsFunnelSegmented _),
     "events_funnel_windowed_segmented" -> (Windows.eventsFunnelWindowedSegmented _),
     "events_funnel_sessions_segmented" -> (Windows.eventsFunnelSessionsSegmented _),
+    "events_funnel_deepest_segmented" -> (Windows.eventsFunnelDeepestSegmented _),
+    // two dimensions expanded at once (2^2 grouping sets, the
+    // crunch_global_full discipline on the funnel family)
+    "events_funnel_segmented2" -> (Windows.eventsFunnelSegmented2 _),
+    // hop voided by an intervening excluded event
+    "events_funnel_excluded" -> (Windows.eventsFunnelExcluded _),
     "events_retention_segmented" -> (Windows.eventsRetentionSegmented _),
     "events_paths_segmented" -> (Windows.eventsPathsSegmented _),
     "events_paths"       -> (Windows.eventsPaths _),
@@ -81,6 +87,8 @@ object SparkEntry {
     "funnel_latency"     -> (Windows.funnelLatency _),
     "events_retention"   -> (Windows.eventsRetention _),
     "events_retention_rolling" -> (Windows.eventsRetentionRolling _),
+    // daily cohorts on a non-UTC market's calendar
+    "events_retention_tz" -> (Windows.eventsRetentionTz _),
     "asof_join"          -> (Joins.asofJoin _),
     "asof_join_native"   -> (Joins.asofJoinNative _),
     // LLM-data-pipeline surface (#19-30); ann_ivf is the one
@@ -223,6 +231,9 @@ object SparkEntry {
     "events_funnel_segmented" -> Windows.eventsFunnelSegmentedOracle,
     "events_funnel_windowed_segmented" -> Windows.eventsFunnelWindowedSegmentedOracle,
     "events_funnel_sessions_segmented" -> Windows.eventsFunnelSessionsSegmentedOracle,
+    "events_funnel_deepest_segmented" -> Windows.eventsFunnelDeepestSegmentedOracle,
+    "events_funnel_segmented2" -> Windows.eventsFunnelSegmented2Oracle,
+    "events_funnel_excluded" -> Windows.eventsFunnelExcludedOracle,
     "events_retention_segmented" -> Windows.eventsRetentionSegmentedOracle,
     "events_paths_segmented" -> Windows.eventsPathsSegmentedOracle,
     "events_paths"       -> Windows.eventsPathsOracle,
@@ -230,6 +241,7 @@ object SparkEntry {
     "funnel_latency"     -> Windows.funnelLatencyOracle,
     "events_retention"   -> Windows.eventsRetentionOracle,
     "events_retention_rolling" -> Windows.eventsRetentionRollingOracle,
+    "events_retention_tz" -> Windows.eventsRetentionTzOracle,
     "asof_join"          -> Joins.asofJoinOracle,
     "asof_join_native"   -> Joins.asofJoinNativeOracle,
     "dedup_exact"     -> Dedup.dedupExactOracle,

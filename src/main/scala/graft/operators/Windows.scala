@@ -132,6 +132,22 @@ object Windows {
   }
   private val HorizonRe = "([0-9]{1,15})(ms|s|m|h|d)".r
 
+  /** Calendar truncation at a zone: the stored UTC instants shifted to
+    * `tz`'s wall clock before `date_trunc` (`from_utc_timestamp`, the
+    * AT TIME ZONE twin; identity when `tz` is empty — the pinned-UTC
+    * session default). The zone id is validated EAGERLY so an unknown
+    * zone 400s at the routes instead of surfacing as a mid-job
+    * executor error; the NTZ-safe cast is the sessionizer's idiom. */
+  def tzTrunc(period: String, ts: Column, tz: Option[String]): Column =
+    tz match {
+      case None => date_trunc(period, ts)
+      case Some(z) =>
+        try java.time.ZoneId.of(z) catch { case _: Exception =>
+          throw new IllegalArgumentException(s"unknown timezone '$z'")
+        }
+        date_trunc(period, from_utc_timestamp(ts.cast("timestamp"), z))
+    }
+
   /** Ordered funnel over an events frame (the windowFunnel shape every
     * product-analytics engine carries): a user reaches step k when
     * their FIRST step-k event STRICTLY AFTER their step-(k-1) reach
@@ -181,14 +197,39 @@ object Windows {
     * Each returned stage then carries `_seg` beside the reach time;
     * the report's "all" member is one rollup over the user-grain
     * stage output (matrix-scale partials, the Dimensions.scala #3
-    * two-phase trick). */
+    * two-phase trick). The payload is OPAQUE to the chain — a
+    * `struct(...)` of k attributes segments by all of them at once
+    * (the entry sample is then min over (ts, (a1..ak)) tuples, still
+    * deterministic under ties), which is how the multi-dimension
+    * reports compose without new chain logic.
+    *
+    * `exclude` VOIDS a hop on an intervening event — the other
+    * standard windowFunnel refinement ("converted WITHOUT an error
+    * between view and purchase"): `exclude(k)` names an event type
+    * that must NOT occur strictly between the step-(k-1) reach and
+    * the step-k reach (open interval on both ends — an excluded event
+    * at exactly either instant does not void), for k in 2..steps.
+    * Greedy first-occurrence still governs: the candidate reach is
+    * the user's FIRST in-order step-k event, and if an excluded event
+    * precedes it the user does not reach step k even when a later
+    * clean pair of theirs exists. Implementation: the hop's one join
+    * carries BOTH event types and the aggregate takes one more
+    * conditional min ("earliest excluded event after the bound") —
+    * the chain stays one equi-join + one agg per stage, user_id the
+    * only shuffle key, so exclusions cost the plan nothing. */
   def funnelOf(ev: DataFrame, steps: Seq[String],
                horizonMs: Option[Long] = None,
-               by: Option[Column] = None): Seq[DataFrame] = {
+               by: Option[Column] = None,
+               exclude: Map[Int, String] = Map.empty): Seq[DataFrame] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnelOf: steps must be non-empty and distinct, got $steps")
     require(horizonMs.forall(_ > 0),
       s"funnelOf: horizon must be positive, got $horizonMs")
+    require(exclude.keys.forall(k => k >= 2 && k <= steps.size),
+      s"funnelOf: exclude keys index the step entered (2..${steps.size})" +
+        s", got ${exclude.keys.toSeq.sorted}")
+    require(exclude.values.forall(v => !steps.contains(v)),
+      s"funnelOf: an excluded type cannot also be a step, got $exclude")
     val slim = ev.select(col("user_id"), col("ts"), col("event_type"))
     val first = by match {
       case None =>
@@ -203,22 +244,42 @@ object Windows {
           .select(col("user_id"), col("_e.ts").as("t"),
             col("_e._seg").as("_seg"))
     }
-    steps.tail.scanLeft(first) { (prev, step) =>
+    steps.tail.zipWithIndex.scanLeft(first) { case (prev, (step, i)) =>
       val inOrder = col("ts") > col("t")
       // exact day-time interval: millis as a scale-3 decimal of seconds
       // (a double literal would round large horizons at the µs grain)
       val within = horizonMs.map(h => col("ts") <= col("t") +
         make_dt_interval(lit(0), lit(0), lit(0),
           lit(java.math.BigDecimal.valueOf(h, 3))))
-      val joined = slim.filter(col("event_type") === step)
-        .join(prev.hint("shuffle_hash"), "user_id")
-        .filter(within.map(inOrder && _).getOrElse(inOrder))
       // min re-carries the entry payload (one value per user in `prev`
       // by construction, so min is that value — and deterministic)
-      if (by.isEmpty)
-        joined.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-      else joined.groupBy(col("user_id"))
-        .agg(min(col("ts")).as("t"), min(col("_seg")).as("_seg"))
+      val segAgg = if (by.isEmpty) Nil else Seq(min(col("_seg")).as("_seg"))
+      exclude.get(i + 2) match {
+        case None =>
+          val joined = slim.filter(col("event_type") === step)
+            .join(prev.hint("shuffle_hash"), "user_id")
+            .filter(within.map(inOrder && _).getOrElse(inOrder))
+          joined.groupBy(col("user_id"))
+            .agg(min(col("ts")).as("t"), segAgg: _*)
+        case Some(x) =>
+          // one join, both types, the same in-order bound; the horizon
+          // gates STEP candidates only (a beyond-horizon reach does
+          // not exist to void), the excluded min is unbounded above —
+          // it voids by PRECEDING the candidate, `xt < t2`
+          val joined = slim
+            .filter(col("event_type") === step || col("event_type") === x)
+            .join(prev.hint("shuffle_hash"), "user_id")
+            .filter(inOrder)
+          val stepTs = when(col("event_type") === step &&
+            within.getOrElse(lit(true)), col("ts"))
+          val exTs = when(col("event_type") === x, col("ts"))
+          joined.groupBy(col("user_id"))
+            .agg(min(stepTs).as("t2"), min(exTs).as("_xt") +: segAgg: _*)
+            .filter(col("t2").isNotNull &&
+              (col("_xt").isNull || col("_xt") >= col("t2")))
+            .select(col("user_id") +: col("t2").as("t") +:
+              (if (by.isEmpty) Nil else Seq(col("_seg"))): _*)
+      }
     }
   }
 
@@ -254,6 +315,56 @@ object Windows {
     UNION ALL SELECT 2, 'click', count(*) FROM s2
     UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""
 
+  /** `events_funnel_excluded`: the signup path where an `error` event
+    * VOIDS the hop in flight ([[funnelOf]]'s `exclude` — "converted
+    * WITHOUT an error between steps", the abandon/error refinement
+    * every windowFunnel carries as its mode flags). Registered with
+    * the exclusion on both hops; at sf0.01 it cuts the unbounded
+    * 150/150/150 to 150/94/46, so the oracle exercises the voiding
+    * hard. */
+  def eventsFunnelExcluded(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelOf(events(s, d), FunnelSteps,
+      exclude = Map(2 -> "error", 3 -> "error"))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The staged-min SQL with a NOT EXISTS anti-conjunct per excluded
+    * hop — `xt < t2` ⟺ an excluded event exists in the open interval
+    * (t_prev, t_reach), the law the conditional-min implementation
+    * carries. */
+  def eventsFunnelExcludedOracle: String = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s2x AS (
+      SELECT s2.user_id, s2.t FROM s2 JOIN s1 USING (user_id)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events x
+        WHERE x.user_id = s2.user_id AND x.event_type = 'error'
+          AND x.ts > s1.t AND x.ts < s2.t)),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2x USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2x.t GROUP BY 1),
+    s3x AS (
+      SELECT s3.user_id, s3.t FROM s3 JOIN s2x USING (user_id)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events x
+        WHERE x.user_id = s3.user_id AND x.event_type = 'error'
+          AND x.ts > s2x.t AND x.ts < s3.t))
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           count(*) AS users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2x
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3x"""
+
   /** The registered SEGMENT dimension: the customer's market segment,
     * keyed by the user id (the driver's star schema keys events.user_id
     * into the customer key space). Broadcast — the dim is
@@ -263,6 +374,23 @@ object Windows {
   def segmentDim(s: SparkSession, d: String): DataFrame =
     broadcast(customer(s, d).select(col("c_custkey").as("user_id"),
       col("c_mktsegment").as("seg")))
+
+  /** The segmented per-step report assembly — ONE shape shared by
+    * every segmented funnel flavor (chained, windowed, per-visit,
+    * deepest) and by GET /funnel&by=: per stage, a `rollup` over the
+    * reach frame's `_seg` payload (two grouping sets — the segment
+    * rows and the "all" member, recomputed so distinct measures stay
+    * exact), projected to (segment, step, step_name, measures).
+    * Expand multiplies reach-grain partials, never raw events. */
+  def segmentedFunnelReport(stages: Seq[DataFrame], names: Seq[String],
+                            aggs: Seq[Column],
+                            outCols: Seq[String]): DataFrame =
+    stages.zip(names).zipWithIndex.map { case ((df, name), i) =>
+      df.rollup(col("_seg")).agg(aggs.head, aggs.tail: _*)
+        .select(Seq(coalesce(col("_seg"), lit("all")).as("segment"),
+          lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name")) ++ outCols.map(col): _*)
+    }.reduce(_ unionByName _)
 
   /** `events_funnel_segmented`: the funnel report broken down BY
     * SEGMENT with an "all" rollup member — the first question an
@@ -279,12 +407,8 @@ object Windows {
   def eventsFunnelSegmented(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).join(segmentDim(s, d), Seq("user_id"))
     val stages = funnelOf(ev, FunnelSteps, by = Some(col("seg")))
-    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
-      df.rollup(col("_seg")).agg(count(lit(1)).as("users"))
-        .select(coalesce(col("_seg"), lit("all")).as("segment"),
-          lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
-          col("users"))
-    }.reduce(_ unionByName _)
+    segmentedFunnelReport(stages, FunnelSteps,
+      Seq(count(lit(1)).as("users")), Seq("users"))
   }
 
   /** The staged-min SQL with the segment riding each stage (min over
@@ -315,6 +439,79 @@ object Windows {
     FROM u
     GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
 
+  /** The TWO-attribute segment dimension: market segment × the
+    * customer's nation — the reference's move is eight dimensions
+    * expanded SIMULTANEOUSLY with "all" members (crunch_global.sql:
+    * 38-50), and real product questions segment by (platform ×
+    * country). Customer joins nation dim-side BEFORE the broadcast, so
+    * the fact attach is still one broadcast of a customer-count
+    * two-attribute frame. */
+  def segmentDim2(s: SparkSession, d: String): DataFrame =
+    broadcast(customer(s, d)
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("seg"), col("n_name").as("region")))
+
+  /** `events_funnel_segmented2`: the funnel expanded across TWO
+    * dimensions at once with "all" members on each axis — 2^2 grouping
+    * sets (`cube`), the crunch_global_full discipline (Crunch.scala's
+    * 2^5 is the registered cap for the pattern) applied to the funnel
+    * family. MULTI-ATTRIBUTE segmentation is pure composition on
+    * [[funnelOf]]'s payload: `by = struct(seg, region)` entry-samples
+    * both attributes in the SAME min-over-(ts, payload) aggregate
+    * (lexicographic over the tuple — still deterministic under ties),
+    * so the chain is byte-identical to the single-segment one; only
+    * the report's rollup widens, over user-grain reach partials. The
+    * (all, all) members equal the unsegmented `events_funnel` counts
+    * by construction. */
+  def eventsFunnelSegmented2(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).join(segmentDim2(s, d), Seq("user_id"))
+    val stages = funnelOf(ev, FunnelSteps,
+      by = Some(struct(col("seg").as("s1"), col("region").as("s2"))))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.select(col("_seg.s1").as("seg"), col("_seg.s2").as("region"))
+        .cube(col("seg"), col("region")).agg(count(lit(1)).as("users"))
+        .select(coalesce(col("seg"), lit("all")).as("segment"),
+          coalesce(col("region"), lit("all")).as("region"),
+          lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The staged SQL with both attributes riding each stage, expanded
+    * through all four grouping sets. */
+  def eventsFunnelSegmented2Oracle: String = """
+    WITH ev AS (
+      SELECT e.user_id, e.ts, e.event_type, c.c_mktsegment AS seg,
+             n.n_name AS region
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    s1 AS (
+      SELECT user_id, min(ts) AS t, min(seg) AS seg,
+             min(region) AS region FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s1.seg) AS seg,
+             min(s1.region) AS region FROM ev e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s2.seg) AS seg,
+             min(s2.region) AS region FROM ev e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+    u AS (
+      SELECT 1 AS step, 'view' AS step_name, seg, region FROM s1
+      UNION ALL SELECT 2, 'click', seg, region FROM s2
+      UNION ALL SELECT 3, 'purchase', seg, region FROM s3)
+    SELECT coalesce(seg, 'all') AS segment,
+           coalesce(region, 'all') AS region,
+           CAST(step AS INT) AS step, step_name, count(*) AS users
+    FROM u
+    GROUP BY GROUPING SETS ((seg, region, step, step_name),
+      (seg, step, step_name), (region, step, step_name),
+      (step, step_name))"""
+
   /** `events_funnel_windowed_segmented`: the per-hop-bounded funnel BY
     * SEGMENT — [[funnelOf]]'s `horizonMs` and `by` compose with no new
     * logic (the horizon bounds WHO converts, the segment labels them;
@@ -325,12 +522,8 @@ object Windows {
     val ev = events(s, d).join(segmentDim(s, d), Seq("user_id"))
     val stages = funnelOf(ev, FunnelSteps,
       Some(parseHorizon(FunnelHorizon)), by = Some(col("seg")))
-    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
-      df.rollup(col("_seg")).agg(count(lit(1)).as("users"))
-        .select(coalesce(col("_seg"), lit("all")).as("segment"),
-          lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
-          col("users"))
-    }.reduce(_ unionByName _)
+    segmentedFunnelReport(stages, FunnelSteps,
+      Seq(count(lit(1)).as("users")), Seq("users"))
   }
 
   def eventsFunnelWindowedSegmentedOracle: String = """
@@ -370,14 +563,9 @@ object Windows {
   def eventsFunnelSessionsSegmented(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).join(segmentDim(s, d), Seq("user_id"))
     val stages = funnelSessionsOf(ev, FunnelSteps, by = Some(col("seg")))
-    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
-      df.rollup(col("_seg"))
-        .agg(countDistinct(col("user_id.u")).as("users"),
-          count(lit(1)).as("visits"))
-        .select(coalesce(col("_seg"), lit("all")).as("segment"),
-          lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
-          col("users"), col("visits"))
-    }.reduce(_ unionByName _)
+    segmentedFunnelReport(stages, FunnelSteps,
+      Seq(countDistinct(col("user_id.u")).as("users"),
+        count(lit(1)).as("visits")), Seq("users", "visits"))
   }
 
   def eventsFunnelSessionsSegmentedOracle: String = """
@@ -430,12 +618,13 @@ object Windows {
     * Expand multiplies, never the user-period cells (the
     * Dimensions.scala two-phase discipline). */
   def retentionSegmentedOf(ev: DataFrame,
-                           period: String = "week"): DataFrame = {
+                           period: String = "week",
+                           tz: Option[String] = None): DataFrame = {
     require(Set("day", "week", "month")(period),
       s"retentionSegmentedOf: period must be day|week|month, got '$period'")
     val perUser = ev
       .select(col("user_id"), col("ts"),
-        date_trunc(period, col("ts")).as("p"), col("seg"))
+        tzTrunc(period, col("ts"), tz).as("p"), col("seg"))
       .groupBy(col("user_id"))
       .agg(min(col("p")).as("cohort"), collect_set(col("p")).as("ps"),
         min(struct(col("ts"), col("seg"))).getField("seg").as("seg"))
@@ -559,20 +748,52 @@ object Windows {
     * user's activity RATE × horizon, never their lifetime event count.
     * The range predicate rides the equi-join as a post-join filter
     * (never a nested loop); every stage shuffles on (user, bucket) and
-    * re-aggregates to anchor grain. */
+    * re-aggregates to anchor grain.
+    *
+    * `by` segments the deepest reading too — closing the family's one
+    * flavor without the axis. The anchor search is per-anchor, so "the
+    * user's segment" needs a sample point: it is the family's uniform
+    * DEFINING-MOMENT rule — the attribute carried by the user's FIRST
+    * step-1 event (entry sampling, the same deterministic
+    * min-over-(ts, segment)-pairs law as [[funnelOf]]'s `by`), NOT the
+    * converting anchor's. Entry is the only choice that keeps a
+    * streaming twin's segment final at watermark (the converting
+    * anchor isn't known until the depth stops growing) and the only
+    * one that answers the analyst's actual question ("is THIS kind of
+    * user convertible at all" — the user's kind doesn't change with
+    * which of their anchors converts). The per-user entry sample
+    * attaches to the anchor frame with one user-grain shuffle-hash
+    * join (the user_id partitioning the anchors already carry) and
+    * then rides the (user, anchor)-grain chain as an aggregate
+    * payload — the bucket join's keys are untouched. */
   def funnelDeepestOf(ev: DataFrame, steps: Seq[String],
-                      horizonMs: Long): Seq[DataFrame] = {
+                      horizonMs: Long,
+                      by: Option[Column] = None): Seq[DataFrame] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnelDeepestOf: steps must be non-empty and distinct, got $steps")
     require(horizonMs > 0, s"horizon must be positive, got $horizonMs")
-    val slim = ev.select(col("user_id"), col("ts"), col("event_type"))
+    val slim = by match {
+      case None => ev.select(col("user_id"), col("ts"), col("event_type"))
+      case Some(seg) => ev.select(col("user_id"), col("ts"),
+        col("event_type"), seg.as("_seg"))
+    }
     // µs arithmetic under the UTC session convention (NTZ-safe cast)
     def us(c: Column) = unix_micros(c.cast("timestamp"))
     val hUs = horizonMs * 1000L
     def bucketOf(c: Column) = floor(us(c) / hUs).cast("long")
-    val anchors = slim.filter(col("event_type") === steps.head)
+    val bare = slim.filter(col("event_type") === steps.head)
       .select(col("user_id"), col("ts").as("t1")).distinct()
       .withColumn("t", col("t1"))
+    val anchors = by match {
+      case None => bare
+      case Some(_) =>
+        val entry = slim.filter(col("event_type") === steps.head)
+          .groupBy(col("user_id"))
+          .agg(min(struct(col("ts"), col("_seg")))
+            .getField("_seg").as("_seg"))
+        bare.join(entry.hint("shuffle_hash"), "user_id")
+    }
+    val segAgg = if (by.isEmpty) Nil else Seq(min(col("_seg")).as("_seg"))
     val deadline = col("t1") + make_dt_interval(lit(0), lit(0), lit(0),
       lit(java.math.BigDecimal.valueOf(horizonMs, 3)))
     steps.tail.scanLeft(anchors) { (prev, step) =>
@@ -580,10 +801,12 @@ object Windows {
       val prevB = prev.withColumn("_bucket",
         explode(array(bucketOf(col("t1")), bucketOf(col("t1")) + 1)))
       slim.filter(col("event_type") === step)
+        .select(col("user_id"), col("ts"), col("event_type"))
         .withColumn("_bucket", bucketOf(col("ts")))
         .join(prevB.hint("shuffle_hash"), Seq("user_id", "_bucket"))
         .filter(col("ts") > col("t") && col("ts") <= deadline)
-        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t"))
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(col("ts")).as("t"), segAgg: _*)
     }
   }
 
@@ -718,6 +941,55 @@ object Windows {
     UNION ALL SELECT 2, 'click', count(DISTINCT user_id) FROM s2
     UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id) FROM s3"""
 
+  /** `events_funnel_deepest_segmented`: the deepest-chain report BY
+    * SEGMENT with "all" members — the last funnel flavor onto the
+    * family's segment axis ("is this KIND of user convertible at all,
+    * by market segment"). Segment = the user's ENTRY sample
+    * ([[funnelDeepestOf]]'s `by` scaladoc states the anchor-semantics
+    * decision); the stage frames are (user, anchor) grain, so the
+    * users measure is a DISTINCT count recomputed inside each grouping
+    * set — the "all" member equals the unsegmented
+    * `events_funnel_deepest` counts by construction. */
+  def eventsFunnelDeepestSegmented(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).join(segmentDim(s, d), Seq("user_id"))
+    val stages = funnelDeepestOf(ev, FunnelSteps,
+      parseHorizon(FunnelHorizon), by = Some(col("seg")))
+    segmentedFunnelReport(stages, FunnelSteps,
+      Seq(countDistinct(col("user_id")).as("users")), Seq("users"))
+  }
+
+  /** The anchor-grain staged SQL with the entry segment riding (the
+    * per-user sample joins the anchor set, then min re-carries it —
+    * one value per user), rolled up via GROUPING SETS. */
+  def eventsFunnelDeepestSegmentedOracle: String = """
+    WITH ev AS (
+      SELECT e.user_id, e.ts, e.event_type, c.c_mktsegment AS seg
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    ent AS (
+      SELECT user_id, min(seg) AS seg FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (
+      SELECT DISTINCT e.user_id, e.ts AS t1, ent.seg FROM ev e
+      JOIN ent USING (user_id) WHERE e.event_type = 'view'),
+    s2 AS (
+      SELECT e.user_id, s1.t1, min(e.ts) AS t, min(s1.seg) AS seg
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1, 2),
+    s3 AS (
+      SELECT e.user_id, s2.t1, min(e.ts) AS t, min(s2.seg) AS seg
+      FROM ev e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t1 + INTERVAL 1 DAY GROUP BY 1, 2),
+    u AS (
+      SELECT 1 AS step, 'view' AS step_name, user_id, seg FROM s1
+      UNION ALL SELECT 2, 'click', user_id, seg FROM s2
+      UNION ALL SELECT 3, 'purchase', user_id, seg FROM s3)
+    SELECT coalesce(seg, 'all') AS segment, CAST(step AS INT) AS step,
+           step_name, count(DISTINCT user_id) AS users
+    FROM u
+    GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
+
   /** Cohort retention matrix — the product-analytics companion of the
     * funnel: users cohorted by the period of their FIRST event, the
     * cell (cohort, offset) counting how many of them were active
@@ -732,12 +1004,26 @@ object Windows {
     * period set inside the scan stage), then explode + ONE matrix
     * aggregation. Shuffles on `user_id`, then on the (cohort, offset)
     * matrix key whose cardinality is periods² — nothing user-grain
-    * crosses the second exchange. */
-  def retentionOf(ev: DataFrame, period: String = "week"): DataFrame = {
+    * crosses the second exchange.
+    *
+    * `tz` truncates at a MARKET's calendar instead of the session's
+    * pinned UTC — a product team in any non-UTC zone otherwise gets
+    * day/week cohort boundaries shifted off their midnight. The stored
+    * instants are UTC; [[tzTrunc]] shifts each to the zone's wall
+    * clock before truncating (`from_utc_timestamp`, the AT TIME ZONE
+    * twin), so cohort labels read as that zone's local period starts.
+    * DST convention: the shift is evaluated per instant, so the hour
+    * an offset transition repeats or skips lands in the local calendar
+    * day the zone's own clocks showed — the same convention AT TIME
+    * ZONE implements. A pure projection change: the plan (two
+    * aggregations, one explode) is identical, and `tz = None` is
+    * byte-for-byte the old operator. */
+  def retentionOf(ev: DataFrame, period: String = "week",
+                  tz: Option[String] = None): DataFrame = {
     require(Set("day", "week", "month")(period),
       s"retentionOf: period must be day|week|month, got '$period'")
     val perUser = ev
-      .select(col("user_id"), date_trunc(period, col("ts")).as("p"))
+      .select(col("user_id"), tzTrunc(period, col("ts"), tz).as("p"))
       .groupBy(col("user_id"))
       .agg(min(col("p")).as("cohort"), collect_set(col("p")).as("ps"))
     val cell = perUser.select(col("cohort"), explode(col("ps")).as("p"))
@@ -760,11 +1046,12 @@ object Windows {
     * user grain reduces to a single MAX offset (even smaller state
     * than the period set), and the calendar-bounded
     * `sequence(0, max)` explode runs between the aggregations. */
-  def retentionRollingOf(ev: DataFrame, period: String = "week"): DataFrame = {
+  def retentionRollingOf(ev: DataFrame, period: String = "week",
+                         tz: Option[String] = None): DataFrame = {
     require(Set("day", "week", "month")(period),
       s"retentionRollingOf: period must be day|week|month, got '$period'")
     val perUser = ev
-      .select(col("user_id"), date_trunc(period, col("ts")).as("p"))
+      .select(col("user_id"), tzTrunc(period, col("ts"), tz).as("p"))
       .groupBy(col("user_id"))
       .agg(min(col("p")).as("cohort"), max(col("p")).as("last"))
     val maxOff = (period match {
@@ -785,6 +1072,36 @@ object Windows {
   /** `events_retention_rolling`: the unbounded reading, same cohorts. */
   def eventsRetentionRolling(s: SparkSession, d: String): DataFrame =
     retentionRollingOf(events(s, d), "week")
+
+  /** The registered non-UTC retention market: UTC+9 (no DST), so every
+    * UTC day splits across two local days and the oracle exercises the
+    * shift hard — at sf0.01 the daily matrix reads 90 cells on the
+    * Tokyo calendar vs 59 on UTC. */
+  val RetentionTz: String = "Asia/Tokyo"
+
+  /** `events_retention_tz`: daily cohorts on the Tokyo calendar
+    * ([[retentionOf]]'s `tz` — cohort boundaries at the market's own
+    * midnight, not the session's pinned UTC). */
+  def eventsRetentionTz(s: SparkSession, d: String): DataFrame =
+    retentionOf(events(s, d), "day", Some(RetentionTz))
+
+  /** The same matrix with both truncations at the zone: naive-UTC
+    * instants → TIMESTAMPTZ (AT TIME ZONE 'UTC') → the zone's wall
+    * clock (AT TIME ZONE tz), DuckDB's spelling of
+    * `from_utc_timestamp`. */
+  def eventsRetentionTzOracle: String = """
+    WITH acts AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day',
+               (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo') AS p
+      FROM events),
+    coh AS (
+      SELECT user_id, min(p) AS cohort FROM acts GROUP BY 1)
+    SELECT strftime(cohort, '%Y-%m-%d %H:%M:%S') AS cohort,
+           CAST(date_diff('day', cohort, p) AS INT) AS "offset",
+           count(*) AS users
+    FROM acts JOIN coh USING (user_id)
+    GROUP BY 1, 2"""
 
   def eventsRetentionRollingOracle: String = """
     WITH acts AS (

@@ -354,6 +354,36 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else None
     }
 
+  /** The `&by=` segment registry shared by the compute faces of
+    * /funnel, /retention and /paths — ad-hoc segmentation over the
+    * wire, the /assemble convention applied to the segment axis (an
+    * analyst's breakdown column is a parameter, not a redeploy). Each
+    * name attaches ONE broadcast user-attribute dim (customer grain,
+    * aliased `seg`) before the segmented operator, so the fact table
+    * never shuffles for the attach and the operators carry the payload
+    * from there. `?store=` reads refuse `&by` at every route — a store
+    * is one materialization (its own segmented stores dispatch on
+    * their columns). */
+  private def segmentedEvents(sf: String, by: String)
+      : Either[String, org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    by match {
+      case "segment" =>
+        Right(graft.Tables.events(spark, sf).join(
+          graft.operators.Windows.segmentDim(spark, sf), Seq("user_id")))
+      case "region" =>
+        Right(graft.Tables.events(spark, sf).join(
+          broadcast(graft.Tables.customer(spark, sf)
+            .join(graft.Tables.nation(spark, sf),
+              col("c_nationkey") === col("n_nationkey"))
+            .select(col("c_custkey").as("user_id"),
+              col("n_name").as("seg"))),
+          Seq("user_id")))
+      case _ => Left(
+        """{"error":"by must be segment|region (the served user attributes)"}""")
+    }
+  }
+
   def boundPort: Int = server.getAddress.getPort
 
   private def respond(ex: HttpExchange, code: Int, body: String,
@@ -566,6 +596,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val storeName = param(ex, "store")
         val ver = param(ex, "version")
           .map(p => scala.util.Try(p.toLong).toOption)
+        // &by=segment runs the SEGMENTED operators parameterized —
+        // the report gains (segment, ..., "all" members); the name
+        // resolves through the shared registry (segmentedEvents)
+        val by = param(ex, "by")
         if (steps.contains(None))
           respond(ex, 400, """{"error":"steps must be distinct plain """ +
             """names (steps=view,click,purchase)"}""")
@@ -581,9 +615,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
         else if (storeName.isDefined &&
             (steps.isDefined || win.isDefined || gap.isDefined ||
+              by.isDefined ||
               param(ex, "mode").isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
-            """materialization — steps/window/gap/mode/sf don't apply"}""")
+            """materialization — steps/window/gap/mode/by/sf don't apply"}""")
         else if (ver.isDefined && storeName.isEmpty)
           respond(ex, 400, """{"error":"version= applies to store= """ +
             """reads (a maintained store's time travel)"}""")
@@ -637,35 +672,60 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
             val names = steps.flatten
               .getOrElse(graft.operators.Windows.FunnelSteps)
-            val ev = graft.Tables.events(spark, sf)
-            val stages = mode match {
-              case "deepest" => graft.operators.Windows
-                .funnelDeepestOf(ev, names, win.flatten.get)
-              case "sessions" => graft.operators.Windows
-                .funnelSessionsOf(ev, names,
-                  gap.flatten.getOrElse(1800000L))
-              case _ =>
-                graft.operators.Windows.funnelOf(ev, names, win.flatten)
-            }
-            val report = stages.zip(names).zipWithIndex.map {
-              case ((df, name), i) =>
-                val users = mode match {
-                  case "deepest" =>
-                    df.agg(countDistinct(col("user_id")).as("users"))
-                  case "sessions" =>
-                    // sessions are the funnel unit: distinct users with
-                    // a within-session conversion, plus the visit count
-                    df.agg(countDistinct(col("user_id.u")).as("users"),
-                      count(lit(1)).as("visits"))
-                  case _ => df.agg(count(lit(1)).as("users"))
+            val evOr = by.fold[Either[String,
+              org.apache.spark.sql.DataFrame]](
+              Right(graft.Tables.events(spark, sf)))(segmentedEvents(sf, _))
+            evOr match {
+              case Left(err) => respond(ex, 400, err)
+              case Right(ev) =>
+                val seg = by.map(_ => col("seg"))
+                val stages = mode match {
+                  case "deepest" => graft.operators.Windows
+                    .funnelDeepestOf(ev, names, win.flatten.get, by = seg)
+                  case "sessions" => graft.operators.Windows
+                    .funnelSessionsOf(ev, names,
+                      gap.flatten.getOrElse(1800000L), by = seg)
+                  case _ => graft.operators.Windows
+                    .funnelOf(ev, names, win.flatten, by = seg)
                 }
-                users.select(lit(i + 1).cast("int").as("step") +:
-                  lit(name).as("step_name") +: col("users") +:
-                  (if (mode == "sessions") Seq(col("visits")) else Nil): _*)
-            }.reduce(_ unionByName _)
-            val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-            respond(ex, 200, report.orderBy(col("step")).limit(limit)
-              .toJSON.collect().mkString("[", ",", "]"))
+                // the measures per mode: sessions are the funnel unit
+                // (distinct users + the visit count); the deepest
+                // stages are (user, anchor) grain, so users is a
+                // distinct count there too
+                val report =
+                  if (by.isDefined) {
+                    val (aggs, outs) = mode match {
+                      case "deepest" => (Seq(countDistinct(col("user_id"))
+                        .as("users")), Seq("users"))
+                      case "sessions" => (Seq(
+                        countDistinct(col("user_id.u")).as("users"),
+                        count(lit(1)).as("visits")), Seq("users", "visits"))
+                      case _ =>
+                        (Seq(count(lit(1)).as("users")), Seq("users"))
+                    }
+                    graft.operators.Windows
+                      .segmentedFunnelReport(stages, names, aggs, outs)
+                  } else stages.zip(names).zipWithIndex.map {
+                    case ((df, name), i) =>
+                      val users = mode match {
+                        case "deepest" =>
+                          df.agg(countDistinct(col("user_id")).as("users"))
+                        case "sessions" =>
+                          df.agg(countDistinct(col("user_id.u")).as("users"),
+                            count(lit(1)).as("visits"))
+                        case _ => df.agg(count(lit(1)).as("users"))
+                      }
+                      users.select(lit(i + 1).cast("int").as("step") +:
+                        lit(name).as("step_name") +: col("users") +:
+                        (if (mode == "sessions") Seq(col("visits"))
+                         else Nil): _*)
+                  }.reduce(_ unionByName _)
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                val order = if (by.isDefined)
+                  Seq(col("step"), col("segment")) else Seq(col("step"))
+                respond(ex, 200, report.orderBy(order: _*).limit(limit)
+                  .toJSON.collect().mkString("[", ",", "]"))
+            }
         }
       } catch {
         case e: IllegalArgumentException =>
@@ -689,6 +749,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val storeName = param(ex, "store")
         val ver = param(ex, "version")
           .map(p => scala.util.Try(p.toLong).toOption)
+        // &by=segment serves the segmented matrix (pairs attributed to
+        // their from-event's segment, "all" members from grouping sets)
+        val by = param(ex, "by")
         if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
         else if (ver.contains(None))
@@ -697,9 +760,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           respond(ex, 400,
             """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
         else if (storeName.isDefined &&
-            (gap.isDefined || param(ex, "sf").isDefined))
+            (gap.isDefined || by.isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
-            """materialization — gap/sf don't apply"}""")
+            """materialization — gap/by/sf don't apply"}""")
         else if (ver.isDefined && storeName.isEmpty)
           respond(ex, 400, """{"error":"version= applies to store= """ +
             """reads (a maintained store's time travel)"}""")
@@ -735,12 +798,22 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
           case Some(sf) =>
             import org.apache.spark.sql.functions.col
-            val matrix = graft.operators.Windows
-              .pathTransitionsOf(graft.Tables.events(spark, sf), gap.flatten)
-            val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-            respond(ex, 200,
-              matrix.orderBy(col("from_step"), col("to_step")).limit(limit)
-                .toJSON.collect().mkString("[", ",", "]"))
+            val matrixOr = by match {
+              case None => Right(graft.operators.Windows.pathTransitionsOf(
+                graft.Tables.events(spark, sf), gap.flatten))
+              case Some(b) => segmentedEvents(sf, b).map(ev =>
+                graft.operators.Windows.pathsSegmentedOf(ev, gap.flatten))
+            }
+            matrixOr match {
+              case Left(err) => respond(ex, 400, err)
+              case Right(matrix) =>
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                val order = col("from_step") +: col("to_step") +:
+                  (if (by.isDefined) Seq(col("segment")) else Nil)
+                respond(ex, 200,
+                  matrix.orderBy(order: _*).limit(limit)
+                    .toJSON.collect().mkString("[", ",", "]"))
+            }
         }
       } catch {
         case e: IllegalArgumentException =>
@@ -766,6 +839,12 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val storeName = param(ex, "store")
         val ver = param(ex, "version")
           .map(p => scala.util.Try(p.toLong).toOption)
+        // &by=segment serves the segmented matrix (entry-sampled at
+        // the cohort event, "all" members from grouping sets); &tz=
+        // truncates cohorts on a market's own calendar (retentionOf's
+        // tz — the zone id validates eagerly, unknown zones 400)
+        val by = param(ex, "by")
+        val tz = param(ex, "tz")
         if (!Set("day", "week", "month")(period))
           respond(ex, 400, """{"error":"period must be day|week|month"}""")
         else if (!Set("classic", "rolling")(mode))
@@ -774,11 +853,14 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           respond(ex, 400, """{"error":"limit must be an integer"}""")
         else if (ver.contains(None))
           respond(ex, 400, """{"error":"version must be an integer"}""")
+        else if (by.isDefined && mode == "rolling")
+          respond(ex, 400, """{"error":"segmented retention serves the """ +
+            """classic reading — mode=rolling doesn't take &by"}""")
         else if (storeName.isDefined &&
             (param(ex, "period").isDefined || param(ex, "mode").isDefined ||
-              param(ex, "sf").isDefined))
+              by.isDefined || tz.isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
-            """materialization — period/mode/sf don't apply"}""")
+            """materialization — period/mode/by/tz/sf don't apply"}""")
         else if (ver.isDefined && storeName.isEmpty)
           respond(ex, 400, """{"error":"version= applies to store= """ +
             """reads (a maintained store's time travel)"}""")
@@ -818,15 +900,26 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
           case Some(sf) =>
             import org.apache.spark.sql.functions.col
-            val ev = graft.Tables.events(spark, sf)
-            val matrix =
-              if (mode == "rolling")
-                graft.operators.Windows.retentionRollingOf(ev, period)
-              else graft.operators.Windows.retentionOf(ev, period)
-            val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-            respond(ex, 200,
-              matrix.orderBy(col("cohort"), col("offset")).limit(limit)
-                .toJSON.collect().mkString("[", ",", "]"))
+            val matrixOr = by match {
+              case Some(b) => segmentedEvents(sf, b).map(ev =>
+                graft.operators.Windows.retentionSegmentedOf(ev, period, tz))
+              case None =>
+                val ev = graft.Tables.events(spark, sf)
+                Right(
+                  if (mode == "rolling")
+                    graft.operators.Windows.retentionRollingOf(ev, period, tz)
+                  else graft.operators.Windows.retentionOf(ev, period, tz))
+            }
+            matrixOr match {
+              case Left(err) => respond(ex, 400, err)
+              case Right(matrix) =>
+                val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+                val order = col("cohort") +: col("offset") +:
+                  (if (by.isDefined) Seq(col("segment")) else Nil)
+                respond(ex, 200,
+                  matrix.orderBy(order: _*).limit(limit)
+                    .toJSON.collect().mkString("[", ",", "]"))
+            }
         }
       } catch {
         case e: IllegalArgumentException =>

@@ -521,7 +521,14 @@ object Maintained {
     val landed = new java.io.File(sdir, "landed")
     val victims = Option(drops.listFiles())
       .getOrElse(Array.empty[java.io.File]).filter(f => f.getName match {
-        case SplitName(tag) => !new java.io.File(landed, tag).exists
+        // the width pin is the split-landing's own birth certificate
+        // (written BEFORE any file move): without it the name is a
+        // LEGACY single-file drop whose tag merely ends in -pNNNNN —
+        // sidelining that would exclude its rows from every rebuild
+        // forever (no marker under the captured prefix ever lands)
+        case SplitName(tag) =>
+          new java.io.File(landed, s"$tag.width").exists &&
+            !new java.io.File(landed, tag).exists
         case _ => false
       })
     if (victims.nonEmpty) {
@@ -914,14 +921,31 @@ object Maintained {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         ids
       }
-      if (marker.exists || deferredMarker.exists) {
+      if (marker.exists) {
         // a crash between the marker write and the pending delete
         // leaves stale residue that would read as mid-flight forever —
-        // the committed redelivery is the cleanup point
+        // the committed redelivery is the cleanup point. The cleanup
+        // is gated on the COMMITTED marker alone: only it is written
+        // after the rebuild's checkpoint swap completed, so only it
+        // proves the pending is residue rather than a live wound (a
+        // deferred record says nothing about a crashed eager rebuild)
         java.nio.file.Files.deleteIfExists(
           new java.io.File(td, s"$tag.pending").toPath)
         TakedownResult(committed = false, 0L, versionNow)
+      } else if (deferredMarker.exists) {
+        TakedownResult(committed = false, 0L, versionNow)
       } else if (defer) {
+        // an open .pending without a committed marker = an eager
+        // takedown under this tag crashed mid-rebuild (checkpoint
+        // possibly mid-replace). Landing a deferred record now would
+        // make a later redelivery of THIS tag read as a no-op and
+        // delete the pending — unblocking ingest over a store whose
+        // swap never completed. Refuse; the eager redelivery heals.
+        if (new java.io.File(td, s"$tag.pending").exists)
+          throw new IllegalStateException(
+            s"takedown '$tag' crashed mid-rebuild on this store — " +
+              "redeliver it eagerly (no &defer) to complete the " +
+              "rebuild before deferring under this tag")
         landRoster(deferredMarker)
         TakedownResult(committed = true, 0L, versionNow)
       } else {
@@ -986,6 +1010,17 @@ object Maintained {
         java.nio.file.Files.deleteIfExists(
           new java.io.File(td, s"$tag.pending").toPath)
         FlushResult(committed = false, Nil, 0L, versionNow)
+      } else if (new java.io.File(td, s"$tag.deferred.jsonl").exists) {
+        // the flush marker lands at <tag>.jsonl — the SAME name this
+        // deferred roster would graduate to. Proceeding would graduate
+        // the roster and then ATOMIC_MOVE the flush's EMPTY marker
+        // over it, erasing those user ids from the cumulative
+        // exclusion roster with redelivery a no-op forever. Refuse;
+        // the flush needs a tag of its own.
+        throw new IllegalStateException(
+          s"flush tag '$tag' names a deferred takedown roster — its " +
+            "graduated record and the flush marker would collide at " +
+            s"'$tag.jsonl'; flush under a tag of its own")
       } else {
         val pending = new java.io.File(td, s"$tag.pending")
         val crashed = pending.exists

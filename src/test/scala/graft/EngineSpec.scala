@@ -195,6 +195,129 @@ class EngineSpec extends SparkSpec {
     assert(deepCounts.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("events_funnel_excluded: an intervening excluded event voids " +
+      "the hop (open interval, greedy first-occurrence — no rescue by " +
+      "a later clean pair)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val ex = Map(2 -> "error", 3 -> "error")
+    val ev = Seq(
+      // user 1: clean full conversion
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      // user 2: error BETWEEN view and first click voids step 2 — and
+      // greedy first-occurrence means the later clean click does NOT
+      // rescue (the candidate reach is the FIRST in-order click)
+      (2L, t(1), "view"), (2L, t(2), "error"), (2L, t(3), "click"),
+      (2L, t(10), "click"),
+      // user 3: error BEFORE the view (at the bound) does not void —
+      // the interval is open at t_prev
+      (3L, t(1), "error"), (3L, t(1), "view"), (3L, t(2), "click"),
+      // user 4: error at EXACTLY the click instant does not void (open
+      // at the reach), but a second error between click and purchase
+      // voids step 3
+      (4L, t(1), "view"), (4L, t(2), "error"), (4L, t(2), "click"),
+      (4L, t(3), "error"), (4L, t(4), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = operators.Windows
+      .funnelOf(ev, operators.Windows.FunnelSteps, exclude = ex)
+      .map(_.select("user_id").as[Long].collect().toSet)
+    assert(got == Seq(Set(1L, 2L, 3L, 4L), Set(1L, 3L, 4L), Set(1L)),
+      got.toString)
+    // without the exclusion users 2 and 4 convert where the path exists
+    val plain = operators.Windows
+      .funnelOf(ev, operators.Windows.FunnelSteps)
+      .map(_.select("user_id").as[Long].collect().toSet)
+    assert(plain(1) == Set(1L, 2L, 3L, 4L) && plain(2) == Set(1L, 4L))
+    // exclusion composes with the horizon: the horizon gates the STEP
+    // candidate; the void still reads off the first in-order reach
+    val h = Some(operators.Windows.parseHorizon("5m"))
+    val withH = operators.Windows
+      .funnelOf(ev, operators.Windows.FunnelSteps, h, exclude = ex)
+      .map(_.select("user_id").as[Long].collect().toSet)
+    assert(withH(1) == Set(1L, 3L, 4L), withH.toString)
+    // malformed exclusions are loud: out-of-range hop index, a step
+    // named as its own excluded type
+    intercept[IllegalArgumentException] {
+      operators.Windows.funnelOf(ev, Seq("view", "click"),
+        exclude = Map(1 -> "error")) }
+    intercept[IllegalArgumentException] {
+      operators.Windows.funnelOf(ev, Seq("view", "click"),
+        exclude = Map(2 -> "view")) }
+    // the registered report binds between the plain and windowed runs
+    val rep = operators.Windows.eventsFunnelExcluded(spark, sf)
+      .orderBy("step").collect().map(_.getLong(2))
+    val unb = operators.Windows.eventsFunnel(spark, sf)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(rep(0) == unb(0) && rep(1) <= unb(1) && rep(2) <= unb(2) &&
+      rep.sliding(2).forall(p => p(0) >= p(1)),
+      s"rep=${rep.toSeq} unb=${unb.toSeq}")
+  }
+
+  test("events_retention_tz: cohort boundaries at the market's own " +
+      "midnight — a UTC evening and the next UTC morning are ONE local " +
+      "day at UTC+9; unknown zones are loud") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      // 20:00 UTC Jan 1 = 05:00 Tokyo Jan 2; 02:00 UTC Jan 2 = 11:00
+      // Tokyo Jan 2 — two UTC days, ONE Tokyo day
+      (1L, Timestamp.valueOf("2024-01-01 20:00:00")),
+      (1L, Timestamp.valueOf("2024-01-02 02:00:00"))
+    ).toDF("user_id", "ts")
+    val utc = operators.Windows.retentionOf(ev, "day")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(utc == Set(("2024-01-01 00:00:00", 0, 1L),
+      ("2024-01-01 00:00:00", 1, 1L)), utc.toString)
+    val tokyo = operators.Windows
+      .retentionOf(ev, "day", Some(operators.Windows.RetentionTz))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(tokyo == Set(("2024-01-02 00:00:00", 0, 1L)), tokyo.toString)
+    // the rolling reading takes the same zone
+    val rollTokyo = operators.Windows
+      .retentionRollingOf(ev, "day", Some(operators.Windows.RetentionTz))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rollTokyo == Set(("2024-01-02 00:00:00", 0, 1L)),
+      rollTokyo.toString)
+    // an unknown zone 400s eagerly, never a mid-job executor error
+    intercept[IllegalArgumentException] {
+      operators.Windows.retentionOf(ev, "day", Some("Mars/Olympus")) }
+  }
+
+  test("events_funnel_deepest_segmented: the segment is the ENTRY " +
+      "sample (the user's first step-1 event), never the converting " +
+      "anchor's; duplicate-timestamp entries tie-break on the value") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val h = operators.Windows.parseHorizon("10m")
+    val ev = Seq(
+      // user 1: entry view carries seg A; only the LATER view (seg B)
+      // anchors the converting window — the reported segment must
+      // still be A (the defining-moment rule, funnelDeepestOf scaladoc)
+      (1L, t(1), "view", "A"), (1L, t(40), "view", "B"),
+      (1L, t(45), "click", "B"), (1L, t(47), "purchase", "B"),
+      // user 2: two entry views at the SAME instant — the (ts, seg)
+      // pair min breaks the tie on the value: B, deterministically
+      (2L, t(1), "view", "Z"), (2L, t(1), "view", "B"),
+      (2L, t(2), "click", "Z")
+    ).toDF("user_id", "ts", "event_type", "seg")
+    val stages = operators.Windows.funnelDeepestOf(ev,
+      operators.Windows.FunnelSteps, h, by = Some(col("seg")))
+    val segOf = stages.map(_.select(col("user_id"), col("_seg"))
+      .distinct().as[(Long, String)].collect().toMap)
+    assert(segOf(0) == Map(1L -> "A", 2L -> "B"), segOf(0).toString)
+    assert(segOf(2) == Map(1L -> "A"), segOf(2).toString)
+    // the registered report's "all" members equal the unsegmented
+    // deepest counts (GROUPING SETS recomputes the distinct count)
+    val all = operators.Windows.eventsFunnelDeepestSegmented(spark, sf)
+      .filter(col("segment") === "all")
+      .orderBy("step").collect().map(_.getLong(3))
+    val unseg = operators.Windows.eventsFunnelDeepest(spark, sf)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(all.toSeq == unseg.toSeq, s"all=${all.toSeq} unseg=${unseg.toSeq}")
+  }
+
   test("events_funnel_sessions: conversion counts only within one " +
       "gap-session; a user with two converting visits is one user, " +
       "two visits") {

@@ -562,4 +562,61 @@ class MaintainedSpec extends SparkSpec {
       "view->click" -> (1L, 60000000L),
       "click->purchase" -> (1L, 120000000L)))
   }
+
+  test("ledger-collision guards: a legacy -pNNNNN single-file drop is " +
+      "never sidelined as mid-flight, a flush refuses a deferred tag's " +
+      "name, and a deferral refuses over an open .pending") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdguards")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel")
+    def ev(u: Long, t: String, id: Long, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, typ)
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    // a LEGACY-shaped tag: valid under [A-Za-z0-9._-]+ but ends in
+    // -p + five digits, and lands as ONE file (n-p00001.parquet, no
+    // 'n.width' pin) — SplitName captures prefix 'n', so an ungated
+    // sideline would treat it as another tag's crashed partial landing
+    // on every pass and a rebuild would drop its rows permanently
+    Maintained.ingestDrop(spark, dir, cfg, "n-p00001", Seq(
+      ev(1, "2024-01-01 10:00:00.0", 1, "view"),
+      ev(2, "2024-01-01 10:30:00.0", 2, "view")).toDF(cols: _*))
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark")).toDF(cols: _*))
+    def step1Users: Long = Maintained
+      .funnelReportFrom(spark, PointStore.open(spark, dir.getPath))
+      .filter(col("step") === 1).head.getLong(2)
+    assert(step1Users == 2L)
+    // the takedown's rebuild sidelines mid-flight files — the legacy
+    // drop must be classified landed and survive with u1's row
+    val r = Maintained.takedownUsers(spark, dir, Seq(2L).toDF("user_id"), "r1")
+    assert(r.committed && r.removed == 1L, r.toString)
+    assert(step1Users == 1L, "legacy -pNNNNN drop rows lost in rebuild")
+    assert(new java.io.File(dir, "_stream/drops/n-p00001.parquet").exists,
+      "legacy single-file drop sidelined as mid-flight")
+    // flush-marker collision: a flush under a DEFERRED roster's tag
+    // would graduate the roster to d1.jsonl and then replace it with
+    // the flush's empty marker — refused before any work
+    assert(Maintained.takedownUsers(spark, dir, Seq(3L).toDF("user_id"),
+      "d1", defer = true).committed)
+    val clash = intercept[IllegalStateException](
+      Maintained.takedownFlush(spark, dir, "d1"))
+    assert(clash.getMessage.contains("d1"), clash.getMessage)
+    val f = Maintained.takedownFlush(spark, dir, "f1")
+    assert(f.committed && f.flushed == Seq("d1"), f.toString)
+    // a deferral over an open .pending (an eager takedown crashed
+    // mid-rebuild): refused — landing it would make this tag's later
+    // redelivery a no-op that deletes the pending over an incomplete
+    // swap. The pending survives the refusal; the eager redelivery
+    // heals and closes the tag.
+    val td = new java.io.File(dir, "_stream/takedowns")
+    java.nio.file.Files.createFile(new java.io.File(td, "d2.pending").toPath)
+    intercept[IllegalStateException](Maintained.takedownUsers(spark, dir,
+      Seq(4L).toDF("user_id"), "d2", defer = true))
+    assert(new java.io.File(td, "d2.pending").exists,
+      "a refused deferral must not clean the pending")
+    assert(Maintained.takedownUsers(spark, dir,
+      Seq(4L).toDF("user_id"), "d2").committed)
+    assert(!new java.io.File(td, "d2.pending").exists)
+  }
 }

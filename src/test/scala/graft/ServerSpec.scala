@@ -991,6 +991,80 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /funnel|/retention|/paths &by= serve the SEGMENTED reports " +
+      "≡ the registered segmented queries; &tz= serves the market " +
+      "calendar; the registry and the store combination are guarded") {
+    import org.apache.spark.sql.functions.col
+    val srv = new QueryServer(spark, sf)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      def reg(df: org.apache.spark.sql.DataFrame,
+              order: String*): String =
+        df.orderBy(order.map(col): _*).toJSON.collect()
+          .mkString("[", ",", "]")
+      // the default path &by=segment ≡ events_funnel_segmented (the
+      // whole wire shape, byte-equal under the route's own ordering)
+      val (c, body) = get(port, "/funnel?by=segment")
+      assert(c == 200, body)
+      assert(body == reg(graft.operators.Windows
+        .eventsFunnelSegmented(spark, sf), "step", "segment"))
+      // the horizon, anchored and per-visit flavors all take &by — the
+      // served report equals each registered segmented twin
+      val (wc, wbody) = get(port,
+        s"/funnel?window=${graft.operators.Windows.FunnelHorizon}&by=segment")
+      assert(wc == 200 && wbody == reg(graft.operators.Windows
+        .eventsFunnelWindowedSegmented(spark, sf), "step", "segment"), wbody)
+      val (dc, dbody) = get(port,
+        s"/funnel?mode=deepest&window=${graft.operators.Windows.FunnelHorizon}&by=segment")
+      assert(dc == 200 && dbody == reg(graft.operators.Windows
+        .eventsFunnelDeepestSegmented(spark, sf), "step", "segment"), dbody)
+      val (vc, vbody) = get(port, "/funnel?mode=sessions&by=segment")
+      assert(vc == 200 && vbody == reg(graft.operators.Windows
+        .eventsFunnelSessionsSegmented(spark, sf), "step", "segment"), vbody)
+      // the registry's second member resolves and differs
+      val (gc, gbody) = get(port, "/funnel?by=region")
+      assert(gc == 200 && gbody != body &&
+        gbody.contains("NATION_"), gbody.take(300))
+      // retention: &by ≡ the registered segmented matrix, &tz ≡ the
+      // registered Tokyo matrix, and the two COMPOSE (segment axis and
+      // market calendar are orthogonal)
+      val (rc, rbody) = get(port, "/retention?by=segment")
+      assert(rc == 200 && rbody == reg(graft.operators.Windows
+        .eventsRetentionSegmented(spark, sf),
+        "cohort", "offset", "segment"), rbody.take(300))
+      val (zc, zbody) = get(port, "/retention?period=day&tz=Asia/Tokyo")
+      assert(zc == 200 && zbody == reg(graft.operators.Windows
+        .eventsRetentionTz(spark, sf), "cohort", "offset"), zbody.take(300))
+      val (bc, bbody) = get(port,
+        "/retention?period=day&tz=Asia/Tokyo&by=segment")
+      val both = graft.operators.Windows.retentionSegmentedOf(
+        graft.Tables.events(spark, sf)
+          .join(graft.operators.Windows.segmentDim(spark, sf),
+            Seq("user_id")), "day", Some("Asia/Tokyo"))
+      assert(bc == 200 &&
+        bbody == reg(both, "cohort", "offset", "segment"), bbody.take(300))
+      // paths: &by ≡ the registered segmented matrix
+      val (pc, pbody) = get(port, "/paths?by=segment")
+      assert(pc == 200 && pbody == reg(graft.operators.Windows
+        .eventsPathsSegmented(spark, sf),
+        "from_step", "to_step", "segment"), pbody.take(300))
+      // guardrails: an unknown &by names the registry; &by/&tz refuse
+      // with ?store= on every route (a store is one materialization);
+      // zones validate eagerly; rolling+by is an explicit refusal
+      val (uc, ubody) = get(port, "/funnel?by=c_phone")
+      assert(uc == 400 && ubody.contains("segment|region"), ubody)
+      assert(get(port, "/paths?by=nope")._1 == 400)
+      assert(get(port, "/retention?by=nope")._1 == 400)
+      assert(get(port, "/retention?tz=Mars/Olympus")._1 == 400)
+      assert(get(port, "/retention?mode=rolling&by=segment")._1 == 400)
+      assert(get(port, "/funnel?store=x&by=segment")._1 == 400)
+      assert(get(port, "/retention?store=x&by=segment")._1 == 400)
+      assert(get(port, "/retention?store=x&tz=UTC")._1 == 400)
+      assert(get(port, "/paths?store=x&by=segment")._1 == 400)
+    } finally srv.stop()
+  }
+
   test("GET /funnel|/retention|/paths?store= serve the MAINTAINED report " +
       "stores (O(store) reads, no events re-scan); compute params refused " +
       "with store=") {
