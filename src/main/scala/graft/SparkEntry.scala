@@ -33,6 +33,7 @@ object SparkEntry {
     "perplexity_incremental", "perplexity_trigram_incremental",
     "funnel_maintained", "retention_maintained", "paths_maintained",
     "latency_maintained", "funnel_deepest_maintained",
+    "funnel_deepest_segmented_maintained",
     "retention_rolling_maintained", "paths_sessionized_maintained",
     "funnel_sessions_maintained", "funnel_segmented_maintained",
     "retention_segmented_maintained", "paths_segmented_maintained",
@@ -132,6 +133,7 @@ object SparkEntry {
     "paths_maintained" -> (graft.streaming.Maintained.pathsMaintained _),
     "latency_maintained" -> (graft.streaming.Maintained.latencyMaintained _),
     "funnel_deepest_maintained" -> (graft.streaming.Maintained.funnelDeepestMaintained _),
+    "funnel_deepest_segmented_maintained" -> (graft.streaming.Maintained.funnelDeepestSegmentedMaintained _),
     "retention_rolling_maintained" -> (graft.streaming.Maintained.retentionRollingMaintained _),
     "paths_sessionized_maintained" -> (graft.streaming.Maintained.pathsSessionizedMaintained _),
     "funnel_sessions_maintained" -> (graft.streaming.Maintained.funnelSessionsMaintained _),
@@ -276,6 +278,7 @@ object SparkEntry {
     "paths_maintained" -> Windows.eventsPathsOracle,
     "latency_maintained" -> Windows.funnelLatencyOracle,
     "funnel_deepest_maintained" -> Windows.eventsFunnelDeepestOracle,
+    "funnel_deepest_segmented_maintained" -> Windows.eventsFunnelDeepestSegmentedOracle,
     "retention_rolling_maintained" -> Windows.eventsRetentionRollingOracle,
     "paths_sessionized_maintained" -> Windows.eventsPathsSessionizedOracle,
     "funnel_sessions_maintained" -> Windows.eventsFunnelSessionsOracle,

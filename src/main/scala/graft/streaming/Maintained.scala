@@ -96,8 +96,9 @@ object Maintained {
     * refused loudly (a maintained store is one materialization; its
     * configuration must be exact, not silently defaulted). */
   val ReportTypes: Set[String] = Set("funnel", "funnel_deepest",
-    "funnel_sessions", "funnel_segmented", "retention", "retention_rolling",
-    "retention_segmented", "paths", "paths_segmented", "latency")
+    "funnel_deepest_segmented", "funnel_sessions", "funnel_segmented",
+    "retention", "retention_rolling", "retention_segmented", "paths",
+    "paths_segmented", "latency")
 
   def foldOf(s: SparkSession, typ: String, windowMs: Option[Long] = None,
              period: Option[String] = None,
@@ -137,6 +138,24 @@ object Maintained {
             df.select(col("user_id"), col("ts"), col("event_type"))
               .as[StreamingFunnelDeepest.Ev], s"${h}ms", path).toDF,
           _.groupBy("step", "step_name").agg(count(lit(1)).as("users")))
+      case "funnel_deepest_segmented" =>
+        no(period, "period"); no(gapMs, "gap")
+        val h = windowMs.getOrElse(throw new IllegalArgumentException(
+          "funnel_deepest_segmented requires a window (the search is " +
+            "anchored)"))
+        // the entry segment pins at the user's FIRST anchor (the only
+        // sample point final at watermark — the converting anchor
+        // isn't known until the depth stops growing), so the
+        // (seg, step) counts are additive and the "all" member is the
+        // same read-time rollup the chained segmented store uses
+        ReportFold(Seq("seg", "step", "step_name"), Seq("users"), Nil,
+          df => StreamingFunnelDeepestSegmented.funnel(s,
+            df.select(col("user_id"), col("ts"), col("event_type"),
+              col("seg")).as[StreamingFunnelDeepestSegmented.Ev],
+            s"${h}ms", path).toDF,
+          _.groupBy("seg", "step", "step_name")
+            .agg(count(lit(1)).as("users")),
+          schema = DefaultWireSchema + ", seg STRING")
       case "funnel_segmented" =>
         no(period, "period"); no(gapMs, "gap")
         // one more STRING on the wire and one more key in the store:
@@ -1173,6 +1192,25 @@ object Maintained {
   def funnelSegmentedMaintained(s: SparkSession, d: String): DataFrame = {
     val store = driveMaintained(s, d, "graft_segmaint_",
       foldOf(s, "funnel_segmented"), cycles = Condensed, seg = true)
+    funnelSegmentedReportFrom(s, store.snapshot)
+  }
+
+  /** `funnel_deepest_segmented_maintained`: the segmented deepest
+    * funnel as a maintained table — the
+    * [[StreamingFunnelDeepestSegmented]] twin's entry-segment reaches
+    * (exactly-once per (user, depth)) folded at (seg, step, step_name)
+    * grain; the read face is [[funnelSegmentedReportFrom]] UNCHANGED
+    * (the store shares the chained segmented store's shape, so
+    * GET /funnel?store= dispatches it for free). Oracle = the batch
+    * query's anchor-grain staged SQL with its GROUPING SETS rollup at
+    * the registered 1-day horizon. */
+  def funnelDeepestSegmentedMaintained(s: SparkSession,
+                                       d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_segdeepmaint_",
+      foldOf(s, "funnel_deepest_segmented",
+        windowMs = Some(graft.operators.Windows
+          .parseHorizon(graft.operators.Windows.FunnelHorizon))),
+      cycles = Condensed, seg = true)
     funnelSegmentedReportFrom(s, store.snapshot)
   }
 

@@ -17,6 +17,8 @@ class MaintainedSpec extends SparkSpec {
         Maintained.configOf("funnel", windowMs = Some(60000L),
           steps = Some(Seq("a", "b"))),
         Maintained.configOf("funnel_deepest", windowMs = Some(86400000L)),
+        Maintained.configOf("funnel_deepest_segmented",
+          windowMs = Some(86400000L)),
         Maintained.configOf("retention", period = Some("week")),
         Maintained.configOf("retention_rolling", period = Some("day")),
         Maintained.configOf("paths", gapMs = Some(1800000L)),
@@ -26,6 +28,8 @@ class MaintainedSpec extends SparkSpec {
       Maintained.foldOfConfig(spark, "type=nope"))
     intercept[IllegalArgumentException](
       Maintained.foldOfConfig(spark, "type=retention;gap_ms=5"))
+    intercept[IllegalArgumentException]( // anchored: window required
+      Maintained.foldOfConfig(spark, "type=funnel_deepest_segmented"))
     intercept[IllegalArgumentException](
       Maintained.foldOfConfig(spark, "window_ms=5"))
   }

@@ -1890,6 +1890,38 @@ class ServerSpec extends SparkSpec {
         """{"segment":"B","from_step":"view","to_step":"click","n":1},""" +
         """{"segment":"all","from_step":"view","to_step":"click","n":2}]""",
         ppb)
+
+      // the segmented DEEPEST funnel over the wire: same seg-carrying
+      // shape, anchored window required; user 1's ENTRY view carries A
+      // while only the later seg-B anchor converts — the served rows
+      // must report A at every depth (the defining-moment rule, served)
+      assert(post(port,
+        "/ingest/report?store=wsd&tag=n1&type=funnel_deepest_segmented&window=1h",
+        jsonOf(Seq(
+          ev(1, "2024-01-01 08:00:00.0", 1, "view", "A"),
+          ev(1, "2024-01-01 09:30:00.0", 2, "view", "B"),
+          ev(1, "2024-01-01 09:45:00.0", 3, "click", "B"),
+          ev(1, "2024-01-01 09:50:00.0", 4, "purchase", "B"),
+          ev(2, "2024-01-01 10:00:00.0", 5, "view", "B"))))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wsd&tag=s1&type=funnel_deepest_segmented&window=1h",
+        jsonOf(Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark", ""))))
+        ._1 == 200)
+      val (dc, db) = this.get(port, "/funnel?store=wsd")
+      assert(dc == 200 && db ==
+        """[{"segment":"A","step":1,"step_name":"view","users":1},""" +
+        """{"segment":"B","step":1,"step_name":"view","users":1},""" +
+        """{"segment":"all","step":1,"step_name":"view","users":2},""" +
+        """{"segment":"A","step":2,"step_name":"click","users":1},""" +
+        """{"segment":"all","step":2,"step_name":"click","users":1},""" +
+        """{"segment":"A","step":3,"step_name":"purchase","users":1},""" +
+        """{"segment":"all","step":3,"step_name":"purchase","users":1}]""",
+        db)
+      // anchored: the type refuses to pin without a window
+      assert(post(port,
+        "/ingest/report?store=wsd2&tag=n1&type=funnel_deepest_segmented",
+        jsonOf(Seq(ev(1, "2024-01-01 08:00:00.0", 1, "view", "A"))))
+        ._1 == 400)
     } finally srv.stop()
   }
 

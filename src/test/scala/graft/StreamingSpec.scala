@@ -422,6 +422,71 @@ class StreamingSpec extends SparkSpec {
     assert(s3.get.emitted == 3)
   }
 
+  test("StreamingFunnelDeepestSegmented pins the ENTRY segment (first " +
+      "step-1 event, tie on the value) even when a LATER anchor " +
+      "converts — aggregated reaches through the read-time rollup " +
+      "equal the batch segmented deepest report") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnelDeepestSegmented
+    import graft.streaming.StreamingFunnelDeepestSegmented.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = "10m"
+    val chunk1 = Seq(
+      // user 1: the entry view carries seg A; only the view@12 (seg B)
+      // anchors the converting window — every emission must still read
+      // A (the defining-moment rule; the converting anchor is unknown
+      // until the depth stops growing)
+      Ev(1, ts(1), "view", "A"),
+      // user 2: plain conversion, one segment
+      Ev(2, ts(2), "view", "C"), Ev(2, ts(3), "click", "C"),
+      Ev(2, ts(4), "purchase", "C"),
+      // user 6: the entry tie — two views at the SAME instant, the
+      // smaller segment value must pin (the batch min-pair law)
+      Ev(6, ts(5), "view", "ZZ"), Ev(6, ts(5), "view", "BB"),
+      Ev(6, ts(6), "click", "ZZ"))
+    val chunk2 = Seq(
+      Ev(1, ts(12), "view", "B"), Ev(1, ts(15), "click", "B"),
+      Ev(1, ts(16), "purchase", "B"))
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1); stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000), "sentinel", "")))
+    val q = StreamingFunnelDeepestSegmented
+      .funnel(spark, stream.toDS, horizon)
+      .writeStream.format("memory").queryName("segdeep_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("segdeep_out").filter(col("user_id") =!= 99)
+    val raw = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(raw.distinct.length == raw.length, s"dup reaches: ${raw.toSeq}")
+    // entry pins: user 1 reaches depth 3 via the seg-B anchor but
+    // reports A; user 6's same-instant tie broke to BB
+    assert(raw.filter(_._1 == 1L).map(_._2).distinct.toSeq == Seq("A"))
+    assert(raw.exists(r => r._1 == 1L && r._3 == 3))
+    assert(raw.filter(_._1 == 6L).map(_._2).distinct.toSeq == Seq("BB"))
+    // aggregated reaches through the read-time rollup ≡ the batch
+    // segmented deepest report (fine rows AND "all" members)
+    val fine = out.groupBy(col("seg"), col("step"), col("step_name"))
+      .agg(count(lit(1)).as("users"))
+    val got = graft.streaming.Maintained
+      .funnelSegmentedReportFrom(spark, fine)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val all = (chunk1 ++ chunk2).toDF("user_id", "ts", "event_type", "seg")
+    val h = graft.operators.Windows.parseHorizon(horizon)
+    val stages = graft.operators.Windows.funnelDeepestOf(all,
+      StreamingFunnelDeepestSegmented.Steps, h, by = Some(col("seg")))
+    val batch = graft.operators.Windows.segmentedFunnelReport(stages,
+        StreamingFunnelDeepestSegmented.Steps,
+        Seq(countDistinct(col("user_id")).as("users")), Seq("users"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == batch, s"got=$got\nbatch=$batch")
+  }
+
   test("StreamingRetention emits each (user, cohort, offset) cell exactly " +
       "once; the aggregated cells equal the batch retention matrix, " +
       "out-of-order cohort shifts included") {
