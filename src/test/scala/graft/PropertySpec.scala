@@ -143,6 +143,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("excluded funnel agrees with the in-memory void law on random " +
+      "streams — the excluded event voids only in the OPEN interval, " +
+      "greedy first-occurrence never rescued, horizon composed") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    val ex = Map(2 -> "x", 3 -> "x")
+    // excluded events as common as steps: the void path must fire often
+    val evGen = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 12L),
+      Gen.oneOf(steps ++ Seq("x", "noise")))
+    for (seed <- 1L to 6L; horizonSec <- Seq(None, Some(3L))) {
+      val evs = sample(Gen.listOfN(60, evGen), seed)
+      val df = evs.map { case (u, t, s) =>
+        (u, new java.sql.Timestamp(t * 1000L), s) }
+        .toDF("user_id", "ts", "event_type")
+      // reference: the chained law with one extra test per hop — the
+      // candidate reach t_k (FIRST in-order step-k event, horizon
+      // applied) voids iff an excluded event lies strictly between
+      // t_(k-1) and t_k; a voided user leaves the funnel (greedy — no
+      // later clean pair rescues)
+      val expected = steps.indices.map { k =>
+        evs.groupBy(_._1).flatMap { case (u, es) =>
+          steps.take(k + 1).zipWithIndex
+            .foldLeft(Option(Long.MinValue)) { case (bound, (s, j)) =>
+              bound.flatMap { b =>
+                es.filter(e => e._3 == s && e._2 > b &&
+                    (j == 0 || horizonSec.forall(h => e._2 <= b + h)))
+                  .map(_._2).minOption
+                  .filter(tk => j == 0 ||
+                    !es.exists(e => e._3 == "x" && e._2 > b && e._2 < tk))
+              }
+            }.map(t => (u, t))
+        }.toSet
+      }
+      val got = graft.operators.Windows
+        .funnelOf(df, steps, horizonSec.map(_ * 1000L), exclude = ex).map(
+        _.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L))
+          .toSet)
+      assert(got == expected, s"seed $seed horizon $horizonSec")
+    }
+  }
+
   test("trigram backoff probe agrees with the in-memory estimator on " +
       "random corpora (unseen contexts at every order, short docs absent, " +
       "identical decimal-before-sum rounding)") {
