@@ -358,29 +358,44 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
     * /funnel, /retention and /paths — ad-hoc segmentation over the
     * wire, the /assemble convention applied to the segment axis (an
     * analyst's breakdown column is a parameter, not a redeploy). Each
-    * name attaches ONE broadcast user-attribute dim (customer grain,
-    * aliased `seg`) before the segmented operator, so the fact table
-    * never shuffles for the attach and the operators carry the payload
-    * from there. `?store=` reads refuse `&by` at every route — a store
-    * is one materialization (its own segmented stores dispatch on
-    * their columns). */
-  private def segmentedEvents(sf: String, by: String)
+    * name maps to ONE user attribute served from the star schema's
+    * customer-grain dims; the attach is one broadcast join (a column
+    * per requested name), so the fact table never shuffles for it and
+    * the segmented operators carry the payload from there. /funnel
+    * takes a comma list (`by=segment,region` — every attribute
+    * expanded at once with "all" members on each axis, the registered
+    * events_funnel_segmented2 shape; capped at 2 like the registered
+    * query — crunch_global_full's 2^5 governs anything larger);
+    * /retention and /paths take one name. `?store=` reads refuse
+    * `&by` at every route — a store is one materialization (its own
+    * segmented stores dispatch on their columns). */
+  private val SegmentRegistry: Map[String, org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    scala.collection.immutable.ListMap(
+      "segment" -> col("c_mktsegment"),
+      "region" -> col("n_name"))
+  }
+
+  private val SegmentRegistryMsg =
+    s""""by must name distinct attributes from ${
+      SegmentRegistry.keys.mkString("|")} (the served user attributes)""""
+
+  private def segmentedEvents(sf: String, names: Seq[String])
       : Either[String, org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    by match {
-      case "segment" =>
-        Right(graft.Tables.events(spark, sf).join(
-          graft.operators.Windows.segmentDim(spark, sf), Seq("user_id")))
-      case "region" =>
-        Right(graft.Tables.events(spark, sf).join(
-          broadcast(graft.Tables.customer(spark, sf)
-            .join(graft.Tables.nation(spark, sf),
-              col("c_nationkey") === col("n_nationkey"))
-            .select(col("c_custkey").as("user_id"),
-              col("n_name").as("seg"))),
-          Seq("user_id")))
-      case _ => Left(
-        """{"error":"by must be segment|region (the served user attributes)"}""")
+    if (names.isEmpty || names.distinct.size != names.size ||
+        names.exists(!SegmentRegistry.contains(_)))
+      Left(s"""{"error":$SegmentRegistryMsg}""")
+    else {
+      val base = graft.Tables.customer(spark, sf)
+      val dim = (if (names.contains("region"))
+          base.join(graft.Tables.nation(spark, sf),
+            col("c_nationkey") === col("n_nationkey"))
+        else base)
+        .select(col("c_custkey").as("user_id") +:
+          names.map(n => SegmentRegistry(n).as(n)): _*)
+      Right(graft.Tables.events(spark, sf)
+        .join(broadcast(dim), Seq("user_id")))
     }
   }
 
@@ -597,9 +612,26 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val ver = param(ex, "version")
           .map(p => scala.util.Try(p.toLong).toOption)
         // &by=segment runs the SEGMENTED operators parameterized —
-        // the report gains (segment, ..., "all" members); the name
-        // resolves through the shared registry (segmentedEvents)
+        // the report gains (segment, ..., "all" members); names
+        // resolve through the shared registry (segmentedEvents), and
+        // a comma list expands EVERY attribute at once with "all"
+        // members per axis (the events_funnel_segmented2 shape)
         val by = param(ex, "by")
+        val byNames = by.map(_.split(",", -1).toSeq).getOrElse(Nil)
+        // &exclude=2:error,3:error voids hops on an intervening event
+        // (funnelOf's exclude — the chained law only: the deepest
+        // search is a different operator and the per-visit flavor's
+        // registered law carries no exclusions)
+        val excl = param(ex, "exclude").map { s =>
+          val parsed = s.split(",", -1).toSeq.map(_.split(":", -1) match {
+            case Array(k, t) if k.matches("[0-9]{1,2}") &&
+                t.matches("[A-Za-z0-9_-]+") => Some(k.toInt -> t)
+            case _ => None
+          })
+          if (parsed.contains(None) ||
+              parsed.flatten.map(_._1).distinct.size != parsed.size) None
+          else Some(parsed.flatten.toMap)
+        }
         if (steps.contains(None))
           respond(ex, 400, """{"error":"steps must be distinct plain """ +
             """names (steps=view,click,purchase)"}""")
@@ -613,12 +645,18 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else if (gap.contains(None))
           respond(ex, 400,
             """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
+        else if (excl.contains(None))
+          respond(ex, 400, """{"error":"exclude must be distinct """ +
+            """step:type pairs (exclude=2:error,3:error)"}""")
+        else if (by.isDefined && byNames.size > 2)
+          respond(ex, 400, """{"error":"by takes at most two """ +
+            """attributes (the registered 2^2 grouping-set cap)"}""")
         else if (storeName.isDefined &&
             (steps.isDefined || win.isDefined || gap.isDefined ||
-              by.isDefined ||
+              by.isDefined || excl.isDefined ||
               param(ex, "mode").isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
-            """materialization — steps/window/gap/mode/by/sf don't apply"}""")
+            """materialization — steps/window/gap/mode/by/exclude/sf don't apply"}""")
         else if (ver.isDefined && storeName.isEmpty)
           respond(ex, 400, """{"error":"version= applies to store= """ +
             """reads (a maintained store's time travel)"}""")
@@ -665,20 +703,32 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else if (mode != "sessions" && gap.isDefined)
           respond(ex, 400,
             """{"error":"&gap only applies to mode=sessions (use &window)"}""")
+        else if (excl.isDefined && mode != "chained")
+          respond(ex, 400, """{"error":"&exclude rides the chained """ +
+            """law — mode=deepest|sessions don't take it"}""")
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
           case Some(sf) =>
-            import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+            import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit, struct}
             val names = steps.flatten
               .getOrElse(graft.operators.Windows.FunnelSteps)
-            val evOr = by.fold[Either[String,
-              org.apache.spark.sql.DataFrame]](
-              Right(graft.Tables.events(spark, sf)))(segmentedEvents(sf, _))
+            val evOr =
+              if (byNames.isEmpty) Right(graft.Tables.events(spark, sf))
+              else segmentedEvents(sf, byNames)
             evOr match {
               case Left(err) => respond(ex, 400, err)
               case Right(ev) =>
-                val seg = by.map(_ => col("seg"))
+                // the payload is opaque to the chain: one attribute
+                // rides bare, several ride one struct (entry-sampled
+                // together — the events_funnel_segmented2 composition)
+                val seg = byNames match {
+                  case Nil => None
+                  case Seq(n) => Some(col(n))
+                  case ns => Some(struct(ns.zipWithIndex.map {
+                    case (n, i) => col(n).as(s"s$i") }: _*))
+                }
+                val exclMap = excl.flatten.getOrElse(Map.empty)
                 val stages = mode match {
                   case "deepest" => graft.operators.Windows
                     .funnelDeepestOf(ev, names, win.flatten.get, by = seg)
@@ -686,43 +736,53 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                     .funnelSessionsOf(ev, names,
                       gap.flatten.getOrElse(1800000L), by = seg)
                   case _ => graft.operators.Windows
-                    .funnelOf(ev, names, win.flatten, by = seg)
+                    .funnelOf(ev, names, win.flatten, by = seg,
+                      exclude = exclMap)
                 }
                 // the measures per mode: sessions are the funnel unit
                 // (distinct users + the visit count); the deepest
                 // stages are (user, anchor) grain, so users is a
                 // distinct count there too
+                val (aggs, outs) = mode match {
+                  case "deepest" => (Seq(countDistinct(col("user_id"))
+                    .as("users")), Seq("users"))
+                  case "sessions" => (Seq(
+                    countDistinct(col("user_id.u")).as("users"),
+                    count(lit(1)).as("visits")), Seq("users", "visits"))
+                  case _ =>
+                    (Seq(count(lit(1)).as("users")), Seq("users"))
+                }
                 val report =
-                  if (by.isDefined) {
-                    val (aggs, outs) = mode match {
-                      case "deepest" => (Seq(countDistinct(col("user_id"))
-                        .as("users")), Seq("users"))
-                      case "sessions" => (Seq(
-                        countDistinct(col("user_id.u")).as("users"),
-                        count(lit(1)).as("visits")), Seq("users", "visits"))
-                      case _ =>
-                        (Seq(count(lit(1)).as("users")), Seq("users"))
-                    }
+                  if (byNames.size >= 2)
+                    // every attribute expanded at once: cube over the
+                    // payload fields, each member coalescing to 'all'
+                    stages.zip(names).zipWithIndex.map {
+                      case ((df, name), i) =>
+                        df.select(col("user_id") +:
+                            byNames.zipWithIndex.map { case (n, j) =>
+                              col(s"_seg.s$j").as(n) }: _*)
+                          .cube(byNames.map(col): _*)
+                          .agg(aggs.head, aggs.tail: _*)
+                          .select(byNames.map(n =>
+                              coalesce(col(n), lit("all")).as(n)) ++
+                            Seq(lit(i + 1).cast("int").as("step"),
+                              lit(name).as("step_name")) ++
+                            outs.map(col): _*)
+                    }.reduce(_ unionByName _)
+                  else if (byNames.size == 1)
                     graft.operators.Windows
                       .segmentedFunnelReport(stages, names, aggs, outs)
-                  } else stages.zip(names).zipWithIndex.map {
+                  else stages.zip(names).zipWithIndex.map {
                     case ((df, name), i) =>
-                      val users = mode match {
-                        case "deepest" =>
-                          df.agg(countDistinct(col("user_id")).as("users"))
-                        case "sessions" =>
-                          df.agg(countDistinct(col("user_id.u")).as("users"),
-                            count(lit(1)).as("visits"))
-                        case _ => df.agg(count(lit(1)).as("users"))
-                      }
-                      users.select(lit(i + 1).cast("int").as("step") +:
-                        lit(name).as("step_name") +: col("users") +:
-                        (if (mode == "sessions") Seq(col("visits"))
-                         else Nil): _*)
+                      df.agg(aggs.head, aggs.tail: _*)
+                        .select(lit(i + 1).cast("int").as("step") +:
+                          lit(name).as("step_name") +: outs.map(col): _*)
                   }.reduce(_ unionByName _)
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-                val order = if (by.isDefined)
-                  Seq(col("step"), col("segment")) else Seq(col("step"))
+                val order =
+                  if (byNames.size >= 2) col("step") +: byNames.map(col)
+                  else if (byNames.size == 1) Seq(col("step"), col("segment"))
+                  else Seq(col("step"))
                 respond(ex, 200, report.orderBy(order: _*).limit(limit)
                   .toJSON.collect().mkString("[", ",", "]"))
             }
@@ -801,8 +861,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             val matrixOr = by match {
               case None => Right(graft.operators.Windows.pathTransitionsOf(
                 graft.Tables.events(spark, sf), gap.flatten))
-              case Some(b) => segmentedEvents(sf, b).map(ev =>
-                graft.operators.Windows.pathsSegmentedOf(ev, gap.flatten))
+              case Some(b) => segmentedEvents(sf, Seq(b)).map(ev =>
+                graft.operators.Windows.pathsSegmentedOf(
+                  ev.withColumnRenamed(b, "seg"), gap.flatten))
             }
             matrixOr match {
               case Left(err) => respond(ex, 400, err)
@@ -901,8 +962,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           case Some(sf) =>
             import org.apache.spark.sql.functions.col
             val matrixOr = by match {
-              case Some(b) => segmentedEvents(sf, b).map(ev =>
-                graft.operators.Windows.retentionSegmentedOf(ev, period, tz))
+              case Some(b) => segmentedEvents(sf, Seq(b)).map(ev =>
+                graft.operators.Windows.retentionSegmentedOf(
+                  ev.withColumnRenamed(b, "seg"), period, tz))
               case None =>
                 val ev = graft.Tables.events(spark, sf)
                 Right(

@@ -1026,6 +1026,21 @@ class ServerSpec extends SparkSpec {
       val (gc, gbody) = get(port, "/funnel?by=region")
       assert(gc == 200 && gbody != body &&
         gbody.contains("NATION_"), gbody.take(300))
+      // a COMMA list expands every attribute at once ≡ the registered
+      // two-dimension query (2^2 grouping sets, 'all' per axis)
+      val (mc, mbody) = get(port, "/funnel?by=segment,region")
+      assert(mc == 200 && mbody == reg(graft.operators.Windows
+        .eventsFunnelSegmented2(spark, sf),
+        "step", "segment", "region"), mbody.take(300))
+      // &exclude= serves the hop-voiding law ≡ the registered query,
+      // and composes with &by
+      val (xc, xbody) = get(port, "/funnel?exclude=2:error,3:error")
+      assert(xc == 200 && xbody == reg(graft.operators.Windows
+        .eventsFunnelExcluded(spark, sf), "step"), xbody.take(300))
+      val (xbc, xbbody) = get(port,
+        "/funnel?exclude=2:error,3:error&by=segment")
+      assert(xbc == 200 && xbbody.contains("\"segment\":\"all\"") &&
+        xbbody != body, xbbody.take(300))
       // retention: &by ≡ the registered segmented matrix, &tz ≡ the
       // registered Tokyo matrix, and the two COMPOSE (segment axis and
       // market calendar are orthogonal)
@@ -1054,6 +1069,19 @@ class ServerSpec extends SparkSpec {
       // zones validate eagerly; rolling+by is an explicit refusal
       val (uc, ubody) = get(port, "/funnel?by=c_phone")
       assert(uc == 400 && ubody.contains("segment|region"), ubody)
+      assert(get(port, "/funnel?by=segment,segment")._1 == 400)
+      assert(get(port, "/funnel?by=segment,region,segment2")._1 == 400)
+      // exclusions: malformed pairs, repeated hop indexes, out-of-range
+      // hop (the operator's own require surfaces as the 400), wrong
+      // modes, and the store combination all refuse
+      assert(get(port, "/funnel?exclude=nope")._1 == 400)
+      assert(get(port, "/funnel?exclude=2:error,2:signup")._1 == 400)
+      assert(get(port, "/funnel?exclude=9:error")._1 == 400)
+      assert(get(port,
+        "/funnel?exclude=2:error&mode=sessions&gap=30m")._1 == 400)
+      assert(get(port,
+        "/funnel?exclude=2:error&mode=deepest&window=1d")._1 == 400)
+      assert(get(port, "/funnel?store=x&exclude=2:error")._1 == 400)
       assert(get(port, "/paths?by=nope")._1 == 400)
       assert(get(port, "/retention?by=nope")._1 == 400)
       assert(get(port, "/retention?tz=Mars/Olympus")._1 == 400)
