@@ -86,6 +86,7 @@ object SparkEntry {
     "events_paths"       -> (Windows.eventsPaths _),
     "events_paths_sessionized" -> (Windows.eventsPathsSessionized _),
     "funnel_latency"     -> (Windows.funnelLatency _),
+    "funnel_latency_segmented" -> (Windows.funnelLatencySegmented _),
     "events_retention"   -> (Windows.eventsRetention _),
     "events_retention_rolling" -> (Windows.eventsRetentionRolling _),
     // daily cohorts on a non-UTC market's calendar
@@ -241,6 +242,7 @@ object SparkEntry {
     "events_paths"       -> Windows.eventsPathsOracle,
     "events_paths_sessionized" -> Windows.eventsPathsSessionizedOracle,
     "funnel_latency"     -> Windows.funnelLatencyOracle,
+    "funnel_latency_segmented" -> Windows.funnelLatencySegmentedOracle,
     "events_retention"   -> Windows.eventsRetentionOracle,
     "events_retention_rolling" -> Windows.eventsRetentionRollingOracle,
     "events_retention_tz" -> Windows.eventsRetentionTzOracle,

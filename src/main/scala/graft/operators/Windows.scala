@@ -1247,6 +1247,78 @@ object Windows {
            quantile_disc(lat_us, 0.75), quantile_disc(lat_us, 0.95)
     FROM h2"""
 
+  /** `funnel_latency_segmented`: time-to-convert BY SEGMENT with "all"
+    * members — the one report family still without the axis after r18:
+    * "how long does each KIND of user take to convert". The segment is
+    * the chain's entry payload ([[funnelOf]]'s `by` — the family's
+    * defining-moment rule), the hop join stays on the `user_id`
+    * partitioning every stage carries, and the per-set percentiles
+    * come from the rollup RECOMPUTING the quantile sketch per grouping
+    * set over the hop-latency rows (Expand multiplies converted-user
+    * rows — per-hop converts, never raw events — so the "all" sketch
+    * is the sketch over all latencies, not a merge of per-segment
+    * ones; in the exact regime both equal quantile_disc). */
+  def funnelLatencySegmented(s: SparkSession, d: String): DataFrame =
+    funnelLatencySegmentedOf(events(s, d).join(segmentDim(s, d),
+      Seq("user_id")))
+
+  /** The parameterized form behind the registered query and
+    * GET /latency&by= — `ev` carries the attached `seg` column. */
+  def funnelLatencySegmentedOf(ev: DataFrame,
+                               steps: Seq[String] = FunnelSteps): DataFrame = {
+    import graft.functions.SketchOps
+    val stages = funnelOf(ev, steps, by = Some(col("seg")))
+    stages.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
+      val hop = s"${steps(i)}->${steps(i + 1)}"
+      a.select(col("user_id"), col("t").as("t_from"), col("_seg"))
+        .join(b.select(col("user_id"), col("t").as("t_to")),
+          Seq("user_id"))
+        .select(col("_seg"),
+          (unix_micros(col("t_to").cast("timestamp")) -
+            unix_micros(col("t_from").cast("timestamp"))).as("lat_us"))
+        .rollup(col("_seg"))
+        .agg(count(lit(1)).as("n_users"),
+          SketchOps.quantileSketch(col("lat_us"), TextOps.QuantileK).as("sk"))
+        .select(coalesce(col("_seg"), lit("all")).as("segment") +:
+          lit(hop).as("hop") +: col("n_users") +:
+          TextOps.quantileCols(col("sk")): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  def funnelLatencySegmentedOracle: String = """
+    WITH ev AS (
+      SELECT e.user_id, e.ts, e.event_type, c.c_mktsegment AS seg
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    s1 AS (
+      SELECT user_id, min(ts) AS t, min(seg) AS seg FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s1.seg) AS seg FROM ev e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s2.seg) AS seg FROM ev e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+    h1 AS (
+      SELECT s1.seg,
+             CAST(date_diff('microsecond', s1.t, s2.t) AS BIGINT) AS lat_us
+      FROM s1 JOIN s2 USING (user_id)),
+    h2 AS (
+      SELECT s2.seg,
+             CAST(date_diff('microsecond', s2.t, s3.t) AS BIGINT) AS lat_us
+      FROM s2 JOIN s3 USING (user_id))
+    SELECT coalesce(seg, 'all') AS segment, 'view->click' AS hop,
+           count(*) AS n_users,
+           quantile_disc(lat_us, 0.25) AS p25, quantile_disc(lat_us, 0.5) AS p50,
+           quantile_disc(lat_us, 0.75) AS p75, quantile_disc(lat_us, 0.95) AS p95
+    FROM h1 GROUP BY GROUPING SETS ((seg), ())
+    UNION ALL
+    SELECT coalesce(seg, 'all'), 'click->purchase', count(*),
+           quantile_disc(lat_us, 0.25), quantile_disc(lat_us, 0.5),
+           quantile_disc(lat_us, 0.75), quantile_disc(lat_us, 0.95)
+    FROM h2 GROUP BY GROUPING SETS ((seg), ())"""
+
   /** The registered windowed funnel's horizon: each hop must land
     * within one day of the previous reach (the testdata's inter-event
     * cadence makes this bind hard — at sf0.01 it cuts 150/150/150 to

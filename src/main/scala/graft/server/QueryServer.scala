@@ -1102,13 +1102,17 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val storeName = param(ex, "store")
         val ver = param(ex, "version")
           .map(p => scala.util.Try(p.toLong).toOption)
+        // &by=segment serves time-to-convert BY SEGMENT (the segmented
+        // latency report, "all" members included)
+        val by = param(ex, "by")
         if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
         else if (ver.contains(None))
           respond(ex, 400, """{"error":"version must be an integer"}""")
-        else if (storeName.isDefined && param(ex, "sf").isDefined)
+        else if (storeName.isDefined &&
+            (by.isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
-            """materialization — sf doesn't apply"}""")
+            """materialization — by/sf don't apply"}""")
         else if (ver.isDefined && storeName.isEmpty)
           respond(ex, 400, """{"error":"version= applies to store= """ +
             """reads (a maintained store's time travel)"}""")
@@ -1138,9 +1142,21 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           case Some(sf) =>
             import org.apache.spark.sql.functions.col
             val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-            respond(ex, 200, graft.operators.Windows.funnelLatency(spark, sf)
-              .orderBy(col("hop")).limit(limit)
-              .toJSON.collect().mkString("[", ",", "]"))
+            val reportOr = by match {
+              case None =>
+                Right((graft.operators.Windows.funnelLatency(spark, sf),
+                  Seq(col("hop"))))
+              case Some(b) => segmentedEvents(sf, Seq(b)).map(ev =>
+                (graft.operators.Windows.funnelLatencySegmentedOf(
+                  ev.withColumnRenamed(b, "seg")),
+                  Seq(col("hop"), col("segment"))))
+            }
+            reportOr match {
+              case Left(err) => respond(ex, 400, err)
+              case Right((report, order)) =>
+                respond(ex, 200, report.orderBy(order: _*).limit(limit)
+                  .toJSON.collect().mkString("[", ",", "]"))
+            }
         }
       } catch {
         case e: IllegalArgumentException =>

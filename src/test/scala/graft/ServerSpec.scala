@@ -1059,6 +1059,13 @@ class ServerSpec extends SparkSpec {
             Seq("user_id")), "day", Some("Asia/Tokyo"))
       assert(bc == 200 &&
         bbody == reg(both, "cohort", "offset", "segment"), bbody.take(300))
+      // latency: &by ≡ the registered segmented time-to-convert report
+      val (lc, lbody) = get(port, "/latency?by=segment")
+      assert(lc == 200 && lbody == reg(graft.operators.Windows
+        .funnelLatencySegmented(spark, sf), "hop", "segment"),
+        lbody.take(300))
+      assert(get(port, "/latency?by=nope")._1 == 400)
+      assert(get(port, "/latency?store=x&by=segment")._1 == 400)
       // paths: &by ≡ the registered segmented matrix
       val (pc, pbody) = get(port, "/paths?by=segment")
       assert(pc == 200 && pbody == reg(graft.operators.Windows
