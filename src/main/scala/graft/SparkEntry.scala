@@ -32,7 +32,8 @@ object SparkEntry {
     "drift_gate", "drift_follower", "assemble_from_recipe",
     "perplexity_incremental", "perplexity_trigram_incremental",
     "funnel_maintained", "retention_maintained", "paths_maintained",
-    "latency_maintained", "funnel_deepest_maintained",
+    "latency_maintained", "latency_segmented_maintained",
+    "funnel_deepest_maintained",
     "funnel_deepest_segmented_maintained",
     "retention_rolling_maintained", "paths_sessionized_maintained",
     "funnel_sessions_maintained", "funnel_segmented_maintained",
@@ -133,6 +134,7 @@ object SparkEntry {
     "retention_maintained" -> (graft.streaming.Maintained.retentionMaintained _),
     "paths_maintained" -> (graft.streaming.Maintained.pathsMaintained _),
     "latency_maintained" -> (graft.streaming.Maintained.latencyMaintained _),
+    "latency_segmented_maintained" -> (graft.streaming.Maintained.latencySegmentedMaintained _),
     "funnel_deepest_maintained" -> (graft.streaming.Maintained.funnelDeepestMaintained _),
     "funnel_deepest_segmented_maintained" -> (graft.streaming.Maintained.funnelDeepestSegmentedMaintained _),
     "retention_rolling_maintained" -> (graft.streaming.Maintained.retentionRollingMaintained _),
@@ -279,6 +281,7 @@ object SparkEntry {
     "retention_maintained" -> Windows.eventsRetentionOracle,
     "paths_maintained" -> Windows.eventsPathsOracle,
     "latency_maintained" -> Windows.funnelLatencyOracle,
+    "latency_segmented_maintained" -> Windows.funnelLatencySegmentedOracle,
     "funnel_deepest_maintained" -> Windows.eventsFunnelDeepestOracle,
     "funnel_deepest_segmented_maintained" -> Windows.eventsFunnelDeepestSegmentedOracle,
     "retention_rolling_maintained" -> Windows.eventsRetentionRollingOracle,

@@ -1126,12 +1126,21 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                 import org.apache.spark.sql.functions.col
                 import graft.functions.SketchOps
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-                respond(ex, 200,
-                  ver.flatten.fold(store.snapshot)(store.snapshotAt)
-                  .select(col("hop") +: col("n_users") +:
-                    graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
-                      SketchOps.quantileAt(col("sk"), q).as(n) }: _*)
-                  .orderBy(col("hop")).limit(limit)
+                val snap = ver.flatten.fold(store.snapshot)(store.snapshotAt)
+                // a SEGMENTED latency store serves per-segment rows +
+                // the read-time "all" member (counts sum, sketches
+                // merge) — the family's column dispatch
+                val (report, order) =
+                  if (snap.columns.contains("seg"))
+                    (graft.streaming.Maintained
+                      .latencySegmentedReportFrom(spark, snap),
+                      Seq(col("hop"), col("segment")))
+                  else (snap.select(col("hop") +: col("n_users") +:
+                    graft.operators.TextOps.QuantilePoints.map {
+                      case (q, n) =>
+                        SketchOps.quantileAt(col("sk"), q).as(n) }: _*),
+                    Seq(col("hop")))
+                respond(ex, 200, report.orderBy(order: _*).limit(limit)
                   .toJSON.collect().mkString("[", ",", "]"))
             }
           case _ => () // unreachable: storeName.isDefined

@@ -98,7 +98,7 @@ object Maintained {
   val ReportTypes: Set[String] = Set("funnel", "funnel_deepest",
     "funnel_deepest_segmented", "funnel_sessions", "funnel_segmented",
     "retention", "retention_rolling", "retention_segmented", "paths",
-    "paths_segmented", "latency")
+    "paths_segmented", "latency", "latency_segmented")
 
   def foldOf(s: SparkSession, typ: String, windowMs: Option[Long] = None,
              period: Option[String] = None,
@@ -244,6 +244,30 @@ object Maintained {
             .groupBy("hop").agg(count(lit(1)).as("n_users"),
               SketchOps.quantileSketch(col("lat_us"),
                 graft.operators.TextOps.QuantileK).as("sk")))
+      case "latency_segmented" =>
+        no(period, "period"); no(gapMs, "gap")
+        import graft.functions.SketchOps
+        require(path.size >= 2,
+          s"latency_segmented needs at least two steps (a hop), got $path")
+        val hops = array(path.sliding(2).map { case Seq(a, b) =>
+          lit(s"$a->$b") }.toSeq: _*)
+        // the segmented twin's reaches carry lat_us exactly like the
+        // plain twin's (the fin vector holds the previous reach), so
+        // the segmented hop-latency store is one additive fold at
+        // (seg, hop) grain with a mergeable sketch measure; the "all"
+        // member is latencySegmentedReportFrom's read-time rollup
+        // (counts sum, sketches merge)
+        ReportFold(Seq("seg", "hop"), Seq("n_users"), Seq("sk"),
+          df => StreamingFunnelSegmented.funnel(s,
+            df.select(col("user_id"), col("ts"), col("event_type"),
+              col("seg")).as[StreamingFunnelSegmented.Ev],
+            windowMs.map(ms => s"${ms}ms"), path).toDF
+            .filter(col("step") > 1),
+          _.withColumn("hop", element_at(hops, col("step") - 1))
+            .groupBy("seg", "hop").agg(count(lit(1)).as("n_users"),
+              SketchOps.quantileSketch(col("lat_us"),
+                graft.operators.TextOps.QuantileK).as("sk")),
+          schema = DefaultWireSchema + ", seg STRING")
     }
   }
 
@@ -1340,6 +1364,40 @@ object Maintained {
     store.snapshot.select(col("hop") +: col("n_users") +:
       graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
         SketchOps.quantileAt(col("sk"), q).as(n) }: _*)
+  }
+
+  /** The segmented hop-latency report read from a maintained
+    * (seg, hop)/(n_users, sk) store: per-segment rows plus the
+    * read-time "all" member — counts SUM across segments, sketches
+    * MERGE (the compactor is mergeable; in the exact regime the merged
+    * sketch holds every latency, so the all-member percentiles equal
+    * quantile_disc over all users). Shape ≡ `funnel_latency_segmented`. */
+  def latencySegmentedReportFrom(s: SparkSession,
+                                 snapshot: DataFrame): DataFrame = {
+    import graft.functions.SketchOps
+    snapshot.select(col("seg"), col("hop"), col("n_users"), col("sk"))
+      .groupingSets(Seq(Seq(col("seg"), col("hop")), Seq(col("hop"))),
+        col("seg"), col("hop"))
+      .agg(sum(col("n_users")).as("n_users"),
+        SketchOps.quantileMerge(col("sk")).as("sk"))
+      .select(coalesce(col("seg"), lit("all")).as("segment") +:
+        col("hop") +: col("n_users") +:
+        graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
+          SketchOps.quantileAt(col("sk"), q).as(n) }: _*)
+  }
+
+  /** `latency_segmented_maintained`: time-to-convert BY SEGMENT as a
+    * maintained table — the last segmented report to gain its twin.
+    * The [[StreamingFunnelSegmented]] reaches carry `lat_us` for free
+    * (the fin vector holds the previous reach at fold time — the plain
+    * twin's trick), so the store is one additive (seg, hop) fold with
+    * a mergeable sketch measure and no second stateful pairing.
+    * Oracle = the batch query's segment-riding staged SQL with its
+    * GROUPING SETS quantile_disc rollup. */
+  def latencySegmentedMaintained(s: SparkSession, d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_seglatmaint_",
+      foldOf(s, "latency_segmented"), cycles = Condensed, seg = true)
+    latencySegmentedReportFrom(s, store.snapshot)
   }
 
   /** `report_takedown`: the compliance story for a maintained analytics

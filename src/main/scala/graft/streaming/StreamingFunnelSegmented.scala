@@ -36,8 +36,15 @@ object StreamingFunnelSegmented {
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp,
                       event_type: String, seg: String)
+  /** `lat_us` = µs since the previous step's reach (-1 at step 1), the
+    * plain twin's free ride ([[StreamingFunnel.Reach]]'s scaladoc):
+    * the previous reach time sits in the fin vector at fold time, so
+    * the SEGMENTED hop-latency report (`latency_segmented_maintained`)
+    * is one more additive fold downstream, never a second stateful
+    * pairing. */
   final case class Reach(user_id: Long, seg: String, step: Int,
-                         step_name: String, ts: java.sql.Timestamp)
+                         step_name: String, ts: java.sql.Timestamp,
+                         lat_us: Long)
   /** fin(i) = finalized reach time of step i+1 (-1 = unreached);
     * entrySeg = the step-1 fold's segment (null until reached); buf =
     * (tsUs, stepIdx, seg) events still admissible — seg matters only
@@ -78,7 +85,7 @@ object StreamingFunnelSegmented {
         fin(i) = t
         if (i == 0) entrySeg = seg
         emitted += Reach(userId, entrySeg, i + 1, steps(i),
-          EventTime.tsOfUs(t))
+          EventTime.tsOfUs(t), if (i == 0) -1L else t - fin(i - 1))
       }
     }
     val pending = hold.filterNot { case (t, i, _) => deadVsFinal(t, i) }

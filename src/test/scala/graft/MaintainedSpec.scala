@@ -22,7 +22,8 @@ class MaintainedSpec extends SparkSpec {
         Maintained.configOf("retention", period = Some("week")),
         Maintained.configOf("retention_rolling", period = Some("day")),
         Maintained.configOf("paths", gapMs = Some(1800000L)),
-        Maintained.configOf("latency")))
+        Maintained.configOf("latency"),
+        Maintained.configOf("latency_segmented")))
       Maintained.foldOfConfig(spark, cfg) // parses and validates
     intercept[IllegalArgumentException](
       Maintained.foldOfConfig(spark, "type=nope"))

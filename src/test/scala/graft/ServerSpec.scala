@@ -1957,6 +1957,30 @@ class ServerSpec extends SparkSpec {
         "/ingest/report?store=wsd2&tag=n1&type=funnel_deepest_segmented",
         jsonOf(Seq(ev(1, "2024-01-01 08:00:00.0", 1, "view", "A"))))
         ._1 == 400)
+
+      // the segmented LATENCY store: lat_us rides the segmented twin's
+      // reaches, the store folds (seg, hop) sketches, and the read's
+      // "all" member MERGES them — the served read must equal the
+      // batch segmented latency operator over the same events
+      val latEvs = Seq(
+        ev(1, "2024-01-01 08:00:00.0", 1, "view", "A"),
+        ev(1, "2024-01-01 08:01:00.0", 2, "click", "A"),
+        ev(2, "2024-01-01 09:00:00.0", 3, "view", "B"),
+        ev(2, "2024-01-01 09:02:00.0", 4, "click", "B"))
+      assert(post(port,
+        "/ingest/report?store=wsl&tag=n1&type=latency_segmented",
+        jsonOf(latEvs))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wsl&tag=s1&type=latency_segmented",
+        jsonOf(Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark", ""))))
+        ._1 == 200)
+      val (slc, slb) = this.get(port, "/latency?store=wsl")
+      val slBatch = graft.operators.Windows.funnelLatencySegmentedOf(
+          latEvs.toDF(cols: _*).select(col("user_id"), col("ts"),
+            col("event_type"), col("seg")))
+        .orderBy(col("hop"), col("segment"))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(slc == 200 && slb == slBatch, s"served=$slb\nbatch=$slBatch")
     } finally srv.stop()
   }
 

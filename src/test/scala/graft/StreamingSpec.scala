@@ -179,6 +179,12 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((6L, "AAA", 2, ts(6))))       // ...and it rides
     assert(got.contains((7L, "X", 2, ts(2))))         // entry, not hop seg
     assert(got.count(_._3 == 3) == 2)                 // users 1 and 5
+    // the lat_us law rides the segmented reaches exactly as on the
+    // plain twin: -1 at step 1, µs since the previous reach after
+    val lats = spark.table("segfun_out").filter(col("user_id") === 1L)
+      .collect().map(r => r.getInt(2) -> r.getLong(5)).toMap
+    assert(lats == Map(1 -> -1L, 2 -> 60000000L, 3 -> 60000000L),
+      lats.toString)
   }
 
   test("StreamingFunnelSessions equals the batch session funnel — " +
