@@ -82,6 +82,8 @@ object SparkEntry {
     "events_funnel_segmented2" -> (Windows.eventsFunnelSegmented2 _),
     // hop voided by an intervening excluded event
     "events_funnel_excluded" -> (Windows.eventsFunnelExcluded _),
+    // ...and the per-visit reading (same-visit errors void)
+    "events_funnel_sessions_excluded" -> (Windows.eventsFunnelSessionsExcluded _),
     "events_retention_segmented" -> (Windows.eventsRetentionSegmented _),
     "events_paths_segmented" -> (Windows.eventsPathsSegmented _),
     "events_paths"       -> (Windows.eventsPaths _),
@@ -239,6 +241,7 @@ object SparkEntry {
     "events_funnel_deepest_segmented" -> Windows.eventsFunnelDeepestSegmentedOracle,
     "events_funnel_segmented2" -> Windows.eventsFunnelSegmented2Oracle,
     "events_funnel_excluded" -> Windows.eventsFunnelExcludedOracle,
+    "events_funnel_sessions_excluded" -> Windows.eventsFunnelSessionsExcludedOracle,
     "events_retention_segmented" -> Windows.eventsRetentionSegmentedOracle,
     "events_paths_segmented" -> Windows.eventsPathsSegmentedOracle,
     "events_paths"       -> Windows.eventsPathsOracle,

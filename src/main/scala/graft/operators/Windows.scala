@@ -829,7 +829,8 @@ object Windows {
     * frames at (user, session) grain with the reach time. */
   def funnelSessionsOf(ev: DataFrame, steps: Seq[String],
                        gapMs: Long = 1800000L,
-                       by: Option[Column] = None): Seq[DataFrame] = {
+                       by: Option[Column] = None,
+                       exclude: Map[Int, String] = Map.empty): Seq[DataFrame] = {
     require(gapMs > 0, s"session gap must be positive, got $gapMs")
     val byUser = Window.partitionBy(col("_uid"))
       .orderBy(col("ts"), col("event_id"))
@@ -849,8 +850,13 @@ object Windows {
     // the segment payload composes UNCHANGED over the composite key:
     // the entry sample is then per (user, session) — each visit's own
     // entry attribute, the per-visit reading of the family's
-    // defining-moment rule
-    funnelOf(sessioned, steps, by = by.map(_ => col("_byseg")))
+    // defining-moment rule. `exclude` composes the same way: the
+    // sessioned frame keeps EVERY event under its visit key, so the
+    // hop's excluded-min is per (user, session) and only an excluded
+    // event in the SAME VISIT voids — "converted in one visit without
+    // an error", the per-visit reading of the void law.
+    funnelOf(sessioned, steps, by = by.map(_ => col("_byseg")),
+      exclude = exclude)
   }
 
   /** `events_funnel_sessions`: per-step counts of DISTINCT USERS with
@@ -866,6 +872,74 @@ object Windows {
           lit(name).as("step_name"), col("users"), col("visits"))
     }.reduce(_ unionByName _)
   }
+
+  /** The registered per-visit exclusion gap: 12 hours — long enough
+    * visits that an `error` actually intervenes between hops (at the
+    * 30-minute grain the testdata's in-visit hops are error-free and
+    * the oracle couldn't tell the law from a no-op; at 12 h it voids
+    * 95 of 422 step-2 visits at sf0.01). */
+  val SessionsExcludedGapMs: Long = 43200000L
+
+  /** `events_funnel_sessions_excluded`: the per-visit funnel where an
+    * `error` IN THE SAME VISIT voids the hop — [[funnelSessionsOf]]'s
+    * `exclude` composition: the sessioned frame keys every event by
+    * its visit, so the void law reads per (user, session) and an error
+    * in another visit never voids (EngineSpec pins exactly that
+    * contrast). Both measures reported, exclusion on both hops. */
+  def eventsFunnelSessionsExcluded(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelSessionsOf(events(s, d), FunnelSteps,
+      gapMs = SessionsExcludedGapMs,
+      exclude = Map(2 -> "error", 3 -> "error"))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(countDistinct(col("user_id.u")).as("users"),
+          count(lit(1)).as("visits"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name"), col("users"), col("visits"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The sessionized staged-min SQL with a per-visit NOT EXISTS
+    * anti-conjunct per hop. */
+  def eventsFunnelSessionsExcludedOracle: String = """
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+                  THEN 1 ELSE 0 END AS gap_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             CAST(sum(gap_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM g),
+    s1 AS (
+      SELECT user_id, sid, min(ts) AS t FROM sess
+      WHERE event_type = 'view' GROUP BY 1, 2),
+    s2 AS (
+      SELECT e.user_id, e.sid, min(e.ts) AS t FROM sess e
+      JOIN s1 USING (user_id, sid)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1, 2),
+    s2x AS (
+      SELECT s2.user_id, s2.sid, s2.t FROM s2 JOIN s1 USING (user_id, sid)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sess x
+        WHERE x.user_id = s2.user_id AND x.sid = s2.sid
+          AND x.event_type = 'error' AND x.ts > s1.t AND x.ts < s2.t)),
+    s3 AS (
+      SELECT e.user_id, e.sid, min(e.ts) AS t FROM sess e
+      JOIN s2x USING (user_id, sid)
+      WHERE e.event_type = 'purchase' AND e.ts > s2x.t GROUP BY 1, 2),
+    s3x AS (
+      SELECT s3.user_id, s3.sid, s3.t FROM s3 JOIN s2x USING (user_id, sid)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sess x
+        WHERE x.user_id = s3.user_id AND x.sid = s3.sid
+          AND x.event_type = 'error' AND x.ts > s2x.t AND x.ts < s3.t))
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           count(DISTINCT user_id) AS users, count(*) AS visits FROM s1
+    UNION ALL SELECT 2, 'click', count(DISTINCT user_id), count(*) FROM s2x
+    UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id), count(*) FROM s3x"""
 
   /** The sessionize oracle's session index feeding the staged-min
     * funnel SQL at (user, session) grain. */

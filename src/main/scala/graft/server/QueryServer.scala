@@ -703,9 +703,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else if (mode != "sessions" && gap.isDefined)
           respond(ex, 400,
             """{"error":"&gap only applies to mode=sessions (use &window)"}""")
-        else if (excl.isDefined && mode != "chained")
+        else if (excl.isDefined && mode == "deepest")
           respond(ex, 400, """{"error":"&exclude rides the chained """ +
-            """law — mode=deepest|sessions don't take it"}""")
+            """law (per hop, or per visit with mode=sessions) — the """ +
+            """deepest search doesn't take it"}""")
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
@@ -734,7 +735,8 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                     .funnelDeepestOf(ev, names, win.flatten.get, by = seg)
                   case "sessions" => graft.operators.Windows
                     .funnelSessionsOf(ev, names,
-                      gap.flatten.getOrElse(1800000L), by = seg)
+                      gap.flatten.getOrElse(1800000L), by = seg,
+                      exclude = exclMap)
                   case _ => graft.operators.Windows
                     .funnelOf(ev, names, win.flatten, by = seg,
                       exclude = exclMap)

@@ -252,6 +252,30 @@ class EngineSpec extends SparkSpec {
     assert(rep(0) == unb(0) && rep(1) <= unb(1) && rep(2) <= unb(2) &&
       rep.sliding(2).forall(p => p(0) >= p(1)),
       s"rep=${rep.toSeq} unb=${unb.toSeq}")
+
+    // the PER-VISIT reading composes: the sessioned frame keys every
+    // event by its visit, so an error in the SAME visit voids while
+    // the identical error pattern in ANOTHER visit never does
+    val sev = Seq(
+      // user 1: error between view and click, one visit — voided
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "error"),
+      (1L, t(3), 3L, "click"),
+      // user 2: clean first visit converts; the error OPENS the second
+      // visit (before its view) — neither visit voids
+      (2L, t(1), 4L, "view"), (2L, t(3), 5L, "click"),
+      (2L, t(60), 6L, "error"), (2L, t(61), 7L, "view"),
+      (2L, t(62), 8L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val sessExcl = operators.Windows
+      .funnelSessionsOf(sev, operators.Windows.FunnelSteps,
+        exclude = Map(2 -> "error"))
+    assert(sessExcl(1).select(col("user_id.u")).as[Long]
+      .collect().toSeq.sorted == Seq(2L, 2L), "same-visit error must " +
+      "void user 1; user 2's other-visit error must not")
+    val sessPlain = operators.Windows
+      .funnelSessionsOf(sev, operators.Windows.FunnelSteps)
+    assert(sessPlain(1).select(col("user_id.u")).distinct().as[Long]
+      .collect().toSet == Set(1L, 2L))
   }
 
   test("events_retention_tz: cohort boundaries at the market's own " +

@@ -1085,9 +1085,14 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/funnel?exclude=2:error,2:signup")._1 == 400)
       assert(get(port, "/funnel?exclude=9:error")._1 == 400)
       assert(get(port,
-        "/funnel?exclude=2:error&mode=sessions&gap=30m")._1 == 400)
-      assert(get(port,
         "/funnel?exclude=2:error&mode=deepest&window=1d")._1 == 400)
+      // the per-visit exclusion serves ≡ the registered query (the
+      // SAME-VISIT void law at the registered 12 h gap)
+      val (sxc, sxbody) = get(port,
+        "/funnel?mode=sessions&gap=12h&exclude=2:error,3:error")
+      assert(sxc == 200 && sxbody == reg(graft.operators.Windows
+        .eventsFunnelSessionsExcluded(spark, sf), "step"),
+        sxbody.take(300))
       assert(get(port, "/funnel?store=x&exclude=2:error")._1 == 400)
       assert(get(port, "/paths?by=nope")._1 == 400)
       assert(get(port, "/retention?by=nope")._1 == 400)
