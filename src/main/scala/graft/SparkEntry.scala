@@ -37,6 +37,7 @@ object SparkEntry {
     "funnel_deepest_segmented_maintained",
     "retention_rolling_maintained", "paths_sessionized_maintained",
     "funnel_sessions_maintained", "funnel_segmented_maintained",
+    "funnel_segmented2_maintained",
     "retention_segmented_maintained", "paths_segmented_maintained",
     "report_takedown")
 
@@ -78,10 +79,18 @@ object SparkEntry {
     "events_funnel_sessions_segmented" -> (Windows.eventsFunnelSessionsSegmented _),
     "events_funnel_deepest_segmented" -> (Windows.eventsFunnelDeepestSegmented _),
     // two dimensions expanded at once (2^2 grouping sets, the
-    // crunch_global_full discipline on the funnel family)
+    // crunch_global_full discipline on the funnel family) — r20 carries
+    // the same composition to retention, paths and hop latency
     "events_funnel_segmented2" -> (Windows.eventsFunnelSegmented2 _),
+    "events_retention_segmented2" -> (Windows.eventsRetentionSegmented2 _),
+    "events_paths_segmented2" -> (Windows.eventsPathsSegmented2 _),
+    "funnel_latency_segmented2" -> (Windows.funnelLatencySegmented2 _),
     // hop voided by an intervening excluded event
     "events_funnel_excluded" -> (Windows.eventsFunnelExcluded _),
+    // ...per anchor on the deepest search (r20 — the r19 refusal decided)
+    "events_funnel_deepest_excluded" -> (Windows.eventsFunnelDeepestExcluded _),
+    // per-step property predicates (the funnel-builder's per-step WHERE)
+    "events_funnel_filtered" -> (Windows.eventsFunnelFiltered _),
     // ...and the per-visit reading (same-visit errors void)
     "events_funnel_sessions_excluded" -> (Windows.eventsFunnelSessionsExcluded _),
     "events_retention_segmented" -> (Windows.eventsRetentionSegmented _),
@@ -94,6 +103,8 @@ object SparkEntry {
     "events_retention_rolling" -> (Windows.eventsRetentionRolling _),
     // daily cohorts on a non-UTC market's calendar
     "events_retention_tz" -> (Windows.eventsRetentionTz _),
+    // ...and the tumbling daily series on the same calendar (r20)
+    "events_window_tz" -> (Windows.eventsWindowTz _),
     "asof_join"          -> (Joins.asofJoin _),
     "asof_join_native"   -> (Joins.asofJoinNative _),
     // LLM-data-pipeline surface (#19-30); ann_ivf is the one
@@ -143,6 +154,7 @@ object SparkEntry {
     "paths_sessionized_maintained" -> (graft.streaming.Maintained.pathsSessionizedMaintained _),
     "funnel_sessions_maintained" -> (graft.streaming.Maintained.funnelSessionsMaintained _),
     "funnel_segmented_maintained" -> (graft.streaming.Maintained.funnelSegmentedMaintained _),
+    "funnel_segmented2_maintained" -> (graft.streaming.Maintained.funnelSegmented2Maintained _),
     "retention_segmented_maintained" -> (graft.streaming.Maintained.retentionSegmentedMaintained _),
     "paths_segmented_maintained" -> (graft.streaming.Maintained.pathsSegmentedMaintained _),
     "report_takedown" -> (graft.streaming.Maintained.reportTakedown _),
@@ -240,6 +252,12 @@ object SparkEntry {
     "events_funnel_sessions_segmented" -> Windows.eventsFunnelSessionsSegmentedOracle,
     "events_funnel_deepest_segmented" -> Windows.eventsFunnelDeepestSegmentedOracle,
     "events_funnel_segmented2" -> Windows.eventsFunnelSegmented2Oracle,
+    "events_retention_segmented2" -> Windows.eventsRetentionSegmented2Oracle,
+    "events_paths_segmented2" -> Windows.eventsPathsSegmented2Oracle,
+    "funnel_latency_segmented2" -> Windows.funnelLatencySegmented2Oracle,
+    "events_funnel_deepest_excluded" -> Windows.eventsFunnelDeepestExcludedOracle,
+    "events_funnel_filtered" -> Windows.eventsFunnelFilteredOracle,
+    "events_window_tz" -> Windows.eventsWindowTzOracle,
     "events_funnel_excluded" -> Windows.eventsFunnelExcludedOracle,
     "events_funnel_sessions_excluded" -> Windows.eventsFunnelSessionsExcludedOracle,
     "events_retention_segmented" -> Windows.eventsRetentionSegmentedOracle,
@@ -291,6 +309,7 @@ object SparkEntry {
     "paths_sessionized_maintained" -> Windows.eventsPathsSessionizedOracle,
     "funnel_sessions_maintained" -> Windows.eventsFunnelSessionsOracle,
     "funnel_segmented_maintained" -> Windows.eventsFunnelSegmentedOracle,
+    "funnel_segmented2_maintained" -> Windows.eventsFunnelSegmented2Oracle,
     "retention_segmented_maintained" -> Windows.eventsRetentionSegmentedOracle,
     "paths_segmented_maintained" -> Windows.eventsPathsSegmentedOracle,
     "report_takedown" -> graft.streaming.Maintained.reportTakedownOracle,

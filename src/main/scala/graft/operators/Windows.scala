@@ -31,6 +31,40 @@ object Windows {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2"""
 
+  /** `events_window_tz`: the tumbling report on a non-UTC market's
+    * calendar — [[tzTrunc]] reused verbatim (the r19 retention fix,
+    * closing the calendar family: a daily series for a Tokyo market
+    * was shifting exactly the way retention did before `tz` landed).
+    * Registered at the DAY grain where the shift BINDS — Tokyo is
+    * UTC+9, a whole-hour offset, so hourly buckets would only relabel;
+    * daily buckets REGROUP (every UTC day splits across two local
+    * days — 155 rows vs UTC's 150 at sf0.01, and EngineSpec pins a
+    * bucket that splits across midnight UTC). Same one-projection
+    * cost: the zone shift is part of the grouping expression, nothing
+    * else in the plan moves. */
+  def eventsWindowTz(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        tstr(tzTrunc("day", col("ts"), Some(RetentionTz))).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        dsum(col("value")).as("sum_value"))
+
+  /** The AT TIME ZONE oracle — DuckDB's spelling of
+    * `from_utc_timestamp` before the truncation, the
+    * [[eventsRetentionTzOracle]] idiom on the tumbling report. */
+  def eventsWindowTzOracle: String = """
+    SELECT strftime(date_trunc('day',
+             (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo'),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2"""
+
   /** Gap-based sessionization: a new session starts after >30 min of user
     * inactivity. session index = running count of gap-starts — one shuffle
     * on user_id, sort within partition, all window functions share the
@@ -216,11 +250,25 @@ object Windows {
     * carries BOTH event types and the aggregate takes one more
     * conditional min ("earliest excluded event after the bound") —
     * the chain stays one equi-join + one agg per stage, user_id the
-    * only shuffle key, so exclusions cost the plan nothing. */
+    * only shuffle key, so exclusions cost the plan nothing.
+    *
+    * `stepWhere(k)` is a PER-STEP property predicate (the standard
+    * product-analytics funnel-builder move — "purchase over $50 after
+    * any view"): a Column over the raw event row that an event must
+    * ALSO satisfy to count as step k, for k in 1..steps. It narrows
+    * the step's CANDIDATE SET before the chain law runs — the
+    * first-occurrence min, the horizon, the entry sample (a filtered
+    * step 1 samples the segment of the first QUALIFYING entry) and the
+    * exclusion law all compose unchanged on the narrowed set; excluded
+    * types are never predicate-filtered (the predicate describes the
+    * step, not the interference). Plan shape: the conjunct lands in
+    * the stage's scan filter (pushed beside the event_type equality),
+    * so a predicate costs the chain nothing. */
   def funnelOf(ev: DataFrame, steps: Seq[String],
                horizonMs: Option[Long] = None,
                by: Option[Column] = None,
-               exclude: Map[Int, String] = Map.empty): Seq[DataFrame] = {
+               exclude: Map[Int, String] = Map.empty,
+               stepWhere: Map[Int, Column] = Map.empty): Seq[DataFrame] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnelOf: steps must be non-empty and distinct, got $steps")
     require(horizonMs.forall(_ > 0),
@@ -230,15 +278,26 @@ object Windows {
         s", got ${exclude.keys.toSeq.sorted}")
     require(exclude.values.forall(v => !steps.contains(v)),
       s"funnelOf: an excluded type cannot also be a step, got $exclude")
-    val slim = ev.select(col("user_id"), col("ts"), col("event_type"))
+    require(stepWhere.keys.forall(k => k >= 1 && k <= steps.size),
+      s"funnelOf: stepWhere keys index a step (1..${steps.size}), " +
+        s"got ${stepWhere.keys.toSeq.sorted}")
+    // the step-k candidate filter: the type equality plus the step's
+    // optional property conjunct, applied on the RAW event row (the
+    // predicate may reference any event column) before the slim select
+    def isStep(step: String, k: Int): Column = {
+      val typed = col("event_type") === step
+      stepWhere.get(k).map(typed && _).getOrElse(typed)
+    }
+    def slimOf(f: Column): DataFrame =
+      ev.filter(f).select(col("user_id"), col("ts"), col("event_type"))
     val first = by match {
       case None =>
-        slim.filter(col("event_type") === steps.head)
+        slimOf(isStep(steps.head, 1))
           .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
       case Some(seg) =>
-        ev.select(col("user_id"), col("ts"), col("event_type"),
+        ev.filter(isStep(steps.head, 1))
+          .select(col("user_id"), col("ts"), col("event_type"),
             seg.as("_seg"))
-          .filter(col("event_type") === steps.head)
           .groupBy(col("user_id"))
           .agg(min(struct(col("ts"), col("_seg"))).as("_e"))
           .select(col("user_id"), col("_e.ts").as("t"),
@@ -256,7 +315,7 @@ object Windows {
       val segAgg = if (by.isEmpty) Nil else Seq(min(col("_seg")).as("_seg"))
       exclude.get(i + 2) match {
         case None =>
-          val joined = slim.filter(col("event_type") === step)
+          val joined = slimOf(isStep(step, i + 2))
             .join(prev.hint("shuffle_hash"), "user_id")
             .filter(within.map(inOrder && _).getOrElse(inOrder))
           joined.groupBy(col("user_id"))
@@ -266,8 +325,8 @@ object Windows {
           // gates STEP candidates only (a beyond-horizon reach does
           // not exist to void), the excluded min is unbounded above —
           // it voids by PRECEDING the candidate, `xt < t2`
-          val joined = slim
-            .filter(col("event_type") === step || col("event_type") === x)
+          val joined = slimOf(isStep(step, i + 2) ||
+              col("event_type") === x)
             .join(prev.hint("shuffle_hash"), "user_id")
             .filter(inOrder)
           val stepTs = when(col("event_type") === step &&
@@ -364,6 +423,49 @@ object Windows {
            count(*) AS users FROM s1
     UNION ALL SELECT 2, 'click', count(*) FROM s2x
     UNION ALL SELECT 3, 'purchase', count(*) FROM s3x"""
+
+  /** `events_funnel_filtered`: the signup path with PER-STEP property
+    * predicates ([[funnelOf]]'s `stepWhere` — the funnel-builder's
+    * per-step WHERE): a click only counts over $20 and a purchase only
+    * over $50, composed with the registered 1-day per-hop horizon. At
+    * sf0.01 it cuts the windowed 150/60/25 to 150/45/9 — both
+    * predicates and the horizon bind, so the oracle exercises the
+    * composition hard (the narrowed candidate set SHIFTS each reach
+    * min, which moves the next hop's deadline — EngineSpec pins a user
+    * who converts unfiltered but not filtered). */
+  def eventsFunnelFiltered(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelOf(events(s, d), FunnelSteps,
+      Some(parseHorizon(FunnelHorizon)),
+      stepWhere = Map(2 -> (col("value") > 20.0),
+        3 -> (col("value") > 50.0)))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The windowed staged-min SQL with a per-stage property conjunct —
+    * the predicate narrows the candidate set BEFORE the min, exactly
+    * the implementation's scan-filter placement. */
+  def eventsFunnelFilteredOracle: String = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.value > 20 AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL 1 DAY GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.value > 50 AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL 1 DAY GROUP BY 1)
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           count(*) AS users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""
 
   /** The registered SEGMENT dimension: the customer's market segment,
     * keyed by the user id (the driver's star schema keys events.user_id
@@ -602,6 +704,16 @@ object Windows {
     FROM u
     GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
 
+  /** All 2^k subsets of the segment axes (finest first), each extended
+    * with the report's fixed grain — the GROUPING SETS a k-attribute
+    * "all"-member expansion needs. The crunch_global_full discipline
+    * (Crunch.scala's 2^5 is the registered cap for the pattern)
+    * governs k; the registered queries use k ≤ 2. */
+  private def segGroupingSets(always: Seq[Column],
+                              segs: Seq[String]): Seq[Seq[Column]] =
+    (segs.size to 0 by -1).flatMap(n =>
+      segs.combinations(n).map(c => always ++ c.map(col)))
+
   /** `events_retention_segmented`: the cohort matrix BY SEGMENT with
     * "all" members — [[eventsFunnelSegmented]]'s pattern on the
     * retention matrix. The segment is ENTRY-SAMPLED — the attribute
@@ -616,35 +728,53 @@ object Windows {
     * key), and the "all" member comes from GROUPING SETS over
     * FINEST-GRAIN PARTIALS — the matrix×segment partial rows are what
     * Expand multiplies, never the user-period cells (the
-    * Dimensions.scala two-phase discipline). */
+    * Dimensions.scala two-phase discipline).
+    *
+    * `by` names the attached attribute columns and their report names
+    * — SEVERAL attributes expand SIMULTANEOUSLY with "all" members on
+    * each axis (2^k grouping sets over the same finest-grain partials;
+    * the entry sample is min over (ts, a1..ak) tuples, one aggregate
+    * regardless of k) — the reference's defining move,
+    * crunch_global.sql:38-50's simultaneous dimensions, applied to the
+    * cohort matrix exactly as [[eventsFunnelSegmented2]] applies it to
+    * the funnel. */
   def retentionSegmentedOf(ev: DataFrame,
                            period: String = "week",
-                           tz: Option[String] = None): DataFrame = {
+                           tz: Option[String] = None,
+                           by: Seq[(String, String)] =
+                             Seq("seg" -> "segment")): DataFrame = {
     require(Set("day", "week", "month")(period),
       s"retentionSegmentedOf: period must be day|week|month, got '$period'")
+    require(by.nonEmpty && by.map(_._1).distinct.size == by.size &&
+        by.map(_._2).distinct.size == by.size,
+      s"retentionSegmentedOf: by must map distinct columns to distinct " +
+        s"report names, got $by")
+    val segs = by.map(_._1)
     val perUser = ev
-      .select(col("user_id"), col("ts"),
-        tzTrunc(period, col("ts"), tz).as("p"), col("seg"))
+      .select(Seq(col("user_id"), col("ts"),
+        tzTrunc(period, col("ts"), tz).as("p")) ++ segs.map(col): _*)
       .groupBy(col("user_id"))
       .agg(min(col("p")).as("cohort"), collect_set(col("p")).as("ps"),
-        min(struct(col("ts"), col("seg"))).getField("seg").as("seg"))
+        min(struct(col("ts") +: segs.map(col): _*)).as("_e"))
+      .select(Seq(col("cohort"), col("ps")) ++
+        segs.map(n => col("_e").getField(n).as(n)): _*)
     val offset = period match {
       case "month" => months_between(col("p"), col("cohort")).cast("int")
       case "week"  => (datediff(col("p"), col("cohort")) / 7).cast("int")
       case "day"   => datediff(col("p"), col("cohort"))
     }
     val fine = perUser
-      .select(col("cohort"), col("seg"), explode(col("ps")).as("p"))
-      .groupBy(tstr(col("cohort")).as("cohort"), offset.as("offset"),
-        col("seg"))
+      .select(col("cohort") +: segs.map(col) :+ explode(col("ps")).as("p"): _*)
+      .groupBy(Seq(tstr(col("cohort")).as("cohort"), offset.as("offset")) ++
+        segs.map(col): _*)
       .agg(count(lit(1)).as("pu"))
     fine.groupingSets(
-        Seq(Seq(col("cohort"), col("offset"), col("seg")),
-          Seq(col("cohort"), col("offset"))),
-        col("cohort"), col("offset"), col("seg"))
+        segGroupingSets(Seq(col("cohort"), col("offset")), segs),
+        Seq(col("cohort"), col("offset")) ++ segs.map(col): _*)
       .agg(sum(col("pu")).as("users"))
-      .select(coalesce(col("seg"), lit("all")).as("segment"),
-        col("cohort"), col("offset"), col("users"))
+      .select(by.map { case (in, out) =>
+          coalesce(col(in), lit("all")).as(out) } ++
+        Seq(col("cohort"), col("offset"), col("users")): _*)
   }
 
   def eventsRetentionSegmented(s: SparkSession, d: String): DataFrame =
@@ -667,6 +797,49 @@ object Windows {
            o AS "offset", count(*) AS users
     FROM cell GROUP BY GROUPING SETS ((seg, cohort, o), (cohort, o))"""
 
+  /** The registered two-axis pairing shared by the `*_segmented2`
+    * family: market segment × customer nation ([[segmentDim2]] — the
+    * dim joins dim-side before ONE broadcast, the fact never shuffles
+    * for the attach). */
+  private def events2(s: SparkSession, d: String): DataFrame =
+    events(s, d).join(segmentDim2(s, d), Seq("user_id"))
+
+  /** The `*_segmented2` axis mapping: attached column → report name. */
+  private val By2: Seq[(String, String)] =
+    Seq("seg" -> "segment", "region" -> "region")
+
+  /** `events_retention_segmented2`: the cohort matrix expanded across
+    * TWO dimensions at once with "all" members on each axis — the
+    * reference's simultaneous-dimension move (crunch_global.sql:38-50)
+    * on retention, pure composition on [[retentionSegmentedOf]]'s `by`
+    * (the entry sample widens to a tuple, the grouping pass widens to
+    * 2^2 sets; user_id stays the only wide shuffle key). The
+    * (all, all) rows equal the unsegmented weekly matrix by
+    * construction. */
+  def eventsRetentionSegmented2(s: SparkSession, d: String): DataFrame =
+    retentionSegmentedOf(events2(s, d), by = By2)
+
+  def eventsRetentionSegmented2Oracle: String = """
+    WITH acts AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS p,
+             c.c_mktsegment AS seg, n.n_name AS region
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    coh AS (
+      SELECT user_id, min(p) AS cohort, min(seg) AS seg,
+             min(region) AS region
+      FROM acts GROUP BY 1),
+    cell AS (
+      SELECT c.cohort, c.seg, c.region,
+             CAST(date_diff('day', c.cohort, a.p) / 7 AS INT) AS o
+      FROM acts a JOIN coh c USING (user_id))
+    SELECT coalesce(seg, 'all') AS segment,
+           coalesce(region, 'all') AS region,
+           strftime(cohort, '%Y-%m-%d %H:%M:%S') AS cohort,
+           o AS "offset", count(*) AS users
+    FROM cell GROUP BY GROUPING SETS ((seg, region, cohort, o),
+      (seg, cohort, o), (region, cohort, o), (cohort, o))"""
+
   /** `events_paths_segmented`: the transition matrix BY SEGMENT with
     * "all" members — the segment attaches broadcast before the lead
     * window (whose user_id partitioning it rides for free) and the
@@ -675,14 +848,21 @@ object Windows {
     * the transition "belongs" to where it started), which for a
     * user-constant attribute is also the user's segment. */
   def pathsSegmentedOf(ev: DataFrame,
-                       withinGapMs: Option[Long] = None): DataFrame = {
+                       withinGapMs: Option[Long] = None,
+                       by: Seq[(String, String)] =
+                         Seq("seg" -> "segment")): DataFrame = {
     require(withinGapMs.forall(_ > 0),
       s"pathsSegmentedOf: gap must be positive, got $withinGapMs")
+    require(by.nonEmpty && by.map(_._1).distinct.size == by.size &&
+        by.map(_._2).distinct.size == by.size,
+      s"pathsSegmentedOf: by must map distinct columns to distinct " +
+        s"report names, got $by")
+    val segs = by.map(_._1)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val slim = ev
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"), col("seg"))
+      .select(Seq(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")) ++ segs.map(col): _*)
       .withColumn("to_step", lead(col("event_type"), 1).over(w))
     val withGap = withinGapMs.fold(slim.withColumn("_gap_ok", lit(true))) {
       g => slim.withColumn("_gap_ok",
@@ -690,16 +870,16 @@ object Windows {
           unix_micros(col("ts").cast("timestamp")) <= g * 1000L)
     }
     val fine = withGap.filter(col("to_step").isNotNull && col("_gap_ok"))
-      .groupBy(col("event_type").as("from_step"), col("to_step"),
-        col("seg"))
+      .groupBy(Seq(col("event_type").as("from_step"), col("to_step")) ++
+        segs.map(col): _*)
       .agg(count(lit(1)).as("pn"))
     fine.groupingSets(
-        Seq(Seq(col("from_step"), col("to_step"), col("seg")),
-          Seq(col("from_step"), col("to_step"))),
-        col("from_step"), col("to_step"), col("seg"))
+        segGroupingSets(Seq(col("from_step"), col("to_step")), segs),
+        Seq(col("from_step"), col("to_step")) ++ segs.map(col): _*)
       .agg(sum(col("pn")).as("n"))
-      .select(coalesce(col("seg"), lit("all")).as("segment"),
-        col("from_step"), col("to_step"), col("n"))
+      .select(by.map { case (in, out) =>
+          coalesce(col(in), lit("all")).as(out) } ++
+        Seq(col("from_step"), col("to_step"), col("n")): _*)
   }
 
   def eventsPathsSegmented(s: SparkSession, d: String): DataFrame =
@@ -716,6 +896,30 @@ object Windows {
     FROM t WHERE to_step IS NOT NULL
     GROUP BY GROUPING SETS ((seg, event_type, to_step),
                             (event_type, to_step))"""
+
+  /** `events_paths_segmented2`: the transition matrix across TWO
+    * dimensions at once with "all" members on each axis — each pair
+    * still attributed to its from-event ([[pathsSegmentedOf]]'s law),
+    * both attributes riding the one user_id-partitioned lead window,
+    * 2^2 grouping sets over matrix×axes partials. */
+  def eventsPathsSegmented2(s: SparkSession, d: String): DataFrame =
+    pathsSegmentedOf(events2(s, d), by = By2)
+
+  def eventsPathsSegmented2Oracle: String = """
+    WITH t AS (
+      SELECT e.user_id, e.event_type, c.c_mktsegment AS seg,
+             n.n_name AS region,
+             lead(e.event_type) OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS to_step
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT coalesce(seg, 'all') AS segment,
+           coalesce(region, 'all') AS region,
+           event_type AS from_step, to_step, count(*) AS n
+    FROM t WHERE to_step IS NOT NULL
+    GROUP BY GROUPING SETS ((seg, region, event_type, to_step),
+      (seg, event_type, to_step), (region, event_type, to_step),
+      (event_type, to_step))"""
 
   /** DEEPEST-CHAIN windowed funnel — the OTHER windowFunnel semantics
     * (ClickHouse's): the window is anchored at a step-1 event, and a
@@ -765,13 +969,32 @@ object Windows {
     * attaches to the anchor frame with one user-grain shuffle-hash
     * join (the user_id partitioning the anchors already carry) and
     * then rides the (user, anchor)-grain chain as an aggregate
-    * payload — the bucket join's keys are untouched. */
+    * payload — the bucket join's keys are untouched.
+    *
+    * `exclude` voids a hop PER ANCHOR (the r19 route refusal, now
+    * decided and implemented): `exclude(k)` names an event type that
+    * must not occur strictly between the anchor's step-(k-1) reach and
+    * its step-k reach — the chained law's open-interval rule applied
+    * within each anchor's window, so an anchor whose first in-order
+    * step-k candidate is preceded by the excluded event is voided at
+    * that hop (never rescued by a later clean candidate of the SAME
+    * anchor), while the user's OTHER anchors search on. The excluded
+    * min rides the SAME bucket join — sound and complete because a
+    * voiding event precedes a reach that is itself within the anchor's
+    * deadline, so it lies in (t1, t1+horizon) ⊂ the anchor's two
+    * buckets; exclusions cost the search no new join. */
   def funnelDeepestOf(ev: DataFrame, steps: Seq[String],
                       horizonMs: Long,
-                      by: Option[Column] = None): Seq[DataFrame] = {
+                      by: Option[Column] = None,
+                      exclude: Map[Int, String] = Map.empty): Seq[DataFrame] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnelDeepestOf: steps must be non-empty and distinct, got $steps")
     require(horizonMs > 0, s"horizon must be positive, got $horizonMs")
+    require(exclude.keys.forall(k => k >= 2 && k <= steps.size),
+      s"funnelDeepestOf: exclude keys index the step entered " +
+        s"(2..${steps.size}), got ${exclude.keys.toSeq.sorted}")
+    require(exclude.values.forall(v => !steps.contains(v)),
+      s"funnelDeepestOf: an excluded type cannot also be a step, got $exclude")
     val slim = by match {
       case None => ev.select(col("user_id"), col("ts"), col("event_type"))
       case Some(seg) => ev.select(col("user_id"), col("ts"),
@@ -796,17 +1019,40 @@ object Windows {
     val segAgg = if (by.isEmpty) Nil else Seq(min(col("_seg")).as("_seg"))
     val deadline = col("t1") + make_dt_interval(lit(0), lit(0), lit(0),
       lit(java.math.BigDecimal.valueOf(horizonMs, 3)))
-    steps.tail.scanLeft(anchors) { (prev, step) =>
+    steps.tail.zipWithIndex.scanLeft(anchors) { case (prev, (step, i)) =>
       // anchor exploded to its two reachable buckets; events carry one
       val prevB = prev.withColumn("_bucket",
         explode(array(bucketOf(col("t1")), bucketOf(col("t1")) + 1)))
-      slim.filter(col("event_type") === step)
-        .select(col("user_id"), col("ts"), col("event_type"))
-        .withColumn("_bucket", bucketOf(col("ts")))
-        .join(prevB.hint("shuffle_hash"), Seq("user_id", "_bucket"))
-        .filter(col("ts") > col("t") && col("ts") <= deadline)
-        .groupBy(col("user_id"), col("t1"))
-        .agg(min(col("ts")).as("t"), segAgg: _*)
+      exclude.get(i + 2) match {
+        case None =>
+          slim.filter(col("event_type") === step)
+            .select(col("user_id"), col("ts"), col("event_type"))
+            .withColumn("_bucket", bucketOf(col("ts")))
+            .join(prevB.hint("shuffle_hash"), Seq("user_id", "_bucket"))
+            .filter(col("ts") > col("t") && col("ts") <= deadline)
+            .groupBy(col("user_id"), col("t1"))
+            .agg(min(col("ts")).as("t"), segAgg: _*)
+        case Some(x) =>
+          // same join, both types: the anchor's in-order window bounds
+          // BOTH mins (the deadline is harmless on the excluded side —
+          // a voiding event precedes a reach that is within it), and
+          // the conditional-min pair + the open-interval comparison is
+          // the chained exclusion law at (user, anchor) grain
+          val joined = slim
+            .filter(col("event_type") === step || col("event_type") === x)
+            .select(col("user_id"), col("ts"), col("event_type"))
+            .withColumn("_bucket", bucketOf(col("ts")))
+            .join(prevB.hint("shuffle_hash"), Seq("user_id", "_bucket"))
+            .filter(col("ts") > col("t") && col("ts") <= deadline)
+          val stepTs = when(col("event_type") === step, col("ts"))
+          val exTs = when(col("event_type") === x, col("ts"))
+          joined.groupBy(col("user_id"), col("t1"))
+            .agg(min(stepTs).as("t2"), min(exTs).as("_xt") +: segAgg: _*)
+            .filter(col("t2").isNotNull &&
+              (col("_xt").isNull || col("_xt") >= col("t2")))
+            .select(col("user_id") +: col("t1") +: col("t2").as("t") +:
+              (if (by.isEmpty) Nil else Seq(col("_seg"))): _*)
+      }
     }
   }
 
@@ -1063,6 +1309,60 @@ object Windows {
            step_name, count(DISTINCT user_id) AS users
     FROM u
     GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
+
+  /** `events_funnel_deepest_excluded`: the deepest-chain report where
+    * an `error` event voids a hop PER ANCHOR ([[funnelDeepestOf]]'s
+    * `exclude` — r19 carried this as a documented route refusal; r20
+    * decides it: the voiding law is the chained one applied within
+    * each anchor's window, riding the same bucket join). Registered
+    * with the exclusion on both hops at the 1-day horizon; at sf0.01
+    * it cuts the unexcluded 150/147/86 to 150/142/68 — the per-anchor
+    * voiding binds while other anchors of the same user still rescue
+    * the depth, so the oracle exercises exactly the semantics that
+    * distinguish this from the chained exclusion. */
+  def eventsFunnelDeepestExcluded(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelDeepestOf(events(s, d), FunnelSteps,
+      parseHorizon(FunnelHorizon),
+      exclude = Map(2 -> "error", 3 -> "error"))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(countDistinct(col("user_id")).as("users"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Anchor-grain staged SQL with a NOT EXISTS anti-conjunct per hop —
+    * the open interval runs from the anchor's previous reach (`t1` for
+    * hop 2, the surviving click min for hop 3) to the candidate min,
+    * the conditional-min law the bucket-join implementation carries. */
+  def eventsFunnelDeepestExcludedOracle: String = """
+    WITH s1 AS (
+      SELECT DISTINCT user_id, ts AS t1 FROM events
+      WHERE event_type = 'view'),
+    s2 AS (
+      SELECT e.user_id, s1.t1, min(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1, 2),
+    s2x AS (
+      SELECT s2.user_id, s2.t1, s2.t FROM s2
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events x WHERE x.user_id = s2.user_id
+          AND x.event_type = 'error' AND x.ts > s2.t1 AND x.ts < s2.t)),
+    s3 AS (
+      SELECT e.user_id, s2x.t1, min(e.ts) AS t, min(s2x.t) AS tprev
+      FROM events e JOIN s2x USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2x.t
+        AND e.ts <= s2x.t1 + INTERVAL 1 DAY GROUP BY 1, 2),
+    s3x AS (
+      SELECT s3.user_id, s3.t1, s3.t FROM s3
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events x WHERE x.user_id = s3.user_id
+          AND x.event_type = 'error' AND x.ts > s3.tprev AND x.ts < s3.t))
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           count(DISTINCT user_id) AS users FROM s1
+    UNION ALL SELECT 2, 'click', count(DISTINCT user_id) FROM s2x
+    UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id) FROM s3x"""
 
   /** Cohort retention matrix — the product-analytics companion of the
     * funnel: users cohorted by the period of their FIRST event, the
@@ -1336,28 +1636,102 @@ object Windows {
     funnelLatencySegmentedOf(events(s, d).join(segmentDim(s, d),
       Seq("user_id")))
 
-  /** The parameterized form behind the registered query and
-    * GET /latency&by= — `ev` carries the attached `seg` column. */
+  /** The parameterized form behind the registered queries and
+    * GET /latency&by= — `ev` carries the attached attribute columns
+    * named by `by` (column → report name; several attributes ride ONE
+    * struct payload through the chain — [[funnelOf]]'s opaque-payload
+    * composition — and expand through 2^k grouping sets, the
+    * per-set sketches recomputed over the hop-latency rows). */
   def funnelLatencySegmentedOf(ev: DataFrame,
-                               steps: Seq[String] = FunnelSteps): DataFrame = {
+                               steps: Seq[String] = FunnelSteps,
+                               by: Seq[(String, String)] =
+                                 Seq("seg" -> "segment")): DataFrame = {
     import graft.functions.SketchOps
-    val stages = funnelOf(ev, steps, by = Some(col("seg")))
+    require(by.nonEmpty && by.map(_._1).distinct.size == by.size &&
+        by.map(_._2).distinct.size == by.size,
+      s"funnelLatencySegmentedOf: by must map distinct columns to " +
+        s"distinct report names, got $by")
+    val payload = by match {
+      case Seq((n, _)) => col(n)
+      case bs => struct(bs.map(p => col(p._1).as(p._1)): _*)
+    }
+    // single axis keeps the bare `_seg` payload column (the registered
+    // single-segment plan, byte-identical); k axes extract the struct's
+    // fields once per hop before the grouping pass
+    val segNames = if (by.size == 1) Seq("_seg") else by.map(_._1)
+    val segSel: Seq[Column] =
+      if (by.size == 1) Seq(col("_seg"))
+      else by.map(p => col("_seg").getField(p._1).as(p._1))
+    val stages = funnelOf(ev, steps, by = Some(payload))
     stages.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
       val hop = s"${steps(i)}->${steps(i + 1)}"
       a.select(col("user_id"), col("t").as("t_from"), col("_seg"))
         .join(b.select(col("user_id"), col("t").as("t_to")),
           Seq("user_id"))
-        .select(col("_seg"),
+        .select(segSel :+
           (unix_micros(col("t_to").cast("timestamp")) -
-            unix_micros(col("t_from").cast("timestamp"))).as("lat_us"))
-        .rollup(col("_seg"))
+            unix_micros(col("t_from").cast("timestamp"))).as("lat_us"): _*)
+        .groupingSets(segGroupingSets(Nil, segNames),
+          segNames.map(col): _*)
         .agg(count(lit(1)).as("n_users"),
           SketchOps.quantileSketch(col("lat_us"), TextOps.QuantileK).as("sk"))
-        .select(coalesce(col("_seg"), lit("all")).as("segment") +:
-          lit(hop).as("hop") +: col("n_users") +:
-          TextOps.quantileCols(col("sk")): _*)
+        .select(segNames.zip(by.map(_._2)).map { case (n, out) =>
+            coalesce(col(n), lit("all")).as(out) } ++
+          (lit(hop).as("hop") +: col("n_users") +:
+            TextOps.quantileCols(col("sk"))): _*)
     }.reduce(_ unionByName _)
   }
+
+  /** `funnel_latency_segmented2`: time-to-convert across TWO
+    * dimensions at once with "all" members on each axis — the entry
+    * (segment, region) tuple rides the hop join as one struct payload
+    * and the per-set sketches are RECOMPUTED per grouping set over
+    * hop-latency rows (2^2 sets; Expand multiplies per-hop converts,
+    * never events). The (all, all) rows equal `funnel_latency` by
+    * construction. */
+  def funnelLatencySegmented2(s: SparkSession, d: String): DataFrame =
+    funnelLatencySegmentedOf(events2(s, d), by = By2)
+
+  def funnelLatencySegmented2Oracle: String = """
+    WITH ev AS (
+      SELECT e.user_id, e.ts, e.event_type, c.c_mktsegment AS seg,
+             n.n_name AS region
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    s1 AS (
+      SELECT user_id, min(ts) AS t, min(seg) AS seg,
+             min(region) AS region FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s1.seg) AS seg,
+             min(s1.region) AS region FROM ev e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s2.seg) AS seg,
+             min(s2.region) AS region FROM ev e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+    h1 AS (
+      SELECT s1.seg, s1.region,
+             CAST(date_diff('microsecond', s1.t, s2.t) AS BIGINT) AS lat_us
+      FROM s1 JOIN s2 USING (user_id)),
+    h2 AS (
+      SELECT s2.seg, s2.region,
+             CAST(date_diff('microsecond', s2.t, s3.t) AS BIGINT) AS lat_us
+      FROM s2 JOIN s3 USING (user_id))
+    SELECT coalesce(seg, 'all') AS segment,
+           coalesce(region, 'all') AS region, 'view->click' AS hop,
+           count(*) AS n_users,
+           quantile_disc(lat_us, 0.25) AS p25, quantile_disc(lat_us, 0.5) AS p50,
+           quantile_disc(lat_us, 0.75) AS p75, quantile_disc(lat_us, 0.95) AS p95
+    FROM h1 GROUP BY GROUPING SETS ((seg, region), (seg), (region), ())
+    UNION ALL
+    SELECT coalesce(seg, 'all'), coalesce(region, 'all'),
+           'click->purchase', count(*),
+           quantile_disc(lat_us, 0.25), quantile_disc(lat_us, 0.5),
+           quantile_disc(lat_us, 0.75), quantile_disc(lat_us, 0.95)
+    FROM h2 GROUP BY GROUPING SETS ((seg, region), (seg), (region), ())"""
 
   def funnelLatencySegmentedOracle: String = """
     WITH ev AS (

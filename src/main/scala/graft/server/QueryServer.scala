@@ -619,9 +619,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val by = param(ex, "by")
         val byNames = by.map(_.split(",", -1).toSeq).getOrElse(Nil)
         // &exclude=2:error,3:error voids hops on an intervening event
-        // (funnelOf's exclude — the chained law only: the deepest
-        // search is a different operator and the per-visit flavor's
-        // registered law carries no exclusions)
+        // (funnelOf's exclude on the chained/per-visit laws; on
+        // mode=deepest it voids PER ANCHOR within the anchor's window
+        // — funnelDeepestOf's exclude, r20)
         val excl = param(ex, "exclude").map { s =>
           val parsed = s.split(",", -1).toSeq.map(_.split(":", -1) match {
             case Array(k, t) if k.matches("[0-9]{1,2}") &&
@@ -675,7 +675,13 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                 // store keys on seg and serves the per-segment rows
                 // plus the read-time "all" rollup
                 val (report, order) =
-                  if (snap.columns.contains("seg"))
+                  if (snap.columns.contains("seg2"))
+                    // a TWO-axis segmented store: per-pair rows + "all"
+                    // members on both axes (read-time 2^2 rollup)
+                    (graft.streaming.Maintained
+                      .funnelSegmented2ReportFrom(spark, snap),
+                      Seq(col("step"), col("segment"), col("segment2")))
+                  else if (snap.columns.contains("seg"))
                     (graft.streaming.Maintained
                       .funnelSegmentedReportFrom(spark, snap),
                       Seq(col("step"), col("segment")))
@@ -703,10 +709,6 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else if (mode != "sessions" && gap.isDefined)
           respond(ex, 400,
             """{"error":"&gap only applies to mode=sessions (use &window)"}""")
-        else if (excl.isDefined && mode == "deepest")
-          respond(ex, 400, """{"error":"&exclude rides the chained """ +
-            """law (per hop, or per visit with mode=sessions) — the """ +
-            """deepest search doesn't take it"}""")
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
@@ -731,8 +733,12 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                 }
                 val exclMap = excl.flatten.getOrElse(Map.empty)
                 val stages = mode match {
+                  // r20: the deepest search takes &exclude too (the r19
+                  // refusal decided — per-anchor voiding within the
+                  // anchor's window, funnelDeepestOf's exclude)
                   case "deepest" => graft.operators.Windows
-                    .funnelDeepestOf(ev, names, win.flatten.get, by = seg)
+                    .funnelDeepestOf(ev, names, win.flatten.get, by = seg,
+                      exclude = exclMap)
                   case "sessions" => graft.operators.Windows
                     .funnelSessionsOf(ev, names,
                       gap.flatten.getOrElse(1800000L), by = seg,
@@ -812,8 +818,12 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val ver = param(ex, "version")
           .map(p => scala.util.Try(p.toLong).toOption)
         // &by=segment serves the segmented matrix (pairs attributed to
-        // their from-event's segment, "all" members from grouping sets)
+        // their from-event's segment, "all" members from grouping
+        // sets); a comma list expands every attribute at once with
+        // "all" members per axis (the events_paths_segmented2 shape,
+        // same cap-2 discipline as /funnel)
         val by = param(ex, "by")
+        val byNames = by.map(_.split(",", -1).toSeq).getOrElse(Nil)
         if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
         else if (ver.contains(None))
@@ -821,6 +831,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else if (gap.contains(None))
           respond(ex, 400,
             """{"error":"gap must be <n><ms|s|m|h|d>, e.g. 30m"}""")
+        else if (by.isDefined && byNames.size > 2)
+          respond(ex, 400, """{"error":"by takes at most two """ +
+            """attributes (the registered 2^2 grouping-set cap)"}""")
         else if (storeName.isDefined &&
             (gap.isDefined || by.isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
@@ -860,19 +873,27 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
           case Some(sf) =>
             import org.apache.spark.sql.functions.col
-            val matrixOr = by match {
-              case None => Right(graft.operators.Windows.pathTransitionsOf(
+            val matrixOr = byNames match {
+              case Nil => Right(graft.operators.Windows.pathTransitionsOf(
                 graft.Tables.events(spark, sf), gap.flatten))
-              case Some(b) => segmentedEvents(sf, Seq(b)).map(ev =>
+              case Seq(b) => segmentedEvents(sf, Seq(b)).map(ev =>
                 graft.operators.Windows.pathsSegmentedOf(
                   ev.withColumnRenamed(b, "seg"), gap.flatten))
+              // every attribute expanded at once, each serving under
+              // its own registry name (the events_paths_segmented2
+              // composition — the operator cubes the axes)
+              case bs => segmentedEvents(sf, bs).map(ev =>
+                graft.operators.Windows.pathsSegmentedOf(
+                  ev, gap.flatten, by = bs.map(n => n -> n)))
             }
             matrixOr match {
               case Left(err) => respond(ex, 400, err)
               case Right(matrix) =>
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
                 val order = col("from_step") +: col("to_step") +:
-                  (if (by.isDefined) Seq(col("segment")) else Nil)
+                  (if (byNames.size >= 2) byNames.map(col)
+                   else if (byNames.size == 1) Seq(col("segment"))
+                   else Nil)
                 respond(ex, 200,
                   matrix.orderBy(order: _*).limit(limit)
                     .toJSON.collect().mkString("[", ",", "]"))
@@ -903,10 +924,14 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val ver = param(ex, "version")
           .map(p => scala.util.Try(p.toLong).toOption)
         // &by=segment serves the segmented matrix (entry-sampled at
-        // the cohort event, "all" members from grouping sets); &tz=
-        // truncates cohorts on a market's own calendar (retentionOf's
-        // tz — the zone id validates eagerly, unknown zones 400)
+        // the cohort event, "all" members from grouping sets); a comma
+        // list expands every attribute at once with "all" members per
+        // axis (the events_retention_segmented2 shape, /funnel's cap-2
+        // discipline); &tz= truncates cohorts on a market's own
+        // calendar (retentionOf's tz — the zone id validates eagerly,
+        // unknown zones 400)
         val by = param(ex, "by")
+        val byNames = by.map(_.split(",", -1).toSeq).getOrElse(Nil)
         val tz = param(ex, "tz")
         if (!Set("day", "week", "month")(period))
           respond(ex, 400, """{"error":"period must be day|week|month"}""")
@@ -916,6 +941,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           respond(ex, 400, """{"error":"limit must be an integer"}""")
         else if (ver.contains(None))
           respond(ex, 400, """{"error":"version must be an integer"}""")
+        else if (by.isDefined && byNames.size > 2)
+          respond(ex, 400, """{"error":"by takes at most two """ +
+            """attributes (the registered 2^2 grouping-set cap)"}""")
         else if (by.isDefined && mode == "rolling")
           respond(ex, 400, """{"error":"segmented retention serves the """ +
             """classic reading — mode=rolling doesn't take &by"}""")
@@ -963,11 +991,17 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
           case Some(sf) =>
             import org.apache.spark.sql.functions.col
-            val matrixOr = by match {
-              case Some(b) => segmentedEvents(sf, Seq(b)).map(ev =>
+            val matrixOr = byNames match {
+              case Seq(b) => segmentedEvents(sf, Seq(b)).map(ev =>
                 graft.operators.Windows.retentionSegmentedOf(
                   ev.withColumnRenamed(b, "seg"), period, tz))
-              case None =>
+              // every attribute expanded at once, each serving under
+              // its own registry name (the events_retention_segmented2
+              // composition — the operator cubes the axes)
+              case bs if bs.size >= 2 => segmentedEvents(sf, bs).map(ev =>
+                graft.operators.Windows.retentionSegmentedOf(
+                  ev, period, tz, by = bs.map(n => n -> n)))
+              case _ =>
                 val ev = graft.Tables.events(spark, sf)
                 Right(
                   if (mode == "rolling")
@@ -979,7 +1013,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               case Right(matrix) =>
                 val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
                 val order = col("cohort") +: col("offset") +:
-                  (if (by.isDefined) Seq(col("segment")) else Nil)
+                  (if (byNames.size >= 2) byNames.map(col)
+                   else if (byNames.size == 1) Seq(col("segment"))
+                   else Nil)
                 respond(ex, 200,
                   matrix.orderBy(order: _*).limit(limit)
                     .toJSON.collect().mkString("[", ",", "]"))
@@ -1105,12 +1141,18 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         val ver = param(ex, "version")
           .map(p => scala.util.Try(p.toLong).toOption)
         // &by=segment serves time-to-convert BY SEGMENT (the segmented
-        // latency report, "all" members included)
+        // latency report, "all" members included); a comma list
+        // expands every attribute at once (the funnel_latency_segmented2
+        // shape, /funnel's cap-2 discipline)
         val by = param(ex, "by")
+        val byNames = by.map(_.split(",", -1).toSeq).getOrElse(Nil)
         if (lim.contains(None))
           respond(ex, 400, """{"error":"limit must be an integer"}""")
         else if (ver.contains(None))
           respond(ex, 400, """{"error":"version must be an integer"}""")
+        else if (by.isDefined && byNames.size > 2)
+          respond(ex, 400, """{"error":"by takes at most two """ +
+            """attributes (the registered 2^2 grouping-set cap)"}""")
         else if (storeName.isDefined &&
             (by.isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
@@ -1153,14 +1195,21 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
           case Some(sf) =>
             import org.apache.spark.sql.functions.col
             val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
-            val reportOr = by match {
-              case None =>
+            val reportOr = byNames match {
+              case Nil =>
                 Right((graft.operators.Windows.funnelLatency(spark, sf),
                   Seq(col("hop"))))
-              case Some(b) => segmentedEvents(sf, Seq(b)).map(ev =>
+              case Seq(b) => segmentedEvents(sf, Seq(b)).map(ev =>
                 (graft.operators.Windows.funnelLatencySegmentedOf(
                   ev.withColumnRenamed(b, "seg")),
                   Seq(col("hop"), col("segment"))))
+              // every attribute expanded at once, each serving under
+              // its own registry name (the funnel_latency_segmented2
+              // composition — one struct payload, 2^2 grouping sets)
+              case bs => segmentedEvents(sf, bs).map(ev =>
+                (graft.operators.Windows.funnelLatencySegmentedOf(
+                  ev, by = bs.map(n => n -> n)),
+                  col("hop") +: bs.map(col)))
             }
             reportOr match {
               case Left(err) => respond(ex, 400, err)

@@ -97,8 +97,9 @@ object Maintained {
     * configuration must be exact, not silently defaulted). */
   val ReportTypes: Set[String] = Set("funnel", "funnel_deepest",
     "funnel_deepest_segmented", "funnel_sessions", "funnel_segmented",
-    "retention", "retention_rolling", "retention_segmented", "paths",
-    "paths_segmented", "latency", "latency_segmented")
+    "funnel_segmented2", "retention", "retention_rolling",
+    "retention_segmented", "paths", "paths_segmented", "latency",
+    "latency_segmented")
 
   def foldOf(s: SparkSession, typ: String, windowMs: Option[Long] = None,
              period: Option[String] = None,
@@ -170,6 +171,23 @@ object Maintained {
           _.groupBy("seg", "step", "step_name")
             .agg(count(lit(1)).as("users")),
           schema = DefaultWireSchema + ", seg STRING")
+      case "funnel_segmented2" =>
+        no(period, "period"); no(gapMs, "gap")
+        // TWO more STRINGs on the wire and two more keys in the store:
+        // the twin pins the user's entry (seg, seg2) PAIR at their
+        // step-1 fold (lexicographic tie law ≡ the batch struct min),
+        // so the (seg, seg2, step) cells are additive and BOTH "all"
+        // axes are funnelSegmented2ReportFrom's read-time 2^2 rollup
+        ReportFold(Seq("seg", "seg2", "step", "step_name"),
+          Seq("users"), Nil,
+          df => StreamingFunnelSegmented2.funnel(s,
+            df.select(col("user_id"), col("ts"), col("event_type"),
+              col("seg"), col("seg2"))
+              .as[StreamingFunnelSegmented2.Ev],
+            windowMs.map(ms => s"${ms}ms"), path).toDF,
+          _.groupBy("seg", "seg2", "step", "step_name")
+            .agg(count(lit(1)).as("users")),
+          schema = DefaultWireSchema + ", seg STRING, seg2 STRING")
       case "funnel_sessions" =>
         no(period, "period"); no(windowMs, "window")
         val g = gapMs.getOrElse(throw new IllegalArgumentException(
@@ -407,22 +425,36 @@ object Maintained {
   /** `seg = true` stages the SEGMENTED variant: the same tertile
     * nights with the customer's market segment riding each event (the
     * funnel_segmented wire shape — one broadcast dim join at export
-    * time; sentinels carry an empty segment, they are never folded). */
+    * time; sentinels carry an empty segment, they are never folded).
+    * `seg2 = true` additionally rides the customer's nation (the
+    * funnel_segmented2 wire shape — the nation joins DIM-side before
+    * the one broadcast, the segmentDim2 discipline). */
   private def nightsFixtureOf(s: SparkSession, d: String,
-                              seg: Boolean): java.io.File =
-    stagedDrops.computeIfAbsent(if (seg) s"$d#seg" else d, _ => {
+                              seg: Boolean,
+                              seg2: Boolean = false): java.io.File =
+    stagedDrops.computeIfAbsent(
+      if (seg2) s"$d#seg2" else if (seg) s"$d#seg" else d, _ => {
       import s.implicits._
       val dir = graft.operators.DedupIndex.freshRunDir(
-        if (seg) "graft_nightseg_" else "graft_nights_", d)
+        if (seg2) "graft_nightseg2_"
+        else if (seg) "graft_nightseg_" else "graft_nights_", d)
       dir.mkdirs()
       val base = graft.Tables.events(s, d)
         .select(col("user_id").cast("long").as("user_id"),
           col("ts").cast("timestamp").as("ts"),
           col("event_id").cast("long").as("event_id"), col("event_type"))
-      val ev = if (!seg) base
-        else base.join(broadcast(graft.Tables.customer(s, d)
+      val custBase = graft.Tables.customer(s, d)
+      val dim =
+        if (seg2) custBase
+          .join(graft.Tables.nation(s, d),
+            col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey").cast("long").as("user_id"),
-            col("c_mktsegment").as("seg"))), Seq("user_id"))
+            col("c_mktsegment").as("seg"), col("n_name").as("seg2"))
+        else custBase
+          .select(col("c_custkey").cast("long").as("user_id"),
+            col("c_mktsegment").as("seg"))
+      val ev = if (!seg && !seg2) base
+        else base.join(broadcast(dim), Seq("user_id"))
       // time-tertile nights off the two-value bound (driver scalars)
       val b = ev.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts"))), max(col("ts"))).head
@@ -435,7 +467,11 @@ object Maintained {
         val row = Seq((SentinelUser,
             new java.sql.Timestamp(maxTs.getTime + plusDays * 86400000L),
             0L, SentinelType)).toDF("user_id", "ts", "event_id", "event_type")
-        dropFile(if (seg) row.withColumn("seg", lit("")) else row, dir, n)
+        val sentinel =
+          if (seg2) row.withColumn("seg", lit("")).withColumn("seg2", lit(""))
+          else if (seg) row.withColumn("seg", lit(""))
+          else row
+        dropFile(sentinel, dir, n)
       }
       dir
     })
@@ -1116,8 +1152,9 @@ object Maintained {
   private def driveMaintained(s: SparkSession, d: String, prefix: String,
                               fold: ReportFold,
                               cycles: Seq[Seq[String]],
-                              seg: Boolean = false): PointStore = {
-    val fixture = nightsFixtureOf(s, d, seg)
+                              seg: Boolean = false,
+                              seg2: Boolean = false): PointStore = {
+    val fixture = nightsFixtureOf(s, d, seg, seg2)
     val root = graft.operators.DedupIndex.freshRunDir(prefix, d)
     val watched = new java.io.File(root, "drops"); watched.mkdirs()
     val store = new PointStore(s, new java.io.File(root, "report").getPath,
@@ -1205,6 +1242,31 @@ object Maintained {
       .select(coalesce(col("seg"), lit("all")).as("segment"),
         col("step"), col("step_name"), col("users"))
 
+  /** The TWO-axis segmented-funnel report read from a maintained
+    * (seg, seg2, step, step_name)/users store: the per-pair rows plus
+    * "all" members on BOTH axes from one 2^2 GROUPING SETS pass over
+    * the key-grain store rows (the twin fixes each user's entry PAIR,
+    * so every partial sum is over disjoint users and all four rollups
+    * are plain sums). Generic wire naming (`segment`, `segment2`) —
+    * which attributes a store folds is its materialization's business,
+    * exactly as the single-axis face always serves `segment`. Shape ≡
+    * `events_funnel_segmented2` modulo the second axis's name. */
+  def funnelSegmented2ReportFrom(s: SparkSession,
+                                 snapshot: DataFrame): DataFrame =
+    snapshot
+      .select(col("seg"), col("seg2"), col("step").cast("int").as("step"),
+        col("step_name"), col("users"))
+      .groupingSets(
+        Seq(Seq(col("seg"), col("seg2"), col("step"), col("step_name")),
+          Seq(col("seg"), col("step"), col("step_name")),
+          Seq(col("seg2"), col("step"), col("step_name")),
+          Seq(col("step"), col("step_name"))),
+        col("seg"), col("seg2"), col("step"), col("step_name"))
+      .agg(sum(col("users")).as("users"))
+      .select(coalesce(col("seg"), lit("all")).as("segment"),
+        coalesce(col("seg2"), lit("all")).as("segment2"),
+        col("step"), col("step_name"), col("users"))
+
   /** `funnel_segmented_maintained`: the segmented funnel as a
     * maintained table — the reference's dimension expansion carried
     * into the maintenance loop: the [[StreamingFunnelSegmented]] twin
@@ -1217,6 +1279,25 @@ object Maintained {
     val store = driveMaintained(s, d, "graft_segmaint_",
       foldOf(s, "funnel_segmented"), cycles = Condensed, seg = true)
     funnelSegmentedReportFrom(s, store.snapshot)
+  }
+
+  /** `funnel_segmented2_maintained`: the TWO-axis segmented funnel as
+    * a maintained table — the reference's SIMULTANEOUS dimension
+    * expansion (crunch_global.sql:38-50) in the maintenance loop: the
+    * [[StreamingFunnelSegmented2]] twin pins each user's entry
+    * (segment, region) pair at their step-1 fold, the store keys on
+    * (seg, seg2, step, step_name) with an additive user count, and
+    * both "all" axes roll up at read time (2^2 grouping sets over
+    * store rows). Oracle = the batch `events_funnel_segmented2`
+    * query's staged SQL with its four grouping sets, UNCHANGED — the
+    * wire face renames its generic second axis to the oracle's
+    * `region` and the two must agree row for row. */
+  def funnelSegmented2Maintained(s: SparkSession, d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_seg2maint_",
+      foldOf(s, "funnel_segmented2"), cycles = Condensed, seg = true,
+      seg2 = true)
+    funnelSegmented2ReportFrom(s, store.snapshot)
+      .withColumnRenamed("segment2", "region")
   }
 
   /** `funnel_deepest_segmented_maintained`: the segmented deepest
