@@ -2675,14 +2675,19 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                         """{"error":"row(s) failed schema coercion — """ +
                           """ids must be integral"}""")
                     case Right(n) =>
-                      // a segmented store's rows must carry their
-                      // segment (a null would fold under a null store
-                      // key); watermark sentinels are exempt — they
+                      // a segmented store's rows must carry EVERY
+                      // segment axis (a null would fold under a null
+                      // store key) — seg, and seg2 on a two-axis
+                      // store; watermark sentinels are exempt — they
                       // are never folded
+                      val segCols = fold.wireFields.filterNot(Seq(
+                        "user_id", "ts", "event_id", "event_type")
+                        .contains(_))
                       val segNull =
-                        if (!fold.wireFields.contains("seg")) org.apache
+                        if (segCols.isEmpty) org.apache
                           .spark.sql.functions.lit(false)
-                        else col("seg").isNull && col("event_type") =!=
+                        else segCols.map(c => col(c).isNull)
+                          .reduce(_ || _) && col("event_type") =!=
                           graft.streaming.Maintained.SentinelType
                       val bad = rows.filter(col("user_id").isNull ||
                         col("ts").isNull || segNull).count()
@@ -2691,8 +2696,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                           """{"error":"body must be JSON event rows with """ +
                             """non-null user_id and an ISO8601/SQL ts """ +
                             """(fractional seconds preserved to µs)""" +
-                            (if (fold.wireFields.contains("seg"))
-                              """ and a non-null seg on every non-sentinel row"""
+                            (if (segCols.nonEmpty)
+                              s""" and a non-null ${segCols.mkString("/")
+                              } on every non-sentinel row"""
                             else "") + """"}""")
                       else {
                         // the factored wire-ingest verb: owns the

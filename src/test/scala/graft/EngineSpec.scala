@@ -117,6 +117,177 @@ class EngineSpec extends SparkSpec {
       s"win=${win.toSeq} unb=${unb.toSeq}")
   }
 
+  test("funnelOf stepWhere: a per-step predicate narrows that step's " +
+      "CANDIDATE set before the chain law — a failing first candidate " +
+      "shifts the reach min (moving the next deadline), a user with no " +
+      "qualifying event converts unfiltered but never filtered, and " +
+      "the predicate composes with horizon + exclude unchanged") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: clicks at 2 ($5, fails) and 4 ($25, passes) — the
+      // reach is the QUALIFYING min t(4), not t(2)
+      (1L, t(1), "view", 100.0), (1L, t(2), "click", 5.0),
+      (1L, t(4), "click", 25.0), (1L, t(5), "purchase", 60.0),
+      // user 2 converts unfiltered but its only purchase is $10:
+      // filtered stops at click
+      (2L, t(1), "view", 100.0), (2L, t(2), "click", 30.0),
+      (2L, t(3), "purchase", 10.0),
+      // user 3: no qualifying click at all
+      (3L, t(1), "view", 100.0), (3L, t(2), "click", 5.0),
+      (3L, t(3), "purchase", 60.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val where = Map(2 -> (col("value") > 20.0), 3 -> (col("value") > 50.0))
+    val got = operators.Windows
+      .funnelOf(ev, operators.Windows.FunnelSteps, stepWhere = where)
+      .map(_.select("user_id").as[Long].collect().toSet)
+    assert(got == Seq(Set(1L, 2L, 3L), Set(1L, 2L), Set(1L)))
+    // the shifted reach: user 1's click min is the qualifying t(4)
+    val s2 = operators.Windows
+      .funnelOf(ev, operators.Windows.FunnelSteps, stepWhere = where)(1)
+      .filter(col("user_id") === 1L).select("t").collect().head.getTimestamp(0)
+    assert(s2 == t(4))
+    // horizon composes on the NARROWED set: a 2-minute horizon kills
+    // user 1 (its qualifying click sits 3 min after the view) even
+    // though the non-qualifying click was in time
+    val win = operators.Windows.funnelOf(ev, operators.Windows.FunnelSteps,
+      Some(120000L), stepWhere = where)
+    assert(win(1).select("user_id").as[Long].collect().toSet == Set(2L))
+    // a step-1 predicate gates entry itself
+    val e1 = operators.Windows.funnelOf(ev, Seq("view", "click"),
+      stepWhere = Map(1 -> (col("value") < 0)))
+    assert(e1.head.count() == 0)
+    // keys index steps 1..n, loudly
+    intercept[IllegalArgumentException] {
+      operators.Windows.funnelOf(ev, Seq("view"),
+        stepWhere = Map(2 -> lit(true))) }
+    // the registered report: step 1 untouched (no entry predicate) and
+    // step 2 a SUBSET of the windowed step 2 (a theorem: same entries,
+    // narrowed click candidates; step 3 is deliberately NOT compared —
+    // a shifted click reach moves the purchase deadline later, so
+    // set-inclusion stops being a theorem past the first filtered hop)
+    val win0 = operators.Windows.eventsFunnelWindowed(spark, sf)
+      .orderBy("step").collect().map(_.getLong(2))
+    val fil = operators.Windows.eventsFunnelFiltered(spark, sf)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(fil(0) == win0(0) && fil(1) <= win0(1),
+      s"fil=${fil.toSeq} win=${win0.toSeq}")
+  }
+
+  test("funnelDeepestOf exclude: PER-ANCHOR voiding — an excluded " +
+      "event strictly between an anchor's consecutive reaches voids " +
+      "THAT anchor's hop (open interval, no same-anchor rescue) while " +
+      "the user's other anchors search on") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val h = operators.Windows.parseHorizon("30m")
+    val x = Map(2 -> "error", 3 -> "error")
+    val ev = Seq(
+      // user 1: one anchor; error between click reach (5) and purchase
+      // (10) voids hop 3 — depth stops at click. The later clean
+      // purchase (12) must NOT rescue the anchor (greedy candidate is
+      // the min at 10, already voided... 10 is the candidate; void).
+      (1L, t(0), "view"), (1L, t(5), "click"), (1L, t(7), "error"),
+      (1L, t(10), "purchase"), (1L, t(12), "purchase"),
+      // user 2: same poisoned anchor PLUS a second clean anchor at
+      // t(40) — per-anchor voiding lets the clean anchor carry the
+      // user to depth 3 (the chained law would have no second chance)
+      (2L, t(0), "view"), (2L, t(5), "click"), (2L, t(7), "error"),
+      (2L, t(10), "purchase"),
+      (2L, t(40), "view"), (2L, t(45), "click"), (2L, t(50), "purchase"),
+      // user 3: error at EXACTLY the click reach instant — the open
+      // interval does not void (strict on both ends)
+      (3L, t(0), "view"), (3L, t(5), "click"), (3L, t(5), "error"),
+      (3L, t(8), "purchase"),
+      // user 4: error before the anchor window's first hop entirely
+      // (at the anchor instant itself) — never voids
+      (4L, t(0), "error"), (4L, t(1), "view"), (4L, t(5), "click"),
+      (4L, t(8), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = operators.Windows
+      .funnelDeepestOf(ev, operators.Windows.FunnelSteps, h, exclude = x)
+      .map(_.select("user_id").as[Long].distinct.collect().toSet)
+    assert(got == Seq(Set(1L, 2L, 3L, 4L), Set(1L, 2L, 3L, 4L),
+      Set(2L, 3L, 4L)), got.toString)
+    // user 3's purchase hop survives because the t(5) error is NOT
+    // strictly between t(5) and t(8)... but an error at t(6) voids it
+    val ev3 = ev.union(Seq((3L, t(6), "error")).toDF(
+      "user_id", "ts", "event_type"))
+    val got3 = operators.Windows
+      .funnelDeepestOf(ev3, operators.Windows.FunnelSteps, h, exclude = x)
+    assert(!got3(2).select("user_id").as[Long].collect().contains(3L))
+    // refusals: out-of-range key, excluded type that is a step
+    intercept[IllegalArgumentException] {
+      operators.Windows.funnelDeepestOf(ev, Seq("view"), h,
+        exclude = Map(2 -> "error")) }
+    intercept[IllegalArgumentException] {
+      operators.Windows.funnelDeepestOf(ev,
+        operators.Windows.FunnelSteps, h, exclude = Map(2 -> "click")) }
+    // the registered report binds strictly tighter than the plain
+    // deepest one past step 1
+    val un = operators.Windows.eventsFunnelDeepest(spark, sf)
+      .orderBy("step").collect().map(_.getLong(2))
+    val exd = operators.Windows.eventsFunnelDeepestExcluded(spark, sf)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(exd(0) == un(0) && exd(1) <= un(1) && exd(2) <= un(2),
+      s"excluded=${exd.toSeq} plain=${un.toSeq}")
+  }
+
+  test("events_window_tz: the daily series regroups on the market's " +
+      "calendar — a UTC evening and the next UTC morning are ONE Tokyo " +
+      "day; totals conserved, bucket sets differ from pinned UTC") {
+    val tzd = operators.Windows.eventsWindowTz(spark, sf)
+    val utc = Tables.events(spark, sf)
+      .groupBy(Tables.tstr(date_trunc("day", col("ts"))).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // conservation: every event lands in exactly one local bucket
+    assert(tzd.agg(sum("n")).head.getLong(0) ==
+      utc.agg(sum("n")).head.getLong(0))
+    // the shift binds: the local bucket set is NOT the UTC set
+    val tzStarts = tzd.select("window_start").distinct
+      .collect().map(_.getString(0)).toSet
+    val utcStarts = utc.select("window_start").distinct
+      .collect().map(_.getString(0)).toSet
+    assert(tzStarts != utcStarts, "Tokyo day grouping must regroup")
+    // every local bucket is a midnight-on-the-wall-clock boundary
+    assert(tzStarts.forall(_.endsWith("00:00:00")))
+  }
+
+  test("retentionSegmentedOf multi-axis: the entry sample is ONE " +
+      "event's (a1..ak) TUPLE (lexicographic min over (ts, tuple)) — " +
+      "never independent per-attribute mins — and the 2^2 sets cover " +
+      "both 'all' axes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-0$d 10:00:00")
+    // user 1's two cohort-day events tie on ts with pairs (B, A) and
+    // (A, Z): the tuple law samples (A, Z); independent mins would
+    // fabricate (A, A), a pair no event carried
+    val ev = Seq(
+      (1L, t(1), "B", "A"), (1L, t(1), "A", "Z"), (1L, t(2), "Q", "Q"),
+      (2L, t(1), "C", "M"))
+      .toDF("user_id", "ts", "seg", "region")
+    val m = operators.Windows.retentionSegmentedOf(ev, "day",
+      by = Seq("seg" -> "segment", "region" -> "region"))
+    val rows = m.collect().map(r => (r.getString(0), r.getString(1),
+      r.getInt(3), r.getLong(4))).toSet
+    // user 1 is (A, Z) at offsets 0 and 1; user 2 is (C, M) at 0
+    assert(rows.contains(("A", "Z", 0, 1L)) &&
+      rows.contains(("A", "Z", 1, 1L)) &&
+      !rows.exists(r => r._1 == "A" && r._2 == "A"), rows.toString)
+    // all four grouping sets present, (all, all) = the plain matrix
+    assert(rows.contains(("all", "all", 0, 2L)) &&
+      rows.contains(("A", "all", 0, 1L)) &&
+      rows.contains(("all", "Z", 0, 1L)), rows.toString)
+    // loud on duplicate axes
+    intercept[IllegalArgumentException] {
+      operators.Windows.retentionSegmentedOf(ev, "day",
+        by = Seq("seg" -> "segment", "seg" -> "s2")) }
+  }
+
   test("events_funnel's executed plan: per-step scans pruned by pushed " +
       "type filters; repeated stage subtrees dedupe via exchange reuse") {
     val df = operators.Windows.eventsFunnel(spark, sf)

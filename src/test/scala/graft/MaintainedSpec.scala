@@ -23,7 +23,8 @@ class MaintainedSpec extends SparkSpec {
         Maintained.configOf("retention_rolling", period = Some("day")),
         Maintained.configOf("paths", gapMs = Some(1800000L)),
         Maintained.configOf("latency"),
-        Maintained.configOf("latency_segmented")))
+        Maintained.configOf("latency_segmented"),
+        Maintained.configOf("funnel_segmented2")))
       Maintained.foldOfConfig(spark, cfg) // parses and validates
     intercept[IllegalArgumentException](
       Maintained.foldOfConfig(spark, "type=nope"))
@@ -527,6 +528,49 @@ class MaintainedSpec extends SparkSpec {
     assert(td.committed && td.removed == 1L, td.toString)
     assert(report == Map(("A", 1) -> 1L, ("B", 1) -> 1L, ("all", 1) -> 2L,
       ("A", 2) -> 1L, ("all", 2) -> 1L), report.toString)
+  }
+
+  test("takedownUsers rebuilds a TWO-AXIS segmented store — the purge " +
+      "re-derives BOTH axes' counts and all four read-time grouping " +
+      "sets follow") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkdseg2f")
+      .resolve("report").toFile
+    val cfg = Maintained.configOf("funnel_segmented2")
+    def ev(u: Long, t: String, id: Long, typ: String, g: String,
+           g2: String) = (u, java.sql.Timestamp.valueOf(t), id, typ, g, g2)
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "seg", "seg2")
+    Maintained.ingestDrop(spark, dir, cfg, "n1", Seq(
+      ev(1, "2024-01-01 08:00:00.0", 1, "view", "A", "N1"),
+      ev(1, "2024-01-01 08:01:00.0", 2, "click", "A", "N1"),
+      ev(2, "2024-01-01 10:00:00.0", 3, "view", "A", "N2"),
+      ev(3, "2024-01-01 11:00:00.0", 4, "view", "B", "N1")).toDF(cols: _*))
+    Maintained.ingestDrop(spark, dir, cfg, "s1",
+      Seq(ev(-1, "2024-01-05 00:00:00.0", 0, "_watermark", "", ""))
+        .toDF(cols: _*))
+    def report: Map[(String, String, Int), Long] = Maintained
+      .funnelSegmented2ReportFrom(spark,
+        PointStore.open(spark, dir.getPath).snapshot)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getLong(4)).toMap
+    assert(report == Map(
+      ("A", "N1", 1) -> 1L, ("A", "N2", 1) -> 1L, ("B", "N1", 1) -> 1L,
+      ("A", "all", 1) -> 2L, ("B", "all", 1) -> 1L,
+      ("all", "N1", 1) -> 2L, ("all", "N2", 1) -> 1L,
+      ("all", "all", 1) -> 3L,
+      ("A", "N1", 2) -> 1L, ("A", "all", 2) -> 1L,
+      ("all", "N1", 2) -> 1L, ("all", "all", 2) -> 1L), report.toString)
+    // purging user 2 must re-derive the (A, N2) cell away on BOTH
+    // rollup axes — the seg-axis 'A' totals and the seg2-axis 'N2'
+    // totals each drop, and (all, all) follows
+    val td = Maintained.takedownUsers(spark, dir, Seq(2L).toDF("user_id"), "r1")
+    assert(td.committed && td.removed == 1L, td.toString)
+    assert(report == Map(
+      ("A", "N1", 1) -> 1L, ("B", "N1", 1) -> 1L,
+      ("A", "all", 1) -> 1L, ("B", "all", 1) -> 1L,
+      ("all", "N1", 1) -> 2L, ("all", "all", 1) -> 2L,
+      ("A", "N1", 2) -> 1L, ("A", "all", 2) -> 1L,
+      ("all", "N1", 2) -> 1L, ("all", "all", 2) -> 1L), report.toString)
   }
 
   test("takedownUsers purges through a SKETCH-measure store — the " +

@@ -1071,6 +1071,24 @@ class ServerSpec extends SparkSpec {
       assert(pc == 200 && pbody == reg(graft.operators.Windows
         .eventsPathsSegmented(spark, sf),
         "from_step", "to_step", "segment"), pbody.take(300))
+      // r20: comma lists on the three non-funnel compute routes — each
+      // served report ≡ its registered two-dimension twin (2^2 sets,
+      // every attribute under its own registry name), cap-2 enforced
+      val (r2c, r2body) = get(port, "/retention?by=segment,region")
+      assert(r2c == 200 && r2body == reg(graft.operators.Windows
+        .eventsRetentionSegmented2(spark, sf),
+        "cohort", "offset", "segment", "region"), r2body.take(300))
+      val (p2c, p2body) = get(port, "/paths?by=segment,region")
+      assert(p2c == 200 && p2body == reg(graft.operators.Windows
+        .eventsPathsSegmented2(spark, sf),
+        "from_step", "to_step", "segment", "region"), p2body.take(300))
+      val (l2c, l2body) = get(port, "/latency?by=segment,region")
+      assert(l2c == 200 && l2body == reg(graft.operators.Windows
+        .funnelLatencySegmented2(spark, sf),
+        "hop", "segment", "region"), l2body.take(300))
+      assert(get(port, "/retention?by=segment,region,segment2")._1 == 400)
+      assert(get(port, "/paths?by=segment,segment")._1 == 400)
+      assert(get(port, "/latency?by=segment,region,segment2")._1 == 400)
       // guardrails: an unknown &by names the registry; &by/&tz refuse
       // with ?store= on every route (a store is one materialization);
       // zones validate eagerly; rolling+by is an explicit refusal
@@ -1084,8 +1102,12 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/funnel?exclude=nope")._1 == 400)
       assert(get(port, "/funnel?exclude=2:error,2:signup")._1 == 400)
       assert(get(port, "/funnel?exclude=9:error")._1 == 400)
-      assert(get(port,
-        "/funnel?exclude=2:error&mode=deepest&window=1d")._1 == 400)
+      // mode=deepest takes &exclude since r20 (per-anchor voiding):
+      // served ≡ the registered events_funnel_deepest_excluded
+      val (dxc, dxbody) = get(port,
+        "/funnel?mode=deepest&window=1d&exclude=2:error,3:error")
+      assert(dxc == 200 && dxbody == reg(graft.operators.Windows
+        .eventsFunnelDeepestExcluded(spark, sf), "step"), dxbody.take(300))
       // the per-visit exclusion serves ≡ the registered query (the
       // SAME-VISIT void law at the registered 12 h gap)
       val (sxc, sxbody) = get(port,
@@ -1961,6 +1983,53 @@ class ServerSpec extends SparkSpec {
       assert(post(port,
         "/ingest/report?store=wsd2&tag=n1&type=funnel_deepest_segmented",
         jsonOf(Seq(ev(1, "2024-01-01 08:00:00.0", 1, "view", "A"))))
+        ._1 == 400)
+
+      // the TWO-AXIS segmented funnel over the wire (r20):
+      // type=funnel_segmented2 ingests (seg, seg2)-carrying rows, the
+      // store keys on the pair, and /funnel?store= serves the 2^2
+      // read-time rollup — per-pair rows plus "all" on EACH axis
+      def ev2(u: Long, t: String, id: Long, typ: String, g: String,
+              g2: String) = (u, java.sql.Timestamp.valueOf(t), id, typ, g, g2)
+      def jsonOf2(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+          String, String)]) =
+        rows.toDF("user_id", "ts", "event_id", "event_type", "seg", "seg2")
+          .select(to_json(struct(col("user_id"), col("ts"),
+              col("event_id"), col("event_type"), col("seg"), col("seg2")),
+            Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
+          .as[String].collect().mkString("\n")
+      assert(post(port, "/ingest/report?store=ws2&tag=n1&type=funnel_segmented2",
+        jsonOf2(Seq(
+          ev2(1, "2024-01-01 08:00:00.0", 1, "view", "A", "N1"),
+          ev2(1, "2024-01-01 08:01:00.0", 2, "click", "A", "N1"),
+          ev2(2, "2024-01-01 10:00:00.0", 3, "view", "A", "N2"),
+          ev2(3, "2024-01-01 11:00:00.0", 4, "view", "B", "N1"))))._1 == 200)
+      assert(post(port, "/ingest/report?store=ws2&tag=s1&type=funnel_segmented2",
+        jsonOf2(Seq(ev2(-1, "2024-01-05 00:00:00.0", 0, "_watermark", "", ""))))
+        ._1 == 200)
+      val (c2, b2) = this.get(port, "/funnel?store=ws2")
+      assert(c2 == 200 && b2 ==
+        """[{"segment":"A","segment2":"N1","step":1,"step_name":"view","users":1},""" +
+        """{"segment":"A","segment2":"N2","step":1,"step_name":"view","users":1},""" +
+        """{"segment":"A","segment2":"all","step":1,"step_name":"view","users":2},""" +
+        """{"segment":"B","segment2":"N1","step":1,"step_name":"view","users":1},""" +
+        """{"segment":"B","segment2":"all","step":1,"step_name":"view","users":1},""" +
+        """{"segment":"all","segment2":"N1","step":1,"step_name":"view","users":2},""" +
+        """{"segment":"all","segment2":"N2","step":1,"step_name":"view","users":1},""" +
+        """{"segment":"all","segment2":"all","step":1,"step_name":"view","users":3},""" +
+        """{"segment":"A","segment2":"N1","step":2,"step_name":"click","users":1},""" +
+        """{"segment":"A","segment2":"all","step":2,"step_name":"click","users":1},""" +
+        """{"segment":"all","segment2":"N1","step":2,"step_name":"click","users":1},""" +
+        """{"segment":"all","segment2":"all","step":2,"step_name":"click","users":1}]""",
+        b2)
+      // a null seg2 on a non-sentinel row refuses, naming BOTH axes
+      val (n2c, n2b) = post(port,
+        "/ingest/report?store=ws2&tag=n2&type=funnel_segmented2",
+        """{"user_id":9,"ts":"2024-01-06T00:00:00.000000Z","event_id":9,"event_type":"view","seg":"A"}""")
+      assert(n2c == 400 && n2b.contains("seg/seg2"), s"$n2c $n2b")
+      // ...and seg2 on a SINGLE-axis store is an unknown field
+      assert(post(port, "/ingest/report?store=wsg&tag=n9&type=funnel_segmented",
+        jsonOf2(Seq(ev2(1, "2024-01-06 08:00:00.0", 9, "view", "A", "N1"))))
         ._1 == 400)
 
       // the segmented LATENCY store: lat_us rides the segmented twin's

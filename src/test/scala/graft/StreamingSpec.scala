@@ -187,6 +187,59 @@ class StreamingSpec extends SparkSpec {
       lats.toString)
   }
 
+  test("StreamingFunnelSegmented2 ≡ the batch two-axis funnel: the " +
+      "entry (seg, seg2) PAIR pins at the step-1 fold with the " +
+      "lexicographic TUPLE tie law — one event's pair, never " +
+      "per-attribute mins") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnelSegmented2
+    import graft.streaming.StreamingFunnelSegmented2.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val chunk1 = Seq(
+      // user 1 converts in order across the two chunks
+      Ev(1, ts(1), "view", "AUTO", "N1"), Ev(1, ts(2), "click", "AUTO", "N1"),
+      // user 6: the PAIR TIE — duplicate-ts entries carrying (B, A)
+      // and (A, Z), across chunks; the tuple law samples ONE event's
+      // pair, the lexicographically smaller (A, Z) — per-attribute
+      // mins would fabricate (A, A), a pair no event carried
+      Ev(6, ts(4), "view", "B", "A"))
+    val chunk2 = Seq(
+      Ev(1, ts(3), "purchase", "AUTO", "N1"),
+      Ev(6, ts(4), "view", "A", "Z"), Ev(6, ts(6), "click", "Q", "Q"),
+      // user 7's later events carry different pairs: the entry's rides
+      Ev(7, ts(1), "view", "X", "N2"), Ev(7, ts(2), "click", "Y", "N3"))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(chunk1)
+    stream.addData(chunk2)
+    stream.addData(Seq(Ev(99, ts(100000), "sentinel", "", "")))
+    val q = StreamingFunnelSegmented2.funnel(spark, stream.toDS)
+      .writeStream.format("memory").queryName("seg2fun_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("seg2fun_out").filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getTimestamp(5))).toSet
+    val batch = graft.operators.Windows
+      .funnelOf(
+        (chunk1 ++ chunk2).toDF("user_id", "ts", "event_type", "seg", "seg2"),
+        StreamingFunnelSegmented2.Steps,
+        by = Some(struct(col("seg").as("seg"), col("seg2").as("seg2"))))
+      .zipWithIndex.flatMap { case (df, i) =>
+        df.select(col("user_id"), col("t"), col("_seg.seg"),
+            col("_seg.seg2"))
+          .collect().map(r => (r.getLong(0), r.getString(2),
+            r.getString(3), i + 1, r.getTimestamp(1)))
+      }.toSet
+    assert(got == batch, s"stream=$got\nbatch=$batch")
+    // the crafted branches actually fired
+    assert(got.contains((6L, "A", "Z", 1, ts(4))))  // the tuple tie law
+    assert(got.contains((6L, "A", "Z", 2, ts(6))))  // ...and the pair rides
+    assert(got.contains((7L, "X", "N2", 2, ts(2)))) // entry, not hop pair
+    assert(got.count(_._4 == 3) == 1)               // user 1 converts
+  }
+
   test("StreamingFunnelSessions equals the batch session funnel — " +
       "per-visit reaches, cross-visit conversions refused, non-step " +
       "events holding sessions open, disorder across chunks") {
