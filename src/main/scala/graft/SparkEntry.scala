@@ -37,7 +37,8 @@ object SparkEntry {
     "funnel_deepest_segmented_maintained",
     "retention_rolling_maintained", "paths_sessionized_maintained",
     "funnel_sessions_maintained", "funnel_segmented_maintained",
-    "funnel_segmented2_maintained",
+    "funnel_segmented2_maintained", "retention_segmented2_maintained",
+    "paths_segmented2_maintained", "latency_segmented2_maintained",
     "retention_segmented_maintained", "paths_segmented_maintained",
     "report_takedown")
 
@@ -155,6 +156,9 @@ object SparkEntry {
     "funnel_sessions_maintained" -> (graft.streaming.Maintained.funnelSessionsMaintained _),
     "funnel_segmented_maintained" -> (graft.streaming.Maintained.funnelSegmentedMaintained _),
     "funnel_segmented2_maintained" -> (graft.streaming.Maintained.funnelSegmented2Maintained _),
+    "retention_segmented2_maintained" -> (graft.streaming.Maintained.retentionSegmented2Maintained _),
+    "paths_segmented2_maintained" -> (graft.streaming.Maintained.pathsSegmented2Maintained _),
+    "latency_segmented2_maintained" -> (graft.streaming.Maintained.latencySegmented2Maintained _),
     "retention_segmented_maintained" -> (graft.streaming.Maintained.retentionSegmentedMaintained _),
     "paths_segmented_maintained" -> (graft.streaming.Maintained.pathsSegmentedMaintained _),
     "report_takedown" -> (graft.streaming.Maintained.reportTakedown _),
@@ -310,6 +314,9 @@ object SparkEntry {
     "funnel_sessions_maintained" -> Windows.eventsFunnelSessionsOracle,
     "funnel_segmented_maintained" -> Windows.eventsFunnelSegmentedOracle,
     "funnel_segmented2_maintained" -> Windows.eventsFunnelSegmented2Oracle,
+    "retention_segmented2_maintained" -> Windows.eventsRetentionSegmented2Oracle,
+    "paths_segmented2_maintained" -> Windows.eventsPathsSegmented2Oracle,
+    "latency_segmented2_maintained" -> Windows.funnelLatencySegmented2Oracle,
     "retention_segmented_maintained" -> Windows.eventsRetentionSegmentedOracle,
     "paths_segmented_maintained" -> Windows.eventsPathsSegmentedOracle,
     "report_takedown" -> graft.streaming.Maintained.reportTakedownOracle,

@@ -14,14 +14,25 @@ object Windows {
   /** Tumbling 1-hour window aggregation (batch twin of
     * streaming.EventAggregator). */
   def eventsWindow(s: SparkSession, d: String): DataFrame =
+    eventsWindowOf(s, d)
+
+  /** The parameterized form behind the registered pair and
+    * GET /window — calendar grain + optional market zone ([[tzTrunc]];
+    * identity at `tz = None`, so the default plan is byte-for-byte the
+    * pinned-UTC hourly report). */
+  def eventsWindowOf(s: SparkSession, d: String, period: String = "hour",
+                     tz: Option[String] = None): DataFrame = {
+    require(Set("hour", "day", "week", "month")(period),
+      s"eventsWindowOf: period must be hour|day|week|month, got '$period'")
     events(s, d)
       .groupBy(
-        tstr(date_trunc("hour", col("ts"))).as("window_start"),
+        tstr(tzTrunc(period, col("ts"), tz)).as("window_start"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("users"),
         dsum(col("value")).as("sum_value"))
+  }
 
   def eventsWindowOracle: String = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -43,14 +54,7 @@ object Windows {
     * cost: the zone shift is part of the grouping expression, nothing
     * else in the plan moves. */
   def eventsWindowTz(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .groupBy(
-        tstr(tzTrunc("day", col("ts"), Some(RetentionTz))).as("window_start"),
-        col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("user_id")).as("users"),
-        dsum(col("value")).as("sum_value"))
+    eventsWindowOf(s, d, "day", Some(RetentionTz))
 
   /** The AT TIME ZONE oracle — DuckDB's spelling of
     * `from_utc_timestamp` before the truncation, the

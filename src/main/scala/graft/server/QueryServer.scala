@@ -857,7 +857,12 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                 // segmented stores serve per-segment rows + the
                 // read-time "all" member (the /funnel?store= dispatch)
                 val (report, order) =
-                  if (snap.columns.contains("seg"))
+                  if (snap.columns.contains("seg2"))
+                    (graft.streaming.Maintained
+                      .pathsSegmented2ReportFrom(spark, snap),
+                      Seq(col("from_step"), col("to_step"),
+                        col("segment"), col("segment2")))
+                  else if (snap.columns.contains("seg"))
                     (graft.streaming.Maintained
                       .pathsSegmentedReportFrom(spark, snap),
                       Seq(col("from_step"), col("to_step"), col("segment")))
@@ -973,7 +978,12 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                 // the read-time "all" member (dispatch on the store's
                 // own columns — the /funnel?store= discipline)
                 val (report, order) =
-                  if (snap.columns.contains("seg"))
+                  if (snap.columns.contains("seg2"))
+                    (graft.streaming.Maintained
+                      .retentionSegmented2ReportFrom(spark, snap),
+                      Seq(col("cohort"), col("offset"), col("segment"),
+                        col("segment2")))
+                  else if (snap.columns.contains("seg"))
                     (graft.streaming.Maintained
                       .retentionSegmentedReportFrom(spark, snap),
                       Seq(col("cohort"), col("offset"), col("segment")))
@@ -1175,7 +1185,11 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                 // the read-time "all" member (counts sum, sketches
                 // merge) — the family's column dispatch
                 val (report, order) =
-                  if (snap.columns.contains("seg"))
+                  if (snap.columns.contains("seg2"))
+                    (graft.streaming.Maintained
+                      .latencySegmented2ReportFrom(spark, snap),
+                      Seq(col("hop"), col("segment"), col("segment2")))
+                  else if (snap.columns.contains("seg"))
                     (graft.streaming.Maintained
                       .latencySegmentedReportFrom(spark, snap),
                       Seq(col("hop"), col("segment")))
@@ -1217,6 +1231,43 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                 respond(ex, 200, report.orderBy(order: _*).limit(limit)
                   .toJSON.collect().mkString("[", ",", "]"))
             }
+        }
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":"${Option(e.getMessage)
+            .getOrElse("bad request").takeWhile(_ != '\n')
+            .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    })
+    // the tumbling calendar series served: GET /window?period=hour|day
+    // |week|month[&tz=Zone][&sf=..&limit=N] — events_window /
+    // events_window_tz parameterized (the /funnel convention on the
+    // calendar report; &tz truncates on a market's wall clock via
+    // tzTrunc, zones validating eagerly so unknown ones 400)
+    server.createContext("/window", (ex: HttpExchange) => {
+      try {
+        val period = param(ex, "period").getOrElse("hour")
+        val tz = param(ex, "tz")
+        val lim = param(ex, "limit")
+          .map(p => scala.util.Try(p.toInt).toOption)
+        if (!Set("hour", "day", "week", "month")(period))
+          respond(ex, 400,
+            """{"error":"period must be hour|day|week|month"}""")
+        else if (lim.contains(None))
+          respond(ex, 400, """{"error":"limit must be an integer"}""")
+        else resolveSf(param(ex, "sf")) match {
+          case None =>
+            respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
+          case Some(sf) =>
+            import org.apache.spark.sql.functions.col
+            val limit = lim.flatten.getOrElse(1000).max(1).min(MaxLimit)
+            val report = graft.operators.Windows
+              .eventsWindowOf(spark, sf, period, tz)
+            respond(ex, 200, report
+              .orderBy(col("window_start"), col("event_type"))
+              .limit(limit).toJSON.collect().mkString("[", ",", "]"))
         }
       } catch {
         case e: IllegalArgumentException =>

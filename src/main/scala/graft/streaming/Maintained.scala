@@ -98,8 +98,9 @@ object Maintained {
   val ReportTypes: Set[String] = Set("funnel", "funnel_deepest",
     "funnel_deepest_segmented", "funnel_sessions", "funnel_segmented",
     "funnel_segmented2", "retention", "retention_rolling",
-    "retention_segmented", "paths", "paths_segmented", "latency",
-    "latency_segmented")
+    "retention_segmented", "retention_segmented2", "paths",
+    "paths_segmented", "paths_segmented2", "latency",
+    "latency_segmented", "latency_segmented2")
 
   def foldOf(s: SparkSession, typ: String, windowMs: Option[Long] = None,
              period: Option[String] = None,
@@ -226,6 +227,22 @@ object Maintained {
             .groupBy("seg", "cohort", "offset")
             .agg(count(lit(1)).as("users")),
           schema = DefaultWireSchema + ", seg STRING")
+      case "retention_segmented2" =>
+        no(steps, "steps"); no(windowMs, "window"); no(gapMs, "gap")
+        // the entry PAIR pins with the cohort (min over (ts, seg, seg2)
+        // triples — the batch tuple law), so (seg, seg2, cohort,
+        // offset) counts are additive and both "all" axes are
+        // retentionSegmented2ReportFrom's read-time 2^2 rollup
+        val p2 = period.getOrElse("week")
+        ReportFold(Seq("seg", "seg2", "cohort", "offset"), Seq("users"),
+          Nil,
+          df => StreamingRetentionSegmented2.cells(s,
+            df.select(col("user_id"), col("ts"), col("seg"), col("seg2"))
+              .as[StreamingRetentionSegmented2.Ev], p2).toDF,
+          cells => notSentinel(cells)
+            .groupBy("seg", "seg2", "cohort", "offset")
+            .agg(count(lit(1)).as("users")),
+          schema = DefaultWireSchema + ", seg STRING, seg2 STRING")
       case "paths" =>
         no(steps, "steps"); no(windowMs, "window"); no(period, "period")
         ReportFold(Seq("from_step", "to_step"), Seq("n"), Nil,
@@ -248,6 +265,20 @@ object Maintained {
             .groupBy("seg", "from_step", "to_step")
             .agg(count(lit(1)).as("n")),
           schema = DefaultWireSchema + ", seg STRING")
+      case "paths_segmented2" =>
+        no(steps, "steps"); no(windowMs, "window"); no(period, "period")
+        // both attributes of the FROM event ride the pair — still no
+        // new finality argument
+        ReportFold(Seq("seg", "seg2", "from_step", "to_step"), Seq("n"),
+          Nil,
+          df => StreamingPathsSegmented2.pairs(s,
+            df.select(col("user_id"), col("ts"),
+              col("event_id").as("seq"), col("event_type"), col("seg"),
+              col("seg2")).as[StreamingPathsSegmented2.Ev], gapMs).toDF,
+          cells => notSentinel(cells)
+            .groupBy("seg", "seg2", "from_step", "to_step")
+            .agg(count(lit(1)).as("n")),
+          schema = DefaultWireSchema + ", seg STRING, seg2 STRING")
       case "latency" =>
         no(period, "period"); no(gapMs, "gap")
         import graft.functions.SketchOps
@@ -286,6 +317,30 @@ object Maintained {
               SketchOps.quantileSketch(col("lat_us"),
                 graft.operators.TextOps.QuantileK).as("sk")),
           schema = DefaultWireSchema + ", seg STRING")
+      case "latency_segmented2" =>
+        no(period, "period"); no(gapMs, "gap")
+        import graft.functions.SketchOps
+        require(path.size >= 2,
+          s"latency_segmented2 needs at least two steps (a hop), got $path")
+        val hops2 = array(path.sliding(2).map { case Seq(a, b) =>
+          lit(s"$a->$b") }.toSeq: _*)
+        // the two-axis twin's reaches carry lat_us exactly like the
+        // single-axis twin's; the store folds (seg, seg2, hop) sketches
+        // and both read-time "all" axes MERGE them (counts sum,
+        // sketches merge — exact regime ≡ quantile_disc)
+        ReportFold(Seq("seg", "seg2", "hop"), Seq("n_users"), Seq("sk"),
+          df => StreamingFunnelSegmented2.funnel(s,
+            df.select(col("user_id"), col("ts"), col("event_type"),
+              col("seg"), col("seg2"))
+              .as[StreamingFunnelSegmented2.Ev],
+            windowMs.map(ms => s"${ms}ms"), path).toDF
+            .filter(col("step") > 1),
+          _.withColumn("hop", element_at(hops2, col("step") - 1))
+            .groupBy("seg", "seg2", "hop")
+            .agg(count(lit(1)).as("n_users"),
+              SketchOps.quantileSketch(col("lat_us"),
+                graft.operators.TextOps.QuantileK).as("sk")),
+          schema = DefaultWireSchema + ", seg STRING, seg2 STRING")
     }
   }
 
@@ -1335,6 +1390,28 @@ object Maintained {
       .select(coalesce(col("seg"), lit("all")).as("segment"),
         col("cohort"), col("offset"), col("users"))
 
+  /** The TWO-axis cohort matrix read from a maintained
+    * (seg, seg2, cohort, offset)/users store —
+    * [[funnelSegmented2ReportFrom]]'s 2^2 read-time rollup on the
+    * retention grain (each user contributes one pinned pair, so all
+    * four rollups are plain sums). */
+  def retentionSegmented2ReportFrom(s: SparkSession,
+                                    snapshot: DataFrame): DataFrame =
+    snapshot
+      .select(col("seg"), col("seg2"),
+        graft.Tables.tstr(col("cohort")).as("cohort"),
+        col("offset"), col("users"))
+      .groupingSets(
+        Seq(Seq(col("seg"), col("seg2"), col("cohort"), col("offset")),
+          Seq(col("seg"), col("cohort"), col("offset")),
+          Seq(col("seg2"), col("cohort"), col("offset")),
+          Seq(col("cohort"), col("offset"))),
+        col("seg"), col("seg2"), col("cohort"), col("offset"))
+      .agg(sum(col("users")).as("users"))
+      .select(coalesce(col("seg"), lit("all")).as("segment"),
+        coalesce(col("seg2"), lit("all")).as("segment2"),
+        col("cohort"), col("offset"), col("users"))
+
   /** The segmented transition matrix read from a maintained
     * (seg, from_step, to_step)/n store — same read-time rollup; the
     * "all" member sums over segments because every pair carries
@@ -1363,6 +1440,22 @@ object Maintained {
     retentionSegmentedReportFrom(s, store.snapshot)
   }
 
+  /** `retention_segmented2_maintained`: the TWO-axis cohort matrix as
+    * a maintained table — the [[StreamingRetentionSegmented2]] twin's
+    * pinned-pair cells folded at (seg, seg2, cohort, offset) grain,
+    * both "all" axes read-time. Oracle = the batch
+    * `events_retention_segmented2` query's 4-set SQL, unchanged (the
+    * wire face renames its generic second axis to the oracle's
+    * `region`). */
+  def retentionSegmented2Maintained(s: SparkSession,
+                                    d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_segret2maint_",
+      foldOf(s, "retention_segmented2", period = Some("week")),
+      cycles = Condensed, seg = true, seg2 = true)
+    retentionSegmented2ReportFrom(s, store.snapshot)
+      .withColumnRenamed("segment2", "region")
+  }
+
   /** `paths_segmented_maintained`: the segmented transition matrix as
     * a maintained table — the [[StreamingPathsSegmented]] twin's
     * from-attributed pairs folded at (seg, from, to) grain. Oracle =
@@ -1372,6 +1465,38 @@ object Maintained {
     val store = driveMaintained(s, d, "graft_segpathmaint_",
       foldOf(s, "paths_segmented"), cycles = Condensed, seg = true)
     pathsSegmentedReportFrom(s, store.snapshot)
+  }
+
+  /** The TWO-axis transition matrix read from a maintained
+    * (seg, seg2, from_step, to_step)/n store — the 2^2 read-time
+    * rollup (every pair carries exactly one from-event pair). */
+  def pathsSegmented2ReportFrom(s: SparkSession,
+                                snapshot: DataFrame): DataFrame =
+    snapshot
+      .select(col("seg"), col("seg2"), col("from_step"), col("to_step"),
+        col("n"))
+      .groupingSets(
+        Seq(Seq(col("seg"), col("seg2"), col("from_step"), col("to_step")),
+          Seq(col("seg"), col("from_step"), col("to_step")),
+          Seq(col("seg2"), col("from_step"), col("to_step")),
+          Seq(col("from_step"), col("to_step"))),
+        col("seg"), col("seg2"), col("from_step"), col("to_step"))
+      .agg(sum(col("n")).as("n"))
+      .select(coalesce(col("seg"), lit("all")).as("segment"),
+        coalesce(col("seg2"), lit("all")).as("segment2"),
+        col("from_step"), col("to_step"), col("n"))
+
+  /** `paths_segmented2_maintained`: the two-axis transition matrix as
+    * a maintained table — [[StreamingPathsSegmented2]]'s from-pair
+    * attribution folded at (seg, seg2, from, to) grain. Oracle = the
+    * batch `events_paths_segmented2` 4-set SQL, unchanged (segment2
+    * renamed to the oracle's `region`). */
+  def pathsSegmented2Maintained(s: SparkSession, d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_segpath2maint_",
+      foldOf(s, "paths_segmented2"), cycles = Condensed, seg = true,
+      seg2 = true)
+    pathsSegmented2ReportFrom(s, store.snapshot)
+      .withColumnRenamed("segment2", "region")
   }
 
   /** `retention_maintained`: the weekly cohort matrix as a maintained
@@ -1479,6 +1604,43 @@ object Maintained {
     val store = driveMaintained(s, d, "graft_seglatmaint_",
       foldOf(s, "latency_segmented"), cycles = Condensed, seg = true)
     latencySegmentedReportFrom(s, store.snapshot)
+  }
+
+  /** The TWO-axis hop-latency report read from a maintained
+    * (seg, seg2, hop) store — the 2^2 rollup with counts summing and
+    * sketches MERGING on both "all" axes (exact regime ≡ the batch
+    * query's per-set quantile_disc recompute). */
+  def latencySegmented2ReportFrom(s: SparkSession,
+                                  snapshot: DataFrame): DataFrame = {
+    import graft.functions.SketchOps
+    snapshot.select(col("seg"), col("seg2"), col("hop"), col("n_users"),
+        col("sk"))
+      .groupingSets(
+        Seq(Seq(col("seg"), col("seg2"), col("hop")),
+          Seq(col("seg"), col("hop")), Seq(col("seg2"), col("hop")),
+          Seq(col("hop"))),
+        col("seg"), col("seg2"), col("hop"))
+      .agg(sum(col("n_users")).as("n_users"),
+        SketchOps.quantileMerge(col("sk")).as("sk"))
+      .select(coalesce(col("seg"), lit("all")).as("segment") +:
+        coalesce(col("seg2"), lit("all")).as("segment2") +:
+        col("hop") +: col("n_users") +:
+        graft.operators.TextOps.QuantilePoints.map { case (q, n) =>
+          SketchOps.quantileAt(col("sk"), q).as(n) }: _*)
+  }
+
+  /** `latency_segmented2_maintained`: two-axis time-to-convert as a
+    * maintained table — [[StreamingFunnelSegmented2]]'s reaches carry
+    * `lat_us` exactly like the single-axis twin's, so the store is one
+    * additive (seg, seg2, hop) fold with the mergeable sketch measure.
+    * Oracle = the batch `funnel_latency_segmented2` 4-set SQL,
+    * unchanged (segment2 renamed to the oracle's `region`). */
+  def latencySegmented2Maintained(s: SparkSession, d: String): DataFrame = {
+    val store = driveMaintained(s, d, "graft_seglat2maint_",
+      foldOf(s, "latency_segmented2"), cycles = Condensed, seg = true,
+      seg2 = true)
+    latencySegmented2ReportFrom(s, store.snapshot)
+      .withColumnRenamed("segment2", "region")
   }
 
   /** `report_takedown`: the compliance story for a maintained analytics

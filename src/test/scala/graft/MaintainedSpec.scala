@@ -24,7 +24,10 @@ class MaintainedSpec extends SparkSpec {
         Maintained.configOf("paths", gapMs = Some(1800000L)),
         Maintained.configOf("latency"),
         Maintained.configOf("latency_segmented"),
-        Maintained.configOf("funnel_segmented2")))
+        Maintained.configOf("funnel_segmented2"),
+        Maintained.configOf("retention_segmented2", period = Some("day")),
+        Maintained.configOf("paths_segmented2", gapMs = Some(1800000L)),
+        Maintained.configOf("latency_segmented2")))
       Maintained.foldOfConfig(spark, cfg) // parses and validates
     intercept[IllegalArgumentException](
       Maintained.foldOfConfig(spark, "type=nope"))

@@ -1089,6 +1089,21 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/retention?by=segment,region,segment2")._1 == 400)
       assert(get(port, "/paths?by=segment,segment")._1 == 400)
       assert(get(port, "/latency?by=segment,region,segment2")._1 == 400)
+      // the tumbling series served (r20): default ≡ events_window, the
+      // market calendar ≡ the registered Tokyo daily series, refusals
+      // eager (period whitelist, zone validation)
+      val (w0c, w0body) = get(port, "/window")
+      assert(w0c == 200 && w0body == reg(graft.operators.Windows
+        .eventsWindow(spark, sf), "window_start", "event_type"),
+        w0body.take(300))
+      val (wzc, wzbody) = get(port, "/window?period=day&tz=Asia/Tokyo")
+      assert(wzc == 200 && wzbody == reg(graft.operators.Windows
+        .eventsWindowTz(spark, sf), "window_start", "event_type"),
+        wzbody.take(300))
+      assert(get(port, "/window?period=minute")._1 == 400)
+      assert(get(port, "/window?tz=Nope/Nope")._1 == 400)
+      assert(get(port, "/window?limit=abc")._1 == 400)
+      assert(get(port, "/window?sf=/etc")._1 == 403)
       // guardrails: an unknown &by names the registry; &by/&tz refuse
       // with ?store= on every route (a store is one materialization);
       // zones validate eagerly; rolling+by is an explicit refusal
@@ -2031,6 +2046,33 @@ class ServerSpec extends SparkSpec {
       assert(post(port, "/ingest/report?store=wsg&tag=n9&type=funnel_segmented",
         jsonOf2(Seq(ev2(1, "2024-01-06 08:00:00.0", 9, "view", "A", "N1"))))
         ._1 == 400)
+
+      // the two-axis RETENTION store serves its 2^2 shape the same way
+      // (dispatch on the store's seg2 column; paths/latency share the
+      // dispatch code path and their lifecycles carry the oracles)
+      assert(post(port,
+        "/ingest/report?store=wr2&tag=n1&type=retention_segmented2&period=day",
+        jsonOf2(Seq(
+          ev2(1, "2024-01-01 08:00:00.0", 1, "view", "A", "N1"),
+          ev2(1, "2024-01-02 08:00:00.0", 2, "view", "A", "N1"),
+          ev2(2, "2024-01-01 09:00:00.0", 3, "view", "A", "N2"))))._1 == 200)
+      assert(post(port,
+        "/ingest/report?store=wr2&tag=s1&type=retention_segmented2&period=day",
+        jsonOf2(Seq(ev2(-1, "2024-01-09 00:00:00.0", 0, "_watermark", "", ""))))
+        ._1 == 200)
+      val (r2c, r2b) = this.get(port, "/retention?store=wr2")
+      assert(r2c == 200 && r2b ==
+        """[{"segment":"A","segment2":"N1","cohort":"2024-01-01 00:00:00","offset":0,"users":1},""" +
+        """{"segment":"A","segment2":"N2","cohort":"2024-01-01 00:00:00","offset":0,"users":1},""" +
+        """{"segment":"A","segment2":"all","cohort":"2024-01-01 00:00:00","offset":0,"users":2},""" +
+        """{"segment":"all","segment2":"N1","cohort":"2024-01-01 00:00:00","offset":0,"users":1},""" +
+        """{"segment":"all","segment2":"N2","cohort":"2024-01-01 00:00:00","offset":0,"users":1},""" +
+        """{"segment":"all","segment2":"all","cohort":"2024-01-01 00:00:00","offset":0,"users":2},""" +
+        """{"segment":"A","segment2":"N1","cohort":"2024-01-01 00:00:00","offset":1,"users":1},""" +
+        """{"segment":"A","segment2":"all","cohort":"2024-01-01 00:00:00","offset":1,"users":1},""" +
+        """{"segment":"all","segment2":"N1","cohort":"2024-01-01 00:00:00","offset":1,"users":1},""" +
+        """{"segment":"all","segment2":"all","cohort":"2024-01-01 00:00:00","offset":1,"users":1}]""",
+        r2b)
 
       // the segmented LATENCY store: lat_us rides the segmented twin's
       // reaches, the store folds (seg, hop) sketches, and the read's
