@@ -86,6 +86,8 @@ object SparkEntry {
     "events_retention_segmented2" -> (Windows.eventsRetentionSegmented2 _),
     "events_paths_segmented2" -> (Windows.eventsPathsSegmented2 _),
     "funnel_latency_segmented2" -> (Windows.funnelLatencySegmented2 _),
+    "events_funnel_sessions_segmented2" -> (Windows.eventsFunnelSessionsSegmented2 _),
+    "events_funnel_deepest_segmented2" -> (Windows.eventsFunnelDeepestSegmented2 _),
     // hop voided by an intervening excluded event
     "events_funnel_excluded" -> (Windows.eventsFunnelExcluded _),
     // ...per anchor on the deepest search (r20 — the r19 refusal decided)
@@ -259,6 +261,8 @@ object SparkEntry {
     "events_retention_segmented2" -> Windows.eventsRetentionSegmented2Oracle,
     "events_paths_segmented2" -> Windows.eventsPathsSegmented2Oracle,
     "funnel_latency_segmented2" -> Windows.funnelLatencySegmented2Oracle,
+    "events_funnel_sessions_segmented2" -> Windows.eventsFunnelSessionsSegmented2Oracle,
+    "events_funnel_deepest_segmented2" -> Windows.eventsFunnelDeepestSegmented2Oracle,
     "events_funnel_deepest_excluded" -> Windows.eventsFunnelDeepestExcludedOracle,
     "events_funnel_filtered" -> Windows.eventsFunnelFilteredOracle,
     "events_window_tz" -> Windows.eventsWindowTzOracle,

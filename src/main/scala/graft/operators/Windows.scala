@@ -708,6 +708,70 @@ object Windows {
     FROM u
     GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
 
+  /** `events_funnel_sessions_segmented2`: the per-visit funnel across
+    * TWO dimensions at once — [[eventsFunnelSegmented2]]'s composition
+    * on the sessions flavor (the payload is opaque to the per-visit
+    * chain exactly as to the chained one; each visit entry-samples the
+    * pair), both measures per grouping set with "all" members on each
+    * axis (users a DISTINCT count recomputed inside every set — never
+    * a sum of per-cell distincts). */
+  def eventsFunnelSessionsSegmented2(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelSessionsOf(events2(s, d), FunnelSteps,
+      by = Some(struct(col("seg").as("s1"), col("region").as("s2"))))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.select(col("user_id.u").as("u"), col("_seg.s1").as("seg"),
+          col("_seg.s2").as("region"))
+        .cube(col("seg"), col("region"))
+        .agg(countDistinct(col("u")).as("users"),
+          count(lit(1)).as("visits"))
+        .select(coalesce(col("seg"), lit("all")).as("segment"),
+          coalesce(col("region"), lit("all")).as("region"),
+          lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
+          col("users"), col("visits"))
+    }.reduce(_ unionByName _)
+  }
+
+  def eventsFunnelSessionsSegmented2Oracle: String = """
+    WITH g AS (
+      SELECT e.user_id, e.event_id, e.ts, e.event_type,
+             c.c_mktsegment AS seg, n.n_name AS region,
+             CASE WHEN lag(e.ts) OVER w IS NULL
+                    OR epoch_us(e.ts) - epoch_us(lag(e.ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS gap_start
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)),
+    sess AS (
+      SELECT user_id, ts, event_type, seg, region,
+             CAST(sum(gap_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM g),
+    s1 AS (
+      SELECT user_id, sid, min(ts) AS t, min(seg) AS seg,
+             min(region) AS region FROM sess
+      WHERE event_type = 'view' GROUP BY 1, 2),
+    s2 AS (
+      SELECT e.user_id, e.sid, min(e.ts) AS t, min(s1.seg) AS seg,
+             min(s1.region) AS region FROM sess e
+      JOIN s1 USING (user_id, sid)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1, 2),
+    s3 AS (
+      SELECT e.user_id, e.sid, min(e.ts) AS t, min(s2.seg) AS seg,
+             min(s2.region) AS region FROM sess e
+      JOIN s2 USING (user_id, sid)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1, 2),
+    u AS (
+      SELECT 1 AS step, 'view' AS step_name, user_id, seg, region FROM s1
+      UNION ALL SELECT 2, 'click', user_id, seg, region FROM s2
+      UNION ALL SELECT 3, 'purchase', user_id, seg, region FROM s3)
+    SELECT coalesce(seg, 'all') AS segment,
+           coalesce(region, 'all') AS region, CAST(step AS INT) AS step,
+           step_name, count(DISTINCT user_id) AS users, count(*) AS visits
+    FROM u
+    GROUP BY GROUPING SETS ((seg, region, step, step_name),
+      (seg, step, step_name), (region, step, step_name),
+      (step, step_name))"""
+
   /** All 2^k subsets of the segment axes (finest first), each extended
     * with the report's fixed grain — the GROUPING SETS a k-attribute
     * "all"-member expansion needs. The crunch_global_full discipline
@@ -1313,6 +1377,65 @@ object Windows {
            step_name, count(DISTINCT user_id) AS users
     FROM u
     GROUP BY GROUPING SETS ((seg, step, step_name), (step, step_name))"""
+
+  /** `events_funnel_deepest_segmented2`: the deepest-chain report
+    * across TWO dimensions — the last funnel flavor onto the two-axis
+    * expansion ([[eventsFunnelSegmented2]]'s composition on
+    * [[funnelDeepestOf]]'s opaque entry payload: the user's FIRST
+    * anchor samples the (segment, region) pair, the 17j semantic
+    * decision unchanged), users a DISTINCT count recomputed per
+    * grouping set over (user, anchor)-grain reaches. */
+  def eventsFunnelDeepestSegmented2(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelDeepestOf(events2(s, d), FunnelSteps,
+      parseHorizon(FunnelHorizon),
+      by = Some(struct(col("seg").as("s1"), col("region").as("s2"))))
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.select(col("user_id"), col("_seg.s1").as("seg"),
+          col("_seg.s2").as("region"))
+        .cube(col("seg"), col("region"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .select(coalesce(col("seg"), lit("all")).as("segment"),
+          coalesce(col("region"), lit("all")).as("region"),
+          lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  def eventsFunnelDeepestSegmented2Oracle: String = """
+    WITH ev AS (
+      SELECT e.user_id, e.ts, e.event_type, c.c_mktsegment AS seg,
+             n.n_name AS region
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    ent AS (
+      SELECT user_id, min(seg) AS seg, min(region) AS region FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (
+      SELECT DISTINCT e.user_id, e.ts AS t1, ent.seg, ent.region
+      FROM ev e JOIN ent USING (user_id) WHERE e.event_type = 'view'),
+    s2 AS (
+      SELECT e.user_id, s1.t1, min(e.ts) AS t, min(s1.seg) AS seg,
+             min(s1.region) AS region
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1, 2),
+    s3 AS (
+      SELECT e.user_id, s2.t1, min(e.ts) AS t, min(s2.seg) AS seg,
+             min(s2.region) AS region
+      FROM ev e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t1 + INTERVAL 1 DAY GROUP BY 1, 2),
+    u AS (
+      SELECT 1 AS step, 'view' AS step_name, user_id, seg, region FROM s1
+      UNION ALL SELECT 2, 'click', user_id, seg, region FROM s2
+      UNION ALL SELECT 3, 'purchase', user_id, seg, region FROM s3)
+    SELECT coalesce(seg, 'all') AS segment,
+           coalesce(region, 'all') AS region, CAST(step AS INT) AS step,
+           step_name, count(DISTINCT user_id) AS users
+    FROM u
+    GROUP BY GROUPING SETS ((seg, region, step, step_name),
+      (seg, step, step_name), (region, step, step_name),
+      (step, step_name))"""
 
   /** `events_funnel_deepest_excluded`: the deepest-chain report where
     * an `error` event voids a hop PER ANCHOR ([[funnelDeepestOf]]'s

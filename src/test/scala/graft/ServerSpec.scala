@@ -1032,6 +1032,18 @@ class ServerSpec extends SparkSpec {
       assert(mc == 200 && mbody == reg(graft.operators.Windows
         .eventsFunnelSegmented2(spark, sf),
         "step", "segment", "region"), mbody.take(300))
+      // ...and the comma list composes with every mode (r20: the
+      // deepest and per-visit flavors gained registered two-axis
+      // twins, so the served cubes pin byte-equal)
+      val (msc, msbody) = get(port, "/funnel?mode=sessions&by=segment,region")
+      assert(msc == 200 && msbody == reg(graft.operators.Windows
+        .eventsFunnelSessionsSegmented2(spark, sf),
+        "step", "segment", "region"), msbody.take(300))
+      val (mdc, mdbody) = get(port,
+        s"/funnel?mode=deepest&window=${graft.operators.Windows.FunnelHorizon}&by=segment,region")
+      assert(mdc == 200 && mdbody == reg(graft.operators.Windows
+        .eventsFunnelDeepestSegmented2(spark, sf),
+        "step", "segment", "region"), mdbody.take(300))
       // &exclude= serves the hop-voiding law ≡ the registered query,
       // and composes with &by
       val (xc, xbody) = get(port, "/funnel?exclude=2:error,3:error")
