@@ -632,6 +632,23 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
               parsed.flatten.map(_._1).distinct.size != parsed.size) None
           else Some(parsed.flatten.toMap)
         }
+        // &minval=2:20,3:50 is the SAFE wire form of funnelOf's
+        // per-step predicates (stepWhere): step k's event must carry
+        // value > X to count. A threshold registry beats arbitrary
+        // predicate strings crossing the wire (no expression parsing,
+        // no injection surface); richer predicates stay a library-level
+        // Column API.
+        val minval = param(ex, "minval").map { s =>
+          val parsed = s.split(",", -1).toSeq.map(_.split(":", -1) match {
+            case Array(k, v) if k.matches("[0-9]{1,2}") &&
+                v.matches("-?[0-9]+(\\.[0-9]+)?") =>
+              Some(k.toInt -> v.toDouble)
+            case _ => None
+          })
+          if (parsed.contains(None) ||
+              parsed.flatten.map(_._1).distinct.size != parsed.size) None
+          else Some(parsed.flatten.toMap)
+        }
         if (steps.contains(None))
           respond(ex, 400, """{"error":"steps must be distinct plain """ +
             """names (steps=view,click,purchase)"}""")
@@ -648,15 +665,18 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else if (excl.contains(None))
           respond(ex, 400, """{"error":"exclude must be distinct """ +
             """step:type pairs (exclude=2:error,3:error)"}""")
+        else if (minval.contains(None))
+          respond(ex, 400, """{"error":"minval must be distinct """ +
+            """step:threshold pairs (minval=2:20,3:50)"}""")
         else if (by.isDefined && byNames.size > 2)
           respond(ex, 400, """{"error":"by takes at most two """ +
             """attributes (the registered 2^2 grouping-set cap)"}""")
         else if (storeName.isDefined &&
             (steps.isDefined || win.isDefined || gap.isDefined ||
-              by.isDefined || excl.isDefined ||
+              by.isDefined || excl.isDefined || minval.isDefined ||
               param(ex, "mode").isDefined || param(ex, "sf").isDefined))
           respond(ex, 400, """{"error":"store= serves one maintained """ +
-            """materialization — steps/window/gap/mode/by/exclude/sf don't apply"}""")
+            """materialization — steps/window/gap/mode/by/exclude/minval/sf don't apply"}""")
         else if (ver.isDefined && storeName.isEmpty)
           respond(ex, 400, """{"error":"version= applies to store= """ +
             """reads (a maintained store's time travel)"}""")
@@ -709,6 +729,10 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
         else if (mode != "sessions" && gap.isDefined)
           respond(ex, 400,
             """{"error":"&gap only applies to mode=sessions (use &window)"}""")
+        else if (minval.isDefined && mode != "chained")
+          respond(ex, 400, """{"error":"&minval rides the chained """ +
+            """law (per-step predicates on the deepest/per-visit """ +
+            """searches are a library-level API)"}""")
         else resolveSf(param(ex, "sf")) match {
           case None =>
             respond(ex, 403, """{"error":"sf not in the allowed scale dirs"}""")
@@ -745,7 +769,9 @@ final class QueryServer(spark: SparkSession, defaultSf: String, port: Int = 0,
                       exclude = exclMap)
                   case _ => graft.operators.Windows
                     .funnelOf(ev, names, win.flatten, by = seg,
-                      exclude = exclMap)
+                      exclude = exclMap,
+                      stepWhere = minval.flatten.getOrElse(Map.empty)
+                        .map { case (k, v) => k -> (col("value") > v) })
                 }
                 // the measures per mode: sessions are the funnel unit
                 // (distinct users + the visit count); the deepest

@@ -184,6 +184,90 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("filtered funnel (stepWhere) agrees with the in-memory law on " +
+      "random streams — the predicate narrows the candidate set BEFORE " +
+      "the chained min, horizon composed on the narrowed set") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    val evGen = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 12L),
+      Gen.oneOf(steps :+ "noise"), Gen.choose(0, 10))
+    for (seed <- 1L to 6L; horizonSec <- Seq(None, Some(3L))) {
+      val evs = sample(Gen.listOfN(60, evGen), seed)
+      val df = evs.map { case (u, t, s, v) =>
+        (u, new java.sql.Timestamp(t * 1000L), s, v.toDouble) }
+        .toDF("user_id", "ts", "event_type", "value")
+      // predicate on steps 2 and 3: the event's value must exceed 5 —
+      // with values uniform on 0..10 the narrowed min shifts often
+      val where = Map(2 -> (col("value") > 5.0), 3 -> (col("value") > 5.0))
+      def qualifies(j: Int, v: Int) = j == 0 || v > 5
+      val expected = steps.indices.map { k =>
+        evs.groupBy(_._1).flatMap { case (u, es) =>
+          steps.take(k + 1).zipWithIndex
+            .foldLeft(Option(Long.MinValue)) { case (bound, (s, j)) =>
+              bound.flatMap { b =>
+                es.filter(e => e._3 == s && qualifies(j, e._4) &&
+                    e._2 > b &&
+                    (j == 0 || horizonSec.forall(h => e._2 <= b + h)))
+                  .map(_._2).minOption
+              }
+            }.map(t => (u, t))
+        }.toSet
+      }
+      val got = graft.operators.Windows
+        .funnelOf(df, steps, horizonSec.map(_ * 1000L), stepWhere = where)
+        .map(_.collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L))
+          .toSet)
+      assert(got == expected, s"seed $seed horizon $horizonSec")
+    }
+  }
+
+  test("deepest-funnel exclusions agree with the in-memory per-anchor " +
+      "void law on random streams — an excluded event voids an anchor's " +
+      "hop only in the OPEN interval between that anchor's reaches, " +
+      "other anchors search on") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    val ex = Map(2 -> "x", 3 -> "x")
+    val evGen = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 12L),
+      Gen.oneOf(steps ++ Seq("x", "noise")))
+    for (seed <- 1L to 6L; horizonSec <- Seq(3L, 5L)) {
+      val evs = sample(Gen.listOfN(60, evGen), seed)
+      val df = evs.map { case (u, t, s) =>
+        (u, new java.sql.Timestamp(t * 1000L), s) }
+        .toDF("user_id", "ts", "event_type")
+      // reference: per (user, anchor) the greedy chain within the
+      // anchor's deadline, each hop's candidate voided iff an excluded
+      // event lies strictly between the previous reach and it
+      val expected = steps.indices.map { k =>
+        // groupBy gives a Map — flatMap must run on a Seq of groups, or
+        // the (u, t1) result pairs would collapse to one anchor per user
+        evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+          es.filter(_._3 == steps.head).map(_._2).distinct.flatMap { t1 =>
+            val deadline = t1 + horizonSec
+            steps.take(k + 1).zipWithIndex
+              .foldLeft(Option(Long.MinValue)) { case (bound, (s, j)) =>
+                bound.flatMap { b =>
+                  if (j == 0) Some(t1)
+                  else es.filter(e => e._3 == s && e._2 > b &&
+                      e._2 <= deadline)
+                    .map(_._2).minOption
+                    .filter(tk => !es.exists(e => e._3 == "x" &&
+                      e._2 > b && e._2 < tk))
+                }
+              }.map(_ => (u, t1))
+          }
+        }.toSet
+      }
+      val got = graft.operators.Windows
+        .funnelDeepestOf(df, steps, horizonSec * 1000L, exclude = ex)
+        .map(_.select("user_id", "t1").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L))
+          .toSet)
+      assert(got == expected, s"seed $seed horizon $horizonSec")
+    }
+  }
+
   test("trigram backoff probe agrees with the in-memory estimator on " +
       "random corpora (unseen contexts at every order, short docs absent, " +
       "identical decimal-before-sum rounding)") {

@@ -1053,6 +1053,19 @@ class ServerSpec extends SparkSpec {
         "/funnel?exclude=2:error,3:error&by=segment")
       assert(xbc == 200 && xbbody.contains("\"segment\":\"all\"") &&
         xbbody != body, xbbody.take(300))
+      // &minval= serves the per-step predicate thresholds (stepWhere's
+      // safe wire form) ≡ the registered filtered query; malformed,
+      // repeated, out-of-range, wrong-mode and store combinations
+      // refuse
+      val (fvc, fvbody) = get(port, "/funnel?window=1d&minval=2:20,3:50")
+      assert(fvc == 200 && fvbody == reg(graft.operators.Windows
+        .eventsFunnelFiltered(spark, sf), "step"), fvbody.take(300))
+      assert(get(port, "/funnel?minval=nope")._1 == 400)
+      assert(get(port, "/funnel?minval=2:20,2:30")._1 == 400)
+      assert(get(port, "/funnel?minval=9:20")._1 == 400)
+      assert(get(port,
+        "/funnel?minval=2:20&mode=deepest&window=1d")._1 == 400)
+      assert(get(port, "/funnel?store=x&minval=2:20")._1 == 400)
       // retention: &by ≡ the registered segmented matrix, &tz ≡ the
       // registered Tokyo matrix, and the two COMPOSE (segment axis and
       // market calendar are orthogonal)
