@@ -217,10 +217,7 @@ final class PointStore(spark: SparkSession, path: String,
         s"point store at $path is empty — the changefeed has no schema " +
           "before the first append")
       snapshot.limit(0)
-    } else mergeAgg(dirs.map(m => spark.read.parquet(sfs.pathOf(m)))
-      // null-fill across windows written before a schema-evolved measure
-      // existed (the snapshot's additive-evolution contract)
-      .reduce(_.unionByName(_, allowMissingColumns = true)))
+    } else mergeAgg(readMembers(dirs))
   }
 
   /** Atomically REPLACE the store's content with `partial` (aggregated
@@ -377,9 +374,42 @@ final class PointStore(spark: SparkSession, path: String,
   def snapshot: DataFrame = {
     val ms = members
     require(ms.nonEmpty, s"point store at $path is empty")
-    mergeAgg(ms.map(m => spark.read.parquet(sfs.pathOf(m)))
-      .reduce(_.unionByName(_, allowMissingColumns = true)))
+    mergeAgg(readMembers(ms))
   }
+
+  /** One multi-path scan over member directories (r20 optimization,
+    * guide §6): the per-member `reduce(unionByName)` chain paid one
+    * schema-discovery read plus one plan leg PER member — a dozen
+    * driver round-trips per snapshot on a nightly store. The read's
+    * schema is the BY-NAME UNION of the members' schemas (a member
+    * written before a measure existed reads NULL for it, exactly what
+    * `allowMissingColumns` null-filled — parquet fills requested-but-
+    * absent columns with nulls), so the snapshot is one scan node
+    * whatever the member count. Member schemas memoize per directory:
+    * a committed member is immutable (manifest flips always commit
+    * FRESH names; the one same-name rewrite — a crashed appendTagged
+    * attempt — happens before the commit, and only committed members
+    * are ever read), so the footer is read once per (JVM, member), not
+    * once per snapshot. `mergeSchema` would do the same union but as a
+    * distributed footer-sweep job on EVERY read (measured: +4 s on the
+    * curate lifecycle). */
+  private def readMembers(ms: Seq[String]): DataFrame =
+    if (spark.conf.getOption("spark.graft.store.memberRead")
+        .contains("legacy"))
+      ms.map(m => spark.read.parquet(sfs.pathOf(m)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val union = ms.map { m =>
+        val p = sfs.pathOf(m)
+        PointStore.memberSchemaMemo.computeIfAbsent(p,
+          q => spark.read.parquet(q).schema)
+      }.reduce { (a, b) =>
+        val have = a.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          a.fields ++ b.fields.filterNot(f => have(f.name)))
+      }
+      spark.read.schema(union).parquet(ms.map(sfs.pathOf): _*)
+    }
 
   /** TIME TRAVEL: the store's content as of `version` — the merge-fold
     * of EVERY change window up to it, which equals the snapshot a
@@ -491,6 +521,12 @@ final class PointStore(spark: SparkSession, path: String,
 }
 
 object PointStore {
+
+  /** Per-(JVM, member dir) parquet schema memo — METADATA only (a
+    * StructType, never rows); see [[PointStore!.readMembers]]. */
+  private[sources] val memberSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
 
   private[sources] val SchemaLine = "#schema:"
 

@@ -477,6 +477,10 @@ object Maintained {
   private def nightsFixture(s: SparkSession, d: String): java.io.File =
     nightsFixtureOf(s, d, seg = false)
 
+  /** Measurement hook (graft.ProfMaint): the staged plain-night drops. */
+  private[graft] def stagedDropsDirFor(s: SparkSession, d: String): java.io.File =
+    nightsFixture(s, d)
+
   /** `seg = true` stages the SEGMENTED variant: the same tertile
     * nights with the customer's market segment riding each event (the
     * funnel_segmented wire shape — one broadcast dim join at export
@@ -618,21 +622,73 @@ object Maintained {
   private[graft] def maintainOnce(s: SparkSession, fold: ReportFold,
                                   store: PointStore, watched: String,
                                   ckpt: String,
-                                  exclude: Option[DataFrame] = None): Unit = {
-    val stream = s.readStream
-      .schema(fold.schema)
-      .option("maxFileAge", "36500d")
-      .parquet(watched)
-    val q = fold.wire(stream).writeStream
-      .foreachBatch((b: DataFrame, id: Long) => {
-        val cells = exclude.fold(b)(r =>
-          b.join(broadcast(r), Seq("user_id"), "left_anti"))
-        StreamingPointStore.foldBatch(store, fold.partialOf, cells, id)
-      })
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                                  exclude: Option[DataFrame] = None): Unit =
+    withFoldTuning(s, watched) {
+      val stream = s.readStream
+        .schema(fold.schema)
+        .option("maxFileAge", "36500d")
+        .parquet(watched)
+      val q = fold.wire(stream).writeStream
+        .foreachBatch((b: DataFrame, id: Long) => {
+          val cells = exclude.fold(b)(r =>
+            b.join(broadcast(r), Seq("user_id"), "left_anti"))
+          StreamingPointStore.foldBatch(store, fold.partialOf, cells, id)
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+  /** Scale-adaptive fold partitioning (r20 optimization; guide §2.2,
+    * §2.4): one maintenance pass is a micro-batch pipeline over this
+    * pass's drop files, so its shuffle/state partition count derives
+    * from those files' BYTES — ceil(bytes / bytesPerPartition), the
+    * scan-split convention — instead of inheriting the session's
+    * fact-scale constant. A bench-SF night (a few hundred KB) folds in
+    * one partition instead of 32 (the state store commits ONE delta
+    * file per partition per micro-batch, so the constant-partitioned
+    * fold paid 32 state commits — plus Spark 4.1's checksum companion
+    * files — per batch to move a handful of report cells); a 1 TB
+    * production night derives ~8k partitions and keeps every property
+    * the fold relies on (partials are order- and partition-independent:
+    * sums, counts, mergeable sketches). The derived value pins a NEW
+    * checkpoint's state partitioning; an existing checkpoint keeps the
+    * partitioning it was created with (Spark reads it back from the
+    * offset log), so a store ingesting varying drop sizes stays
+    * self-consistent. Knobs, all overridable per session:
+    * `spark.graft.fold.bytesPerPartition` (default 128 MB),
+    * `spark.graft.fold.maxPartitions` (default 16384),
+    * `spark.graft.fold.ckptChecksum` (default false — the checkpoint
+    * corruption guard writes two companion files per state/offset/
+    * commit file; on the local-fs deployment the parquet CRCs already
+    * cover the data files, and a lost checkpoint heals by rebuild, so
+    * the guard is priced off by default; set true on storage without
+    * end-to-end integrity). State-store maintenance (snapshot
+    * re-uploads) is deferred past a pass's lifetime — a pass is a
+    * handful of versions long, so replaying deltas on reopen is cheaper
+    * than snapshotting mid-pass. Restore is best-effort under
+    * concurrency: two concurrent passes on one session could leave the
+    * smaller value set — partition count never changes any fold's
+    * RESULT (the partial laws above), only its task layout. */
+  private def withFoldTuning[T](s: SparkSession, watched: String)(body: => T): T = {
+    def confL(key: String, dflt: Long): Long =
+      s.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val bytes = Option(new java.io.File(watched).listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isFile).map(_.length).sum
+    val perPart = confL("spark.graft.fold.bytesPerPartition", 128L << 20)
+    val maxParts = confL("spark.graft.fold.maxPartitions", 16384L)
+    val parts = math.min(maxParts, math.max(1L, (bytes + perPart - 1) / perPart))
+    val tuned: Seq[(String, String)] = Seq(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" ->
+        s.conf.getOption("spark.graft.fold.ckptChecksum").getOrElse("false"),
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s")
+    val saved = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+    tuned.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
   }
 
   /** A split-landing file name: `<tag>-pNNNNN.parquet`. */
