@@ -212,6 +212,7 @@ final class PointStore(spark: SparkSession, path: String,
         "no longer readable; resync from snapshot")
     require(until >= since, s"empty window ($since, $until]")
     val dirs = changeLog.filter(e => e._1 > since && e._1 <= until).map(_._2)
+      .filterNot(_ == PointStore.EmptyMember) // ledger-only empty deltas
     if (dirs.isEmpty) {
       require(members.nonEmpty,
         s"point store at $path is empty — the changefeed has no schema " +
@@ -484,6 +485,30 @@ final class PointStore(spark: SparkSession, path: String,
     }
   }
 
+  /** Record `tag` as consumed WITHOUT content (r20 optimization): the
+    * ledger line plus a version bump whose change-log entry names the
+    * empty member "[[PointStore.EmptyMember]]". Semantically identical
+    * to appending an empty parquet delta — the version axis, tag
+    * idempotence and every changefeed window read the same — without
+    * the write job, the two manifest-listed files, and the forever-
+    * after empty scan leg in every snapshot. The maintained lifecycles
+    * use it for the no-rows half of their micro-batches (a watermark-
+    * advance batch that finalized nothing): half of a nightly store's
+    * members were schema-only parquet dirs. Returns whether this call
+    * consumed the tag (a redelivery is a no-op, exactly like
+    * [[appendTagged]]). */
+  def appendTaggedEmpty(tag: String, leaseWaitMs: Long = 0L): Boolean =
+    sfs.withWriterLease(waitMs = leaseWaitMs) {
+      if (consumedTags(tag)) false
+      else {
+        require(tag.matches("[A-Za-z0-9._-]+") && !tag.forall(_.isDigit),
+          s"append tag '$tag' must be filesystem-safe and non-numeric")
+        writeManifest(manifestLines :+ s"$TagLine$tag" :+
+          s"$LogLine${version + 1}:${PointStore.EmptyMember}")
+        true
+      }
+    }
+
   /** Order-preserving Long view of a key column for Z-order quantization. */
   private def keyAsLong(c: Column,
                         dt: org.apache.spark.sql.types.DataType): Column = {
@@ -521,6 +546,13 @@ final class PointStore(spark: SparkSession, path: String,
 }
 
 object PointStore {
+
+  /** Change-log member name of a ledger-only empty delta
+    * ([[PointStore!.appendTaggedEmpty]]): never a directory ("-" is
+    * outside the base/delta member grammar), contributes no rows to
+    * any changefeed window, and [[PointStore!.vacuum]]'s live-set union
+    * treats it as a name that simply never matches a directory. */
+  private[sources] val EmptyMember = "-"
 
   /** Per-(JVM, member dir) parquet schema memo — METADATA only (a
     * StructType, never rows); see [[PointStore!.readMembers]]. */

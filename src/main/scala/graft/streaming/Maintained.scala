@@ -471,8 +471,17 @@ object Maintained {
     * drops are the upstream exporter's output, not the maintenance
     * loop any entry measures — warm them untimed so the first
     * maintained entry doesn't pay the one-time export. */
-  def warmLifecycleFixture(s: SparkSession, d: String): Unit =
+  def warmLifecycleFixture(s: SparkSession, d: String): Unit = {
     nightsFixture(s, d)
+    // the segmented and two-axis night exports are the same fixture
+    // doctrine as the plain one (immutable upstream INPUTS, hardlinked
+    // into each lifecycle's own watched dir) — warm all three, so the
+    // alphabetically-first segmented entry doesn't pay the one-time
+    // export the plain entries never paid (r20: it was paying ~1-2 s
+    // of broadcast-dim export inside its timed region)
+    nightsFixtureOf(s, d, seg = true)
+    nightsFixtureOf(s, d, seg = true, seg2 = true)
+  }
 
   private def nightsFixture(s: SparkSession, d: String): java.io.File =
     nightsFixtureOf(s, d, seg = false)

@@ -525,4 +525,43 @@ class PointStoreSpec extends SparkSpec {
     reopened.append(batch(0)); reopened.compact()
     assert(!reopened.appendTagged("b1", batch(1)))
   }
+
+  test("ledger-only empty delta: version bumps, tag consumed, no member, " +
+    "changefeed windows and snapshot unchanged (r20)") {
+    val dir = freshDir("emptydelta")
+    val store = build(dir)
+    val li = Tables.lineitem(spark, sf)
+    def batch(m: Int) = Merge.pointAgg(li.filter(col("l_orderkey") % 2 === m))
+    assert(store.appendTagged("b0", batch(0)))
+    val v0 = store.version
+    val membersBefore = store.members
+    val snapBefore = Merge.finish(store.snapshot)
+      .collect().map(_.mkString("|")).toSet
+    // the empty commit: version axis moves, ledger consumes, storage doesn't
+    assert(store.appendTaggedEmpty("b1"))
+    assert(store.version == v0 + 1)
+    assert(store.members == membersBefore)
+    assert(store.consumedTags == Set("b0", "b1"))
+    assert(!store.appendTaggedEmpty("b1")) // redelivery: no-op
+    assert(!store.appendTagged("b1", batch(1))) // cross-path redelivery too
+    // reads: the empty window holds no rows; the snapshot is untouched
+    assert(store.changesSince(v0).isEmpty)
+    assert(store.changesSince(0).count() > 0) // mixed window: real delta rows
+    assert(Merge.finish(store.snapshot).collect().map(_.mkString("|")).toSet
+      == snapBefore)
+    assert(Merge.finish(store.snapshotAt(v0)).collect().map(_.mkString("|"))
+      .toSet == snapBefore) // time travel across the empty version
+    // the ledger survives compaction and reopen like any tag
+    store.appendTagged("b2", batch(1))
+    store.compact()
+    val reopened = build(dir)
+    assert(!reopened.appendTaggedEmpty("b1"))
+    assert(reopened.consumedTags == Set("b0", "b1", "b2"))
+    assert(Merge.finish(reopened.snapshot).collect().map(_.mkString("|")).toSet
+      == oneShot)
+    // vacuum: the empty log entry prunes like any other, no stray dirs
+    reopened.vacuum()
+    assert(Merge.finish(reopened.snapshot).collect().map(_.mkString("|")).toSet
+      == oneShot)
+  }
 }
