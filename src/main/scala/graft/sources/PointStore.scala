@@ -354,8 +354,43 @@ final class PointStore(spark: SparkSession, path: String,
       mergeAgg(partial.select((keys ++ measureCols).map(col): _*))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(sfs.pathOf(name))
-      writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")
+      // r20 optimization: a TAGGED delta that folded ZERO rows — half of
+      // every maintained lifecycle's micro-batches is the watermark-
+      // advance batch that finalized nothing — commits as a LEDGER-ONLY
+      // entry (the [[appendTaggedEmpty]] manifest shape: tag line +
+      // version log naming the empty member "-") and its schema-only
+      // directory is reclaimed, instead of joining the member list that
+      // every later snapshot scans forever. The decision reads the just-
+      // written footers DRIVER-side (a few ms, no extra Spark job — the
+      // one plan execution stays the write above). The store's FIRST
+      // commit always stays a real member (the snapshot's schema comes
+      // from member footers); untagged sequence-numbered deltas keep the
+      // old behavior (a bare number cannot live in the tag ledger).
+      val tag = name.stripPrefix("delta-")
+      val emptyable = members.nonEmpty && name.startsWith("delta-") &&
+        !tag.forall(_.isDigit)
+      if (emptyable && parquetRowCount(sfs.pathOf(name)) == 0L) {
+        writeManifest(manifestLines :+ s"$TagLine$tag" :+
+          s"$LogLine${version + 1}:${PointStore.EmptyMember}")
+        sfs.deleteChild(name)
+      } else
+        writeManifest(manifestLines :+ name :+ s"$LogLine${version + 1}:$name")
     }
+
+  /** Row count of a just-written parquet directory from its footers —
+    * driver-side metadata, no Spark job. */
+  private def parquetRowCount(dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(conf).listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum
+  }
 
   /** Merge-on-read view: base + deltas scanned in parallel, one
     * shuffle-on-key re-aggregation (PointStoreSpec pins the plan to a

@@ -43,24 +43,13 @@ object StreamingPointStore {
                 batch: DataFrame, batchId: Long,
                 autoCompactAt: Int = AutoCompactDeltas): Unit = {
     if (store.deltaCount >= autoCompactAt) store.compact()
-    // r20 optimization: materialize the key-grain partial ONCE (a
-    // count over the pinned frame — report-cell-sized by partialOf's
-    // contract, so the pin is trivial; the count, not isEmpty, so the
-    // stateful micro-batch plan executes exactly one time and the
-    // store write below reads the cache). An EMPTY partial — half of
-    // every maintained lifecycle's batches is the watermark-advance
-    // batch that finalized nothing — commits through the ledger-only
-    // path: same version bump, same tag idempotence, no write job and
-    // no forever-scanned schema-only member. The store's FIRST commit
-    // stays a real (possibly empty) member: the snapshot's schema
-    // comes from member footers, so a store must never be all-ledger.
-    val partial = partialOf(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (partial.count() > 0 || store.members.isEmpty)
-        store.appendTagged(s"b$batchId", partial)
-      else store.appendTaggedEmpty(s"b$batchId")
-    } finally partial.unpersist(false)
+    // empty batches (the watermark-advance half of every maintained
+    // lifecycle) become ledger-only commits INSIDE the store's write —
+    // it reads the written footers driver-side, so this stays ONE plan
+    // execution per batch (an earlier r20 variant counted the partial
+    // first: +1 job per batch, measurably slower than the write it
+    // saved)
+    store.appendTagged(s"b$batchId", partialOf(batch))
   }
 
   /** Attach to a streaming source; `partialOf` maps a raw micro-batch to

@@ -551,12 +551,22 @@ class PointStoreSpec extends SparkSpec {
       == snapBefore)
     assert(Merge.finish(store.snapshotAt(v0)).collect().map(_.mkString("|"))
       .toSet == snapBefore) // time travel across the empty version
+    // appendTagged of an all-empty partial flips to the SAME ledger-only
+    // commit (writeDelta reads the written footers driver-side): version
+    // bumps, tag consumed, no member dir joins the snapshot
+    assert(store.appendTagged("bEmpty",
+      batch(0).filter(col("game_mode") === "no-such-mode")))
+    assert(store.version == v0 + 2)
+    assert(store.members == membersBefore)
+    assert(store.consumedTags == Set("b0", "b1", "bEmpty"))
+    assert(!new java.io.File(dir, "delta-bEmpty").exists)
+    assert(store.changesSince(v0 + 1).isEmpty)
     // the ledger survives compaction and reopen like any tag
     store.appendTagged("b2", batch(1))
     store.compact()
     val reopened = build(dir)
     assert(!reopened.appendTaggedEmpty("b1"))
-    assert(reopened.consumedTags == Set("b0", "b1", "b2"))
+    assert(reopened.consumedTags == Set("b0", "b1", "b2", "bEmpty"))
     assert(Merge.finish(reopened.snapshot).collect().map(_.mkString("|")).toSet
       == oneShot)
     // vacuum: the empty log entry prunes like any other, no stray dirs
